@@ -1,0 +1,170 @@
+package graft.ann
+
+import java.util.Arrays
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.types.{Algorithm, GraftException, NonLinearConfig, PredicateCondition, StoreSchema}
+import graft.engine.GraftEngine
+import graft.functions.{Predicates, Similarity}
+
+/**
+ * Distributed ANN index: one HNSW graph or KD-tree per partition, built with
+ * `mapPartitions` and kept as a cached RDD of shards — the Spark-native
+ * reshaping of the reference's single in-memory index
+ * (SURVEY.md §2.4 "Spark mapping for ANN").
+ *
+ * Search: broadcast the query (+ optional accept-set), each shard returns its
+ * local top-n, the driver merges (tiny: shards × n rows) and results are
+ * hydrated back from the store table by id — the same "ids → id_to_value
+ * lookup" the reference does (db/src/engine/store.rs:386-398).
+ *
+ * Determinism: shard assignment = hash-repartition on the content id, insert
+ * order = id-ascending within each shard, level RNG seeded from the id —
+ * so the graph (and therefore results) is stable across runs/replicas
+ * (docs/specs/hnsw.md:1071-1093).
+ *
+ * Scale note: at 100 TB the accept-set broadcast becomes a Bloom filter +
+ * post-verification; shard count follows the table's partitioning, and
+ * shards spill to disk via the MEMORY_AND_DISK storage level.
+ */
+sealed trait AnnShard extends Serializable {
+  /** Local top-k as (id, closeness DESC-better). */
+  def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)]
+}
+
+final class HnswShard(val index: HnswIndex, efSearch: Int) extends AnnShard {
+  def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)] =
+    index.search(q, k, efSearch, accept)
+}
+
+final class KdShard(val tree: KdTree) extends AnnShard {
+  def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)] =
+    tree.nNearest(q, k, accept).map { case (id, d) => (id, -d) }
+}
+
+final class AnnIndex(
+    val kind: String,
+    val config: NonLinearConfig,
+    val shards: RDD[AnnShard]) extends Serializable {
+
+  def unpersist(): Unit = shards.unpersist(blocking = false)
+
+  /** Merged top-k across shards (driver-side bounded merge —
+    * TakeOrdered-equivalent over shards × k candidates). */
+  def search(q: Array[Float], k: Int, acceptSorted: Array[Long]): Seq[(Long, Double)] = {
+    val sc = shards.sparkContext
+    val bq = sc.broadcast(q)
+    val ba = sc.broadcast(acceptSorted) // null = accept all
+    val local = shards.flatMap { shard =>
+      val acc = ba.value
+      val accept: Long => Boolean =
+        if (acc == null) null else (id: Long) => Arrays.binarySearch(acc, id) >= 0
+      shard.topK(bq.value, k, accept)
+    }.collect()
+    bq.destroy(); ba.destroy()
+    local.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+  }
+}
+
+object AnnIndex {
+
+  /** Batch index-build job (CreateNonLinearAlgorithmIndex,
+    * store.rs:240-254, 1160-1186). */
+  def build(df: DataFrame, dim: Int, config: NonLinearConfig): AnnIndex = {
+    val parts = math.max(1, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val rows = df.select("id", "key")
+      .repartition(parts, col("id"))
+      .sortWithinPartitions("id")
+    val shards: RDD[AnnShard] = config match {
+      case h: NonLinearConfig.HNSWConfig =>
+        rows.rdd.mapPartitions { it =>
+          val idx = HnswIndex(dim, h)
+          it.foreach { r => idx.insert(r.getLong(0), toFloats(r.getSeq[Float](1))) }
+          if (idx.size == 0) Iterator.empty
+          else Iterator(new HnswShard(idx, h.efSearch): AnnShard)
+        }
+      case _: NonLinearConfig.KDTreeConfig =>
+        rows.rdd.mapPartitions { it =>
+          val ids = scala.collection.mutable.ArrayBuffer[Long]()
+          val vecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+          it.foreach { r => ids += r.getLong(0); vecs += toFloats(r.getSeq[Float](1)) }
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val t = new KdTree(dim)
+            t.build(ids.toArray, vecs.toArray)
+            Iterator(new KdShard(t): AnnShard)
+          }
+        }
+    }
+    val cached = shards.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    new AnnIndex(config.kind, config, cached)
+  }
+
+  private def toFloats(s: Seq[Float]): Array[Float] = s.toArray
+}
+
+/** The non-linear arms of GetSimN's 4-way dispatch (store.rs:314-383). */
+object AnnSearch {
+
+  /** accept_list ≤ 4096 → exact brute force over the accepted set
+    * (hnsw/index.rs:24,233-235). */
+  val BruteForceCutover = 4096L
+
+  def getSimN(engine: GraftEngine, st: GraftEngine#StoreState,
+      q: Array[Float], n: Int, algorithm: Algorithm,
+      condition: Option[PredicateCondition]): DataFrame = {
+    val kind = algorithm match {
+      case Algorithm.KDTree => "kdtree"
+      case Algorithm.HNSW   => "hnsw"
+      case other => throw GraftException(s"$other is not a non-linear algorithm")
+    }
+    val index = st.annIndexes.getOrElse(kind,
+      throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))
+    // the metric the index orders by → the algorithm used for scoring output
+    val scoringAlgo = index.config match {
+      case _: NonLinearConfig.KDTreeConfig => Algorithm.KDTree
+      case h: NonLinearConfig.HNSWConfig   => h.metric
+    }
+
+    condition match {
+      case Some(cond) =>
+        val accepted = st.df.where(Predicates.toColumn(cond, col("value")))
+        val cnt = accepted.count()
+        if (cnt == 0) emptyResult(engine) // short-circuit store.rs:318-320
+        else if (cnt <= BruteForceCutover)
+          engine.linearTopK(accepted, q, n, scoringAlgo)
+        else {
+          val acceptIds = accepted.select("id").collect().map(_.getLong(0))
+          Arrays.sort(acceptIds)
+          hydrate(engine, st, index.search(q, n, acceptIds), q, n, scoringAlgo)
+        }
+      case None =>
+        hydrate(engine, st, index.search(q, n, null), q, n, scoringAlgo)
+    }
+  }
+
+  /** ids → rows, recompute exact similarity on the tiny result set
+    * (store.rs:386-398 hydration). */
+  private def hydrate(engine: GraftEngine, st: GraftEngine#StoreState,
+      hits: Seq[(Long, Double)], q: Array[Float], n: Int,
+      scoringAlgo: Algorithm): DataFrame = {
+    if (hits.isEmpty) return emptyResult(engine)
+    val ids = hits.map(_._1)
+    engine.linearTopK(st.df.where(col("id").isin(ids: _*)), q, n, scoringAlgo)
+  }
+
+  private def emptyResult(engine: GraftEngine): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      StoreSchema.entrySchema.drop(1) :+
+        org.apache.spark.sql.types.StructField("similarity",
+          org.apache.spark.sql.types.FloatType))
+    engine.spark.createDataFrame(
+      engine.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.ann
+
+import scala.collection.mutable
+
+import graft.types.{Algorithm, NonLinearConfig}
+import graft.functions.Similarity.jvm
+
+/**
+ * Hierarchical Navigable Small World graph — a from-scratch Scala
+ * implementation of the public Malkov & Yashunin algorithm (algs 1-5),
+ * matching the reference's configuration surface and filtered-search
+ * semantics (/root/reference/ahnlich/similarity/src/hnsw/mod.rs:275-296,
+ * docs/specs/hnsw.md:139-649):
+ *
+ *  - defaults efConstruction=100, M=16, M0=2M=32, ef_search=16;
+ *  - deterministic level assignment: the level RNG is seeded from the node
+ *    id (splitmix64), so the same inserts in the same order produce the same
+ *    graph on every replica (hnsw.md:1071-1093 determinism checklist);
+ *  - "in-filtering" for predicated search (hnsw.md:606-649): rejected nodes
+ *    are still traversed as stepping stones (candidate set C) but only
+ *    accepted nodes join the result set W; early-stop requires |W| = ef.
+ *
+ * Internal distances are smaller-is-closer per metric: cosine → −cos,
+ * dot → −dot, euclidean → squared euclidean (same ordering, cheaper).
+ */
+final class HnswIndex(
+    val dim: Int,
+    val m: Int,
+    val m0: Int,
+    val efConstruction: Int,
+    val metric: Algorithm) extends Serializable {
+
+  private val mL: Double = 1.0 / math.log(m.toDouble)
+
+  // node storage (index-aligned arrays; graph as per-level neighbor lists)
+  private val ids = mutable.ArrayBuffer[Long]()
+  private val vecs = mutable.ArrayBuffer[Array[Float]]()
+  private val levels = mutable.ArrayBuffer[Int]()
+  // neighbors(node)(level) = ArrayBuffer[nodeIdx]
+  private val neighbors = mutable.ArrayBuffer[Array[mutable.ArrayBuffer[Int]]]()
+  private var entryPoint: Int = -1
+  private var maxLevel: Int = -1
+  private val idToIdx = mutable.HashMap[Long, Int]()
+
+  def size: Int = ids.length
+
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double = metric match {
+    case Algorithm.EuclideanDistance => jvm.sqEuclidean(a, b)
+    case Algorithm.DotProductSimilarity => -jvm.dot(a, b)
+    case _ => -jvm.cosine(a, b)
+  }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic geometric level from the content id. */
+  private def levelFor(id: Long): Int = {
+    val u = (splitmix64(id) >>> 11).toDouble / (1L << 53).toDouble
+    val uu = if (u <= 0.0) java.lang.Double.MIN_VALUE else u
+    math.floor(-math.log(uu) * mL).toInt
+  }
+
+  /** Algorithm 2: greedy beam search on one layer. Returns (nodeIdx, dist)
+    * max-heap contents of the ef closest. `accept` implements in-filtering:
+    * null means accept-all. */
+  private def searchLayer(q: Array[Float], eps: Seq[(Int, Double)], ef: Int,
+      level: Int, accept: Int => Boolean = null): mutable.PriorityQueue[(Int, Double)] = {
+    val visited = mutable.HashSet[Int]()
+    // candidates: min-heap by dist; results: max-heap by dist
+    implicit val maxOrd: Ordering[(Int, Double)] =
+      Ordering.by[(Int, Double), (Double, Int)](t => (t._2, -t._1))
+    val candidates = mutable.PriorityQueue.empty[(Int, Double)](maxOrd.reverse)
+    val results = mutable.PriorityQueue.empty[(Int, Double)](maxOrd)
+    eps.foreach { case (n, d) =>
+      if (visited.add(n)) {
+        candidates.enqueue((n, d))
+        if (accept == null || accept(n)) results.enqueue((n, d))
+      }
+    }
+    while (candidates.nonEmpty) {
+      val (c, dc) = candidates.dequeue()
+      // early stop: nearest candidate farther than the worst of a full W
+      if (results.size >= ef && dc > results.head._2) {
+        candidates.clear()
+      } else {
+        val nbrs = neighbors(c)(math.min(level, levels(c)))
+        var i = 0
+        while (i < nbrs.length) {
+          val e = nbrs(i)
+          if (visited.add(e)) {
+            val de = dist(q, vecs(e))
+            if (results.size < ef || de < results.head._2) {
+              candidates.enqueue((e, de))
+              if (accept == null || accept(e)) {
+                results.enqueue((e, de))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    results
+  }
+
+  /** Algorithm 4: heuristic neighbor selection (extendCandidates /
+    * keepPrunedConnections default false, as the reference's defaults). */
+  private def selectNeighbors(q: Array[Float], cands: Seq[(Int, Double)],
+      mMax: Int): mutable.ArrayBuffer[Int] = {
+    val sorted = cands.sortBy(t => (t._2, t._1))
+    val out = mutable.ArrayBuffer[Int]()
+    val it = sorted.iterator
+    while (it.hasNext && out.length < mMax) {
+      val (e, de) = it.next()
+      var closerToSelected = false
+      var i = 0
+      while (i < out.length && !closerToSelected) {
+        if (dist(vecs(e), vecs(out(i))) < de) closerToSelected = true
+        i += 1
+      }
+      if (!closerToSelected) out += e
+    }
+    out
+  }
+
+  /** Algorithm 1: insert. Duplicate ids are skipped (content-hash identity
+    * means same vector — kdtree.rs:317-319 analog). */
+  def insert(id: Long, vec: Array[Float]): Unit = {
+    if (idToIdx.contains(id)) return
+    val idx = ids.length
+    val l = levelFor(id)
+    ids += id; vecs += vec; levels += l
+    neighbors += Array.fill(l + 1)(mutable.ArrayBuffer[Int]())
+    idToIdx(id) = idx
+    if (entryPoint < 0) { entryPoint = idx; maxLevel = l; return }
+
+    var ep = Seq((entryPoint, dist(vec, vecs(entryPoint))))
+    var lc = maxLevel
+    while (lc > l) { // greedy descent above the node's level
+      ep = Seq(searchLayer(vec, ep, 1, lc).toSeq.minBy(t => (t._2, t._1)))
+      lc -= 1
+    }
+    lc = math.min(l, maxLevel)
+    while (lc >= 0) {
+      val w = searchLayer(vec, ep, efConstruction, lc).toSeq
+      val mMax = if (lc == 0) m0 else m
+      val selected = selectNeighbors(vec, w, m)
+      neighbors(idx)(lc) = selected.clone()
+      selected.foreach { e =>
+        val en = neighbors(e)(lc)
+        en += idx
+        if (en.length > mMax) {
+          val pruned = selectNeighbors(vecs(e),
+            en.map(x => (x, dist(vecs(e), vecs(x)))).toSeq, mMax)
+          neighbors(e)(lc) = pruned
+        }
+      }
+      ep = w
+      lc -= 1
+    }
+    if (l > maxLevel) { maxLevel = l; entryPoint = idx }
+  }
+
+  /**
+   * k-NN search → (id, closeness) larger-is-closer, for driver-side merge.
+   * `accept`: optional id-level filter (in-filtering). The ≤4096
+   * brute-force cutover happens OUTSIDE, in [[AnnSearch]], matching
+   * hnsw/index.rs:24,233-235.
+   */
+  def search(q: Array[Float], k: Int, efSearch: Int,
+      accept: Long => Boolean = null): Seq[(Long, Double)] = {
+    if (entryPoint < 0) return Nil
+    val nodeAccept: Int => Boolean =
+      if (accept == null) null else (n: Int) => accept(ids(n))
+    var ep = Seq((entryPoint, dist(q, vecs(entryPoint))))
+    var lc = maxLevel
+    while (lc > 0) {
+      ep = Seq(searchLayer(q, ep, 1, lc).toSeq.minBy(t => (t._2, t._1)))
+      lc -= 1
+    }
+    val ef = math.max(efSearch, k)
+    val w = searchLayer(q, ep, ef, 0, nodeAccept)
+    w.toSeq.sortBy(t => (t._2, ids(t._1)))
+      .take(k)
+      .map { case (n, d) => (ids(n), -d) } // closeness = -distance
+  }
+
+  def vectorOf(id: Long): Option[Array[Float]] = idToIdx.get(id).map(vecs(_))
+}
+
+object HnswIndex {
+  def apply(dim: Int, cfg: NonLinearConfig.HNSWConfig): HnswIndex =
+    new HnswIndex(dim, cfg.maximumConnections, cfg.maximumConnectionsZero,
+      cfg.efConstruction, cfg.metric)
+}

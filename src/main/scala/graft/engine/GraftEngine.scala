@@ -1,0 +1,430 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+import graft.types._
+import graft.functions.{Predicates, Similarity}
+
+/**
+ * The engine: a catalog of named, fixed-dimension vector stores, each backed
+ * by a DataFrame of `(id, key, value)` rows, plus every DB operation of the
+ * reference (SURVEY.md §2.1; dispatch ref:
+ * /root/reference/ahnlich/db/src/engine/operations.rs:29-346).
+ *
+ * Design notes (Spark-first, scale-first):
+ *  - A store is an immutable DataFrame; every mutation is a deterministic
+ *    DataFrame rewrite swapped into the catalog (batch analog of the
+ *    reference's lock-free in-place maps, store.rs:739-758). At cluster scale
+ *    the same rewrites target parquet table dirs (see [[Persistence]]).
+ *  - Row identity = deterministic content hash of the vector (exact bits),
+ *    mirroring StoreKeyId (types/src/utils/store_key_id.rs:10-30): computed
+ *    with Spark's `xxhash64` over the ARRAY<FLOAT> column, so re-SETting a
+ *    vector is an update, never a duplicate (store.rs:1104-1121).
+ *  - Point lookups hash the probe keys with the *same expression* and
+ *    broadcast-semi-join — no JVM-side mirror of the hash needed.
+ *  - Search is `closeness DESC, id ASC` + LIMIT n → Catalyst plans
+ *    TakeOrderedAndProject: per-partition bounded heaps merged on the driver,
+ *    the exact algorithm the reference hand-rolls with rayon
+ *    (similarity/src/heap.rs:7-69, db/src/algorithm/mod.rs:87-127).
+ */
+class GraftEngine(val spark: SparkSession) {
+
+  import StoreSchema._
+
+  final case class StoreState(meta: StoreMeta, df: DataFrame,
+      annIndexes: Map[String, graft.ann.AnnIndex] = Map.empty)
+
+  private val catalog = TrieMap[(String, String), StoreState]()
+  val DefaultSchema = "public"
+
+  // ---------------------------------------------------------------- helpers
+
+  /** id = exact-bit content hash of the vector (StoreKeyId analog). */
+  def keyId(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(keyCol)
+
+  private def state(schema: String, name: String): StoreState =
+    catalog.getOrElse((schema, name), throw GraftErrors.storeNotFound(schema, name))
+
+  def storeDf(name: String, schema: String = DefaultSchema): DataFrame =
+    state(schema, name).df
+
+  def storeMeta(name: String, schema: String = DefaultSchema): StoreMeta =
+    state(schema, name).meta
+
+  def exists(name: String, schema: String = DefaultSchema): Boolean =
+    catalog.contains((schema, name))
+
+  private def metaValueToRow(v: MetadataValue): Row = v match {
+    case MetadataValue.RawString(s) => Row("raw_string", s, null)
+    case MetadataValue.Image(b)     => Row("image", null, b)
+    case MetadataValue.Audio(b)     => Row("audio", null, b)
+  }
+
+  /** Build an entries DataFrame (key, value) from driver-side tuples. */
+  def entriesDf(entries: Seq[(Array[Float], Map[String, MetadataValue])]): DataFrame = {
+    val rows = entries.map { case (k, v) =>
+      Row(k.toSeq, v.map { case (kk, vv) => kk -> metaValueToRow(vv) })
+    }
+    val schema = org.apache.spark.sql.types.StructType(entrySchema.drop(1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def validateDim(meta: StoreMeta, dims: DataFrame): Unit = {
+    // one pass over the batch, mirrors par-validation store.rs:1074-1079
+    val bad = dims.select(size(col("key")).as("d")).where(col("d") =!= meta.dimension)
+      .limit(1).collect()
+    if (bad.nonEmpty)
+      throw GraftErrors.dimensionMismatch(meta.dimension, bad.head.getInt(0))
+  }
+
+  /** Swap in a new DataFrame for a store, caching the new state and
+    * releasing the old (keeps lineage bounded under repeated mutation). */
+  private def swap(schema: String, name: String, next: DataFrame,
+      keepAnn: Boolean = false): Unit = {
+    val st = state(schema, name)
+    val cached = next.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize before releasing predecessor
+    st.df.unpersist(blocking = false)
+    // mutation invalidates non-linear indexes unless caller rebuilds/patches
+    val ann = if (keepAnn) st.annIndexes else Map.empty[String, graft.ann.AnnIndex]
+    catalog((schema, name)) = st.copy(df = cached, annIndexes = ann)
+  }
+
+  // ------------------------------------------------------------ catalog ops
+
+  /** CreateStore (store.rs:624-649). */
+  def createStore(name: String, dimension: Int,
+      predicates: Set[String] = Set.empty,
+      nonLinearIndexes: Seq[NonLinearConfig] = Seq.empty,
+      errorIfExists: Boolean = true,
+      schema: String = DefaultSchema,
+      storeOriginal: Boolean = false,
+      queryModel: Option[String] = None,
+      indexModel: Option[String] = None): Boolean = {
+    require(dimension > 0, "dimension must be non-zero")
+    if (catalog.contains((schema, name))) {
+      if (errorIfExists) throw GraftErrors.storeAlreadyExists(schema, name)
+      false
+    } else {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], entrySchema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val meta = StoreMeta(schema, name, dimension, predicates,
+        nonLinearIndexes.map(c => c.kind -> c).toMap, storeOriginal,
+        queryModel, indexModel)
+      catalog.putIfAbsent((schema, name), StoreState(meta, empty)).isEmpty
+    }
+  }
+
+  /** DropStore (store.rs:688-713). */
+  def dropStore(name: String, schema: String = DefaultSchema,
+      errorIfNotExists: Boolean = true): Int =
+    catalog.remove((schema, name)) match {
+      case Some(st) => st.df.unpersist(blocking = false); 1
+      case None =>
+        if (errorIfNotExists) throw GraftErrors.storeNotFound(schema, name)
+        0
+    }
+
+  /** DropSchema — refuses "public" (store.rs:715-736). */
+  def dropSchema(schema: String, errorIfNotExists: Boolean = true): Int = {
+    if (schema == DefaultSchema) throw GraftErrors.cannotDropPublic
+    val keys = catalog.keys.filter(_._1 == schema).toSeq
+    if (keys.isEmpty && errorIfNotExists) throw GraftErrors.schemaNotFound(schema)
+    keys.foreach { k => catalog.remove(k).foreach(_.df.unpersist(blocking = false)) }
+    keys.size
+  }
+
+  /** PurgeStores — AI-layer: drop ALL stores in all schemas
+    * (ai/src/engine/store.rs:232-242). */
+  def purgeStores(): Int = {
+    val n = catalog.size
+    catalog.keys.toSeq.foreach { k =>
+      catalog.remove(k).foreach(_.df.unpersist(blocking = false))
+    }
+    n
+  }
+
+  /** ListStores → (schema, name, len, size_bytes_est, dimension, indexes)
+    * (store.rs:530-577). */
+  def listStores(schema: String = DefaultSchema): Seq[StoreInfo] =
+    catalog.toSeq.filter(_._1._1 == schema).sortBy(_._1._2).map {
+      case ((sch, nm), st) => storeInfo(st)
+    }
+
+  /** GetStore (store.rs:579-622). */
+  def getStore(name: String, schema: String = DefaultSchema): StoreInfo =
+    storeInfo(state(schema, name))
+
+  private def storeInfo(st: StoreState): StoreInfo = {
+    val len = st.df.count()
+    // estimated in-memory bytes: vector + id + metadata strings (cheap
+    // stand-in for the reference's cached size counters store.rs:71-101)
+    val sizeEst = len * (8L + st.meta.dimension * 4L + 64L)
+    StoreInfo(st.meta.schema, st.meta.name, len, sizeEst, st.meta.dimension,
+      st.meta.predicateIndexes.toSeq.sorted,
+      st.meta.nonLinearIndexes.keys.toSeq.sorted)
+  }
+
+  /** CreatePredIndex — catalog-only in Spark: Catalyst's parquet pushdown IS
+    * the predicate index for batch (SURVEY.md §2.3); we track the key set so
+    * GetPred validation + StoreInfo parity hold (store.rs:224-238). Returns
+    * the number of NEW keys indexed (idempotent). */
+  def createPredIndex(name: String, keys: Set[String],
+      schema: String = DefaultSchema): Int = {
+    val st = state(schema, name)
+    val newKeys = keys -- st.meta.predicateIndexes
+    catalog((schema, name)) = st.copy(meta =
+      st.meta.copy(predicateIndexes = st.meta.predicateIndexes ++ newKeys))
+    newKeys.size
+  }
+
+  /** DropPredIndex (store.rs:651-666). */
+  def dropPredIndex(name: String, keys: Set[String],
+      errorIfNotExists: Boolean = true, schema: String = DefaultSchema): Int = {
+    val st = state(schema, name)
+    val present = keys.intersect(st.meta.predicateIndexes)
+    if (present.size != keys.size && errorIfNotExists)
+      throw GraftException(
+        s"Predicate ${(keys -- present).mkString(",")} not found in store, attempt CREATEPREDINDEX with predicate")
+    catalog((schema, name)) = st.copy(meta =
+      st.meta.copy(predicateIndexes = st.meta.predicateIndexes -- present))
+    present.size
+  }
+
+  // -------------------------------------------------------------- write ops
+
+  /** Set — batch upsert, dedup-by-content, returns (inserted, updated)
+    * (store.rs:425-439, 1049-1135). Within a batch, later entries win
+    * (sequential-insert semantics of the reference). */
+  def set(name: String, entries: DataFrame, schema: String = DefaultSchema): (Long, Long) = {
+    val st = state(schema, name)
+    validateDim(st.meta, entries)
+    // last-wins dedup within the batch by content id
+    val w = Window.partitionBy("id").orderBy(col("_ord").desc)
+    val withId = entries
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("id", keyId(col("key")))
+    val deduped = withId
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_ord")
+      .select("id", "key", "value")
+    val existingIds = st.df.select(col("id").as("_eid"))
+    val marked = deduped.join(broadcastIfSmall(existingIds),
+      col("id") === col("_eid"), "left")
+    val markedCached = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = markedCached.agg(
+      sum(when(col("_eid").isNull, 1L).otherwise(0L)),
+      sum(when(col("_eid").isNotNull, 1L).otherwise(0L))).head
+    val inserted = Option(counts.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val updated = Option(counts.get(1)).fold(0L)(_.asInstanceOf[Long])
+    val newEntries = markedCached.drop("_eid")
+    val next = st.df.join(newEntries.select(col("id").as("_nid")),
+        col("id") === col("_nid"), "left_anti")
+      .union(newEntries.select("id", "key", "value"))
+    swap(schema, name, next)
+    markedCached.unpersist(blocking = false)
+    (inserted, updated)
+  }
+
+  def set(name: String, entries: Seq[(Array[Float], Map[String, MetadataValue])],
+      schema: String): (Long, Long) =
+    set(name, entriesDf(entries), schema)
+
+  def setSeq(name: String,
+      entries: Seq[(Array[Float], Map[String, MetadataValue])]): (Long, Long) =
+    set(name, entriesDf(entries), DefaultSchema)
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df // AQE decides
+
+  /** GetKey — point lookup by exact vector(s) (store.rs:413-423, 858-867).
+    * Probe keys are hashed with the same expression and semi-joined. */
+  def getKey(name: String, keys: Seq[Array[Float]],
+      schema: String = DefaultSchema): DataFrame = {
+    val st = state(schema, name)
+    keys.find(_.length != st.meta.dimension).foreach(k =>
+      throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
+      org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
+      .select(keyId(col("key")).as("_pid"))
+    st.df.join(broadcast(probe), col("id") === col("_pid"), "left_semi")
+      .select("key", "value")
+  }
+
+  /** GetPred (store.rs:401-411, 869-874). */
+  def getPred(name: String, cond: PredicateCondition,
+      schema: String = DefaultSchema): DataFrame = {
+    val st = state(schema, name)
+    st.df.where(Predicates.toColumn(cond, col("value"))).select("key", "value")
+  }
+
+  /** DelKey — delete by exact vector(s), returns deleted count
+    * (store.rs:256-270, 801-819). */
+  def delKey(name: String, keys: Seq[Array[Float]],
+      schema: String = DefaultSchema): Long = {
+    val st = state(schema, name)
+    keys.find(_.length != st.meta.dimension).foreach(k =>
+      throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
+      org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
+      .select(keyId(col("key")).as("_pid"))
+    val before = st.df.count()
+    val next = st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti")
+    swap(schema, name, next)
+    before - state(schema, name).df.count()
+  }
+
+  /** DelPred — delete by predicate, returns deleted count
+    * (store.rs:272-286, 851-856). */
+  def delPred(name: String, cond: PredicateCondition,
+      schema: String = DefaultSchema): Long = {
+    val st = state(schema, name)
+    val c = Predicates.toColumn(cond, col("value"))
+    val deleted = st.df.where(c).count()
+    if (deleted > 0) swap(schema, name, st.df.where(!c))
+    deleted
+  }
+
+  /** Upsert — update exactly-one entry matched by predicate; optional new
+    * key/value; merge flag; validates match-count==1 before (and, by
+    * construction, after) — store.rs:441-528. */
+  def upsert(name: String, cond: PredicateCondition,
+      newKey: Option[Array[Float]] = None,
+      newValue: Option[Map[String, MetadataValue]] = None,
+      mergeMetadata: Boolean = false,
+      schema: String = DefaultSchema): Unit = {
+    val st = state(schema, name)
+    newKey.filter(_.length != st.meta.dimension).foreach(k =>
+      throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
+    val c = Predicates.toColumn(cond, col("value"))
+    val matched = st.df.where(c).limit(2).collect()
+    if (matched.length != 1)
+      throw GraftException(
+        s"Upsert predicate must match exactly one entry, matched ${if (matched.length > 1) "more than one" else "none"}")
+    val row = matched.head
+    val oldKey = row.getSeq[Float](row.fieldIndex("key")).toArray
+    val oldValue = rowToMetaMap(row.getMap[String, Row](row.fieldIndex("value")))
+    val finalKey = newKey.getOrElse(oldKey)
+    val finalValue = (newValue, mergeMetadata) match {
+      case (Some(v), true)  => oldValue ++ v
+      case (Some(v), false) => v
+      case (None, _)        => oldValue
+    }
+    // delete-then-reinsert, as the reference does (store.rs:517-522)
+    val withoutOld = st.df.where(!c)
+    val replacement = entriesDf(Seq((finalKey, finalValue)))
+      .withColumn("id", keyId(col("key"))).select("id", "key", "value")
+    // the new key may collide with a different existing entry: last-wins
+    val next = withoutOld.join(replacement.select(col("id").as("_nid")),
+      col("id") === col("_nid"), "left_anti").union(replacement)
+    swap(schema, name, next)
+  }
+
+  private def rowToMetaMap(m: scala.collection.Map[String, Row]): Map[String, MetadataValue] =
+    m.map { case (k, r) =>
+      k -> (r.getString(0) match {
+        case "raw_string" => MetadataValue.RawString(r.getString(1))
+        case "image"      => MetadataValue.Image(r.getAs[Array[Byte]](2))
+        case "audio"      => MetadataValue.Audio(r.getAs[Array[Byte]](2))
+      })
+    }.toMap
+
+  // ------------------------------------------------------------- search ops
+
+  /**
+   * GetSimN — k-NN with the reference's 4-way dispatch (store.rs:290-398):
+   * (linear | non-linear) × (with | without predicate). Linear paths are a
+   * pure Catalyst plan: filter → score → TakeOrderedAndProject. Non-linear
+   * paths consult the store's ANN index, pushing the predicate's accept-list
+   * into the index search (store.rs:316-333).
+   *
+   * Returns (key, value, similarity), ties broken on id for deterministic
+   * order (algorithm/mod.rs:41-75).
+   */
+  def getSimN(name: String, searchInput: Array[Float], closestN: Int,
+      algorithm: Algorithm, condition: Option[PredicateCondition] = None,
+      schema: String = DefaultSchema): DataFrame = {
+    require(closestN > 0, "closest_n must be non-zero")
+    val st = state(schema, name)
+    if (searchInput.length != st.meta.dimension)
+      throw GraftErrors.dimensionMismatch(st.meta.dimension, searchInput.length)
+    algorithm match {
+      case Algorithm.KDTree | Algorithm.HNSW =>
+        graft.ann.AnnSearch.getSimN(this, st, searchInput, closestN, algorithm, condition)
+      case _ =>
+        val base = condition.fold(st.df)(c =>
+          st.df.where(Predicates.toColumn(c, col("value"))))
+        linearTopK(base, searchInput, closestN, algorithm)
+    }
+  }
+
+  /** Linear score + top-k over an arbitrary (id,key,value) frame. */
+  private[graft] def linearTopK(base: DataFrame, searchInput: Array[Float],
+      n: Int, algorithm: Algorithm): DataFrame = {
+    val q = typedLit(searchInput)
+    val scored = base.withColumn("_closeness",
+      Similarity.closeness(algorithm, col("key"), q))
+    val simFromCloseness = algorithm match {
+      case Algorithm.CosineSimilarity | Algorithm.DotProductSimilarity |
+           Algorithm.HNSW => col("_closeness")
+      case _ => -col("_closeness") // euclidean / kdtree report distances
+    }
+    scored.orderBy(col("_closeness").desc, col("id").asc).limit(n)
+      .withColumn("similarity", simFromCloseness.cast("float"))
+      .select("key", "value", "similarity")
+  }
+
+  // ----------------------------------------------------------- ANN indexes
+
+  /** CreateNonLinearAlgorithmIndex — batch index-build job
+    * (store.rs:240-254, 1160-1186). Idempotent: only new kinds are built. */
+  def createNonLinearIndex(name: String, configs: Seq[NonLinearConfig],
+      schema: String = DefaultSchema): Int = {
+    val st = state(schema, name)
+    val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))
+    val built = fresh.map { c =>
+      c.kind -> graft.ann.AnnIndex.build(st.df, st.meta.dimension, c)
+    }.toMap
+    catalog((schema, name)) = st.copy(
+      meta = st.meta.copy(nonLinearIndexes =
+        st.meta.nonLinearIndexes ++ fresh.map(c => c.kind -> c)),
+      annIndexes = st.annIndexes ++ built)
+    fresh.size
+  }
+
+  /** DropNonLinearAlgorithmIndex (store.rs:668-686). */
+  def dropNonLinearIndex(name: String, kinds: Set[String],
+      errorIfNotExists: Boolean = true, schema: String = DefaultSchema): Int = {
+    val st = state(schema, name)
+    val present = kinds.intersect(st.meta.nonLinearIndexes.keySet)
+    if (present.size != kinds.size && errorIfNotExists)
+      throw GraftException(s"Non linear algorithm index not found in store")
+    catalog((schema, name)) = st.copy(
+      meta = st.meta.copy(nonLinearIndexes = st.meta.nonLinearIndexes -- present),
+      annIndexes = st.annIndexes -- present)
+    present.size
+  }
+
+  private[graft] def annIndex(name: String, kind: String,
+      schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
+    state(schema, name).annIndexes.get(kind)
+
+  /** Ping / InfoServer (db/src/server/handler.rs:119-125, 425). */
+  def ping(): String = "PONG"
+  def infoServer(): Map[String, String] = Map(
+    "version" -> "0.1.0", "type" -> "graft-spark",
+    "master" -> spark.sparkContext.master)
+}
+
+/** StoreInfo parity struct (protos/db/server.proto:71-78). */
+final case class StoreInfo(schema: String, name: String, len: Long,
+    sizeBytes: Long, dimension: Int, predicateIndexes: Seq[String],
+    nonLinearIndexes: Seq[String])

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.types._
+import graft.types.MetadataValue.RawString
+import graft.types.PredicateCondition._
+
+/**
+ * The driver-facing query registry: every implemented operator from
+ * SURVEY.md §2 gets an entry here, exercised end-to-end through the real
+ * engine against the testdata tables, plus an equivalent DuckDB oracle SQL
+ * where the semantics are SQL-expressible (approximate ops are rows-only).
+ *
+ * Float-compare discipline: similarity scores are computed in double with a
+ * sequential left fold on BOTH sides (Spark `aggregate`/`zip_with` vs DuckDB
+ * `list_reduce`/`list_transform`), passed through float32 (the reference's
+ * Similarity is f32), then rounded at 4 decimals — bitwise-reproducible.
+ * Money aggregates go through DECIMAL(18,2) (exact) and only cast to double
+ * at the end, so partial-aggregation order cannot change the result.
+ */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  // ----------------------------------------------------------- SQL helpers
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), (acc,y) -> acc+y)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,y) -> acc+y))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+  private def sqEuclidSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))), (acc,y) -> acc+y)"
+  private def euclidSql(a: String, b: String): String = s"sqrt(${sqEuclidSql(a, b)})"
+  /** round(double(float(e)), 4) — mirrors TestStores.simResult. */
+  private def r4(e: String): String = s"round(CAST(CAST($e AS FLOAT) AS DOUBLE), 4)"
+
+  private val withQ = "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+
+  private def simOracle(scoreExpr: String, desc: Boolean, n: Int = 10,
+      where: String = ""): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""$withQ, scored AS (
+       |  SELECT e.vec_id, $scoreExpr AS s
+       |  FROM embeddings e, q $where
+       |  ORDER BY s $dir, e.vec_id ASC LIMIT $n)
+       |SELECT vec_id, ${r4("s")} AS sim FROM scored""".stripMargin
+  }
+
+  // ----------------------------------------------------------- the queries
+
+  val registry: Map[String, Q] = Map(
+
+    // ---- relational headline (extension surface; lineitem agg) ----
+    "q1_agg" -> Q(
+      (s, dir) => {
+        val li = TestStores.table(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- GetPred: predicate algebra over metadata (SURVEY §2.1 #4, §2.3) ----
+    "vdb_get_pred" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        e.getPred("docs", And(In("lang", Set(RawString("en"), RawString("de"))),
+          NotEquals("source", RawString("src3"))))
+          .select(element_at(col("key"), 1).cast("bigint").as("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+        |WHERE lang IN ('en','de') AND source <> 'src3' ORDER BY doc_id""".stripMargin)),
+
+    // missing-key semantics: NotEquals matches entries lacking the key
+    // (scan semantics, store.rs:913-932)
+    "vdb_get_pred_missing_key" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        e.getPred("docs", NotEquals("long", RawString("yes")))
+          .select(element_at(col("key"), 1).cast("bigint").as("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM documents WHERE n_chars <= 300 ORDER BY doc_id")),
+
+    "vdb_get_pred_not_in" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        e.getPred("docs", Or(NotIn("lang", Set(RawString("en"), RawString("es"),
+          RawString("fr"), RawString("zh"))), Equals("source", RawString("src1"))))
+          .select(element_at(col("key"), 1).cast("bigint").as("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+        |WHERE lang NOT IN ('en','es','fr','zh') OR source = 'src1'
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- GetKey: point lookup by exact vector (SURVEY §2.1 #3) ----
+    "vdb_get_key" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        val keys = TestStores.table(s, dir, "embeddings")
+          .where(col("vec_id").isin(5, 7, 11)).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        e.getKey("emb", keys)
+          .select(element_at(col("value"), "vec_id").getField("str")
+            .cast("bigint").as("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some("SELECT vec_id FROM embeddings WHERE vec_id IN (5,7,11) ORDER BY vec_id")),
+
+    // ---- GetSimN, linear × all 3 metrics (SURVEY §2.1 #5, §2.4) ----
+    "vdb_sim_cosine" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
+          Algorithm.CosineSimilarity))
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true))),
+
+    "vdb_sim_dot" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
+          Algorithm.DotProductSimilarity))
+      },
+      Some(simOracle(dotSql("e.embedding", "q.qe"), desc = true))),
+
+    "vdb_sim_euclidean" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
+          Algorithm.EuclideanDistance))
+      },
+      Some(simOracle(euclidSql("e.embedding", "q.qe"), desc = false))),
+
+    // linear + predicate pre-filter (dispatch arm 2, store.rs:336-361)
+    "vdb_sim_cosine_filtered" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
+          Algorithm.CosineSimilarity,
+          Some(In("label", Set(RawString("1"), RawString("2"), RawString("3"))))))
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
+        where = "WHERE CAST(e.label AS VARCHAR) IN ('1','2','3')"))),
+
+    // ---- GetSimN via KD-tree index: exact, so fully oracle-checkable
+    // (SURVEY §2.4; similarity reported = squared euclidean,
+    // non_linear.rs:151-175) ----
+    "vdb_sim_kdtree" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
+          Algorithm.KDTree))
+      },
+      Some(simOracle(sqEuclidSql("e.embedding", "q.qe"), desc = false))),
+
+    // ---- GetSimN via HNSW: approximate → rows-only check here; recall
+    // thresholds asserted in ScalaTest (BASELINE.md) ----
+    "vdb_sim_hnsw" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
+          Algorithm.HNSW))
+      },
+      None),
+
+    // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
+    "vdb_set_counts" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("set_counts_probe", 64)
+        val entries = TestStores.embEntries(s, dir)
+        val (i1, u1) = e.set("set_counts_probe", entries)
+        val (i2, u2) = e.set("set_counts_probe", entries) // re-SET = update
+        val len = e.storeDf("set_counts_probe").count()
+        e.dropStore("set_counts_probe")
+        import s.implicits._
+        Seq((i1, u1, i2, u2, len)).toDF(
+          "inserted_first", "updated_first", "inserted_second", "updated_second", "len")
+      },
+      Some("""WITH d AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT embedding FROM embeddings))
+        |SELECT CAST(c AS BIGINT) AS inserted_first, CAST(0 AS BIGINT) AS updated_first,
+        |CAST(0 AS BIGINT) AS inserted_second, CAST(c AS BIGINT) AS updated_second,
+        |CAST(c AS BIGINT) AS len FROM d""".stripMargin)),
+
+    // ---- DelKey (SURVEY §2.1 #7) ----
+    "vdb_del_key" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("del_key_probe", 64)
+        e.set("del_key_probe", TestStores.embEntries(s, dir))
+        val victims = TestStores.table(s, dir, "embeddings")
+          .where(col("vec_id") < 5).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        val deleted = e.delKey("del_key_probe", victims)
+        val out = e.storeDf("del_key_probe")
+          .select(element_at(col("value"), "vec_id").getField("str")
+            .cast("bigint").as("vec_id"))
+          .withColumn("deleted", lit(deleted)).orderBy("vec_id")
+        out
+      },
+      Some("""SELECT vec_id, CAST(5 AS BIGINT) AS deleted FROM embeddings
+        |WHERE vec_id >= 5 ORDER BY vec_id""".stripMargin)),
+
+    // ---- DelPred (SURVEY §2.1 #8) ----
+    "vdb_del_pred" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("del_pred_probe", 1)
+        e.set("del_pred_probe", TestStores.docEntries(s, dir))
+        e.delPred("del_pred_probe", Equals("lang", RawString("zh")))
+        e.storeDf("del_pred_probe")
+          .select(element_at(col("key"), 1).cast("bigint").as("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM documents WHERE lang <> 'zh' ORDER BY doc_id")),
+
+    // ---- Upsert: exactly-one-match + metadata merge (SURVEY §2.1 #6) ----
+    "vdb_upsert" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("upsert_probe", 1)
+        val entries = TestStores.table(s, dir, "documents").select(
+          array(col("doc_id").cast("float")).as("key"),
+          map(
+            lit("doc_id"), TestStores.metaStr(col("doc_id")),
+            lit("lang"), TestStores.metaStr(col("lang")),
+            lit("source"), TestStores.metaStr(col("source"))).as("value"))
+        e.set("upsert_probe", entries)
+        e.upsert("upsert_probe", Equals("doc_id", RawString("42")),
+          newValue = Some(Map("reviewed" -> RawString("yes"))), mergeMetadata = true)
+        e.storeDf("upsert_probe")
+          .where(element_at(col("value"), "doc_id").getField("str") === "42")
+          .select(
+            element_at(col("value"), "doc_id").getField("str").cast("bigint").as("doc_id"),
+            element_at(col("value"), "lang").getField("str").as("lang"),
+            element_at(col("value"), "source").getField("str").as("source"),
+            element_at(col("value"), "reviewed").getField("str").as("reviewed"))
+      },
+      Some("""SELECT doc_id, lang, source, 'yes' AS reviewed FROM documents
+        |WHERE doc_id = 42""".stripMargin)),
+
+    // ---- ListStores / GetStore: catalog stats (SURVEY §2.1 #15-16) ----
+    "vdb_list_stores" -> Q(
+      (s, dir) => {
+        val e = TestStores.engine(s, dir)
+        import s.implicits._
+        e.listStores().map(si => (si.name, si.len, si.dimension))
+          .toDF("name", "len", "dimension").orderBy("name")
+      },
+      Some("""SELECT 'docs' AS name, COUNT(*) AS len, 1 AS dimension FROM documents
+        |UNION ALL
+        |SELECT 'emb', COUNT(*), 64 FROM embeddings ORDER BY name""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, q) => k -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+}

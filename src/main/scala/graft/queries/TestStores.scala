@@ -1,0 +1,83 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+import graft.engine.GraftEngine
+
+/**
+ * Shared, read-only engine stores built from the driver's testdata
+ * (TESTDATA.md), reused across queries/bench runs. Mutation-shaped queries
+ * must create their own private stores — these are never mutated.
+ *
+ *  - store "emb":  key = embeddings.embedding (64-dim), metadata
+ *                  {vec_id, label} as raw strings.
+ *  - store "docs": key = [doc_id] (1-dim), metadata {lang, source} always,
+ *                  {long: "yes"} only when n_chars > 300 — exercising the
+ *                  reference's missing-key NotEquals/NotIn semantics
+ *                  (SURVEY.md §2.3).
+ */
+object TestStores {
+
+  private val engines = TrieMap[String, GraftEngine]()
+
+  /** STRUCT<kind,str,bin> metadata cell from a string column. */
+  def metaStr(c: Column): Column =
+    struct(lit("raw_string").as("kind"), c.cast(StringType).as("str"),
+      lit(null).cast(BinaryType).as("bin"))
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def embEntries(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings").select(
+      col("embedding").cast("array<float>").as("key"),
+      map(
+        lit("vec_id"), metaStr(col("vec_id")),
+        lit("label"), metaStr(col("label"))).as("value"))
+
+  def docEntries(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select(
+      array(col("doc_id").cast("float")).as("key"),
+      when(col("n_chars") > 300,
+        map(
+          lit("lang"), metaStr(col("lang")),
+          lit("source"), metaStr(col("source")),
+          lit("long"), metaStr(lit("yes"))))
+        .otherwise(map(
+          lit("lang"), metaStr(col("lang")),
+          lit("source"), metaStr(col("source")))).as("value"))
+
+  /** Engine with shared stores for this sfDir (built once per JVM). */
+  def engine(spark: SparkSession, sfDir: String): GraftEngine =
+    engines.getOrElseUpdate(sfDir, {
+      val e = new GraftEngine(spark)
+      e.createStore("emb", 64)
+      e.set("emb", embEntries(spark, sfDir))
+      e.createNonLinearIndex("emb", Seq(
+        graft.types.NonLinearConfig.KDTreeConfig(),
+        graft.types.NonLinearConfig.HNSWConfig()))
+      e.createStore("docs", 1, predicates = Set("lang", "source"))
+      e.set("docs", docEntries(spark, sfDir))
+      e
+    })
+
+  /** A private engine for mutation-shaped queries (isolated per call). */
+  def freshEngine(spark: SparkSession): GraftEngine = new GraftEngine(spark)
+
+  /** The deterministic 64-dim query vector: embedding of vec_id = 0. */
+  def queryVec(spark: SparkSession, sfDir: String): Array[Float] =
+    table(spark, sfDir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** vec_id / similarity projection of a GetSimN result for oracle compare:
+    * sim = round(double(float(score)), 4) — mirrored in the DuckDB oracle as
+    * round(CAST(CAST(expr AS FLOAT) AS DOUBLE), 4). */
+  def simResult(res: DataFrame): DataFrame =
+    res.select(
+      element_at(col("value"), "vec_id").getField("str").cast("bigint").as("vec_id"),
+      round(col("similarity").cast("double"), 4).as("sim"))
+}

@@ -1,0 +1,121 @@
+package graft.types
+
+/**
+ * Core type system of the engine, mirroring the reference's protobuf surface
+ * field-for-field (see /root/reference/protos/keyval.proto:13-39,
+ * protos/metadata.proto:7-13, protos/predicate.proto:11-56,
+ * protos/algorithm/algorithm.proto:7-13) so parity tests can be driven from
+ * either side, while the *representation* is Spark-native (Row/Column).
+ *
+ * Spark row shape of a store table (SURVEY.md §1.3):
+ * {{{
+ *   id:    LONG                 -- deterministic content-hash of `key`
+ *   key:   ARRAY<FLOAT>         -- the embedding; dimension enforced by catalog
+ *   value: MAP<STRING, STRUCT<kind: STRING, str: STRING, bin: BINARY>>
+ * }}}
+ */
+object StoreSchema {
+  import org.apache.spark.sql.types._
+
+  val metadataValueType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("str", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = true)))
+
+  val valueType: MapType =
+    MapType(StringType, metadataValueType, valueContainsNull = false)
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("key", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("value", valueType, nullable = false)))
+}
+
+/** Tagged union over string / image-bytes / audio-bytes metadata
+  * (reference: protos/metadata.proto:7-13). */
+sealed trait MetadataValue extends Serializable {
+  def kind: String
+}
+object MetadataValue {
+  final case class RawString(s: String) extends MetadataValue { def kind = "raw_string" }
+  final case class Image(bytes: Array[Byte]) extends MetadataValue {
+    def kind = "image"
+    override def equals(o: Any): Boolean = o match {
+      case Image(b) => java.util.Arrays.equals(bytes, b); case _ => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+  }
+  final case class Audio(bytes: Array[Byte]) extends MetadataValue {
+    def kind = "audio"
+    override def equals(o: Any): Boolean = o match {
+      case Audio(b) => java.util.Arrays.equals(bytes, b); case _ => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+  }
+}
+
+/** Predicate algebra — leaves over one metadata key, And/Or combinators
+  * (reference: protos/predicate.proto:11-56). No <, >, NOT, or functions. */
+sealed trait PredicateCondition extends Serializable
+object PredicateCondition {
+  final case class Equals(key: String, value: MetadataValue) extends PredicateCondition
+  final case class NotEquals(key: String, value: MetadataValue) extends PredicateCondition
+  final case class In(key: String, values: Set[MetadataValue]) extends PredicateCondition
+  final case class NotIn(key: String, values: Set[MetadataValue]) extends PredicateCondition
+  final case class And(left: PredicateCondition, right: PredicateCondition) extends PredicateCondition
+  final case class Or(left: PredicateCondition, right: PredicateCondition) extends PredicateCondition
+}
+
+/** Similarity / search algorithm choice
+  * (reference: protos/algorithm/algorithm.proto:7-13). */
+sealed trait Algorithm extends Serializable
+object Algorithm {
+  case object EuclideanDistance extends Algorithm
+  case object DotProductSimilarity extends Algorithm
+  case object CosineSimilarity extends Algorithm
+  case object KDTree extends Algorithm
+  case object HNSW extends Algorithm
+}
+
+/** Non-linear index configs (reference: protos/algorithm/nonlinear.proto:9-31,
+  * defaults ahnlich/similarity/src/hnsw/mod.rs:285-296). */
+sealed trait NonLinearConfig extends Serializable { def kind: String }
+object NonLinearConfig {
+  final case class KDTreeConfig() extends NonLinearConfig { def kind = "kdtree" }
+  final case class HNSWConfig(
+      efConstruction: Int = 100,
+      maximumConnections: Int = 16,
+      maximumConnectionsZero: Int = 32,
+      efSearch: Int = 16,
+      metric: Algorithm = Algorithm.CosineSimilarity,
+      extendCandidates: Boolean = false,
+      keepPrunedConnections: Boolean = false) extends NonLinearConfig { def kind = "hnsw" }
+}
+
+/** Per-store catalog record, mirroring StoreInfo
+  * (reference: protos/db/server.proto:71-78, db/src/engine/store.rs:739-758). */
+final case class StoreMeta(
+    schema: String,
+    name: String,
+    dimension: Int,
+    predicateIndexes: Set[String] = Set.empty,
+    nonLinearIndexes: Map[String, NonLinearConfig] = Map.empty,
+    storeOriginal: Boolean = false,
+    queryModel: Option[String] = None,
+    indexModel: Option[String] = None)
+
+/** Engine errors, mirroring db/src/errors.rs. */
+final case class GraftException(msg: String) extends RuntimeException(msg)
+
+object GraftErrors {
+  def storeNotFound(schema: String, name: String): GraftException =
+    GraftException(s"Store $name not found in schema $schema")
+  def storeAlreadyExists(schema: String, name: String): GraftException =
+    GraftException(s"Store $name already exists in schema $schema")
+  def dimensionMismatch(expected: Int, got: Int): GraftException =
+    GraftException(s"Store dimension is [$expected], input dimension of [$got] was specified")
+  def schemaNotFound(schema: String): GraftException =
+    GraftException(s"Schema $schema not found")
+  def cannotDropPublic: GraftException =
+    GraftException("Schema public cannot be dropped")
+}
