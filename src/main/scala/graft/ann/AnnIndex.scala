@@ -46,6 +46,19 @@ final class KdShard(val tree: KdTree) extends AnnShard {
     tree.nNearest(q, k, accept).map { case (id, d) => (id, -d) }
 }
 
+/** Broadcastable id-membership filter for predicate-filtered ANN search.
+  * Exact for small accept sets; a Bloom sketch (bounded memory at any scale,
+  * rare false positives removed by exact post-verification) for large ones. */
+sealed trait IdFilter extends Serializable { def accept(id: Long): Boolean }
+object IdFilter {
+  final case class Sorted(ids: Array[Long]) extends IdFilter {
+    def accept(id: Long): Boolean = Arrays.binarySearch(ids, id) >= 0
+  }
+  final case class Bloom(bf: org.apache.spark.util.sketch.BloomFilter) extends IdFilter {
+    def accept(id: Long): Boolean = bf.mightContainLong(id)
+  }
+}
+
 final class AnnIndex(
     val kind: String,
     val config: NonLinearConfig,
@@ -55,17 +68,16 @@ final class AnnIndex(
 
   /** Merged top-k across shards (driver-side bounded merge —
     * TakeOrdered-equivalent over shards × k candidates). */
-  def search(q: Array[Float], k: Int, acceptSorted: Array[Long]): Seq[(Long, Double)] = {
+  def search(q: Array[Float], k: Int, filter: IdFilter = null): Seq[(Long, Double)] = {
     val sc = shards.sparkContext
     val bq = sc.broadcast(q)
-    val ba = sc.broadcast(acceptSorted) // null = accept all
+    val bf = sc.broadcast(filter) // null = accept all
     val local = shards.flatMap { shard =>
-      val acc = ba.value
-      val accept: Long => Boolean =
-        if (acc == null) null else (id: Long) => Arrays.binarySearch(acc, id) >= 0
+      val f = bf.value
+      val accept: Long => Boolean = if (f == null) null else f.accept _
       shard.topK(bq.value, k, accept)
     }.collect()
-    bq.destroy(); ba.destroy()
+    bq.destroy(); bf.destroy()
     local.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
   }
 }
@@ -116,6 +128,10 @@ object AnnSearch {
     * (hnsw/index.rs:24,233-235). */
   val BruteForceCutover = 4096L
 
+  /** Extra per-shard candidates fetched when filtering through a Bloom
+    * sketch, so a false positive can't displace a true top-n hit. */
+  val FalsePositiveSlack = 32
+
   def getSimN(engine: GraftEngine, st: GraftEngine#StoreState,
       q: Array[Float], n: Int, algorithm: Algorithm,
       condition: Option[PredicateCondition]): DataFrame = {
@@ -140,23 +156,32 @@ object AnnSearch {
         else if (cnt <= BruteForceCutover)
           engine.linearTopK(accepted, q, n, scoringAlgo)
         else {
-          val acceptIds = accepted.select("id").collect().map(_.getLong(0))
-          Arrays.sort(acceptIds)
-          hydrate(engine, st, index.search(q, n, acceptIds), q, n, scoringAlgo)
+          // large accept set: build a broadcast Bloom sketch in ONE
+          // distributed aggregation (bounded driver memory at any scale —
+          // never a full id collect), search shards with slack to absorb the
+          // rare false positives, then post-verify the merged candidates
+          // against the exact predicate during hydration.
+          val bloom = accepted.stat.bloomFilter("id", cnt, 0.001)
+          val hits = index.search(q, n + FalsePositiveSlack, IdFilter.Bloom(bloom))
+          hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
         }
       case None =>
-        hydrate(engine, st, index.search(q, n, null), q, n, scoringAlgo)
+        hydrate(engine, st, index.search(q, n), q, n, scoringAlgo, None)
     }
   }
 
   /** ids → rows, recompute exact similarity on the tiny result set
-    * (store.rs:386-398 hydration). */
+    * (store.rs:386-398 hydration). The predicate, when present, is re-applied
+    * exactly here so Bloom false positives never reach the result. */
   private def hydrate(engine: GraftEngine, st: GraftEngine#StoreState,
       hits: Seq[(Long, Double)], q: Array[Float], n: Int,
-      scoringAlgo: Algorithm): DataFrame = {
+      scoringAlgo: Algorithm, condition: Option[PredicateCondition]): DataFrame = {
     if (hits.isEmpty) return emptyResult(engine)
     val ids = hits.map(_._1)
-    engine.linearTopK(st.df.where(col("id").isin(ids: _*)), q, n, scoringAlgo)
+    val base = st.df.where(col("id").isin(ids: _*))
+    val verified = condition.fold(base)(c =>
+      base.where(Predicates.toColumn(c, col("value"))))
+    engine.linearTopK(verified, q, n, scoringAlgo)
   }
 
   private def emptyResult(engine: GraftEngine): DataFrame = {

@@ -70,9 +70,12 @@ final class HnswIndex(
   private def searchLayer(q: Array[Float], eps: Seq[(Int, Double)], ef: Int,
       level: Int, accept: Int => Boolean = null): mutable.PriorityQueue[(Int, Double)] = {
     val visited = mutable.HashSet[Int]()
-    // candidates: min-heap by dist; results: max-heap by dist
+    // candidates: min-heap by dist; results: max-heap by dist. Max element =
+    // (largest dist, largest idx) so overflow eviction keeps smaller ids on
+    // distance ties (node idx order == content-id order: shards insert
+    // id-ascending), preserving the determinism contract in the header.
     implicit val maxOrd: Ordering[(Int, Double)] =
-      Ordering.by[(Int, Double), (Double, Int)](t => (t._2, -t._1))
+      Ordering.by[(Int, Double), (Double, Int)](t => (t._2, t._1))
     val candidates = mutable.PriorityQueue.empty[(Int, Double)](maxOrd.reverse)
     val results = mutable.PriorityQueue.empty[(Int, Double)](maxOrd)
     eps.foreach { case (n, d) =>
@@ -93,7 +96,10 @@ final class HnswIndex(
           val e = nbrs(i)
           if (visited.add(e)) {
             val de = dist(q, vecs(e))
-            if (results.size < ef || de < results.head._2) {
+            // admit equal-distance candidates with smaller idx too, so the
+            // candidate-set membership is deterministic across ties
+            if (results.size < ef || de < results.head._2 ||
+                (de == results.head._2 && e < results.head._1)) {
               candidates.enqueue((e, de))
               if (accept == null || accept(e)) {
                 results.enqueue((e, de))

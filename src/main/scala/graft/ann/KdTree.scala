@@ -68,9 +68,11 @@ final class KdTree(val dim: Int) extends Serializable {
     * Returns (id, sqDist) ascending, ties on id. */
   def nNearest(q: Array[Float], n: Int, accept: Long => Boolean = null): Seq[(Long, Double)] = {
     if (root < 0 || n <= 0) return Nil
-    // bounded max-heap of size n (heap.rs:7-69 analog)
+    // bounded max-heap of size n (heap.rs:7-69 analog); worst element =
+    // (largest dist, then largest id), so eviction keeps smaller ids on
+    // exact distance ties — the documented (dist, id ASC) tie-break
     implicit val ord: Ordering[(Long, Double)] =
-      Ordering.by[(Long, Double), (Double, Long)](t => (t._2, -t._1))
+      Ordering.by[(Long, Double), (Double, Long)](t => (t._2, t._1))
     val heap = mutable.PriorityQueue.empty[(Long, Double)]
 
     def visit(node: Int, depth: Int): Unit = {

@@ -84,16 +84,21 @@ class GraftEngine(val spark: SparkSession) {
   }
 
   /** Swap in a new DataFrame for a store, caching the new state and
-    * releasing the old (keeps lineage bounded under repeated mutation). */
-  private def swap(schema: String, name: String, next: DataFrame,
-      keepAnn: Boolean = false): Unit = {
+    * releasing the old (keeps lineage bounded under repeated mutation).
+    * Any non-linear indexes the catalog advertises are REBUILT from the new
+    * data, mirroring the reference's live index maintenance on write
+    * (db/src/algorithm/non_linear.rs:244-251) — the catalog never advertises
+    * an index that can't serve. */
+  private def swap(schema: String, name: String, next: DataFrame): Unit = {
     val st = state(schema, name)
     val cached = next.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count() // materialize before releasing predecessor
     st.df.unpersist(blocking = false)
-    // mutation invalidates non-linear indexes unless caller rebuilds/patches
-    val ann = if (keepAnn) st.annIndexes else Map.empty[String, graft.ann.AnnIndex]
-    catalog((schema, name)) = st.copy(df = cached, annIndexes = ann)
+    val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
+      kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg)
+    }
+    st.annIndexes.values.foreach(_.unpersist())
+    catalog((schema, name)) = st.copy(df = cached, annIndexes = rebuilt)
   }
 
   // ------------------------------------------------------------ catalog ops
@@ -126,7 +131,10 @@ class GraftEngine(val spark: SparkSession) {
   def dropStore(name: String, schema: String = DefaultSchema,
       errorIfNotExists: Boolean = true): Int =
     catalog.remove((schema, name)) match {
-      case Some(st) => st.df.unpersist(blocking = false); 1
+      case Some(st) =>
+        st.df.unpersist(blocking = false)
+        st.annIndexes.values.foreach(_.unpersist())
+        1
       case None =>
         if (errorIfNotExists) throw GraftErrors.storeNotFound(schema, name)
         0
@@ -137,7 +145,12 @@ class GraftEngine(val spark: SparkSession) {
     if (schema == DefaultSchema) throw GraftErrors.cannotDropPublic
     val keys = catalog.keys.filter(_._1 == schema).toSeq
     if (keys.isEmpty && errorIfNotExists) throw GraftErrors.schemaNotFound(schema)
-    keys.foreach { k => catalog.remove(k).foreach(_.df.unpersist(blocking = false)) }
+    keys.foreach { k =>
+      catalog.remove(k).foreach { st =>
+        st.df.unpersist(blocking = false)
+        st.annIndexes.values.foreach(_.unpersist())
+      }
+    }
     keys.size
   }
 
@@ -146,7 +159,10 @@ class GraftEngine(val spark: SparkSession) {
   def purgeStores(): Int = {
     val n = catalog.size
     catalog.keys.toSeq.foreach { k =>
-      catalog.remove(k).foreach(_.df.unpersist(blocking = false))
+      catalog.remove(k).foreach { st =>
+        st.df.unpersist(blocking = false)
+        st.annIndexes.values.foreach(_.unpersist())
+      }
     }
     n
   }
@@ -205,32 +221,36 @@ class GraftEngine(val spark: SparkSession) {
     * (sequential-insert semantics of the reference). */
   def set(name: String, entries: DataFrame, schema: String = DefaultSchema): (Long, Long) = {
     val st = state(schema, name)
-    validateDim(st.meta, entries)
-    // last-wins dedup within the batch by content id
-    val w = Window.partitionBy("id").orderBy(col("_ord").desc)
+    // stamp batch ordinal + content id ONCE and pin it, so validation and the
+    // write see the same rows even for non-deterministic sources, and the
+    // "later entries win" ordinal is stable (ordinal = partition-major row
+    // position, deterministic for driver Seqs and file sources alike)
     val withId = entries
       .withColumn("_ord", monotonically_increasing_id())
       .withColumn("id", keyId(col("key")))
-    val deduped = withId
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn", "_ord")
-      .select("id", "key", "value")
-    val existingIds = st.df.select(col("id").as("_eid"))
-    val marked = deduped.join(broadcastIfSmall(existingIds),
-      col("id") === col("_eid"), "left")
-    val markedCached = marked.persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = markedCached.agg(
-      sum(when(col("_eid").isNull, 1L).otherwise(0L)),
-      sum(when(col("_eid").isNotNull, 1L).otherwise(0L))).head
-    val inserted = Option(counts.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val updated = Option(counts.get(1)).fold(0L)(_.asInstanceOf[Long])
-    val newEntries = markedCached.drop("_eid")
-    val next = st.df.join(newEntries.select(col("id").as("_nid")),
-        col("id") === col("_nid"), "left_anti")
-      .union(newEntries.select("id", "key", "value"))
-    swap(schema, name, next)
-    markedCached.unpersist(blocking = false)
-    (inserted, updated)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      withId.count() // materialize before any dependent action
+      validateDim(st.meta, withId)
+      // last-wins dedup within the batch by content id
+      val w = Window.partitionBy("id").orderBy(col("_ord").desc)
+      val deduped = withId
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn", "_ord")
+        .select("id", "key", "value")
+      val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+      val batchDistinct = dedupedCached.count()
+      // updated = store rows whose id appears in the batch: semi-join with the
+      // SMALL batch-id side broadcast, so the big store side never shuffles
+      val batchIds = broadcast(dedupedCached.select(col("id").as("_nid")))
+      val updated = st.df.join(batchIds, col("id") === col("_nid"), "left_semi").count()
+      val inserted = batchDistinct - updated
+      val next = st.df.join(batchIds, col("id") === col("_nid"), "left_anti")
+        .union(dedupedCached)
+      swap(schema, name, next)
+      dedupedCached.unpersist(blocking = false)
+      (inserted, updated)
+    } finally withId.unpersist(blocking = false)
   }
 
   def set(name: String, entries: Seq[(Array[Float], Map[String, MetadataValue])],
@@ -240,8 +260,6 @@ class GraftEngine(val spark: SparkSession) {
   def setSeq(name: String,
       entries: Seq[(Array[Float], Map[String, MetadataValue])]): (Long, Long) =
     set(name, entriesDf(entries), DefaultSchema)
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df // AQE decides
 
   /** GetKey — point lookup by exact vector(s) (store.rs:413-423, 858-867).
     * Probe keys are hashed with the same expression and semi-joined. */
@@ -276,10 +294,12 @@ class GraftEngine(val spark: SparkSession) {
       spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
       org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
       .select(keyId(col("key")).as("_pid"))
-    val before = st.df.count()
-    val next = st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti")
-    swap(schema, name, next)
-    before - state(schema, name).df.count()
+    // deleted count = one broadcast semi-join job (not before/after counts)
+    val deleted = st.df.join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
+    if (deleted > 0)
+      swap(schema, name,
+        st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti"))
+    deleted
   }
 
   /** DelPred — delete by predicate, returns deleted count
@@ -407,6 +427,7 @@ class GraftEngine(val spark: SparkSession) {
     val present = kinds.intersect(st.meta.nonLinearIndexes.keySet)
     if (present.size != kinds.size && errorIfNotExists)
       throw GraftException(s"Non linear algorithm index not found in store")
+    present.foreach(k => st.annIndexes.get(k).foreach(_.unpersist()))
     catalog((schema, name)) = st.copy(
       meta = st.meta.copy(nonLinearIndexes = st.meta.nonLinearIndexes -- present),
       annIndexes = st.annIndexes -- present)

@@ -1,0 +1,133 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+import graft.types._
+import graft.types.MetadataValue.RawString
+import graft.types.PredicateCondition._
+
+/** Engine-level semantics (reference scenarios from
+  * db/src/tests/server_tests.rs + upsert.rs, transliterated). */
+class EngineSpec extends AnyFunSuite {
+
+  private def meta(kvs: (String, String)*): Map[String, MetadataValue] =
+    kvs.map { case (k, v) => k -> (RawString(v): MetadataValue) }.toMap
+
+  private def fresh() = new GraftEngine(spark)
+
+  test("set: dedup-by-content, insert/update counts (store.rs:1104-1121)") {
+    val e = fresh()
+    e.createStore("s", 3)
+    val (i1, u1) = e.setSeq("s", Seq(
+      (Array(1f, 2f, 3f), meta("name" -> "a")),
+      (Array(1f, 2f, 3f), meta("name" -> "b")), // same vector → one entry, later wins
+      (Array(4f, 5f, 6f), meta("name" -> "c"))))
+    assert((i1, u1) == (2L, 0L))
+    val (i2, u2) = e.setSeq("s", Seq((Array(1f, 2f, 3f), meta("name" -> "z"))))
+    assert((i2, u2) == (0L, 1L))
+    assert(e.storeDf("s").count() == 2)
+    val got = e.getKey("s", Seq(Array(1f, 2f, 3f))).collect()
+    assert(got.length == 1)
+    val m = got.head.getMap[String, org.apache.spark.sql.Row](1)
+    assert(m("name").getString(1) == "z") // last set wins
+  }
+
+  test("set: dimension mismatch rejected") {
+    val e = fresh()
+    e.createStore("s", 3)
+    val ex = intercept[GraftException] {
+      e.setSeq("s", Seq((Array(1f, 2f), meta("a" -> "b"))))
+    }
+    assert(ex.msg.contains("dimension"))
+  }
+
+  test("createStore: error_if_exists semantics + drop guards") {
+    val e = fresh()
+    assert(e.createStore("s", 2))
+    intercept[GraftException](e.createStore("s", 2))
+    assert(!e.createStore("s", 2, errorIfExists = false))
+    intercept[GraftException](e.dropSchema("public"))
+    intercept[GraftException](e.dropStore("nope"))
+    assert(e.dropStore("nope", errorIfNotExists = false) == 0)
+    assert(e.dropStore("s") == 1)
+    intercept[GraftException](e.storeDf("s"))
+  }
+
+  test("upsert: exactly-one invariant + merge semantics (store.rs:441-528)") {
+    val e = fresh()
+    e.createStore("s", 2)
+    e.setSeq("s", Seq(
+      (Array(1f, 1f), meta("k" -> "a", "x" -> "1")),
+      (Array(2f, 2f), meta("k" -> "b"))))
+    // no match → error
+    intercept[GraftException](
+      e.upsert("s", Equals("k", RawString("zzz")), newValue = Some(meta("y" -> "2"))))
+    // merge keeps old keys
+    e.upsert("s", Equals("k", RawString("a")),
+      newValue = Some(meta("y" -> "2")), mergeMetadata = true)
+    val row = e.getPred("s", Equals("k", RawString("a"))).collect().head
+    val m = row.getMap[String, org.apache.spark.sql.Row](1)
+    assert(m.contains("x") && m.contains("y"))
+    // replace drops old keys
+    e.upsert("s", Equals("k", RawString("b")), newValue = Some(meta("only" -> "v")))
+    assert(e.getPred("s", Equals("k", RawString("b"))).count() == 0) // k replaced away
+    assert(e.getPred("s", Equals("only", RawString("v"))).count() == 1)
+  }
+
+  test("mutation keeps ANN indexes live and serving (non_linear.rs:244-251)") {
+    val e = fresh()
+    e.createStore("s", 4)
+    e.setSeq("s", (0 until 50).map(i =>
+      (Array(i.toFloat, i.toFloat, 0f, 0f), meta("i" -> i.toString))))
+    e.createNonLinearIndex("s", Seq(NonLinearConfig.KDTreeConfig()))
+    // mutate AFTER index creation — index must still serve, reflecting the write
+    e.setSeq("s", Seq((Array(100f, 100f, 0f, 0f), meta("i" -> "new"))))
+    val res = e.getSimN("s", Array(100f, 100f, 0f, 0f), 1, Algorithm.KDTree).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Float]("similarity") == 0.0f) // exact hit on the new vector
+    // delete then search again: deleted vector must be gone from the index
+    assert(e.delKey("s", Seq(Array(100f, 100f, 0f, 0f))) == 1)
+    val res2 = e.getSimN("s", Array(100f, 100f, 0f, 0f), 1, Algorithm.KDTree).collect()
+    assert(res2.head.getAs[Float]("similarity") != 0.0f)
+    // catalog never advertises an index that can't serve
+    assert(e.getStore("s").nonLinearIndexes == Seq("kdtree"))
+  }
+
+  test("delPred + getPred missing-key semantics end-to-end") {
+    val e = fresh()
+    e.createStore("s", 1)
+    e.setSeq("s", Seq(
+      (Array(1f), meta("lang" -> "en")),
+      (Array(2f), meta("lang" -> "de")),
+      (Array(3f), meta()))) // no lang key
+    // NotEquals matches the missing-key entry (scan semantics)
+    assert(e.getPred("s", NotEquals("lang", RawString("en"))).count() == 2)
+    assert(e.delPred("s", Equals("lang", RawString("de"))) == 1)
+    assert(e.storeDf("s").count() == 2)
+    assert(e.delPred("s", Equals("lang", RawString("zzz"))) == 0)
+  }
+
+  test("predicate index ops: idempotent create, drop validation") {
+    val e = fresh()
+    e.createStore("s", 1, predicates = Set("a"))
+    assert(e.createPredIndex("s", Set("a", "b")) == 1) // only b is new
+    assert(e.getStore("s").predicateIndexes == Seq("a", "b"))
+    assert(e.dropPredIndex("s", Set("b")) == 1)
+    intercept[GraftException](e.dropPredIndex("s", Set("zzz")))
+    assert(e.dropPredIndex("s", Set("zzz"), errorIfNotExists = false) == 0)
+  }
+
+  test("dropSchema / purgeStores / listStores") {
+    val e = fresh()
+    e.createStore("a", 1)
+    e.createStore("b", 1, schema = "other")
+    e.createStore("c", 1, schema = "other")
+    assert(e.listStores().map(_.name) == Seq("a"))
+    assert(e.listStores("other").map(_.name) == Seq("b", "c"))
+    assert(e.dropSchema("other") == 2)
+    intercept[GraftException](e.dropSchema("other")) // now gone
+    assert(e.purgeStores() == 1)
+    assert(e.listStores().isEmpty)
+  }
+}
