@@ -1,0 +1,79 @@
+package graft.dsl
+
+import graft.types.{Algorithm, MetadataValue, NonLinearConfig, PredicateCondition}
+
+/**
+ * The command ADT — the single IR of the system, mirroring the reference's
+ * protobuf query messages field-for-field
+ * (/root/reference/protos/db/query.proto, protos/ai/query.proto) so parity
+ * tests can be driven from either side (SURVEY.md §3 "one IR" note).
+ */
+sealed trait Command extends Serializable
+
+object Command {
+  // ---- DB statements (protos/db/query.proto; grammar syntax.pest db_statement)
+  case object Ping extends Command
+  case object InfoServer extends Command
+  case object ListClients extends Command
+  final case class ListStores(schema: Option[String]) extends Command
+  final case class GetStore(store: String, schema: Option[String]) extends Command
+  final case class DropStore(store: String, errorIfNotExists: Boolean,
+      schema: Option[String]) extends Command
+  final case class DropSchema(schema: String) extends Command
+  final case class CreatePredIndex(store: String, keys: Seq[String],
+      schema: Option[String]) extends Command
+  final case class DropPredIndex(store: String, keys: Seq[String],
+      errorIfNotExists: Boolean, schema: Option[String]) extends Command
+  final case class CreateNonLinearAlgorithmIndex(store: String,
+      indexes: Seq[NonLinearConfig], schema: Option[String]) extends Command
+  final case class DropNonLinearAlgorithmIndex(store: String, kinds: Seq[String],
+      errorIfNotExists: Boolean, schema: Option[String]) extends Command
+  final case class GetKey(store: String, keys: Seq[Array[Float]],
+      schema: Option[String]) extends Command
+  final case class DelKey(store: String, keys: Seq[Array[Float]],
+      schema: Option[String]) extends Command
+  final case class GetPred(store: String, condition: PredicateCondition,
+      schema: Option[String]) extends Command
+  final case class GetSimN(store: String, searchInput: Array[Float],
+      closestN: Int, algorithm: Algorithm,
+      condition: Option[PredicateCondition], schema: Option[String]) extends Command
+  final case class CreateStore(store: String, dimension: Int,
+      createPredicates: Seq[String], nonLinearIndexes: Seq[NonLinearConfig],
+      errorIfExists: Boolean, schema: Option[String]) extends Command
+  final case class Set(store: String,
+      entries: Seq[(Array[Float], Map[String, MetadataValue])],
+      schema: Option[String]) extends Command
+  final case class Upsert(store: String, newKey: Option[Array[Float]],
+      newValue: Option[Map[String, MetadataValue]],
+      condition: PredicateCondition, merge: Boolean,
+      schema: Option[String]) extends Command
+
+  // ---- AI statements (protos/ai/query.proto; grammar ai_statement).
+  // Raw inputs are MetadataValue (text/image/audio) embedded by the store's
+  // configured model before delegation to the DB ops above.
+  case object PurgeStores extends Command
+  final case class AiCreateStore(store: String, queryModel: String,
+      indexModel: String, createPredicates: Seq[String],
+      nonLinearIndexes: Seq[NonLinearConfig], errorIfExists: Boolean,
+      storeOriginal: Boolean, schema: Option[String]) extends Command
+  final case class AiSet(store: String,
+      entries: Seq[(MetadataValue, Map[String, MetadataValue])],
+      preprocessAction: String, schema: Option[String]) extends Command
+  final case class AiGetSimN(store: String, searchInput: MetadataValue,
+      closestN: Int, algorithm: Algorithm,
+      condition: Option[PredicateCondition], schema: Option[String]) extends Command
+  final case class AiGetKey(store: String, keys: Seq[MetadataValue],
+      schema: Option[String]) extends Command
+  final case class AiDelKey(store: String, keys: Seq[MetadataValue],
+      schema: Option[String]) extends Command
+  final case class AiUpsert(store: String, newInput: Option[MetadataValue],
+      newValue: Option[Map[String, MetadataValue]],
+      condition: PredicateCondition, preprocessAction: String,
+      schema: Option[String]) extends Command
+}
+
+/** Parse failure with the offending statement's span in the input —
+  * the analog of the reference's DslError::UnexpectedSpan
+  * (dsl/src/error.rs). */
+final case class DslParseError(message: String, start: Int, end: Int)
+    extends RuntimeException(s"$message (at $start..$end)")

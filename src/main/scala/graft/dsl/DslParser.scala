@@ -1,0 +1,296 @@
+package graft.dsl
+
+import scala.util.parsing.combinator.RegexParsers
+
+import graft.types.{Algorithm, MetadataValue, NonLinearConfig, PredicateCondition}
+import graft.types.PredicateCondition._
+
+/**
+ * The DSL front-end: a parser-combinator grammar mirroring the reference's
+ * pest grammar rule-for-rule (/root/reference/ahnlich/dsl/src/syntax/
+ * syntax.pest; entry points dsl/src/db.rs:49-56, dsl/src/ai.rs).
+ *
+ * Statements are `;`-separated, keywords case-insensitive. A statement that
+ * doesn't parse produces a [[DslParseError]] carrying its span — the analog
+ * of the grammar's `invalid_statement` catch-all → UnexpectedSpan error.
+ *
+ * Faithful quirks kept on purpose:
+ *  - raw strings are unquoted and exclude `, [ ( ) ] }` (syntax.pest
+ *    raw_string) — so they may contain spaces; surrounding whitespace is
+ *    trimmed, as every reference test expects;
+ *  - floats are unsigned (`f32 = ASCII_DIGIT+ ("." ASCII_DIGIT+)?`);
+ *  - image literals are `/xHEX`, audio `/aHEX` (hex-decoded to bytes);
+ *  - GETSIMN's count must be non-zero at parse time (`non_zero` rule);
+ *  - `USING hnsw` is NOT a valid linear algorithm in the grammar (only
+ *    kdtree / euclideandistance / cosinesimilarity / dotproductsimilarity —
+ *    dsl/src/algorithm.rs:30-38).
+ */
+object DslParser extends RegexParsers {
+
+  override val skipWhitespace = true
+  override val whiteSpace = "[ \t\r\n]+".r
+
+  // keyword: case-insensitive, not followed by an alphanumeric
+  private def kw(s: String): Parser[String] = ("(?i)" + s + "(?![A-Za-z0-9])").r
+
+  private val name: Parser[String] = "[A-Za-z0-9_-]+".r
+  private val nonZero: Parser[Int] = "[1-9][0-9]*".r ^^ (_.toInt)
+  private val f32: Parser[Float] = """[0-9]+(\.[0-9]+)?""".r ^^ (_.toFloat)
+
+  private val f32Array: Parser[Array[Float]] =
+    "[" ~> rep1sep(f32, ",") <~ "]" ^^ (_.toArray)
+  private val f32Arrays: Parser[Seq[Array[Float]]] = rep1sep(f32Array, ",")
+
+  // metadata values: image | audio | raw string (order matters — /x.. also
+  // matches the raw-string charset)
+  private val image: Parser[MetadataValue] = "/x[0-9A-Fa-f]+".r ^^ (s =>
+    MetadataValue.Image(hexDecode(s.drop(2))))
+  private val audio: Parser[MetadataValue] = "/a[0-9A-Fa-f]+".r ^^ (s =>
+    MetadataValue.Audio(hexDecode(s.drop(2))))
+  private val rawString: Parser[MetadataValue] =
+    """[^,\[\](){}]+""".r ^^ (s => MetadataValue.RawString(s.trim))
+  private val metadataValue: Parser[MetadataValue] = image | audio | rawString
+
+  private def hexDecode(s: String): Array[Byte] = {
+    require(s.length % 2 == 0, s"Could not parse hex string $s")
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  }
+
+  // ---------------------------------------------------------------- values
+  private val storeValueSingle: Parser[(String, MetadataValue)] =
+    name ~ (":" ~> metadataValue) ^^ { case k ~ v => k -> v }
+  private val storeValue: Parser[Map[String, MetadataValue]] =
+    "{" ~> rep1sep(storeValueSingle, ",") <~ "}" ^^ (_.toMap)
+
+  private val storeKeyToValue: Parser[(Array[Float], Map[String, MetadataValue])] =
+    "(" ~> (f32Array <~ ",") ~ storeValue <~ ")" ^^ { case k ~ v => (k, v) }
+  private val storeKeysToValue: Parser[Seq[(Array[Float], Map[String, MetadataValue])]] =
+    "(" ~> rep1sep(storeKeyToValue, ",") <~ ")"
+
+  private val storeInput: Parser[MetadataValue] = "[" ~> metadataValue <~ "]"
+  private val storeInputToValue: Parser[(MetadataValue, Map[String, MetadataValue])] =
+    "(" ~> (storeInput <~ ",") ~ storeValue <~ ")" ^^ { case k ~ v => (k, v) }
+  private val storeInputsToValue: Parser[Seq[(MetadataValue, Map[String, MetadataValue])]] =
+    "(" ~> rep1sep(storeInputToValue, ",") <~ ")"
+  private val storeInputs: Parser[Seq[MetadataValue]] = rep1sep(storeInput, ",")
+
+  // ------------------------------------------------------------ predicates
+  private val metadataValues: Parser[Seq[MetadataValue]] =
+    "(" ~> rep1sep(metadataValue, ",") <~ ")"
+
+  // simple_expression: key (IN|NOT IN) (v,..) | key (=|!=) v
+  private val simpleExpression: Parser[PredicateCondition] =
+    (name ~ (kw("not") ~> kw("in")) ~ metadataValues ^^ {
+      case k ~ _ ~ vs => NotIn(k, vs.toSet) }) |
+    (name ~ kw("in") ~ metadataValues ^^ { case k ~ _ ~ vs => In(k, vs.toSet) }) |
+    (name ~ "!=" ~ metadataValue ^^ { case k ~ _ ~ v => NotEquals(k, v) }) |
+    (name ~ "=" ~ metadataValue ^^ { case k ~ _ ~ v => Equals(k, v) })
+
+  // compound_expression: "(" expr ")" ((AND|OR) expr)* — left-assoc fold,
+  // exactly the reference's parse_predicate_expression (dsl/src/predicate.rs)
+  private def compoundExpression: Parser[PredicateCondition] =
+    ("(" ~> predicateExpression <~ ")") ~
+      rep((kw("and") | kw("or")) ~ predicateExpression) ^^ {
+        case first ~ rest =>
+          rest.foldLeft(first) { case (acc, op ~ next) =>
+            if (op.equalsIgnoreCase("and")) And(acc, next) else Or(acc, next)
+          }
+      }
+
+  private def predicateExpression: Parser[PredicateCondition] =
+    simpleExpression | compoundExpression
+
+  private val predicateCondition: Parser[PredicateCondition] =
+    "(" ~> predicateExpression <~ ")"
+
+  // -------------------------------------------------------------- clauses
+  private val schemaClause: Parser[String] = kw("schema") ~> name
+  private val ifExists: Parser[Boolean] = opt(kw("if") ~ kw("exists")) ^^ (_.isDefined)
+  private val ifNotExists: Parser[Boolean] =
+    opt(kw("if") ~ kw("not") ~ kw("exists")) ^^ (_.isDefined)
+
+  private val nonLinearAlgorithm: Parser[NonLinearConfig] =
+    (kw("kdtree") ^^^ NonLinearConfig.KDTreeConfig()) |
+    (kw("hnsw") ^^^ NonLinearConfig.HNSWConfig())
+  private val nonLinearAlgorithms: Parser[Seq[NonLinearConfig]] =
+    rep1sep(nonLinearAlgorithm, ",")
+  private val nonLinearKinds: Parser[Seq[String]] =
+    rep1sep((kw("kdtree") ^^^ "kdtree") | (kw("hnsw") ^^^ "hnsw"), ",")
+
+  private val algorithm: Parser[Algorithm] =
+    (kw("kdtree") ^^^ (Algorithm.KDTree: Algorithm)) |
+    (kw("euclideandistance") ^^^ (Algorithm.EuclideanDistance: Algorithm)) |
+    (kw("cosinesimilarity") ^^^ (Algorithm.CosineSimilarity: Algorithm)) |
+    (kw("dotproductsimilarity") ^^^ (Algorithm.DotProductSimilarity: Algorithm))
+
+  private val aiModel: Parser[String] =
+    ("(?i)(all-minilm-l6-v2|all-minilm-l12-v2|bge-base-en-v1\\.5|bge-large-en-v1\\.5|" +
+      "resnet-50|clip-vit-b32-image|clip-vit-b32-text|clap-audio|clap-text|" +
+      "jina-embeddings-v2-base-code)(?![A-Za-z0-9])").r ^^ (_.toLowerCase)
+
+  private val preprocessAction: Parser[String] =
+    (kw("nopreprocessing") ^^^ "nopreprocessing") |
+    (kw("modelpreprocessing") ^^^ "modelpreprocessing")
+  private val executionProvider: Parser[String] =
+    (kw("coreml") | kw("tensorrt") | kw("directml") | kw("cuda")) ^^ (_.toLowerCase)
+
+  private val inKw = kw("in")
+
+  // ------------------------------------------------------- DB statements
+  import Command._
+
+  private val ping: Parser[Command] = kw("ping") ^^^ Ping
+  private val infoServerP: Parser[Command] = kw("infoserver") ^^^ InfoServer
+  private val listClients: Parser[Command] = kw("listclients") ^^^ ListClients
+  private val listStores: Parser[Command] =
+    kw("liststores") ~> opt(schemaClause) ^^ (ListStores(_))
+  private val purgeStores: Parser[Command] = kw("purgestores") ^^^ PurgeStores
+  private val getStore: Parser[Command] =
+    kw("getstore") ~> name ~ opt(schemaClause) ^^ { case n ~ s => GetStore(n, s) }
+  private val dropStore: Parser[Command] =
+    kw("dropstore") ~> name ~ ifExists ~ opt(schemaClause) ^^ {
+      case n ~ ife ~ s => DropStore(n, errorIfNotExists = !ife, s) }
+  private val dropSchema: Parser[Command] =
+    kw("dropschema") ~> name ^^ (DropSchema(_))
+  private val createPredIndex: Parser[Command] =
+    kw("createpredindex") ~> ("(" ~> rep1sep(name, ",") <~ ")") ~
+      (inKw ~> name) ~ opt(schemaClause) ^^ {
+        case ks ~ n ~ s => CreatePredIndex(n, ks, s) }
+  private val dropPredIndex: Parser[Command] =
+    kw("droppredindex") ~> ifExists ~ ("(" ~> rep1sep(name, ",") <~ ")") ~
+      (inKw ~> name) ~ opt(schemaClause) ^^ {
+        case ife ~ ks ~ n ~ s => DropPredIndex(n, ks, errorIfNotExists = !ife, s) }
+  private val createNonLinearIndex: Parser[Command] =
+    kw("createnonlinearalgorithmindex") ~> ("(" ~> nonLinearAlgorithms <~ ")") ~
+      (inKw ~> name) ~ opt(schemaClause) ^^ {
+        case as ~ n ~ s => CreateNonLinearAlgorithmIndex(n, as, s) }
+  private val dropNonLinearIndex: Parser[Command] =
+    kw("dropnonlinearalgorithmindex") ~> ifExists ~ ("(" ~> nonLinearKinds <~ ")") ~
+      (inKw ~> name) ~ opt(schemaClause) ^^ {
+        case ife ~ ks ~ n ~ s => DropNonLinearAlgorithmIndex(n, ks, errorIfNotExists = !ife, s) }
+  private val getKey: Parser[Command] =
+    kw("getkey") ~> ("(" ~> f32Arrays <~ ")") ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case ks ~ n ~ s => GetKey(n, ks, s) }
+  private val delKey: Parser[Command] =
+    kw("delkey") ~> ("(" ~> f32Arrays <~ ")") ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case ks ~ n ~ s => DelKey(n, ks, s) }
+  private val getPred: Parser[Command] =
+    kw("getpred") ~> predicateCondition ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case c ~ n ~ s => GetPred(n, c, s) }
+  private val getSimN: Parser[Command] =
+    kw("getsimn") ~> nonZero ~ (kw("with") ~> f32Array) ~
+      (kw("using") ~> algorithm) ~ (inKw ~> name) ~ opt(schemaClause) ~
+      opt(kw("where") ~> predicateCondition) ^^ {
+        case k ~ q ~ a ~ n ~ s ~ c => GetSimN(n, q, k, a, c, s) }
+  private val createStore: Parser[Command] =
+    kw("createstore") ~> ifNotExists ~ name ~ (kw("dimension") ~> nonZero) ~
+      opt(kw("predicates") ~> "(" ~> rep1sep(name, ",") <~ ")") ~
+      opt(kw("nonlinearalgorithmindex") ~> "(" ~> nonLinearAlgorithms <~ ")") ~
+      opt(schemaClause) ^^ {
+        case ine ~ n ~ d ~ ps ~ nl ~ s =>
+          CreateStore(n, d, ps.getOrElse(Nil), nl.getOrElse(Nil),
+            errorIfExists = !ine, s) }
+  private val setInStore: Parser[Command] =
+    kw("set") ~> storeKeysToValue ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case es ~ n ~ s => Set(n, es, s) }
+  // UPSERT (key_or_none, value_or_none) WHERE (cond) IN store [MERGE] [SCHEMA s]
+  private val upsertKeyValue: Parser[(Option[Array[Float]], Option[Map[String, MetadataValue]])] =
+    ((f32Array <~ ",") ~ storeValue ^^ { case k ~ v => (Some(k), Some(v)) }) |
+    ((kw("none") ~ ",") ~> storeValue ^^ (v => (None, Some(v)))) |
+    ((f32Array <~ ",") <~ kw("none") ^^ (k => (Some(k), None)))
+  private val upsert: Parser[Command] =
+    kw("upsert") ~> ("(" ~> upsertKeyValue <~ ")") ~
+      (kw("where") ~> predicateCondition) ~ (inKw ~> name) ~
+      opt(kw("merge") ^^^ true) ~ opt(schemaClause) ^^ {
+        case (k, v) ~ c ~ n ~ m ~ s => Upsert(n, k, v, c, m.getOrElse(false), s) }
+
+  private val dbStatement: Parser[Command] =
+    ping | infoServerP | listStores | listClients | dropSchema | getStore |
+    dropStore | createPredIndex | dropPredIndex | createNonLinearIndex |
+    dropNonLinearIndex | getKey | delKey | getPred | getSimN | createStore |
+    setInStore | upsert
+
+  // ------------------------------------------------------- AI statements
+  private val aiCreateStore: Parser[Command] =
+    kw("createstore") ~> ifNotExists ~ name ~ (kw("querymodel") ~> aiModel) ~
+      (kw("indexmodel") ~> aiModel) ~
+      opt(kw("predicates") ~> "(" ~> rep1sep(name, ",") <~ ")") ~
+      opt(kw("nonlinearalgorithmindex") ~> "(" ~> nonLinearAlgorithms <~ ")") ~
+      opt(kw("storeoriginal") ^^^ true) ~ opt(schemaClause) ^^ {
+        case ine ~ n ~ qm ~ im ~ ps ~ nl ~ so ~ s =>
+          AiCreateStore(n, qm, im, ps.getOrElse(Nil), nl.getOrElse(Nil),
+            errorIfExists = !ine, storeOriginal = so.getOrElse(false), s) }
+  private val aiSet: Parser[Command] =
+    kw("set") ~> storeInputsToValue ~ (inKw ~> name) ~ opt(schemaClause) ~
+      (kw("preprocessaction") ~> preprocessAction) ~
+      opt(kw("executionprovider") ~> executionProvider) ^^ {
+        case es ~ n ~ s ~ pa ~ _ => AiSet(n, es, pa, s) }
+  private val aiGetSimN: Parser[Command] =
+    kw("getsimn") ~> nonZero ~ (kw("with") ~> storeInput) ~
+      (kw("using") ~> algorithm) ~
+      opt(kw("preprocessaction") ~> preprocessAction) ~
+      opt(kw("executionprovider") ~> executionProvider) ~
+      (inKw ~> name) ~ opt(schemaClause) ~
+      opt(kw("where") ~> predicateCondition) ^^ {
+        case k ~ q ~ a ~ _ ~ _ ~ n ~ s ~ c => AiGetSimN(n, q, k, a, c, s) }
+  private val aiGetKey: Parser[Command] =
+    kw("getkey") ~> ("(" ~> storeInputs <~ ")") ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case ks ~ n ~ s => AiGetKey(n, ks, s) }
+  private val aiDelKey: Parser[Command] =
+    kw("delkey") ~> ("(" ~> storeInputs <~ ")") ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case ks ~ n ~ s => AiDelKey(n, ks, s) }
+  private val aiUpsertInputValue: Parser[(Option[MetadataValue], Option[Map[String, MetadataValue]])] =
+    ((storeInput <~ ",") ~ storeValue ^^ { case k ~ v => (Some(k), Some(v)) }) |
+    ((kw("none") ~ ",") ~> storeValue ^^ (v => (None, Some(v)))) |
+    ((storeInput <~ ",") <~ kw("none") ^^ (k => (Some(k), None)))
+  private val aiUpsert: Parser[Command] =
+    kw("upsert") ~> ("(" ~> aiUpsertInputValue <~ ")") ~
+      (kw("where") ~> predicateCondition) ~ (inKw ~> name) ~
+      (kw("preprocessaction") ~> preprocessAction) ~
+      opt(kw("executionprovider") ~> executionProvider) ~ opt(schemaClause) ^^ {
+        case (k, v) ~ c ~ n ~ pa ~ _ ~ s => AiUpsert(n, k, v, c, pa, s) }
+
+  private val aiStatement: Parser[Command] =
+    ping | infoServerP | listStores | purgeStores | dropSchema | getPred |
+    getStore | dropStore | dropPredIndex | createNonLinearIndex |
+    createPredIndex | dropNonLinearIndex | aiCreateStore | aiGetKey |
+    aiDelKey | aiSet | aiGetSimN | aiUpsert
+
+  // ------------------------------------------------------------ entry points
+
+  /** parse_db_query analog (dsl/src/db.rs:49-56). */
+  def parseDb(input: String): Seq[Command] = parseStatements(dbStatement, input)
+
+  /** parse_ai_query analog (dsl/src/ai.rs). */
+  def parseAi(input: String): Seq[Command] = parseStatements(aiStatement, input)
+
+  /** `;`-separated statement loop; a statement that fails to parse raises
+    * [[DslParseError]] with its span (invalid_statement analog). */
+  private def parseStatements(stmt: Parser[Command], input: String): Seq[Command] = {
+    val out = scala.collection.mutable.ArrayBuffer[Command]()
+    var pos = 0
+    // span = statement start (incl. its leading whitespace, as
+    // invalid_statement's whitespace* prefix does) .. next ';' or EOI
+    def fail(from: Int): Nothing = {
+      val semi = input.indexOf(';', from)
+      val end = if (semi < 0) input.length else semi
+      throw DslParseError(
+        s"Unexpected statement found '${input.substring(from, end).trim}'", from, end)
+    }
+    while (pos < input.length && input.substring(pos).exists(c => " \t\r\n".indexOf(c) < 0)) {
+      parse(stmt, input.substring(pos)) match {
+        case Success(cmd, next) =>
+          out += cmd
+          pos += next.offset
+          val tail = pos // span of trailing garbage starts at its whitespace
+          while (pos < input.length && " \t\r\n".indexOf(input.charAt(pos)) >= 0) pos += 1
+          if (pos < input.length) {
+            if (input.charAt(pos) == ';') pos += 1
+            else fail(tail) // statement followed by trailing garbage
+          }
+        case _ => fail(pos)
+      }
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,94 @@
+package graft.dsl
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.{GraftEngine, StoreInfo}
+
+/**
+ * Typed responses, mirroring the reference's server reply protos
+ * (/root/reference/protos/db/server.proto, protos/db/pipeline.proto:16-66).
+ */
+sealed trait Response extends Serializable
+object Response {
+  case object Pong extends Response
+  final case class Info(fields: Map[String, String]) extends Response
+  final case class Clients(clients: Seq[Map[String, String]]) extends Response
+  final case class StoreList(stores: Seq[StoreInfo]) extends Response
+  final case class StoreGet(info: StoreInfo) extends Response
+  /** CreateStore/DropStore/DropSchema/index ops/Del — counts and acks. */
+  final case class Count(n: Long) extends Response
+  case object Ok extends Response
+  final case class SetResult(inserted: Long, updated: Long) extends Response
+  /** GetKey / GetPred results: (key, value) rows. */
+  final case class Entries(df: DataFrame) extends Response
+  /** GetSimN results: (key, value, similarity) rows. */
+  final case class SimEntries(df: DataFrame) extends Response
+}
+
+/**
+ * Pipeline — ordered multi-statement execution with PER-STATEMENT error
+ * capture, the analog of the reference's pipeline handler loop
+ * (/root/reference/ahnlich/db/src/server/handler.rs:526-895,
+ * protos/db/pipeline.proto:41-66): one failing statement doesn't abort the
+ * batch; its error is recorded in-position and execution continues.
+ */
+object Pipeline {
+
+  type StepResult = Either[String, Response]
+
+  /** Parse a `;`-separated DSL script and run it. A parse error fails the
+    * whole script (parity: the reference parses the full pipeline before
+    * executing any of it). */
+  def runDb(engine: GraftEngine, script: String): Seq[StepResult] =
+    execute(engine, DslParser.parseDb(script))
+
+  /** Execute pre-parsed commands sequentially, capturing per-statement
+    * errors (handler.rs:526-895 loop). */
+  def execute(engine: GraftEngine, commands: Seq[Command]): Seq[StepResult] =
+    commands.map { cmd =>
+      try Right(executeOne(engine, cmd))
+      catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
+    }
+
+  def executeOne(engine: GraftEngine, cmd: Command): Response = {
+    import Command._
+    val d = engine.DefaultSchema
+    cmd match {
+      case Ping        => Response.Pong
+      case InfoServer  => Response.Info(engine.infoServer())
+      case ListClients => Response.Clients(engine.listClients())
+      case ListStores(s)   => Response.StoreList(engine.listStores(s.getOrElse(d)))
+      case GetStore(n, s)  => Response.StoreGet(engine.getStore(n, s.getOrElse(d)))
+      case DropStore(n, e, s) =>
+        Response.Count(engine.dropStore(n, s.getOrElse(d), e))
+      case DropSchema(s)   => Response.Count(engine.dropSchema(s))
+      case CreatePredIndex(n, ks, s) =>
+        Response.Count(engine.createPredIndex(n, ks.toSet, s.getOrElse(d)))
+      case DropPredIndex(n, ks, e, s) =>
+        Response.Count(engine.dropPredIndex(n, ks.toSet, e, s.getOrElse(d)))
+      case CreateNonLinearAlgorithmIndex(n, idx, s) =>
+        Response.Count(engine.createNonLinearIndex(n, idx, s.getOrElse(d)))
+      case DropNonLinearAlgorithmIndex(n, ks, e, s) =>
+        Response.Count(engine.dropNonLinearIndex(n, ks.toSet, e, s.getOrElse(d)))
+      case GetKey(n, ks, s) => Response.Entries(engine.getKey(n, ks, s.getOrElse(d)))
+      case DelKey(n, ks, s) => Response.Count(engine.delKey(n, ks, s.getOrElse(d)))
+      case GetPred(n, c, s) => Response.Entries(engine.getPred(n, c, s.getOrElse(d)))
+      case GetSimN(n, q, k, a, c, s) =>
+        Response.SimEntries(engine.getSimN(n, q, k, a, c, s.getOrElse(d)))
+      case CreateStore(n, dim, ps, nl, e, s) =>
+        engine.createStore(n, dim, ps.toSet, nl, e, s.getOrElse(d))
+        Response.Ok
+      case Set(n, es, s) =>
+        val (i, u) = engine.set(n, es, s.getOrElse(d))
+        Response.SetResult(i, u)
+      case Upsert(n, k, v, c, m, s) =>
+        engine.upsert(n, c, k, v, m, s.getOrElse(d))
+        Response.Ok
+      case PurgeStores => Response.Count(engine.purgeStores().toLong)
+      case _: AiCreateStore | _: AiSet | _: AiGetSimN | _: AiGetKey |
+           _: AiDelKey | _: AiUpsert =>
+        throw graft.types.GraftException(
+          "AI statements must run through the AI engine (graft.ai)")
+    }
+  }
+}

@@ -443,6 +443,15 @@ class GraftEngine(val spark: SparkSession) {
   def infoServer(): Map[String, String] = Map(
     "version" -> "0.1.0", "type" -> "graft-spark",
     "master" -> spark.sparkContext.master)
+
+  /** ListClients (protos/client.proto; utils/src/client.rs ClientHandler).
+    * Batch-engine analog: the sessions attached to this SparkContext —
+    * exactly one driver "connection" in local mode. */
+  def listClients(): Seq[Map[String, String]] = Seq(Map(
+    "address" -> spark.sparkContext.applicationId,
+    "type" -> "spark-driver",
+    "connected_since" -> new java.sql.Timestamp(
+      spark.sparkContext.startTime).toInstant.toString))
 }
 
 /** StoreInfo parity struct (protos/db/server.proto:71-78). */

@@ -257,6 +257,62 @@ object Queries {
       Some("""SELECT doc_id, lang, source, 'yes' AS reviewed FROM documents
         |WHERE doc_id = 42""".stripMargin)),
 
+    // ---- DSL + Pipeline: full front-end slice (SURVEY §2.6, §2.1 #20;
+    // parser mirrors dsl/src/syntax/syntax.pest, executor mirrors the
+    // pipeline handler loop db/src/server/handler.rs:526-895). Runs a
+    // 6-statement script through parse → plan → execute, including a
+    // mid-pipeline error that must be captured without aborting. ----
+    "vdb_dsl_pipeline" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        val script =
+          """CREATESTORE pipe_store DIMENSION 3 PREDICATES (page);
+            |SET (([0.2, 0.1, 0.0], {page: home, tag: a}), ([0.9, 0.8, 0.7], {page: hidden, tag: b}), ([0.1, 0.1, 0.1], {page: home, tag: c})) IN pipe_store;
+            |GETSIMN 2 WITH [0.2, 0.1, 0.1] USING cosinesimilarity IN pipe_store WHERE (page != hidden);
+            |GETPRED (page = nowhere) IN missing_store;
+            |DELKEY ([0.1, 0.1, 0.1]) IN pipe_store;
+            |GETSIMN 2 WITH [0.2, 0.1, 0.1] USING cosinesimilarity IN pipe_store WHERE (page != hidden)""".stripMargin
+        val results = graft.dsl.Pipeline.runDb(e, script)
+        val rows = results.zipWithIndex.flatMap {
+          case (Left(_), i) =>
+            Seq((i.toLong, "error", Option.empty[String], Option.empty[Double]))
+          case (Right(graft.dsl.Response.Ok), i) =>
+            Seq((i.toLong, "ok", Option.empty[String], Option.empty[Double]))
+          case (Right(graft.dsl.Response.SetResult(ins, upd)), i) =>
+            Seq((i.toLong, s"set:$ins:$upd", Option.empty[String], Option.empty[Double]))
+          case (Right(graft.dsl.Response.Count(n)), i) =>
+            Seq((i.toLong, s"count:$n", Option.empty[String], Option.empty[Double]))
+          case (Right(graft.dsl.Response.SimEntries(df)), i) =>
+            df.select(
+              element_at(col("value"), "tag").getField("str"),
+              round(col("similarity").cast("double"), 4))
+              .collect().toSeq.map(r =>
+                (i.toLong, "rows", Option(r.getString(0)), Option(r.getDouble(1))))
+          case (Right(other), i) =>
+            Seq((i.toLong, other.getClass.getSimpleName, Option.empty[String],
+              Option.empty[Double]))
+        }
+        e.dropStore("pipe_store")
+        import s.implicits._
+        rows.toDF("step", "info", "tag", "sim").orderBy("step", "tag")
+      },
+      Some {
+        // float32 literal discipline: route every literal through FLOAT so
+        // DuckDB's math starts from the same f32 bits Spark stores
+        def fl(vs: String) = s"list_transform([$vs], x -> CAST(CAST(x AS FLOAT) AS DOUBLE))"
+        def cosOf(vs: String) =
+          s"round(CAST(CAST(${cosSql(fl(vs), fl("0.2, 0.1, 0.1"))} AS FLOAT) AS DOUBLE), 4)"
+        s"""SELECT CAST(step AS BIGINT) AS step, info, tag, sim FROM (VALUES
+           |  (0, 'ok',      NULL, CAST(NULL AS DOUBLE)),
+           |  (1, 'set:3:0', NULL, NULL),
+           |  (2, 'rows',    'a',  ${cosOf("0.2, 0.1, 0.0")}),
+           |  (2, 'rows',    'c',  ${cosOf("0.1, 0.1, 0.1")}),
+           |  (3, 'error',   NULL, NULL),
+           |  (4, 'count:1', NULL, NULL),
+           |  (5, 'rows',    'a',  ${cosOf("0.2, 0.1, 0.0")})
+           |) t(step, info, tag, sim) ORDER BY step, tag""".stripMargin
+      }),
+
     // ---- ListStores / GetStore: catalog stats (SURVEY §2.1 #15-16) ----
     "vdb_list_stores" -> Q(
       (s, dir) => {

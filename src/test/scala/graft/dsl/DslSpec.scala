@@ -1,0 +1,237 @@
+package graft.dsl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types._
+import graft.types.MetadataValue.RawString
+import graft.types.PredicateCondition._
+import Command.{Set => SetCmd, _}
+
+/** DSL parser tests transliterated from the reference corpus
+  * (/root/reference/ahnlich/dsl/src/tests/db.rs, 693 LoC). */
+class DslSpec extends AnyFunSuite {
+
+  private def one(input: String): Command = {
+    val cmds = DslParser.parseDb(input)
+    assert(cmds.size == 1, s"expected 1 command, got $cmds")
+    cmds.head
+  }
+
+  test("single query parse: case-insensitivity + surrounding whitespace") {
+    assert(one("LISTCLIENTS") == ListClients)
+    assert(one("listclients") == ListClients)
+    assert(one("  Ping  ") == Ping)
+  }
+
+  test("multi query parse with trailing semicolon") {
+    assert(DslParser.parseDb(" INFOSERVER ; listSTORES;") ==
+      Seq(InfoServer, ListStores(None)))
+  }
+
+  test("schema clauses parse on every store command") {
+    assert(one("LISTSTORES SCHEMA tenant_1") == ListStores(Some("tenant_1")))
+    assert(one("GETSTORE school SCHEMA academics") ==
+      GetStore("school", Some("academics")))
+    assert(one("DROPSTORE school IF EXISTS SCHEMA academics") ==
+      DropStore("school", errorIfNotExists = false, Some("academics")))
+    assert(one("DROPSCHEMA academics") == DropSchema("academics"))
+    one("SET (([1, 2], {department: math})) in school SCHEMA academics") match {
+      case SetCmd("school", es, Some("academics")) =>
+        assert(es.map(e => (e._1.toSeq, e._2)) ==
+          Seq((Seq(1f, 2f), Map("department" -> RawString("math")))))
+      case other => fail(s"unexpected $other")
+    }
+    one("GETSIMN 1 with [1, 2] using cosinesimilarity in school SCHEMA academics where (department = math)") match {
+      case GetSimN("school", q, 1, Algorithm.CosineSimilarity,
+          Some(Equals("department", RawString("math"))), Some("academics")) =>
+        assert(q.toSeq == Seq(1f, 2f))
+      case other => fail(s"unexpected $other")
+    }
+    assert(one("CREATEPREDINDEX (department) in school SCHEMA academics") ==
+      CreatePredIndex("school", Seq("department"), Some("academics")))
+    assert(one("DROPNONLINEARALGORITHMINDEX (kdtree) in school SCHEMA academics") ==
+      DropNonLinearAlgorithmIndex("school", Seq("kdtree"),
+        errorIfNotExists = true, Some("academics")))
+  }
+
+  test("invalid statements carry the reference's spans") {
+    val e1 = intercept[DslParseError](DslParser.parseDb(" random ; listSTORES;"))
+    assert((e1.start, e1.end) == (0, 8))
+    val e2 = intercept[DslParseError](DslParser.parseDb(" INfoSERVER ; random; ping"))
+    assert((e2.start, e2.end) == (13, 20))
+  }
+
+  test("create store variants (test_create_store_parse)") {
+    assert(one("CREATEstore storename DIMENSION 23") ==
+      CreateStore("storename", 23, Nil, Nil, errorIfExists = true, None))
+    assert(one("CREATEstore IF NOT EXISTS testing DIMENSION 43") ==
+      CreateStore("testing", 43, Nil, Nil, errorIfExists = false, None))
+    assert(one("CREATEstore IF NOT EXISTS school DIMENSION 39 PREDICATES (department, faculty)") ==
+      CreateStore("school", 39, Seq("department", "faculty"), Nil,
+        errorIfExists = false, None))
+    assert(one("CREATEstore school DIMENSION 77 PREDICATES(name, surname) NONLINEARALGORITHMINDEX (kdtree)") ==
+      CreateStore("school", 77, Seq("name", "surname"),
+        Seq(NonLinearConfig.KDTreeConfig()), errorIfExists = true, None))
+    assert(one("CREATESTORE IF NOT EXISTS school DIMENSION 39 PREDICATES (department, faculty) SCHEMA academics") ==
+      CreateStore("school", 39, Seq("department", "faculty"), Nil,
+        errorIfExists = false, Some("academics")))
+  }
+
+  test("drop store variants; IF NOT EXISTS is invalid for dropstore") {
+    assert(one("DROPSTORE random") ==
+      DropStore("random", errorIfNotExists = true, None))
+    assert(one("dropstore yeezy_store IF exists") ==
+      DropStore("yeezy_store", errorIfNotExists = false, None))
+    val e = intercept[DslParseError](DslParser.parseDb("dropstore yeezy IF NOT exists"))
+    assert((e.start, e.end) == (15, 29))
+  }
+
+  test("pred index statements (create/drop, if exists)") {
+    assert(one("CREATEPREDINDEX (one, two, 3) in tapHstore1") ==
+      CreatePredIndex("tapHstore1", Seq("one", "two", "3"), None))
+    assert(one("DROPPREDINDEX (here, th2) in store2") ==
+      DropPredIndex("store2", Seq("here", "th2"), errorIfNotExists = true, None))
+    assert(one("DROPPREDINDEX IF EXISTS (off) in storememe") ==
+      DropPredIndex("storememe", Seq("off"), errorIfNotExists = false, None))
+  }
+
+  test("non-linear index statements; unknown algorithm errors with span") {
+    val e = intercept[DslParseError](
+      DslParser.parseDb("createnonlinearalgorithmindex (fake) in store2"))
+    assert((e.start, e.end) == (0, 46))
+    assert(one("createnonlinearalgorithmindex (kdtree) in store2") ==
+      CreateNonLinearAlgorithmIndex("store2", Seq(NonLinearConfig.KDTreeConfig()), None))
+    one("createnonlinearalgorithmindex (hnsw) in store2") match {
+      case CreateNonLinearAlgorithmIndex("store2",
+          Seq(_: NonLinearConfig.HNSWConfig), None) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("getkey / delkey parse f32 arrays") {
+    one("GETKEY ([1, 2], [3.0, 4.0]) in school") match {
+      case GetKey("school", ks, None) =>
+        assert(ks.map(_.toSeq) == Seq(Seq(1f, 2f), Seq(3f, 4f)))
+      case other => fail(s"unexpected $other")
+    }
+    one("DELKEY ([1.2, 3.0], [5.6, 7.8]) in my_store") match {
+      case DelKey("my_store", ks, None) =>
+        assert(ks.map(_.toSeq) == Seq(Seq(1.2f, 3.0f), Seq(5.6f, 7.8f)))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("getpred compound predicates (and/or nesting, in/not in)") {
+    assert(one("GETPRED ((author = dickens) or (country != Nigeria)) in my_store") ==
+      GetPred("my_store", Or(
+        Equals("author", RawString("dickens")),
+        NotEquals("country", RawString("Nigeria"))), None))
+    assert(one("GETPRED ((author in (dickens, rowling)) and (country not in (Nigeria))) in my_store") ==
+      GetPred("my_store", And(
+        In("author", Set(RawString("dickens"), RawString("rowling"))),
+        NotIn("country", Set(RawString("Nigeria")))), None))
+  }
+
+  test("getsimn: zero n errors; algorithms map; where clause optional") {
+    val e = intercept[DslParseError](
+      DslParser.parseDb("GETSIMN 0 with [0.1, 0.2] using kdtree in store1 where ( author = hi )"))
+    assert((e.start, e.end) == (0, 70))
+    one("GETSIMN 5 with [34.1, 72.2] using cosinesimilarity in random") match {
+      case GetSimN("random", q, 5, Algorithm.CosineSimilarity, None, None) =>
+        assert(q.toSeq == Seq(34.1f, 72.2f))
+      case other => fail(s"unexpected $other")
+    }
+    one("GETSIMN 8 with [3.7, 9.6] using euclideandistance in other where ((year != 2012) AND (month not in (december, october)))") match {
+      case GetSimN("other", q, 8, Algorithm.EuclideanDistance, Some(cond), None) =>
+        assert(q.toSeq == Seq(3.7f, 9.6f))
+        assert(cond == And(
+          NotEquals("year", RawString("2012")),
+          NotIn("month", Set(RawString("december"), RawString("october")))))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("set parses multiple entries with multi-key metadata") {
+    one("SET (([1.0, 2.1, 3.2], {name: Haks, category: dev}), ([3.1, 4.8, 5.0], {name: Deven, category: dev})) in store") match {
+      case SetCmd("store", es, None) =>
+        assert(es.size == 2)
+        assert(es.head._1.toSeq == Seq(1.0f, 2.1f, 3.2f))
+        assert(es.head._2 == Map("name" -> RawString("Haks"),
+          "category" -> RawString("dev")))
+        assert(es(1)._2("name") == RawString("Deven"))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("upsert variants: key+value / none+value / key+none, merge clause") {
+    one("UPSERT ([4.0, 5.0, 6.0], {id: 456}) where (id = 123) in store merge") match {
+      case Upsert("store", Some(k), Some(v), Equals("id", RawString("123")), true, None) =>
+        assert(k.toSeq == Seq(4f, 5f, 6f))
+        assert(v == Map("id" -> RawString("456")))
+      case other => fail(s"unexpected $other")
+    }
+    one("UPSERT (none, {id: 456}) where (id = 123) in store") match {
+      case Upsert("store", None, Some(_), _, false, None) => ()
+      case other => fail(s"unexpected $other")
+    }
+    one("UPSERT ([1.0], none) where (id = 123) in store SCHEMA t1") match {
+      case Upsert("store", Some(_), None, _, false, Some("t1")) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("image/audio hex literals decode to bytes (/xHEX, /aHEX)") {
+    one("GETPRED (pic = /x0A0B) in s") match {
+      case GetPred("s", Equals("pic", MetadataValue.Image(b)), None) =>
+        assert(b.toSeq == Seq(0x0A.toByte, 0x0B.toByte))
+      case other => fail(s"unexpected $other")
+    }
+    one("GETPRED (clip = /aFF00) in s") match {
+      case GetPred("s", Equals("clip", MetadataValue.Audio(b)), None) =>
+        assert(b.toSeq == Seq(0xFF.toByte, 0x00.toByte))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("ai statements parse (create store with models, set, getsimn)") {
+    DslParser.parseAi("CREATESTORE s QUERYMODEL all-minilm-l6-v2 INDEXMODEL all-minilm-l6-v2 PREDICATES (tag) STOREORIGINAL") match {
+      case Seq(AiCreateStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2",
+          Seq("tag"), Nil, true, true, None)) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("SET (([hello world], {tag: greeting})) in s PREPROCESSACTION nopreprocessing") match {
+      case Seq(AiSet("s", es, "nopreprocessing", None)) =>
+        assert(es == Seq((RawString("hello world"),
+          Map("tag" -> RawString("greeting")))))
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("GETSIMN 3 with [hello] using cosinesimilarity in s where (tag = greeting)") match {
+      case Seq(AiGetSimN("s", RawString("hello"), 3, Algorithm.CosineSimilarity,
+          Some(Equals("tag", RawString("greeting"))), None)) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("pipeline executes end-to-end with per-statement error capture") {
+    val spark = graft.TestFixtures.spark
+    val e = new graft.engine.GraftEngine(spark)
+    val script =
+      """CREATESTORE my_store DIMENSION 3 PREDICATES (page);
+        |SET (([0.2, 0.1, 0.0], {page: home}), ([0.9, 0.8, 0.7], {page: hidden})) IN my_store;
+        |GETPRED (page = nowhere) IN missing_store;
+        |GETSIMN 1 WITH [0.2, 0.1, 0.1] USING cosinesimilarity IN my_store WHERE (page != hidden)""".stripMargin
+    val results = Pipeline.runDb(e, script)
+    assert(results.size == 4)
+    assert(results(0) == Right(Response.Ok))
+    assert(results(1) == Right(Response.SetResult(2, 0)))
+    assert(results(2).isLeft) // missing store error captured, pipeline continues
+    results(3) match {
+      case Right(Response.SimEntries(df)) =>
+        val rows = df.collect()
+        assert(rows.length == 1)
+        val m = rows.head.getMap[String, org.apache.spark.sql.Row](1)
+        assert(m("page").getString(1) == "home")
+      case other => fail(s"unexpected $other")
+    }
+  }
+}
