@@ -1,0 +1,273 @@
+package graft.ai
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.engine.GraftEngine
+import graft.types._
+import graft.types.PredicateCondition.In
+
+/**
+ * The AI proxy layer: keys stores by RAW input (text/image/audio) instead of
+ * vectors; embeds with the store's configured models, then delegates every
+ * operation to the DB engine — the Spark-native reshaping of
+ * /root/reference/ahnlich/ai/src/engine/{operations.rs,store.rs}.
+ *
+ * Reserved metadata keys (ai/src/lib.rs:10-12):
+ *  - `_ahnlich_input_key`: the raw input stashed in metadata when the store
+ *    is created STOREORIGINAL, so GetKey/DelKey by raw input work;
+ *  - `_ahnlich_one_to_many_index`: sequential output index for one-to-many
+ *    models (face detectors) that expand one input into many entries.
+ *
+ * Scale design: the embedding stage runs inside `mapPartitions` with a
+ * broadcast [[Embedder]] (one model session per executor partition — the
+ * data-parallel reshape of the reference's one-green-thread-per-model,
+ * ai/src/manager/mod.rs:35-140), and the composite "delete stale entries
+ * for re-ingested inputs, then set" write (operations.rs:229-266) uses a
+ * broadcast semi-join on the reserved key instead of a driver-collected
+ * literal list, so nothing driver-side scales with batch size.
+ */
+class AiEngine(val db: GraftEngine) {
+
+  val ReservedKey = "_ahnlich_input_key"
+  val OneToManyKey = "_ahnlich_one_to_many_index"
+  private def spark = db.spark
+  import StoreSchema.{metadataValueType, valueType}
+
+  private val inputSchema = StructType(Seq(
+    StructField("input", metadataValueType, nullable = false),
+    StructField("value", valueType, nullable = false)))
+
+  // ------------------------------------------------------------- create/drop
+
+  /** AI CreateStore (operations.rs:83-136): dimension comes from the index
+    * model; query/index embedding dims must match (ai/src/engine/
+    * store.rs:173-178); reserved predicates registered automatically. */
+  def createStore(name: String, queryModel: String, indexModel: String,
+      predicates: Set[String] = Set.empty,
+      nonLinearIndexes: Seq[NonLinearConfig] = Seq.empty,
+      errorIfExists: Boolean = true,
+      storeOriginal: Boolean = false,
+      schema: String = db.DefaultSchema): Boolean = {
+    val qm = Models.details(queryModel)
+    val im = Models.details(indexModel)
+    if (qm.dim != im.dim)
+      throw GraftException(
+        s"Query model $queryModel dimension ${qm.dim} does not match index model $indexModel dimension ${im.dim}")
+    var preds = predicates
+    if (storeOriginal) preds += ReservedKey
+    if (im.oneToMany) preds += OneToManyKey
+    db.createStore(name, im.dim, preds, nonLinearIndexes, errorIfExists,
+      schema, storeOriginal, Some(qm.name), Some(im.name))
+  }
+
+  private def aiMeta(name: String, schema: String): StoreMeta = {
+    val m = db.storeMeta(name, schema)
+    if (m.indexModel.isEmpty)
+      throw GraftException(s"Store $name is not an AI store (no index model)")
+    m
+  }
+
+  // ------------------------------------------------------------------- write
+
+  /** AI Set — validate input types, stash originals, embed, and run the
+    * composite DelPred+Set write (operations.rs:182-267). Driver-side entry
+    * for DSL/small batches; the heavy lifting is [[setDf]]. */
+  def set(name: String, entries: Seq[(MetadataValue, Map[String, MetadataValue])],
+      schema: String = db.DefaultSchema): (Long, Long) =
+    setDf(name, inputsDf(entries), schema)
+
+  /** Bulk path: entries as a DataFrame of (input STRUCT, value MAP). */
+  def setDf(name: String, entries: DataFrame,
+      schema: String = db.DefaultSchema): (Long, Long) = {
+    val meta = aiMeta(name, schema)
+    val im = Models.details(meta.indexModel.get)
+    validateKinds(entries, im, "Index")
+    if (meta.storeOriginal) {
+      val clash = entries
+        .where(element_at(col("value"), ReservedKey).isNotNull).limit(1).count()
+      if (clash > 0)
+        throw GraftException(s"Cannot insert reserved key $ReservedKey")
+    }
+    val prepared =
+      if (meta.storeOriginal)
+        entries.withColumn("value",
+          map_concat(col("value"), map(lit(ReservedKey), col("input"))))
+      else entries
+    // stale-entry cleanup BEFORE embedding (operations.rs:229-266): entries
+    // whose reserved input matches an incoming input are deleted, so
+    // one-to-many re-ingestion can't leave orphaned expansions behind
+    if (meta.storeOriginal)
+      delByReservedInput(name, entries.select("input"), schema)
+    val embedded = embedEntries(prepared, im)
+    db.set(name, embedded, schema)
+  }
+
+  /** Distributed analog of DelPred(ReservedKey IN batch-inputs): broadcast
+    * semi/anti join on the reserved metadata value — no driver collect. */
+  private def delByReservedInput(name: String, inputs: DataFrame,
+      schema: String): Long = {
+    val st = db.storeDf(name, schema)
+    val probe = broadcast(inputs.select(col("input").as("_probe")).distinct())
+    val keyCol = element_at(col("value"), ReservedKey)
+    val deleted = st.join(probe, keyCol === col("_probe"), "left_semi").count()
+    if (deleted > 0)
+      db.replaceStoreDf(name, st.join(probe, keyCol === col("_probe"), "left_anti"), schema)
+    deleted
+  }
+
+  /** The embedding stage: mapPartitions with a broadcast embedder; one-to-many
+    * models flatMap one input row into several entries carrying the
+    * sequential `_ahnlich_one_to_many_index` (ai/src/engine/store.rs:391-424). */
+  private def embedEntries(prepared: DataFrame, im: ModelDetails): DataFrame = {
+    val embedder = Embedders.forModel(im.name)
+    val bEmbedder = spark.sparkContext.broadcast(embedder)
+    val oneToMany = im.oneToMany
+    val oneToManyKey = OneToManyKey // locals only — the closure must not capture `this`
+    val outSchema = StructType(StoreSchema.entrySchema.drop(1))
+    val outRdd = prepared.select("input", "value").rdd.mapPartitions { it =>
+      val emb = bEmbedder.value
+      it.flatMap { r =>
+        val input = AiEngine.rowToMeta(r.getStruct(0))
+        val value = r.getMap[String, Row](1)
+        val vecs = emb.embedOne(input)
+        vecs.zipWithIndex.map { case (vec, i) =>
+          val v: Map[String, Row] =
+            if (oneToMany)
+              value.toMap + (oneToManyKey -> Row("raw_string", i.toString, null))
+            else value.toMap
+          Row(vec.toSeq, v)
+        }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** AI Upsert — always merge-mode; embeds new_input with the index model;
+    * rejects one-to-many models (ai/src/engine/store.rs:433-497). */
+  def upsert(name: String, cond: PredicateCondition,
+      newInput: Option[MetadataValue] = None,
+      newValue: Option[Map[String, MetadataValue]] = None,
+      schema: String = db.DefaultSchema): Unit = {
+    val meta = aiMeta(name, schema)
+    val im = Models.details(meta.indexModel.get)
+    if (im.oneToMany)
+      throw GraftException(s"Upsert is not supported for one-to-many model ${im.name}")
+    newInput.foreach(i => requireKind(i, im, "Index"))
+    val newKey = newInput.map(i => Embedders.forModel(im.name).embedOne(i).head)
+    val valueWithOriginal = (newInput, meta.storeOriginal) match {
+      case (Some(i), true) =>
+        Some(newValue.getOrElse(Map.empty) + (ReservedKey -> i))
+      case _ => newValue
+    }
+    db.upsert(name, cond, newKey, valueWithOriginal, mergeMetadata = true, schema)
+  }
+
+  // -------------------------------------------------------------------- read
+
+  /** AI GetSimN — embed the query with the QUERY model, delegate, then strip
+    * the reserved key back out into an `input` column
+    * (ai/src/server/handler.rs:339-420). */
+  def getSimN(name: String, input: MetadataValue, closestN: Int,
+      algorithm: Algorithm, condition: Option[PredicateCondition] = None,
+      schema: String = db.DefaultSchema): DataFrame = {
+    val meta = aiMeta(name, schema)
+    val qm = Models.details(meta.queryModel.get)
+    requireKind(input, qm, "Query")
+    val q = Embedders.forModel(qm.name).embedOne(input).head
+    stripReserved(db.getSimN(name, q, closestN, algorithm, condition, schema))
+  }
+
+  /** AI GetKey — lookup by raw input via the reserved key (requires
+    * STOREORIGINAL; ai/src/engine/store.rs:500-521). */
+  def getKey(name: String, inputs: Seq[MetadataValue],
+      schema: String = db.DefaultSchema): DataFrame = {
+    requireStoreOriginal(name, schema, "GetKey")
+    stripReserved(db.getPred(name,
+      In(ReservedKey, inputs.toSet), schema))
+  }
+
+  /** AI DelKey — delete by raw input via the reserved key. */
+  def delKey(name: String, inputs: Seq[MetadataValue],
+      schema: String = db.DefaultSchema): Long = {
+    requireStoreOriginal(name, schema, "DelKey")
+    db.delPred(name, In(ReservedKey, inputs.toSet), schema)
+  }
+
+  /** AI GetPred — passthrough + reserved-key strip into `input`. */
+  def getPred(name: String, cond: PredicateCondition,
+      schema: String = db.DefaultSchema): DataFrame =
+    stripReserved(db.getPred(name, cond, schema))
+
+  /** ConvertStoreInputToEmbeddings (protos/ai/query.proto:178-184):
+    * standalone inputs × model → vectors. */
+  def convertStoreInputToEmbeddings(inputs: Seq[MetadataValue],
+      model: String): Seq[(MetadataValue, Array[Float])] = {
+    val m = Models.details(model)
+    val embedder = Embedders.forModel(m.name)
+    inputs.map(i => { requireKind(i, m, "Convert"); i -> embedder.embedOne(i).head })
+  }
+
+  /** DropPredIndex passthrough — the reserved key is retained
+    * (operations.rs:276-278). */
+  def dropPredIndex(name: String, keys: Set[String],
+      errorIfNotExists: Boolean = true, schema: String = db.DefaultSchema): Int =
+    db.dropPredIndex(name, keys - ReservedKey, errorIfNotExists, schema)
+
+  // ----------------------------------------------------------------- helpers
+
+  private def requireStoreOriginal(name: String, schema: String, op: String): Unit =
+    if (!db.storeMeta(name, schema).storeOriginal)
+      throw GraftException(
+        s"$op by input requires store to be created with STOREORIGINAL")
+
+  private def requireKind(v: MetadataValue, m: ModelDetails, action: String): Unit =
+    if (v.kind != m.inputKind)
+      throw GraftException(
+        s"$action model ${m.name} expects ${m.inputKind} input, got ${v.kind}")
+
+  private def validateKinds(entries: DataFrame, m: ModelDetails,
+      action: String): Unit = {
+    val bad = entries.where(col("input").getField("kind") =!= m.inputKind)
+      .limit(1).collect()
+    if (bad.nonEmpty)
+      throw GraftException(
+        s"$action model ${m.name} expects ${m.inputKind} input, got ${bad.head.getStruct(0).getString(0)}")
+  }
+
+  /** (key,value[,similarity]) → (input, value-without-reserved[,similarity]):
+    * the reserved original moves back into the response key slot
+    * (ai/src/engine/store.rs:523-529). */
+  private def stripReserved(res: DataFrame): DataFrame = {
+    val cols = Seq(
+      element_at(col("value"), ReservedKey).as("input"),
+      map_filter(col("value"), (k, _) => k =!= ReservedKey).as("value")) ++
+      (if (res.columns.contains("similarity")) Seq(col("similarity")) else Nil)
+    res.select(cols: _*)
+  }
+
+  private def metaToRow(v: MetadataValue): Row = v match {
+    case MetadataValue.RawString(s) => Row("raw_string", s, null)
+    case MetadataValue.Image(b)     => Row("image", null, b)
+    case MetadataValue.Audio(b)     => Row("audio", null, b)
+  }
+
+  /** Driver-side entries → (input, value) DataFrame. */
+  def inputsDf(entries: Seq[(MetadataValue, Map[String, MetadataValue])]): DataFrame = {
+    val rows = entries.map { case (in, v) =>
+      Row(metaToRow(in), v.map { case (k, vv) => k -> metaToRow(vv) })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), inputSchema)
+  }
+}
+
+object AiEngine {
+  /** Executor-side struct → MetadataValue (must live outside the class so
+    * mapPartitions closures don't capture the engine). */
+  private[ai] def rowToMeta(r: Row): MetadataValue = r.getString(0) match {
+    case "raw_string" => MetadataValue.RawString(r.getString(1))
+    case "image"      => MetadataValue.Image(r.getAs[Array[Byte]](2))
+    case "audio"      => MetadataValue.Audio(r.getAs[Array[Byte]](2))
+  }
+}

@@ -42,15 +42,22 @@ object Pipeline {
   def runDb(engine: GraftEngine, script: String): Seq[StepResult] =
     execute(engine, DslParser.parseDb(script))
 
+  /** AI pipeline: same loop against the AI grammar + AI engine
+    * (ai/src/server/handler.rs pipeline arm). */
+  def runAi(ai: graft.ai.AiEngine, script: String): Seq[StepResult] =
+    execute(ai.db, DslParser.parseAi(script), Some(ai))
+
   /** Execute pre-parsed commands sequentially, capturing per-statement
     * errors (handler.rs:526-895 loop). */
-  def execute(engine: GraftEngine, commands: Seq[Command]): Seq[StepResult] =
+  def execute(engine: GraftEngine, commands: Seq[Command],
+      ai: Option[graft.ai.AiEngine] = None): Seq[StepResult] =
     commands.map { cmd =>
-      try Right(executeOne(engine, cmd))
+      try Right(executeOne(engine, cmd, ai))
       catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
     }
 
-  def executeOne(engine: GraftEngine, cmd: Command): Response = {
+  def executeOne(engine: GraftEngine, cmd: Command,
+      ai: Option[graft.ai.AiEngine] = None): Response = {
     import Command._
     val d = engine.DefaultSchema
     cmd match {
@@ -85,10 +92,28 @@ object Pipeline {
         engine.upsert(n, c, k, v, m, s.getOrElse(d))
         Response.Ok
       case PurgeStores => Response.Count(engine.purgeStores().toLong)
-      case _: AiCreateStore | _: AiSet | _: AiGetSimN | _: AiGetKey |
-           _: AiDelKey | _: AiUpsert =>
-        throw graft.types.GraftException(
-          "AI statements must run through the AI engine (graft.ai)")
+      case aiCmd =>
+        val aiEngine = ai.getOrElse(throw graft.types.GraftException(
+          "AI statements must run through the AI engine (graft.ai)"))
+        aiCmd match {
+          case AiCreateStore(n, qm, im, ps, nl, e, so, s) =>
+            aiEngine.createStore(n, qm, im, ps.toSet, nl, e, so, s.getOrElse(d))
+            Response.Ok
+          case AiSet(n, es, _, s) =>
+            val (i, u) = aiEngine.set(n, es, s.getOrElse(d))
+            Response.SetResult(i, u)
+          case AiGetSimN(n, q, k, a, c, s) =>
+            Response.SimEntries(aiEngine.getSimN(n, q, k, a, c, s.getOrElse(d)))
+          case AiGetKey(n, ks, s) =>
+            Response.Entries(aiEngine.getKey(n, ks, s.getOrElse(d)))
+          case AiDelKey(n, ks, s) =>
+            Response.Count(aiEngine.delKey(n, ks, s.getOrElse(d)))
+          case AiUpsert(n, k, v, c, _, s) =>
+            aiEngine.upsert(n, c, k, v, s.getOrElse(d))
+            Response.Ok
+          case other =>
+            throw graft.types.GraftException(s"Unsupported command $other")
+        }
     }
   }
 }

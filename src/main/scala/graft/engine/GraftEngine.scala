@@ -438,6 +438,12 @@ class GraftEngine(val spark: SparkSession) {
       schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
     state(schema, name).annIndexes.get(kind)
 
+  /** Swap in an externally-computed rewrite of a store's DataFrame (used by
+    * the AI layer's distributed stale-entry cleanup). */
+  private[graft] def replaceStoreDf(name: String, next: DataFrame,
+      schema: String = DefaultSchema): Unit =
+    swap(schema, name, next)
+
   /** Ping / InfoServer (db/src/server/handler.rs:119-125, 425). */
   def ping(): String = "PONG"
   def infoServer(): Map[String, String] = Map(

@@ -313,6 +313,86 @@ object Queries {
            |) t(step, info, tag, sim) ORDER BY step, tag""".stripMargin
       }),
 
+    // ---- AI layer (SURVEY §2.2): raw-input stores through the mock
+    // embedder. Oracle-checkable invariants: the reserved-key round-trip
+    // returns originals, self-query cosine similarity is exactly 1.0
+    // (deterministic embedder), one-to-many expansion counts are
+    // 1 + (byte_len mod 3) by MockEmbedder contract. ----
+
+    // AI Set + GetKey by raw input (operations.rs:182-267, store.rs:500-521)
+    "ai_set_get_key" -> Q(
+      (s, dir) => {
+        val ai = TestStores.aiEngine(s, dir)
+        val probes = Seq(5L, 7L, 11L).map(id =>
+          graft.types.MetadataValue.RawString(TestStores.docText(s, dir, id)))
+        ai.getKey("ai_docs", probes)
+          .select(
+            element_at(col("value"), "doc_id").getField("str")
+              .cast("bigint").as("doc_id"),
+            element_at(col("value"), "lang").getField("str").as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang FROM documents WHERE doc_id IN (5,7,11) ORDER BY doc_id")),
+
+    // AI GetSimN: embed query with query_model, delegate, restore original
+    // input (ai/src/server/handler.rs:339-420). Self-query → sim 1.0.
+    "ai_sim_self" -> Q(
+      (s, dir) => {
+        val ai = TestStores.aiEngine(s, dir)
+        val q = graft.types.MetadataValue.RawString(TestStores.docText(s, dir, 42L))
+        ai.getSimN("ai_docs", q, 1, Algorithm.CosineSimilarity)
+          .select(
+            element_at(col("value"), "doc_id").getField("str")
+              .cast("bigint").as("doc_id"),
+            round(col("similarity").cast("double"), 4).as("sim"))
+      },
+      Some("SELECT CAST(42 AS BIGINT) AS doc_id, CAST(1.0 AS DOUBLE) AS sim")),
+
+    // AI one-to-many expansion (buffalo-l faces): one image input → 1+(len%3)
+    // entries with sequential _ahnlich_one_to_many_index
+    // (ai/src/engine/store.rs:391-424; MockEmbedder count contract).
+    "ai_one_to_many" -> Q(
+      (s, dir) => {
+        val ai = TestStores.freshEngine(s)
+        val aiE = new graft.ai.AiEngine(ai)
+        aiE.createStore("faces", "buffalo-l", "buffalo-l", storeOriginal = true)
+        val entries = TestStores.table(s, dir, "documents")
+          .where(col("doc_id") < 10)
+          .select(
+            struct(lit("image").as("kind"),
+              lit(null).cast(org.apache.spark.sql.types.StringType).as("str"),
+              encode(col("text"), "UTF-8").as("bin")).as("input"),
+            map(lit("doc_id"), TestStores.metaStr(col("doc_id"))).as("value"))
+        aiE.setDf("faces", entries)
+        val out = ai.storeDf("faces")
+          .groupBy(element_at(col("value"), "doc_id").getField("str")
+            .cast("bigint").as("doc_id"))
+          .agg(count(lit(1)).as("faces"))
+          .orderBy("doc_id")
+        out
+      },
+      Some("""SELECT doc_id, CAST(1 + (strlen(text) % 3) AS BIGINT) AS faces
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin)),
+
+    // ConvertStoreInputToEmbeddings (protos/ai/query.proto:178-184): dims
+    // and unit-norm of the produced embeddings are the checkable contract.
+    "ai_convert_embeddings" -> Q(
+      (s, dir) => {
+        val ai = TestStores.aiEngine(s, dir)
+        val inputs = Seq(1L, 2L, 3L).map(id =>
+          id -> graft.types.MetadataValue.RawString(TestStores.docText(s, dir, id)))
+        val out = ai.convertStoreInputToEmbeddings(inputs.map(_._2), "bge-large-en-v1.5")
+        import s.implicits._
+        inputs.map(_._1).zip(out).map { case (id, (_, v)) =>
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          (id, v.length, BigDecimal(norm).setScale(4,
+            BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+        }.toDF("doc_id", "dim", "norm").orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, 1024 AS dim,
+        |CAST(1.0 AS DOUBLE) AS norm FROM documents
+        |WHERE doc_id IN (1,2,3) ORDER BY doc_id""".stripMargin)),
+
     // ---- ListStores / GetStore: catalog stats (SURVEY §2.1 #15-16) ----
     "vdb_list_stores" -> Q(
       (s, dir) => {

@@ -68,6 +68,31 @@ object TestStores {
   /** A private engine for mutation-shaped queries (isolated per call). */
   def freshEngine(spark: SparkSession): GraftEngine = new GraftEngine(spark)
 
+  private val aiEngines = TrieMap[String, graft.ai.AiEngine]()
+
+  /** Shared AI engine: store "ai_docs" = documents.text embedded with the
+    * deterministic mock all-minilm-l6-v2, STOREORIGINAL, metadata
+    * {doc_id, lang}. Read-only across queries. */
+  def aiEngine(spark: SparkSession, sfDir: String): graft.ai.AiEngine =
+    aiEngines.getOrElseUpdate(sfDir, {
+      val ai = new graft.ai.AiEngine(new GraftEngine(spark))
+      ai.createStore("ai_docs", "all-minilm-l6-v2", "all-minilm-l6-v2",
+        predicates = Set("lang"), storeOriginal = true)
+      val entries = table(spark, sfDir, "documents").select(
+        struct(lit("raw_string").as("kind"), col("text").as("str"),
+          lit(null).cast(BinaryType).as("bin")).as("input"),
+        map(
+          lit("doc_id"), metaStr(col("doc_id")),
+          lit("lang"), metaStr(col("lang"))).as("value"))
+      ai.setDf("ai_docs", entries)
+      ai
+    })
+
+  /** Raw text of one document (the AI-layer query probe). */
+  def docText(spark: SparkSession, sfDir: String, docId: Long): String =
+    table(spark, sfDir, "documents").where(col("doc_id") === docId)
+      .select("text").head.getString(0)
+
   /** The deterministic 64-dim query vector: embedding of vec_id = 0. */
   def queryVec(spark: SparkSession, sfDir: String): Array[Float] =
     table(spark, sfDir, "embeddings").where(col("vec_id") === 0)

@@ -1,0 +1,160 @@
+package graft.ai
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+import graft.engine.GraftEngine
+import graft.types._
+import graft.types.MetadataValue.{Image, RawString}
+import graft.types.PredicateCondition._
+
+/** AI-proxy semantics transliterated from the reference's aiproxy suite
+  * (/root/reference/ahnlich/ai/src/tests/aiproxy_test.rs + per-model
+  * suites), with the deterministic mock embedder standing in for ONNX. */
+class AiSpec extends AnyFunSuite {
+
+  private def meta(kvs: (String, String)*): Map[String, MetadataValue] =
+    kvs.map { case (k, v) => k -> (RawString(v): MetadataValue) }.toMap
+
+  private def fresh() = new AiEngine(new GraftEngine(spark))
+
+  test("createStore: dimension from index model, reserved predicates, dim-mismatch rejected") {
+    val ai = fresh()
+    intercept[GraftException](
+      ai.createStore("s", "all-minilm-l6-v2", "bge-base-en-v1.5")) // 384 vs 768
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l12-v2",
+      predicates = Set("tag"), storeOriginal = true)
+    val info = ai.db.getStore("s")
+    assert(info.dimension == 384)
+    assert(info.predicateIndexes.contains(ai.ReservedKey))
+    intercept[GraftException](ai.createStore("nope", "fake-model", "fake-model"))
+  }
+
+  test("set + getKey by raw input round-trip (store_original)") {
+    val ai = fresh()
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    val (i1, u1) = ai.set("s", Seq(
+      (RawString("hello world"), meta("tag" -> "a")),
+      (RawString("goodbye"), meta("tag" -> "b"))))
+    assert((i1, u1) == (2L, 0L))
+    val got = ai.getKey("s", Seq(RawString("hello world"))).collect()
+    assert(got.length == 1)
+    assert(got.head.getStruct(0).getString(1) == "hello world") // input column
+    val m = got.head.getMap[String, org.apache.spark.sql.Row](1)
+    assert(m("tag").getString(1) == "a")
+    assert(!m.contains(ai.ReservedKey)) // reserved key stripped from response
+  }
+
+  test("set validates input type against the index model") {
+    val ai = fresh()
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2")
+    val ex = intercept[GraftException](
+      ai.set("s", Seq((Image(Array[Byte](1, 2)), meta("t" -> "x")))))
+    assert(ex.msg.contains("raw_string"))
+  }
+
+  test("user metadata may not contain the reserved key") {
+    val ai = fresh()
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    intercept[GraftException](ai.set("s", Seq(
+      (RawString("x"), Map(ai.ReservedKey -> (RawString("evil"): MetadataValue))))))
+  }
+
+  test("getSimN: self-query is top-1 with cosine similarity 1.0, input restored") {
+    val ai = fresh()
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    ai.set("s", Seq(
+      (RawString("alpha"), meta("i" -> "1")),
+      (RawString("beta"), meta("i" -> "2")),
+      (RawString("gamma"), meta("i" -> "3"))))
+    val top = ai.getSimN("s", RawString("beta"), 1, Algorithm.CosineSimilarity).collect()
+    assert(top.length == 1)
+    assert(top.head.getStruct(0).getString(1) == "beta")
+    assert(math.abs(top.head.getAs[Float]("similarity") - 1.0f) < 1e-5)
+    // query-type validation uses the QUERY model
+    intercept[GraftException](
+      ai.getSimN("s", Image(Array[Byte](1)), 1, Algorithm.CosineSimilarity))
+  }
+
+  test("re-set of the same input deletes stale entries first (DelPred+Set composite)") {
+    val ai = fresh()
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    ai.set("s", Seq((RawString("doc"), meta("v" -> "1"))))
+    ai.set("s", Seq((RawString("doc"), meta("v" -> "2"))))
+    assert(ai.db.storeDf("s").count() == 1)
+    val got = ai.getKey("s", Seq(RawString("doc"))).collect()
+    assert(got.head.getMap[String, org.apache.spark.sql.Row](1)("v").getString(1) == "2")
+  }
+
+  test("one-to-many model expands one input into 1+(len mod 3) indexed entries; delKey removes all") {
+    val ai = fresh()
+    ai.createStore("faces", "buffalo-l", "buffalo-l", storeOriginal = true)
+    assert(ai.db.getStore("faces").predicateIndexes.contains(ai.OneToManyKey))
+    val img4 = Image(Array[Byte](1, 2, 3, 4)) // len 4 -> 1 + (4 % 3) = 2 faces
+    val img3 = Image(Array[Byte](5, 6, 7))    // len 3 -> 1 + (3 % 3) = 1 face
+    val (ins, _) = ai.set("faces", Seq(
+      (img4, meta("who" -> "a")), (img3, meta("who" -> "b"))))
+    assert(ins == 3) // 2 + 1 expanded entries
+    val idx = ai.getKey("faces", Seq(img4)).collect()
+      .map(_.getMap[String, org.apache.spark.sql.Row](1)(ai.OneToManyKey).getString(1))
+      .sorted.toSeq
+    assert(idx == Seq("0", "1"))
+    assert(ai.delKey("faces", Seq(img4)) == 2)
+    assert(ai.db.storeDf("faces").count() == 1)
+    // upsert rejected for one-to-many models
+    intercept[GraftException](ai.upsert("faces",
+      Equals("who", RawString("b")), Some(img3)))
+  }
+
+  test("upsert: merge semantics + new input re-embeds and restashes original") {
+    val ai = fresh()
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    ai.set("s", Seq((RawString("old"), meta("k" -> "v"))))
+    ai.upsert("s", Equals("k", RawString("v")), Some(RawString("new")),
+      Some(meta("extra" -> "yes")))
+    val got = ai.getKey("s", Seq(RawString("new"))).collect()
+    assert(got.length == 1)
+    val m = got.head.getMap[String, org.apache.spark.sql.Row](1)
+    assert(m("k").getString(1) == "v")      // merged: old key kept
+    assert(m("extra").getString(1) == "yes")
+    assert(ai.getKey("s", Seq(RawString("old"))).count() == 0)
+  }
+
+  test("convertStoreInputToEmbeddings: declared dim, unit norm, deterministic") {
+    val ai = fresh()
+    val out = ai.convertStoreInputToEmbeddings(
+      Seq(RawString("a"), RawString("b")), "bge-large-en-v1.5")
+    assert(out.forall(_._2.length == 1024))
+    out.foreach { case (_, v) =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4)
+    }
+    val again = ai.convertStoreInputToEmbeddings(Seq(RawString("a")), "bge-large-en-v1.5")
+    assert(out.head._2.toSeq == again.head._2.toSeq)
+  }
+
+  test("ai DSL pipeline end-to-end (parse → embed → search)") {
+    val ai = fresh()
+    val script =
+      """CREATESTORE aistore QUERYMODEL all-minilm-l6-v2 INDEXMODEL all-minilm-l6-v2 PREDICATES (tag) STOREORIGINAL;
+        |SET (([hello world], {tag: greeting}), ([farewell], {tag: bye})) IN aistore PREPROCESSACTION nopreprocessing;
+        |GETSIMN 1 WITH [hello world] USING cosinesimilarity IN aistore WHERE (tag = greeting);
+        |GETKEY ([farewell]) IN aistore;
+        |DELKEY ([farewell]) IN aistore""".stripMargin
+    val results = graft.dsl.Pipeline.runAi(ai, script)
+    assert(results.size == 5)
+    assert(results(0) == Right(graft.dsl.Response.Ok))
+    assert(results(1) == Right(graft.dsl.Response.SetResult(2, 0)))
+    results(2) match {
+      case Right(graft.dsl.Response.SimEntries(df)) =>
+        val r = df.collect()
+        assert(r.length == 1 && r.head.getStruct(0).getString(1) == "hello world")
+      case other => fail(s"unexpected $other")
+    }
+    results(3) match {
+      case Right(graft.dsl.Response.Entries(df)) => assert(df.count() == 1)
+      case other => fail(s"unexpected $other")
+    }
+    assert(results(4) == Right(graft.dsl.Response.Count(1)))
+  }
+}
