@@ -32,15 +32,41 @@ import graft.functions.{Predicates, Similarity}
  *    the exact algorithm the reference hand-rolls with rayon
  *    (similarity/src/heap.rs:7-69, db/src/algorithm/mod.rs:87-127).
  */
-class GraftEngine(val spark: SparkSession) {
+class GraftEngine(val spark: SparkSession,
+    val persistRoot: Option[String] = None) {
 
   import StoreSchema._
 
   final case class StoreState(meta: StoreMeta, df: DataFrame,
-      annIndexes: Map[String, graft.ann.AnnIndex] = Map.empty)
+      annIndexes: Map[String, graft.ann.AnnIndex] = Map.empty,
+      version: Long = 0L)
 
   private val catalog = TrieMap[(String, String), StoreState]()
   val DefaultSchema = "public"
+
+  // --------------------------------------------------------- persistence
+
+  /** Flip the on-disk catalog to the current in-memory state (atomic
+    * tmp+rename — Persistence.writeCatalog). No-op without a persistRoot. */
+  private def flushCatalog(): Unit = persistRoot.foreach { root =>
+    Persistence.writeCatalog(root, catalog.values.toSeq.map(st =>
+      Persistence.StoreRecord(st.meta, st.version)))
+  }
+
+  /** Tables-as-truth write: the new version's parquet dir is written FIRST,
+    * then the catalog flips to it; the returned DataFrame reads from the
+    * immutable version dir (cache = read accelerator, not truth). */
+  private def writeVersion(schema: String, name: String, df: DataFrame,
+      version: Long): DataFrame = persistRoot match {
+    case None => df
+    case Some(root) =>
+      val path = Persistence.dataPath(root, schema, name, version)
+      // repartition(1) floor keeps empty stores readable (a zero-partition
+      // write emits no footer to infer the schema from)
+      val out = if (df.rdd.getNumPartitions == 0) df.repartition(1) else df
+      out.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+  }
 
   // ---------------------------------------------------------------- helpers
 
@@ -91,14 +117,19 @@ class GraftEngine(val spark: SparkSession) {
     * an index that can't serve. */
   private def swap(schema: String, name: String, next: DataFrame): Unit = {
     val st = state(schema, name)
-    val cached = next.persist(StorageLevel.MEMORY_AND_DISK)
+    val newVersion = st.version + 1
+    val written = writeVersion(schema, name, next, newVersion)
+    val cached = written.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count() // materialize before releasing predecessor
     st.df.unpersist(blocking = false)
     val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
       kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg)
     }
     st.annIndexes.values.foreach(_.unpersist())
-    catalog((schema, name)) = st.copy(df = cached, annIndexes = rebuilt)
+    catalog((schema, name)) = st.copy(df = cached, annIndexes = rebuilt,
+      version = newVersion)
+    flushCatalog()
+    persistRoot.foreach(Persistence.gcOldVersions(_, schema, name, newVersion))
   }
 
   // ------------------------------------------------------------ catalog ops
@@ -117,13 +148,15 @@ class GraftEngine(val spark: SparkSession) {
       if (errorIfExists) throw GraftErrors.storeAlreadyExists(schema, name)
       false
     } else {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], entrySchema)
+      val empty = writeVersion(schema, name, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], entrySchema), 0L)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val meta = StoreMeta(schema, name, dimension, predicates,
         nonLinearIndexes.map(c => c.kind -> c).toMap, storeOriginal,
         queryModel, indexModel)
-      catalog.putIfAbsent((schema, name), StoreState(meta, empty)).isEmpty
+      val created = catalog.putIfAbsent((schema, name), StoreState(meta, empty)).isEmpty
+      if (created) flushCatalog()
+      created
     }
   }
 
@@ -134,6 +167,8 @@ class GraftEngine(val spark: SparkSession) {
       case Some(st) =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
+        flushCatalog()
+        persistRoot.foreach(r => Persistence.deleteDir(s"$r/data/$schema/$name"))
         1
       case None =>
         if (errorIfNotExists) throw GraftErrors.storeNotFound(schema, name)
@@ -151,6 +186,8 @@ class GraftEngine(val spark: SparkSession) {
         st.annIndexes.values.foreach(_.unpersist())
       }
     }
+    flushCatalog()
+    persistRoot.foreach(r => Persistence.deleteDir(s"$r/data/$schema"))
     keys.size
   }
 
@@ -164,6 +201,8 @@ class GraftEngine(val spark: SparkSession) {
         st.annIndexes.values.foreach(_.unpersist())
       }
     }
+    flushCatalog()
+    persistRoot.foreach(r => Persistence.deleteDir(s"$r/data"))
     n
   }
 
@@ -198,6 +237,7 @@ class GraftEngine(val spark: SparkSession) {
     val newKeys = keys -- st.meta.predicateIndexes
     catalog((schema, name)) = st.copy(meta =
       st.meta.copy(predicateIndexes = st.meta.predicateIndexes ++ newKeys))
+    flushCatalog()
     newKeys.size
   }
 
@@ -211,6 +251,7 @@ class GraftEngine(val spark: SparkSession) {
         s"Predicate ${(keys -- present).mkString(",")} not found in store, attempt CREATEPREDINDEX with predicate")
     catalog((schema, name)) = st.copy(meta =
       st.meta.copy(predicateIndexes = st.meta.predicateIndexes -- present))
+    flushCatalog()
     present.size
   }
 
@@ -417,6 +458,7 @@ class GraftEngine(val spark: SparkSession) {
       meta = st.meta.copy(nonLinearIndexes =
         st.meta.nonLinearIndexes ++ fresh.map(c => c.kind -> c)),
       annIndexes = st.annIndexes ++ built)
+    flushCatalog()
     fresh.size
   }
 
@@ -431,6 +473,7 @@ class GraftEngine(val spark: SparkSession) {
     catalog((schema, name)) = st.copy(
       meta = st.meta.copy(nonLinearIndexes = st.meta.nonLinearIndexes -- present),
       annIndexes = st.annIndexes -- present)
+    flushCatalog()
     present.size
   }
 
@@ -458,6 +501,28 @@ class GraftEngine(val spark: SparkSession) {
     "type" -> "spark-driver",
     "connected_since" -> new java.sql.Timestamp(
       spark.sparkContext.startTime).toInstant.toString))
+}
+
+object GraftEngine {
+
+  /** Restore an engine from a persisted root: read the catalog, attach each
+    * store's current parquet version, rebuild non-linear indexes from their
+    * persisted configs (derived state — rebuilding from columnar data beats
+    * deserializing per-partition graphs at scale). */
+  def load(spark: SparkSession, root: String): GraftEngine = {
+    val e = new GraftEngine(spark, Some(root))
+    Persistence.readCatalog(root).foreach { rec =>
+      val m = rec.meta
+      val df = spark.read.parquet(
+          Persistence.dataPath(root, m.schema, m.name, rec.version))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ann = m.nonLinearIndexes.map { case (kind, cfg) =>
+        kind -> graft.ann.AnnIndex.build(df, m.dimension, cfg)
+      }
+      e.catalog((m.schema, m.name)) = e.StoreState(m, df, ann, rec.version)
+    }
+    e
+  }
 }
 
 /** StoreInfo parity struct (protos/db/server.proto:71-78). */

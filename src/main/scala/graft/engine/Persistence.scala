@@ -1,0 +1,144 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.types.{Algorithm, NonLinearConfig, StoreMeta}
+
+/**
+ * Parquet tables-as-truth persistence (SURVEY.md §7.3), replacing the
+ * reference's versioned JSON snapshots (utils/src/persistence.rs,
+ * utils/src/snapshot.rs) with the batch-native layout:
+ *
+ * {{{
+ *   <root>/catalog.json                      # atomic pointer (tmp + rename)
+ *   <root>/data/<schema>/<store>/v<N>/       # one immutable parquet dir per version
+ * }}}
+ *
+ * Every mutation writes the NEW version dir first, then flips the catalog —
+ * the same tempfile+rename atomicity discipline as the reference
+ * (persistence.rs:108+), so a crash mid-write leaves the previous version
+ * live. Non-linear index CONFIGS round-trip through the catalog; the index
+ * structures themselves are rebuilt from data on load (they are derived
+ * state, and rebuilding beats deserializing per-partition graphs at scale).
+ *
+ * Local-filesystem IO here; on a cluster the same layout goes through the
+ * Hadoop FileSystem API (rename is atomic on HDFS, and object stores use a
+ * conditional-put catalog flip instead).
+ */
+object Persistence {
+
+  final case class StoreRecord(meta: StoreMeta, version: Long)
+
+  def dataPath(root: String, schema: String, name: String, version: Long): String =
+    s"$root/data/$schema/$name/v$version"
+
+  // ------------------------------------------------------------- catalog IO
+
+  private def metaToJson(r: StoreRecord): JValue = {
+    val m = r.meta
+    JObject(
+      "schema" -> JString(m.schema),
+      "name" -> JString(m.name),
+      "dimension" -> JInt(m.dimension),
+      "version" -> JLong(r.version),
+      "predicateIndexes" -> JArray(m.predicateIndexes.toList.sorted.map(JString(_))),
+      "nonLinearIndexes" -> JArray(m.nonLinearIndexes.values.toList.sortBy(_.kind).map {
+        case NonLinearConfig.KDTreeConfig() => JObject("kind" -> JString("kdtree"))
+        case h: NonLinearConfig.HNSWConfig => JObject(
+          "kind" -> JString("hnsw"),
+          "efConstruction" -> JInt(h.efConstruction),
+          "maximumConnections" -> JInt(h.maximumConnections),
+          "maximumConnectionsZero" -> JInt(h.maximumConnectionsZero),
+          "efSearch" -> JInt(h.efSearch),
+          "metric" -> JString(h.metric.toString),
+          "extendCandidates" -> JBool(h.extendCandidates),
+          "keepPrunedConnections" -> JBool(h.keepPrunedConnections))
+      }),
+      "storeOriginal" -> JBool(m.storeOriginal),
+      "queryModel" -> m.queryModel.map(JString(_)).getOrElse(JNull),
+      "indexModel" -> m.indexModel.map(JString(_)).getOrElse(JNull))
+  }
+
+  private def metaFromJson(j: JValue): StoreRecord = {
+    def str(k: String): String = (j \ k) match { case JString(s) => s; case other => sys.error(s"bad $k: $other") }
+    def optStr(k: String): Option[String] = (j \ k) match { case JString(s) => Some(s); case _ => None }
+    def int(k: String): Int = (j \ k) match { case JInt(i) => i.toInt; case JLong(l) => l.toInt; case other => sys.error(s"bad $k: $other") }
+    def bool(k: String): Boolean = (j \ k) match { case JBool(b) => b; case _ => false }
+    val nl = (j \ "nonLinearIndexes") match {
+      case JArray(items) => items.map { it =>
+        (it \ "kind") match {
+          case JString("kdtree") => NonLinearConfig.KDTreeConfig(): NonLinearConfig
+          case JString("hnsw") =>
+            def iint(k: String, d: Int) = (it \ k) match { case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => d }
+            val metric = (it \ "metric") match {
+              case JString("EuclideanDistance") => Algorithm.EuclideanDistance
+              case JString("DotProductSimilarity") => Algorithm.DotProductSimilarity
+              case _ => Algorithm.CosineSimilarity
+            }
+            NonLinearConfig.HNSWConfig(
+              efConstruction = iint("efConstruction", 100),
+              maximumConnections = iint("maximumConnections", 16),
+              maximumConnectionsZero = iint("maximumConnectionsZero", 32),
+              efSearch = iint("efSearch", 16),
+              metric = metric,
+              extendCandidates = (it \ "extendCandidates") == JBool(true),
+              keepPrunedConnections = (it \ "keepPrunedConnections") == JBool(true)): NonLinearConfig
+          case other => sys.error(s"unknown index kind $other")
+        }
+      }
+      case _ => Nil
+    }
+    val version = (j \ "version") match { case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L }
+    val preds = (j \ "predicateIndexes") match {
+      case JArray(items) => items.collect { case JString(s) => s }.toSet
+      case _ => Set.empty[String]
+    }
+    StoreRecord(StoreMeta(str("schema"), str("name"), int("dimension"), preds,
+      nl.map(c => c.kind -> c).toMap, bool("storeOriginal"),
+      optStr("queryModel"), optStr("indexModel")), version)
+  }
+
+  /** Atomic catalog flip: serialize → tmp file → ATOMIC_MOVE rename. */
+  def writeCatalog(root: String, records: Seq[StoreRecord]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val json = JObject(
+      "format_version" -> JInt(1),
+      "stores" -> JArray(records.sortBy(r => (r.meta.schema, r.meta.name))
+        .map(metaToJson).toList))
+    val tmp = Paths.get(root, s".catalog.json.tmp")
+    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+    Files.move(tmp, Paths.get(root, "catalog.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readCatalog(root: String): Seq[StoreRecord] = {
+    val p = Paths.get(root, "catalog.json")
+    if (!Files.exists(p)) return Nil
+    JsonMethods.parse(Files.readString(p)) \ "stores" match {
+      case JArray(items) => items.map(metaFromJson)
+      case _ => Nil
+    }
+  }
+
+  /** Best-effort cleanup of superseded version dirs / dropped stores. */
+  def deleteDir(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+        try Files.delete(f) catch { case _: Exception => () })
+  }
+
+  def gcOldVersions(root: String, schema: String, name: String, keep: Long): Unit = {
+    val dir = Paths.get(root, "data", schema, name)
+    if (!Files.exists(dir)) return
+    Files.list(dir).iterator().asScala.toSeq.foreach { p: Path =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != keep)
+        deleteDir(p.toString)
+    }
+  }
+}

@@ -313,6 +313,31 @@ object Queries {
            |) t(step, info, tag, sim) ORDER BY step, tag""".stripMargin
       }),
 
+    // ---- Persistence: tables-as-truth restart round-trip (SURVEY §7.3;
+    // reference persistence suites server_tests.rs:772,3219). Write through
+    // a persistent engine, reload a BRAND-NEW engine from the catalog, and
+    // answer from the reloaded state — hash-checked against the oracle. ----
+    "vdb_persistence" -> Q(
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-verify-persist").toString
+        val e1 = new graft.engine.GraftEngine(s, Some(root))
+        e1.createStore("pdocs", 1, predicates = Set("lang"))
+        e1.set("pdocs", TestStores.docEntries(s, dir))
+        e1.delPred("pdocs", Equals("lang", RawString("zh")))
+        // restart: fresh engine, same root
+        val e2 = graft.engine.GraftEngine.load(s, root)
+        val out = e2.getPred("pdocs", NotEquals("lang", RawString("en")))
+          .select(element_at(col("key"), 1).cast("bigint").as("doc_id"))
+          .orderBy("doc_id")
+        val rows = out.collect() // materialize before cleanup
+        e2.purgeStores()
+        graft.engine.Persistence.deleteDir(root)
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some("""SELECT doc_id FROM documents
+        |WHERE lang <> 'zh' AND lang <> 'en' ORDER BY doc_id""".stripMargin)),
+
     // ---- AI layer (SURVEY §2.2): raw-input stores through the mock
     // embedder. Oracle-checkable invariants: the reserved-key round-trip
     // returns originals, self-query cosine similarity is exactly 1.0
