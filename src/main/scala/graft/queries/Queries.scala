@@ -40,6 +40,23 @@ object Queries {
 
   private val withQ = "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
 
+  /** Exact 3-gram Jaccard pairs ≥ 0.8 on documents — the shared oracle for
+    * all three near-dup algorithms (each must produce the exact pair set;
+    * their candidate generation differs, their verification is exact). */
+  private val jaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id, g FROM toks,
+      |  UNNEST(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM shingles GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM shingles a
+      |  JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ia AS a, ib AS b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jac
+      |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8 ORDER BY a, b""".stripMargin
+
   private def simOracle(scoreExpr: String, desc: Boolean, n: Int = 10,
       where: String = ""): String = {
     val dir = if (desc) "DESC" else "ASC"
@@ -417,6 +434,209 @@ object Queries {
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, 1024 AS dim,
         |CAST(1.0 AS DOUBLE) AS norm FROM documents
         |WHERE doc_id IN (1,2,3) ORDER BY doc_id""".stripMargin)),
+
+    // ================= LLM-pipeline operators (north-star extensions) =====
+    // Text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+    // embedding similarity join, multimodal plumbing. All banded/bucketed —
+    // no all-pairs anywhere; approximate candidate generation is always
+    // followed by exact verification, so outputs are oracle-checkable.
+
+    // ---- text analysis: token counting (whitespace + BPE-ish) ----
+    "text_token_stats" -> Q(
+      (s, dir) => TestStores.table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("bigint").as("ws_tokens"),
+        graft.text.TextOps.bpeTokenCount(col("text")).cast("bigint").as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- text analysis: language ID (stopword-marker argmax heuristic) ----
+    "text_lang_id" -> Q(
+      (s, dir) => TestStores.table(s, dir, "documents").select(
+        col("doc_id"), graft.text.TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some {
+        // NOTE: DuckDB string literals don't process backslash escapes, and
+        // the marker regexes use \x{..}/\b which parse identically in Java
+        // and RE2 — so the pattern strings pass through verbatim
+        val scores = graft.text.TextOps.LangMarkers.map { case (l, m) =>
+          l -> s"len(regexp_extract_all(lower(text), '$m'))"
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val cases = scores.map { case (l, e) =>
+          s"WHEN $e = best AND best > 0 THEN '$l'" }.mkString(" ")
+        s"""WITH scored AS (SELECT doc_id, text, $best AS best FROM documents)
+           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- text analysis: quality scoring ----
+    "text_quality" -> Q(
+      (s, dir) => TestStores.table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val en = graft.text.TextOps.LangMarkers.head._2
+        raw"""SELECT doc_id, round((
+           |  least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
+           |  + (1.0 - least(5.0 * CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           |      / greatest(length(text), 1), 1.0))
+           |  + least(5.0 * CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE)
+           |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+           |) / 3.0, 4) AS quality FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- text analysis: rolling-hash document fingerprint ----
+    "text_fingerprint" -> Q(
+      (s, dir) => TestStores.table(s, dir, "documents").select(
+        col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup: exact clusters by content hash (hash-groupBy) ----
+    "dedup_exact" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        graft.dedup.Dedup.exactClusters(corpus, "doc_id", "text")
+          .orderBy("keeper")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+        |SELECT MIN(doc_id) AS keeper, COUNT(*) AS cnt FROM corpus
+        |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin)),
+
+    // shared oracle for the three near-dup joins: exact 3-gram Jaccard ≥ 0.8
+    // over the natural corpus (the driver's documents table contains real
+    // near-duplicate pairs, all with J ≥ 0.85 — a clean margin for banding)
+    "dedup_jaccard_exact" -> Q(
+      (s, dir) => graft.dedup.Dedup.jaccardJoin(
+        TestStores.table(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("a", "b"),
+      Some(jaccardOracle)),
+
+    // MinHash-LSH: shingle→minhash sig→band join→exact verify. Same output
+    // contract as the exact join (P(missed candidate | J≥0.8, 16 bands) ≈ 1e-11).
+    "dedup_minhash_lsh" -> Q(
+      (s, dir) => graft.dedup.Dedup.minHashLshJoin(
+        TestStores.table(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("a", "b"),
+      Some(jaccardOracle)),
+
+    // SimHash: 64-bit token-hash sign aggregate, 8×8-bit bands (Hamming ≤ 7
+    // guaranteed candidates), exact verify. Same output contract.
+    "dedup_simhash" -> Q(
+      (s, dir) => graft.dedup.Dedup.simHashJoin(
+        TestStores.table(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("a", "b"),
+      Some(jaccardOracle)),
+
+    // ---- embedding near-dup: sign-LSH bands + exact cosine verify.
+    // Corpus = embeddings ∪ swap-first-two-coords variants of vec_id<20
+    // (pure element reshuffle — bit-identical in any engine; constructed
+    // pair cosines land in [0.90, 0.9999]); threshold 0.88 keeps them and
+    // excludes the natural pairs (all < 0.6). ----
+    "embed_near_dup" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val variants = e.where(col("vec_id") < 20).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
+            slice(col("embedding"), lit(3), greatest(size(col("embedding")) - 2, lit(0))))
+            .as("embedding"))
+        val corpus = e.select("vec_id", "embedding").union(variants)
+        graft.dedup.Dedup.cosineNearDupJoin(corpus, "vec_id", "embedding", 0.88)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_concat([embedding[2], embedding[1]], embedding[3:])
+        |  FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT a.vec_id a, b.vec_id b,
+        |    ${cosSql("a.embedding", "b.embedding")} AS c
+        |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+        |SELECT a, b, round(c, 4) AS cos FROM pairs WHERE c >= 0.88 ORDER BY a, b""".stripMargin)),
+
+    // ---- batch top-k similarity JOIN (N queries × M corpus): broadcast
+    // queries, stream corpus, per-query bounded rank — the k-NN join the
+    // reference lacks (single-query GetSimN only). ----
+    "embed_topk_join" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        graft.dedup.Dedup.topKJoin(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding",
+          "vec_id", "embedding", 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 20)
+        |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+        |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // ---- multimodal: binary payloads + typed metadata; decode kernel is a
+    // documented deterministic stub (no codecs in this environment), the
+    // partition-iterator plumbing and batch shape are real. ----
+    "mm_decode_stub" -> Q(
+      (s, dir) => {
+        val media = TestStores.table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        graft.multimodal.Multimodal.decodeImageStub(media, "doc_id", "payload")
+          .select(col("id").as("doc_id"),
+            col("meta.width"), col("meta.height"), col("meta.channels"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(16 + strlen(text) % 16 AS INT) AS width,
+        |CAST(16 + (strlen(text) * 7) % 16 AS INT) AS height, 3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // frame sampling: one payload row → ceil(nFrames/stride) frame rows
+    "mm_frame_sample" -> Q(
+      (s, dir) => {
+        val media = TestStores.table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        graft.multimodal.Multimodal.sampleFrames(media, "doc_id", "payload", 32, 2)
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).as("last_idx"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |CAST((strlen(text) // 32 + 1) // 2 AS BIGINT) AS n_frames,
+        |CAST(((strlen(text) // 32 - 1) // 2) * 2 AS INT) AS last_idx
+        |FROM documents WHERE strlen(text) >= 32 ORDER BY doc_id""".stripMargin)),
+
+    // feature extraction: payload → embedding via the pluggable model
+    // runtime (mock CLIP); dim + unit-norm are the checkable contract
+    "mm_feature_extract" -> Q(
+      (s, dir) => {
+        val media = TestStores.table(s, dir, "documents")
+          .where(col("doc_id") < 20)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        graft.multimodal.Multimodal.extractImageFeatures(media, "doc_id", "payload")
+          .select(col("id").as("doc_id"), size(col("embedding")).as("dim"),
+            round(sqrt(aggregate(transform(col("embedding"),
+              x => x.cast("double") * x.cast("double")),
+              lit(0.0), (acc, x) => acc + x)), 4).as("norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 512 AS dim, CAST(1.0 AS DOUBLE) AS norm
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
     // ---- ListStores / GetStore: catalog stats (SURVEY §2.1 #15-16) ----
     "vdb_list_stores" -> Q(

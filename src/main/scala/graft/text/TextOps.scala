@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM training-data pipelines, as pure Catalyst
+ * column expressions — whole-stage-codegen'd, no UDFs, shuffle-free per-row
+ * transforms that run at scan speed on any corpus size. (These extend the
+ * reference's surface per the north-star brief; the reference itself has no
+ * text ops — SURVEY.md §2.7.)
+ *
+ * Determinism discipline: every formula here is expressible in ANSI-ish SQL
+ * (DuckDB) with identical semantics, so each operator is oracle-checkable:
+ * regex char classes only (no dialect-specific syntax), integer arithmetic
+ * for hashes, and double math rounded at 4 decimals for scores.
+ */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters / digits / other-symbols, each
+    * with an optional leading space (the GPT-2 pre-tokenizer shape). */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Word n-grams (n consecutive whitespace tokens joined by single spaces).
+    * Texts shorter than n tokens yield an empty array (guarded explicitly —
+    * Spark's sequence(1, 0) would DESCEND, not stop). */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  // ------------------------------------------------------------ language ID
+
+  /** Stopword marker regexes per language — the classic cheap n-gram/stopword
+    * heuristic. Counts of these per language vote; argmax wins (ties broken
+    * by fixed language order). */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|to|in|that|it|was|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
+    "es" -> "\\b(el|los|las|es|una|para|con|por|del|se)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]") // \x{..} syntax: valid in BOTH Java and RE2
+
+  def langScore(text: Column, marker: String): Column =
+    size(regexp_extract_all(lower(text), lit(marker), lit(0)))
+
+  /** Predicted language = argmax of marker counts; "und" (undetermined) when
+    * every score is zero. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declared order) achieving the max — deterministic
+    val cases = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    cases
+  }
+
+  // --------------------------------------------------------- quality signals
+
+  /** Quality components: chars, tokens, mean token length, punctuation
+    * ratio, stopword(en) ratio, all-caps-token ratio. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    langScore(text, LangMarkers.head._2).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite [0,1]-ish quality score: rewards mid-length docs with modest
+    * punctuation and a healthy stopword share — the standard shape of
+    * pre-filtering heuristics for web corpora. Deterministic, documented,
+    * SQL-mirrorable; not a learned model. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore + (lit(1.0) - least(punct * lit(5.0), lit(1.0))) + stop) / lit(3.0), 4)
+  }
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** Polynomial rolling hash over characters, mod 1e9+7, init 7 — a
+    * content fingerprint reproducible in any engine with a list fold
+    * (document fingerprinting primitive; also the shingle hash base). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+}

@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+
+/** Dedup operators: candidate generation must be complete (vs the exact
+  * all-shingle join) and verification exact. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // tiny corpus with known structure: 0/1 near-dup, 2 exact dup of 0,
+    // 3 unrelated, 4/5 near-dup
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer rules"),
+      (4L, "large language models need deduplicated training corpora to work"),
+      (5L, "large language models need deduplicated training corpora to work well"))
+      .toDF("doc_id", "text").cache()
+  }
+
+  test("exactClusters finds content-identical groups with min-id keeper") {
+    val out = Dedup.exactClusters(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 2L)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 5)
+  }
+
+  test("jaccardJoin finds near-dup pairs; all three algorithms agree") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5))
+    assert(exact.contains((0L, 1L)) && exact.contains((4L, 5L)))
+    assert(exact.contains((0L, 2L))) // exact dup is jaccard 1.0
+    assert(!exact.exists(p => p._1 == 3L || p._2 == 3L))
+    val lsh = pairs(Dedup.minHashLshJoin(docs, "doc_id", "text", 3, 0.5))
+    val sim = pairs(Dedup.simHashJoin(docs, "doc_id", "text", 3, 0.5))
+    assert(lsh == exact, s"minhash $lsh != exact $exact")
+    assert(sim == exact, s"simhash $sim != exact $exact")
+  }
+
+  test("jaccard values are exact (not estimated) in every algorithm") {
+    def jacs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = jacs(Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5))
+    val lsh = jacs(Dedup.minHashLshJoin(docs, "doc_id", "text", 3, 0.5))
+    assert(exact == lsh)
+    assert(exact((0L, 2L)) == 1.0)
+  }
+
+  test("topKJoin matches a driver-side brute force") {
+    import spark.implicits._
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))).toDF("id", "vec")
+    val out = Dedup.topKJoin(vecs.where(col("id") < 3), vecs, "id", "vec", "id", "vec", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    // brute force
+    val all = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (0 until 3).flatMap { q =>
+      all.map { case (id, v) => (id, cos(all(q)._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).zipWithIndex
+        .map { case ((id, _), r) => (q.toLong, id, (r + 1).toLong) }
+    }.toSet
+    assert(out == expected)
+  }
+
+  test("cosineNearDupJoin finds constructed high-cos pairs, no false positives") {
+    import spark.implicits._
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(16)(j => graft.TestFixtures.vec(5L, i.toLong, 16)(j))))
+    val variants = (0 until 5).map(i =>
+      (1000L + i, { val v = base(i)._2.clone(); val t = v(0); v(0) = v(1); v(1) = t; v }))
+    val corpus = (base ++ variants).toDF("id", "vec")
+    val out = Dedup.cosineNearDupJoin(corpus, "id", "vec", 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, 1000L + i)).toSet
+    // every constructed pair with cos >= 0.85 found, nothing else
+    val eligible = expected.filter { case (a, b) =>
+      val va = base(a.toInt)._2.map(_.toDouble); val vb = variants((b - 1000).toInt)._2.map(_.toDouble)
+      val c = va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      c >= 0.85
+    }
+    assert(out == eligible, s"got $out expected $eligible")
+  }
+}

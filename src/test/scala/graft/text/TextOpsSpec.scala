@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+
+class TextOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).head.getAs[T]("r")
+
+  test("token counting: whitespace + BPE-ish") {
+    assert(one[Int](TextOps.tokenCount(col("t")), "  a b   c  ") == 3)
+    assert(one[Int](TextOps.tokenCount(col("t")), "one") == 1)
+    // "don't stop" -> [don][']|[t]... pattern: ' ?[A-Za-z]+' etc.
+    assert(one[Int](TextOps.bpeTokenCount(col("t")), "hello world42!") == 4)
+  }
+
+  test("ngrams produce n consecutive tokens, empty below n") {
+    def grams(text: String): Seq[String] =
+      Seq(text).toDF("t").select(TextOps.ngrams(col("t"), 3).as("r"))
+        .head.getSeq[String](0).toSeq
+    assert(grams("a b c d") == Seq("a b c", "b c d"))
+    assert(grams("a b") == Seq.empty)
+  }
+
+  test("language id picks the marker-richest language") {
+    assert(one[String](TextOps.langId(col("t")),
+      "the cat and the dog of the house is here") == "en")
+    assert(one[String](TextOps.langId(col("t")),
+      "der hund und die katze ist nicht da") == "de")
+    assert(one[String](TextOps.langId(col("t")), "xyz qwerty") == "und")
+    assert(one[String](TextOps.langId(col("t")), "你好世界") == "zh")
+  }
+
+  test("fingerprint is the documented rolling hash") {
+    // independently computed: fold 7*31+c mod 1e9+7 over "hello world"
+    var acc = 7L
+    "hello world".foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+    assert(one[Long](TextOps.fingerprint(col("t")), "hello world") == acc)
+    assert(acc == 234728892L) // cross-checked against the DuckDB oracle fold
+  }
+
+  test("quality score is bounded and rewards normal prose") {
+    val prose = one[Double](TextOps.qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog and runs to the hills in the morning")
+    val junk = one[Double](TextOps.qualityScore(col("t")), "!!! ### $$$ %%% @@@")
+    assert(prose > junk)
+    assert(prose >= 0.0 && prose <= 1.0 && junk >= 0.0)
+  }
+}
