@@ -48,17 +48,17 @@ object Dedup {
         explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /** Exact n-gram Jaccard verification over candidate pairs (a, b):
-    * |A∩B| via the shingle join restricted to candidates, sizes via
-    * a broadcast of per-doc counts. */
+  /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs:
+    * expand each candidate to its a-side shingles, match them against the
+    * b-side by (id, shingle) — work proportional to candidates × shingles
+    * per doc, NOT to the corpus self-join. Sizes join per side. */
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .join(candidates, Seq("a", "b"), "left_semi")
+    val inter = candidates
+      .join(sh.as("x"), col("a") === col("x.id"))
+      .join(sh.as("y"),
+        col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
@@ -133,23 +133,22 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word-level xxhash64: per bit, sum ±1 weighted by
-    * token occurrences; bit = sign. Computed relationally (explode tokens →
-    * per-bit majority) — no UDF. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash over word-level xxhash64: explode tokens once (narrow
+    * (id, hash) rows), then ONE hash-aggregate with 64 sum columns — each
+    * sum counts the ±1 vote of one bit. One shuffle of token rows; the
+    * 64-way bit test is a flat codegen'd projection. (A 64-slot
+    * array-fold HOF formulation blows past codegen method limits and falls
+    * back to interpretation — measured 3× slower.) Returns
+    * (id, votes ARRAY<LONG>[64]). */
+  def simHashVotes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = toks.select(col("id"),
-        explode(sequence(lit(0), lit(63))).as("bit"),
-        col("h"))
-      .withColumn("vote",
-        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy("id", "bit").agg(sum(col("vote")).as("v"))
-    bitVotes
-      .withColumn("bitval",
-        when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-      .groupBy("id").agg(sum(col("bitval")).as("simhash"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$b"))
+    toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), array((0 until 64).map(b => col(s"v$b")): _*).as("votes"))
   }
 
   /** SimHash banded near-dup join: 8 bands × 8 bits; candidates share a
@@ -157,20 +156,38 @@ object Dedup {
     * J ≥ ~0.8 cluster well under it), then EXACT Jaccard verification —
     * same output contract as [[jaccardJoin]] at high thresholds. */
   def simHashJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, hammingCutoff: Int = 12): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
     try {
-      val hashes = simHash(df, idCol, textCol)
-      val bands = hashes.select(col("id"),
-        explode(array((0 until 8).map(bnd =>
-          struct(lit(bnd).as("band"),
-            shiftright(col("simhash"), bnd * 8).bitwiseAND(0xffL).as("value"))): _*))
-          .as("bv"))
-        .select(col("id"), col("bv.band"), col("bv.value"))
+      val hashes = simHashVotes(df, idCol, textCol)
+      // full signature as two 32-bit halves (bit 63 can't ride a single
+      // long under ANSI arithmetic) for the popcount Hamming prefilter
+      def half(lo: Int): org.apache.spark.sql.Column =
+        (lo until lo + 32).map(b =>
+          when(element_at(col("votes"), b + 1) > 0, 1L << (b - lo))
+            .otherwise(0L)).reduce(_ + _)
+      val withSig = hashes.select(col("id"),
+        half(0).as("sig_lo"), half(32).as("sig_hi"), col("votes"))
+      val bands = withSig.select(col("id"), col("sig_lo"), col("sig_hi"),
+        explode(array((0 until 8).map { bnd =>
+          val value = (0 until 8).map(k =>
+            when(element_at(col("votes"), bnd * 8 + k + 1) > 0, 1L << k)
+              .otherwise(0L)).reduce(_ + _)
+          struct(lit(bnd).as("band"), value.as("value"))
+        }: _*)).as("bv"))
+        .select(col("id"), col("sig_lo"), col("sig_hi"),
+          col("bv.band"), col("bv.value"))
+      // band collision → cheap Hamming prefilter on the full signature
+      // (random pairs have expected Hamming ≈ 32; near-dups ≲ 8 — the
+      // filter removes virtually every accidental band collision before
+      // the exact-verification join sees it)
       val candidates = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
           col("x.id") < col("y.id"))
+        .where(
+          (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
+           bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))) <= hammingCutoff)
         .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
       verifyJaccard(sh, candidates, threshold)
     } finally sh.unpersist(blocking = false)
@@ -183,13 +200,22 @@ object Dedup {
     graft.functions.Similarity.cosineSimilarity(a, b)
 
   /** Random-hyperplane sign-LSH near-dup join over an embedding column:
-    * 8 bands × 2 sign-bits (P(miss | cos ≥ 0.95) ≈ 8e-8), hyperplanes drawn
-    * deterministically per (plane, dim) from a hash — no stored model.
-    * Candidates join on (band, bits), then EXACT cosine verification.
-    * The brute-force baseline is [[topKJoin]] / an explicit threshold join;
-    * this is the banded scale path. */
+    * hyperplanes drawn deterministically per (plane, dim) from a hash (no
+    * stored model), sign bits grouped into `planes / bandBits` bands;
+    * candidate pairs join on (band, value) carrying IDS ONLY (vectors are
+    * re-attached afterwards — shipping vectors through the candidate join
+    * is the shuffle that kills this at scale), then EXACT cosine
+    * verification so band collisions can't pollute the output.
+    *
+    * Banding/recall tradeoff (standard sign-LSH math, agreement per bit
+    * p = 1 − θ/π): the defaults (16 planes, 8-bit bands → 2 bands) target
+    * near-DUPLICATE detection (cos ≳ 0.98, where perturbations barely move
+    * signs); for looser thresholds pass more planes with the same band
+    * width (e.g. planes=64 → 8 bands: P(miss | cos=0.9) ≈ 0.71^8 ≈ 6%,
+    * planes=128 → 0.4%). */
   def cosineNearDupJoin(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 16): DataFrame = {
+      threshold: Double, planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    require(planes % bandBits == 0, "planes must be a multiple of bandBits")
     // plane p component j = hash-derived uniform in [-1, 1): deterministic
     def planeComponent(p: Int, j: Column): Column = {
       val h = xxhash64(lit(p), j, lit("graft-hyperplane"))
@@ -202,22 +228,23 @@ object Dedup {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L).otherwise(0L).as(s"bit$p")
     }
-    val withBits = df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec")) ++ dotCols: _*)
-    val bandWidth = 2
-    val bands = withBits.select(col("id"), col("vec"),
-      explode(array((0 until planes / bandWidth).map { bnd =>
-        val v = (0 until bandWidth).map(k =>
-          col(s"bit${bnd * bandWidth + k}") * (1L << k)).reduce(_ + _)
+    val withBits = df.select(Seq(col(idCol).as("id")) ++ dotCols: _*)
+    val bands = withBits.select(col("id"),
+      explode(array((0 until planes / bandBits).map { bnd =>
+        val v = (0 until bandBits).map(k =>
+          col(s"bit${bnd * bandBits + k}") * (1L << k)).reduce(_ + _)
         struct(lit(bnd).as("band"), v.as("value"))
       }: _*)).as("bv"))
-      .select(col("id"), col("vec"), col("bv.band"), col("bv.value"))
-    bands.as("x")
+      .select(col("id"), col("bv.band"), col("bv.value"))
+    val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.vec").as("va"), col("y.vec").as("vb"))
-      .distinct()
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    candidates
+      .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))

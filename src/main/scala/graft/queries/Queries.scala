@@ -330,6 +330,101 @@ object Queries {
            |) t(step, info, tag, sim) ORDER BY step, tag""".stripMargin
       }),
 
+    // ---- Filtered ANN above the brute-force cutover: the accept set
+    // (~2/3 of lineitem) is ≫ 4096, so GetSimN(KDTree) takes the Bloom-
+    // sketch arm (distributed aggregation → broadcast → in-filter → exact
+    // predicate re-verify at hydration; AnnIndex.scala) — and must still
+    // match the exact oracle. ----
+    "vdb_sim_kdtree_filtered_large" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("li4", 4)
+        val li = TestStores.table(s, dir, "lineitem")
+        e.set("li4", li.select(
+          array(col("l_orderkey").cast("float"), col("l_partkey").cast("float"),
+            col("l_suppkey").cast("float"), col("l_linenumber").cast("float")).as("key"),
+          map(lit("flag"), TestStores.metaStr(col("l_returnflag"))).as("value")))
+        e.createNonLinearIndex("li4", Seq(NonLinearConfig.KDTreeConfig()))
+        val res = e.getSimN("li4", Array(1000f, 5000f, 50f, 2f), 10,
+          Algorithm.KDTree, Some(NotEquals("flag", RawString("R"))))
+          .select(
+            element_at(col("key"), 1).cast("bigint").as("l_orderkey"),
+            element_at(col("key"), 2).cast("bigint").as("l_partkey"),
+            element_at(col("key"), 3).cast("bigint").as("l_suppkey"),
+            element_at(col("key"), 4).cast("bigint").as("l_linenumber"),
+            round(col("similarity").cast("double"), 4).as("sim"))
+        val rows = res.collect()
+        e.dropStore("li4")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), res.schema)
+      },
+      Some {
+        def f(c: String) = s"CAST(CAST($c AS FLOAT) AS DOUBLE)"
+        val q = Seq("1000", "5000", "50", "2")
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val sq = cols.zip(q).map { case (c, v) =>
+          s"(${f(c)} - ${f(v)}) * (${f(c)} - ${f(v)})" }.mkString(" + ")
+        s"""WITH scored AS (
+           |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, $sq AS s
+           |  FROM lineitem WHERE l_returnflag <> 'R'
+           |  ORDER BY s ASC, l_orderkey, l_partkey, l_suppkey, l_linenumber
+           |  LIMIT 10)
+           |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           |round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sim FROM scored""".stripMargin
+      }),
+
+    // ---- operator tail: store/schema/index lifecycle semantics in one
+    // scripted sequence — drop-public guard, idempotency counts, if-exists
+    // flags, purge (store.rs:651-736, server_tests.rs schema suite) ----
+    "vdb_store_lifecycle" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        val steps = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        var i = 0
+        def step(info: => String): Unit = {
+          val v = try info catch { case ex: Exception => "error" }
+          steps += ((i.toLong, v)); i += 1
+        }
+        step { e.createStore("a", 4); "ok" }
+        step { s"exists:${e.createStore("a", 4, errorIfExists = false)}" }
+        step { try { e.createStore("a", 4); "created" }
+               catch { case _: Exception => "already-exists" } }
+        step { e.createStore("b", 4, schema = "t9"); "ok" }
+        step { s"ping:${e.ping()}" }
+        step { s"clients:${e.listClients().size}" }
+        step { s"info:${e.infoServer().contains("version")}" }
+        step { s"pred-new:${e.createPredIndex("a", Set("x", "y"))}" }
+        step { s"pred-idem:${e.createPredIndex("a", Set("y", "z"))}" } // only z new
+        step { s"pred-drop:${e.dropPredIndex("a", Set("z"))}" }
+        step { try { e.dropPredIndex("a", Set("missing")); "dropped" }
+               catch { case _: Exception => "pred-missing-error" } }
+        step { s"pred-drop-ifexists:${e.dropPredIndex("a", Set("missing"), errorIfNotExists = false)}" }
+        step { s"nl-new:${e.createNonLinearIndex("a", Seq(NonLinearConfig.KDTreeConfig()))}" }
+        step { s"nl-idem:${e.createNonLinearIndex("a", Seq(NonLinearConfig.KDTreeConfig()))}" }
+        step {
+          val st = e.getStore("a")
+          s"getstore:${st.dimension}:${st.predicateIndexes.mkString("+")}:${st.nonLinearIndexes.mkString("+")}"
+        }
+        step { s"nl-drop:${e.dropNonLinearIndex("a", Set("kdtree"))}" }
+        step { try { e.dropSchema("public"); "dropped" }
+               catch { case _: Exception => "public-guarded" } }
+        step { s"schema-drop:${e.dropSchema("t9")}" }
+        step { try { e.dropSchema("t9"); "dropped" }
+               catch { case _: Exception => "schema-missing-error" } }
+        step { s"purge:${e.purgeStores()}" }
+        step { s"post-purge:${e.listStores().size}" }
+        import s.implicits._
+        steps.toSeq.toDF("step", "info")
+      },
+      Some("""SELECT CAST(step AS BIGINT) AS step, info FROM (VALUES
+        |  (0, 'ok'), (1, 'exists:false'), (2, 'already-exists'), (3, 'ok'),
+        |  (4, 'ping:PONG'), (5, 'clients:1'), (6, 'info:true'),
+        |  (7, 'pred-new:2'), (8, 'pred-idem:1'), (9, 'pred-drop:1'),
+        |  (10, 'pred-missing-error'), (11, 'pred-drop-ifexists:0'),
+        |  (12, 'nl-new:1'), (13, 'nl-idem:0'), (14, 'getstore:4:x+y:kdtree'),
+        |  (15, 'nl-drop:1'), (16, 'public-guarded'), (17, 'schema-drop:1'),
+        |  (18, 'schema-missing-error'), (19, 'purge:1'), (20, 'post-purge:0')
+        |) t(step, info) ORDER BY step""".stripMargin)),
+
     // ---- Persistence: tables-as-truth restart round-trip (SURVEY §7.3;
     // reference persistence suites server_tests.rs:772,3219). Write through
     // a persistent engine, reload a BRAND-NEW engine from the catalog, and
@@ -542,33 +637,33 @@ object Queries {
       Some(jaccardOracle)),
 
     // ---- embedding near-dup: sign-LSH bands + exact cosine verify.
-    // Corpus = embeddings ∪ swap-first-two-coords variants of vec_id<20
-    // (pure element reshuffle — bit-identical in any engine; constructed
-    // pair cosines land in [0.90, 0.9999]); threshold 0.88 keeps them and
-    // excludes the natural pairs (all < 0.6). ----
+    // Corpus = embeddings ∪ positively-rescaled (×1.02) variants of
+    // vec_id<20: rescaling changes every stored byte but preserves both the
+    // cosine (≈1.0 after float rounding, on both engines) and every LSH
+    // sign bit — so the pair set is exact regardless of banding, and the
+    // natural pairs (all < 0.6 cosine) stay excluded at threshold 0.9. ----
     "embed_near_dup" -> Q(
       (s, dir) => {
         val e = TestStores.table(s, dir, "embeddings")
         val variants = e.where(col("vec_id") < 20).select(
           (col("vec_id") + 10000).as("vec_id"),
-          concat(
-            array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
-            slice(col("embedding"), lit(3), greatest(size(col("embedding")) - 2, lit(0))))
+          transform(col("embedding"), x => (x * lit(1.02f)).cast("float"))
             .as("embedding"))
         val corpus = e.select("vec_id", "embedding").union(variants)
-        graft.dedup.Dedup.cosineNearDupJoin(corpus, "vec_id", "embedding", 0.88)
+        graft.dedup.Dedup.cosineNearDupJoin(corpus, "vec_id", "embedding", 0.9)
           .orderBy("a", "b")
       },
       Some(s"""WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000, list_concat([embedding[2], embedding[1]], embedding[3:])
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.02 AS FLOAT) AS FLOAT))
         |  FROM embeddings WHERE vec_id < 20),
         |pairs AS (
         |  SELECT a.vec_id a, b.vec_id b,
         |    ${cosSql("a.embedding", "b.embedding")} AS c
         |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
-        |SELECT a, b, round(c, 4) AS cos FROM pairs WHERE c >= 0.88 ORDER BY a, b""".stripMargin)),
+        |SELECT a, b, round(c, 4) AS cos FROM pairs WHERE c >= 0.9 ORDER BY a, b""".stripMargin)),
 
     // ---- batch top-k similarity JOIN (N queries × M corpus): broadcast
     // queries, stream corpus, per-query bounded rank — the k-NN join the

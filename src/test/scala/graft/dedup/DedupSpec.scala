@@ -72,23 +72,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
-  test("cosineNearDupJoin finds constructed high-cos pairs, no false positives") {
+  test("cosineNearDupJoin finds rescaled duplicates exactly, no false positives") {
     import spark.implicits._
     val base = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(16)(j => graft.TestFixtures.vec(5L, i.toLong, 16)(j))))
+    // positive rescale: every byte changes, cosine ≈ 1, sign bits identical
+    val variants = (0 until 5).map(i => (1000L + i, base(i)._2.map(x => x * 1.02f)))
+    val corpus = (base ++ variants).toDF("id", "vec")
+    val out = Dedup.cosineNearDupJoin(corpus, "id", "vec", 0.95)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == (0 until 5).map(i => (i.toLong, 1000L + i)).toSet)
+    assert(out.values.forall(_ >= 0.9999))
+  }
+
+  test("cosineNearDupJoin with more planes catches perturbed (not just rescaled) pairs") {
+    import spark.implicits._
+    val base = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(16)(j => graft.TestFixtures.vec(5L, i.toLong, 16)(j))))
     val variants = (0 until 5).map(i =>
       (1000L + i, { val v = base(i)._2.clone(); val t = v(0); v(0) = v(1); v(1) = t; v }))
     val corpus = (base ++ variants).toDF("id", "vec")
-    val out = Dedup.cosineNearDupJoin(corpus, "id", "vec", 0.85)
+    // swapped coords flip up to 2 sign bits; 128 planes / 8-bit bands gives
+    // 16 bands — missing all is ~0 for these cosines
+    val out = Dedup.cosineNearDupJoin(corpus, "id", "vec", 0.85, planes = 128)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = (0 until 5).map(i => (i.toLong, 1000L + i)).toSet
-    // every constructed pair with cos >= 0.85 found, nothing else
-    val eligible = expected.filter { case (a, b) =>
-      val va = base(a.toInt)._2.map(_.toDouble); val vb = variants((b - 1000).toInt)._2.map(_.toDouble)
-      val c = va.zip(vb).map { case (x, y) => x * y }.sum /
+    def cosOf(a: Array[Float], b: Array[Float]): Double = {
+      val va = a.map(_.toDouble); val vb = b.map(_.toDouble)
+      va.zip(vb).map { case (x, y) => x * y }.sum /
         (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
-      c >= 0.85
     }
+    val eligible = (0 until 5).map(i => (i.toLong, 1000L + i))
+      .filter { case (a, b) => cosOf(base(a.toInt)._2, variants((b - 1000).toInt)._2) >= 0.85 }
+      .toSet
     assert(out == eligible, s"got $out expected $eligible")
   }
 }
