@@ -215,6 +215,34 @@ class AiEngine(val db: GraftEngine) {
       errorIfNotExists: Boolean = true, schema: String = db.DefaultSchema): Int =
     db.dropPredIndex(name, keys - ReservedKey, errorIfNotExists, schema)
 
+  // ---- remaining passthroughs (ai/src/engine/operations.rs: the AI service
+  // mirrors every DB RPC; these delegate 1:1 so an AI client has the full
+  // surface without reaching for the DB engine) ----
+  def delPred(name: String, cond: PredicateCondition,
+      schema: String = db.DefaultSchema): Long = db.delPred(name, cond, schema)
+  def createPredIndex(name: String, keys: Set[String],
+      schema: String = db.DefaultSchema): Int =
+    db.createPredIndex(name, keys, schema)
+  def createNonLinearIndex(name: String, configs: Seq[NonLinearConfig],
+      schema: String = db.DefaultSchema): Int =
+    db.createNonLinearIndex(name, configs, schema)
+  def dropNonLinearIndex(name: String, kinds: Set[String],
+      errorIfNotExists: Boolean = true, schema: String = db.DefaultSchema): Int =
+    db.dropNonLinearIndex(name, kinds, errorIfNotExists, schema)
+  def dropStore(name: String, schema: String = db.DefaultSchema,
+      errorIfNotExists: Boolean = true): Int =
+    db.dropStore(name, schema, errorIfNotExists)
+  def dropSchema(schema: String, errorIfNotExists: Boolean = true): Int =
+    db.dropSchema(schema, errorIfNotExists)
+  def listStores(schema: String = db.DefaultSchema): Seq[graft.engine.StoreInfo] =
+    db.listStores(schema)
+  def getStore(name: String, schema: String = db.DefaultSchema): graft.engine.StoreInfo =
+    db.getStore(name, schema)
+  def purgeStores(): Int = db.purgeStores()
+  def ping(): String = db.ping()
+  def infoServer(): Map[String, String] = db.infoServer()
+  def listClients(): Seq[Map[String, String]] = db.listClients()
+
   // ----------------------------------------------------------------- helpers
 
   private def requireStoreOriginal(name: String, schema: String, op: String): Unit =

@@ -1,0 +1,105 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Similarity
+import graft.types.Algorithm
+
+/**
+ * IVF (inverted-file) index — the partition-pruned ANN scale path for
+ * similarity search over an embedding column (an EXTENSION beyond the
+ * reference's KD-tree/HNSW surface, per the north-star brief).
+ *
+ * Design is deliberately Spark-shaped rather than graph-shaped:
+ *  - coarse quantizer: deterministic Lloyd k-means over the corpus,
+ *    initialized from the k smallest-id vectors (no RNG → same cells on
+ *    every build), iterated as DataFrame jobs (assign = argmin over
+ *    broadcast centroids, update = groupBy-cell mean);
+ *  - the "index" is just the corpus WITH A CELL COLUMN, repartitioned by
+ *    cell — at cluster scale this is a parquet table partitioned by `cell`,
+ *    and probing becomes partition pruning that Catalyst applies from a
+ *    plain `WHERE cell IN (...)` filter;
+ *  - search: score the query against the k centroids ON THE DRIVER (k is
+ *    small by construction), take the nProbe nearest cells, then run the
+ *    exact linear top-k over only those cells' rows.
+ *
+ * nProbe = nCells ⇒ exhaustive ⇒ exactly the linear scan (pinned by the
+ * ann_ivf_exact correctness entry); smaller nProbe trades recall for a
+ * 1/nCells-ish scan fraction (recall pinned by IvfSpec).
+ */
+final class IvfIndex(
+    val centroids: Array[Array[Float]],
+    val cells: DataFrame, // (cell INT, id LONG, key ARRAY<FLOAT>) + payload cols
+    val metric: Algorithm) {
+
+  def nCells: Int = centroids.length
+
+  def unpersist(): Unit = cells.unpersist(blocking = false)
+
+  /** The nProbe nearest cells for a query (driver-side: k centroids). */
+  def probeCells(q: Array[Float], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, Similarity.jvm.sqEuclidean(q, c)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(math.max(1, math.min(nProbe, nCells)))
+      .map(_._1)
+
+  /** Top-n over the probed cells only: `cell IN probes` prunes partitions,
+    * then exact scoring + TakeOrderedAndProject. Returns (id, key, sim). */
+  def search(q: Array[Float], n: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(q, nProbe)
+    val qc = typedLit(q)
+    val scored = cells.where(col("cell").isin(probes: _*))
+      .withColumn("_closeness", Similarity.closeness(metric, col("key"), qc))
+    scored.orderBy(col("_closeness").desc, col("id").asc).limit(n)
+      .withColumn("similarity",
+        Similarity.similarityValue(metric, col("key"), qc).cast("float"))
+      .drop("_closeness")
+  }
+}
+
+object IvfIndex {
+
+  /** Deterministic k-means cell assignment: distances to every centroid as
+    * one array expression, argmin via array_position(min) — first match
+    * breaks ties toward the lowest cell index. (A when-chain fold would
+    * duplicate its accumulator per centroid — exponential codegen.) */
+  private def assignCell(centroids: Array[Array[Float]]): Column = {
+    val dists = array(centroids.map(c =>
+      Similarity.squaredEuclidean(col("key"), typedLit(c))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Build: deterministic init (k smallest-id vectors) + `iters` Lloyd
+    * rounds as DataFrame jobs, then the cell-stamped corpus repartitioned
+    * by cell. `df` must have (id LONG, key ARRAY<FLOAT>). */
+  def build(df: DataFrame, nCells: Int, iters: Int = 3,
+      metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex = {
+    require(nCells > 0)
+    var centroids: Array[Array[Float]] = df
+      .orderBy("id").limit(nCells)
+      .select("key").collect().map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = df.withColumn("cell", assignCell(centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("key")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), transform(col("ms"), s =>
+          s.getField("m").cast("float")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      // empty cells keep their previous centroid (deterministic)
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    val cells = df.withColumn("cell", assignCell(centroids))
+      .repartition(col("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    new IvfIndex(centroids, cells, metric)
+  }
+}

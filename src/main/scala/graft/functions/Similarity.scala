@@ -20,30 +20,51 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+  import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatVecKernel, VecOp}
 
-  /** Σ aᵢ·bᵢ — sequential left fold in double. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def kernel(a: Column, b: Column, op: VecOp): Column =
+    ColumnBridge.column(FloatVecKernel(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), op))
 
-  /** ‖a‖₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+  /** Σ aᵢ·bᵢ — fused native kernel; sequential left fold in double. */
+  def dotProduct(a: Column, b: Column): Column = kernel(a, b, VecOp.Dot)
 
-  /** dot/(‖a‖‖b‖) — larger = closer (distance.rs:159-206). */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** dot/(‖a‖‖b‖) — larger = closer (distance.rs:159-206); single-pass
+    * three-accumulator fused kernel, zero-norm → 0.0. */
+  def cosineSimilarity(a: Column, b: Column): Column = kernel(a, b, VecOp.Cosine)
 
   /** √Σ(aᵢ−bᵢ)² — smaller = closer (distance.rs:276-323). */
   def euclideanDistance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(kernel(a, b, VecOp.SqEuclidean))
 
   /** Σ(aᵢ−bᵢ)² without the sqrt — KD-tree internal ordering metric
     * (distance.rs:327-343). */
   def squaredEuclidean(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    kernel(a, b, VecOp.SqEuclidean)
+
+  /** The higher-order-function formulations (codegen'd but allocating) —
+    * kept as the independent reference implementation the native kernels
+    * are pinned against in NativeKernelSpec. */
+  object hof {
+    private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+    def dotProduct(a: Column, b: Column): Column =
+      aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+    def l2Norm(a: Column): Column =
+      sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+
+    def cosineSimilarity(a: Column, b: Column): Column =
+      dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+    def euclideanDistance(a: Column, b: Column): Column =
+      sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+
+    def squaredEuclidean(a: Column, b: Column): Column =
+      aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Unified larger-is-closer ordering key (algorithm/mod.rs:41-75). */
   def closeness(algorithm: graft.types.Algorithm, a: Column, b: Column): Column = {

@@ -188,15 +188,18 @@ object Queries {
       },
       Some(simOracle(sqEuclidSql("e.embedding", "q.qe"), desc = false))),
 
-    // ---- GetSimN via HNSW: approximate → rows-only check here; recall
-    // thresholds asserted in ScalaTest (BASELINE.md) ----
+    // ---- GetSimN via HNSW. At the correctness scale factor each shard
+    // holds ≲ M vectors, so every per-shard graph is complete and the
+    // search is exhaustive → the merged result EQUALS exact cosine top-k
+    // and earns the full oracle. Real-graph (10k-node) recall is asserted
+    // separately by the RecallSpec harness at the BASELINE.md thresholds. ----
     "vdb_sim_hnsw" -> Q(
       (s, dir) => {
         val e = TestStores.engine(s, dir)
         TestStores.simResult(e.getSimN("emb", TestStores.queryVec(s, dir), 10,
           Algorithm.HNSW))
       },
-      None),
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true))),
 
     // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
     "vdb_set_counts" -> Q(
@@ -684,6 +687,38 @@ object Queries {
         |  FROM embeddings q, embeddings c WHERE q.vec_id < 20)
         |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // ---- event-time windowed aggregation (the streaming surface's shared
+    // batch/stream computation — StreamingIngest.windowedEventStats; the
+    // streaming path with watermarks is pinned in StreamingSpec) ----
+    "events_window_agg" -> Q(
+      (s, dir) => graft.streaming.StreamingIngest
+        .windowedEventStats(TestStores.eventsTable(s, dir), "1 hour")
+        .select(col("window_start"), col("event_type"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |event_type, COUNT(*) AS n_events,
+        |round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- IVF index (extension): partition-pruned ANN. nProbe = nCells ⇒
+    // exhaustive ⇒ identical to the exact linear scan — the correctness
+    // gate; pruned-probe recall is pinned in IvfSpec. ----
+    "ann_ivf_exact" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<float>").as("key"))
+        val ivf = graft.ann.IvfIndex.build(e, nCells = 8, iters = 2)
+        val out = ivf.search(TestStores.queryVec(s, dir), 10, nProbe = 8)
+          .select(col("id").as("vec_id"),
+            round(col("similarity").cast("double"), 4).as("sim"))
+        val rows = out.collect()
+        ivf.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some(simOracle(euclidSql("e.embedding", "q.qe"), desc = false))),
 
     // ---- multimodal: binary payloads + typed metadata; decode kernel is a
     // documented deterministic stub (no codecs in this environment), the

@@ -32,6 +32,14 @@ object TestStores {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read nanos as long and convert to a microsecond timestamp. */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   def embEntries(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "embeddings").select(
       col("embedding").cast("array<float>").as("key"),

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.engine.GraftEngine
+
+/**
+ * Structured Streaming surface (an EXTENSION — the reference has no
+ * streaming, SURVEY.md §2.7): continuous ingestion into engine stores and
+ * event-stream analytics, built on the standard
+ * readStream → transform → writeStream shape.
+ *
+ * Scale notes: ingestion rides foreachBatch so each micro-batch goes
+ * through the SAME deterministic Set path as batch writes (dedup-by-content,
+ * counts, index maintenance, parquet persistence when the engine is
+ * persistent) — exactly-once per micro-batch via the sink's idempotent
+ * upsert semantics. Aggregations use event-time windows + watermarks so
+ * state is bounded; sessionization uses flatMapGroupsWithState with a
+ * processing-time timeout as the custom-state example.
+ */
+object StreamingIngest {
+
+  /** Continuous ingestion: a stream of (key ARRAY<FLOAT>, value MAP) entry
+    * rows upserted into a store per micro-batch. Dedup-by-content makes
+    * replayed batches idempotent — re-delivery updates instead of
+    * duplicating. */
+  def ingestEntries(engine: GraftEngine, store: String, entries: DataFrame,
+      checkpointDir: String, schema: String = "public"): StreamingQuery =
+    entries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { engine.set(store, batch, schema); () }
+      }
+      .start()
+
+  /** Event-time tumbling-window aggregation per event type; identical
+    * semantics in batch and streaming (pass a watermark for streams so
+    * state is dropped once the window closes). Money-style sums go through
+    * DECIMAL so partial-aggregation order can't change the result. */
+  def windowedEventStats(events: DataFrame, windowLength: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("approx_users"))
+  }
+
+  // ------------------------------------------------------- sessionization
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, events: Int, total: Double)
+  final case class Session(user_id: Long, startMs: Long, endMs: Long,
+      events: Int, total: Double)
+
+  /** Custom stateful operator: per-user sessions, closed when a later event
+    * arrives more than `gapSeconds` after the previous one — the
+    * KeyValueGroupedDataset.flatMapGroupsWithState pattern for state
+    * Spark's windows can't express. Deterministic event-driven closing (a
+    * processing-time timeout variant would also finalize idle sessions,
+    * but makes micro-batch scheduling — and therefore tests — timing-
+    * dependent; the open session stays in state until its user reappears). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapSeconds * 1000 =>
+                cur = Some(s.copy(lastSeen = t, events = s.events + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.lastSeen, s.events, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

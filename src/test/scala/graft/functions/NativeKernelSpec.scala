@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures._
+
+/** The native fused kernels must be bit-identical to the HOF reference
+  * formulation (same double left-fold order) and to the JVM kernels. */
+class NativeKernelSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val df = {
+    val rows = (0 until 200).map { i =>
+      (vec(11L, i.toLong, 32), vec(13L, i.toLong, 32))
+    }
+    rows.toDF("a", "b").cache()
+  }
+
+  private def collectD(c: org.apache.spark.sql.Column): Seq[Double] =
+    df.select(c.cast("double").as("r")).collect().map(_.getDouble(0)).toSeq
+
+  test("dot / cosine / sqEuclidean: native == HOF bitwise") {
+    assert(collectD(Similarity.dotProduct(col("a"), col("b"))) ==
+      collectD(Similarity.hof.dotProduct(col("a"), col("b"))))
+    assert(collectD(Similarity.cosineSimilarity(col("a"), col("b"))) ==
+      collectD(Similarity.hof.cosineSimilarity(col("a"), col("b"))))
+    assert(collectD(Similarity.squaredEuclidean(col("a"), col("b"))) ==
+      collectD(Similarity.hof.squaredEuclidean(col("a"), col("b"))))
+    assert(collectD(Similarity.euclideanDistance(col("a"), col("b"))) ==
+      collectD(Similarity.hof.euclideanDistance(col("a"), col("b"))))
+  }
+
+  test("native kernels agree with the JVM reference kernels") {
+    val rows = df.select(col("a"), col("b"),
+      Similarity.dotProduct(col("a"), col("b")).as("d"),
+      Similarity.cosineSimilarity(col("a"), col("b")).as("c"),
+      Similarity.squaredEuclidean(col("a"), col("b")).as("s")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0).toArray
+      val b = r.getSeq[Float](1).toArray
+      assert(math.abs(r.getDouble(2) - Similarity.jvm.dot(a, b)) < 1e-12)
+      assert(math.abs(r.getDouble(3) - Similarity.jvm.cosine(a, b)) < 1e-12)
+      assert(math.abs(r.getDouble(4) - Similarity.jvm.sqEuclidean(a, b)) < 1e-12)
+    }
+  }
+
+  test("zero-norm cosine returns 0.0 (reference convention), not NaN") {
+    val z = Seq((Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val out = z.select(Similarity.cosineSimilarity(col("a"), col("b")).as("c"))
+      .head.getDouble(0)
+    assert(out == 0.0)
+  }
+
+  test("kernels run inside whole-stage codegen (plan has no fallback)") {
+    // the "*(n)" prefix marks a WholeStageCodegen stage in the compact plan
+    val plan = df.select(Similarity.cosineSimilarity(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_cosine("), s"no codegen span in:\n$plan")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+import graft.engine.GraftEngine
+import graft.types.StoreSchema
+
+class StreamingSpec extends AnyFunSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("streaming ingestion upserts per micro-batch with dedup-by-content") {
+    val e = new GraftEngine(spark)
+    e.createStore("stream_store", 2)
+    val mem = MemoryStream[(Float, Float, String)]
+    val entries = mem.toDF()
+      .select(array(col("_1"), col("_2")).as("key"),
+        map(lit("tag"), struct(lit("raw_string").as("kind"),
+          col("_3").as("str"),
+          lit(null).cast("binary").as("bin"))).as("value"))
+    val ckpt = Files.createTempDirectory("graft-stream").toString
+    val q = StreamingIngest.ingestEntries(e, "stream_store", entries, ckpt)
+    try {
+      mem.addData((1f, 2f, "a"), (3f, 4f, "b"))
+      q.processAllAvailable()
+      assert(e.storeDf("stream_store").count() == 2)
+      // second batch: one replay (same vector → update) + one new
+      mem.addData((1f, 2f, "a2"), (5f, 6f, "c"))
+      q.processAllAvailable()
+      assert(e.storeDf("stream_store").count() == 3)
+      val m = e.getKey("stream_store", Seq(Array(1f, 2f))).collect()
+        .head.getMap[String, Row](1)
+      assert(m("tag").getString(1) == "a2") // replayed content updated
+    } finally { q.stop(); e.dropStore("stream_store") }
+  }
+
+  test("windowed event stats: streaming matches the batch computation") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "user_id")
+      .withColumnRenamed("_3", "event_type").withColumnRenamed("_4", "value")
+    val data = Seq(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 1L, "click", 1.5),
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 2L, "click", 2.5),
+      (Timestamp.valueOf("2026-01-01 10:40:00"), 1L, "buy", 10.0),
+      (Timestamp.valueOf("2026-01-01 11:10:00"), 3L, "click", 0.5))
+    val stream = StreamingIngest.windowedEventStats(
+      asEvents(mem.toDF()), "1 hour", watermark = Some("10 minutes"))
+    val q = stream.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("win_agg")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val batch = StreamingIngest.windowedEventStats(asEvents(data.toDF()), "1 hour")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streaming == batch)
+      assert(batch.contains(("2026-01-01 10:00:00.0", "click", 2L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on event gaps (flatMapGroupsWithState)") {
+    import StreamingIngest.{Event, Session}
+    val mem = MemoryStream[Event]
+    val sessions = StreamingIngest.sessionize(mem.toDS(), gapSeconds = 60)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 09:00:00").getTime
+      // user 1: two events 30s apart (one session), then an event 10min
+      // later → first session closes when the late event arrives
+      mem.addData(
+        Event(1L, new Timestamp(t0), 1.0),
+        Event(1L, new Timestamp(t0 + 30000), 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1L, new Timestamp(t0 + 600000), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[Session].collect()
+      assert(out.length == 1)
+      assert(out.head.events == 2 && out.head.total == 3.0)
+      assert(out.head.startMs == t0 && out.head.endMs == t0 + 30000)
+    } finally q.stop()
+  }
+}
