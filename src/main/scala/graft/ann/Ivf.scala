@@ -75,9 +75,10 @@ object IvfIndex {
   /** Build: deterministic init (k smallest-id vectors) + `iters` Lloyd
     * rounds as DataFrame jobs, then the cell-stamped corpus repartitioned
     * by cell. `df` must have (id LONG, key ARRAY<FLOAT>). */
-  def build(df: DataFrame, nCells: Int, iters: Int = 3,
+  def build(dfIn: DataFrame, nCells: Int, iters: Int = 3,
       metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex = {
     require(nCells > 0)
+    val df = dfIn.persist(StorageLevel.MEMORY_AND_DISK) // scanned per iteration
     var centroids: Array[Array[Float]] = df
       .orderBy("id").limit(nCells)
       .select("key").collect().map(_.getSeq[Float](0).toArray)
@@ -100,6 +101,7 @@ object IvfIndex {
       .repartition(col("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cells.count()
+    df.unpersist(blocking = false)
     new IvfIndex(centroids, cells, metric)
   }
 }

@@ -48,18 +48,10 @@ object Dedup {
         explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs:
-    * expand each candidate to its a-side shingles, match them against the
-    * b-side by (id, shingle) — work proportional to candidates × shingles
-    * per doc, NOT to the corpus self-join. Sizes join per side. */
-  private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
+  /** Jaccard from per-pair intersection counts + per-doc sizes. */
+  private def jaccardFromInter(sh: DataFrame, inter: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.as("x"), col("a") === col("x.id"))
-      .join(sh.as("y"),
-        col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
@@ -69,28 +61,62 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs:
+    * expand each candidate to its a-side shingles, match them against the
+    * b-side by (id, shingle) — work proportional to candidates × shingles
+    * per doc. The right verification shape when candidates are FEW (LSH /
+    * SimHash output); for the dense shared-shingle candidate set of the
+    * exact join, counting intersections straight off the self-join is
+    * cheaper (see jaccardJoin). */
+  private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(sh.as("x"), col("a") === col("x.id"))
+      .join(sh.as("y"),
+        col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    jaccardFromInter(sh, inter, threshold)
+  }
+
   /** EXACT n-gram Jaccard similarity join via the shingle inverted index:
     * candidates = pairs sharing ≥1 shingle (complete for any threshold > 0,
     * since J ≥ t > 0 implies a shared shingle — no false negatives), then
-    * exact Jaccard filter. `maxShingleDf` drops shingles present in more
-    * than that many docs (stop-shingle cap — the standard skew guard for
-    * the inverted-index join; None = exact completeness). */
+    * exact Jaccard filter over the FULL shingle sets (values never change).
+    *
+    * `maxShingleDf` caps CANDIDATE GENERATION only: shingles present in
+    * more than that many docs are skipped when pairing — the standard
+    * skew guard, since one shingle shared by d docs alone contributes
+    * C(d,2) candidate pairs. High-threshold pairs share many rare shingles,
+    * so completeness holds in practice (a qualifying pair whose every
+    * shared shingle is corpus-hot is the only theoretical miss);
+    * None = unconditional completeness. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, n)
-    val sh = maxShingleDf.fold(shAll) { cap =>
-      val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") > cap).select("shingle")
-      shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
-    val cached = sh.persist()
+    val sh = shingles(df, idCol, textCol, n).persist()
     try {
-      val candidates = cached.as("x")
-        .join(cached.as("y"), col("x.shingle") === col("y.shingle") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-      verifyJaccard(cached, candidates, threshold)
-    } finally cached.unpersist(blocking = false)
+      maxShingleDf match {
+        case None =>
+          // uncapped: the self-join's grouped row count per (a,b) IS the
+          // exact intersection — one pass, no candidate expansion
+          val inter = sh.as("x")
+            .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+              col("x.id") < col("y.id"))
+            .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+            .agg(count(lit(1)).as("inter"))
+          jaccardFromInter(sh, inter, threshold)
+        case Some(cap) =>
+          // capped pairing (skew guard): candidates from rare shingles only,
+          // then exact verification over the FULL shingle sets
+          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .where(col("df") > cap).select("shingle")
+          val pairing = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+          val candidates = pairing.as("x")
+            .join(pairing.as("y"), col("x.shingle") === col("y.shingle") &&
+              col("x.id") < col("y.id"))
+            .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+          verifyJaccard(sh, candidates, threshold)
+      }
+    } finally sh.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------ MinHash LSH
@@ -122,12 +148,15 @@ object Dedup {
         explode(array((0 until numHashes).map(i =>
           struct(lit(i).as("band"), col(s"mh$i").as("value"))): _*)).as("bv"))
         .select(col("id"), col("bv.band"), col("bv.value"))
-      val candidates = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-      verifyJaccard(sh, candidates, threshold)
+        .persist() // self-joined: don't recompute the signature agg per side
+      try {
+        val candidates = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
+            col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+        verifyJaccard(sh, candidates, threshold)
+      } finally bands.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
 
@@ -155,6 +184,12 @@ object Dedup {
     * band (Hamming ≤ 7 guarantees a shared band by pigeonhole; near-dups at
     * J ≥ ~0.8 cluster well under it), then EXACT Jaccard verification —
     * same output contract as [[jaccardJoin]] at high thresholds. */
+  /** Corpus note: on template-correlated corpora (many docs sharing token
+    * vocabulary) sub-threshold pairs also land at low Hamming distance, so
+    * the prefilter passes more candidates than on organic text — measured
+    * true-pair Hamming reaches `hammingCutoff` exactly at J = 0.8 on the
+    * driver corpus, so don't tighten it; prefer [[minHashLshJoin]] when the
+    * threshold is loose (its banding probability tracks Jaccard directly). */
   def simHashJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, hammingCutoff: Int = 12): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
@@ -177,19 +212,22 @@ object Dedup {
         }: _*)).as("bv"))
         .select(col("id"), col("sig_lo"), col("sig_hi"),
           col("bv.band"), col("bv.value"))
-      // band collision → cheap Hamming prefilter on the full signature
-      // (random pairs have expected Hamming ≈ 32; near-dups ≲ 8 — the
-      // filter removes virtually every accidental band collision before
-      // the exact-verification join sees it)
-      val candidates = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
-          col("x.id") < col("y.id"))
-        .where(
-          (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
-           bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))) <= hammingCutoff)
-        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-      verifyJaccard(sh, candidates, threshold)
+        .persist() // self-joined: don't recompute the votes agg per side
+      try {
+        // band collision → cheap Hamming prefilter on the full signature
+        // (random pairs have expected Hamming ≈ 32; near-dups ≲ 8 — the
+        // filter removes virtually every accidental band collision before
+        // the exact-verification join sees it)
+        val candidates = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
+            col("x.id") < col("y.id"))
+          .where(
+            (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
+             bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))) <= hammingCutoff)
+          .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+        verifyJaccard(sh, candidates, threshold)
+      } finally bands.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
 

@@ -273,24 +273,33 @@ class GraftEngine(val spark: SparkSession,
     try {
       withId.count() // materialize before any dependent action
       validateDim(st.meta, withId)
-      // last-wins dedup within the batch by content id
-      val w = Window.partitionBy("id").orderBy(col("_ord").desc)
-      val deduped = withId
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).drop("_rn", "_ord")
-        .select("id", "key", "value")
-      val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
-      val batchDistinct = dedupedCached.count()
-      // updated = store rows whose id appears in the batch: semi-join with the
-      // SMALL batch-id side broadcast, so the big store side never shuffles
-      val batchIds = broadcast(dedupedCached.select(col("id").as("_nid")))
-      val updated = st.df.join(batchIds, col("id") === col("_nid"), "left_semi").count()
-      val inserted = batchDistinct - updated
-      val next = st.df.join(batchIds, col("id") === col("_nid"), "left_anti")
-        .union(dedupedCached)
-      swap(schema, name, next)
-      dedupedCached.unpersist(blocking = false)
-      (inserted, updated)
+      // last-wins dedup within the batch: hash-aggregate with max_by on the
+      // ordinal — partial (map-side) aggregation, cheaper than a sort-window
+      // over the full batch shuffle
+      val deduped = withId.groupBy("id").agg(
+          max_by(struct(col("key"), col("value")), col("_ord")).as("_kv"))
+        .select(col("id"), col("_kv.key").as("key"), col("_kv.value").as("value"))
+      if (st.df.isEmpty) {
+        // initial bulk load: nothing to reconcile against — skip the
+        // anti-join rewrite and the update count entirely; swap owns the
+        // caching (sharing a persisted plan here would alias cache entries)
+        swap(schema, name, deduped)
+        (state(schema, name).df.count(), 0L)
+      } else {
+        val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        val batchDistinct = dedupedCached.count()
+        // updated = store rows whose id appears in the batch: semi-join with
+        // the SMALL batch-id side broadcast, so the big store side never
+        // shuffles
+        val batchIds = broadcast(dedupedCached.select(col("id").as("_nid")))
+        val updated = st.df.join(batchIds, col("id") === col("_nid"), "left_semi").count()
+        val inserted = batchDistinct - updated
+        val next = st.df.join(batchIds, col("id") === col("_nid"), "left_anti")
+          .union(dedupedCached)
+        swap(schema, name, next)
+        dedupedCached.unpersist(blocking = false)
+        (inserted, updated)
+      }
     } finally withId.unpersist(blocking = false)
   }
 
