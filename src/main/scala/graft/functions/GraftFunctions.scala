@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graftbridge.{FloatVecKernel, VecOp}
+
+/**
+ * SQL-surface registration for the native similarity kernels, so
+ * `spark.sql("SELECT graft_cosine(a, b) ...")` works alongside the Column
+ * API:
+ *
+ *  - session-level: `GraftFunctions.register(spark)`;
+ *  - config-level: `spark.sql.extensions=graft.functions.GraftExtensions`
+ *    (the `SparkSessionExtensions` injection point for custom expressions).
+ */
+object GraftFunctions {
+
+  val all: Seq[(String, VecOp)] = Seq(
+    "graft_dot" -> VecOp.Dot,
+    "graft_cosine" -> VecOp.Cosine,
+    "graft_sqeuclidean" -> VecOp.SqEuclidean)
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[FloatVecKernel].getName, name)
+
+  private def builder(op: VecOp): Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"${op.opName} takes exactly 2 array<float> arguments")
+    FloatVecKernel(args.head, args(1), op)
+  }
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, op) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder(op))
+    }
+
+  /** Inject into a SparkSessionExtensions (spark.sql.extensions path). */
+  def inject(extensions: SparkSessionExtensions): Unit =
+    all.foreach { case (name, op) =>
+      extensions.injectFunction((FunctionIdentifier(name), info(name), builder(op)))
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(extensions)
+}

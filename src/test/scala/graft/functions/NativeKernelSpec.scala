@@ -52,6 +52,21 @@ class NativeKernelSpec extends AnyFunSuite {
     assert(out == 0.0)
   }
 
+  test("SQL registration: graft_* functions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("kernel_vecs")
+    val sql = spark.sql(
+      "SELECT graft_cosine(a, b) c, graft_dot(a, b) d, graft_sqeuclidean(a, b) s FROM kernel_vecs")
+      .collect()
+    val api = df.select(
+      Similarity.cosineSimilarity(col("a"), col("b")),
+      Similarity.dotProduct(col("a"), col("b")),
+      Similarity.squaredEuclidean(col("a"), col("b"))).collect()
+    assert(sql.map(_.getDouble(0)).toSeq == api.map(_.getDouble(0)).toSeq)
+    assert(sql.map(_.getDouble(1)).toSeq == api.map(_.getDouble(1)).toSeq)
+    assert(sql.map(_.getDouble(2)).toSeq == api.map(_.getDouble(2)).toSeq)
+  }
+
   test("kernels run inside whole-stage codegen (plan has no fallback)") {
     // the "*(n)" prefix marks a WholeStageCodegen stage in the compact plan
     val plan = df.select(Similarity.cosineSimilarity(col("a"), col("b")))
