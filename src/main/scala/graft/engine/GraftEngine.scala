@@ -39,7 +39,8 @@ class GraftEngine(val spark: SparkSession,
 
   final case class StoreState(meta: StoreMeta, df: DataFrame,
       annIndexes: Map[String, graft.ann.AnnIndex] = Map.empty,
-      version: Long = 0L)
+      version: Long = 0L,
+      bucketPaths: Map[Int, String] = Map.empty)
 
   private val catalog = TrieMap[(String, String), StoreState]()
   val DefaultSchema = "public"
@@ -50,23 +51,51 @@ class GraftEngine(val spark: SparkSession,
     * tmp+rename — Persistence.writeCatalog). No-op without a persistRoot. */
   private def flushCatalog(): Unit = persistRoot.foreach { root =>
     Persistence.writeCatalog(root, catalog.values.toSeq.map(st =>
-      Persistence.StoreRecord(st.meta, st.version)))
+      Persistence.StoreRecord(st.meta, st.version, st.bucketPaths)))
   }
 
-  /** Tables-as-truth write: the new version's parquet dir is written FIRST,
-    * then the catalog flips to it; the returned DataFrame reads from the
-    * immutable version dir (cache = read accelerator, not truth). */
-  private def writeVersion(schema: String, name: String, df: DataFrame,
-      version: Long): DataFrame = persistRoot match {
-    case None => df
+  /** Tables-as-truth INCREMENTAL write: store rows hash into
+    * [[GraftEngine.NumBuckets]] buckets by content id; a mutation writes
+    * ONLY its touched buckets into the new version dir, untouched buckets
+    * carry forward by reference in the catalog — write amplification is
+    * proportional to the batch, not the store (the partition-pruned
+    * rewrite a 100 TB table needs). `touched = None` rewrites everything
+    * (predicate deletes, upserts). Returns the DataFrame reading the new
+    * bucket set + the new bucket→path map. */
+  private def writeBuckets(st: StoreState, schema: String, name: String,
+      next: DataFrame, version: Long,
+      touched: Option[Set[Int]]): (DataFrame, Map[Int, String]) = persistRoot match {
+    case None => (next, Map.empty)
     case Some(root) =>
-      val path = Persistence.dataPath(root, schema, name, version)
-      // repartition(1) floor keeps empty stores readable (a zero-partition
-      // write emits no footer to infer the schema from)
-      val out = if (df.rdd.getNumPartitions == 0) df.repartition(1) else df
-      out.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      val vdirName = s"v$version"
+      val vdir = Persistence.dataPath(root, schema, name, version)
+      val bucketCol = pmod(col("id"), lit(GraftEngine.NumBuckets)).cast("int")
+      val toWrite = touched match {
+        case None => next
+        case Some(tb) => next.where(bucketCol.isin(tb.toSeq: _*))
+      }
+      toWrite.withColumn("_b", bucketCol)
+        .write.partitionBy("_b").mode("overwrite").parquet(vdir)
+      val writtenBuckets = (0 until GraftEngine.NumBuckets).filter(b =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(vdir, s"_b=$b"))).toSet
+      val newPaths: Map[Int, String] = touched match {
+        case None => writtenBuckets.map(b => b -> s"$vdirName/_b=$b").toMap
+        case Some(tb) =>
+          // touched buckets now live in the new version (or vanished);
+          // untouched buckets keep their previous files
+          (st.bucketPaths -- tb) ++
+            writtenBuckets.intersect(tb).map(b => b -> s"$vdirName/_b=$b").toMap
+      }
+      (readBuckets(root, schema, name, newPaths), newPaths)
   }
+
+  private def readBuckets(root: String, schema: String, name: String,
+      paths: Map[Int, String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], entrySchema)
+    else
+      spark.read.parquet(paths.values.toSeq.sorted
+        .map(p => s"$root/data/$schema/$name/$p"): _*)
 
   // ---------------------------------------------------------------- helpers
 
@@ -115,10 +144,11 @@ class GraftEngine(val spark: SparkSession,
     * data, mirroring the reference's live index maintenance on write
     * (db/src/algorithm/non_linear.rs:244-251) — the catalog never advertises
     * an index that can't serve. */
-  private def swap(schema: String, name: String, next: DataFrame): Unit = {
+  private def swap(schema: String, name: String, next: DataFrame,
+      touched: Option[Set[Int]] = None): Unit = {
     val st = state(schema, name)
     val newVersion = st.version + 1
-    val written = writeVersion(schema, name, next, newVersion)
+    val (written, newPaths) = writeBuckets(st, schema, name, next, newVersion, touched)
     val cached = written.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count() // materialize before releasing predecessor
     st.df.unpersist(blocking = false)
@@ -127,10 +157,16 @@ class GraftEngine(val spark: SparkSession,
     }
     st.annIndexes.values.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, annIndexes = rebuilt,
-      version = newVersion)
+      version = newVersion, bucketPaths = newPaths)
     flushCatalog()
-    persistRoot.foreach(Persistence.gcOldVersions(_, schema, name, newVersion))
+    persistRoot.foreach(Persistence.gcOldVersions(_, schema, name,
+      newPaths.values.map(_.split("/")(0)).toSet))
   }
+
+  /** Buckets touched by a batch of content ids (driver-side: ≤ NumBuckets). */
+  private def touchedBuckets(ids: DataFrame): Set[Int] =
+    ids.select(pmod(col(ids.columns.head), lit(GraftEngine.NumBuckets))
+      .cast("int").as("_b")).distinct().collect().map(_.getInt(0)).toSet
 
   // ------------------------------------------------------------ catalog ops
 
@@ -148,8 +184,9 @@ class GraftEngine(val spark: SparkSession,
       if (errorIfExists) throw GraftErrors.storeAlreadyExists(schema, name)
       false
     } else {
-      val empty = writeVersion(schema, name, spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], entrySchema), 0L)
+      // empty store = empty bucket map; no data files until the first write
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], entrySchema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val meta = StoreMeta(schema, name, dimension, predicates,
         nonLinearIndexes.map(c => c.kind -> c).toMap, storeOriginal,
@@ -283,7 +320,7 @@ class GraftEngine(val spark: SparkSession,
         // initial bulk load: nothing to reconcile against — skip the
         // anti-join rewrite and the update count entirely; swap owns the
         // caching (sharing a persisted plan here would alias cache entries)
-        swap(schema, name, deduped)
+        swap(schema, name, deduped, Some(touchedBuckets(withId.select("id"))))
         (state(schema, name).df.count(), 0L)
       } else {
         val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -296,7 +333,7 @@ class GraftEngine(val spark: SparkSession,
         val inserted = batchDistinct - updated
         val next = st.df.join(batchIds, col("id") === col("_nid"), "left_anti")
           .union(dedupedCached)
-        swap(schema, name, next)
+        swap(schema, name, next, Some(touchedBuckets(dedupedCached.select("id"))))
         dedupedCached.unpersist(blocking = false)
         (inserted, updated)
       }
@@ -348,7 +385,8 @@ class GraftEngine(val spark: SparkSession,
     val deleted = st.df.join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
     if (deleted > 0)
       swap(schema, name,
-        st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti"))
+        st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
+        Some(touchedBuckets(probe)))
     deleted
   }
 
@@ -514,21 +552,27 @@ class GraftEngine(val spark: SparkSession,
 
 object GraftEngine {
 
+  /** Hash buckets per persisted store: id → pmod(id, NumBuckets) names the
+    * file group a row lives in, so mutations rewrite only touched groups.
+    * Sized for the test scale; a cluster deployment sizes this with the
+    * table (buckets ≈ store bytes / target file size). */
+  val NumBuckets = 16
+
   /** Restore an engine from a persisted root: read the catalog, attach each
-    * store's current parquet version, rebuild non-linear indexes from their
+    * store's current bucket set, rebuild non-linear indexes from their
     * persisted configs (derived state — rebuilding from columnar data beats
     * deserializing per-partition graphs at scale). */
   def load(spark: SparkSession, root: String): GraftEngine = {
     val e = new GraftEngine(spark, Some(root))
     Persistence.readCatalog(root).foreach { rec =>
       val m = rec.meta
-      val df = spark.read.parquet(
-          Persistence.dataPath(root, m.schema, m.name, rec.version))
+      val df = e.readBuckets(root, m.schema, m.name, rec.bucketPaths)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val ann = m.nonLinearIndexes.map { case (kind, cfg) =>
         kind -> graft.ann.AnnIndex.build(df, m.dimension, cfg)
       }
-      e.catalog((m.schema, m.name)) = e.StoreState(m, df, ann, rec.version)
+      e.catalog((m.schema, m.name)) =
+        e.StoreState(m, df, ann, rec.version, rec.bucketPaths)
     }
     e
   }

@@ -31,10 +31,20 @@ import graft.types.{Algorithm, NonLinearConfig, StoreMeta}
  */
 object Persistence {
 
-  final case class StoreRecord(meta: StoreMeta, version: Long)
+  /** bucketPaths: bucket index → the version dir that last rewrote it
+    * (relative to the store's data dir). A mutation writes ONLY its touched
+    * buckets into the new version dir; untouched buckets carry forward by
+    * reference — the partition-pruned incremental rewrite that keeps write
+    * amplification proportional to the batch, not the store. */
+  final case class StoreRecord(meta: StoreMeta, version: Long,
+      bucketPaths: Map[Int, String] = Map.empty)
 
   def dataPath(root: String, schema: String, name: String, version: Long): String =
     s"$root/data/$schema/$name/v$version"
+
+  def bucketPath(root: String, schema: String, name: String,
+      versionDir: String, bucket: Int): String =
+    s"$root/data/$schema/$name/$versionDir/b$bucket"
 
   // ------------------------------------------------------------- catalog IO
 
@@ -60,7 +70,9 @@ object Persistence {
       }),
       "storeOriginal" -> JBool(m.storeOriginal),
       "queryModel" -> m.queryModel.map(JString(_)).getOrElse(JNull),
-      "indexModel" -> m.indexModel.map(JString(_)).getOrElse(JNull))
+      "indexModel" -> m.indexModel.map(JString(_)).getOrElse(JNull),
+      "bucketPaths" -> JObject(r.bucketPaths.toList.sortBy(_._1)
+        .map { case (b, p) => b.toString -> (JString(p): JValue) }))
   }
 
   private def metaFromJson(j: JValue): StoreRecord = {
@@ -97,9 +109,15 @@ object Persistence {
       case JArray(items) => items.collect { case JString(s) => s }.toSet
       case _ => Set.empty[String]
     }
+    val buckets = (j \ "bucketPaths") match {
+      case JObject(fields) => fields.collect {
+        case (b, JString(p)) if b.forall(_.isDigit) => b.toInt -> p
+      }.toMap
+      case _ => Map.empty[Int, String]
+    }
     StoreRecord(StoreMeta(str("schema"), str("name"), int("dimension"), preds,
       nl.map(c => c.kind -> c).toMap, bool("storeOriginal"),
-      optStr("queryModel"), optStr("indexModel")), version)
+      optStr("queryModel"), optStr("indexModel")), version, buckets)
   }
 
   /** Atomic catalog flip: serialize → tmp file → ATOMIC_MOVE rename. */
@@ -132,12 +150,15 @@ object Persistence {
         try Files.delete(f) catch { case _: Exception => () })
   }
 
-  def gcOldVersions(root: String, schema: String, name: String, keep: Long): Unit = {
+  /** Drop version dirs no bucket references anymore (a version stays live
+    * as long as ANY bucket still points into it). */
+  def gcOldVersions(root: String, schema: String, name: String,
+      referenced: Set[String]): Unit = {
     val dir = Paths.get(root, "data", schema, name)
     if (!Files.exists(dir)) return
     Files.list(dir).iterator().asScala.toSeq.foreach { p: Path =>
       val n = p.getFileName.toString
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != keep)
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && !referenced.contains(n))
         deleteDir(p.toString)
     }
   }

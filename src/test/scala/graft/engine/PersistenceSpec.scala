@@ -46,7 +46,7 @@ class PersistenceSpec extends AnyFunSuite {
     e2.purgeStores()
   }
 
-  test("mutations after reload persist; version dirs are GCed to the live one") {
+  test("mutations after reload persist; unreferenced version dirs are GCed") {
     val root = tmpRoot()
     val e1 = new GraftEngine(spark, Some(root))
     e1.createStore("s", 1)
@@ -59,13 +59,36 @@ class PersistenceSpec extends AnyFunSuite {
     e2.setSeq("s", Seq((Array(3f), meta("k" -> "3"))))
     val e3 = GraftEngine.load(spark, root)
     assert(e3.storeDf("s").count() == 2)
-    // only one live version dir remains after GC
-    val versions = Files.list(Paths.get(root, "data", "public", "s"))
-      .iterator()
-    val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(versions)
-      .asScala.map(_.getFileName.toString).filter(_.startsWith("v")).toSeq
-    assert(dirs.size == 1, s"expected single live version, got $dirs")
+    // on-disk version dirs == exactly the set referenced by the catalog
+    // (incremental buckets keep old versions alive only while referenced)
+    val onDisk = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(Paths.get(root, "data", "public", "s")).iterator())
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("v")).toSet
+    val referenced = Persistence.readCatalog(root)
+      .find(_.meta.name == "s").get.bucketPaths.values
+      .map(_.split("/")(0)).toSet
+    assert(onDisk == referenced, s"disk $onDisk != referenced $referenced")
     e3.purgeStores()
+  }
+
+  test("incremental writes touch only the mutated buckets") {
+    val root = tmpRoot()
+    val e = new GraftEngine(spark, Some(root))
+    e.createStore("s", 1)
+    // bulk load spreads across buckets
+    e.setSeq("s", (0 until 200).map(i => (Array(i.toFloat), meta("i" -> i.toString))))
+    val before = Persistence.readCatalog(root).find(_.meta.name == "s").get.bucketPaths
+    // single-row write: most buckets must carry forward untouched
+    e.setSeq("s", Seq((Array(0.5f), meta("i" -> "new"))))
+    val after = Persistence.readCatalog(root).find(_.meta.name == "s").get.bucketPaths
+    val unchanged = before.count { case (b, p) => after.get(b).contains(p) }
+    assert(unchanged >= GraftEngine.NumBuckets - 1,
+      s"expected ≥${GraftEngine.NumBuckets - 1} untouched buckets, got $unchanged of ${before.size}")
+    assert(after != before) // the touched bucket moved to the new version
+    assert(e.storeDf("s").count() == 201)
+    // restart still sees the full store stitched across versions
+    assert(GraftEngine.load(spark, root).storeDf("s").count() == 201)
+    e.purgeStores()
   }
 
   test("dropStore removes data dirs; dropped store absent after reload") {
