@@ -1,0 +1,111 @@
+package graft
+
+import scala.io.StdIn
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dsl.{Pipeline, Response}
+import graft.engine.GraftEngine
+
+/**
+ * REPL / script runner — the analog of the reference CLI
+ * (/root/reference/ahnlich/cli: DSL line → pipeline → responses), speaking
+ * to an in-process engine instead of a gRPC server.
+ *
+ * Usage:
+ *   sbt "runMain graft.Cli [--ai] [--persist DIR] [SCRIPT...]"
+ *
+ * Each SCRIPT argument (or, with none, each stdin line) is a `;`-separated
+ * pipeline; per-statement results or errors print in order. `--ai` switches
+ * to the AI grammar + engine (mock embedder runtime); `--persist DIR`
+ * backs stores with the parquet catalog at DIR so sessions resume.
+ */
+object Cli {
+
+  def render(r: Pipeline.StepResult): String = r match {
+    case Left(err) => s"Error: $err"
+    case Right(Response.Pong) => "PONG"
+    case Right(Response.Ok) => "OK"
+    case Right(Response.Count(n)) => s"count: $n"
+    case Right(Response.SetResult(i, u)) => s"inserted: $i, updated: $u"
+    case Right(Response.Info(f)) =>
+      f.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("server: ", ", ", "")
+    case Right(Response.Clients(cs)) => s"clients: ${cs.size}"
+    case Right(Response.StoreList(infos)) =>
+      if (infos.isEmpty) "stores: (none)"
+      else infos.map(i => s"  ${i.schema}.${i.name} dim=${i.dimension} len=${i.len} " +
+        s"pred=[${i.predicateIndexes.mkString(",")}] nl=[${i.nonLinearIndexes.mkString(",")}]")
+        .mkString("stores:\n", "\n", "")
+    case Right(Response.StoreGet(i)) =>
+      s"store: ${i.schema}.${i.name} dim=${i.dimension} len=${i.len} " +
+        s"pred=[${i.predicateIndexes.mkString(",")}] nl=[${i.nonLinearIndexes.mkString(",")}]"
+    case Right(Response.Entries(df)) => renderRows(df, sim = false)
+    case Right(Response.SimEntries(df)) => renderRows(df, sim = true)
+  }
+
+  private def renderRows(df: org.apache.spark.sql.DataFrame, sim: Boolean): String = {
+    val rows = df.collect()
+    if (rows.isEmpty) return "(0 rows)"
+    val out = rows.map { row =>
+      val keyIdx = row.schema.fieldNames.indexOf("key")
+      val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx))
+        row.getSeq[Float](keyIdx).mkString("[", ", ", "]")
+      else row.schema.fieldNames.indexOf("input") match {
+        case i if i >= 0 && !row.isNullAt(i) =>
+          val s = row.getStruct(i)
+          if (s.getString(0) == "raw_string") s.getString(1)
+          else s"<${s.getString(0)} ${Option(s.getAs[Array[Byte]](2)).fold(0)(_.length)}B>"
+        case _ => "?"
+      }
+      val vIdx = row.schema.fieldNames.indexOf("value")
+      val value = row.getMap[String, org.apache.spark.sql.Row](vIdx).toSeq
+        .sortBy(_._1).map { case (k, v) =>
+          if (v.getString(0) == "raw_string") s"$k: ${v.getString(1)}"
+          else s"$k: <${v.getString(0)}>"
+        }.mkString("{", ", ", "}")
+      val simPart = if (sim) f", sim=${row.getAs[Float]("similarity")}%.4f" else ""
+      s"  ($key, $value$simPart)"
+    }
+    s"(${rows.length} rows)\n" + out.mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val ai = args.contains("--ai")
+    val persistIdx = args.indexOf("--persist")
+    val persistRoot = if (persistIdx >= 0) Some(args(persistIdx + 1)) else None
+    val scripts = args.zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("--") || (persistIdx >= 0 && i == persistIdx + 1) }.map(_._1)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = persistRoot.fold(new GraftEngine(spark))(r =>
+      graft.engine.GraftEngine.load(spark, r))
+    val aiEngine = new graft.ai.AiEngine(engine)
+
+    def run(script: String): Unit =
+      try {
+        val results =
+          if (ai) Pipeline.runAi(aiEngine, script)
+          else Pipeline.runDb(engine, script)
+        results.foreach(r => println(render(r)))
+      } catch {
+        case e: graft.dsl.DslParseError => println(s"Error: ${e.getMessage}")
+      }
+
+    if (scripts.nonEmpty) scripts.foreach(run)
+    else {
+      System.err.println(
+        s"graft ${if (ai) "AI" else "DB"} repl — `;`-separated statements, ctrl-D to exit")
+      Iterator.continually(StdIn.readLine("graft> "))
+        .takeWhile(l => l != null && l.trim != "exit")
+        .filter(_.trim.nonEmpty)
+        .foreach(run)
+    }
+    spark.stop()
+  }
+}
