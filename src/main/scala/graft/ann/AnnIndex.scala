@@ -62,7 +62,8 @@ object IdFilter {
 final class AnnIndex(
     val kind: String,
     val config: NonLinearConfig,
-    val shards: RDD[AnnShard]) extends Serializable {
+    val shards: RDD[AnnShard],
+    val numShards: Int) extends Serializable {
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
@@ -84,38 +85,87 @@ final class AnnIndex(
 
 object AnnIndex {
 
+  /** Bucket-identity partitioner: shard index == pmod(id, numShards) bucket
+    * — the SAME bucketing as the persistence layer, so a mutation's touched
+    * buckets name exactly the shards to rebuild. */
+  private final class BucketPartitioner(val buckets: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = buckets
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    override def equals(o: Any): Boolean = o match {
+      case b: BucketPartitioner => b.buckets == buckets; case _ => false
+    }
+    override def hashCode: Int = buckets
+  }
+
+  /** (bucket, (id, vec)) rows, identity-partitioned and id-sorted within
+    * each shard (id order fixes HNSW insertion order → deterministic
+    * graphs, hnsw.md:1071-1093). */
+  private def keyedRows(df: DataFrame, parts: Int): RDD[(Long, Array[Float])] =
+    df.select(pmod(col("id"), lit(parts)).cast("int").as("_b"), col("id"), col("key"))
+      .rdd.map(r => (r.getInt(0), (r.getLong(1), toFloats(r.getSeq[Float](2)))))
+      .partitionBy(new BucketPartitioner(parts))
+      .mapPartitions(it => it.map(_._2).toArray.sortBy(_._1).iterator,
+        preservesPartitioning = true)
+
+  private def buildShard(dim: Int, config: NonLinearConfig,
+      it: Iterator[(Long, Array[Float])]): Iterator[AnnShard] = config match {
+    case h: NonLinearConfig.HNSWConfig =>
+      val idx = HnswIndex(dim, h)
+      it.foreach { case (id, v) => idx.insert(id, v) }
+      if (idx.size == 0) Iterator.empty
+      else Iterator(new HnswShard(idx, h.efSearch): AnnShard)
+    case _: NonLinearConfig.KDTreeConfig =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val t = new KdTree(dim)
+        t.build(rows.map(_._1), rows.map(_._2))
+        Iterator(new KdShard(t): AnnShard)
+      }
+  }
+
   /** Batch index-build job (CreateNonLinearAlgorithmIndex,
     * store.rs:240-254, 1160-1186). */
   def build(df: DataFrame, dim: Int, config: NonLinearConfig): AnnIndex = {
     val parts = math.max(1, df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
-    val rows = df.select("id", "key")
-      .repartition(parts, col("id"))
-      .sortWithinPartitions("id")
-    val shards: RDD[AnnShard] = config match {
-      case h: NonLinearConfig.HNSWConfig =>
-        rows.rdd.mapPartitions { it =>
-          val idx = HnswIndex(dim, h)
-          it.foreach { r => idx.insert(r.getLong(0), toFloats(r.getSeq[Float](1))) }
-          if (idx.size == 0) Iterator.empty
-          else Iterator(new HnswShard(idx, h.efSearch): AnnShard)
-        }
-      case _: NonLinearConfig.KDTreeConfig =>
-        rows.rdd.mapPartitions { it =>
-          val ids = scala.collection.mutable.ArrayBuffer[Long]()
-          val vecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
-          it.foreach { r => ids += r.getLong(0); vecs += toFloats(r.getSeq[Float](1)) }
-          if (ids.isEmpty) Iterator.empty
-          else {
-            val t = new KdTree(dim)
-            t.build(ids.toArray, vecs.toArray)
-            Iterator(new KdShard(t): AnnShard)
-          }
-        }
-    }
+    val shards = keyedRows(df, parts)
+      .mapPartitions(it => buildShard(dim, config, it), preservesPartitioning = true)
     val cached = shards.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    new AnnIndex(config.kind, config, cached)
+    new AnnIndex(config.kind, config, cached, parts)
+  }
+
+  /** Delta-patch after a mutation: rebuild ONLY the shards whose bucket was
+    * touched (same bucket math as the incremental persistence layer);
+    * untouched shard structures are reused as-is from the previous index —
+    * the per-shard analog of the reference's live index maintenance
+    * (non_linear.rs:244-251), with write cost proportional to the batch. */
+  def patch(old: AnnIndex, df: DataFrame, dim: Int,
+      touched: Set[Int]): AnnIndex = {
+    val parts = old.numShards
+    val touchedNorm = touched.map(b => ((b % parts) + parts) % parts)
+    val config = old.config
+    val rebuilt = keyedRows(df.where(
+        pmod(col("id"), lit(parts)).cast("int").isin(touchedNorm.toSeq: _*)), parts)
+      .mapPartitionsWithIndex((i, it) =>
+        if (touchedNorm.contains(i)) buildShard(dim, config, it)
+        else Iterator.empty,
+        preservesPartitioning = true)
+    // partition-ALIGNED merge (shard index == bucket must survive patch
+    // chains — a pruning+union would renumber partitions and desync the
+    // next patch's bucket math): zip the equal-width RDDs, pick the new
+    // shard for touched buckets (even when it's now empty), old otherwise
+    val merged = old.shards.zipPartitions(rebuilt, preservesPartitioning = true) {
+      (oldIt, newIt) => Iterator((oldIt.toArray, newIt.toArray))
+    }.mapPartitionsWithIndex((i, it) => {
+      val (o, n) = it.next()
+      if (touchedNorm.contains(i)) n.iterator else o.iterator
+    }, preservesPartitioning = true)
+    val cached = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize before the caller releases the old index
+    new AnnIndex(old.kind, old.config, cached, parts)
   }
 
   private def toFloats(s: Seq[Float]): Array[Float] = s.toArray

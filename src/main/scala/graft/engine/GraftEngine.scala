@@ -144,16 +144,29 @@ class GraftEngine(val spark: SparkSession,
     * data, mirroring the reference's live index maintenance on write
     * (db/src/algorithm/non_linear.rs:244-251) — the catalog never advertises
     * an index that can't serve. */
+  /** `touchedIds`: the content ids a mutation added/removed, when the
+    * caller knows them (Set/DelKey). Drives BOTH incremental layers —
+    * touched parquet buckets (mod NumBuckets) and touched ANN shards
+    * (mod each index's shard count, delta-patched instead of rebuilt).
+    * None ⇒ full rewrite + full index rebuild (predicate deletes, upserts). */
   private def swap(schema: String, name: String, next: DataFrame,
-      touched: Option[Set[Int]] = None): Unit = {
+      touchedIds: Option[DataFrame] = None): Unit = {
     val st = state(schema, name)
     val newVersion = st.version + 1
-    val (written, newPaths) = writeBuckets(st, schema, name, next, newVersion, touched)
+    val touchedPersist = touchedIds.map(bucketsOf(_, GraftEngine.NumBuckets))
+    val (written, newPaths) =
+      writeBuckets(st, schema, name, next, newVersion, touchedPersist)
     val cached = written.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count() // materialize before releasing predecessor
     st.df.unpersist(blocking = false)
     val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
-      kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg)
+      (st.annIndexes.get(kind), touchedIds) match {
+        case (Some(old), Some(ids)) =>
+          kind -> graft.ann.AnnIndex.patch(old, cached, st.meta.dimension,
+            bucketsOf(ids, old.numShards))
+        case _ =>
+          kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg)
+      }
     }
     st.annIndexes.values.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, annIndexes = rebuilt,
@@ -163,9 +176,9 @@ class GraftEngine(val spark: SparkSession,
       newPaths.values.map(_.split("/")(0)).toSet))
   }
 
-  /** Buckets touched by a batch of content ids (driver-side: ≤ NumBuckets). */
-  private def touchedBuckets(ids: DataFrame): Set[Int] =
-    ids.select(pmod(col(ids.columns.head), lit(GraftEngine.NumBuckets))
+  /** Buckets touched by a batch of content ids (driver-side: ≤ modulus). */
+  private def bucketsOf(ids: DataFrame, modulus: Int): Set[Int] =
+    ids.select(pmod(col(ids.columns.head), lit(modulus))
       .cast("int").as("_b")).distinct().collect().map(_.getInt(0)).toSet
 
   // ------------------------------------------------------------ catalog ops
@@ -320,7 +333,7 @@ class GraftEngine(val spark: SparkSession,
         // initial bulk load: nothing to reconcile against — skip the
         // anti-join rewrite and the update count entirely; swap owns the
         // caching (sharing a persisted plan here would alias cache entries)
-        swap(schema, name, deduped, Some(touchedBuckets(withId.select("id"))))
+        swap(schema, name, deduped, Some(withId.select("id")))
         (state(schema, name).df.count(), 0L)
       } else {
         val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -333,7 +346,7 @@ class GraftEngine(val spark: SparkSession,
         val inserted = batchDistinct - updated
         val next = st.df.join(batchIds, col("id") === col("_nid"), "left_anti")
           .union(dedupedCached)
-        swap(schema, name, next, Some(touchedBuckets(dedupedCached.select("id"))))
+        swap(schema, name, next, Some(dedupedCached.select("id")))
         dedupedCached.unpersist(blocking = false)
         (inserted, updated)
       }
@@ -386,7 +399,7 @@ class GraftEngine(val spark: SparkSession,
     if (deleted > 0)
       swap(schema, name,
         st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
-        Some(touchedBuckets(probe)))
+        Some(probe))
     deleted
   }
 

@@ -94,6 +94,33 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getStore("s").nonLinearIndexes == Seq("kdtree"))
   }
 
+  test("ANN delta-patch equals full rebuild across a mutation sequence") {
+    val e = fresh()
+    e.createStore("s", 4, nonLinearIndexes = Seq(
+      NonLinearConfig.KDTreeConfig(), NonLinearConfig.HNSWConfig()))
+    e.setSeq("s", (0 until 120).map(i =>
+      (Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f), meta("i" -> i.toString))))
+    // mutations ride the patch path (indexes exist + touched ids known)
+    e.setSeq("s", Seq((Array(500f, 1f, 1f, 1f), meta("i" -> "new"))))
+    e.delKey("s", Seq(Array(3f, 3f, 0f, 1f)))
+    // oracle: a parallel store built fresh from scratch (full rebuild)
+    val o = fresh()
+    o.createStore("o", 4, nonLinearIndexes = Seq(
+      NonLinearConfig.KDTreeConfig(), NonLinearConfig.HNSWConfig()))
+    o.setSeq("o", ((0 until 120).filter(_ != 3).map(i =>
+      (Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f), meta("i" -> i.toString))) :+
+      ((Array(500f, 1f, 1f, 1f), meta("i" -> "new")))))
+    for (algo <- Seq(Algorithm.KDTree, Algorithm.HNSW)) {
+      val q = Array(42f, 0f, 0f, 1f)
+      val patched = e.getSimN("s", q, 8, algo).collect()
+        .map(r => (r.getSeq[Float](0), r.getAs[Float]("similarity"))).toSeq
+      val rebuilt = o.getSimN("o", q, 8, algo).collect()
+        .map(r => (r.getSeq[Float](0), r.getAs[Float]("similarity"))).toSeq
+      assert(patched == rebuilt, s"$algo patch != rebuild")
+    }
+    assert(e.storeDf("s").count() == 120) // 120 + 1 - 1
+  }
+
   test("delPred + getPred missing-key semantics end-to-end") {
     val e = fresh()
     e.createStore("s", 1)
