@@ -140,9 +140,22 @@ class AiSpec extends AnyFunSuite {
         |SET (([hello world], {tag: greeting}), ([farewell], {tag: bye})) IN aistore PREPROCESSACTION nopreprocessing;
         |GETSIMN 1 WITH [hello world] USING cosinesimilarity IN aistore WHERE (tag = greeting);
         |GETKEY ([farewell]) IN aistore;
+        |UPSERT ([changed greeting], {mood: happy}) WHERE (tag = greeting) IN aistore PREPROCESSACTION nopreprocessing;
+        |GETKEY ([changed greeting]) IN aistore;
         |DELKEY ([farewell]) IN aistore""".stripMargin
     val results = graft.dsl.Pipeline.runAi(ai, script)
-    assert(results.size == 5)
+    assert(results.size == 7)
+    results(4) match { // AI upsert: merge + re-embed through the pipeline
+      case Right(graft.dsl.Response.Ok) => ()
+      case other => fail(s"unexpected $other")
+    }
+    results(5) match {
+      case Right(graft.dsl.Response.Entries(df)) =>
+        val m = df.collect().head.getMap[String, org.apache.spark.sql.Row](1)
+        assert(m("tag").getString(1) == "greeting") // merged old metadata
+        assert(m("mood").getString(1) == "happy")
+      case other => fail(s"unexpected $other")
+    }
     assert(results(0) == Right(graft.dsl.Response.Ok))
     assert(results(1) == Right(graft.dsl.Response.SetResult(2, 0)))
     results(2) match {
@@ -155,6 +168,6 @@ class AiSpec extends AnyFunSuite {
       case Right(graft.dsl.Response.Entries(df)) => assert(df.count() == 1)
       case other => fail(s"unexpected $other")
     }
-    assert(results(4) == Right(graft.dsl.Response.Count(1)))
+    assert(results(6) == Right(graft.dsl.Response.Count(1)))
   }
 }
