@@ -404,14 +404,18 @@ class GraftEngine(val spark: SparkSession,
   }
 
   /** DelPred — delete by predicate, returns deleted count
-    * (store.rs:272-286, 851-856). */
+    * (store.rs:272-286, 851-856). The matched ids are in hand from the
+    * count scan, so the rewrite is bucket-incremental like DelKey. */
   def delPred(name: String, cond: PredicateCondition,
       schema: String = DefaultSchema): Long = {
     val st = state(schema, name)
     val c = Predicates.toColumn(cond, col("value"))
-    val deleted = st.df.where(c).count()
-    if (deleted > 0) swap(schema, name, st.df.where(!c))
-    deleted
+    val matched = st.df.where(c).select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deleted = matched.count()
+      if (deleted > 0) swap(schema, name, st.df.where(!c), Some(matched))
+      deleted
+    } finally matched.unpersist(blocking = false)
   }
 
   /** Upsert — update exactly-one entry matched by predicate; optional new
@@ -446,7 +450,12 @@ class GraftEngine(val spark: SparkSession,
     // the new key may collide with a different existing entry: last-wins
     val next = withoutOld.join(replacement.select(col("id").as("_nid")),
       col("id") === col("_nid"), "left_anti").union(replacement)
-    swap(schema, name, next)
+    // touched = the old entry's id + the replacement's id (both vectors are
+    // in hand) — upsert stays bucket-incremental
+    val touched = entriesDf(Seq((oldKey, Map.empty[String, MetadataValue]),
+        (finalKey, Map.empty[String, MetadataValue])))
+      .select(keyId(col("key")).as("id"))
+    swap(schema, name, next, Some(touched))
   }
 
   private def rowToMetaMap(m: scala.collection.Map[String, Row]): Map[String, MetadataValue] =

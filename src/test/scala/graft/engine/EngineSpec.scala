@@ -100,16 +100,21 @@ class EngineSpec extends AnyFunSuite {
       NonLinearConfig.KDTreeConfig(), NonLinearConfig.HNSWConfig()))
     e.setSeq("s", (0 until 120).map(i =>
       (Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f), meta("i" -> i.toString))))
-    // mutations ride the patch path (indexes exist + touched ids known)
+    // mutations ride the patch path (indexes exist + touched ids known):
+    // set, delKey, delPred, and upsert are all bucket-incremental
     e.setSeq("s", Seq((Array(500f, 1f, 1f, 1f), meta("i" -> "new"))))
     e.delKey("s", Seq(Array(3f, 3f, 0f, 1f)))
+    e.delPred("s", Equals("i", RawString("77")))
+    e.upsert("s", Equals("i", RawString("50")),
+      newKey = Some(Array(600f, 1f, 1f, 1f)), mergeMetadata = true)
     // oracle: a parallel store built fresh from scratch (full rebuild)
     val o = fresh()
     o.createStore("o", 4, nonLinearIndexes = Seq(
       NonLinearConfig.KDTreeConfig(), NonLinearConfig.HNSWConfig()))
-    o.setSeq("o", ((0 until 120).filter(_ != 3).map(i =>
-      (Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f), meta("i" -> i.toString))) :+
-      ((Array(500f, 1f, 1f, 1f), meta("i" -> "new")))))
+    o.setSeq("o", ((0 until 120).filterNot(Set(3, 77, 50)).map(i =>
+      (Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f), meta("i" -> i.toString))) ++
+      Seq((Array(500f, 1f, 1f, 1f), meta("i" -> "new")),
+        (Array(600f, 1f, 1f, 1f), meta("i" -> "50")))))
     for (algo <- Seq(Algorithm.KDTree, Algorithm.HNSW)) {
       val q = Array(42f, 0f, 0f, 1f)
       val patched = e.getSimN("s", q, 8, algo).collect()
@@ -118,7 +123,7 @@ class EngineSpec extends AnyFunSuite {
         .map(r => (r.getSeq[Float](0), r.getAs[Float]("similarity"))).toSeq
       assert(patched == rebuilt, s"$algo patch != rebuild")
     }
-    assert(e.storeDf("s").count() == 120) // 120 + 1 - 1
+    assert(e.storeDf("s").count() == 119) // 120 + 1 − delKey − delPred (upsert moves)
   }
 
   test("delPred + getPred missing-key semantics end-to-end") {
