@@ -104,17 +104,26 @@ class AiEngine(val db: GraftEngine) {
     db.set(name, embedded, schema)
   }
 
-  /** Distributed analog of DelPred(ReservedKey IN batch-inputs): broadcast
-    * semi/anti join on the reserved metadata value — no driver collect. */
+  /** Distributed analog of DelPred(ReservedKey IN batch-inputs). The store
+    * scan is pruned by a broadcast of 8-byte `xxhash64(input)` values ONLY —
+    * never the raw payloads (an image/audio batch would otherwise broadcast
+    * every payload byte); the tiny hash-matched candidate set is then
+    * verified by exact input equality in a shuffle join (hash collisions
+    * can't delete a wrong row), and the confirmed ids feed the engine's
+    * bucket-incremental id delete. */
   private def delByReservedInput(name: String, inputs: DataFrame,
       schema: String): Long = {
     val st = db.storeDf(name, schema)
-    val probe = broadcast(inputs.select(col("input").as("_probe")).distinct())
     val keyCol = element_at(col("value"), ReservedKey)
-    val deleted = st.join(probe, keyCol === col("_probe"), "left_semi").count()
-    if (deleted > 0)
-      db.replaceStoreDf(name, st.join(probe, keyCol === col("_probe"), "left_anti"), schema)
-    deleted
+    val probeHash = broadcast(
+      inputs.select(xxhash64(col("input")).as("_ph")).distinct())
+    val candidates = st.where(keyCol.isNotNull)
+      .join(probeHash, xxhash64(keyCol) === col("_ph"), "left_semi")
+    val confirmed = candidates.join(
+        inputs.select(col("input").as("_probe")).distinct().hint("shuffle_hash"),
+        keyCol === col("_probe"), "left_semi")
+      .select("id")
+    db.delByIds(name, confirmed, schema)
   }
 
   /** The embedding stage: mapPartitions with a broadcast embedder; one-to-many

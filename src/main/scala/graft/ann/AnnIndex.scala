@@ -126,10 +126,18 @@ object AnnIndex {
   }
 
   /** Batch index-build job (CreateNonLinearAlgorithmIndex,
-    * store.rs:240-254, 1160-1186). */
-  def build(df: DataFrame, dim: Int, config: NonLinearConfig): AnnIndex = {
-    val parts = math.max(1, df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt)
+    * store.rs:240-254, 1160-1186). The shard count is rounded UP to a
+    * multiple of [[GraftEngine.NumBuckets]] so that every shard's rows live
+    * entirely inside one persistence bucket — a mutation's pruned
+    * touched-bucket read is then a complete source for delta-patching its
+    * touched shards. `numShards` overrides the default (tests / explicit
+    * shard sizing). */
+  def build(df: DataFrame, dim: Int, config: NonLinearConfig,
+      numShards: Option[Int] = None): AnnIndex = {
+    val nb = GraftEngine.NumBuckets
+    val raw = numShards.getOrElse(math.max(1, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt))
+    val parts = math.max(nb, ((raw + nb - 1) / nb) * nb)
     val shards = keyedRows(df, parts)
       .mapPartitions(it => buildShard(dim, config, it), preservesPartitioning = true)
     val cached = shards.persist(StorageLevel.MEMORY_AND_DISK)
@@ -164,6 +172,13 @@ object AnnIndex {
       if (touchedNorm.contains(i)) n.iterator else o.iterator
     }, preservesPartitioning = true)
     val cached = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    // truncate lineage at materialization: without this, every patch chains
+    // the predecessor's (soon-unpersisted) shards RDD, and an evicted
+    // partition would recompute through shuffle stages whose source version
+    // dirs may since be GC'd. localCheckpoint trades that unbounded chain
+    // for node-local durability — on executor loss a cluster deployment
+    // rebuilds the index from the table (it is derived state).
+    cached.localCheckpoint()
     cached.count() // materialize before the caller releases the old index
     new AnnIndex(old.kind, old.config, cached, parts)
   }

@@ -4,7 +4,6 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
 import graft.types._
@@ -19,12 +18,19 @@ import graft.functions.{Predicates, Similarity}
  * Design notes (Spark-first, scale-first):
  *  - A store is an immutable DataFrame; every mutation is a deterministic
  *    DataFrame rewrite swapped into the catalog (batch analog of the
- *    reference's lock-free in-place maps, store.rs:739-758). At cluster scale
- *    the same rewrites target parquet table dirs (see [[Persistence]]).
+ *    reference's lock-free in-place maps, store.rs:739-758). Persistent
+ *    stores root every version in parquet bucket dirs (see [[Persistence]]).
  *  - Row identity = deterministic content hash of the vector (exact bits),
  *    mirroring StoreKeyId (types/src/utils/store_key_id.rs:10-30): computed
  *    with Spark's `xxhash64` over the ARRAY<FLOAT> column, so re-SETting a
  *    vector is an update, never a duplicate (store.rs:1104-1121).
+ *  - Mutations are bucket-incremental on BOTH sides: they READ only the
+ *    touched buckets' parquet dirs (reconstructed from `bucketPaths`, never
+ *    the whole store) and WRITE only the touched buckets into the new
+ *    version dir — read and write amplification are each proportional to
+ *    the touched bucket set, not the store. The post-write store DataFrame
+ *    is a lazy parquet read of the new bucket set, so no mutation ever
+ *    scans the full table.
  *  - Point lookups hash the probe keys with the *same expression* and
  *    broadcast-semi-join — no JVM-side mirror of the hash needed.
  *  - Search is `closeness DESC, id ASC` + LIMIT n → Catalyst plans
@@ -37,7 +43,11 @@ class GraftEngine(val spark: SparkSession,
 
   import StoreSchema._
 
+  /** `len` is maintained driver-side from mutation deltas (the reference
+    * keeps the same cached counters, store.rs:71-101) — ListStores/GetStore
+    * never run a count job. */
   final case class StoreState(meta: StoreMeta, df: DataFrame,
+      len: Long = 0L,
       annIndexes: Map[String, graft.ann.AnnIndex] = Map.empty,
       version: Long = 0L,
       bucketPaths: Map[Int, String] = Map.empty)
@@ -51,42 +61,39 @@ class GraftEngine(val spark: SparkSession,
     * tmp+rename — Persistence.writeCatalog). No-op without a persistRoot. */
   private def flushCatalog(): Unit = persistRoot.foreach { root =>
     Persistence.writeCatalog(root, catalog.values.toSeq.map(st =>
-      Persistence.StoreRecord(st.meta, st.version, st.bucketPaths)))
+      Persistence.StoreRecord(st.meta, st.version, st.bucketPaths, st.len)))
   }
 
   /** Tables-as-truth INCREMENTAL write: store rows hash into
     * [[GraftEngine.NumBuckets]] buckets by content id; a mutation writes
     * ONLY its touched buckets into the new version dir, untouched buckets
-    * carry forward by reference in the catalog — write amplification is
-    * proportional to the batch, not the store (the partition-pruned
-    * rewrite a 100 TB table needs). `touched = None` rewrites everything
-    * (predicate deletes, upserts). Returns the DataFrame reading the new
-    * bucket set + the new bucket→path map. */
+    * carry forward by reference in the catalog. `touched = None` rewrites
+    * everything (full-rewrite swaps). Returns the lazy DataFrame reading
+    * the new bucket set + the new bucket→path map. */
   private def writeBuckets(st: StoreState, schema: String, name: String,
       next: DataFrame, version: Long,
-      touched: Option[Set[Int]]): (DataFrame, Map[Int, String]) = persistRoot match {
-    case None => (next, Map.empty)
-    case Some(root) =>
-      val vdirName = s"v$version"
-      val vdir = Persistence.dataPath(root, schema, name, version)
-      val bucketCol = pmod(col("id"), lit(GraftEngine.NumBuckets)).cast("int")
-      val toWrite = touched match {
-        case None => next
-        case Some(tb) => next.where(bucketCol.isin(tb.toSeq: _*))
-      }
-      toWrite.withColumn("_b", bucketCol)
-        .write.partitionBy("_b").mode("overwrite").parquet(vdir)
-      val writtenBuckets = (0 until GraftEngine.NumBuckets).filter(b =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(vdir, s"_b=$b"))).toSet
-      val newPaths: Map[Int, String] = touched match {
-        case None => writtenBuckets.map(b => b -> s"$vdirName/_b=$b").toMap
-        case Some(tb) =>
-          // touched buckets now live in the new version (or vanished);
-          // untouched buckets keep their previous files
-          (st.bucketPaths -- tb) ++
-            writtenBuckets.intersect(tb).map(b => b -> s"$vdirName/_b=$b").toMap
-      }
-      (readBuckets(root, schema, name, newPaths), newPaths)
+      touched: Option[Set[Int]]): (DataFrame, Map[Int, String]) = {
+    val root = persistRoot.get
+    val vdirName = s"v$version"
+    val vdir = Persistence.dataPath(root, schema, name, version)
+    val bucketCol = pmod(col("id"), lit(GraftEngine.NumBuckets)).cast("int")
+    val toWrite = touched match {
+      case None => next
+      case Some(tb) => next.where(bucketCol.isin(tb.toSeq: _*))
+    }
+    toWrite.withColumn("_b", bucketCol)
+      .write.partitionBy("_b").mode("overwrite").parquet(vdir)
+    val writtenBuckets = (0 until GraftEngine.NumBuckets).filter(b =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(vdir, s"_b=$b"))).toSet
+    val newPaths: Map[Int, String] = touched match {
+      case None => writtenBuckets.map(b => b -> s"$vdirName/_b=$b").toMap
+      case Some(tb) =>
+        // touched buckets now live in the new version (or vanished);
+        // untouched buckets keep their previous files
+        (st.bucketPaths -- tb) ++
+          writtenBuckets.intersect(tb).map(b => b -> s"$vdirName/_b=$b").toMap
+    }
+    (readBuckets(root, schema, name, newPaths), newPaths)
   }
 
   private def readBuckets(root: String, schema: String, name: String,
@@ -111,6 +118,9 @@ class GraftEngine(val spark: SparkSession,
 
   def storeMeta(name: String, schema: String = DefaultSchema): StoreMeta =
     state(schema, name).meta
+
+  def storeLen(name: String, schema: String = DefaultSchema): Long =
+    state(schema, name).len
 
   def exists(name: String, schema: String = DefaultSchema): Boolean =
     catalog.contains((schema, name))
@@ -138,48 +148,123 @@ class GraftEngine(val spark: SparkSession,
       throw GraftErrors.dimensionMismatch(meta.dimension, bad.head.getInt(0))
   }
 
-  /** Swap in a new DataFrame for a store, caching the new state and
-    * releasing the old (keeps lineage bounded under repeated mutation).
-    * Any non-linear indexes the catalog advertises are REBUILT from the new
-    * data, mirroring the reference's live index maintenance on write
-    * (db/src/algorithm/non_linear.rs:244-251) — the catalog never advertises
-    * an index that can't serve. */
-  /** `touchedIds`: the content ids a mutation added/removed, when the
-    * caller knows them (Set/DelKey). Drives BOTH incremental layers —
-    * touched parquet buckets (mod NumBuckets) and touched ANN shards
-    * (mod each index's shard count, delta-patched instead of rebuilt).
-    * None ⇒ full rewrite + full index rebuild (predicate deletes, upserts). */
-  private def swap(schema: String, name: String, next: DataFrame,
-      touchedIds: Option[DataFrame] = None): Unit = {
+  // ------------------------------------------------- touched-bucket machinery
+
+  /** Which buckets a mutation touches, per modulus: the persistence layer's
+    * [[GraftEngine.NumBuckets]] and each live ANN index's shard count. All
+    * moduli are resolved in ONE distinct+collect job over the (small)
+    * touched-id frame — and NO job runs when the store is in-memory with no
+    * ANN index (nothing needs bucket math then). */
+  private final case class Touch(byModulus: Map[Int, Set[Int]]) {
+    def buckets: Set[Int] = byModulus.getOrElse(GraftEngine.NumBuckets, Set.empty)
+  }
+
+  private def touchModuli(st: StoreState): Seq[Int] =
+    ((if (persistRoot.isDefined) Set(GraftEngine.NumBuckets) else Set.empty[Int]) ++
+      st.annIndexes.values.map(_.numShards)).toSeq.sorted
+
+  private def touchOf(st: StoreState, ids: DataFrame): Touch = {
+    val moduli = touchModuli(st)
+    if (moduli.isEmpty) Touch(Map.empty)
+    else {
+      val idCol = col(ids.columns.head)
+      val cols = moduli.map(m => pmod(idCol, lit(m)).cast("int").as(s"_m$m"))
+      val rows = ids.select(cols: _*).distinct().collect()
+      Touch(moduli.zipWithIndex.map { case (m, i) =>
+        m -> rows.map(_.getInt(i)).toSet
+      }.toMap)
+    }
+  }
+
+  /** Driver-side variant when the touched content ids are already in hand
+    * (DelKey probes, Upsert's two ids) — zero Spark jobs. */
+  private def touchOfIds(st: StoreState, ids: Seq[Long]): Touch =
+    Touch(touchModuli(st).map(m =>
+      m -> ids.map(id => java.lang.Math.floorMod(id, m.toLong).toInt).toSet).toMap)
+
+  /** The frame a mutation scans for its pre-write counts and rewrite: the
+    * pruned parquet read of ONLY the touched buckets for persistent stores
+    * (O(touched), never O(store)); the cached df for in-memory stores. */
+  private def mutationView(st: StoreState, touch: Touch): DataFrame =
+    persistRoot match {
+      case Some(root) =>
+        readBuckets(root, st.meta.schema, st.meta.name,
+          st.bucketPaths.view.filterKeys(touch.buckets).toMap)
+      case None => st.df
+    }
+
+  /** Swap in the result of a mutation. `rewrite` maps a source of existing
+    * rows to the post-mutation rows *for those rows' buckets*; it must be
+    * location-transparent (applied to the full store it yields the full new
+    * store; applied to only the touched buckets it yields those buckets'
+    * new contents — true for anti-join/union and filter rewrites, since a
+    * row's content id fixes its bucket).
+    *
+    * Persistent path: rewrite the touched buckets from a PRUNED parquet
+    * read, write them, and root the new store df lazily in the new bucket
+    * set — per-mutation IO is proportional to the touched buckets. ANN
+    * indexes are delta-patched from the same pruned read.
+    *
+    * In-memory path: rewrite the cached df, materialize, release the
+    * predecessor; every [[GraftEngine.LineageCheckpointEvery]]-th version is
+    * local-checkpointed so plan depth stays bounded across mutation chains.
+    *
+    * `touch = None` ⇒ full rewrite + full index rebuild. */
+  private def swap(schema: String, name: String, rewrite: DataFrame => DataFrame,
+      touch: Option[Touch], lenDelta: Long): Unit = {
     val st = state(schema, name)
     val newVersion = st.version + 1
-    val touchedPersist = touchedIds.map(bucketsOf(_, GraftEngine.NumBuckets))
-    val (written, newPaths) =
-      writeBuckets(st, schema, name, next, newVersion, touchedPersist)
-    val cached = written.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count() // materialize before releasing predecessor
-    st.df.unpersist(blocking = false)
-    val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
-      (st.annIndexes.get(kind), touchedIds) match {
-        case (Some(old), Some(ids)) =>
-          kind -> graft.ann.AnnIndex.patch(old, cached, st.meta.dimension,
-            bucketsOf(ids, old.numShards))
-        case _ =>
-          kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg)
+    val (cached, newPaths, patchSrc): (DataFrame, Map[Int, String], DataFrame) =
+      persistRoot match {
+        case Some(root) =>
+          val tb = touch.map(_.buckets)
+          val src = tb match {
+            case Some(b) =>
+              readBuckets(root, schema, name, st.bucketPaths.view.filterKeys(b).toMap)
+            case None => st.df
+          }
+          val (written, paths) =
+            writeBuckets(st, schema, name, rewrite(src), newVersion, tb)
+          // lazy: the new df's lineage is the parquet just written — nothing
+          // here re-reads (or recomputes through) the rest of the store
+          val c = written.persist(StorageLevel.MEMORY_AND_DISK)
+          val pSrc = tb match {
+            case Some(b) =>
+              readBuckets(root, schema, name, paths.view.filterKeys(b).toMap)
+            case None => c
+          }
+          (c, paths, pSrc)
+        case None =>
+          val next = rewrite(st.df)
+          val c =
+            if (newVersion % GraftEngine.LineageCheckpointEvery == 0)
+              next.localCheckpoint(true) // truncate the mutation-chain plan
+            else {
+              val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+              p.count() // materialize before releasing the predecessor
+              p
+            }
+          (c, Map.empty[Int, String], c)
       }
+    val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
+      val patched = for {
+        old <- st.annIndexes.get(kind)
+        t <- touch
+        shards <- t.byModulus.get(old.numShards)
+        // pruned patch source is only complete when every shard's rows live
+        // in touched buckets, i.e. NumBuckets divides the shard modulus
+        if persistRoot.isEmpty || old.numShards % GraftEngine.NumBuckets == 0
+      } yield kind -> graft.ann.AnnIndex.patch(old, patchSrc, st.meta.dimension, shards)
+      patched.getOrElse(kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg))
     }
+    st.df.unpersist(blocking = false)
     st.annIndexes.values.foreach(_.unpersist())
-    catalog((schema, name)) = st.copy(df = cached, annIndexes = rebuilt,
-      version = newVersion, bucketPaths = newPaths)
+    catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
+      annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths)
     flushCatalog()
     persistRoot.foreach(Persistence.gcOldVersions(_, schema, name,
       newPaths.values.map(_.split("/")(0)).toSet))
   }
-
-  /** Buckets touched by a batch of content ids (driver-side: ≤ modulus). */
-  private def bucketsOf(ids: DataFrame, modulus: Int): Set[Int] =
-    ids.select(pmod(col(ids.columns.head), lit(modulus))
-      .cast("int").as("_b")).distinct().collect().map(_.getInt(0)).toSet
 
   // ------------------------------------------------------------ catalog ops
 
@@ -257,7 +342,7 @@ class GraftEngine(val spark: SparkSession,
   }
 
   /** ListStores → (schema, name, len, size_bytes_est, dimension, indexes)
-    * (store.rs:530-577). */
+    * (store.rs:530-577). Pure catalog read — zero Spark jobs. */
   def listStores(schema: String = DefaultSchema): Seq[StoreInfo] =
     catalog.toSeq.filter(_._1._1 == schema).sortBy(_._1._2).map {
       case ((sch, nm), st) => storeInfo(st)
@@ -268,9 +353,9 @@ class GraftEngine(val spark: SparkSession,
     storeInfo(state(schema, name))
 
   private def storeInfo(st: StoreState): StoreInfo = {
-    val len = st.df.count()
-    // estimated in-memory bytes: vector + id + metadata strings (cheap
-    // stand-in for the reference's cached size counters store.rs:71-101)
+    // len is the driver-maintained counter — no count job (the reference's
+    // cached size counters, store.rs:71-101)
+    val len = st.len
     val sizeEst = len * (8L + st.meta.dimension * 4L + 64L)
     StoreInfo(st.meta.schema, st.meta.name, len, sizeEst, st.meta.dimension,
       st.meta.predicateIndexes.toSeq.sorted,
@@ -329,27 +414,25 @@ class GraftEngine(val spark: SparkSession,
       val deduped = withId.groupBy("id").agg(
           max_by(struct(col("key"), col("value")), col("_ord")).as("_kv"))
         .select(col("id"), col("_kv.key").as("key"), col("_kv.value").as("value"))
-      if (st.df.isEmpty) {
-        // initial bulk load: nothing to reconcile against — skip the
-        // anti-join rewrite and the update count entirely; swap owns the
-        // caching (sharing a persisted plan here would alias cache entries)
-        swap(schema, name, deduped, Some(withId.select("id")))
-        (state(schema, name).df.count(), 0L)
-      } else {
-        val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+      val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
         val batchDistinct = dedupedCached.count()
-        // updated = store rows whose id appears in the batch: semi-join with
-        // the SMALL batch-id side broadcast, so the big store side never
-        // shuffles
+        val touch = touchOf(st, dedupedCached.select("id"))
         val batchIds = broadcast(dedupedCached.select(col("id").as("_nid")))
-        val updated = st.df.join(batchIds, col("id") === col("_nid"), "left_semi").count()
+        // updated = store rows whose id appears in the batch — counted on the
+        // PRUNED touched-bucket view (batch ids only live in touched buckets)
+        val updated =
+          if (st.len == 0) 0L
+          else mutationView(st, touch)
+            .join(batchIds, col("id") === col("_nid"), "left_semi").count()
         val inserted = batchDistinct - updated
-        val next = st.df.join(batchIds, col("id") === col("_nid"), "left_anti")
-          .union(dedupedCached)
-        swap(schema, name, next, Some(dedupedCached.select("id")))
-        dedupedCached.unpersist(blocking = false)
+        swap(schema, name,
+          src => src.select("id", "key", "value")
+            .join(batchIds, col("id") === col("_nid"), "left_anti")
+            .union(dedupedCached.select("id", "key", "value")),
+          Some(touch), lenDelta = inserted)
         (inserted, updated)
-      }
+      } finally dedupedCached.unpersist(blocking = false)
     } finally withId.unpersist(blocking = false)
   }
 
@@ -384,7 +467,9 @@ class GraftEngine(val spark: SparkSession,
   }
 
   /** DelKey — delete by exact vector(s), returns deleted count
-    * (store.rs:256-270, 801-819). */
+    * (store.rs:256-270, 801-819). The probe ids are collected once (tiny)
+    * so the touched buckets are known driver-side — the count AND the
+    * rewrite then scan only those buckets. */
   def delKey(name: String, keys: Seq[Array[Float]],
       schema: String = DefaultSchema): Long = {
     val st = state(schema, name)
@@ -394,18 +479,42 @@ class GraftEngine(val spark: SparkSession,
       spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
       org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
       .select(keyId(col("key")).as("_pid"))
-    // deleted count = one broadcast semi-join job (not before/after counts)
-    val deleted = st.df.join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
+    val pids = probe.collect().map(_.getLong(0)).toSeq
+    val touch = touchOfIds(st, pids)
+    // deleted count = one broadcast semi-join over the pruned view
+    val deleted = mutationView(st, touch)
+      .join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
     if (deleted > 0)
       swap(schema, name,
-        st.df.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
-        Some(probe))
+        src => src.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
+        Some(touch), lenDelta = -deleted)
     deleted
   }
 
+  /** Delete by content ids supplied as a DataFrame — the distributed arm
+    * behind the AI layer's stale-entry cleanup. Bucket-incremental like
+    * DelKey; never collects more than the distinct bucket numbers. */
+  private[graft] def delByIds(name: String, ids: DataFrame,
+      schema: String = DefaultSchema): Long = {
+    val st = state(schema, name)
+    val idsD = ids.select(col(ids.columns.head).as("_pid")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touch = touchOf(st, idsD)
+      val deleted = mutationView(st, touch)
+        .join(broadcast(idsD), col("id") === col("_pid"), "left_semi").count()
+      if (deleted > 0)
+        swap(schema, name,
+          src => src.join(broadcast(idsD), col("id") === col("_pid"), "left_anti"),
+          Some(touch), lenDelta = -deleted)
+      deleted
+    } finally idsD.unpersist(blocking = false)
+  }
+
   /** DelPred — delete by predicate, returns deleted count
-    * (store.rs:272-286, 851-856). The matched ids are in hand from the
-    * count scan, so the rewrite is bucket-incremental like DelKey. */
+    * (store.rs:272-286, 851-856). Finding the matches is necessarily a full
+    * predicate scan; the REWRITE is still bucket-incremental — only the
+    * buckets holding matched ids are re-read and re-written. */
   def delPred(name: String, cond: PredicateCondition,
       schema: String = DefaultSchema): Long = {
     val st = state(schema, name)
@@ -413,7 +522,10 @@ class GraftEngine(val spark: SparkSession,
     val matched = st.df.where(c).select("id").persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val deleted = matched.count()
-      if (deleted > 0) swap(schema, name, st.df.where(!c), Some(matched))
+      if (deleted > 0) {
+        val touch = touchOf(st, matched)
+        swap(schema, name, src => src.where(!c), Some(touch), lenDelta = -deleted)
+      }
       deleted
     } finally matched.unpersist(blocking = false)
   }
@@ -435,6 +547,7 @@ class GraftEngine(val spark: SparkSession,
       throw GraftException(
         s"Upsert predicate must match exactly one entry, matched ${if (matched.length > 1) "more than one" else "none"}")
     val row = matched.head
+    val oldId = row.getLong(row.fieldIndex("id"))
     val oldKey = row.getSeq[Float](row.fieldIndex("key")).toArray
     val oldValue = rowToMetaMap(row.getMap[String, Row](row.fieldIndex("value")))
     val finalKey = newKey.getOrElse(oldKey)
@@ -444,18 +557,21 @@ class GraftEngine(val spark: SparkSession,
       case (None, _)        => oldValue
     }
     // delete-then-reinsert, as the reference does (store.rs:517-522)
-    val withoutOld = st.df.where(!c)
     val replacement = entriesDf(Seq((finalKey, finalValue)))
       .withColumn("id", keyId(col("key"))).select("id", "key", "value")
-    // the new key may collide with a different existing entry: last-wins
-    val next = withoutOld.join(replacement.select(col("id").as("_nid")),
-      col("id") === col("_nid"), "left_anti").union(replacement)
-    // touched = the old entry's id + the replacement's id (both vectors are
-    // in hand) — upsert stays bucket-incremental
-    val touched = entriesDf(Seq((oldKey, Map.empty[String, MetadataValue]),
-        (finalKey, Map.empty[String, MetadataValue])))
-      .select(keyId(col("key")).as("id"))
-    swap(schema, name, next, Some(touched))
+    val newId = replacement.select("id").head().getLong(0)
+    val touch = touchOfIds(st, Seq(oldId, newId))
+    // the new key may collide with a different existing entry (last-wins);
+    // the collision probe scans only the new id's bucket
+    val collided =
+      if (newId == oldId) 0L
+      else mutationView(st, touch).where(col("id") === lit(newId)).limit(1).count()
+    swap(schema, name,
+      src => src.where(!c)
+        .join(replacement.select(col("id").as("_nid")),
+          col("id") === col("_nid"), "left_anti")
+        .union(replacement),
+      Some(touch), lenDelta = -collided)
   }
 
   private def rowToMetaMap(m: scala.collection.Map[String, Row]): Map[String, MetadataValue] =
@@ -550,12 +666,6 @@ class GraftEngine(val spark: SparkSession,
       schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
     state(schema, name).annIndexes.get(kind)
 
-  /** Swap in an externally-computed rewrite of a store's DataFrame (used by
-    * the AI layer's distributed stale-entry cleanup). */
-  private[graft] def replaceStoreDf(name: String, next: DataFrame,
-      schema: String = DefaultSchema): Unit =
-    swap(schema, name, next)
-
   /** Ping / InfoServer (db/src/server/handler.rs:119-125, 425). */
   def ping(): String = "PONG"
   def infoServer(): Map[String, String] = Map(
@@ -575,15 +685,23 @@ class GraftEngine(val spark: SparkSession,
 object GraftEngine {
 
   /** Hash buckets per persisted store: id → pmod(id, NumBuckets) names the
-    * file group a row lives in, so mutations rewrite only touched groups.
-    * Sized for the test scale; a cluster deployment sizes this with the
-    * table (buckets ≈ store bytes / target file size). */
+    * file group a row lives in, so mutations read AND write only touched
+    * groups. Sized for the test scale; a cluster deployment sizes this with
+    * the table (buckets ≈ store bytes / target file size). ANN shard counts
+    * are rounded to a multiple of this, so a touched bucket set always
+    * covers its touched shards' rows. */
   val NumBuckets = 16
 
+  /** In-memory stores localCheckpoint every K-th mutation so the logical
+    * plan doesn't chain across unbounded anti-join/union rewrites.
+    * Persistent stores don't need this — each version's plan is rooted in
+    * the parquet it just wrote. */
+  val LineageCheckpointEvery = 8
+
   /** Restore an engine from a persisted root: read the catalog, attach each
-    * store's current bucket set, rebuild non-linear indexes from their
-    * persisted configs (derived state — rebuilding from columnar data beats
-    * deserializing per-partition graphs at scale). */
+    * store's current bucket set LAZILY, rebuild non-linear indexes from
+    * their persisted configs (derived state — rebuilding from columnar data
+    * beats deserializing per-partition graphs at scale). */
   def load(spark: SparkSession, root: String): GraftEngine = {
     val e = new GraftEngine(spark, Some(root))
     Persistence.readCatalog(root).foreach { rec =>
@@ -593,8 +711,9 @@ object GraftEngine {
       val ann = m.nonLinearIndexes.map { case (kind, cfg) =>
         kind -> graft.ann.AnnIndex.build(df, m.dimension, cfg)
       }
+      val len = if (rec.len >= 0) rec.len else df.count()
       e.catalog((m.schema, m.name)) =
-        e.StoreState(m, df, ann, rec.version, rec.bucketPaths)
+        e.StoreState(m, df, len, ann, rec.version, rec.bucketPaths)
     }
     e
   }

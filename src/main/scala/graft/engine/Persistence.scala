@@ -37,7 +37,8 @@ object Persistence {
     * reference — the partition-pruned incremental rewrite that keeps write
     * amplification proportional to the batch, not the store. */
   final case class StoreRecord(meta: StoreMeta, version: Long,
-      bucketPaths: Map[Int, String] = Map.empty)
+      bucketPaths: Map[Int, String] = Map.empty,
+      len: Long = -1L)
 
   def dataPath(root: String, schema: String, name: String, version: Long): String =
     s"$root/data/$schema/$name/v$version"
@@ -55,6 +56,7 @@ object Persistence {
       "name" -> JString(m.name),
       "dimension" -> JInt(m.dimension),
       "version" -> JLong(r.version),
+      "len" -> JLong(r.len),
       "predicateIndexes" -> JArray(m.predicateIndexes.toList.sorted.map(JString(_))),
       "nonLinearIndexes" -> JArray(m.nonLinearIndexes.values.toList.sortBy(_.kind).map {
         case NonLinearConfig.KDTreeConfig() => JObject("kind" -> JString("kdtree"))
@@ -105,6 +107,7 @@ object Persistence {
       case _ => Nil
     }
     val version = (j \ "version") match { case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L }
+    val len = (j \ "len") match { case JInt(i) => i.toLong; case JLong(l) => l; case _ => -1L }
     val preds = (j \ "predicateIndexes") match {
       case JArray(items) => items.collect { case JString(s) => s }.toSet
       case _ => Set.empty[String]
@@ -117,7 +120,7 @@ object Persistence {
     }
     StoreRecord(StoreMeta(str("schema"), str("name"), int("dimension"), preds,
       nl.map(c => c.kind -> c).toMap, bool("storeOriginal"),
-      optStr("queryModel"), optStr("indexModel")), version, buckets)
+      optStr("queryModel"), optStr("indexModel")), version, buckets, len)
   }
 
   /** Atomic catalog flip: serialize → tmp file → ATOMIC_MOVE rename. */
