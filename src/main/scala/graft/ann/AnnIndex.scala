@@ -131,13 +131,19 @@ object AnnIndex {
     * entirely inside one persistence bucket — a mutation's pruned
     * touched-bucket read is then a complete source for delta-patching its
     * touched shards. `numShards` overrides the default (tests / explicit
-    * shard sizing). */
+    * shard sizing) but is still subject to the same rounding — a request
+    * that is not already a multiple of NumBuckets (≥ NumBuckets) is adjusted
+    * up and the adjustment logged, never applied silently. */
   def build(df: DataFrame, dim: Int, config: NonLinearConfig,
       numShards: Option[Int] = None): AnnIndex = {
     val nb = GraftEngine.NumBuckets
     val raw = numShards.getOrElse(math.max(1, df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt))
     val parts = math.max(nb, ((raw + nb - 1) / nb) * nb)
+    numShards.filter(_ != parts).foreach(req =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"AnnIndex.build: requested numShards=$req adjusted to $parts " +
+        s"(must be a multiple of NumBuckets=$nb, minimum $nb)"))
     val shards = keyedRows(df, parts)
       .mapPartitions(it => buildShard(dim, config, it), preservesPartitioning = true)
     val cached = shards.persist(StorageLevel.MEMORY_AND_DISK)
