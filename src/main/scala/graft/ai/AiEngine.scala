@@ -115,15 +115,22 @@ class AiEngine(val db: GraftEngine) {
       schema: String): Long = {
     val st = db.storeDf(name, schema)
     val keyCol = element_at(col("value"), ReservedKey)
-    val probeHash = broadcast(
-      inputs.select(xxhash64(col("input")).as("_ph")).distinct())
-    val candidates = st.where(keyCol.isNotNull)
-      .join(probeHash, xxhash64(keyCol) === col("_ph"), "left_semi")
-    val confirmed = candidates.join(
-        inputs.select(col("input").as("_probe")).distinct().hint("shuffle_hash"),
-        keyCol === col("_probe"), "left_semi")
-      .select("id")
-    db.delByIds(name, confirmed, schema)
+    // pin the batch once: the hash probe and the exact verify below must see
+    // the SAME input set — for a non-deterministic source, two separate
+    // scans could disagree and miss stale deletions (the engine's set()
+    // pins its batch for the same reason)
+    val pinned = inputs.select("input").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probeHash = broadcast(pinned.select(xxhash64(col("input")).as("_ph")))
+      val candidates = st.where(keyCol.isNotNull)
+        .join(probeHash, xxhash64(keyCol) === col("_ph"), "left_semi")
+      val confirmed = candidates.join(
+          pinned.select(col("input").as("_probe")).hint("shuffle_hash"),
+          keyCol === col("_probe"), "left_semi")
+        .select("id")
+      db.delByIds(name, confirmed, schema) // materializes before unpersist
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** The embedding stage: mapPartitions with a broadcast embedder; one-to-many

@@ -70,6 +70,15 @@ object Command {
       newValue: Option[Map[String, MetadataValue]],
       condition: PredicateCondition, preprocessAction: String,
       schema: Option[String]) extends Command
+  /** AI-pipeline GETPRED must route through the AI engine so the reserved
+    * `_ahnlich_input_key` is stripped back into the `input` slot
+    * (ai/src/engine/operations.rs:276-278) — NOT the DB GetPred. */
+  final case class AiGetPred(store: String, condition: PredicateCondition,
+      schema: Option[String]) extends Command
+  /** AI-pipeline DROPPREDINDEX keeps the reserved index alive
+    * (operations.rs:276-278; the `keys - ReservedKey` guard). */
+  final case class AiDropPredIndex(store: String, keys: Seq[String],
+      errorIfNotExists: Boolean, schema: Option[String]) extends Command
 }
 
 /** Parse failure with the offending statement's span in the input —

@@ -250,9 +250,19 @@ object DslParser extends RegexParsers {
       opt(kw("executionprovider") ~> executionProvider) ~ opt(schemaClause) ^^ {
         case (k, v) ~ c ~ n ~ pa ~ _ ~ s => AiUpsert(n, k, v, c, pa, s) }
 
+  // same surface syntax as the DB forms, but routed through the AI engine
+  // (reserved-key strip / reserved-index guard — operations.rs:276-278)
+  private val aiGetPred: Parser[Command] =
+    kw("getpred") ~> predicateCondition ~ (inKw ~> name) ~ opt(schemaClause) ^^ {
+      case c ~ n ~ s => AiGetPred(n, c, s) }
+  private val aiDropPredIndex: Parser[Command] =
+    kw("droppredindex") ~> ifExists ~ ("(" ~> rep1sep(name, ",") <~ ")") ~
+      (inKw ~> name) ~ opt(schemaClause) ^^ {
+        case ife ~ ks ~ n ~ s => AiDropPredIndex(n, ks, errorIfNotExists = !ife, s) }
+
   private val aiStatement: Parser[Command] =
-    ping | infoServerP | listStores | purgeStores | dropSchema | getPred |
-    getStore | dropStore | dropPredIndex | createNonLinearIndex |
+    ping | infoServerP | listStores | purgeStores | dropSchema | aiGetPred |
+    getStore | dropStore | aiDropPredIndex | createNonLinearIndex |
     createPredIndex | dropNonLinearIndex | aiCreateStore | aiGetKey |
     aiDelKey | aiSet | aiGetSimN | aiUpsert
 

@@ -111,6 +111,10 @@ object Pipeline {
           case AiUpsert(n, k, v, c, _, s) =>
             aiEngine.upsert(n, c, k, v, s.getOrElse(d))
             Response.Ok
+          case AiGetPred(n, c, s) =>
+            Response.Entries(aiEngine.getPred(n, c, s.getOrElse(d)))
+          case AiDropPredIndex(n, ks, e, s) =>
+            Response.Count(aiEngine.dropPredIndex(n, ks.toSet, e, s.getOrElse(d)))
           case other =>
             throw graft.types.GraftException(s"Unsupported command $other")
         }

@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.types._
 import graft.types.MetadataValue.RawString
@@ -511,7 +512,9 @@ object Queries {
           .orderBy("doc_id")
         out
       },
-      Some("""SELECT doc_id, CAST(1 + (strlen(text) % 3) AS BIGINT) AS faces
+      // octet_length, NOT strlen: MockEmbedder counts UTF-8 BYTES — char
+      // counting silently diverges on any non-ASCII doc (AiSpec pins this)
+      Some("""SELECT doc_id, CAST(1 + (octet_length(encode(text)) % 3) AS BIGINT) AS faces
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin)),
 
     // ConvertStoreInputToEmbeddings (protos/ai/query.proto:178-184): dims
@@ -532,6 +535,190 @@ object Queries {
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, 1024 AS dim,
         |CAST(1.0 AS DOUBLE) AS norm FROM documents
         |WHERE doc_id IN (1,2,3) ORDER BY doc_id""".stripMargin)),
+
+    // AI DSL routing: GETPRED and DROPPREDINDEX inside an AI pipeline go
+    // through the AI engine (ai/src/engine/operations.rs:276-278) — GETPRED
+    // restores originals into the input slot with the reserved key STRIPPED
+    // from the value map, and DROPPREDINDEX can never drop the reserved
+    // index (count excludes it; GETSTORE proves it survived).
+    "ai_dsl_getpred" -> Q(
+      (s, dir) => {
+        val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
+        val script =
+          """CREATESTORE dsl_ai QUERYMODEL all-minilm-l6-v2 INDEXMODEL all-minilm-l6-v2 PREDICATES (cat) STOREORIGINAL;
+            |SET (([alpha doc], {cat: x}), ([beta doc], {cat: y}), ([gamma doc], {cat: x})) IN dsl_ai PREPROCESSACTION nopreprocessing;
+            |DROPPREDINDEX (cat, _ahnlich_input_key) IN dsl_ai;
+            |GETPRED (cat = x) IN dsl_ai;
+            |GETSTORE dsl_ai""".stripMargin
+        val results = graft.dsl.Pipeline.runAi(aiE, script)
+        val rows = results.zipWithIndex.flatMap {
+          case (Right(graft.dsl.Response.Ok), i) =>
+            Seq((i.toLong, "ok", Option.empty[String], Option.empty[Long]))
+          case (Right(graft.dsl.Response.SetResult(ins, upd)), i) =>
+            Seq((i.toLong, s"set:$ins:$upd", Option.empty[String], Option.empty[Long]))
+          case (Right(graft.dsl.Response.Count(n)), i) =>
+            Seq((i.toLong, s"count:$n", Option.empty[String], Option.empty[Long]))
+          case (Right(graft.dsl.Response.Entries(df)), i) =>
+            df.collect().toSeq.map { r =>
+              val value = r.getMap[String, org.apache.spark.sql.Row](1)
+              (i.toLong, "row", Option(r.getStruct(0).getString(1)),
+                Option(value.size.toLong)) // 1 == reserved key stripped
+            }
+          case (Right(graft.dsl.Response.StoreGet(info)), i) =>
+            Seq((i.toLong,
+              s"preds:${info.predicateIndexes.toSeq.sorted.mkString("+")}",
+              Option.empty[String], Option.empty[Long]))
+          case (Left(_), i) =>
+            Seq((i.toLong, "error", Option.empty[String], Option.empty[Long]))
+          case (Right(other), i) =>
+            Seq((i.toLong, other.getClass.getSimpleName,
+              Option.empty[String], Option.empty[Long]))
+        }
+        aiE.dropStore("dsl_ai")
+        import s.implicits._
+        rows.toDF("step", "info", "input", "n_keys").orderBy("step", "input")
+      },
+      Some("""SELECT CAST(step AS BIGINT) AS step, info, input,
+        |CAST(n_keys AS BIGINT) AS n_keys FROM (VALUES
+        |  (0, 'ok', NULL, NULL),
+        |  (1, 'set:3:0', NULL, NULL),
+        |  (2, 'count:1', NULL, NULL),
+        |  (3, 'row', 'alpha doc', 1),
+        |  (3, 'row', 'gamma doc', 1),
+        |  (4, 'preds:_ahnlich_input_key', NULL, NULL)
+        |) t(step, info, input, n_keys) ORDER BY step, input""".stripMargin)),
+
+    // AI Upsert invariants (ahnlich/db/src/tests/upsert.rs;
+    // ai/src/engine/store.rs:433-497): none/many matches error, exactly-one
+    // merges metadata, a new input re-embeds AND refreshes the stashed
+    // original (GetKey by the new raw input finds the entry), one-to-many
+    // index models reject upsert outright.
+    "ai_upsert" -> Q(
+      (s, dir) => {
+        val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
+        aiE.createStore("ups", "all-minilm-l6-v2", "all-minilm-l6-v2",
+          predicates = Set("name"), storeOriginal = true)
+        aiE.set("ups", Seq(
+          RawString("u one") -> Map("name" -> (RawString("a"): MetadataValue)),
+          RawString("u two") -> Map("name" -> (RawString("b"): MetadataValue))))
+        val steps = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        var i = 0
+        def step(info: => String): Unit = {
+          val v = try info catch { case _: Exception => "error" }
+          steps += ((i.toLong, v)); i += 1
+        }
+        step { aiE.upsert("ups", Equals("name", RawString("zzz")),
+          newValue = Some(Map("tag" -> RawString("t")))); "ok" } // none → error
+        step { aiE.upsert("ups", Equals("name", RawString("a")),
+          newValue = Some(Map("tag" -> RawString("t")))); "ok" } // one → merge
+        step { aiE.upsert("ups", In("name",
+          Set(RawString("a"), RawString("b")))); "ok" }          // many → error
+        step { aiE.upsert("ups", Equals("name", RawString("b")),
+          newInput = Some(RawString("u two prime"))); "ok" }     // re-embed + restash
+        step { "getkey:" + aiE.getKey("ups", Seq(RawString("u two prime")))
+          .select(element_at(col("value"), "name").getField("str"))
+          .head.getString(0) }
+        step {
+          val m = aiE.getPred("ups", Equals("name", RawString("a"))).collect()
+            .head.getMap[String, org.apache.spark.sql.Row](1)
+          s"a:${m.keys.toSeq.sorted.mkString("+")}:${m("tag").getString(1)}"
+        }
+        step {
+          aiE.createStore("ups_faces", "buffalo-l", "buffalo-l", storeOriginal = true)
+          try { aiE.upsert("ups_faces", Equals("name", RawString("a"))); "ok" }
+          catch { case _: Exception => "o2m-rejected" }
+        }
+        aiE.dropStore("ups"); aiE.dropStore("ups_faces")
+        import s.implicits._
+        steps.toSeq.toDF("step", "info")
+      },
+      Some("""SELECT CAST(step AS BIGINT) AS step, info FROM (VALUES
+        |  (0, 'error'), (1, 'ok'), (2, 'error'), (3, 'ok'),
+        |  (4, 'getkey:b'), (5, 'a:name+tag:t'), (6, 'o2m-rejected')
+        |) t(step, info) ORDER BY step""".stripMargin)),
+
+    // AI DelKey by raw input (the reserved-key DelPred delegation,
+    // ai/src/engine/store.rs:500-521) over a bulk-ingested corpus.
+    "ai_del_key" -> Q(
+      (s, dir) => {
+        val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
+        aiE.createStore("deldocs", "all-minilm-l6-v2", "all-minilm-l6-v2",
+          storeOriginal = true)
+        val entries = TestStores.table(s, dir, "documents")
+          .where(col("doc_id") < 50)
+          .select(
+            struct(lit("raw_string").as("kind"), col("text").as("str"),
+              lit(null).cast(org.apache.spark.sql.types.BinaryType).as("bin"))
+              .as("input"),
+            map(lit("doc_id"), TestStores.metaStr(col("doc_id"))).as("value"))
+        aiE.setDf("deldocs", entries)
+        val deleted = aiE.delKey("deldocs",
+          Seq(3L, 9L).map(id => RawString(TestStores.docText(s, dir, id))))
+        val out = aiE.db.storeDf("deldocs")
+          .select(element_at(col("value"), "doc_id").getField("str")
+            .cast("bigint").as("doc_id"))
+          .withColumn("deleted", lit(deleted)).orderBy("doc_id")
+        val rows = out.collect()
+        aiE.dropStore("deldocs")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS deleted FROM documents
+        |WHERE doc_id < 50 AND doc_id NOT IN (3, 9) ORDER BY doc_id""".stripMargin)),
+
+    // Binary (image) metadata end-to-end: image-valued PREDICATES
+    // (protos/predicate.proto:20-38) and the hash-keyed stale-entry cleanup
+    // on image-store re-ingestion (delByReservedInput). buffalo-l expands
+    // each image into 1+(byte_len mod 3) face entries (MockEmbedder
+    // contract). Re-ingesting doc_id<10 with a version marker must DELETE
+    // every stale expansion first, then insert fresh — so the second set's
+    // counts are (sum of expansions, 0), not (0, n) updates.
+    "ai_image_meta" -> Q(
+      (s, dir) => {
+        val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
+        aiE.createStore("faces_meta", "buffalo-l", "buffalo-l",
+          predicates = Set("tag"), storeOriginal = true)
+        def metaImg(c: Column) = struct(lit("image").as("kind"),
+          lit(null).cast(StringType).as("str"), c.as("bin"))
+        val docs = TestStores.table(s, dir, "documents").where(col("doc_id") < 30)
+        def entriesOf(d: DataFrame, withV2: Boolean) = {
+          val base = map(
+            lit("doc_id"), TestStores.metaStr(col("doc_id")),
+            lit("tag"), metaImg(encode(col("lang"), "UTF-8")))
+          val value = if (withV2)
+            map_concat(base, map(lit("v"), TestStores.metaStr(lit("2"))))
+          else base
+          d.select(
+            struct(lit("image").as("kind"),
+              lit(null).cast(StringType).as("str"),
+              encode(col("text"), "UTF-8").as("bin")).as("input"),
+            value.as("value"))
+        }
+        aiE.setDf("faces_meta", entriesOf(docs, withV2 = false))
+        val (ins2, upd2) =
+          aiE.setDf("faces_meta", entriesOf(docs.where(col("doc_id") < 10), withV2 = true))
+        import graft.types.MetadataValue.Image
+        val out = aiE.getPred("faces_meta", In("tag", Set(
+            Image("en".getBytes("UTF-8")): MetadataValue,
+            Image("de".getBytes("UTF-8")): MetadataValue)))
+          .groupBy(element_at(col("value"), "doc_id").getField("str")
+            .cast("bigint").as("doc_id"))
+          .agg(count(lit(1)).as("faces"),
+            max(coalesce(element_at(col("value"), "v").getField("str"),
+              lit("no"))).as("v2"))
+          .withColumn("reingest_ins", lit(ins2))
+          .withColumn("reingest_upd", lit(upd2))
+          .orderBy("doc_id")
+        val rows = out.collect()
+        aiE.dropStore("faces_meta")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some("""WITH exp AS (SELECT CAST(SUM(1 + (octet_length(encode(text)) % 3)) AS BIGINT) n
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, CAST(1 + (octet_length(encode(text)) % 3) AS BIGINT) AS faces,
+        |CASE WHEN doc_id < 10 THEN '2' ELSE 'no' END AS v2,
+        |(SELECT n FROM exp) AS reingest_ins, CAST(0 AS BIGINT) AS reingest_upd
+        |FROM documents WHERE lang IN ('en','de') AND doc_id < 30
+        |ORDER BY doc_id""".stripMargin)),
 
     // ================= LLM-pipeline operators (north-star extensions) =====
     // Text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -620,6 +807,19 @@ object Queries {
     "dedup_jaccard_exact" -> Q(
       (s, dir) => graft.dedup.Dedup.jaccardJoin(
         TestStores.table(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("a", "b"),
+      Some(jaccardOracle)),
+
+    // same contract with the skew guard ON: candidate pairs come only from
+    // shingles present in ≤ 10 docs (maxShingleDf), then exact verification
+    // over the FULL shingle sets — the 100 TB-safe arm of the exact join
+    // (one corpus-hot shingle alone contributes C(d,2) pairs uncapped).
+    // High-Jaccard pairs share rare shingles, so the capped pair set still
+    // matches the uncapped oracle exactly.
+    "dedup_jaccard_capped" -> Q(
+      (s, dir) => graft.dedup.Dedup.jaccardJoin(
+        TestStores.table(s, dir, "documents"), "doc_id", "text", 3, 0.8,
+        maxShingleDf = Some(10))
         .orderBy("a", "b"),
       Some(jaccardOracle)),
 
@@ -732,8 +932,9 @@ object Queries {
             col("meta.width"), col("meta.height"), col("meta.channels"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CAST(16 + strlen(text) % 16 AS INT) AS width,
-        |CAST(16 + (strlen(text) * 7) % 16 AS INT) AS height, 3 AS channels
+      // octet_length: the stub reads payload BYTES (payload = UTF-8 of text)
+      Some("""SELECT doc_id, CAST(16 + octet_length(encode(text)) % 16 AS INT) AS width,
+        |CAST(16 + (octet_length(encode(text)) * 7) % 16 AS INT) AS height, 3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // frame sampling: one payload row → ceil(nFrames/stride) frame rows
@@ -747,9 +948,9 @@ object Queries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-        |CAST((strlen(text) // 32 + 1) // 2 AS BIGINT) AS n_frames,
-        |CAST(((strlen(text) // 32 - 1) // 2) * 2 AS INT) AS last_idx
-        |FROM documents WHERE strlen(text) >= 32 ORDER BY doc_id""".stripMargin)),
+        |CAST((octet_length(encode(text)) // 32 + 1) // 2 AS BIGINT) AS n_frames,
+        |CAST(((octet_length(encode(text)) // 32 - 1) // 2) * 2 AS INT) AS last_idx
+        |FROM documents WHERE octet_length(encode(text)) >= 32 ORDER BY doc_id""".stripMargin)),
 
     // feature extraction: payload → embedding via the pluggable model
     // runtime (mock CLIP); dim + unit-norm are the checkable contract

@@ -106,6 +106,17 @@ class AiSpec extends AnyFunSuite {
       Equals("who", RawString("b")), Some(img3)))
   }
 
+  test("one-to-many expansion counts UTF-8 BYTES, not chars (non-ASCII input)") {
+    val ai = fresh()
+    ai.createStore("nfaces", "buffalo-l", "buffalo-l", storeOriginal = true)
+    // "héllo wörld" = 11 chars but 13 UTF-8 bytes: char counting predicts
+    // 1 + 11%3 = 3 faces, byte counting 1 + 13%3 = 2 — they MUST diverge
+    val text = "héllo wörld"
+    assert(text.length == 11 && text.getBytes("UTF-8").length == 13)
+    val (ins, _) = ai.set("nfaces", Seq((Image(text.getBytes("UTF-8")), meta("who" -> "n"))))
+    assert(ins == 2, "expansion count must follow byte length, not char length")
+  }
+
   test("upsert: merge semantics + new input re-embeds and restashes original") {
     val ai = fresh()
     ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)

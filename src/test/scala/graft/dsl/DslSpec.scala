@@ -212,6 +212,25 @@ class DslSpec extends AnyFunSuite {
     }
   }
 
+  test("ai GETPRED / DROPPREDINDEX route through the AI engine, not the DB grammar") {
+    // the AI grammar must produce Ai* commands so Pipeline dispatches to
+    // AiEngine (reserved-key strip / reserved-index guard,
+    // ai/src/engine/operations.rs:276-278)
+    DslParser.parseAi("GETPRED (tag = x) IN s") match {
+      case Seq(AiGetPred("s", Equals("tag", RawString("x")), None)) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("DROPPREDINDEX IF EXISTS (tag, _ahnlich_input_key) IN s SCHEMA t") match {
+      case Seq(AiDropPredIndex("s", Seq("tag", "_ahnlich_input_key"), false, Some("t"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    // the DB grammar keeps producing DB commands
+    DslParser.parseDb("GETPRED (tag = x) IN s") match {
+      case Seq(GetPred("s", Equals("tag", RawString("x")), None)) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
   test("pipeline executes end-to-end with per-statement error capture") {
     val spark = graft.TestFixtures.spark
     val e = new graft.engine.GraftEngine(spark)
