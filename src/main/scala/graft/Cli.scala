@@ -69,12 +69,34 @@ object Cli {
     s"(${rows.length} rows)\n" + out.mkString("\n")
   }
 
-  def main(args: Array[String]): Unit = {
+  private[graft] val Usage =
+    "usage: graft.Cli [--ai] [--persist DIR] [SCRIPT...]"
+
+  /** Argument parsing, separated for testability. `--persist` must be
+    * followed by a directory that is not itself a flag — a bare trailing
+    * `--persist` or `--persist --ai` is a usage error, not an AIOOBE. */
+  private[graft] def parseArgs(args: Array[String]): (Boolean, Option[String], Seq[String]) = {
     val ai = args.contains("--ai")
     val persistIdx = args.indexOf("--persist")
-    val persistRoot = if (persistIdx >= 0) Some(args(persistIdx + 1)) else None
+    val persistRoot =
+      if (persistIdx < 0) None
+      else if (persistIdx + 1 >= args.length || args(persistIdx + 1).startsWith("--"))
+        throw new IllegalArgumentException(s"--persist requires a directory argument\n$Usage")
+      else Some(args(persistIdx + 1))
+    args.find(a => a.startsWith("--") && a != "--ai" && a != "--persist")
+      .foreach(a => throw new IllegalArgumentException(s"unknown flag $a\n$Usage"))
     val scripts = args.zipWithIndex.filterNot { case (a, i) =>
-      a.startsWith("--") || (persistIdx >= 0 && i == persistIdx + 1) }.map(_._1)
+      a.startsWith("--") || (persistIdx >= 0 && i == persistIdx + 1) }.map(_._1).toSeq
+    (ai, persistRoot, scripts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (ai, persistRoot, scripts) =
+      try parseArgs(args)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(2)
+      }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))

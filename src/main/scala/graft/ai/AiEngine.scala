@@ -75,12 +75,23 @@ class AiEngine(val db: GraftEngine) {
     * composite DelPred+Set write (operations.rs:182-267). Driver-side entry
     * for DSL/small batches; the heavy lifting is [[setDf]]. */
   def set(name: String, entries: Seq[(MetadataValue, Map[String, MetadataValue])],
-      schema: String = db.DefaultSchema): (Long, Long) =
-    setDf(name, inputsDf(entries), schema)
+      schema: String = db.DefaultSchema,
+      preprocessAction: String = "nopreprocessing",
+      executionProvider: Option[String] = None): (Long, Long) =
+    setDf(name, inputsDf(entries), schema, preprocessAction, executionProvider)
 
-  /** Bulk path: entries as a DataFrame of (input STRUCT, value MAP). */
+  /** Bulk path: entries as a DataFrame of (input STRUCT, value MAP).
+    * `preprocessAction` / `executionProvider` are the request's session
+    * config (protos/ai/preprocess.proto, execution_provider.proto); the mock
+    * runtime has no token limits or EPs to apply, so they are validated and
+    * RECORDED in the store's catalog meta (surfaced by GetStore) — the
+    * observable analog of the reference's per-model session state
+    * (ai/src/manager/mod.rs:35-140). */
   def setDf(name: String, entries: DataFrame,
-      schema: String = db.DefaultSchema): (Long, Long) = {
+      schema: String = db.DefaultSchema,
+      preprocessAction: String = "nopreprocessing",
+      executionProvider: Option[String] = None): (Long, Long) = {
+    validateSessionConfig(preprocessAction, executionProvider)
     val meta = aiMeta(name, schema)
     val im = Models.details(meta.indexModel.get)
     validateKinds(entries, im, "Index")
@@ -101,8 +112,30 @@ class AiEngine(val db: GraftEngine) {
     if (meta.storeOriginal)
       delByReservedInput(name, entries.select("input"), schema)
     val embedded = embedEntries(prepared, im)
-    db.set(name, embedded, schema)
+    val counts = db.set(name, embedded, schema)
+    recordSessionConfig(name, schema, preprocessAction, executionProvider)
+    counts
   }
+
+  private val PreprocessActions = Set("nopreprocessing", "modelpreprocessing")
+  private val ExecutionProviders = Set("coreml", "tensorrt", "directml", "cuda")
+
+  private def validateSessionConfig(preprocessAction: String,
+      executionProvider: Option[String]): Unit = {
+    if (!PreprocessActions.contains(preprocessAction.toLowerCase))
+      throw GraftException(s"Unknown preprocess action $preprocessAction")
+    executionProvider.filterNot(ep => ExecutionProviders.contains(ep.toLowerCase))
+      .foreach(ep => throw GraftException(s"Unknown execution provider $ep"))
+  }
+
+  /** Last-declared session config sticks to the store's catalog meta;
+    * an absent EP keeps the previously recorded one. */
+  private def recordSessionConfig(name: String, schema: String,
+      preprocessAction: String, executionProvider: Option[String]): Unit =
+    db.updateMeta(name, schema)(m => m.copy(
+      preprocessAction = Some(preprocessAction.toLowerCase),
+      executionProvider = executionProvider.map(_.toLowerCase)
+        .orElse(m.executionProvider)))
 
   /** Distributed analog of DelPred(ReservedKey IN batch-inputs). The store
     * scan is pruned by a broadcast of 8-byte `xxhash64(input)` values ONLY —
@@ -165,7 +198,10 @@ class AiEngine(val db: GraftEngine) {
   def upsert(name: String, cond: PredicateCondition,
       newInput: Option[MetadataValue] = None,
       newValue: Option[Map[String, MetadataValue]] = None,
-      schema: String = db.DefaultSchema): Unit = {
+      schema: String = db.DefaultSchema,
+      preprocessAction: String = "nopreprocessing",
+      executionProvider: Option[String] = None): Unit = {
+    validateSessionConfig(preprocessAction, executionProvider)
     val meta = aiMeta(name, schema)
     val im = Models.details(meta.indexModel.get)
     if (im.oneToMany)
@@ -178,6 +214,7 @@ class AiEngine(val db: GraftEngine) {
       case _ => newValue
     }
     db.upsert(name, cond, newKey, valueWithOriginal, mergeMetadata = true, schema)
+    recordSessionConfig(name, schema, preprocessAction, executionProvider)
   }
 
   // -------------------------------------------------------------------- read

@@ -221,21 +221,33 @@ object AnnSearch {
 
     condition match {
       case Some(cond) =>
-        val accepted = st.df.where(Predicates.toColumn(cond, col("value")))
-        val cnt = accepted.count()
-        if (cnt == 0) emptyResult(engine) // short-circuit store.rs:318-320
-        else if (cnt <= BruteForceCutover)
-          engine.linearTopK(accepted, q, n, scoringAlgo)
-        else {
-          // large accept set: build a broadcast Bloom sketch in ONE
-          // distributed aggregation (bounded driver memory at any scale —
-          // never a full id collect), search shards with slack to absorb the
-          // rare false positives, then post-verify the merged candidates
-          // against the exact predicate during hydration.
-          val bloom = accepted.stat.bloomFilter("id", cnt, 0.001)
-          val hits = index.search(q, n + FalsePositiveSlack, IdFilter.Bloom(bloom))
-          hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
-        }
+        val predCol = Predicates.toColumn(cond, col("value"))
+        // ids-only projection of the accept set, cached for the query: the
+        // count materializes it (the ONLY scan of the filtered store) and
+        // the Bloom build below reads the cache — 8 bytes/row, so the cache
+        // stays tiny even when the predicate accepts billions of rows
+        val acceptedIds = st.df.where(predCol).select("id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cnt = acceptedIds.count()
+          if (cnt == 0) emptyResult(engine) // short-circuit store.rs:318-320
+          else if (cnt <= BruteForceCutover)
+            engine.linearTopK(st.df.where(predCol), q, n, scoringAlgo)
+          else {
+            // large accept set: broadcast Bloom sketch from the cached ids
+            // in one distributed aggregation (bounded driver memory at any
+            // scale — never a full id collect, tightly sized by cnt), search
+            // shards with slack to absorb the rare false positives, then
+            // post-verify the merged candidates against the exact predicate
+            // during hydration.
+            val bloom = acceptedIds.stat.bloomFilter("id", cnt, 0.001)
+            val hits = index.search(q, n + FalsePositiveSlack, IdFilter.Bloom(bloom))
+            hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
+          }
+          // safe to release in all arms: the Bloom/empty results are already
+          // materialized, and the brute-force arm's lazy plan reads
+          // st.df.where(predCol), not the cached ids
+        } finally acceptedIds.unpersist(blocking = false)
       case None =>
         hydrate(engine, st, index.search(q, n), q, n, scoringAlgo, None)
     }

@@ -58,7 +58,8 @@ object Command {
       storeOriginal: Boolean, schema: Option[String]) extends Command
   final case class AiSet(store: String,
       entries: Seq[(MetadataValue, Map[String, MetadataValue])],
-      preprocessAction: String, schema: Option[String]) extends Command
+      preprocessAction: String, executionProvider: Option[String],
+      schema: Option[String]) extends Command
   final case class AiGetSimN(store: String, searchInput: MetadataValue,
       closestN: Int, algorithm: Algorithm,
       condition: Option[PredicateCondition], schema: Option[String]) extends Command
@@ -69,6 +70,7 @@ object Command {
   final case class AiUpsert(store: String, newInput: Option[MetadataValue],
       newValue: Option[Map[String, MetadataValue]],
       condition: PredicateCondition, preprocessAction: String,
+      executionProvider: Option[String],
       schema: Option[String]) extends Command
   /** AI-pipeline GETPRED must route through the AI engine so the reserved
     * `_ahnlich_input_key` is stripped back into the `input` slot

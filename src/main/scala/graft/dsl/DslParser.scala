@@ -224,7 +224,7 @@ object DslParser extends RegexParsers {
     kw("set") ~> storeInputsToValue ~ (inKw ~> name) ~ opt(schemaClause) ~
       (kw("preprocessaction") ~> preprocessAction) ~
       opt(kw("executionprovider") ~> executionProvider) ^^ {
-        case es ~ n ~ s ~ pa ~ _ => AiSet(n, es, pa, s) }
+        case es ~ n ~ s ~ pa ~ ep => AiSet(n, es, pa, ep, s) }
   private val aiGetSimN: Parser[Command] =
     kw("getsimn") ~> nonZero ~ (kw("with") ~> storeInput) ~
       (kw("using") ~> algorithm) ~
@@ -248,7 +248,7 @@ object DslParser extends RegexParsers {
       (kw("where") ~> predicateCondition) ~ (inKw ~> name) ~
       (kw("preprocessaction") ~> preprocessAction) ~
       opt(kw("executionprovider") ~> executionProvider) ~ opt(schemaClause) ^^ {
-        case (k, v) ~ c ~ n ~ pa ~ _ ~ s => AiUpsert(n, k, v, c, pa, s) }
+        case (k, v) ~ c ~ n ~ pa ~ ep ~ s => AiUpsert(n, k, v, c, pa, ep, s) }
 
   // same surface syntax as the DB forms, but routed through the AI engine
   // (reserved-key strip / reserved-index guard — operations.rs:276-278)

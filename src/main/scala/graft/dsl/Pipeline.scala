@@ -99,8 +99,8 @@ object Pipeline {
           case AiCreateStore(n, qm, im, ps, nl, e, so, s) =>
             aiEngine.createStore(n, qm, im, ps.toSet, nl, e, so, s.getOrElse(d))
             Response.Ok
-          case AiSet(n, es, _, s) =>
-            val (i, u) = aiEngine.set(n, es, s.getOrElse(d))
+          case AiSet(n, es, pa, ep, s) =>
+            val (i, u) = aiEngine.set(n, es, s.getOrElse(d), pa, ep)
             Response.SetResult(i, u)
           case AiGetSimN(n, q, k, a, c, s) =>
             Response.SimEntries(aiEngine.getSimN(n, q, k, a, c, s.getOrElse(d)))
@@ -108,8 +108,8 @@ object Pipeline {
             Response.Entries(aiEngine.getKey(n, ks, s.getOrElse(d)))
           case AiDelKey(n, ks, s) =>
             Response.Count(aiEngine.delKey(n, ks, s.getOrElse(d)))
-          case AiUpsert(n, k, v, c, _, s) =>
-            aiEngine.upsert(n, c, k, v, s.getOrElse(d))
+          case AiUpsert(n, k, v, c, pa, ep, s) =>
+            aiEngine.upsert(n, c, k, v, s.getOrElse(d), pa, ep)
             Response.Ok
           case AiGetPred(n, c, s) =>
             Response.Entries(aiEngine.getPred(n, c, s.getOrElse(d)))

@@ -67,32 +67,25 @@ class GraftEngine(val spark: SparkSession,
   /** Tables-as-truth INCREMENTAL write: store rows hash into
     * [[GraftEngine.NumBuckets]] buckets by content id; a mutation writes
     * ONLY its touched buckets into the new version dir, untouched buckets
-    * carry forward by reference in the catalog. `touched = None` rewrites
-    * everything (full-rewrite swaps). Returns the lazy DataFrame reading
-    * the new bucket set + the new bucket→path map. */
+    * carry forward by reference in the catalog. Returns the lazy DataFrame
+    * reading the new bucket set + the new bucket→path map. */
   private def writeBuckets(st: StoreState, schema: String, name: String,
       next: DataFrame, version: Long,
-      touched: Option[Set[Int]]): (DataFrame, Map[Int, String]) = {
+      touched: Set[Int]): (DataFrame, Map[Int, String]) = {
     val root = persistRoot.get
     val vdirName = s"v$version"
     val vdir = Persistence.dataPath(root, schema, name, version)
     val bucketCol = pmod(col("id"), lit(GraftEngine.NumBuckets)).cast("int")
-    val toWrite = touched match {
-      case None => next
-      case Some(tb) => next.where(bucketCol.isin(tb.toSeq: _*))
-    }
-    toWrite.withColumn("_b", bucketCol)
+    next.where(bucketCol.isin(touched.toSeq: _*))
+      .withColumn("_b", bucketCol)
       .write.partitionBy("_b").mode("overwrite").parquet(vdir)
     val writtenBuckets = (0 until GraftEngine.NumBuckets).filter(b =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(vdir, s"_b=$b"))).toSet
-    val newPaths: Map[Int, String] = touched match {
-      case None => writtenBuckets.map(b => b -> s"$vdirName/_b=$b").toMap
-      case Some(tb) =>
-        // touched buckets now live in the new version (or vanished);
-        // untouched buckets keep their previous files
-        (st.bucketPaths -- tb) ++
-          writtenBuckets.intersect(tb).map(b => b -> s"$vdirName/_b=$b").toMap
-    }
+    // touched buckets now live in the new version (or vanished);
+    // untouched buckets keep their previous files
+    val newPaths: Map[Int, String] =
+      (st.bucketPaths -- touched) ++
+        writtenBuckets.intersect(touched).map(b => b -> s"$vdirName/_b=$b").toMap
     (readBuckets(root, schema, name, newPaths), newPaths)
   }
 
@@ -207,32 +200,24 @@ class GraftEngine(val spark: SparkSession,
     *
     * In-memory path: rewrite the cached df, materialize, release the
     * predecessor; every [[GraftEngine.LineageCheckpointEvery]]-th version is
-    * local-checkpointed so plan depth stays bounded across mutation chains.
-    *
-    * `touch = None` ⇒ full rewrite + full index rebuild. */
+    * local-checkpointed so plan depth stays bounded across mutation chains. */
   private def swap(schema: String, name: String, rewrite: DataFrame => DataFrame,
-      touch: Option[Touch], lenDelta: Long): Unit = {
+      touch: Touch, lenDelta: Long): Unit = {
     val st = state(schema, name)
     val newVersion = st.version + 1
     val (cached, newPaths, patchSrc): (DataFrame, Map[Int, String], DataFrame) =
       persistRoot match {
         case Some(root) =>
-          val tb = touch.map(_.buckets)
-          val src = tb match {
-            case Some(b) =>
-              readBuckets(root, schema, name, st.bucketPaths.view.filterKeys(b).toMap)
-            case None => st.df
-          }
+          val tb = touch.buckets
+          val src =
+            readBuckets(root, schema, name, st.bucketPaths.view.filterKeys(tb).toMap)
           val (written, paths) =
             writeBuckets(st, schema, name, rewrite(src), newVersion, tb)
           // lazy: the new df's lineage is the parquet just written — nothing
           // here re-reads (or recomputes through) the rest of the store
           val c = written.persist(StorageLevel.MEMORY_AND_DISK)
-          val pSrc = tb match {
-            case Some(b) =>
-              readBuckets(root, schema, name, paths.view.filterKeys(b).toMap)
-            case None => c
-          }
+          val pSrc =
+            readBuckets(root, schema, name, paths.view.filterKeys(tb).toMap)
           (c, paths, pSrc)
         case None =>
           val next = rewrite(st.df)
@@ -249,14 +234,19 @@ class GraftEngine(val spark: SparkSession,
     val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
       val patched = for {
         old <- st.annIndexes.get(kind)
-        t <- touch
-        shards <- t.byModulus.get(old.numShards)
+        shards <- touch.byModulus.get(old.numShards)
         // pruned patch source is only complete when every shard's rows live
         // in touched buckets, i.e. NumBuckets divides the shard modulus
         if persistRoot.isEmpty || old.numShards % GraftEngine.NumBuckets == 0
       } yield kind -> graft.ann.AnnIndex.patch(old, patchSrc, st.meta.dimension, shards)
       patched.getOrElse(kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg))
     }
+    // Releasing the predecessor here also drops its localCheckpoint blocks
+    // (when the predecessor generation was checkpointed): a lazy DataFrame
+    // handed out by getPred/getKey BEFORE this mutation must be consumed
+    // before the next mutation, or it may fail instead of recomputing —
+    // readers hold a snapshot CONTRACT per generation, not forever (the
+    // reference's guard-held reads have the same one-generation scope).
     st.df.unpersist(blocking = false)
     st.annIndexes.values.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
@@ -359,7 +349,17 @@ class GraftEngine(val spark: SparkSession,
     val sizeEst = len * (8L + st.meta.dimension * 4L + 64L)
     StoreInfo(st.meta.schema, st.meta.name, len, sizeEst, st.meta.dimension,
       st.meta.predicateIndexes.toSeq.sorted,
-      st.meta.nonLinearIndexes.keys.toSeq.sorted)
+      st.meta.nonLinearIndexes.keys.toSeq.sorted,
+      st.meta.preprocessAction, st.meta.executionProvider)
+  }
+
+  /** Catalog-only metadata update (AI session config recording etc.) —
+    * no data rewrite, just a meta swap + catalog flush. */
+  private[graft] def updateMeta(name: String, schema: String)(
+      f: StoreMeta => StoreMeta): Unit = {
+    val st = state(schema, name)
+    catalog((schema, name)) = st.copy(meta = f(st.meta))
+    flushCatalog()
   }
 
   /** CreatePredIndex — catalog-only in Spark: Catalyst's parquet pushdown IS
@@ -406,7 +406,10 @@ class GraftEngine(val spark: SparkSession,
       .withColumn("id", keyId(col("key")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      withId.count() // materialize before any dependent action
+      // materialize before any dependent action; an empty batch returns
+      // (0, 0) immediately — no version bump, no empty version dir, no
+      // catalog flush, no no-op ANN patch
+      if (withId.count() == 0) return (0L, 0L)
       validateDim(st.meta, withId)
       // last-wins dedup within the batch: hash-aggregate with max_by on the
       // ordinal — partial (map-side) aggregation, cheaper than a sort-window
@@ -430,7 +433,7 @@ class GraftEngine(val spark: SparkSession,
           src => src.select("id", "key", "value")
             .join(batchIds, col("id") === col("_nid"), "left_anti")
             .union(dedupedCached.select("id", "key", "value")),
-          Some(touch), lenDelta = inserted)
+          touch, lenDelta = inserted)
         (inserted, updated)
       } finally dedupedCached.unpersist(blocking = false)
     } finally withId.unpersist(blocking = false)
@@ -487,7 +490,7 @@ class GraftEngine(val spark: SparkSession,
     if (deleted > 0)
       swap(schema, name,
         src => src.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
-        Some(touch), lenDelta = -deleted)
+        touch, lenDelta = -deleted)
     deleted
   }
 
@@ -506,7 +509,7 @@ class GraftEngine(val spark: SparkSession,
       if (deleted > 0)
         swap(schema, name,
           src => src.join(broadcast(idsD), col("id") === col("_pid"), "left_anti"),
-          Some(touch), lenDelta = -deleted)
+          touch, lenDelta = -deleted)
       deleted
     } finally idsD.unpersist(blocking = false)
   }
@@ -524,7 +527,7 @@ class GraftEngine(val spark: SparkSession,
       val deleted = matched.count()
       if (deleted > 0) {
         val touch = touchOf(st, matched)
-        swap(schema, name, src => src.where(!c), Some(touch), lenDelta = -deleted)
+        swap(schema, name, src => src.where(!c), touch, lenDelta = -deleted)
       }
       deleted
     } finally matched.unpersist(blocking = false)
@@ -571,7 +574,7 @@ class GraftEngine(val spark: SparkSession,
         .join(replacement.select(col("id").as("_nid")),
           col("id") === col("_nid"), "left_anti")
         .union(replacement),
-      Some(touch), lenDelta = -collided)
+      touch, lenDelta = -collided)
   }
 
   private def rowToMetaMap(m: scala.collection.Map[String, Row]): Map[String, MetadataValue] =
@@ -722,4 +725,6 @@ object GraftEngine {
 /** StoreInfo parity struct (protos/db/server.proto:71-78). */
 final case class StoreInfo(schema: String, name: String, len: Long,
     sizeBytes: Long, dimension: Int, predicateIndexes: Seq[String],
-    nonLinearIndexes: Seq[String])
+    nonLinearIndexes: Seq[String],
+    preprocessAction: Option[String] = None,
+    executionProvider: Option[String] = None)

@@ -73,6 +73,8 @@ object Persistence {
       "storeOriginal" -> JBool(m.storeOriginal),
       "queryModel" -> m.queryModel.map(JString(_)).getOrElse(JNull),
       "indexModel" -> m.indexModel.map(JString(_)).getOrElse(JNull),
+      "preprocessAction" -> m.preprocessAction.map(JString(_)).getOrElse(JNull),
+      "executionProvider" -> m.executionProvider.map(JString(_)).getOrElse(JNull),
       "bucketPaths" -> JObject(r.bucketPaths.toList.sortBy(_._1)
         .map { case (b, p) => b.toString -> (JString(p): JValue) }))
   }
@@ -120,7 +122,9 @@ object Persistence {
     }
     StoreRecord(StoreMeta(str("schema"), str("name"), int("dimension"), preds,
       nl.map(c => c.kind -> c).toMap, bool("storeOriginal"),
-      optStr("queryModel"), optStr("indexModel")), version, buckets, len)
+      optStr("queryModel"), optStr("indexModel"),
+      optStr("preprocessAction"), optStr("executionProvider")),
+      version, buckets, len)
   }
 
   /** Atomic catalog flip: serialize → tmp file → ATOMIC_MOVE rename. */

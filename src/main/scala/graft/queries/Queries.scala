@@ -546,7 +546,7 @@ object Queries {
         val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
         val script =
           """CREATESTORE dsl_ai QUERYMODEL all-minilm-l6-v2 INDEXMODEL all-minilm-l6-v2 PREDICATES (cat) STOREORIGINAL;
-            |SET (([alpha doc], {cat: x}), ([beta doc], {cat: y}), ([gamma doc], {cat: x})) IN dsl_ai PREPROCESSACTION nopreprocessing;
+            |SET (([alpha doc], {cat: x}), ([beta doc], {cat: y}), ([gamma doc], {cat: x})) IN dsl_ai PREPROCESSACTION nopreprocessing EXECUTIONPROVIDER cuda;
             |DROPPREDINDEX (cat, _ahnlich_input_key) IN dsl_ai;
             |GETPRED (cat = x) IN dsl_ai;
             |GETSTORE dsl_ai""".stripMargin
@@ -565,8 +565,11 @@ object Queries {
                 Option(value.size.toLong)) // 1 == reserved key stripped
             }
           case (Right(graft.dsl.Response.StoreGet(info)), i) =>
+            // the SET's session config round-trips through the catalog
             Seq((i.toLong,
-              s"preds:${info.predicateIndexes.toSeq.sorted.mkString("+")}",
+              s"preds:${info.predicateIndexes.toSeq.sorted.mkString("+")}" +
+                s":pp=${info.preprocessAction.getOrElse("-")}" +
+                s":ep=${info.executionProvider.getOrElse("-")}",
               Option.empty[String], Option.empty[Long]))
           case (Left(_), i) =>
             Seq((i.toLong, "error", Option.empty[String], Option.empty[Long]))
@@ -585,7 +588,7 @@ object Queries {
         |  (2, 'count:1', NULL, NULL),
         |  (3, 'row', 'alpha doc', 1),
         |  (3, 'row', 'gamma doc', 1),
-        |  (4, 'preds:_ahnlich_input_key', NULL, NULL)
+        |  (4, 'preds:_ahnlich_input_key:pp=nopreprocessing:ep=cuda', NULL, NULL)
         |) t(step, info, input, n_keys) ORDER BY step, input""".stripMargin)),
 
     // AI Upsert invariants (ahnlich/db/src/tests/upsert.rs;

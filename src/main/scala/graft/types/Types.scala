@@ -102,7 +102,12 @@ final case class StoreMeta(
     nonLinearIndexes: Map[String, NonLinearConfig] = Map.empty,
     storeOriginal: Boolean = false,
     queryModel: Option[String] = None,
-    indexModel: Option[String] = None)
+    indexModel: Option[String] = None,
+    // AI-layer session config, recorded from the last SET/UPSERT that
+    // declared them (the catalog analog of the reference's per-model
+    // session state, ai/src/manager/mod.rs:35-140) and surfaced by GetStore
+    preprocessAction: Option[String] = None,
+    executionProvider: Option[String] = None)
 
 /** Engine errors, mirroring db/src/errors.rs. */
 final case class GraftException(msg: String) extends RuntimeException(msg)

@@ -46,4 +46,21 @@ class CliSpec extends AnyFunSuite {
     assert(out(0).startsWith("Error: Store missing not found"))
     assert(out(1) == "PONG")
   }
+
+  test("--persist argument validation: trailing flag, flag-as-dir, unknown flag") {
+    // well-formed
+    assert(Cli.parseArgs(Array("--ai", "--persist", "/tmp/x", "PING")) ==
+      ((true, Some("/tmp/x"), Seq("PING"))))
+    assert(Cli.parseArgs(Array("PING; LISTSTORES")) ==
+      ((false, None, Seq("PING; LISTSTORES"))))
+    // --persist as the last argument must not AIOOBE
+    val e1 = intercept[IllegalArgumentException](Cli.parseArgs(Array("--persist")))
+    assert(e1.getMessage.contains("--persist requires a directory"))
+    // --persist --ai must not eat --ai as the directory
+    val e2 = intercept[IllegalArgumentException](Cli.parseArgs(Array("--persist", "--ai")))
+    assert(e2.getMessage.contains("--persist requires a directory"))
+    // unknown flags are rejected with usage, not silently ignored
+    val e3 = intercept[IllegalArgumentException](Cli.parseArgs(Array("--bogus", "PING")))
+    assert(e3.getMessage.contains("unknown flag --bogus"))
+  }
 }

@@ -61,6 +61,67 @@ class DslSpec extends AnyFunSuite {
     assert((e2.start, e2.end) == (13, 20))
   }
 
+  test("error-span corpus transliterated from the reference DSL suites (db.rs/ai.rs)") {
+    // each (input, expected span) is the reference's own assertion
+    def dbSpan(input: String, start: Int, end: Int): Unit = {
+      val e = intercept[DslParseError](DslParser.parseDb(input))
+      assert((e.start, e.end) == (start, end), s"db span for <$input>")
+    }
+    def aiSpan(input: String, start: Int, end: Int): Unit = {
+      val e = intercept[DslParseError](DslParser.parseAi(input))
+      assert((e.start, e.end) == (start, end), s"ai span for <$input>")
+    }
+    // dsl/src/tests/db.rs:293-298 — IF NOT EXISTS is invalid for dropstore
+    dbSpan("dropstore yeezy IF NOT exists", 15, 29)
+    // db.rs:339-344 — unknown non-linear algorithm
+    dbSpan("createnonlinearalgorithmindex (fake) in store2", 0, 46)
+    // db.rs:374-380 — GETSIMN with zero n fails at parse time
+    dbSpan("GETSIMN 0 with [0.1, 0.2] using kdtree in store1 where ( author = hi )", 0, 70)
+    // db.rs:438-443 — unknown algorithm in drop
+    dbSpan("DROPNONLINEARALGORITHMINDEX (fake) in 1234", 0, 42)
+    // db.rs:484-488 — non-numeric key arrays
+    dbSpan("getkey ([a, b, c], [3.0, 4.0]) in 1234", 0, 38)
+    // db.rs:509-513 — SET requires (([..], {..})) entries
+    dbSpan("set 2134 in store", 0, 17)
+    // db.rs:562-566
+    dbSpan("DELKEY ([a, b, c], [3.0, 4.0]) in 1234", 0, 38)
+    // db.rs:587-591 — GETPRED requires a predicate, not key arrays
+    dbSpan("GETPRED ([a, b, c], [3.0, 4.0]) in 1234", 0, 39)
+    // ai.rs:199-208 — the AI grammar reports the same invalid-statement spans
+    aiSpan(" random ; listSTORES;", 0, 8)
+    aiSpan(" INfoSERVER ; random; ping", 13, 20)
+    // ai.rs:251-256
+    aiSpan("dropstore yeezy IF NOT exists", 15, 29)
+    // ai.rs:361-365
+    aiSpan("createnonlinearalgorithmindex (fake) in store2", 0, 46)
+    // ai.rs:396-401 — zero n in AI GETSIMN
+    aiSpan("GETSIMN 0 with [random] using kdtree in store1 where ( author = hi )", 0, 68)
+    // hnsw is NOT a linear algorithm (dsl/src/algorithm.rs:30-38)
+    dbSpan("GETSIMN 5 with [1.0] using hnsw in store1", 0, 41)
+  }
+
+  test("positive corpus: numeric store names, multi-key getkey/delkey, IF EXISTS drops (db.rs:444-505)") {
+    assert(one("DROPNONLINEARALGORITHMINDEX (kdtree) in 1234") ==
+      DropNonLinearAlgorithmIndex("1234", Seq("kdtree"),
+        errorIfNotExists = true, None))
+    assert(one("DROPNONLINEARALGORITHMINDEX IF EXISTS (kdtree) in 12345") ==
+      DropNonLinearAlgorithmIndex("12345", Seq("kdtree"),
+        errorIfNotExists = false, None))
+    one("getkey ([1, 2, 3], [3.0, 4.0]) in 1234") match {
+      case GetKey("1234", keys, None) =>
+        assert(keys.map(_.toSeq) == Seq(Seq(1f, 2f, 3f), Seq(3f, 4f)))
+      case other => fail(s"unexpected $other")
+    }
+    one("SET (([1,2,3], {state: Munich, country: Germany}), ([3.2, 4.5, 9.4], {country: USA})) in geo") match {
+      case SetCmd("geo", es, None) =>
+        assert(es.map(e => (e._1.toSeq, e._2)) == Seq(
+          (Seq(1f, 2f, 3f), Map("state" -> RawString("Munich"),
+            "country" -> RawString("Germany"))),
+          (Seq(3.2f, 4.5f, 9.4f), Map("country" -> RawString("USA")))))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
   test("create store variants (test_create_store_parse)") {
     assert(one("CREATEstore storename DIMENSION 23") ==
       CreateStore("storename", 23, Nil, Nil, errorIfExists = true, None))
@@ -200,9 +261,13 @@ class DslSpec extends AnyFunSuite {
       case other => fail(s"unexpected $other")
     }
     DslParser.parseAi("SET (([hello world], {tag: greeting})) in s PREPROCESSACTION nopreprocessing") match {
-      case Seq(AiSet("s", es, "nopreprocessing", None)) =>
+      case Seq(AiSet("s", es, "nopreprocessing", None, None)) =>
         assert(es == Seq((RawString("hello world"),
           Map("tag" -> RawString("greeting")))))
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("SET (([x], {t: v})) in s PREPROCESSACTION modelpreprocessing EXECUTIONPROVIDER tensorrt") match {
+      case Seq(AiSet("s", _, "modelpreprocessing", Some("tensorrt"), None)) => ()
       case other => fail(s"unexpected $other")
     }
     DslParser.parseAi("GETSIMN 3 with [hello] using cosinesimilarity in s where (tag = greeting)") match {

@@ -150,6 +150,16 @@ class EngineSpec extends AnyFunSuite {
     assert(e.dropPredIndex("s", Set("zzz"), errorIfNotExists = false) == 0)
   }
 
+  test("set with an empty batch is a no-op: (0,0), no version bump") {
+    val e = fresh()
+    e.createStore("empty_set", 2)
+    e.setSeq("empty_set", Seq(Array(1f, 2f) -> Map.empty[String, MetadataValue]))
+    assert(e.setSeq("empty_set", Seq.empty) == ((0L, 0L)))
+    assert(e.storeLen("empty_set") == 1)
+    // the store still answers (no dangling swap state)
+    assert(e.storeDf("empty_set").count() == 1)
+  }
+
   test("dropSchema / purgeStores / listStores") {
     val e = fresh()
     e.createStore("a", 1)
