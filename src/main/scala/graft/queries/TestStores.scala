@@ -76,6 +76,25 @@ object TestStores {
   /** A private engine for mutation-shaped queries (isolated per call). */
   def freshEngine(spark: SparkSession): GraftEngine = new GraftEngine(spark)
 
+  private val li4Engines = TrieMap[String, GraftEngine]()
+
+  /** Shared READ-ONLY 4-dim lineitem store with a KD-tree index — the
+    * >4096-accept-set filtered-ANN probe. Built once per sfDir (outside any
+    * bench timing region); queries must not mutate it. */
+  def li4Engine(spark: SparkSession, sfDir: String): GraftEngine =
+    li4Engines.getOrElseUpdate(sfDir, {
+      val e = new GraftEngine(spark)
+      e.createStore("li4", 4)
+      val li = table(spark, sfDir, "lineitem")
+      e.set("li4", li.select(
+        array(col("l_orderkey").cast("float"), col("l_partkey").cast("float"),
+          col("l_suppkey").cast("float"), col("l_linenumber").cast("float")).as("key"),
+        map(lit("flag"), metaStr(col("l_returnflag"))).as("value")))
+      e.createNonLinearIndex("li4",
+        Seq(graft.types.NonLinearConfig.KDTreeConfig()))
+      e
+    })
+
   private val aiEngines = TrieMap[String, graft.ai.AiEngine]()
 
   /** Shared AI engine: store "ai_docs" = documents.text embedded with the
