@@ -255,13 +255,16 @@ object AnnSearch {
 
   /** ids → rows, recompute exact similarity on the tiny result set
     * (store.rs:386-398 hydration). The predicate, when present, is re-applied
-    * exactly here so Bloom false positives never reach the result. */
+    * exactly here so Bloom false positives never reach the result. The scan
+    * is bucket-pruned by the hit ids (engine.pointView), so hydration opens
+    * O(touched buckets) files, not the store. */
   private def hydrate(engine: GraftEngine, st: GraftEngine#StoreState,
       hits: Seq[(Long, Double)], q: Array[Float], n: Int,
       scoringAlgo: Algorithm, condition: Option[PredicateCondition]): DataFrame = {
     if (hits.isEmpty) return emptyResult(engine)
     val ids = hits.map(_._1)
-    val base = st.df.where(col("id").isin(ids: _*))
+    val base = engine.pointView(st.meta.name, ids, st.meta.schema)
+      .where(col("id").isin(ids: _*))
     val verified = condition.fold(base)(c =>
       base.where(Predicates.toColumn(c, col("value"))))
     engine.linearTopK(verified, q, n, scoringAlgo)

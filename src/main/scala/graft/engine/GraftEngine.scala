@@ -186,6 +186,17 @@ class GraftEngine(val spark: SparkSession,
       case None => st.df
     }
 
+  /** Read twin of [[mutationView]] for point lookups by known content ids:
+    * a persistent store opens ONLY the buckets the ids can hash into
+    * (file-level pruning — at 100 TB a GetKey touches 1/NumBuckets of the
+    * files instead of listing all of them); in-memory stores use the
+    * cached df. */
+  private[graft] def pointView(name: String, ids: Seq[Long],
+      schema: String = DefaultSchema): DataFrame = {
+    val st = state(schema, name)
+    mutationView(st, touchOfIds(st, ids))
+  }
+
   /** Swap in the result of a mutation. `rewrite` maps a source of existing
     * rows to the post-mutation rows *for those rows' buckets*; it must be
     * location-transparent (applied to the full store it yields the full new
@@ -448,7 +459,9 @@ class GraftEngine(val spark: SparkSession,
     set(name, entriesDf(entries), DefaultSchema)
 
   /** GetKey — point lookup by exact vector(s) (store.rs:413-423, 858-867).
-    * Probe keys are hashed with the same expression and semi-joined. */
+    * Probe keys are hashed with the same expression and semi-joined; the
+    * probe ids (tiny, user-bounded) are collected once so the scan is
+    * pruned to the ids' hash buckets, like every mutation's read. */
   def getKey(name: String, keys: Seq[Array[Float]],
       schema: String = DefaultSchema): DataFrame = {
     val st = state(schema, name)
@@ -458,7 +471,9 @@ class GraftEngine(val spark: SparkSession,
       spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
       org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
       .select(keyId(col("key")).as("_pid"))
-    st.df.join(broadcast(probe), col("id") === col("_pid"), "left_semi")
+    val pids = probe.collect().map(_.getLong(0)).toSeq
+    pointView(name, pids, schema)
+      .join(broadcast(probe), col("id") === col("_pid"), "left_semi")
       .select("key", "value")
   }
 
