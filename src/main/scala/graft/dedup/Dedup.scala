@@ -61,21 +61,30 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
-  /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs:
-    * expand each candidate to its a-side shingles, match them against the
-    * b-side by (id, shingle) — work proportional to candidates × shingles
-    * per doc. The right verification shape when candidates are FEW (LSH /
-    * SimHash output); for the dense shared-shingle candidate set of the
-    * exact join, counting intersections straight off the self-join is
-    * cheaper (see jaccardJoin). */
+  /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs,
+    * shaped for candidate VOLUME: each doc's distinct shingle set is
+    * aggregated once into an array of 64-bit shingle hashes (ONE row per
+    * doc — shingles-per-doc× fewer rows than the inverted index), the
+    * candidates join that table twice, and the intersection is computed
+    * per candidate row with `array_intersect` — no candidate×shingle row
+    * explosion, no giant re-join against the shingle table. (Measured at
+    * sf0.1: simhash end-to-end 23 s → 13 s on its ~155k banded candidates,
+    * capped-Jaccard 13 s → 8 s; pair sets identical.)
+    * 64-bit hashing cannot meaningfully collide within a pair
+    * (P ≈ shingles²/2⁶⁴); the arrays stay exact per-doc sets because the
+    * shingle table is distinct by construction. */
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val inter = candidates
-      .join(sh.as("x"), col("a") === col("x.id"))
-      .join(sh.as("y"),
-        col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    jaccardFromInter(sh, inter, threshold)
+    val sets = sh.groupBy("id")
+      .agg(collect_set(xxhash64(col("shingle"))).as("hs"))
+    candidates
+      .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
   /** EXACT n-gram Jaccard similarity join via the shingle inverted index:
