@@ -897,6 +897,31 @@ object Queries {
         |round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- gap-based sessionization, batch twin of the streaming
+    // flatMapGroupsWithState operator (StreamingIngest.sessionize; the
+    // streaming/batch agreement is pinned in StreamingSpec). Timestamps
+    // compare as epoch MICROS on both engines (events.parquet carries
+    // nanos; Spark reads them truncated to micros). ----
+    "events_sessionize" -> Q(
+      (s, dir) => graft.streaming.StreamingIngest
+        .sessionizeBatch(TestStores.eventsTable(s, dir), gapSeconds = 1800)
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"), round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH marked AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS em, value,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR (epoch_ns(ts) // 1000) - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts) > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sid AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY em
+        |  ROWS UNBOUNDED PRECEDING) AS s FROM marked)
+        |SELECT user_id, MIN(em) AS session_start_us, MAX(em) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+        |FROM sid GROUP BY user_id, s
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
     // ---- IVF index (extension): partition-pruned ANN. nProbe = nCells ⇒
     // exhaustive ⇒ identical to the exact linear scan — the correctness
     // gate; pruned-probe recall is pinned in IvfSpec. ----

@@ -54,6 +54,32 @@ object StreamingIngest {
 
   // ------------------------------------------------------- sessionization
 
+  /** Batch twin of [[sessionize]]: gap-based sessions as a pure window
+    * computation — lag to mark session starts, running sum to number them,
+    * one aggregation per (user, session). ONE shuffle on user_id (the two
+    * window functions and the groupBy all share its partitioning — Catalyst
+    * reuses the exchange), so at 100 TB this is shuffle-minimal and skew
+    * follows the per-user event distribution. Emits ALL sessions including
+    * each user's final open one (batch has no notion of "still open");
+    * timestamps compare at microsecond precision. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val em = unix_micros(col("ts"))
+    val prev = lag(em, 1).over(w)
+    val marked = events
+      .withColumn("_new",
+        when(prev.isNull || (em - prev) > gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("_sid", sum(col("_new")).over(w))
+    marked.groupBy(col("user_id"), col("_sid"))
+      .agg(
+        min(em).as("session_start_us"),
+        max(em).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .drop("_sid")
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, events: Int, total: Double)
   final case class Session(user_id: Long, startMs: Long, endMs: Long,

@@ -46,6 +46,30 @@ class PersistenceSpec extends AnyFunSuite {
     e2.purgeStores()
   }
 
+  test("AI session config (preprocess action / execution provider) survives restart") {
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    val ai1 = new graft.ai.AiEngine(e1)
+    ai1.createStore("aip", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    ai1.set("aip", Seq((RawString("doc") : MetadataValue) -> Map.empty[String, MetadataValue]),
+      preprocessAction = "modelpreprocessing", executionProvider = Some("tensorrt"))
+    val e2 = GraftEngine.load(spark, root)
+    val info = e2.getStore("aip")
+    assert(info.preprocessAction == Some("modelpreprocessing"))
+    assert(info.executionProvider == Some("tensorrt"))
+    // a later SET without an EP keeps the recorded one, updates the action
+    val ai2 = new graft.ai.AiEngine(e2)
+    ai2.set("aip", Seq((RawString("doc2") : MetadataValue) -> Map.empty[String, MetadataValue]),
+      preprocessAction = "nopreprocessing")
+    assert(e2.getStore("aip").preprocessAction == Some("nopreprocessing"))
+    assert(e2.getStore("aip").executionProvider == Some("tensorrt"))
+    // unknown values are rejected before any write
+    intercept[GraftException](ai2.set("aip",
+      Seq((RawString("x") : MetadataValue) -> Map.empty[String, MetadataValue]),
+      preprocessAction = "bogus"))
+    e2.purgeStores()
+  }
+
   test("mutations after reload persist; unreferenced version dirs are GCed") {
     val root = tmpRoot()
     val e1 = new GraftEngine(spark, Some(root))

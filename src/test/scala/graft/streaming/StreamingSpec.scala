@@ -93,4 +93,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.head.startMs == t0 && out.head.endMs == t0 + 30000)
     } finally q.stop()
   }
+
+  test("sessionizeBatch agrees with the streaming operator's closed sessions") {
+    import StreamingIngest.Event
+    import org.apache.spark.sql.functions._
+    val t0 = Timestamp.valueOf("2026-01-01 09:00:00").getTime
+    // user 1: sessions [0s,30s] and [10min]; user 2: [0s] and [5min, 5min+20s]
+    val events = Seq(
+      Event(1L, new Timestamp(t0), 1.0),
+      Event(1L, new Timestamp(t0 + 30000), 2.0),
+      Event(1L, new Timestamp(t0 + 600000), 5.0),
+      Event(2L, new Timestamp(t0), 1.5),
+      Event(2L, new Timestamp(t0 + 300000), 2.5),
+      Event(2L, new Timestamp(t0 + 320000), 3.0)).toDF()
+    val got = StreamingIngest.sessionizeBatch(events, gapSeconds = 60)
+      .orderBy("user_id", "session_start_us")
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val us = 1000L // ms → µs factor
+    assert(got.toSeq == Seq(
+      (1L, t0 * us, (t0 + 30000) * us, 2L, 3.0),
+      (1L, (t0 + 600000) * us, (t0 + 600000) * us, 1L, 5.0),
+      (2L, t0 * us, t0 * us, 1L, 1.5),
+      (2L, (t0 + 300000) * us, (t0 + 320000) * us, 2L, 5.5)))
+  }
 }
