@@ -76,6 +76,48 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Nearest-neighbor resize over the stub's pixel layout: the payload is
+    * interpreted as `stubDims`-shaped h×w×c row-major bytes (zero-padded
+    * past the payload's end), resampled to targetW×targetH with the
+    * standard `src = (ty·h/th, tx·w/tw)` nearest-neighbor grid. The
+    * RESAMPLE is a real kernel (index math identical to an image resize);
+    * only the pixel source is the stub decode. Output
+    * (id, resized BINARY[tw·th·c]), byte-exact and SQL-mirrorable. */
+  def resizeImageStub(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, c) = stubDims(payload.length)
+        val out = new Array[Byte](targetW * targetH * c)
+        var i = 0
+        var ty = 0
+        while (ty < targetH) {
+          val sy = ty * h / targetH
+          var tx = 0
+          while (tx < targetW) {
+            val sx = tx * w / targetW
+            var ch = 0
+            while (ch < c) {
+              val src = (sy * w + sx) * c + ch
+              out(i) = if (src < payload.length) payload(src) else 0
+              i += 1; ch += 1
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        Row(id, out)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frame chunks and keep every `stride`-th — the batch shape
     * (one input row → N frame rows with ordinals) is the real contract;

@@ -957,6 +957,37 @@ object Queries {
         |CAST(16 + (octet_length(encode(text)) * 7) % 16 AS INT) AS height, 3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // resize: nearest-neighbor resample over the stub pixel layout to
+    // 8×8×3; byte-EXACT cross-engine check — both engines recompute the
+    // output byte sum through hex expansion (the only byte access DuckDB
+    // has), with identical src-index math
+    "mm_resize" -> Q(
+      (s, dir) => {
+        val media = TestStores.table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        graft.multimodal.Multimodal.resizeImageStub(media, "doc_id", "payload", 8, 8)
+          .select(col("id").as("doc_id"),
+            length(col("resized")).cast("int").as("out_len"),
+            expr("""aggregate(
+              transform(sequence(0, length(resized) - 1),
+                i -> conv(substr(hex(resized), i*2 + 1, 2), 16, 10)),
+              0L, (acc, x) -> acc + CAST(x AS LONG))""").as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len,
+        |    16 + octet_length(encode(text)) % 16 AS w,
+        |    16 + (octet_length(encode(text)) * 7) % 16 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(192 AS INT) AS out_len,
+        |  CAST(list_sum(list_transform(range(192), i ->
+        |    CASE WHEN (((((i//24)*h)//8)*w + ((((i//3)%8)*w)//8))*3 + (i%3)) < len
+        |      THEN CAST(concat('0x', substr(hx,
+        |        CAST((((((i//24)*h)//8)*w + ((((i//3)%8)*w)//8))*3 + (i%3))*2 + 1 AS INT), 2)) AS INT)
+        |      ELSE 0 END)) AS BIGINT) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
     // frame sampling: one payload row → ceil(nFrames/stride) frame rows
     "mm_frame_sample" -> Q(
       (s, dir) => {

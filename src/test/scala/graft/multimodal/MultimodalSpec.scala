@@ -21,6 +21,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((16, 16, 3))) // empty payload handled
   }
 
+  test("resize stub: nearest-neighbor src indices, zero-padding, exact bytes") {
+    // payload [10,20,30,40]: stubDims(4) = (w=20, h=28, c=3). 2×2 target:
+    // sy ∈ {0, 14}, sx ∈ {0, 10} → only (0,0) maps inside the payload
+    // (src 0,1,2); every other sampled index ≥ 4 → zero-padded
+    val one = Seq((7L, Array[Byte](10, 20, 30, 40))).toDF("id", "payload")
+    val out = Multimodal.resizeImageStub(one, "id", "payload", 2, 2).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 7L)
+    val bytes = out.head.getAs[Array[Byte]](1)
+    assert(bytes.toSeq == Seq[Byte](10, 20, 30, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    // empty payload: all zeros, full target size
+    val empty = Seq((8L, Array[Byte]())).toDF("id", "payload")
+    val z = Multimodal.resizeImageStub(empty, "id", "payload", 4, 4).collect()
+    assert(z.head.getAs[Array[Byte]](1).toSeq == Seq.fill(48)(0: Byte))
+  }
+
   test("frame sampling: one row per kept frame with ordinals") {
     val out = Multimodal.sampleFrames(media, "id", "payload", frameBytes = 32, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).length))
