@@ -46,6 +46,42 @@ final class IvfIndex(
       .take(math.max(1, math.min(nProbe, nCells)))
       .map(_._1)
 
+  /** Batch k-NN JOIN through the cells — the both-sides-large path that
+    * [[graft.dedup.Dedup.topKJoin]]'s broadcast shape can't take: each
+    * query row is assigned its `nProbe` nearest cells by a DISTRIBUTED
+    * argmin over the (small, expression-inlined) centroid set, exploded to
+    * (cell, query) rows, and joined to the cell-partitioned corpus on
+    * `cell` — a co-partitioned shuffle join, no query broadcast, no
+    * all-pairs product; matched volume is |queries|·nProbe·(corpus/nCells)
+    * on average. nProbe = nCells ⇒ every pair is scored ⇒ exactly the
+    * exhaustive join (the correctness gate); smaller nProbe trades recall
+    * for a nProbe/nCells scan fraction (recall pinned in IvfSpec).
+    * Returns (qid, cid, sim, rank) ranked by closeness under the index's
+    * metric, ties on cid. */
+  def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val np = math.max(1, math.min(nProbe, nCells))
+    // array of (distance, cell) structs sorts by distance then cell index —
+    // slice(·, 1, np) = the np nearest cells, deterministically
+    val cellRank = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
+        lit(i).as("c")) }: _*))
+    val probed = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .withColumn("_p", explode(slice(cellRank, 1, np)))
+      .select(col("qid"), col("qv"), col("_p.c").as("cell"))
+    // a corpus row lives in exactly one cell and (qid, cell) probes are
+    // distinct, so no match can appear twice
+    val scored = probed.join(cells, "cell")
+      .withColumn("_closeness", Similarity.closeness(metric, col("key"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("_closeness").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("id").as("cid"),
+        round(Similarity.similarityValue(metric, col("key"), col("qv"))
+          .cast("float").cast("double"), 4).as("sim"),
+        col("rank"))
+  }
+
   /** Top-n over the probed cells only: `cell IN probes` prunes partitions,
     * then exact scoring + TakeOrderedAndProject. Returns (id, key, sim). */
   def search(q: Array[Float], n: Int, nProbe: Int): DataFrame = {

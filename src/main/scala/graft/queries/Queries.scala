@@ -883,6 +883,32 @@ object Queries {
         |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // IVF-bucketed variant of the same join — the both-sides-large scale
+    // path (no query broadcast: queries are cell-assigned and shuffle-join
+    // the cell-partitioned corpus). nProbe = nCells ⇒ exact ⇒ shares the
+    // exhaustive oracle; pruned-probe recall is pinned in IvfSpec.
+    "embed_topk_join_ivf" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<float>").as("key"))
+        val ivf = graft.ann.IvfIndex.build(e, nCells = 8, iters = 2)
+        val out = ivf.topKJoin(
+          e.where(col("id") < 20).select(col("id").as("vec_id"), col("key").as("embedding")),
+          "vec_id", "embedding", k = 3, nProbe = 8)
+        val rows = out.collect()
+        ivf.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |    ${euclidSql("q.embedding", "c.embedding")} AS dist,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${euclidSql("q.embedding", "c.embedding")} ASC, c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 20)
+        |SELECT qid, cid, ${r4("dist")} AS sim, CAST(rank AS BIGINT) AS rank
+        |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
     // ---- event-time windowed aggregation (the streaming surface's shared
     // batch/stream computation — StreamingIngest.windowedEventStats; the
     // streaming path with watermarks is pinned in StreamingSpec) ----

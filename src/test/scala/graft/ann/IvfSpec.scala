@@ -44,6 +44,32 @@ class IvfSpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("topKJoin: nProbe = nCells matches brute force; pruned probes keep recall") {
+    val ivf = IvfIndex.build(df, nCells = 16, iters = 3)
+    val queries = (0 until 25).map(qi => ((5000 + qi).toLong, gen((5000 + qi).toLong)))
+    val qDf = queries.toDF("qid", "qv")
+    // exact arm
+    val exact = ivf.topKJoin(qDf, "qid", "qv", k = 10, nProbe = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val exp = bruteTopK(Algorithm.EuclideanDistance, ids, vecs, qv, 10).map(_._1)
+      assert(exact(qid) == exp, s"exact join mismatch for query $qid")
+    }
+    // pruned arm: recall over the batch
+    val pruned = ivf.topKJoin(qDf, "qid", "qv", k = 10, nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    var hits = 0; var total = 0
+    queries.foreach { case (qid, qv) =>
+      val exp = bruteTopK(Algorithm.EuclideanDistance, ids, vecs, qv, 10).map(_._1)
+      hits += exp.count(pruned.getOrElse(qid, Set.empty).contains); total += exp.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"join recall@10 with nProbe=4/16 = $recall")
+    ivf.unpersist()
+  }
+
   test("build is deterministic (same data → same centroids → same results)") {
     val a = IvfIndex.build(df, nCells = 8, iters = 2)
     val b = IvfIndex.build(df, nCells = 8, iters = 2)
