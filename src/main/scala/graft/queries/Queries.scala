@@ -93,6 +93,83 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Q3-shaped 3-table join: the small filtered dimension (customer)
+    // broadcasts into orders, the o↔l join shuffles on the order key, both
+    // date filters reach the parquet scans. Exercises the join-planning
+    // surface the vector ops don't.
+    "q3_join" -> Q(
+      (s, dir) => {
+        val cust = TestStores.table(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = TestStores.table(s, dir, "orders")
+          .where(col("o_orderdate") < lit("1998-06-30"))
+        val li = TestStores.table(s, dir, "lineitem")
+          .where(col("l_shipdate") > lit("1998-06-30"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+          .select(col("l_orderkey"), round(col("revenue"), 4).as("revenue"),
+            col("orderdate"), col("o_orderpriority"))
+      },
+      Some("""SELECT l_orderkey,
+        |round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+        |strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Q5-shaped 6-table join: the nation→region dim chain broadcasts, the
+    // local-supplier condition joins lineitem↔supplier on (suppkey) with
+    // the nationkey equality applied post-join.
+    "q5_join" -> Q(
+      (s, dir) => {
+        val region = TestStores.table(s, dir, "region")
+        val nation = TestStores.table(s, dir, "nation")
+        val cust = TestStores.table(s, dir, "customer")
+        val supp = TestStores.table(s, dir, "supplier")
+        val ord = TestStores.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        val li = TestStores.table(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp.select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region.where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"))
+          .select(col("n_name"), round(col("revenue"), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        |round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // ---- GetPred: predicate algebra over metadata (SURVEY §2.1 #4, §2.3) ----
     "vdb_get_pred" -> Q(
       (s, dir) => {
@@ -795,6 +872,24 @@ object Queries {
         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
         |SELECT MIN(doc_id) AS keeper, COUNT(*) AS cnt FROM corpus
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin)),
+
+    // keep-one projection: the "apply the dedup" half of exactClusters —
+    // one window over the content hash, no join
+    "dedup_keep_one" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        graft.dedup.Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |ranked AS (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM corpus)
+        |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // shared oracle for the three near-dup joins: exact 3-gram Jaccard ≥ 0.8
     // over the natural corpus (the driver's documents table contains real
