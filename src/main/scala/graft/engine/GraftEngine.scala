@@ -361,7 +361,18 @@ class GraftEngine(val spark: SparkSession,
     StoreInfo(st.meta.schema, st.meta.name, len, sizeEst, st.meta.dimension,
       st.meta.predicateIndexes.toSeq.sorted,
       st.meta.nonLinearIndexes.keys.toSeq.sorted,
-      st.meta.preprocessAction, st.meta.executionProvider)
+      st.meta.preprocessAction, st.meta.executionProvider,
+      st.meta.nonLinearIndexes.values.toSeq.map(describeConfig).sorted)
+  }
+
+  /** Human-readable index config, returned by ListStores/GetStore like the
+    * reference's NonLinearIndex details (server_tests.rs:4072
+    * list_stores_returns_nonlinear_config). */
+  private def describeConfig(c: NonLinearConfig): String = c match {
+    case _: NonLinearConfig.KDTreeConfig => "kdtree"
+    case h: NonLinearConfig.HNSWConfig =>
+      s"hnsw(efC=${h.efConstruction},m=${h.maximumConnections}," +
+        s"m0=${h.maximumConnectionsZero},ef=${h.efSearch},metric=${h.metric})"
   }
 
   /** Catalog-only metadata update (AI session config recording etc.) —
@@ -556,6 +567,10 @@ class GraftEngine(val spark: SparkSession,
       newValue: Option[Map[String, MetadataValue]] = None,
       mergeMetadata: Boolean = false,
       schema: String = DefaultSchema): Unit = {
+    // neither a new key nor a new value is a no-op request — the reference
+    // rejects it (aiproxy_test.rs:3130 upsert_error_neither_input_nor_value)
+    if (newKey.isEmpty && newValue.isEmpty)
+      throw GraftException("Upsert requires a new key or a new value")
     val st = state(schema, name)
     newKey.filter(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
@@ -742,4 +757,5 @@ final case class StoreInfo(schema: String, name: String, len: Long,
     sizeBytes: Long, dimension: Int, predicateIndexes: Seq[String],
     nonLinearIndexes: Seq[String],
     preprocessAction: Option[String] = None,
-    executionProvider: Option[String] = None)
+    executionProvider: Option[String] = None,
+    nonLinearConfigs: Seq[String] = Seq.empty)

@@ -683,8 +683,8 @@ object Queries {
           newValue = Some(Map("tag" -> RawString("t")))); "ok" } // none → error
         step { aiE.upsert("ups", Equals("name", RawString("a")),
           newValue = Some(Map("tag" -> RawString("t")))); "ok" } // one → merge
-        step { aiE.upsert("ups", In("name",
-          Set(RawString("a"), RawString("b")))); "ok" }          // many → error
+        step { aiE.upsert("ups", In("name", Set(RawString("a"), RawString("b"))),
+          newValue = Some(Map("tag" -> RawString("x")))); "ok" } // many → error
         step { aiE.upsert("ups", Equals("name", RawString("b")),
           newInput = Some(RawString("u two prime"))); "ok" }     // re-embed + restash
         step { "getkey:" + aiE.getKey("ups", Seq(RawString("u two prime")))

@@ -106,6 +106,16 @@ class AiSpec extends AnyFunSuite {
       Equals("who", RawString("b")), Some(img3)))
   }
 
+  test("getKey/delKey by raw input require STOREORIGINAL (aiproxy_test.rs:296)") {
+    val ai = fresh()
+    ai.createStore("noorig", "all-minilm-l6-v2", "all-minilm-l6-v2") // no original
+    ai.set("noorig", Seq((RawString("doc"), meta("v" -> "1"))))
+    val e1 = intercept[GraftException](ai.getKey("noorig", Seq(RawString("doc"))))
+    assert(e1.getMessage.contains("STOREORIGINAL"))
+    val e2 = intercept[GraftException](ai.delKey("noorig", Seq(RawString("doc"))))
+    assert(e2.getMessage.contains("STOREORIGINAL"))
+  }
+
   test("one-to-many expansion counts UTF-8 BYTES, not chars (non-ASCII input)") {
     val ai = fresh()
     ai.createStore("nfaces", "buffalo-l", "buffalo-l", storeOriginal = true)

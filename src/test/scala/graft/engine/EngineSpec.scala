@@ -150,6 +150,30 @@ class EngineSpec extends AnyFunSuite {
     assert(e.dropPredIndex("s", Set("zzz"), errorIfNotExists = false) == 0)
   }
 
+  test("upsert with neither new key nor new value is rejected (aiproxy_test.rs:3130)") {
+    val e = fresh()
+    e.createStore("ups_none", 1)
+    e.setSeq("ups_none", Seq(Array(1f) -> Map("k" -> (RawString("v"): MetadataValue))))
+    val err = intercept[GraftException](
+      e.upsert("ups_none", Equals("k", RawString("v"))))
+    assert(err.getMessage.contains("requires a new key or a new value"))
+  }
+
+  test("GetStore/ListStores return non-linear index configs (server_tests.rs:4072)") {
+    val e = fresh()
+    e.createStore("cfgstore", 8, nonLinearIndexes = Seq(
+      NonLinearConfig.KDTreeConfig(),
+      NonLinearConfig.HNSWConfig(efConstruction = 50, maximumConnections = 25,
+        maximumConnectionsZero = 50, efSearch = 20)))
+    val info = e.getStore("cfgstore")
+    assert(info.nonLinearIndexes == Seq("hnsw", "kdtree"))
+    assert(info.nonLinearConfigs.contains("kdtree"))
+    assert(info.nonLinearConfigs.exists(_.startsWith(
+      "hnsw(efC=50,m=25,m0=50,ef=20,metric=")))
+    assert(e.listStores().find(_.name == "cfgstore").get.nonLinearConfigs ==
+      info.nonLinearConfigs)
+  }
+
   test("set with an empty batch is a no-op: (0,0), no version bump") {
     val e = fresh()
     e.createStore("empty_set", 2)
