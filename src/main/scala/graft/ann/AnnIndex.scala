@@ -46,14 +46,13 @@ final class KdShard(val tree: KdTree) extends AnnShard {
     tree.nNearest(q, k, accept).map { case (id, d) => (id, -d) }
 }
 
-/** Broadcastable id-membership filter for predicate-filtered ANN search.
-  * Exact for small accept sets; a Bloom sketch (bounded memory at any scale,
-  * rare false positives removed by exact post-verification) for large ones. */
+/** Broadcastable id-membership filter for predicate-filtered ANN search —
+  * a Bloom sketch (bounded memory at any scale; the rare false positives
+  * are removed by exact post-verification at hydration). Accept sets small
+  * enough for an exact filter (≤ 4096) never reach the index at all: the
+  * dispatch brute-forces them, matching the reference's cutover. */
 sealed trait IdFilter extends Serializable { def accept(id: Long): Boolean }
 object IdFilter {
-  final case class Sorted(ids: Array[Long]) extends IdFilter {
-    def accept(id: Long): Boolean = Arrays.binarySearch(ids, id) >= 0
-  }
   final case class Bloom(bf: org.apache.spark.util.sketch.BloomFilter) extends IdFilter {
     def accept(id: Long): Boolean = bf.mightContainLong(id)
   }
