@@ -77,6 +77,8 @@ object Cli {
     * `--persist` or `--persist --ai` is a usage error, not an AIOOBE. */
   private[graft] def parseArgs(args: Array[String]): (Boolean, Option[String], Seq[String]) = {
     val ai = args.contains("--ai")
+    if (args.count(_ == "--persist") > 1)
+      throw new IllegalArgumentException(s"--persist given more than once\n$Usage")
     val persistIdx = args.indexOf("--persist")
     val persistRoot =
       if (persistIdx < 0) None

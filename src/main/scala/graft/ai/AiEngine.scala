@@ -109,32 +109,38 @@ class AiEngine(val db: GraftEngine) {
     // stale-entry cleanup BEFORE embedding (operations.rs:229-266): entries
     // whose reserved input matches an incoming input are deleted, so
     // one-to-many re-ingestion can't leave orphaned expansions behind
+    recordSessionConfig(name, schema, preprocessAction, executionProvider)
     if (meta.storeOriginal)
       delByReservedInput(name, entries.select("input"), schema)
     val embedded = embedEntries(prepared, im)
-    val counts = db.set(name, embedded, schema)
-    recordSessionConfig(name, schema, preprocessAction, executionProvider)
-    counts
+    db.set(name, embedded, schema)
   }
 
   private val PreprocessActions = Set("nopreprocessing", "modelpreprocessing")
   private val ExecutionProviders = Set("coreml", "tensorrt", "directml", "cuda")
 
+  // Locale.ROOT: the default toLowerCase is locale-sensitive (Turkish
+  // dotless-ı mangles "NOPREPROCESSING") — keyword folding must not be
+  private def fold(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
   private def validateSessionConfig(preprocessAction: String,
       executionProvider: Option[String]): Unit = {
-    if (!PreprocessActions.contains(preprocessAction.toLowerCase))
+    if (!PreprocessActions.contains(fold(preprocessAction)))
       throw GraftException(s"Unknown preprocess action $preprocessAction")
-    executionProvider.filterNot(ep => ExecutionProviders.contains(ep.toLowerCase))
+    executionProvider.filterNot(ep => ExecutionProviders.contains(fold(ep)))
       .foreach(ep => throw GraftException(s"Unknown execution provider $ep"))
   }
 
   /** Last-declared session config sticks to the store's catalog meta;
-    * an absent EP keeps the previously recorded one. */
+    * an absent EP keeps the previously recorded one. Recorded BEFORE the
+    * data write with flush deferred to the write's own catalog flip, so an
+    * AI SET flushes the catalog once, not twice (the reference's manager
+    * applies session state at request level, independent of op outcome). */
   private def recordSessionConfig(name: String, schema: String,
       preprocessAction: String, executionProvider: Option[String]): Unit =
-    db.updateMeta(name, schema)(m => m.copy(
-      preprocessAction = Some(preprocessAction.toLowerCase),
-      executionProvider = executionProvider.map(_.toLowerCase)
+    db.updateMeta(name, schema, flush = false)(m => m.copy(
+      preprocessAction = Some(fold(preprocessAction)),
+      executionProvider = executionProvider.map(fold)
         .orElse(m.executionProvider)))
 
   /** Distributed analog of DelPred(ReservedKey IN batch-inputs). The store
@@ -213,8 +219,8 @@ class AiEngine(val db: GraftEngine) {
         Some(newValue.getOrElse(Map.empty) + (ReservedKey -> i))
       case _ => newValue
     }
-    db.upsert(name, cond, newKey, valueWithOriginal, mergeMetadata = true, schema)
     recordSessionConfig(name, schema, preprocessAction, executionProvider)
+    db.upsert(name, cond, newKey, valueWithOriginal, mergeMetadata = true, schema)
   }
 
   // -------------------------------------------------------------------- read

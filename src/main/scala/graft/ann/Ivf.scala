@@ -67,7 +67,10 @@ final class IvfIndex(
     val cellRank = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
         lit(i).as("c")) }: _*))
+    // dedupe by qid first: duplicate query ids would double-score every
+    // matched corpus row and burn ranks on repeats (a qid names ONE query)
     val probed = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .dropDuplicates("qid")
       .withColumn("_p", explode(slice(cellRank, 1, np)))
       .select(col("qid"), col("qv"), col("_p.c").as("cell"))
     // a corpus row lives in exactly one cell and (qid, cell) probes are

@@ -376,12 +376,14 @@ class GraftEngine(val spark: SparkSession,
   }
 
   /** Catalog-only metadata update (AI session config recording etc.) —
-    * no data rewrite, just a meta swap + catalog flush. */
-  private[graft] def updateMeta(name: String, schema: String)(
-      f: StoreMeta => StoreMeta): Unit = {
+    * no data rewrite, just a meta swap. `flush = false` defers the on-disk
+    * catalog flip to an imminent mutation's own flush (avoids writing the
+    * whole catalog twice per AI SET). */
+  private[graft] def updateMeta(name: String, schema: String,
+      flush: Boolean = true)(f: StoreMeta => StoreMeta): Unit = {
     val st = state(schema, name)
     catalog((schema, name)) = st.copy(meta = f(st.meta))
-    flushCatalog()
+    if (flush) flushCatalog()
   }
 
   /** CreatePredIndex — catalog-only in Spark: Catalyst's parquet pushdown IS
