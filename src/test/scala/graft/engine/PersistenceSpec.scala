@@ -126,6 +126,48 @@ class PersistenceSpec extends AnyFunSuite {
     assert(e2.listStores().isEmpty)
   }
 
+  test("differential: persistent and in-memory engines agree across a mutation chain") {
+    // same op sequence on both engine kinds; the persistent side exercises
+    // bucket-pruned reads + incremental writes, the in-memory side the
+    // cached-df rewrites — any bucket-math bug shows as a divergence
+    val root = tmpRoot()
+    val em = new GraftEngine(spark)
+    val ep = new GraftEngine(spark, Some(root))
+    val engines = Seq(em, ep)
+    def entries(r: Range) = r.map(i =>
+      (Array(i.toFloat), meta("n" -> (i % 5).toString, "g" -> (i % 3).toString)))
+    def snapshot(e: GraftEngine): Seq[(Float, String, String)] =
+      e.storeDf("diff").collect().map { r =>
+        val v = r.getMap[String, org.apache.spark.sql.Row](r.fieldIndex("value"))
+        (r.getSeq[Float](r.fieldIndex("key")).head,
+          v("n").getString(1), v.get("g").map(_.getString(1)).getOrElse("-"))
+      }.sortBy(_._1).toSeq
+    def assertAgree(step: String): Unit = {
+      assert(snapshot(em) == snapshot(ep), s"divergence after $step")
+      assert(em.storeLen("diff") == ep.storeLen("diff"), s"len divergence after $step")
+    }
+    engines.foreach { e =>
+      e.createStore("diff", 1, predicates = Set("n", "g"))
+      e.setSeq("diff", entries(0 until 40))
+    }
+    assertAgree("initial set")
+    engines.foreach(_.delPred("diff", Equals("n", RawString("2"))))
+    assertAgree("delPred")
+    engines.foreach(_.setSeq("diff", entries(35 until 50))) // re-insert overlap
+    assertAgree("overlapping set")
+    engines.foreach(_.setSeq("diff", Seq((Array(1000f), meta("n" -> "u")))))
+    engines.foreach(_.upsert("diff", Equals("n", RawString("u")),
+      newValue = Some(meta("tag" -> "t")), mergeMetadata = true))
+    assertAgree("upsert")
+    engines.foreach { e =>
+      // 9 (n=4) and 11 (n=1) survived the delPred(n=2); 999 never existed
+      val deleted = e.delKey("diff", Seq(Array(9f), Array(11f), Array(999f)))
+      assert(deleted == 2)
+    }
+    assertAgree("delKey")
+    ep.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("in-memory engines (no persistRoot) keep working with zero disk IO") {
     val e = new GraftEngine(spark)
     e.createStore("mem", 2)
