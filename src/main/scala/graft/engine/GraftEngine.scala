@@ -175,6 +175,26 @@ class GraftEngine(val spark: SparkSession,
     Touch(touchModuli(st).map(m =>
       m -> ids.map(id => java.lang.Math.floorMod(id, m.toLong).toInt).toSet).toMap)
 
+  /** [[touchOf]] fused with the id count — ONE aggregation job resolves both
+    * the touched buckets (per modulus) and the distinct-batch size, instead
+    * of a count job followed by a distinct job (the grouped row count is
+    * bounded by the bucket-combination product, not the batch). */
+  private def touchAndCount(st: StoreState, ids: DataFrame): (Touch, Long) = {
+    val moduli = touchModuli(st)
+    if (moduli.isEmpty) (Touch(Map.empty), ids.count())
+    else {
+      val idCol = col(ids.columns.head)
+      val cols = moduli.map(m => pmod(idCol, lit(m)).cast("int").as(s"_m$m"))
+      val rows = ids.select(cols: _*)
+        .groupBy(moduli.map(m => col(s"_m$m")): _*)
+        .agg(count(lit(1)).as("_c")).collect()
+      val touch = Touch(moduli.zipWithIndex.map { case (m, i) =>
+        m -> rows.map(_.getInt(i)).toSet
+      }.toMap)
+      (touch, rows.map(_.getLong(moduli.length)).sum)
+    }
+  }
+
   /** The frame a mutation scans for its pre-write counts and rewrite: the
     * pruned parquet read of ONLY the touched buckets for persistent stores
     * (O(touched), never O(store)); the cached df for in-memory stores. */
@@ -443,8 +463,9 @@ class GraftEngine(val spark: SparkSession,
         .select(col("id"), col("_kv.key").as("key"), col("_kv.value").as("value"))
       val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val batchDistinct = dedupedCached.count()
-        val touch = touchOf(st, dedupedCached.select("id"))
+        // one job: materializes the dedup cache AND yields (touch, count)
+        val (touch, batchDistinct) =
+          touchAndCount(st, dedupedCached.select("id"))
         val batchIds = broadcast(dedupedCached.select(col("id").as("_nid")))
         // updated = store rows whose id appears in the batch — counted on the
         // PRUNED touched-bucket view (batch ids only live in touched buckets)
