@@ -168,6 +168,30 @@ class PersistenceSpec extends AnyFunSuite {
     ep.purgeStores(); Persistence.deleteDir(root)
   }
 
+  test("a crashed write (version dir without catalog flip) is ignored on reload and GCed") {
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("c", 1, predicates = Set("n"))
+    e1.setSeq("c", Seq(
+      (Array(1f), meta("n" -> "1")), (Array(2f), meta("n" -> "2"))))
+    // simulate a crash mid-mutation: a version dir landed on disk but the
+    // catalog was never flipped (the write discipline is dir-then-flip)
+    val stray = Paths.get(root, "data", "public", "c", "v99", "_b=0")
+    Files.createDirectories(stray)
+    Files.writeString(stray.resolve("garbage.parquet"), "not parquet")
+    // reload: the catalog is the truth — the stray version is invisible
+    val e2 = GraftEngine.load(spark, root)
+    assert(e2.storeLen("c") == 2)
+    assert(e2.getPred("c", Equals("n", RawString("1"))).count() == 1)
+    // the next mutation's GC removes every version dir the catalog no
+    // longer references, including the orphan
+    e2.setSeq("c", Seq((Array(3f), meta("n" -> "3"))))
+    assert(!Files.exists(Paths.get(root, "data", "public", "c", "v99")),
+      "orphaned version dir survived GC")
+    assert(e2.storeLen("c") == 3)
+    e2.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("in-memory engines (no persistRoot) keep working with zero disk IO") {
     val e = new GraftEngine(spark)
     e.createStore("mem", 2)
