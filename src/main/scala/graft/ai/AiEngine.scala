@@ -94,26 +94,50 @@ class AiEngine(val db: GraftEngine) {
     validateSessionConfig(preprocessAction, executionProvider)
     val meta = aiMeta(name, schema)
     val im = Models.details(meta.indexModel.get)
-    validateKinds(entries, im, "Index")
-    if (meta.storeOriginal) {
-      val clash = entries
-        .where(element_at(col("value"), ReservedKey).isNotNull).limit(1).count()
-      if (clash > 0)
+    // pin the batch ONCE: the validation aggregate below materializes the
+    // cache, and the stale-delete probe + the embed input then read it — a
+    // non-deterministic source can't disagree with itself across stages,
+    // and no stage re-scans the source
+    val pinned = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE job resolves batch size + an example wrong input kind + a
+      // reserved-key clash (three scans fused — the per-statement job count
+      // is the AI write path's dominant cost on small batches)
+      val kindCol = col("input").getField("kind")
+      val clashCol =
+        if (meta.storeOriginal) element_at(col("value"), ReservedKey).isNotNull
+        else lit(false)
+      val v = pinned.agg(
+        count(lit(1)),
+        max(when(kindCol =!= im.inputKind, kindCol)),
+        count(when(clashCol, lit(1)))).head()
+      if (v.getLong(0) == 0) {
+        // no mutation will run, so no downstream catalog flush: record the
+        // session config with its OWN flush or a restart would forget it
+        recordSessionConfig(name, schema, preprocessAction, executionProvider)
+        return (0L, 0L)
+      }
+      if (!v.isNullAt(1))
+        throw GraftException(
+          s"Index model ${im.name} expects ${im.inputKind} input, got ${v.getString(1)}")
+      if (v.getLong(2) > 0)
         throw GraftException(s"Cannot insert reserved key $ReservedKey")
-    }
-    val prepared =
-      if (meta.storeOriginal)
-        entries.withColumn("value",
-          map_concat(col("value"), map(lit(ReservedKey), col("input"))))
-      else entries
-    // stale-entry cleanup BEFORE embedding (operations.rs:229-266): entries
-    // whose reserved input matches an incoming input are deleted, so
-    // one-to-many re-ingestion can't leave orphaned expansions behind
-    recordSessionConfig(name, schema, preprocessAction, executionProvider)
-    if (meta.storeOriginal)
-      delByReservedInput(name, entries.select("input"), schema)
-    val embedded = embedEntries(prepared, im)
-    db.set(name, embedded, schema)
+      recordSessionConfig(name, schema, preprocessAction, executionProvider)
+      // stale-entry cleanup BEFORE embedding (operations.rs:229-266): entries
+      // whose reserved input matches an incoming input are deleted, so
+      // one-to-many re-ingestion can't leave orphaned expansions behind.
+      // Skipped entirely on FIRST ingest — an empty store has nothing stale,
+      // and the probe-join jobs are pure overhead then.
+      if (meta.storeOriginal && db.storeLen(name, schema) > 0)
+        delByReservedInput(name, pinned.select("input"), schema)
+      val prepared =
+        if (meta.storeOriginal)
+          pinned.withColumn("value",
+            map_concat(col("value"), map(lit(ReservedKey), col("input"))))
+        else pinned
+      val embedded = embedEntries(prepared, im)
+      db.set(name, embedded, schema)
+    } finally pinned.unpersist(blocking = false)
   }
 
   private val PreprocessActions = Set("nopreprocessing", "modelpreprocessing")
@@ -121,6 +145,7 @@ class AiEngine(val db: GraftEngine) {
 
   // Locale.ROOT: the default toLowerCase is locale-sensitive (Turkish
   // dotless-ı mangles "NOPREPROCESSING") — keyword folding must not be
+  // locale-sensitive, or the same script parses differently per JVM locale
   private def fold(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
   private def validateSessionConfig(preprocessAction: String,
@@ -132,13 +157,15 @@ class AiEngine(val db: GraftEngine) {
   }
 
   /** Last-declared session config sticks to the store's catalog meta;
-    * an absent EP keeps the previously recorded one. Recorded BEFORE the
-    * data write with flush deferred to the write's own catalog flip, so an
-    * AI SET flushes the catalog once, not twice (the reference's manager
-    * applies session state at request level, independent of op outcome). */
+    * an absent EP keeps the previously recorded one. Flushed with its own
+    * per-store record write (cheap — O(1) file, no Spark job): deferring to
+    * the data write's flush would lose the config whenever the write turns
+    * out to be a no-op (empty batch, zero-row delete), diverging the
+    * restarted GetStore from in-memory state. The reference's manager
+    * applies session state at request level, independent of op outcome. */
   private def recordSessionConfig(name: String, schema: String,
       preprocessAction: String, executionProvider: Option[String]): Unit =
-    db.updateMeta(name, schema, flush = false)(m => m.copy(
+    db.updateMeta(name, schema)(m => m.copy(
       preprocessAction = Some(fold(preprocessAction)),
       executionProvider = executionProvider.map(fold)
         .orElse(m.executionProvider)))
@@ -154,22 +181,19 @@ class AiEngine(val db: GraftEngine) {
       schema: String): Long = {
     val st = db.storeDf(name, schema)
     val keyCol = element_at(col("value"), ReservedKey)
-    // pin the batch once: the hash probe and the exact verify below must see
-    // the SAME input set — for a non-deterministic source, two separate
-    // scans could disagree and miss stale deletions (the engine's set()
-    // pins its batch for the same reason)
-    val pinned = inputs.select("input").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val probeHash = broadcast(pinned.select(xxhash64(col("input")).as("_ph")))
-      val candidates = st.where(keyCol.isNotNull)
-        .join(probeHash, xxhash64(keyCol) === col("_ph"), "left_semi")
-      val confirmed = candidates.join(
-          pinned.select(col("input").as("_probe")).hint("shuffle_hash"),
-          keyCol === col("_probe"), "left_semi")
-        .select("id")
-      db.delByIds(name, confirmed, schema) // materializes before unpersist
-    } finally pinned.unpersist(blocking = false)
+    // `inputs` must derive from a frame the CALLER already pinned (setDf's
+    // batch cache): the hash probe and the exact verify below must see the
+    // SAME input set, or a non-deterministic source could disagree with
+    // itself and miss stale deletions
+    val probe = inputs.select("input").distinct()
+    val probeHash = broadcast(probe.select(xxhash64(col("input")).as("_ph")))
+    val candidates = st.where(keyCol.isNotNull)
+      .join(probeHash, xxhash64(keyCol) === col("_ph"), "left_semi")
+    val confirmed = candidates.join(
+        probe.select(col("input").as("_probe")).hint("shuffle_hash"),
+        keyCol === col("_probe"), "left_semi")
+      .select("id")
+    db.delByIds(name, confirmed, schema)
   }
 
   /** The embedding stage: mapPartitions with a broadcast embedder; one-to-many
@@ -313,15 +337,6 @@ class AiEngine(val db: GraftEngine) {
     if (v.kind != m.inputKind)
       throw GraftException(
         s"$action model ${m.name} expects ${m.inputKind} input, got ${v.kind}")
-
-  private def validateKinds(entries: DataFrame, m: ModelDetails,
-      action: String): Unit = {
-    val bad = entries.where(col("input").getField("kind") =!= m.inputKind)
-      .limit(1).collect()
-    if (bad.nonEmpty)
-      throw GraftException(
-        s"$action model ${m.name} expects ${m.inputKind} input, got ${bad.head.getStruct(0).getString(0)}")
-  }
 
   /** (key,value[,similarity]) → (input, value-without-reserved[,similarity]):
     * the reserved original moves back into the response key slot

@@ -210,7 +210,9 @@ object AnnSearch {
       case Algorithm.HNSW   => "hnsw"
       case other => throw GraftException(s"$other is not a non-linear algorithm")
     }
-    val index = st.annIndexes.getOrElse(kind,
+    // ensureAnnIndex: post-restart the index structure is built lazily here,
+    // on the first query that needs it (GraftEngine.load attaches configs only)
+    val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
       throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))
     // the metric the index orders by → the algorithm used for scoring output
     val scoringAlgo = index.config match {

@@ -57,12 +57,20 @@ class GraftEngine(val spark: SparkSession,
 
   // --------------------------------------------------------- persistence
 
-  /** Flip the on-disk catalog to the current in-memory state (atomic
-    * tmp+rename — Persistence.writeCatalog). No-op without a persistRoot. */
-  private def flushCatalog(): Unit = persistRoot.foreach { root =>
-    Persistence.writeCatalog(root, catalog.values.toSeq.map(st =>
-      Persistence.StoreRecord(st.meta, st.version, st.bucketPaths, st.len)))
-  }
+  /** Flip ONE store's on-disk record to its current in-memory state (atomic
+    * tmp+rename — Persistence.writeStoreRecord). Per-store files keep the
+    * catalog write O(1) per mutation instead of O(total stores) — with
+    * thousands of stores a whole-catalog rewrite per write is a real tax.
+    * No-op without a persistRoot. */
+  private def flushStore(schema: String, name: String): Unit =
+    persistRoot.foreach { root =>
+      catalog.get((schema, name)).foreach(st =>
+        Persistence.writeStoreRecord(root,
+          Persistence.StoreRecord(st.meta, st.version, st.bucketPaths, st.len)))
+    }
+
+  private def dropRecord(schema: String, name: String): Unit =
+    persistRoot.foreach(Persistence.deleteStoreRecord(_, schema, name))
 
   /** Tables-as-truth INCREMENTAL write: store rows hash into
     * [[GraftEngine.NumBuckets]] buckets by content id; a mutation writes
@@ -94,7 +102,11 @@ class GraftEngine(val spark: SparkSession,
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], entrySchema)
     else
-      spark.read.parquet(paths.values.toSeq.sorted
+      // the store schema is fixed and known — supplying it skips the
+      // footer-reading schema-inference job spark.read.parquet would run on
+      // EVERY bucket read (one per mutation's pruned view, one per store at
+      // load)
+      spark.read.schema(entrySchema).parquet(paths.values.toSeq.sorted
         .map(p => s"$root/data/$schema/$name/$p"): _*)
 
   // ---------------------------------------------------------------- helpers
@@ -131,14 +143,6 @@ class GraftEngine(val spark: SparkSession,
     }
     val schema = org.apache.spark.sql.types.StructType(entrySchema.drop(1))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-  }
-
-  private def validateDim(meta: StoreMeta, dims: DataFrame): Unit = {
-    // one pass over the batch, mirrors par-validation store.rs:1074-1079
-    val bad = dims.select(size(col("key")).as("d")).where(col("d") =!= meta.dimension)
-      .limit(1).collect()
-    if (bad.nonEmpty)
-      throw GraftErrors.dimensionMismatch(meta.dimension, bad.head.getInt(0))
   }
 
   // ------------------------------------------------- touched-bucket machinery
@@ -262,15 +266,19 @@ class GraftEngine(val spark: SparkSession,
             }
           (c, Map.empty[Int, String], c)
       }
-    val rebuilt = st.meta.nonLinearIndexes.map { case (kind, cfg) =>
+    // maintain only the ALREADY-BUILT indexes (annIndexes ⊆ meta
+    // .nonLinearIndexes); a config whose structure was never built — lazy
+    // post-restart attach, see ensureAnnIndex — stays unbuilt, so mutations
+    // on never-queried indexed stores don't pay an index build
+    val rebuilt = st.annIndexes.map { case (kind, old) =>
       val patched = for {
-        old <- st.annIndexes.get(kind)
         shards <- touch.byModulus.get(old.numShards)
         // pruned patch source is only complete when every shard's rows live
         // in touched buckets, i.e. NumBuckets divides the shard modulus
         if persistRoot.isEmpty || old.numShards % GraftEngine.NumBuckets == 0
-      } yield kind -> graft.ann.AnnIndex.patch(old, patchSrc, st.meta.dimension, shards)
-      patched.getOrElse(kind -> graft.ann.AnnIndex.build(cached, st.meta.dimension, cfg))
+      } yield graft.ann.AnnIndex.patch(old, patchSrc, st.meta.dimension, shards)
+      kind -> patched.getOrElse(graft.ann.AnnIndex.build(
+        cached, st.meta.dimension, st.meta.nonLinearIndexes(kind)))
     }
     // Releasing the predecessor here also drops its localCheckpoint blocks
     // (when the predecessor generation was checkpointed): a lazy DataFrame
@@ -282,7 +290,7 @@ class GraftEngine(val spark: SparkSession,
     st.annIndexes.values.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
       annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths)
-    flushCatalog()
+    flushStore(schema, name)
     persistRoot.foreach(Persistence.gcOldVersions(_, schema, name,
       newPaths.values.map(_.split("/")(0)).toSet))
   }
@@ -311,7 +319,7 @@ class GraftEngine(val spark: SparkSession,
         nonLinearIndexes.map(c => c.kind -> c).toMap, storeOriginal,
         queryModel, indexModel)
       val created = catalog.putIfAbsent((schema, name), StoreState(meta, empty)).isEmpty
-      if (created) flushCatalog()
+      if (created) flushStore(schema, name)
       created
     }
   }
@@ -323,7 +331,7 @@ class GraftEngine(val spark: SparkSession,
       case Some(st) =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
-        flushCatalog()
+        dropRecord(schema, name)
         persistRoot.foreach(r => Persistence.deleteDir(s"$r/data/$schema/$name"))
         1
       case None =>
@@ -341,8 +349,8 @@ class GraftEngine(val spark: SparkSession,
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
       }
+      dropRecord(k._1, k._2)
     }
-    flushCatalog()
     persistRoot.foreach(r => Persistence.deleteDir(s"$r/data/$schema"))
     keys.size
   }
@@ -356,8 +364,8 @@ class GraftEngine(val spark: SparkSession,
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
       }
+      dropRecord(k._1, k._2)
     }
-    flushCatalog()
     persistRoot.foreach(r => Persistence.deleteDir(s"$r/data"))
     n
   }
@@ -396,14 +404,13 @@ class GraftEngine(val spark: SparkSession,
   }
 
   /** Catalog-only metadata update (AI session config recording etc.) —
-    * no data rewrite, just a meta swap. `flush = false` defers the on-disk
-    * catalog flip to an imminent mutation's own flush (avoids writing the
-    * whole catalog twice per AI SET). */
+    * no data rewrite, just a meta swap. `flush = false` is for callers whose
+    * own imminent flush covers the change. */
   private[graft] def updateMeta(name: String, schema: String,
       flush: Boolean = true)(f: StoreMeta => StoreMeta): Unit = {
     val st = state(schema, name)
     catalog((schema, name)) = st.copy(meta = f(st.meta))
-    if (flush) flushCatalog()
+    if (flush) flushStore(schema, name)
   }
 
   /** CreatePredIndex — catalog-only in Spark: Catalyst's parquet pushdown IS
@@ -416,7 +423,7 @@ class GraftEngine(val spark: SparkSession,
     val newKeys = keys -- st.meta.predicateIndexes
     catalog((schema, name)) = st.copy(meta =
       st.meta.copy(predicateIndexes = st.meta.predicateIndexes ++ newKeys))
-    flushCatalog()
+    flushStore(schema, name)
     newKeys.size
   }
 
@@ -430,7 +437,7 @@ class GraftEngine(val spark: SparkSession,
         s"Predicate ${(keys -- present).mkString(",")} not found in store, attempt CREATEPREDINDEX with predicate")
     catalog((schema, name)) = st.copy(meta =
       st.meta.copy(predicateIndexes = st.meta.predicateIndexes -- present))
-    flushCatalog()
+    flushStore(schema, name)
     present.size
   }
 
@@ -450,11 +457,16 @@ class GraftEngine(val spark: SparkSession,
       .withColumn("id", keyId(col("key")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // materialize before any dependent action; an empty batch returns
-      // (0, 0) immediately — no version bump, no empty version dir, no
-      // catalog flush, no no-op ANN patch
-      if (withId.count() == 0) return (0L, 0L)
-      validateDim(st.meta, withId)
+      // ONE job materializes the pin AND resolves (batch size, an example
+      // wrong dimension): an empty batch returns (0, 0) immediately — no
+      // version bump, no empty version dir, no catalog flush, no no-op ANN
+      // patch — and a dimension mismatch rejects the whole batch before any
+      // mutation (par-validation, store.rs:1074-1079)
+      val v = withId.agg(count(lit(1)),
+        max(when(size(col("key")) =!= st.meta.dimension, size(col("key"))))).head()
+      if (v.getLong(0) == 0) return (0L, 0L)
+      if (!v.isNullAt(1))
+        throw GraftErrors.dimensionMismatch(st.meta.dimension, v.getInt(1))
       // last-wins dedup within the batch: hash-aggregate with max_by on the
       // ordinal — partial (map-side) aggregation, cheaper than a sort-window
       // over the full batch shuffle
@@ -699,7 +711,7 @@ class GraftEngine(val spark: SparkSession,
       meta = st.meta.copy(nonLinearIndexes =
         st.meta.nonLinearIndexes ++ fresh.map(c => c.kind -> c)),
       annIndexes = st.annIndexes ++ built)
-    flushCatalog()
+    flushStore(schema, name)
     fresh.size
   }
 
@@ -714,13 +726,30 @@ class GraftEngine(val spark: SparkSession,
     catalog((schema, name)) = st.copy(
       meta = st.meta.copy(nonLinearIndexes = st.meta.nonLinearIndexes -- present),
       annIndexes = st.annIndexes -- present)
-    flushCatalog()
+    flushStore(schema, name)
     present.size
   }
 
   private[graft] def annIndex(name: String, kind: String,
       schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
     state(schema, name).annIndexes.get(kind)
+
+  /** The store's ANN index of `kind`, building it on first use when only
+    * the CONFIG survived (post-[[GraftEngine.load]] attach): restart never
+    * pays an index build for a store the session doesn't query. None ⇔ no
+    * index of that kind was ever created. The built structure is cached back
+    * into the catalog (derived state — never flushed to disk). */
+  private[graft] def ensureAnnIndex(name: String, kind: String,
+      schema: String = DefaultSchema): Option[graft.ann.AnnIndex] = {
+    val st = state(schema, name)
+    st.annIndexes.get(kind).orElse {
+      st.meta.nonLinearIndexes.get(kind).map { cfg =>
+        val built = graft.ann.AnnIndex.build(st.df, st.meta.dimension, cfg)
+        catalog((schema, name)) = st.copy(annIndexes = st.annIndexes + (kind -> built))
+        built
+      }
+    }
+  }
 
   /** Ping / InfoServer (db/src/server/handler.rs:119-125, 425). */
   def ping(): String = "PONG"
@@ -754,22 +783,24 @@ object GraftEngine {
     * the parquet it just wrote. */
   val LineageCheckpointEvery = 8
 
-  /** Restore an engine from a persisted root: read the catalog, attach each
-    * store's current bucket set LAZILY, rebuild non-linear indexes from
-    * their persisted configs (derived state — rebuilding from columnar data
-    * beats deserializing per-partition graphs at scale). */
+  /** Restore an engine from a persisted root: read the catalog and attach
+    * each store's current bucket set LAZILY. Non-linear indexes are derived
+    * state (rebuilding from columnar data beats deserializing per-partition
+    * graphs at scale) — but they are NOT rebuilt here: only their configs
+    * attach, and [[GraftEngine.ensureAnnIndex]] builds the structure on the
+    * first non-linear GetSimN that needs it. Restart cost is O(catalog
+    * files), zero Spark jobs — not O(sum of all indexed stores), which at
+    * 100 TB would be hours of rebuild for stores the session may never
+    * query (PersistenceSpec pins the zero-job load). */
   def load(spark: SparkSession, root: String): GraftEngine = {
     val e = new GraftEngine(spark, Some(root))
     Persistence.readCatalog(root).foreach { rec =>
       val m = rec.meta
       val df = e.readBuckets(root, m.schema, m.name, rec.bucketPaths)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val ann = m.nonLinearIndexes.map { case (kind, cfg) =>
-        kind -> graft.ann.AnnIndex.build(df, m.dimension, cfg)
-      }
       val len = if (rec.len >= 0) rec.len else df.count()
       e.catalog((m.schema, m.name)) =
-        e.StoreState(m, df, len, ann, rec.version, rec.bucketPaths)
+        e.StoreState(m, df, len, Map.empty, rec.version, rec.bucketPaths)
     }
     e
   }

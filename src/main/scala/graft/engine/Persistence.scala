@@ -14,14 +14,19 @@ import graft.types.{Algorithm, NonLinearConfig, StoreMeta}
  * utils/src/snapshot.rs) with the batch-native layout:
  *
  * {{{
- *   <root>/catalog.json                      # atomic pointer (tmp + rename)
+ *   <root>/catalog/<schema>@<name>.json      # one record file PER STORE (tmp + rename)
  *   <root>/data/<schema>/<store>/v<N>/       # one immutable parquet dir per version
  * }}}
  *
- * Every mutation writes the NEW version dir first, then flips the catalog —
- * the same tempfile+rename atomicity discipline as the reference
- * (persistence.rs:108+), so a crash mid-write leaves the previous version
- * live. Non-linear index CONFIGS round-trip through the catalog; the index
+ * Every mutation writes the NEW version dir first, then flips ONLY its own
+ * store's record file — the same tempfile+rename atomicity discipline as the
+ * reference (persistence.rs:108+), so a crash mid-write leaves the previous
+ * version live. Per-store records keep the catalog write O(1) per mutation
+ * instead of O(total stores) (mutations are per-store, so no cross-store
+ * atomicity is ever needed); filename components are URL-encoded, and '@'
+ * never appears in encoded output, so the separator cannot collide. A legacy
+ * single-file `<root>/catalog.json` is still READ when no catalog/ dir
+ * exists. Non-linear index CONFIGS round-trip through the catalog; the index
  * structures themselves are rebuilt from data on load (they are derived
  * state, and rebuilding beats deserializing per-partition graphs at scale).
  *
@@ -127,25 +132,44 @@ object Persistence {
       version, buckets, len)
   }
 
-  /** Atomic catalog flip: serialize → tmp file → ATOMIC_MOVE rename. */
-  def writeCatalog(root: String, records: Seq[StoreRecord]): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val json = JObject(
-      "format_version" -> JInt(1),
-      "stores" -> JArray(records.sortBy(r => (r.meta.schema, r.meta.name))
-        .map(metaToJson).toList))
-    val tmp = Paths.get(root, s".catalog.json.tmp")
-    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
-    Files.move(tmp, Paths.get(root, "catalog.json"),
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** The record file for one store: catalog/<enc(schema)>@<enc(name)>.json. */
+  def recordPath(root: String, schema: String, name: String): Path =
+    Paths.get(root, "catalog", s"${enc(schema)}@${enc(name)}.json")
+
+  /** Atomic per-store record flip: serialize → tmp file → ATOMIC_MOVE.
+    * Touches ONLY this store's file — mutating store A never rewrites B. */
+  def writeStoreRecord(root: String, rec: StoreRecord): Unit = {
+    val target = recordPath(root, rec.meta.schema, rec.meta.name)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(metaToJson(rec))))
+    Files.move(tmp, target,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  def deleteStoreRecord(root: String, schema: String, name: String): Unit = {
+    val p = recordPath(root, schema, name)
+    try Files.deleteIfExists(p) catch { case _: Exception => () }
+  }
+
   def readCatalog(root: String): Seq[StoreRecord] = {
-    val p = Paths.get(root, "catalog.json")
-    if (!Files.exists(p)) return Nil
-    JsonMethods.parse(Files.readString(p)) \ "stores" match {
-      case JArray(items) => items.map(metaFromJson)
-      case _ => Nil
+    val dir = Paths.get(root, "catalog")
+    if (Files.isDirectory(dir)) {
+      Files.list(dir).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .sortBy(_.getFileName.toString)
+        .map(p => metaFromJson(JsonMethods.parse(Files.readString(p))))
+    } else {
+      // legacy single-file layout (pre-per-store records)
+      val p = Paths.get(root, "catalog.json")
+      if (!Files.exists(p)) return Nil
+      JsonMethods.parse(Files.readString(p)) \ "stores" match {
+        case JArray(items) => items.map(metaFromJson)
+        case _ => Nil
+      }
     }
   }
 

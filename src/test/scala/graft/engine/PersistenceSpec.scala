@@ -192,6 +192,67 @@ class PersistenceSpec extends AnyFunSuite {
     e2.purgeStores(); Persistence.deleteDir(root)
   }
 
+  test("mutating store A does not rewrite store B's catalog record") {
+    val root = tmpRoot()
+    val e = new GraftEngine(spark, Some(root))
+    e.createStore("a", 1)
+    e.createStore("b", 1)
+    e.setSeq("b", Seq((Array(9f), meta("k" -> "b"))))
+    val bPath = Persistence.recordPath(root, "public", "b")
+    val bBytes = Files.readAllBytes(bPath)
+    val bMtime = Files.getLastModifiedTime(bPath)
+    // a chain of mutations on A: set, delKey, pred-index churn
+    e.setSeq("a", Seq((Array(1f), meta("k" -> "1")), (Array(2f), meta("k" -> "2"))))
+    e.delKey("a", Seq(Array(1f)))
+    e.createPredIndex("a", Set("k"))
+    // B's record file is bit-identical AND was never rewritten (mtime)
+    assert(java.util.Arrays.equals(Files.readAllBytes(bPath), bBytes))
+    assert(Files.getLastModifiedTime(bPath) == bMtime,
+      "store B's record was rewritten by a mutation of store A")
+    e.purgeStores(); Persistence.deleteDir(root)
+  }
+
+  test("load runs zero Spark jobs; ANN indexes build lazily on first query") {
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("lz", 2, nonLinearIndexes = Seq(
+      NonLinearConfig.KDTreeConfig(), NonLinearConfig.HNSWConfig()))
+    e1.setSeq("lz", (0 until 50).map(i =>
+      (Array(i.toFloat, (i * 2).toFloat), meta("i" -> i.toString))))
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val e2 = GraftEngine.load(spark, root)
+      // a marker job AFTER load (an RDD action = exactly one job): the
+      // listener bus is FIFO, so once the marker's event has been observed,
+      // every job load submitted has too
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs == 1, s"load(root) ran ${jobs - 1} Spark jobs; expected 0")
+      // only configs attached — no structure built yet
+      assert(e2.annIndex("lz", "kdtree").isEmpty && e2.annIndex("lz", "hnsw").isEmpty)
+      assert(e2.getStore("lz").nonLinearIndexes == Seq("hnsw", "kdtree"))
+      // first non-linear query builds the index and answers exactly
+      val top = e2.getSimN("lz", Array(10f, 20f), 1, Algorithm.KDTree).collect()
+      assert(top.head.getAs[Float]("similarity") == 0.0f)
+      assert(e2.annIndex("lz", "kdtree").isDefined, "lazy build not cached")
+      assert(e2.annIndex("lz", "hnsw").isEmpty, "unqueried index was built")
+      // and a mutation maintains ONLY the built index (hnsw stays lazy)
+      e2.setSeq("lz", Seq((Array(500f, 500f), meta("i" -> "new"))))
+      assert(e2.annIndex("lz", "hnsw").isEmpty, "mutation built an unqueried index")
+      val top2 = e2.getSimN("lz", Array(500f, 500f), 1, Algorithm.KDTree).collect()
+      assert(top2.head.getAs[Float]("similarity") == 0.0f)
+      e2.purgeStores()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    Persistence.deleteDir(root)
+  }
+
   test("in-memory engines (no persistRoot) keep working with zero disk IO") {
     val e = new GraftEngine(spark)
     e.createStore("mem", 2)
