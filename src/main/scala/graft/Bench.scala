@@ -39,7 +39,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        // full-materialization sink: toRdd.count() consumes every output
+        // UnsafeRow, so ALL result columns are computed. A df.count() sink
+        // would let Catalyst prune unused columns — pure-projection queries
+        // (text_*, mm_*) would then measure parquet scan + row count, not
+        // the expression work the query exists to measure.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
@@ -49,8 +54,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // -1 failures excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // `total` sums PASSING medians only, so it is comparable round-over-round
+    // ONLY when `failed` is empty — a failure must never read as a speedup
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
