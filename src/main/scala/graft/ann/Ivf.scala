@@ -68,9 +68,12 @@ final class IvfIndex(
       struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
         lit(i).as("c")) }: _*))
     // dedupe by qid first: duplicate query ids would double-score every
-    // matched corpus row and burn ranks on repeats (a qid names ONE query)
+    // matched corpus row and burn ranks on repeats (a qid names ONE query).
+    // Duplicate qids carrying DIFFERENT vectors are caller error; min(qv)
+    // (lexicographic array order) picks one deterministically, where a
+    // dropDuplicates would keep whichever row a partitioning race surfaced.
     val probed = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
-      .dropDuplicates("qid")
+      .groupBy("qid").agg(min(col("qv")).as("qv"))
       .withColumn("_p", explode(slice(cellRank, 1, np)))
       .select(col("qid"), col("qv"), col("_p.c").as("cell"))
     // a corpus row lives in exactly one cell and (qid, cell) probes are
