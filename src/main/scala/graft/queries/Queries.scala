@@ -792,6 +792,72 @@ object Queries {
         |FROM documents WHERE lang IN ('en','de') AND doc_id < 30
         |ORDER BY doc_id""".stripMargin)),
 
+    // Audio end-to-end (ahnlich/ai/src/tests/clap_test.rs; fixtures in
+    // ai/src/tests/): the CLAP pair — clap-text QUERY model over a
+    // clap-audio INDEX model (both 512-d), the reference's text-to-audio
+    // search shape. Exercises the Audio() input kind through bulk SET,
+    // audio-valued metadata predicates, and the DSL `/aHEX` audio literal
+    // in DELKEY, GETKEY, GETSIMN WHERE, and GETPRED — the one modality that
+    // previously never executed end-to-end.
+    "ai_audio_clap" -> Q(
+      (s, dir) => {
+        val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
+        def hex(bytes: Array[Byte]): String = bytes.map("%02x".format(_)).mkString
+        def hexDoc(id: Long): String =
+          hex(TestStores.docText(s, dir, id).getBytes("UTF-8"))
+        // store creation through the AI DSL grammar (model-name productions)
+        val created = graft.dsl.Pipeline.runAi(aiE,
+          "CREATESTORE clap_docs QUERYMODEL clap-text INDEXMODEL clap-audio PREDICATES (wave) STOREORIGINAL")
+        require(created.head.isRight, s"create failed: ${created.head}")
+        // bulk ingest: documents as AUDIO payloads, with an AUDIO-valued
+        // metadata cell (`wave` = source bytes) next to the raw-string doc_id
+        def metaAudio(c: Column) = struct(lit("audio").as("kind"),
+          lit(null).cast(StringType).as("str"), c.as("bin"))
+        val entries = TestStores.table(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(
+            struct(lit("audio").as("kind"), lit(null).cast(StringType).as("str"),
+              encode(col("text"), "UTF-8").as("bin")).as("input"),
+            map(
+              lit("doc_id"), TestStores.metaStr(col("doc_id")),
+              lit("wave"), metaAudio(encode(col("source"), "UTF-8"))).as("value"))
+        aiE.setDf("clap_docs", entries)
+        val script =
+          s"""DELKEY ([/a${hexDoc(9)}], [/a${hexDoc(13)}]) IN clap_docs;
+             |GETKEY ([/a${hexDoc(5)}]) IN clap_docs;
+             |GETSIMN 3 WITH [audio probe query] USING cosinesimilarity IN clap_docs WHERE (wave != /a${hex("src2".getBytes("UTF-8"))});
+             |GETPRED (wave = /a${hex("src1".getBytes("UTF-8"))}) IN clap_docs""".stripMargin
+        val res = graft.dsl.Pipeline.runAi(aiE, script)
+        import graft.dsl.Response
+        val deleted = res(0) match {
+          case Right(Response.Count(n)) => n; case other => sys.error(s"delkey: $other") }
+        val getkeyDoc = res(1) match {
+          case Right(Response.Entries(df)) =>
+            df.select(element_at(col("value"), "doc_id").getField("str")
+              .cast("bigint")).head.getLong(0)
+          case other => sys.error(s"getkey: $other") }
+        val simnRows = res(2) match {
+          case Right(Response.SimEntries(df)) => df.count()
+          case other => sys.error(s"getsimn: $other") }
+        val out = res(3) match {
+          case Right(Response.Entries(df)) =>
+            df.select(element_at(col("value"), "doc_id").getField("str")
+                .cast("bigint").as("doc_id"))
+              .withColumn("deleted", lit(deleted))
+              .withColumn("getkey_doc", lit(getkeyDoc))
+              .withColumn("simn_rows", lit(simnRows))
+              .orderBy("doc_id")
+          case other => sys.error(s"getpred: $other") }
+        val rows = out.collect()
+        aiE.dropStore("clap_docs")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS deleted,
+        |CAST(5 AS BIGINT) AS getkey_doc, CAST(3 AS BIGINT) AS simn_rows
+        |FROM documents
+        |WHERE source = 'src1' AND doc_id < 40 AND doc_id NOT IN (9, 13)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ================= LLM-pipeline operators (north-star extensions) =====
     // Text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
     // embedding similarity join, multimodal plumbing. All banded/bucketed —
