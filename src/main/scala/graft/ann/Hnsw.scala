@@ -28,7 +28,9 @@ final class HnswIndex(
     val m: Int,
     val m0: Int,
     val efConstruction: Int,
-    val metric: Algorithm) extends Serializable {
+    val metric: Algorithm,
+    val extendCandidates: Boolean = false,
+    val keepPrunedConnections: Boolean = false) extends Serializable {
 
   private val mL: Double = 1.0 / math.log(m.toDouble)
 
@@ -114,12 +116,37 @@ final class HnswIndex(
     results
   }
 
-  /** Algorithm 4: heuristic neighbor selection (extendCandidates /
-    * keepPrunedConnections default false, as the reference's defaults). */
+  /** Algorithm 4: heuristic neighbor selection, ALL branches
+    * (hnsw.md:139-649; similarity/src/hnsw/index.rs:67-117):
+    *  - `extendCandidates`: widen the working set with the candidates'
+    *    own layer-`level` neighborhoods before selecting (helps clustered
+    *    data where the beam's candidates are mutually close);
+    *  - `keepPrunedConnections`: backfill the result up to mMax with the
+    *    nearest heuristic-rejected candidates, so nodes keep full degree.
+    * Determinism: the working set is sorted by (distance, idx) and the
+    * extension iterates candidates in that order, so ties resolve
+    * identically across rebuilds. */
   private def selectNeighbors(q: Array[Float], cands: Seq[(Int, Double)],
-      mMax: Int): mutable.ArrayBuffer[Int] = {
-    val sorted = cands.sortBy(t => (t._2, t._1))
+      mMax: Int, level: Int): mutable.ArrayBuffer[Int] = {
+    var work = cands
+    if (extendCandidates) {
+      val seen = mutable.HashSet.empty[Int]
+      cands.foreach { case (c, _) => seen += c }
+      val extra = mutable.ArrayBuffer[(Int, Double)]()
+      cands.sortBy(t => (t._2, t._1)).foreach { case (c, _) =>
+        val nbrs = neighbors(c)(math.min(level, levels(c)))
+        var i = 0
+        while (i < nbrs.length) {
+          val e = nbrs(i)
+          if (seen.add(e)) extra += ((e, dist(q, vecs(e))))
+          i += 1
+        }
+      }
+      work = cands ++ extra
+    }
+    val sorted = work.sortBy(t => (t._2, t._1))
     val out = mutable.ArrayBuffer[Int]()
+    val discarded = mutable.ArrayBuffer[Int]()
     val it = sorted.iterator
     while (it.hasNext && out.length < mMax) {
       val (e, de) = it.next()
@@ -130,6 +157,12 @@ final class HnswIndex(
         i += 1
       }
       if (!closerToSelected) out += e
+      else if (keepPrunedConnections) discarded += e
+    }
+    if (keepPrunedConnections) {
+      // discarded is already (distance, idx)-ordered — a subsequence of sorted
+      val dIt = discarded.iterator
+      while (dIt.hasNext && out.length < mMax) out += dIt.next()
     }
     out
   }
@@ -155,14 +188,14 @@ final class HnswIndex(
     while (lc >= 0) {
       val w = searchLayer(vec, ep, efConstruction, lc).toSeq
       val mMax = if (lc == 0) m0 else m
-      val selected = selectNeighbors(vec, w, m)
+      val selected = selectNeighbors(vec, w, m, lc)
       neighbors(idx)(lc) = selected.clone()
       selected.foreach { e =>
         val en = neighbors(e)(lc)
         en += idx
         if (en.length > mMax) {
           val pruned = selectNeighbors(vecs(e),
-            en.map(x => (x, dist(vecs(e), vecs(x)))).toSeq, mMax)
+            en.map(x => (x, dist(vecs(e), vecs(x)))).toSeq, mMax, lc)
           neighbors(e)(lc) = pruned
         }
       }
@@ -202,5 +235,6 @@ final class HnswIndex(
 object HnswIndex {
   def apply(dim: Int, cfg: NonLinearConfig.HNSWConfig): HnswIndex =
     new HnswIndex(dim, cfg.maximumConnections, cfg.maximumConnectionsZero,
-      cfg.efConstruction, cfg.metric)
+      cfg.efConstruction, cfg.metric, cfg.extendCandidates,
+      cfg.keepPrunedConnections)
 }

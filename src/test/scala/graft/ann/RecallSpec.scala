@@ -70,6 +70,51 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("Algorithm 4 full branches: extend_candidates / keep_pruned_connections hold Recall@50 >= 0.90") {
+    // hnsw.md:139-649, similarity/src/hnsw/index.rs:67-117: the optional
+    // branches must not DEGRADE the graph — same main-config threshold as
+    // the defaults-false path, for each flag alone and both together
+    val combos = Seq((true, false), (false, true), (true, true)).map {
+      case (ec, kp) => Future {
+        val cfg = NonLinearConfig.HNSWConfig(efConstruction = 100,
+          maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 16,
+          metric = Algorithm.EuclideanDistance,
+          extendCandidates = ec, keepPrunedConnections = kp)
+        val idx = HnswIndex(Dim, cfg)
+        ids.indices.foreach(i => idx.insert(ids(i), vecs(i)))
+        val recalls = queries.map { q =>
+          val got = idx.search(q, K, 16).map(_._1)
+          val exp = bruteTopK(Algorithm.EuclideanDistance, ids, vecs, q, K).map(_._1)
+          recallAtK(exp, got)
+        }
+        (s"extend=$ec keepPruned=$kp", recalls.sum / recalls.length)
+      }
+    }
+    Await.result(Future.sequence(combos), 30.minutes).foreach { case (name, recall) =>
+      info(f"$name: recall@$K = $recall%.4f (threshold 0.90)")
+      assert(recall >= 0.90, f"$name recall@$K = $recall%.4f < 0.90")
+    }
+  }
+
+  test("Algorithm 4 flags keep graph determinism: identical rebuilds answer identically") {
+    val cfg = NonLinearConfig.HNSWConfig(efConstruction = 50,
+      maximumConnections = 12, maximumConnectionsZero = 24, efSearch = 32,
+      metric = Algorithm.CosineSimilarity,
+      extendCandidates = true, keepPrunedConnections = true)
+    val (ids16, vecs16) = dataset(seed = 77L, n = 1500, dim = 16)
+    def build() = {
+      val idx = HnswIndex(16, cfg)
+      ids16.indices.foreach(i => idx.insert(ids16(i), vecs16(i)))
+      idx
+    }
+    val (a, b) = (build(), build())
+    (0 until 10).foreach { i =>
+      val q = vecs16(i * 57 % ids16.length)
+      assert(a.search(q, 10, 32) == b.search(q, 10, 32),
+        s"flags-on rebuild diverged on query $i")
+    }
+  }
+
   test("metric direction sanity: self-query returns self first (sift_dataset_validation.rs:119-130)") {
     val cfg = NonLinearConfig.HNSWConfig()
     for (metric <- Seq(Algorithm.EuclideanDistance, Algorithm.CosineSimilarity)) {
