@@ -98,7 +98,19 @@ object Dedup {
     * C(d,2) candidate pairs. High-threshold pairs share many rare shingles,
     * so completeness holds in practice (a qualifying pair whose every
     * shared shingle is corpus-hot is the only theoretical miss);
-    * None = unconditional completeness. */
+    * None = unconditional completeness.
+    *
+    * Crossover guidance: the cap is a SKEW GUARD, not an optimization — it
+    * pays for itself only when some shingle's document frequency d makes
+    * C(d,2) dominate (measured at sf0.1 / ~5k docs the capped arm is
+    * SLOWER, 12.9 s vs 6.2 s: the hot-shingle anti-join + candidate
+    * distinct + array-intersect verify cost more than the skew they remove
+    * at that corpus size). Rule of thumb: uncapped while max(df)² ≪ corpus
+    * row budget; capped when any shingle's df reaches ~√corpus; prefer
+    * [[minHashLshJoin]] outright at web scale — its candidate width is
+    * constant per doc regardless of shingle skew. Both arms produce the
+    * IDENTICAL pair set on corpora whose qualifying pairs share ≥1 rare
+    * shingle (DedupSpec pins the agreement). */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
@@ -177,11 +189,30 @@ object Dedup {
     * 64-way bit test is a flat codegen'd projection. (A 64-slot
     * array-fold HOF formulation blows past codegen method limits and falls
     * back to interpretation — measured 3× slower.) Returns
-    * (id, votes ARRAY<LONG>[64]). */
-  def simHashVotes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    * (id, votes ARRAY<LONG>[64]).
+    *
+    * `maxTokenDf` excludes tokens present in more than that many DOCS from
+    * the votes: on template-correlated corpora the ubiquitous tokens pull
+    * every signature toward the same bits, so accidental band collisions —
+    * not true near-dups — dominate the candidate set. Rare tokens carry the
+    * discriminating signal, and a J≥0.8 pair shares its rare tokens too, so
+    * true-pair Hamming distance only shrinks under pruning. Costs one extra
+    * tokenize+distinct pass (the DF count); a doc consisting ONLY of
+    * corpus-hot tokens loses its signature entirely (same completeness
+    * caveat as [[jaccardJoin]]'s maxShingleDf). */
+  def simHashVotes(df: DataFrame, idCol: String, textCol: String,
+      maxTokenDf: Option[Int] = None): DataFrame = {
+    val raw = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
+    val toks = maxTokenDf match {
+      case None => raw
+      case Some(cap) =>
+        val hot = raw.select("id", "h").distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("h")
+        raw.join(broadcast(hot), Seq("h"), "left_anti")
+    }
     val voteCols = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$b"))
@@ -200,10 +231,11 @@ object Dedup {
     * driver corpus, so don't tighten it; prefer [[minHashLshJoin]] when the
     * threshold is loose (its banding probability tracks Jaccard directly). */
   def simHashJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, hammingCutoff: Int = 12): DataFrame = {
+      threshold: Double, hammingCutoff: Int = 12,
+      maxTokenDf: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
     try {
-      val hashes = simHashVotes(df, idCol, textCol)
+      val hashes = simHashVotes(df, idCol, textCol, maxTokenDf)
       // full signature as two 32-bit halves (bit 63 can't ride a single
       // long under ANSI arithmetic) for the popcount Hamming prefilter
       def half(lo: Int): org.apache.spark.sql.Column =

@@ -43,6 +43,42 @@ class DedupSpec extends AnyFunSuite {
     assert(sim == exact, s"simhash $sim != exact $exact")
   }
 
+  test("capped and uncapped jaccardJoin agree (pairs AND values); simhash DF pruning keeps the pair set") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a corpus-hot shingle skew: every doc shares the "again and again"
+    // template tail, plus the known near-dup pairs
+    import spark.implicits._
+    val skewed = docs.union(Seq(
+      (6L, "totally new words here yet again and again and again"),
+      (7L, "totally new words here yet again and again and again friend"))
+      .toDF("doc_id", "text")).cache()
+    val uncapped = rows(Dedup.jaccardJoin(skewed, "doc_id", "text", 3, 0.5))
+    // cap=3: shingles in >3 of the 8 docs can't generate candidates, but
+    // verification over the FULL sets keeps values exact
+    val capped = rows(Dedup.jaccardJoin(skewed, "doc_id", "text", 3, 0.5,
+      maxShingleDf = Some(3)))
+    assert(capped == uncapped, s"capped $capped != uncapped $uncapped")
+    // token doc-frequency pruning of SimHash votes: same pair set, exact
+    // values — the prefilter changes, the verification contract doesn't.
+    // A template corpus where pruning bites: every doc shares a 30-token
+    // template (df = 10 > cap → pruned), near-dup pairs share 24 of 25
+    // RARE tokens (kept) — enough kept tokens for stable signatures, which
+    // the toy 10-token docs above are too short for.
+    val template = (0 until 30).map(i => s"common$i").mkString(" ")
+    val tmplDocs = (0 until 5).flatMap { k =>
+      val uniq = (0 until 25).map(i => s"tok${k}_$i")
+      Seq((2L * k, s"$template ${uniq.mkString(" ")}"),
+        (2L * k + 1, s"$template ${uniq.updated(3, s"alt${k}_3").mkString(" ")}"))
+    }.toDF("doc_id", "text").cache()
+    val exactTmpl = rows(Dedup.jaccardJoin(tmplDocs, "doc_id", "text", 3, 0.5))
+    assert(exactTmpl.map(t => (t._1, t._2)) ==
+      (0 until 5).map(k => (2L * k, 2L * k + 1)).toSet) // sanity: the 5 pairs
+    val pruned = rows(Dedup.simHashJoin(tmplDocs, "doc_id", "text", 3, 0.5,
+      maxTokenDf = Some(5)))
+    assert(pruned == exactTmpl, s"DF-pruned simhash $pruned != exact $exactTmpl")
+  }
+
   test("jaccard values are exact (not estimated) in every algorithm") {
     def jacs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
