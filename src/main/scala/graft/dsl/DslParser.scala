@@ -42,11 +42,18 @@ object DslParser extends RegexParsers {
   private val f32Arrays: Parser[Seq[Array[Float]]] = rep1sep(f32Array, ",")
 
   // metadata values: image | audio | raw string (order matters — /x.. also
-  // matches the raw-string charset)
-  private val image: Parser[MetadataValue] = "/x[0-9A-Fa-f]+".r ^^ (s =>
-    MetadataValue.Image(hexDecode(s.drop(2))))
-  private val audio: Parser[MetadataValue] = "/a[0-9A-Fa-f]+".r ^^ (s =>
-    MetadataValue.Audio(hexDecode(s.drop(2))))
+  // matches the raw-string charset). An odd-length hex literal is a
+  // COMMITTED error (parser `err`, not a backtrackable failure): the
+  // reference raises DslError::UnexpectedHex there (dsl/src/metadata.rs:
+  // 32-47) — falling back to raw_string would silently change the value's
+  // type, and escaping the decoder's exception would lose the span.
+  private def hexLit(prefix: Char): Parser[Array[Byte]] =
+    s"/$prefix[0-9A-Fa-f]+".r.flatMap { s =>
+      if (s.length % 2 == 0) success(hexDecode(s.drop(2)))
+      else err(s"Could not parse hex string $s")
+    }
+  private val image: Parser[MetadataValue] = hexLit('x') ^^ (MetadataValue.Image(_))
+  private val audio: Parser[MetadataValue] = hexLit('a') ^^ (MetadataValue.Audio(_))
   private val rawString: Parser[MetadataValue] =
     """[^,\[\](){}]+""".r ^^ (s => MetadataValue.RawString(s.trim))
   private val metadataValue: Parser[MetadataValue] = image | audio | rawString

@@ -254,6 +254,124 @@ class DslSpec extends AnyFunSuite {
     }
   }
 
+  test("image/audio literals inside GETSIMN WHERE and IN-lists (both grammars)") {
+    // db.rs/ai.rs cover binary literals in GETPRED; the reference grammar
+    // accepts them in ANY predicate position — pin GETSIMN WHERE + IN lists
+    one("GETSIMN 2 WITH [1.0] USING kdtree IN s WHERE ((tag = /x0A) or (wave != /aFF))") match {
+      case GetSimN("s", _, 2, Algorithm.KDTree, Some(cond), None) =>
+        assert(cond == Or(
+          Equals("tag", MetadataValue.Image(Array(0x0A.toByte))),
+          NotEquals("wave", MetadataValue.Audio(Array(0xFF.toByte)))))
+      case other => fail(s"unexpected $other")
+    }
+    one("GETPRED (pic in (/x01, /x02, plain)) in s") match {
+      case GetPred("s", In("pic", vs), None) =>
+        assert(vs == Set[MetadataValue](
+          MetadataValue.Image(Array(0x01.toByte)),
+          MetadataValue.Image(Array(0x02.toByte)),
+          RawString("plain")))
+      case other => fail(s"unexpected $other")
+    }
+    // AI: an AUDIO literal as the GETSIMN query input, audio in WHERE
+    DslParser.parseAi("GETSIMN 1 with [/aCAFE] using cosinesimilarity in s where (wave not in (/a00, /a0102))") match {
+      case Seq(AiGetSimN("s", MetadataValue.Audio(q), 1,
+          Algorithm.CosineSimilarity, Some(NotIn("wave", vs)), None)) =>
+        assert(q.toSeq == Seq(0xCA.toByte, 0xFE.toByte))
+        assert(vs == Set[MetadataValue](
+          MetadataValue.Audio(Array(0x00.toByte)),
+          MetadataValue.Audio(Array(0x01.toByte, 0x02.toByte))))
+      case other => fail(s"unexpected $other")
+    }
+    // AI SET with an image input and audio-valued metadata
+    DslParser.parseAi("SET (([/x0B0C], {wave: /aD0E0})) in s PREPROCESSACTION nopreprocessing") match {
+      case Seq(AiSet("s", Seq((MetadataValue.Image(in), v)), "nopreprocessing", None, None)) =>
+        assert(in.toSeq == Seq(0x0B.toByte, 0x0C.toByte))
+        assert(v("wave") match {
+          case MetadataValue.Audio(b) => b.toSeq == Seq(0xD0.toByte, 0xE0.toByte)
+          case _ => false })
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("odd-length hex literals are committed span errors, not raw-string fallbacks (metadata.rs:32-47)") {
+    val e1 = intercept[DslParseError](DslParser.parseDb("GETPRED (pic = /x0A0) in s"))
+    assert((e1.start, e1.end) == (0, 26))
+    val e2 = intercept[DslParseError](DslParser.parseAi("GETKEY ([/aF]) in s"))
+    assert((e2.start, e2.end) == (0, 19))
+  }
+
+  test("nested compound predicates: 3-deep nesting, mixed and/or, left-assoc chains") {
+    one("GETPRED ((a = 1) and ((b = 2) or ((c != 3) and (d in (x, y))))) in s") match {
+      case GetPred("s", cond, None) =>
+        assert(cond == And(
+          Equals("a", RawString("1")),
+          Or(Equals("b", RawString("2")),
+            And(NotEquals("c", RawString("3")),
+              In("d", Set(RawString("x"), RawString("y")))))))
+      case other => fail(s"unexpected $other")
+    }
+    // unparenthesized chain: the RHS of an operator is a full
+    // predicate_expression, which greedily consumes the remaining chain —
+    // pest's compound_expression (syntax.pest:171-175) has the SAME shape,
+    // so `(a) and (b) or (c)` nests RIGHT on both engines: And(a, Or(b, c))
+    one("GETPRED ((a = 1) and (b = 2) or (c = 3)) in s") match {
+      case GetPred("s", cond, None) =>
+        assert(cond == And(
+          Equals("a", RawString("1")),
+          Or(Equals("b", RawString("2")), Equals("c", RawString("3")))))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("SCHEMA variants on every AI statement") {
+    DslParser.parseAi("CREATESTORE s QUERYMODEL clap-text INDEXMODEL clap-audio SCHEMA t9") match {
+      case Seq(AiCreateStore("s", "clap-text", "clap-audio", Nil, Nil, true, false, Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("SET (([x], {t: v})) in s SCHEMA t9 PREPROCESSACTION modelpreprocessing EXECUTIONPROVIDER coreml") match {
+      case Seq(AiSet("s", _, "modelpreprocessing", Some("coreml"), Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("GETSIMN 1 with [q] using cosinesimilarity in s SCHEMA t9 where (a = b)") match {
+      case Seq(AiGetSimN("s", RawString("q"), 1, _, Some(_), Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("GETKEY ([k1], [/x0A]) in s SCHEMA t9") match {
+      case Seq(AiGetKey("s", Seq(RawString("k1"), MetadataValue.Image(_)), Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("DELKEY ([k1]) in s SCHEMA t9") match {
+      case Seq(AiDelKey("s", Seq(RawString("k1")), Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("UPSERT ([new input], {t: v}) where (a = b) in s PREPROCESSACTION nopreprocessing SCHEMA t9") match {
+      case Seq(AiUpsert("s", Some(RawString("new input")), Some(_), Equals("a", RawString("b")),
+          "nopreprocessing", None, Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("GETPRED (a = b) in s SCHEMA t9") match {
+      case Seq(AiGetPred("s", _, Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+    DslParser.parseAi("DROPPREDINDEX (k) in s SCHEMA t9") match {
+      case Seq(AiDropPredIndex("s", Seq("k"), true, Some("t9"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("AI statement failure spans: missing PREPROCESSACTION, bad model, none-none upsert") {
+    def aiSpan(input: String, start: Int, end: Int): Unit = {
+      val e = intercept[DslParseError](DslParser.parseAi(input))
+      assert((e.start, e.end) == (start, end), s"ai span for <$input>")
+    }
+    // AI SET requires PREPROCESSACTION (protos/ai/query.proto Set)
+    aiSpan("SET (([x], {t: v})) in s", 0, 24)
+    // unknown model name fails the model production
+    aiSpan("CREATESTORE s QUERYMODEL not-a-model INDEXMODEL clap-text", 0, 57)
+    // UPSERT with neither input nor value has no grammar production
+    aiSpan("UPSERT ((none, none)) where (a = b) in s PREPROCESSACTION nopreprocessing", 0, 73)
+  }
+
   test("ai statements parse (create store with models, set, getsimn)") {
     DslParser.parseAi("CREATESTORE s QUERYMODEL all-minilm-l6-v2 INDEXMODEL all-minilm-l6-v2 PREDICATES (tag) STOREORIGINAL") match {
       case Seq(AiCreateStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2",
