@@ -585,11 +585,11 @@ class GraftEngine(val spark: SparkSession,
     val c = Predicates.toColumn(cond, col("value"))
     val matched = st.df.where(c).select("id").persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deleted = matched.count()
-      if (deleted > 0) {
-        val touch = touchOf(st, matched)
+      // one job resolves the deleted count AND the touched buckets (store
+      // rows are unique by id, so the distinct-id count IS the row count)
+      val (touch, deleted) = touchAndCount(st, matched)
+      if (deleted > 0)
         swap(schema, name, src => src.where(!c), touch, lenDelta = -deleted)
-      }
       deleted
     } finally matched.unpersist(blocking = false)
   }
