@@ -52,6 +52,21 @@ object StreamingIngest {
         col("n_events"), col("sum_value"), col("approx_users"))
   }
 
+  /** Streaming exact dedup — the continuous twin of
+    * [[graft.dedup.Dedup.dropExactDuplicates]]: keep the first arrival of
+    * each content hash, drop re-arrivals. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state to the watermark horizon (a plain
+    * dropDuplicates would grow state with every distinct document forever —
+    * unusable on an unbounded corpus stream); re-arrivals separated by MORE
+    * than the watermark delay pass through, which is the documented
+    * horizon/state tradeoff, not a bug. The content hash column rides along
+    * in the output for downstream exact verification. */
+  def streamingDropDuplicates(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ------------------------------------------------------- sessionization
 
   /** Batch twin of [[sessionize]]: gap-based sessions as a pure window

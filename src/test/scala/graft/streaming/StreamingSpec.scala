@@ -41,6 +41,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); e.dropStore("stream_store") }
   }
 
+  test("streamingDropDuplicates keeps first arrival per content hash within the watermark") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF()
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "doc_id")
+      .withColumnRenamed("_3", "text")
+    val out = StreamingIngest.streamingDropDuplicates(docs, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "alpha doc"),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), 2L, "beta doc"),
+        (Timestamp.valueOf("2026-01-01 10:02:00"), 3L, "alpha doc")) // dup of 1
+      q.processAllAvailable()
+      // a later micro-batch re-delivers a duplicate within the horizon
+      mem.addData((Timestamp.valueOf("2026-01-01 10:03:00"), 4L, "beta doc"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 10:04:00"), 5L, "gamma doc"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "alpha doc"), (2L, "beta doc"), (5L, "gamma doc")),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("windowed event stats: streaming matches the batch computation") {
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
     val asEvents = (df: org.apache.spark.sql.DataFrame) => df
