@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftbridge.{FloatVecKernel, VecOp}
+import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, VecOp}
 
 /**
  * SQL-surface registration for the native similarity kernels, so
@@ -31,18 +31,36 @@ object GraftFunctions {
     FloatVecKernel(args.head, args(1), op)
   }
 
+  /** Unsigned byte-sum of a BINARY column (payload checksums) — Column API
+    * over the native [[ByteSum]] expression. */
+  def byteSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnBridge.column(ByteSum(ColumnBridge.expression(c)))
+
+  private val byteSumInfo =
+    new ExpressionInfo(classOf[ByteSum].getName, "graft_byte_sum")
+  private val byteSumBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "graft_byte_sum takes exactly 1 binary argument")
+    ByteSum(args.head)
+  }
+
   /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, op) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name), builder(op))
     }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_byte_sum"), byteSumInfo, byteSumBuilder)
+  }
 
   /** Inject into a SparkSessionExtensions (spark.sql.extensions path). */
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     all.foreach { case (name, op) =>
       extensions.injectFunction((FunctionIdentifier(name), info(name), builder(op)))
     }
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_byte_sum"), byteSumInfo, byteSumBuilder))
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -1145,9 +1145,11 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // resize: nearest-neighbor resample over the stub pixel layout to
-    // 8×8×3; byte-EXACT cross-engine check — both engines recompute the
-    // output byte sum through hex expansion (the only byte access DuckDB
-    // has), with identical src-index math
+    // 8×8×3; byte-EXACT cross-engine check — Spark sums the output bytes
+    // with the native ByteSum kernel (one loop over the raw payload; the
+    // hex-expansion HOF it replaces was the entire measured cost of this
+    // entry), DuckDB recomputes the same sum through hex expansion (the
+    // only byte access it has), with identical src-index math
     "mm_resize" -> Q(
       (s, dir) => {
         val media = TestStores.table(s, dir, "documents")
@@ -1155,10 +1157,7 @@ object Queries {
         graft.multimodal.Multimodal.resizeImageStub(media, "doc_id", "payload", 8, 8)
           .select(col("id").as("doc_id"),
             length(col("resized")).cast("int").as("out_len"),
-            expr("""aggregate(
-              transform(sequence(0, length(resized) - 1),
-                i -> conv(substr(hex(resized), i*2 + 1, 2), 16, 10)),
-              0L, (acc, x) -> acc + CAST(x AS LONG))""").as("checksum"))
+            graft.functions.GraftFunctions.byteSum(col("resized")).as("checksum"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (

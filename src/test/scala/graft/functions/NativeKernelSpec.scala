@@ -73,4 +73,33 @@ class NativeKernelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [vec_cosine("), s"no codegen span in:\n$plan")
   }
+
+  test("byteSum: native == hex-expansion HOF, unsigned bytes, empty/null, SQL, codegen") {
+    val bin = Seq(
+      (1L, Array[Byte](0, 1, 2, 127)),
+      (2L, Array[Byte](-1, -128)), // unsigned: 255 + 128 = 383
+      (3L, Array.empty[Byte]),
+      (4L, null)).toDF("id", "b")
+    val hof = expr("""aggregate(
+      transform(sequence(0, length(b) - 1),
+        i -> conv(substr(hex(b), i*2 + 1, 2), 16, 10)),
+      0L, (acc, x) -> acc + CAST(x AS LONG))""")
+    val rows = bin.select(col("id"), GraftFunctions.byteSum(col("b")).as("n"), hof.as("h"))
+      .orderBy("id").collect()
+    assert(rows.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+      Seq(130L, 383L, 0L, -1L))
+    // HOF's sequence(0, -1) DESCENDS for the empty binary (env gotcha), so
+    // compare only non-empty rows against it
+    assert(rows.take(2).map(_.getLong(1)).toSeq == rows.take(2).map(_.getLong(2)).toSeq)
+    GraftFunctions.register(spark)
+    bin.createOrReplaceTempView("bytesum_t")
+    assert(spark.sql("SELECT graft_byte_sum(b) FROM bytesum_t WHERE id = 2")
+      .head.getLong(0) == 383L)
+    // repartition blocks ConvertToLocalRelation from folding the project;
+    // collect first so AQE finalizes and the codegen spans materialize
+    val projected = bin.repartition(1).select(GraftFunctions.byteSum(col("b")))
+    projected.collect()
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [byte_sum("), s"no codegen span in:\n$plan")
+  }
 }
