@@ -123,11 +123,20 @@ object Dedup {
     * constant per doc regardless of shingle skew. Both arms produce the
     * IDENTICAL pair set on corpora whose qualifying pairs share ≥1 rare
     * shingle (DedupSpec pins the agreement). */
+  /** Why every near-dup join returns an EAGER localCheckpoint: the shingle
+    * and band caches these functions build are only live inside the call
+    * (the finally blocks release them) — a lazily returned plan would
+    * recompute the corpus-wide aggregations once per join branch (the
+    * verify plan alone references the shingle table 4-5 times) AFTER the
+    * caches are gone. Materializing the pair output here runs every branch
+    * against live caches; what survives is the (bounded — pairs, not
+    * corpus) result in node-local blocks, reclaimed when the frame is
+    * garbage-collected. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
     try {
-      maxShingleDf match {
+      val out = maxShingleDf match {
         case None =>
           // uncapped: the self-join's grouped row count per (a,b) IS the
           // exact intersection — one pass, no candidate expansion
@@ -149,6 +158,7 @@ object Dedup {
             .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
           verifyJaccard(sh, candidates, threshold)
       }
+      out.localCheckpoint()
     } finally sh.unpersist(blocking = false)
   }
 
@@ -188,7 +198,8 @@ object Dedup {
             col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
             col("x.id") < col("y.id"))
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        verifyJaccard(sh, candidates, threshold)
+        // eager: see jaccardJoin — materialize against the live caches
+        verifyJaccard(sh, candidates, threshold).localCheckpoint()
       } finally bands.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
@@ -285,7 +296,8 @@ object Dedup {
             (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
              bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))) <= hammingCutoff)
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        verifyJaccard(sh, candidates, threshold)
+        // eager: see jaccardJoin — materialize against the live caches
+        verifyJaccard(sh, candidates, threshold).localCheckpoint()
       } finally bands.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
