@@ -338,6 +338,8 @@ object Dedup {
       when(dot >= 0, 1L).otherwise(0L).as(s"bit$p")
     }
     val withBits = df.select(Seq(col(idCol).as("id")) ++ dotCols: _*)
+    // cached: the self-join's two sides would otherwise each recompute the
+    // `planes` hyperplane dot products per row
     val bands = withBits.select(col("id"),
       explode(array((0 until planes / bandBits).map { bnd =>
         val v = (0 until bandBits).map(k =>
@@ -345,18 +347,23 @@ object Dedup {
         struct(lit(bnd).as("band"), v.as("value"))
       }: _*)).as("bv"))
       .select(col("id"), col("bv.band"), col("bv.value"))
-    val candidates = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    candidates
-      .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
-      .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .where(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .persist()
+    try {
+      val candidates = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      // eager: see jaccardJoin — materialize against the live cache
+      candidates
+        .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
+        .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .where(col("cos") >= threshold)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .localCheckpoint()
+    } finally bands.unpersist(blocking = false)
   }
 
   /** Brute-force top-k similarity JOIN: every query row × corpus, scored,
