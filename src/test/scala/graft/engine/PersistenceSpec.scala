@@ -115,6 +115,21 @@ class PersistenceSpec extends AnyFunSuite {
     e.purgeStores()
   }
 
+  test("a bulk set writes one parquet file per touched bucket, not per task") {
+    val root = tmpRoot()
+    val e = new GraftEngine(spark, Some(root))
+    e.createStore("files", 1)
+    e.setSeq("files", (0 until 300).map(i => (Array(i.toFloat), meta("i" -> i.toString))))
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.walk(Paths.get(root, "data")).iterator()).asScala
+      .count(p => p.toString.endsWith(".parquet"))
+    // without the pre-write repartition this is (tasks x buckets) tiny files
+    assert(files <= GraftEngine.NumBuckets,
+      s"$files parquet files for one bulk set (expected <= ${GraftEngine.NumBuckets})")
+    assert(e.storeDf("files").count() == 300)
+    e.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("dropStore removes data dirs; dropped store absent after reload") {
     val root = tmpRoot()
     val e1 = new GraftEngine(spark, Some(root))
