@@ -73,30 +73,40 @@ object Dedup {
     * 64-bit hashing cannot meaningfully collide within a pair
     * (P ≈ shingles²/2⁶⁴); the arrays stay exact per-doc sets because the
     * shingle table is distinct by construction. */
+  /** Returns an EAGER localCheckpoint (see [[jaccardJoin]]'s lifecycle
+    * note): the per-doc set table is aggregated ONCE, cached, and every
+    * branch below — the two size-prefilter joins and the two array joins —
+    * reads the cache; a lazy return would re-run the collect_set
+    * aggregation once per branch after the cache is released. */
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     val sets = sh.groupBy("id")
       .agg(collect_set(xxhash64(col("shingle"))).as("hs"))
-    // size-ratio prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ J ≥ t, so
-    // a candidate failing the ratio can NEVER verify — drop it over narrow
-    // int columns BEFORE shipping the per-doc hash arrays into the verify
-    // join (measured at sf0.1: 951k → 360k simhash candidates, output
-    // identical by construction)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val t = lit(threshold)
-    val pruned = candidates
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
-      .select("a", "b")
-    pruned
-      .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
-      .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
-      .where(col("jac") >= threshold)
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .persist()
+    try {
+      // size-ratio prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ J ≥ t, so
+      // a candidate failing the ratio can NEVER verify — drop it over narrow
+      // int columns BEFORE shipping the per-doc hash arrays into the verify
+      // join (measured at sf0.1: 951k → 360k simhash candidates, output
+      // identical by construction; sizes project off the cached sets, in
+      // the same hashed domain the verification divides in)
+      val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n"))
+      val t = lit(threshold)
+      val pruned = candidates
+        .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+        .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
+        .select("a", "b")
+      pruned
+        .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
+        .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
+        .where(col("jac") >= threshold)
+        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+        .localCheckpoint()
+    } finally sets.unpersist(blocking = false)
   }
 
   /** EXACT n-gram Jaccard similarity join via the shingle inverted index:
@@ -136,7 +146,7 @@ object Dedup {
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
     try {
-      val out = maxShingleDf match {
+      maxShingleDf match {
         case None =>
           // uncapped: the self-join's grouped row count per (a,b) IS the
           // exact intersection — one pass, no candidate expansion
@@ -145,7 +155,7 @@ object Dedup {
               col("x.id") < col("y.id"))
             .groupBy(col("x.id").as("a"), col("y.id").as("b"))
             .agg(count(lit(1)).as("inter"))
-          jaccardFromInter(sh, inter, threshold)
+          jaccardFromInter(sh, inter, threshold).localCheckpoint()
         case Some(cap) =>
           // capped pairing (skew guard): candidates from rare shingles only,
           // then exact verification over the FULL shingle sets
@@ -156,9 +166,8 @@ object Dedup {
             .join(pairing.as("y"), col("x.shingle") === col("y.shingle") &&
               col("x.id") < col("y.id"))
             .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-          verifyJaccard(sh, candidates, threshold)
+          verifyJaccard(sh, candidates, threshold) // already eager
       }
-      out.localCheckpoint()
     } finally sh.unpersist(blocking = false)
   }
 
@@ -198,8 +207,7 @@ object Dedup {
             col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
             col("x.id") < col("y.id"))
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        // eager: see jaccardJoin — materialize against the live caches
-        verifyJaccard(sh, candidates, threshold).localCheckpoint()
+        verifyJaccard(sh, candidates, threshold) // eager — see jaccardJoin
       } finally bands.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
@@ -296,8 +304,7 @@ object Dedup {
             (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
              bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))) <= hammingCutoff)
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        // eager: see jaccardJoin — materialize against the live caches
-        verifyJaccard(sh, candidates, threshold).localCheckpoint()
+        verifyJaccard(sh, candidates, threshold) // eager — see jaccardJoin
       } finally bands.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
