@@ -48,17 +48,22 @@ object Dedup {
         explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /** Jaccard from per-pair intersection counts + per-doc sizes. */
+  /** Jaccard from per-pair intersection counts + per-doc sizes. Eager like
+    * [[verifyJaccard]]: the sizes aggregation is cached for its two join
+    * branches and released before return. */
   private def jaccardFromInter(sh: DataFrame, inter: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-      .withColumn("jac",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= threshold)
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")).persist()
+    try {
+      inter
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jac",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jac") >= threshold)
+        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+        .localCheckpoint()
+    } finally sizes.unpersist(blocking = false)
   }
 
   /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs,
@@ -155,7 +160,7 @@ object Dedup {
               col("x.id") < col("y.id"))
             .groupBy(col("x.id").as("a"), col("y.id").as("b"))
             .agg(count(lit(1)).as("inter"))
-          jaccardFromInter(sh, inter, threshold).localCheckpoint()
+          jaccardFromInter(sh, inter, threshold) // already eager
         case Some(cap) =>
           // capped pairing (skew guard): candidates from rare shingles only,
           // then exact verification over the FULL shingle sets
