@@ -48,6 +48,14 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
+      // deterministic storage reclamation between queries: the near-dup
+      // joins return eager localCheckpoints whose blocks are only freed
+      // when the ContextCleaner sees the RDD garbage-collected — left to
+      // chance, the accumulated blocks trigger one giant GC+evict wall
+      // inside whichever query happens to run when memory fills (the
+      // recurring one-query-per-round phantom 4-5× spike). One explicit GC
+      // per query (~50 ms) pins the cleanup OUTSIDE the timed regions.
+      System.gc()
       // a failing query reports -1, never a tiny fast-fail "time" that
       // would read as a round-over-round win
       name -> (if (samples.isEmpty) -1.0 else samples(samples.length / 2))

@@ -41,11 +41,19 @@ object Dedup {
 
   // ----------------------------------------------------- shingle foundation
 
-  /** Distinct (id, shingle) pairs — the inverted-index rows every near-dup
-    * algorithm below builds on. */
+  /** Distinct (id, shingle-hash) pairs — the inverted-index rows every
+    * near-dup algorithm below builds on. Shingles are reduced to their
+    * 64-bit `xxhash64` AT THE SOURCE: the distinct, every band/candidate
+    * self-join, and the verification set aggregation then shuffle 8-byte
+    * longs instead of multi-word n-gram strings (at 100 TB the shingle
+    * table IS the dominant shuffle — its row width is the bill). The
+    * collision tradeoff is the one [[verifyJaccard]] already accepts:
+    * P(any two distinct shingles of a candidate pair colliding) ≈
+    * shingles²/2⁶⁴ — far below corpus noise. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
       .distinct()
 
   /** Jaccard from per-pair intersection counts + per-doc sizes. Eager like
@@ -86,7 +94,7 @@ object Dedup {
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     val sets = sh.groupBy("id")
-      .agg(collect_set(xxhash64(col("shingle"))).as("hs"))
+      .agg(collect_set(col("h")).as("hs"))
       .persist()
     try {
       // size-ratio prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ J ≥ t, so
@@ -156,7 +164,7 @@ object Dedup {
           // uncapped: the self-join's grouped row count per (a,b) IS the
           // exact intersection — one pass, no candidate expansion
           val inter = sh.as("x")
-            .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+            .join(sh.as("y"), col("x.h") === col("y.h") &&
               col("x.id") < col("y.id"))
             .groupBy(col("x.id").as("a"), col("y.id").as("b"))
             .agg(count(lit(1)).as("inter"))
@@ -164,16 +172,38 @@ object Dedup {
         case Some(cap) =>
           // capped pairing (skew guard): candidates from rare shingles only,
           // then exact verification over the FULL shingle sets
-          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .where(col("df") > cap).select("shingle")
-          val pairing = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+          val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+            .where(col("df") > cap).select("h")
+          val pairing = sh.join(broadcast(hot), Seq("h"), "left_anti")
           val candidates = pairing.as("x")
-            .join(pairing.as("y"), col("x.shingle") === col("y.shingle") &&
+            .join(pairing.as("y"), col("x.h") === col("y.h") &&
               col("x.id") < col("y.id"))
             .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
           verifyJaccard(sh, candidates, threshold) // already eager
       }
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** Benchmark decontamination: training docs sharing ≥ 1 word n-gram with
+    * a held-out benchmark/eval corpus (the standard contamination test —
+    * n-gram overlap against the test sets — applied before training).
+    * Returns (id, hits) where hits = the number of DISTINCT contaminated
+    * n-grams in that doc; uncontaminated docs are absent (anti-join this
+    * result to get the clean corpus).
+    *
+    * Scale shape: the benchmark side is tiny relative to training data, so
+    * its distinct n-gram hashes BROADCAST; the training corpus streams
+    * through scan → explode → hash and only rows matching a benchmark
+    * n-gram reach the (id-keyed, already small) aggregation — the 100 TB
+    * corpus is never shuffled on content. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int): DataFrame = {
+    val docSh = shingles(docs, idCol, textCol, n)
+    val benchSh = shingles(benchmark, benchIdCol, benchTextCol, n)
+      .select("h").distinct()
+    docSh.join(broadcast(benchSh), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
   }
 
   // ------------------------------------------------------------ MinHash LSH
@@ -194,7 +224,9 @@ object Dedup {
       threshold: Double, numHashes: Int = 16): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
     try {
-      val base = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHashP)))
+      // the 31-bit reduction of the ALREADY-hashed shingle — same values the
+      // string-holding formulation produced (xxhash64 runs once, at the source)
+      val base = sh.select(col("id"), pmod(col("h"), lit(MinHashP)).as("h"))
       val sigCols = (0 until numHashes).map { i =>
         val a = 1L + 104729L * i // < p for any sane numHashes
         val b = (0x9e3779bL * (i + 1)) % MinHashP

@@ -924,6 +924,34 @@ object Queries {
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- text analysis: intra-doc repetition ratio (Gopher-style
+    // boilerplate rule) — shuffle-free per-row projection ----
+    "text_repetition" -> Q(
+      (s, dir) => TestStores.table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextOps.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) AS gs
+        |  FROM toks)
+        |SELECT doc_id, round(CASE WHEN len(gs) <= 0 THEN 0.0
+        |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic train/val/test split: id-keyed md5 bucketing —
+    // engine-reproducible, shuffle-free, stable under corpus growth ----
+    "pipeline_split" -> Q(
+      (s, dir) => graft.pipeline.Corpus.assignSplit(
+        TestStores.table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents) ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: exact clusters by content hash (hash-groupBy) ----
     "dedup_exact" -> Q(
       (s, dir) => {
@@ -994,6 +1022,28 @@ object Queries {
         TestStores.table(s, dir, "documents"), "doc_id", "text", 3, 0.8)
         .orderBy("a", "b"),
       Some(jaccardOracle)),
+
+    // ---- benchmark decontamination: training docs sharing any 5-gram with
+    // the held-out "benchmark" slice (doc_id % 29 == 0) — broadcast the
+    // benchmark n-gram hashes, never shuffle the corpus on content ----
+    "dedup_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        val bench = docs.where(col("doc_id") % 29 === 0)
+        val training = docs.where(col("doc_id") % 29 =!= 0)
+        graft.dedup.Dedup.decontaminate(
+          training, "doc_id", "text", bench, "doc_id", "text", 5)
+          .select(col("id").as("doc_id"), col("hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM toks,
+        |  UNNEST(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' '))) AS u(g)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0)
+        |SELECT s.doc_id, COUNT(*) AS hits FROM sh s JOIN bench b ON s.g = b.g
+        |WHERE s.doc_id % 29 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- embedding near-dup: sign-LSH bands + exact cosine verify.
     // Corpus = embeddings ∪ positively-rescaled (×1.02) variants of

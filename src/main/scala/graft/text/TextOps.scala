@@ -94,6 +94,19 @@ object TextOps {
     round((lenScore + (lit(1.0) - least(punct * lit(5.0), lit(1.0))) + stop) / lit(3.0), 4)
   }
 
+  /** Intra-document repetition: the fraction of the doc's word n-gram
+    * occurrences that are repeats of an n-gram already seen in the SAME
+    * document — the Gopher/MassiveText boilerplate rule (high repeated-
+    * n-gram share ⇒ template/spam text). Shuffle-free per-row expression:
+    * 1 − distinct/total over the doc's n-gram array; docs shorter than n
+    * tokens score 0. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    round(when(size(g) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g).cast("double")), 4)
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Polynomial rolling hash over characters, mod 1e9+7, init 7 — a

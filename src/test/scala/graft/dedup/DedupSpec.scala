@@ -23,6 +23,22 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text").cache()
   }
 
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, "doc_id", "text",
+      bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0/1/2 contain the benchmark's 5-grams; 3/4/5 share none
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // doc 0 holds all five 5-grams of the 9-token benchmark doc
+    assert(out(0L) == 5L && out(2L) == 5L)
+    // empty benchmark → nothing flagged
+    assert(Dedup.decontaminate(docs, "doc_id", "text",
+      bench.where(lit(false)), "doc_id", "text", 5).count() == 0)
+  }
+
   test("exactClusters finds content-identical groups with min-id keeper") {
     val out = Dedup.exactClusters(docs, "doc_id", "text").collect()
     assert(out.length == 1)

@@ -43,6 +43,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(acc == 234728892L) // cross-checked against the DuckDB oracle fold
   }
 
+  test("repetition ratio: duplicated n-grams raise it, short docs score 0") {
+    // "a b c a b c a b c": 7 trigrams, 3 distinct -> 1 - 3/7
+    val rep = one[Double](TextOps.repetitionRatio(col("t"), 3), "a b c a b c a b c")
+    assert(math.abs(rep - (1.0 - 3.0 / 7.0)) < 5e-5)
+    assert(one[Double](TextOps.repetitionRatio(col("t"), 3), "a b c d e") == 0.0)
+    assert(one[Double](TextOps.repetitionRatio(col("t"), 3), "a b") == 0.0)
+  }
+
+  test("deterministic split: stable, id-keyed, valid percentages") {
+    import graft.pipeline.Corpus
+    val df = spark.range(0, 1000).toDF("id")
+    val out = Corpus.assignSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // buckets are md5-uniform-ish: train ~900, val ~50, test ~50
+    assert(out("train") > 800 && out("val") > 10 && out("test") > 10)
+    assert(out.values.sum == 1000)
+    // stability: a doc's split does not depend on the rest of the corpus
+    val solo = Corpus.assignSplit(spark.range(42, 43).toDF("id"), "id")
+      .select("split").head.getString(0)
+    val inFull = Corpus.assignSplit(df, "id").where(col("id") === 42)
+      .select("split").head.getString(0)
+    assert(solo == inFull)
+    intercept[IllegalArgumentException](Corpus.assignSplit(df, "id", 99, 5))
+  }
+
   test("quality score is bounded and rewards normal prose") {
     val prose = one[Double](TextOps.qualityScore(col("t")),
       "the quick brown fox jumps over the lazy dog and runs to the hills in the morning")
