@@ -32,4 +32,16 @@ object Corpus {
         .when(b < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic ~fraction sample by the same id bucketing (keep rows
+    * whose bucket < fraction·100, 1% granularity): reproducible across
+    * engines and runs, no RNG state, and composable with [[assignSplit]]
+    * (both read the same bucket, so a 10% sample of "train" is exactly the
+    * sampled ids' train rows). The workhorse for corpus down-mixing:
+    * per-source weights = a join supplying `fraction` per group. */
+  def deterministicSample(df: DataFrame, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"invalid fraction $fraction")
+    df.where(splitBucket(col(idCol)) < math.round(fraction * 100.0))
+  }
 }

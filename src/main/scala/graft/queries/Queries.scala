@@ -952,6 +952,15 @@ object Queries {
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |  FROM documents) ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic ~20% sample by the same md5 id-bucketing ----
+    "pipeline_sample" -> Q(
+      (s, dir) => graft.pipeline.Corpus.deterministicSample(
+        TestStores.table(s, dir, "documents").select("doc_id"), "doc_id", 0.2)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents) WHERE b < 20 ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup: exact clusters by content hash (hash-groupBy) ----
     "dedup_exact" -> Q(
       (s, dir) => {

@@ -66,6 +66,13 @@ class TextOpsSpec extends AnyFunSuite {
       .select("split").head.getString(0)
     assert(solo == inFull)
     intercept[IllegalArgumentException](Corpus.assignSplit(df, "id", 99, 5))
+    // deterministic sample: ~10%, repeatable, and a subset of the 20% sample
+    val s10 = Corpus.deterministicSample(df, "id", 0.10).collect().map(_.getLong(0)).toSet
+    val s20 = Corpus.deterministicSample(df, "id", 0.20).collect().map(_.getLong(0)).toSet
+    assert(s10.size > 50 && s10.size < 200 && s20.size > s10.size)
+    assert(s10.subsetOf(s20))
+    assert(Corpus.deterministicSample(df, "id", 0.10)
+      .collect().map(_.getLong(0)).toSet == s10)
   }
 
   test("quality score is bounded and rewards normal prose") {
