@@ -193,17 +193,22 @@ object Dedup {
     *
     * Scale shape: the benchmark side is tiny relative to training data, so
     * its distinct n-gram hashes BROADCAST; the training corpus streams
-    * through scan → explode → hash and only rows matching a benchmark
-    * n-gram reach the (id-keyed, already small) aggregation — the 100 TB
-    * corpus is never shuffled on content. */
+    * through scan → explode → hash → broadcast-filter WITHOUT any shuffle
+    * or distinct of its own (the [[shingles]] helper would distinct the
+    * full inverted index first — a corpus-wide shuffle the join then mostly
+    * discards); only the matching rows reach the count-distinct
+    * aggregation, whose size is bounded by contaminated-doc × benchmark
+    * n-grams — the 100 TB corpus is never shuffled on content. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int): DataFrame = {
-    val docSh = shingles(docs, idCol, textCol, n)
+    val raw = docs.select(col(idCol).as("id"),
+        explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
     val benchSh = shingles(benchmark, benchIdCol, benchTextCol, n)
       .select("h").distinct()
-    docSh.join(broadcast(benchSh), Seq("h"))
-      .groupBy("id").agg(count(lit(1)).as("hits"))
+    raw.join(broadcast(benchSh), Seq("h"))
+      .groupBy("id").agg(count_distinct(col("h")).as("hits"))
   }
 
   // ------------------------------------------------------------ MinHash LSH
