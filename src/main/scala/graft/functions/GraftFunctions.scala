@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, VecOp}
+import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, PolyHash, VecOp}
 
 /**
  * SQL-surface registration for the native similarity kernels, so
@@ -53,6 +53,18 @@ object GraftFunctions {
   def byteSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     ColumnBridge.column(ByteSum(ColumnBridge.expression(c)))
 
+  /** Rolling-hash document fingerprint of a STRING column — Column API over
+    * the native [[PolyHash]] expression. */
+  def polyHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  private val polyHashInfo =
+    new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash")
+  private val polyHashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "graft_poly_hash takes exactly 1 string argument")
+    PolyHash(args.head)
+  }
+
   private val byteSumInfo =
     new ExpressionInfo(classOf[ByteSum].getName, "graft_byte_sum")
   private val byteSumBuilder: Seq[Expression] => Expression = { args =>
@@ -68,6 +80,8 @@ object GraftFunctions {
     }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_byte_sum"), byteSumInfo, byteSumBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_poly_hash"), polyHashInfo, polyHashBuilder)
   }
 
   /** Inject into a SparkSessionExtensions (spark.sql.extensions path). */
@@ -77,6 +91,8 @@ object GraftFunctions {
     }
     extensions.injectFunction(
       (FunctionIdentifier("graft_byte_sum"), byteSumInfo, byteSumBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_poly_hash"), polyHashInfo, polyHashBuilder))
   }
 }
 

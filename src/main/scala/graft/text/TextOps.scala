@@ -112,10 +112,20 @@ object TextOps {
 
   // ----------------------------------------------------------- fingerprints
 
-  /** Polynomial rolling hash over characters, mod 1e9+7, init 7 — a
+  /** Polynomial rolling hash over codepoints, mod 1e9+7, init 7 — a
     * content fingerprint reproducible in any engine with a list fold
-    * (document fingerprinting primitive; also the shingle hash base). */
+    * (document fingerprinting primitive). Served by the native codegen'd
+    * [[org.apache.spark.sql.graftbridge.PolyHash]] kernel (one pass over
+    * the string); [[fingerprintHof]] is the engine-portable formulation it
+    * is bit-pinned against in TextOpsSpec. */
   def fingerprint(text: Column): Column =
+    graft.functions.GraftFunctions.polyHash(text)
+
+  /** The higher-order-function formulation — kept as the independent
+    * reference implementation (mirrors the DuckDB oracle fold verbatim;
+    * allocates one single-char string per codepoint, so prefer
+    * [[fingerprint]] on hot paths). */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(7L),

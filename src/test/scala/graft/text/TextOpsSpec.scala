@@ -43,6 +43,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(acc == 234728892L) // cross-checked against the DuckDB oracle fold
   }
 
+  test("native fingerprint kernel is bit-pinned to the HOF formulation") {
+    // codepoint iteration (CJK chars, an astral-plane emoji as ONE step)
+    // and the empty-string quirk (split('') -> [''] with ascii 0 -> 217)
+    val cases = Seq("hello world", "", " ", "你好世界", "a你b", "😀emoji",
+      "mixed 你 and 🌉 bridge", "tab\tchar", "ünïcödé", "line\nbreak")
+    cases.foreach { s =>
+      assert(one[Long](TextOps.fingerprint(col("t")), s) ==
+        one[Long](TextOps.fingerprintHof(col("t")), s), s"diverged on [$s]")
+    }
+    assert(one[Long](TextOps.fingerprint(col("t")), "") == 217L)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_poly_hash('hello world') AS fp")
+      .head.getLong(0) == 234728892L)
+  }
+
   test("repetition ratio: duplicated n-grams raise it, short docs score 0") {
     // "a b c a b c a b c": 7 trigrams, 3 distinct -> 1 - 3/7
     val rep = one[Double](TextOps.repetitionRatio(col("t"), 3), "a b c a b c a b c")
