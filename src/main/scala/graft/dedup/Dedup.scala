@@ -219,6 +219,28 @@ object Dedup {
     * 64-bit long under ANSI arithmetic. Fixed constants → stable signatures. */
   private val MinHashP = 2147483647L // 2^31 − 1
 
+  /** Permutation i's (a, b) — shared by the batch aggregation and the
+    * per-row streaming signature so the two can never drift. */
+  private def permParams(i: Int): (Long, Long) =
+    (1L + 104729L * i, (0x9e3779bL * (i + 1)) % MinHashP)
+
+  /** Per-ROW MinHash signature of a text column (ARRAY<LONG> of length
+    * `numHashes`) — the SAME values [[minHashLshJoin]]'s groupBy
+    * aggregation produces for the doc, computed without any shuffle: the
+    * streaming-friendly form (a stateful operator can't sit behind a
+    * corpus-wide aggregation). NULL when the text has fewer than n tokens
+    * (such docs have no shingles and are absent from the batch inverted
+    * index too). Let-bound throughout — see [[graft.functions.GraftFunctions.bind]]. */
+  def minHashSignature(text: Column, n: Int, numHashes: Int = 16): Column =
+    graft.functions.GraftFunctions.bind(
+      transform(TextOps.ngrams(text, n), g => pmod(xxhash64(g), lit(MinHashP)))) { hs =>
+      when(size(hs) <= 0, lit(null).cast("array<bigint>"))
+        .otherwise(array((0 until numHashes).map { i =>
+          val (a, b) = permParams(i)
+          array_min(transform(hs, h => pmod(h * a + b, lit(MinHashP))))
+        }: _*))
+    }
+
   /** MinHash + LSH near-dup join: signature of `numHashes` min-values,
     * banded one hash per band (most permissive banding — candidate if ANY
     * minhash agrees; P(miss | J≥0.6, 16 hashes) ≈ 4e-7), candidates joined
@@ -233,8 +255,7 @@ object Dedup {
       // string-holding formulation produced (xxhash64 runs once, at the source)
       val base = sh.select(col("id"), pmod(col("h"), lit(MinHashP)).as("h"))
       val sigCols = (0 until numHashes).map { i =>
-        val a = 1L + 104729L * i // < p for any sane numHashes
-        val b = (0x9e3779bL * (i + 1)) % MinHashP
+        val (a, b) = permParams(i) // a < p for any sane numHashes
         min(pmod(col("h") * a + b, lit(MinHashP))).as(s"mh$i")
       }
       val sigs = base.groupBy("id").agg(sigCols.head, sigCols.tail: _*)

@@ -67,6 +67,77 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // carries the watermarked ts COLUMN itself (not a derived epoch): the
+  // event-time timeout's analyzer requires the watermark tag to survive
+  // into the stateful operator's input
+  final case class BandRow(band_key: Long, doc_id: Long, ts: java.sql.Timestamp)
+  final case class BandState(docIds: List[Long], lastSeenMs: Long)
+  final case class CandidatePair(a: Long, b: Long)
+
+  /** Streaming near-dup CANDIDATE stream — the continuous twin of
+    * [[graft.dedup.Dedup.minHashLshJoin]]'s candidate generation: each doc's
+    * per-row MinHash signature ([[graft.dedup.Dedup.minHashSignature]] —
+    * bit-identical to the batch aggregation) explodes into (band, value)
+    * keys, and a stateful operator keyed on the band key pairs every
+    * arrival against the docs already seen under that key. Emits UNVERIFIED
+    * candidate pairs (a < b, possibly repeated across bands): exact Jaccard
+    * verification stays a downstream batch join against stored text, the
+    * same contract as the batch path — band collisions can't reach a dedup
+    * decision unverified.
+    *
+    * State discipline (the part Spark's dropDuplicates can't express — a
+    * doc must match ANY of its 16 band keys, not one composite): per-band
+    * state is a bounded id list. `maxDocsPerBand` is the streaming analog
+    * of [[graft.dedup.Dedup.jaccardJoin]]'s `maxShingleDf` skew guard — a
+    * corpus-hot band (template text) would otherwise emit C(d,2) pairs and
+    * hold unbounded state; ids beyond the cap neither pair nor enter state.
+    * An EventTimeTimeout (watermark + `stateHorizonMs` past the band's last
+    * arrival) drops idle band state, so total state is bounded by the
+    * arrival rate × horizon, not the corpus. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermark: String,
+      n: Int = 3, numHashes: Int = 16, maxDocsPerBand: Int = 64,
+      stateHorizonMs: Long = 3600L * 1000L): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.dedup.Dedup.minHashSignature(col(textCol), n, numHashes)
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"), sig.as("sig"))
+      .where(col("sig").isNotNull) // < n tokens: no shingles, no bands
+      .select(col("doc_id"), col("ts"),
+        posexplode(col("sig")).as(Seq("band", "value")))
+      // one long key per (band ordinal, min-value) — same collision domain
+      // as the batch join's (band, value) equality
+      .select(xxhash64(col("band"), col("value")).as("band_key"),
+        col("doc_id"), col("ts"))
+      .as[BandRow]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BandState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[BandRow], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(BandState(Nil, 0L))
+            var ids = st.docIds
+            var lastMs = st.lastSeenMs
+            val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
+            // deterministic intra-batch order: by arrival time then id
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              if (!ids.contains(r.doc_id) && ids.size < maxDocsPerBand) {
+                ids.foreach(prev => out +=
+                  CandidatePair(math.min(prev, r.doc_id), math.max(prev, r.doc_id)))
+                ids = r.doc_id :: ids
+              }
+              lastMs = math.max(lastMs, r.ts.getTime)
+            }
+            state.update(BandState(ids, lastMs))
+            state.setTimeoutTimestamp(lastMs + stateHorizonMs)
+            out.iterator
+          }
+      }
+  }
+
   // ------------------------------------------------------- sessionization
 
   /** Batch twin of [[sessionize]]: gap-based sessions as a pure window

@@ -41,6 +41,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); e.dropStore("stream_store") }
   }
 
+  test("streamingNearDupCandidates emits the banded candidate pairs") {
+    // the DedupSpec corpus: 0/1 near-dup, 2 exact dup of 0, 3 unrelated,
+    // 4/5 near-dup — the batch minHashLshJoin verifies {0-1, 0-2, 1-2, 4-5}
+    // at J >= 0.5, so the streaming candidate stream must contain them
+    val corpus = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely different content about spark catalyst optimizer rules",
+      4L -> "large language models need deduplicated training corpora to work",
+      5L -> "large language models need deduplicated training corpora to work well")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF()
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "doc_id")
+      .withColumnRenamed("_3", "text")
+    val out = StreamingIngest.streamingNearDupCandidates(
+      docs, "doc_id", "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+        (Timestamp.valueOf(s"2026-01-01 10:0$i:00"), id, text) }: _*)
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)).subsetOf(pairs))
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated: no band hit
+      // candidates are UNVERIFIED band collisions; the exact-verify contract
+      // stays downstream — here the only collisions are the true near-dups
+      assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
+      // a replay of doc 0's content under a new id pairs against ALL of
+      // 0/1/2 (state held all prior ids for those bands)
+      mem.addData((Timestamp.valueOf("2026-01-01 10:06:00"), 6L,
+        "the quick brown fox jumps over the lazy dog again and again"))
+      q.processAllAvailable()
+      val pairs2 = spark.table("neardup_stream").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(Set((0L, 6L), (1L, 6L), (2L, 6L)).subsetOf(pairs2))
+    } finally q.stop()
+  }
+
   test("streamingDropDuplicates keeps first arrival per content hash within the watermark") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF()
