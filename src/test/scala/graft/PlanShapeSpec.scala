@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+import graft.types.Algorithm
+
+/**
+ * Physical-plan regression guard: the scale properties this engine is
+ * designed around are PLAN shapes (what broadcasts, what shuffles, what the
+ * top-k physical operator is), not just row-level results — a refactor can
+ * keep every oracle green while silently planting a cartesian product or a
+ * corpus-wide shuffle. These tests pin the audited plans. Spark version is
+ * pinned by the build, so the operator names are stable.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "completely different content about spark catalyst optimizer rules"),
+    (3L, "large language models need deduplicated training corpora to work"))
+    .toDF("doc_id", "text")
+
+  test("GetSimN linear search plans TakeOrderedAndProject (bounded per-partition heaps)") {
+    val e = new graft.engine.GraftEngine(spark)
+    e.createStore("plan_probe", 2)
+    e.set("plan_probe", Seq(
+      Array(0f, 1f) -> Map.empty[String, graft.types.MetadataValue],
+      Array(1f, 0f) -> Map.empty[String, graft.types.MetadataValue]), "public")
+    try {
+      val p = plan(e.getSimN("plan_probe", Array(1f, 1f), 1, Algorithm.CosineSimilarity))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"linear GetSimN must not global-sort; plan:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally { e.dropStore("plan_probe"); () }
+  }
+
+  test("decontaminate broadcasts the benchmark and never pre-shuffles the corpus") {
+    val p = plan(graft.dedup.Dedup.decontaminate(
+      docs, "doc_id", "text", docs.where(col("doc_id") === 0), "doc_id", "text", 5))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast; plan:\n$p")
+    // the only shuffles allowed: the benchmark side's own distinct (inside
+    // the broadcast subtree — tiny) and the two-phase count-distinct AFTER
+    // the join; a corpus-side pre-join distinct would add a fourth
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"corpus side must not shuffle before the join; plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("near-dup joins never plan a cartesian product") {
+    Seq(
+      graft.dedup.Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5),
+      graft.dedup.Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5, maxShingleDf = Some(2)),
+      graft.dedup.Dedup.minHashLshJoin(docs, "doc_id", "text", 3, 0.5),
+      graft.dedup.Dedup.simHashJoin(docs, "doc_id", "text", 3, 0.5)
+    ).foreach { df =>
+      // the result is an eager localCheckpoint; assert on what RAN: candidate
+      // generation and verification joined on band/shingle keys
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("broadcast top-k join: query side broadcasts, corpus streams") {
+    val vecs = (0 until 8).map(i => (i.toLong, Array(i.toFloat, 1f))).toDF("id", "vec")
+    val p = plan(graft.dedup.Dedup.topKJoin(
+      vecs.where(col("id") < 2), vecs, "id", "vec", "id", "vec", 2))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast; plan:\n$p")
+  }
+
+  test("relational join pushes filters to the parquet scan and broadcasts the dim") {
+    val dir = "/root/testdata/sf0.001"
+    val q3 = graft.queries.Queries.registry("q3_join").fn(spark, dir)
+    val p = plan(q3)
+    assert(p.contains("BroadcastHashJoin"), s"filtered customer dim must broadcast; plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"date/segment filters must reach the scans; plan:\n$p")
+  }
+
+  test("text ops are single-projection scans (no shuffle, no join)") {
+    Seq(
+      docs.select(graft.text.TextOps.repetitionRatio(col("text"), 3)),
+      docs.select(graft.text.TextOps.fingerprint(col("text"))),
+      graft.pipeline.Corpus.assignSplit(docs.select("doc_id"), "doc_id")
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"per-row op must stay shuffle-free; plan:\n$p")
+    }
+  }
+}
