@@ -1,0 +1,99 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over a candidate-pair graph — the step that turns a
+ * near-dup PAIR list (`Dedup.jaccardJoin` / `minHashLshJoin` / `simHashJoin` /
+ * `cosineNearDupJoin` output) into usable CLUSTERS: duplicates chain (a~b,
+ * b~c but a!~c), so keep-one semantics need the transitive closure, not the
+ * raw pairs.
+ *
+ * Algorithm: distributed min-label propagation with POINTER JUMPING. Each
+ * round does two label updates:
+ *   1. neighbor min: L(u) <- min(L(u), min over edges (u,v) of L(v))
+ *   2. pointer jump: L(u) <- min(L(u), L(L(u)))   (path halving)
+ * Plain neighbor propagation alone needs O(diameter) rounds — a 1M-doc
+ * chain would need 1M shuffles; the jump step halves every label path per
+ * round, giving O(log n) convergence on any topology (the same doubling
+ * idea as the MapReduce large-star/small-star algorithm of Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+ * two keyed shuffles over the label table (|V| rows — BOUNDED BY NODES THAT
+ * APPEAR IN A PAIR, not the corpus) and is localCheckpoint'ed: lineage
+ * stays one round deep, so round N's plan never re-derives rounds 1..N-1.
+ *
+ * Driver involvement per round is ONE scalar (the changed-label count used
+ * as the convergence test); labels and edges never leave the cluster.
+ */
+object ConnectedComponents {
+
+  /** Labels every node of the pair graph with its component representative
+    * (the MINIMUM node id in the component — deterministic, join-free to
+    * interpret). Output: (id, component), one row per distinct node
+    * appearing in `pairs`; singleton corpus rows (no pair) are absent by
+    * construction — callers treat absence as "its own component".
+    *
+    * `maxIter` is a safety bound, not a tuning knob: pointer jumping
+    * converges in ~log2(largest component) + 2 rounds (a 2^50-node chain
+    * would need ~52). Throws if the bound is hit with labels still moving —
+    * silently returning a half-converged labeling would corrupt keep-one
+    * downstream. */
+  def label(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")).where(col("u") =!= col("v"))
+    // both orientations, so min labels flow against the original edge
+    // direction too; distinct keeps the per-round join width minimal
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    try {
+      // seed: own id (the neighbor-min step folds in the first hop)
+      var labels = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("l"))
+        .localCheckpoint() // eager: seed once, not per round
+      var iter = 0
+      var converged = false
+      while (!converged) {
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"connected components did not converge in $maxIter rounds")
+        // 1. neighbor min over the edge relation
+        val nbrMin = edges
+          .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
+          .groupBy("u").agg(min(col("lv")).as("nl"))
+        val stepped = labels.join(nbrMin, Seq("u"), "left")
+          .select(col("u"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        // 2. pointer jump: L(L(u)) — self-join of the label table
+        val jumped = stepped.as("x")
+          .join(stepped.select(col("u").as("l"), col("l").as("ll")).as("y"),
+            Seq("l"), "left")
+          .select(col("u"), least(col("l"), coalesce(col("ll"), col("l"))).as("l"))
+          .localCheckpoint() // cut lineage: next round starts from stored blocks
+        // ONE scalar to the driver: did any label move this round?
+        val changed = jumped.as("n")
+          .join(labels.select(col("u"), col("l").as("lp")).as("p"), "u")
+          .where(col("l") =!= col("lp")).limit(1).count()
+        labels = jumped
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("u").as("id"), col("l").as("component"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Keep-one projection over a NEAR-dup pair graph: drops every corpus row
+    * whose id sits in a component with a smaller member (the component
+    * representative survives; singletons — rows in no pair — survive by
+    * absence from the label table). The drop set is (id != component) rows
+    * of [[label]] — bounded by the duplicate population, anti-joined
+    * against the corpus on the id key: the corpus shuffles once on id and
+    * is never compared content-wise here. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val doomed = label(pairs, aCol, bCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+}

@@ -58,6 +58,35 @@ object Queries {
       |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8 ORDER BY a, b""".stripMargin
 
+  /** Recursive-CTE connected components over the exact 3-gram Jaccard ≥0.8
+    * pair graph of documents ∪ re-id'd copies of doc_id<50: `reach`
+    * enumerates (node, reachable label); MIN(label) per node is the
+    * component representative. `finalSelect` projects the result (labels or
+    * the keep-one corpus filter). */
+  private def clusterOracle(finalSelect: String): String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+       |shingles AS (
+       |  SELECT DISTINCT doc_id, g FROM toks,
+       |  UNNEST(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM shingles GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM shingles a
+       |  JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ia a, ib b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+       |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+       |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT u AS node, u AS label FROM edges
+       |  UNION
+       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+       |$finalSelect""".stripMargin
+
   private def simOracle(scoreExpr: String, desc: Boolean, n: Int = 10,
       where: String = ""): String = {
     val dir = if (desc) "DESC" else "ASC"
@@ -1053,6 +1082,45 @@ object Queries {
         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0)
         |SELECT s.doc_id, COUNT(*) AS hits FROM sh s JOIN bench b ON s.g = b.g
         |WHERE s.doc_id % 29 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- near-dup clusters: MinHash-LSH pairs (the 100 TB candidate
+    // path) → distributed connected components (min-label + pointer
+    // jumping) → (id, component-min). Corpus augmented with re-id'd copies
+    // of doc_id<50 so duplicate relations CHAIN (orig~near-dup, orig~copy,
+    // near-dup~its-copy): pair output alone can't answer keep-one there —
+    // the transitive closure can. Oracle = recursive CTE over the exact
+    // Jaccard pair set. ----
+    "dedup_cluster" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val pairs = graft.dedup.Dedup.minHashLshJoin(
+          corpus, "doc_id", "text", 3, 0.8)
+        graft.dedup.ConnectedComponents.label(pairs, "a", "b").orderBy("id")
+      },
+      Some(clusterOracle(
+        "SELECT node AS id, MIN(label) AS component FROM reach GROUP BY node ORDER BY id"))),
+
+    // ---- the end-to-end near-dup corpus filter: pairs → components →
+    // drop every member except the component min (singletons survive by
+    // absence). This is the projection a training-data pipeline actually
+    // ships: corpus minus chained near-duplicates, one anti-join on id. ----
+    "dedup_near_keep_one" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val pairs = graft.dedup.Dedup.minHashLshJoin(
+          corpus, "doc_id", "text", 3, 0.8)
+        graft.dedup.ConnectedComponents
+          .dropNearDuplicates(corpus, "doc_id", pairs, "a", "b")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(clusterOracle(
+        """SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN (
+          |  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
+          |ORDER BY doc_id""".stripMargin))),
 
     // ---- embedding near-dup: sign-LSH bands + exact cosine verify.
     // Corpus = embeddings ∪ positively-rescaled (×1.02) variants of

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+
+/** Connected components: cross-checked against a driver-side union-find on
+  * randomized graphs (including deep chains, which exercise the pointer-
+  * jumping rounds — plain neighbor propagation alone would need O(chain)
+  * rounds and trip the iteration bound). */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  /** Reference union-find with path compression. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.label(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labels chains, cliques, and singleton pairs with the component min") {
+    // two chained pairs (0~1, 1~2), one isolated pair, one self-contained
+    // triangle with non-contiguous ids
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (7L, 20L), (20L, 9L), (9L, 7L))
+    assert(ccOf(edges) == unionFind(21, edges))
+    assert(ccOf(edges)(2L) == 0L) // transitivity across the chain
+  }
+
+  test("deep chain converges via pointer jumping") {
+    // a 64-node path: diameter 63, so neighbor-min alone would need ~63
+    // rounds; with jumping it must finish inside the default bound of 50
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("randomized graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) assert(ccOf(edges) == unionFind(n, edges))
+    }
+  }
+
+  test("dropNearDuplicates keeps representatives and singletons") {
+    import spark.implicits._
+    val corpus = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components {0,1,2} and {5,7}; 3,4,6,8,9 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("a", "b")
+    val kept = ConnectedComponents
+      .dropNearDuplicates(corpus, "doc_id", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L, 5L, 6L, 8L, 9L))
+  }
+}
