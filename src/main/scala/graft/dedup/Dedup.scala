@@ -436,6 +436,42 @@ object Dedup {
     } finally bands.unpersist(blocking = false)
   }
 
+  // -------------------------------------------------- line-level dedup
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb preprocessing
+    * step): drop every line whose document frequency exceeds `maxDf` —
+    * navigation chrome, cookie banners, copyright footers repeat across
+    * thousands of pages while real content doesn't — then reassemble each
+    * document from its surviving lines IN ORIGINAL ORDER. Documents whose
+    * every line is boilerplate disappear from the output (callers wanting
+    * empty-string survivors can left-join the ids back).
+    *
+    * Scale shape: one explode pass produces narrow (id, pos, line-hash)
+    * rows; the hot-line set is a hash-groupBy with a count-DISTINCT-ids
+    * aggregate, and its size is bounded by total-lines / maxDf (each hot
+    * line needs > maxDf supporting docs), so it broadcasts at any
+    * realistic maxDf; the corpus then anti-joins that broadcast WITHOUT
+    * shuffling on content, and the only corpus-wide shuffle is the final
+    * reassembly groupBy on id. Line identity is the 64-bit xxhash64 —
+    * lines never ride a join. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val hot = lines.groupBy("lh")
+      .agg(count_distinct(col("id")).as("df"))
+      .where(col("df") > maxDf).select("lh")
+    lines.join(broadcast(hot), Seq("lh"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), sep).as("cleaned"))
+      .select(col("id").as(idCol), col("cleaned"))
+  }
+
   /** Brute-force top-k similarity JOIN: every query row × corpus, scored,
     * per-query bounded top-k via window rank. Broadcast the (small) query
     * side; the corpus streams — the baseline batch k-NN join

@@ -1,7 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
 
 /**
  * Corpus-management utilities for training-data pipelines (north-star
@@ -16,9 +19,7 @@ object Corpus {
     * so a document's split NEVER changes as the corpus grows (the property
     * random sampling lacks: adding data must not migrate eval docs into
     * train). Pure per-row projection — shuffle-free at any scale. */
-  def splitBucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint"),
-      lit(100L))
+  def splitBucket(id: Column): Column = idBucket(id, 100)
 
   /** Deterministic train/val/test assignment: buckets [0,trainPct) →
     * "train", [trainPct, trainPct+valPct) → "val", rest → "test". */
@@ -43,5 +44,73 @@ object Corpus {
       fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"invalid fraction $fraction")
     df.where(splitBucket(col(idCol)) < math.round(fraction * 100.0))
+  }
+
+  /** Stable id → [0, buckets) assignment from the same md5 prefix as
+    * [[splitBucket]] (which is `idBucket(id, 100)`): engine-reproducible,
+    * shuffle-free, and independent of corpus contents. */
+  def idBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint"),
+      lit(buckets.toLong))
+
+  /** Concat-then-chunk sequence assignment — the GPT-style pretraining
+    * packing: documents are laid end-to-end in id order and the stream is
+    * cut every `budget` tokens; each doc is assigned the training sequence
+    * its FIRST token lands in, plus its offset inside that sequence (a doc
+    * may spill into the following sequences — exactly how concat-packing
+    * trains; `n_tok` lets the materializer slice the spill).
+    *
+    * Output: (idCol, shard, seq, off, n_tok). Deterministic: the order is
+    * the id order, never an RNG or a partition layout.
+    *
+    * Scale shape: a running token sum is a WINDOW over the doc order —
+    * inherently sequential — so the corpus is first carved into `shards`
+    * independent md5-bucketed streams ([[idBucket]]) and the window runs
+    * per shard: one shuffle on shard, each shard's sum sequential within
+    * its partition, shards in parallel. At 100 TB pick shards ≈ cluster
+    * cores; sequences are then globally identified by (shard, seq).
+    * shards=1 = one global stream (only for small corpora: a single
+    * window partition serializes onto one task). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), idBucket(col(idCol), shards).as("shard"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        floor(col("start_tok") / budget).as("seq"),
+        (col("start_tok") % budget).as("off"), col("n_tok"))
+  }
+
+  /** Sliding-window chunking for embedding/RAG prep: split each document
+    * into `chunkSize`-token windows advancing by `chunkSize − overlap`
+    * tokens, so consecutive chunks share `overlap` tokens of context. The
+    * final window is short when the doc doesn't divide evenly; every doc
+    * yields at least one chunk; a window that would hold ONLY the previous
+    * chunk's overlap tokens is redundant and not emitted (starts stop
+    * before `numTok − overlap`). Output: (idCol, chunk_ix, chunk,
+    * chunk_tok).
+    *
+    * Pure per-row projection — tokenize once (let-bound), generate the
+    * start offsets, slice and rejoin. No shuffle, no state: runs at scan
+    * speed and parallelizes with the input partitioning at any corpus
+    * size. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be > 0, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .select(col(idCol), col("t"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("t")) - overlap - 1, lit(0)),
+          lit(step))).as(Seq("chunk_ix", "s")))
+      .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
+        array_join(slice(col("t"), col("s") + 1, lit(chunkSize)), " ").as("chunk"),
+        least(size(col("t")) - col("s"), lit(chunkSize)).cast("long").as("chunk_tok"))
   }
 }

@@ -969,6 +969,50 @@ object Queries {
         |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- text analysis: PII redaction + per-kind audit counts. The corpus
+    // carries no natural PII, so the query injects a deterministic, doc_id-
+    // varying payload (0-3 emails, one IP, one phone) on BOTH sides and
+    // redacts it — the oracle recompiles the exact same RE2∩Java patterns
+    // in DuckDB. Pure per-row regexp projection: scan-speed at any scale ----
+    "text_pii_redact" -> Q(
+      (s, dir) => {
+        val injected = expr("concat(text, ' ', " +
+          "repeat(concat('u', CAST(doc_id % 7 AS STRING), '@ex', " +
+          "  CAST(doc_id % 5 AS STRING), '.org '), CAST(doc_id % 4 AS INT)), " +
+          "'ip 10.', CAST(doc_id % 200 AS STRING), '.0.1 tel 555-', " +
+          "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-0199')")
+        val (e, i, p) = graft.text.Pii.piiCounts(injected)
+        TestStores.table(s, dir, "documents").select(
+          col("doc_id"),
+          graft.text.Pii.redactAll(injected).as("redacted"),
+          e.cast("bigint").as("n_email"), i.cast("bigint").as("n_ip"),
+          p.cast("bigint").as("n_phone"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // the pattern CONSTANTS feed both engines (DuckDB string literals
+        // don't process backslash escapes, so they pass through verbatim —
+        // same note as text_lang_id's markers)
+        val (em, ip, ph) =
+          (graft.text.Pii.EmailPattern, graft.text.Pii.Ipv4Pattern,
+            graft.text.Pii.PhonePattern)
+        s"""WITH inj AS (SELECT doc_id, concat(text, ' ',
+           |  repeat(concat('u', CAST(doc_id % 7 AS VARCHAR), '@ex',
+           |    CAST(doc_id % 5 AS VARCHAR), '.org '), CAST(doc_id % 4 AS INT)),
+           |  'ip 10.', CAST(doc_id % 200 AS VARCHAR), '.0.1 tel 555-',
+           |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0199') AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$em', '<EMAIL>', 'g'),
+           |    '$ip', '<IP>', 'g'),
+           |    '$ph', '<PHONE>', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+           |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone
+           |FROM inj ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- deterministic train/val/test split: id-keyed md5 bucketing —
     // engine-reproducible, shuffle-free, stable under corpus growth ----
     "pipeline_split" -> Q(
@@ -989,6 +1033,48 @@ object Queries {
       Some("""SELECT doc_id FROM (SELECT doc_id,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |  FROM documents) WHERE b < 20 ORDER BY doc_id""".stripMargin)),
+
+    // ---- concat-then-chunk sequence packing (GPT-style pretraining): docs
+    // laid end-to-end in id order per md5 shard, stream cut every 2048
+    // tokens; output = each doc's (shard, sequence, offset). The window
+    // runs PER SHARD — 8 independent streams — so the inherently
+    // sequential running sum parallelizes across the cluster ----
+    "pipeline_pack" -> Q(
+      (s, dir) => graft.pipeline.Corpus.packSequences(
+        TestStores.table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", budget = 2048, shards = 8)
+        .orderBy("doc_id"),
+      Some(raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, shard, CAST(floor(start_tok / 2048) AS BIGINT) AS seq,
+        |  start_tok % 2048 AS off, n_tok
+        |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // ---- sliding-window chunking (RAG/embedding prep): 32-token chunks
+    // advancing by 24 (8-token overlap). Pure per-row HOF projection —
+    // tokenize once, slice per start offset; shuffle-free ----
+    "pipeline_chunk" -> Q(
+      (s, dir) => graft.pipeline.Corpus.chunkByTokens(
+        TestStores.table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_ix"),
+      Some(raw"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t, s
+        |  FROM toks, UNNEST(range(0, greatest(len(t) - 8, 1), 24)) AS r(s))
+        |SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_ix,
+        |  array_to_string(t[s+1:s+32], ' ') AS chunk,
+        |  CAST(len(t[s+1:s+32]) AS BIGINT) AS chunk_tok
+        |FROM starts ORDER BY doc_id, chunk_ix""".stripMargin)),
 
     // ---- dedup: exact clusters by content hash (hash-groupBy) ----
     "dedup_exact" -> Q(
@@ -1083,6 +1169,31 @@ object Queries {
         |SELECT s.doc_id, COUNT(*) AS hits FROM sh s JOIN bench b ON s.g = b.g
         |WHERE s.doc_id % 29 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- line-level boilerplate removal (CCNet/RefinedWeb): drop lines
+    // with doc-frequency > 30, reassemble surviving lines in order. The
+    // corpus has no newlines, so the query manufactures a line structure
+    // on BOTH sides (' table ' → newline, plus a footer every doc shares —
+    // the footer plays the cookie-banner role and must vanish) ----
+    "dedup_lines" -> Q(
+      (s, dir) => {
+        val lined = TestStores.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(replace(col("text"), lit(" table "), lit("\n")),
+            lit("\ncopyright example corp")).as("t"))
+        graft.dedup.Dedup.removeBoilerplateLines(lined, "doc_id", "t", maxDf = 30)
+          .orderBy("doc_id")
+      },
+      Some("""WITH lined AS (
+        |  SELECT doc_id, concat(replace(text, ' table ', chr(10)), chr(10),
+        |    'copyright example corp') AS t FROM documents),
+        |ex AS (
+        |  SELECT doc_id, i AS pos, string_split(t, chr(10))[i] AS line
+        |  FROM lined, UNNEST(range(1, len(string_split(t, chr(10))) + 1)) AS r(i)),
+        |hot AS (SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) > 30)
+        |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS cleaned
+        |FROM ex ANTI JOIN hot USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- near-dup clusters: MinHash-LSH pairs (the 100 TB candidate
     // path) → distributed connected components (min-label + pointer
     // jumping) → (id, component-min). Corpus augmented with re-id'd copies
@@ -1150,6 +1261,35 @@ object Queries {
         |    ${cosSql("a.embedding", "b.embedding")} AS c
         |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
         |SELECT a, b, round(c, 4) AS cos FROM pairs WHERE c >= 0.9 ORDER BY a, b""".stripMargin)),
+
+    // ---- int8 scalar quantization of the embedding column: per-vector
+    // min/max codes in FIXED-ORDER double math, so DuckDB reproduces them
+    // bit-exactly. Summed codes + rounded params pin the full code array
+    // through the hash gate; shuffle-free per-row projection ----
+    "embed_quantize" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val (mn, mx) = graft.functions.Quantize.quantParams(col("embedding"))
+        e.select(col("vec_id"),
+          aggregate(graft.functions.Quantize.int8Codes(col("embedding")),
+            lit(0L), (acc, q) => acc + q).as("q_sum"),
+          round(mn, 5).as("q_min"), round(mx, 5).as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH mm AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mn, mx,
+        |    list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(least(255.0, floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn))) AS BIGINT)
+        |      END) AS qs
+        |  FROM mm)
+        |SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  round(mn, 5) AS q_min, round(mx, 5) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin)),
 
     // ---- batch top-k similarity JOIN (N queries × M corpus): broadcast
     // queries, stream corpus, per-query bounded rank — the k-NN join the

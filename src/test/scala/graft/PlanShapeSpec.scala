@@ -87,11 +87,37 @@ class PlanShapeSpec extends AnyFunSuite {
     Seq(
       docs.select(graft.text.TextOps.repetitionRatio(col("text"), 3)),
       docs.select(graft.text.TextOps.fingerprint(col("text"))),
-      graft.pipeline.Corpus.assignSplit(docs.select("doc_id"), "doc_id")
+      graft.pipeline.Corpus.assignSplit(docs.select("doc_id"), "doc_id"),
+      docs.select(graft.text.Pii.redactAll(col("text"))),
+      graft.pipeline.Corpus.chunkByTokens(docs, "doc_id", "text", 8, 2),
+      Seq((1L, Seq(0.1f, 0.9f))).toDF("id", "v")
+        .select(graft.functions.Quantize.int8Codes(col("v")))
     ).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange") && !p.contains("Join"),
         s"per-row op must stay shuffle-free; plan:\n$p")
     }
+  }
+
+  test("packSequences shuffles ONCE (on shard) and plans a per-shard window") {
+    val p = plan(graft.pipeline.Corpus.packSequences(
+      docs, "doc_id", "text", budget = 8, shards = 2))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
+      s"packing must shuffle exactly once, on shard; plan:\n$p")
+    assert(p.contains("Window"), s"running sum must be a window; plan:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("removeBoilerplateLines broadcasts the hot-line set; corpus anti-joins unshuffled") {
+    val p = plan(graft.dedup.Dedup.removeBoilerplateLines(
+      docs, "doc_id", "text", maxDf = 2, sep = " "))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot lines must broadcast into an anti-join; plan:\n$p")
+    // allowed shuffles: the hot-line aggregation's (inside the broadcast
+    // subtree) and the final per-doc reassembly groupBy — the corpus must
+    // NOT shuffle on content before the anti-join
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected corpus shuffle; plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures
+
+class QuantizeSpec extends AnyFunSuite {
+  import TestFixtures.spark.implicits._
+
+  private def codesOf(v: Seq[Float]): Seq[Long] =
+    Seq(Tuple1(v)).toDF("v").select(Quantize.int8Codes(col("v")).as("q"))
+      .head.getSeq[Long](0).toSeq
+
+  test("codes span 0..255 with min→0 and max→255") {
+    val q = codesOf(Seq(-1.0f, 0.0f, 1.0f))
+    assert(q == Seq(0L, 127L, 255L))
+  }
+
+  test("constant vectors quantize to all zeros (no division by zero)") {
+    assert(codesOf(Seq(3.5f, 3.5f, 3.5f)) == Seq(0L, 0L, 0L))
+  }
+
+  test("codes are monotone in the input values") {
+    val q = codesOf(Seq(0.1f, 0.4f, 0.2f, 0.9f, 0.0f))
+    val vals = Seq(0.1f, 0.4f, 0.2f, 0.9f, 0.0f)
+    for (i <- vals.indices; j <- vals.indices if vals(i) < vals(j))
+      assert(q(i) <= q(j), s"code order violated at ($i,$j)")
+  }
+
+  test("dequantization error is bounded by one quantization step") {
+    val (ids, vecs) = TestFixtures.dataset(seed = 42L, n = 50, dim = 64)
+    val df = ids.zip(vecs).map { case (i, v) => (i, v.toSeq) }.toSeq
+      .toDF("id", "v")
+    val (mn, mx) = Quantize.quantParams(col("v"))
+    val err = df.select(
+        greatest((mx - mn) / 255.0, lit(1e-12)).as("step"),
+        zip_with(transform(col("v"), _.cast("double")),
+          Quantize.dequantize(Quantize.int8Codes(col("v")), mn, mx),
+          (x, d) => abs(x - d)).as("errs"))
+      .select(max(aggregate(col("errs"), lit(0.0),
+        (acc, e) => greatest(acc, e)) / col("step")).as("worst"))
+      .head.getDouble(0)
+    // floor convention: |x − dequant(q(x))| < one step
+    assert(err <= 1.0 + 1e-9, s"worst error $err steps")
+  }
+
+  test("matches the documented closed form on a hand case") {
+    // v = [2, 6]: mn=2 mx=6 → q = floor((x−2)·255/4) → [0, 255]
+    assert(codesOf(Seq(2f, 6f)) == Seq(0L, 255L))
+    // v = [2, 4, 6] → middle: floor(2·255/4) = floor(127.5) = 127
+    assert(codesOf(Seq(2f, 4f, 6f)) == Seq(0L, 127L, 255L))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+
+class CorpusSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ packing
+
+  private val fourDocs = Seq(
+    (1L, "a b c"),        // 3 tokens
+    (2L, "d e f g h"),    // 5 tokens
+    (3L, "i j"),          // 2 tokens
+    (4L, "k l m n o p")   // 6 tokens
+  ).toDF("id", "text")
+
+  test("packSequences lays docs end-to-end in id order and cuts at budget") {
+    // one shard: cumulative starts are 0, 3, 8, 10 with budget 4
+    val got = Corpus.packSequences(fourDocs, "id", "text", budget = 4)
+      .orderBy("id")
+      .select("id", "seq", "off", "n_tok").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L),   // starts at token 0 → seq 0, offset 0
+      (2L, 0L, 3L, 5L),   // starts at token 3 → seq 0, offset 3 (spills into 1)
+      (3L, 2L, 0L, 2L),   // starts at token 8 → seq 2, offset 0
+      (4L, 2L, 2L, 6L)))  // starts at token 10 → seq 2, offset 2
+  }
+
+  test("packSequences shards are independent streams keyed by idBucket") {
+    val got = Corpus.packSequences(fourDocs, "id", "text", budget = 4, shards = 3)
+      .orderBy("id").collect()
+    // every shard's offsets restart at 0: the first doc of each shard has
+    // start 0 regardless of global position
+    val firstPerShard = got.groupBy(_.getAs[Long]("shard"))
+      .map { case (_, rows) => rows.minBy(_.getAs[Long]("id")) }
+    firstPerShard.foreach { r =>
+      assert(r.getAs[Long]("seq") == 0L && r.getAs[Long]("off") == 0L)
+    }
+    // shard assignment matches the public idBucket contract
+    got.foreach { r =>
+      assert(r.getAs[Long]("shard") ==
+        fourDocs.where(col("id") === r.getAs[Long]("id"))
+          .select(Corpus.idBucket(col("id"), 3).as("b")).head.getLong(0))
+    }
+  }
+
+  test("packSequences rejects invalid budget/shards") {
+    intercept[IllegalArgumentException] {
+      Corpus.packSequences(fourDocs, "id", "text", budget = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.packSequences(fourDocs, "id", "text", budget = 4, shards = 0)
+    }
+  }
+
+  // ----------------------------------------------------------- chunking
+
+  private def chunks(text: String, size: Int, overlap: Int): Seq[(Long, String, Long)] =
+    Corpus.chunkByTokens(Seq((1L, text)).toDF("id", "text"), "id", "text",
+        size, overlap)
+      .orderBy("chunk_ix")
+      .select("chunk_ix", "chunk", "chunk_tok").as[(Long, String, Long)]
+      .collect().toSeq
+
+  test("chunkByTokens slides by chunkSize − overlap with a short tail") {
+    assert(chunks("a b c d e f g", 4, 2) == Seq(
+      (0L, "a b c d", 4L),
+      (1L, "c d e f", 4L),
+      (2L, "e f g", 3L)))
+  }
+
+  test("chunkByTokens never emits an overlap-only tail chunk") {
+    // 8 tokens, size 4, overlap 2: a naive start sweep would add an
+    // (6, "g h") window whose tokens the previous chunk already carries
+    assert(chunks("a b c d e f g h", 4, 2) == Seq(
+      (0L, "a b c d", 4L),
+      (1L, "c d e f", 4L),
+      (2L, "e f g h", 4L)))
+  }
+
+  test("chunkByTokens: short docs yield exactly one chunk") {
+    assert(chunks("a b", 4, 2) == Seq((0L, "a b", 2L)))
+    assert(chunks("solo", 4, 0) == Seq((0L, "solo", 1L)))
+  }
+
+  test("chunkByTokens: exact multiples leave no empty trailing chunk") {
+    // 4 tokens, size 2, no overlap → exactly 2 chunks
+    assert(chunks("a b c d", 2, 0) == Seq((0L, "a b", 2L), (1L, "c d", 2L)))
+  }
+
+  test("chunkByTokens covers every token: concatenation at overlap 0 round-trips") {
+    val text = (1 to 23).map(i => s"t$i").mkString(" ")
+    val cs = chunks(text, 5, 0)
+    assert(cs.map(_._2).mkString(" ") == text)
+    assert(cs.map(_._3).sum == 23L)
+  }
+
+  test("chunkByTokens rejects invalid overlap") {
+    intercept[IllegalArgumentException] { chunks("a b", 4, 4) }
+    intercept[IllegalArgumentException] { chunks("a b", 0, 0) }
+  }
+}
