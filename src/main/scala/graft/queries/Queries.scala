@@ -1291,6 +1291,51 @@ object Queries {
         |  round(mn, 5) AS q_min, round(mx, 5) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // ---- SQ8 two-phase top-k: dequantized-cosine over int8 codes ranks
+    // the corpus (1 byte/dim scanned instead of 4), a 40-deep shortlist
+    // survives, exact float cosine rescores it. Both phases deterministic →
+    // the oracle replays them code-for-code in DuckDB ----
+    "embed_topk_quantized" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        graft.functions.Quantize.quantizedTopKJoin(
+          e.where(col("vec_id") < 12), e, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, shortlist = 40)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH mm AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(least(255.0, floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn))) AS BIGINT)
+        |      END) AS qs,
+        |    mn, mx
+        |  FROM mm),
+        |dq AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(qs, q -> mn + CAST(q AS DOUBLE) * (mx - mn) / 255.0) AS dv
+        |  FROM qz),
+        |coarse AS (
+        |  SELECT a.vec_id qid, b.vec_id cid, a.embedding qv, b.embedding cv,
+        |    ${cosSql("a.dv", "b.dv")} AS s_coarse
+        |  FROM dq a, dq b WHERE a.vec_id < 12),
+        |short AS (
+        |  SELECT qid, cid, qv, cv,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_coarse DESC, cid ASC) AS rs
+        |  FROM coarse),
+        |resc AS (
+        |  SELECT qid, cid, ${cosSql("qv", "cv")} AS c FROM short WHERE rs <= 40),
+        |ranked AS (
+        |  SELECT qid, cid, round(c, 4) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid ASC) AS rank
+        |  FROM resc)
+        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
+
     // ---- batch top-k similarity JOIN (N queries × M corpus): broadcast
     // queries, stream corpus, per-query bounded rank — the k-NN join the
     // reference lacks (single-query GetSimN only). ----

@@ -51,4 +51,37 @@ class QuantizeSpec extends AnyFunSuite {
     // v = [2, 4, 6] → middle: floor(2·255/4) = floor(127.5) = 127
     assert(codesOf(Seq(2f, 4f, 6f)) == Seq(0L, 127L, 255L))
   }
+
+  test("quantized top-k with shortlist = corpus size IS the brute-force join") {
+    val (ids, vecs) = TestFixtures.dataset(seed = 7L, n = 120, dim = 32)
+    val df = ids.zip(vecs).map { case (i, v) => (i, v.toSeq) }.toSeq
+      .toDF("id", "v")
+    val q = df.where(col("id") < 6)
+    val exact = graft.dedup.Dedup.topKJoin(q, df, "id", "v", "id", "v", 4)
+      .select("qid", "cid", "cos", "rank").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    val quant = Quantize.quantizedTopKJoin(q, df, "id", "v", "id", "v",
+        k = 4, shortlist = 120)
+      .select("qid", "cid", "cos", "rank").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(quant == exact)
+  }
+
+  test("quantized top-k at a practical shortlist keeps high recall") {
+    val (ids, vecs) = TestFixtures.dataset(seed = 11L, n = 300, dim = 32)
+    val df = ids.zip(vecs).map { case (i, v) => (i, v.toSeq) }.toSeq
+      .toDF("id", "v")
+    val q = df.where(col("id") < 10)
+    def pairs(r: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      r.select("qid", "cid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val exact = pairs(graft.dedup.Dedup.topKJoin(q, df, "id", "v", "id", "v", 10))
+    val quant = pairs(Quantize.quantizedTopKJoin(q, df, "id", "v", "id", "v",
+      k = 10, shortlist = 80))
+    val recalls = exact.map { case (qid, e) =>
+      TestFixtures.recallAtK(e, quant.getOrElse(qid, Seq.empty))
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+  }
 }
