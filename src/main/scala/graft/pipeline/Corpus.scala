@@ -46,6 +46,40 @@ object Corpus {
     df.where(splitBucket(col(idCol)) < math.round(fraction * 100.0))
   }
 
+  /** Per-group deterministic sampling — corpus DOWN-MIXING: each group
+    * (source, language, quality band, …) keeps its own fraction, from the
+    * SAME id bucketing as [[deterministicSample]]/[[assignSplit]], so the
+    * mix composes with splits (a group's sample is exactly the sampled ids'
+    * rows) and never migrates documents as the corpus grows. Groups absent
+    * from `fractions` keep `defaultFraction`. Implemented as a literal
+    * CASE over the group column — shuffle-free, no join, no RNG; the
+    * fraction table rides the plan itself (sized for dozens-to-hundreds of
+    * groups; a million-group mix would want a broadcast-join variant). */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"invalid fraction $f"))
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultFraction * 100.0))) {
+        case (acc, (g, f)) =>
+          when(col(groupCol) === g, lit(math.round(f * 100.0))).otherwise(acc)
+      }
+    df.where(splitBucket(col(idCol)) < threshold)
+  }
+
+  /** Corpus vocabulary: (token, tf, df) — total occurrences and document
+    * frequency per whitespace token. The classic wordcount shape: explode
+    * to narrow (id, token) rows, ONE shuffle on token with map-side
+    * partial aggregation; distinct-doc counting rides the same exchange
+    * (two-phase count-distinct). Downstream of every frequency-based
+    * filter (stopword lists, [[graft.dedup.Dedup.simHashVotes]]'s
+    * maxTokenDf, boilerplate caps). */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
+
   /** Stable id → [0, buckets) assignment from the same md5 prefix as
     * [[splitBucket]] (which is `idBucket(id, 100)`): engine-reproducible,
     * shuffle-free, and independent of corpus contents. */

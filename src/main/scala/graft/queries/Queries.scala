@@ -1034,6 +1034,36 @@ object Queries {
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |  FROM documents) WHERE b < 20 ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus down-mixing: per-source deterministic sampling. Weights
+    // follow a formula of the source suffix (srcN keeps (N mod 5)·25%), so
+    // the oracle derives the same thresholds arithmetically while the
+    // Spark side exercises the general explicit-map API ----
+    "pipeline_weighted_sample" -> Q(
+      (s, dir) => graft.pipeline.Corpus.weightedSample(
+        TestStores.table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |WHERE b < (CAST(substr(source, 4) AS INT) % 5) * 25
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus vocabulary (wordcount + doc frequency): one shuffle on
+    // token, map-side partial agg — the substrate for stopword lists and
+    // every frequency-based filter ----
+    "pipeline_vocab" -> Q(
+      (s, dir) => graft.pipeline.Corpus.vocabulary(
+        TestStores.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("token"),
+      Some(raw"""SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, u.token
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents), UNNEST(t) AS u(token))
+        |GROUP BY token ORDER BY token""".stripMargin)),
+
     // ---- concat-then-chunk sequence packing (GPT-style pretraining): docs
     // laid end-to-end in id order per md5 shard, stream cut every 2048
     // tokens; output = each doc's (shard, sequence, offset). The window

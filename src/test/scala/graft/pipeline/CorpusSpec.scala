@@ -103,4 +103,46 @@ class CorpusSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { chunks("a b", 4, 4) }
     intercept[IllegalArgumentException] { chunks("a b", 0, 0) }
   }
+
+  // ----------------------------------------------------- weighted sample
+
+  test("weightedSample keeps each group's own fraction of the id buckets") {
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("id", "grp")
+    val kept = Corpus.weightedSample(df, "id", "grp",
+        Map("a" -> 1.0, "b" -> 0.0))
+      .as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "a"), "fraction-0 group must vanish")
+    assert(kept.length == 200, "fraction-1 group must survive whole")
+  }
+
+  test("weightedSample composes with deterministicSample: same bucketing") {
+    val df = (0L until 300L).toDF("id").withColumn("grp", lit("g"))
+    val viaWeighted = Corpus.weightedSample(df, "id", "grp", Map("g" -> 0.2))
+      .select("id").as[Long].collect().toSet
+    val viaPlain = Corpus.deterministicSample(df, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(viaWeighted == viaPlain)
+  }
+
+  test("weightedSample: unlisted groups get the default fraction") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "grp")
+    assert(Corpus.weightedSample(df, "id", "grp", Map("x" -> 1.0)).count() == 1)
+    assert(Corpus.weightedSample(df, "id", "grp", Map("x" -> 1.0),
+      defaultFraction = 1.0).count() == 2)
+  }
+
+  // ------------------------------------------------------------ vocabulary
+
+  test("vocabulary counts occurrences and document frequency") {
+    val df = Seq(
+      (1L, "a b a"),
+      (2L, "b c"),
+      (3L, "a")).toDF("id", "text")
+    val full = Corpus.vocabulary(df, "id", "text")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(full("a") == ((3L, 2L))) // 3 occurrences in 2 docs
+    assert(full("b") == ((2L, 2L)))
+    assert(full("c") == ((1L, 1L)))
+  }
 }

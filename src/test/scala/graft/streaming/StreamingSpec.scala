@@ -184,4 +184,34 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t0 * us, t0 * us, 1L, 1.5),
       (2L, (t0 + 300000) * us, (t0 + 320000) * us, 2L, 5.5)))
   }
+
+  test("stateless pipeline ops run unchanged on a stream (PII, chunking, quality)") {
+    // the per-row extension columns are pure projections, so the SAME
+    // Column expressions must plan inside a streaming micro-batch — this
+    // pins that none of them secretly aggregates or sorts
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().withColumnRenamed("_1", "doc_id")
+      .withColumnRenamed("_2", "text")
+    val out = graft.pipeline.Corpus.chunkByTokens(
+      docs.select(col("doc_id"),
+        graft.text.Pii.redactAll(col("text")).as("text")),
+      "doc_id", "text", chunkSize = 4, overlap = 0)
+      .withColumn("lang", graft.text.TextOps.langId(col("chunk")))
+    val q = out.writeStream.format("memory").queryName("stateless_ops")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "mail bob@example.com the cat and the dog sat here quietly"),
+        (2L, "short doc"))
+      q.processAllAvailable()
+      val rows = spark.table("stateless_ops")
+        .select("doc_id", "chunk_ix", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (1L, 0L, "mail <EMAIL> the cat"),
+        (1L, 1L, "and the dog sat"),
+        (1L, 2L, "here quietly"),
+        (2L, 0L, "short doc")))
+    } finally q.stop()
+  }
 }
