@@ -108,6 +108,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("quantized top-k: query side broadcasts, both windows share one qid exchange") {
+    val vecs = (0 until 16).map(i => (i.toLong, Seq(i.toFloat, 1f, 2f))).toDF("id", "v")
+    val p = plan(graft.functions.Quantize.quantizedTopKJoin(
+      vecs.where(col("id") < 2), vecs, "id", "v", "id", "v", k = 2, shortlist = 4))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast; plan:\n$p")
+    // coarse rank and exact rerank both partition by qid — the second
+    // window must REUSE the first's exchange, not add its own
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
+      s"the two windows must share one qid shuffle; plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("removeBoilerplateLines broadcasts the hot-line set; corpus anti-joins unshuffled") {
     val p = plan(graft.dedup.Dedup.removeBoilerplateLines(
       docs, "doc_id", "text", maxDf = 2, sep = " "))
