@@ -56,70 +56,75 @@ object Dedup {
       .select(col("id"), xxhash64(col("shingle")).as("h"))
       .distinct()
 
-  /** Jaccard from per-pair intersection counts + per-doc sizes. Eager like
-    * [[verifyJaccard]]: the sizes aggregation is cached for its two join
-    * branches and released before return. */
-  private def jaccardFromInter(sh: DataFrame, inter: DataFrame,
+  /** Per-doc distinct shingle-hash SETS — the near-dup joins' shared
+    * foundation, built with ONE corpus shuffle: raw exploded (id, hash)
+    * rows go straight into `groupBy(id).collect_set` (the set dedups per
+    * doc — no separate `distinct` pass, which would shuffle the whole
+    * inverted index a second time). Everything else derives WITHOUT
+    * another corpus-wide shuffle: the flat inverted index is
+    * `explode(hs)` off this cache, MinHash signatures are per-row
+    * `array_min` projections, sizes are `size(hs)`. Docs with no shingles
+    * (shorter than n tokens) are absent. */
+  def docShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("id").agg(collect_set(col("h")).as("hs"))
+
+  /** Jaccard from per-pair intersection counts + per-doc sizes (projected
+    * off the CALLER-cached sets table — no aggregation of its own). Eager
+    * like [[verifyJaccard]]: materialized while the caller's cache lives. */
+  private def jaccardFromInter(sets: DataFrame, inter: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")).persist()
-    try {
-      inter
-        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn("jac",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .where(col("jac") >= threshold)
-        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
-        .localCheckpoint()
-    } finally sizes.unpersist(blocking = false)
+    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .localCheckpoint()
   }
 
   /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs,
-    * shaped for candidate VOLUME: each doc's distinct shingle set is
-    * aggregated once into an array of 64-bit shingle hashes (ONE row per
-    * doc — shingles-per-doc× fewer rows than the inverted index), the
-    * candidates join that table twice, and the intersection is computed
-    * per candidate row with `array_intersect` — no candidate×shingle row
-    * explosion, no giant re-join against the shingle table. (Measured at
-    * sf0.1: simhash end-to-end 23 s → 13 s on its ~155k banded candidates,
-    * capped-Jaccard 13 s → 8 s; pair sets identical.)
-    * 64-bit hashing cannot meaningfully collide within a pair
-    * (P ≈ shingles²/2⁶⁴); the arrays stay exact per-doc sets because the
-    * shingle table is distinct by construction. */
-  /** Returns an EAGER localCheckpoint (see [[jaccardJoin]]'s lifecycle
-    * note): the per-doc set table is aggregated ONCE, cached, and every
-    * branch below — the two size-prefilter joins and the two array joins —
-    * reads the cache; a lazy return would re-run the collect_set
-    * aggregation once per branch after the cache is released. */
-  private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
+    * shaped for candidate VOLUME: `sets` is the caller-cached per-doc
+    * shingle-hash-array table (ONE row per doc — shingles-per-doc× fewer
+    * rows than the inverted index), the candidates join it twice, and the
+    * intersection is computed per candidate row with `array_intersect` —
+    * no candidate×shingle row explosion, no giant re-join against the
+    * inverted index. (Measured at sf0.1: simhash end-to-end 23 s → 13 s on
+    * its ~155k banded candidates, capped-Jaccard 13 s → 8 s; pair sets
+    * identical.) 64-bit hashing cannot meaningfully collide within a pair
+    * (P ≈ shingles²/2⁶⁴); the arrays are exact per-doc sets by
+    * construction (collect_set). Returns an EAGER localCheckpoint (see
+    * [[jaccardJoin]]'s lifecycle note) materialized while the caller's
+    * sets cache is live. */
+  private def verifyJaccard(sets: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = sh.groupBy("id")
-      .agg(collect_set(col("h")).as("hs"))
-      .persist()
-    try {
-      // size-ratio prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ J ≥ t, so
-      // a candidate failing the ratio can NEVER verify — drop it over narrow
-      // int columns BEFORE shipping the per-doc hash arrays into the verify
-      // join (measured at sf0.1: 951k → 360k simhash candidates, output
-      // identical by construction; sizes project off the cached sets, in
-      // the same hashed domain the verification divides in)
-      val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n"))
-      val t = lit(threshold)
-      val pruned = candidates
-        .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-        .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
-        .select("a", "b")
-      pruned
-        .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
-        .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
-        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
-        .withColumn("jac", col("inter").cast("double") /
-          (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
-        .where(col("jac") >= threshold)
-        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
-        .localCheckpoint()
-    } finally sets.unpersist(blocking = false)
+    // size-ratio prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ J ≥ t, so
+    // a candidate failing the ratio can NEVER verify — drop it over narrow
+    // int columns BEFORE shipping the per-doc hash arrays into the verify
+    // join (measured at sf0.1: 951k → 360k simhash candidates, output
+    // identical by construction; sizes project off the cached sets, in
+    // the same hashed domain the verification divides in)
+    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n"))
+    val t = lit(threshold)
+    val pruned = candidates
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
+      .select("a", "b")
+    pruned
+      .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .localCheckpoint()
   }
 
   /** EXACT n-gram Jaccard similarity join via the shingle inverted index:
@@ -157,7 +162,9 @@ object Dedup {
     * garbage-collected. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sets = docShingleSets(df, idCol, textCol, n).persist()
+    // the flat inverted index: a cache-read explode, NOT a second shuffle
+    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
     try {
       maxShingleDf match {
         case None =>
@@ -168,7 +175,7 @@ object Dedup {
               col("x.id") < col("y.id"))
             .groupBy(col("x.id").as("a"), col("y.id").as("b"))
             .agg(count(lit(1)).as("inter"))
-          jaccardFromInter(sh, inter, threshold) // already eager
+          jaccardFromInter(sets, inter, threshold) // already eager
         case Some(cap) =>
           // capped pairing (skew guard): candidates from rare shingles only,
           // then exact verification over the FULL shingle sets
@@ -179,9 +186,9 @@ object Dedup {
             .join(pairing.as("y"), col("x.h") === col("y.h") &&
               col("x.id") < col("y.id"))
             .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-          verifyJaccard(sh, candidates, threshold) // already eager
+          verifyJaccard(sets, candidates, threshold) // already eager
       }
-    } finally sh.unpersist(blocking = false)
+    } finally sets.unpersist(blocking = false)
   }
 
   /** Benchmark decontamination: training docs sharing ≥ 1 word n-gram with
@@ -249,30 +256,33 @@ object Dedup {
     * join with a constant-width signature join — the 100 TB path. */
   def minHashLshJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sets = docShingleSets(df, idCol, textCol, n).persist()
     try {
-      // the 31-bit reduction of the ALREADY-hashed shingle — same values the
-      // string-holding formulation produced (xxhash64 runs once, at the source)
-      val base = sh.select(col("id"), pmod(col("h"), lit(MinHashP)).as("h"))
-      val sigCols = (0 until numHashes).map { i =>
+      // signatures are PER-ROW projections off the cached sets — the
+      // min-aggregate formulation would shuffle the whole inverted index a
+      // second time; array_min over the per-doc hash array produces the
+      // SAME values (same distinct hashes, same permutations — and the same
+      // values minHashSignature computes per streaming row). The 31-bit
+      // pmod reduction runs once per element, inside the lambda.
+      val sigs = sets.select(col("id") +: (0 until numHashes).map { i =>
         val (a, b) = permParams(i) // a < p for any sane numHashes
-        min(pmod(col("h") * a + b, lit(MinHashP))).as(s"mh$i")
-      }
-      val sigs = base.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+        array_min(transform(col("hs"),
+          h => pmod(pmod(h, lit(MinHashP)) * a + b, lit(MinHashP)))).as(s"mh$i")
+      }: _*)
       val bands = sigs.select(col("id"),
         explode(array((0 until numHashes).map(i =>
           struct(lit(i).as("band"), col(s"mh$i").as("value"))): _*)).as("bv"))
         .select(col("id"), col("bv.band"), col("bv.value"))
-        .persist() // self-joined: don't recompute the signature agg per side
+        .persist() // self-joined: don't recompute the signatures per side
       try {
         val candidates = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
             col("x.id") < col("y.id"))
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        verifyJaccard(sh, candidates, threshold) // eager — see jaccardJoin
+        verifyJaccard(sets, candidates, threshold) // eager — see jaccardJoin
       } finally bands.unpersist(blocking = false)
-    } finally sh.unpersist(blocking = false)
+    } finally sets.unpersist(blocking = false)
   }
 
   // --------------------------------------------------------------- SimHash
@@ -333,7 +343,7 @@ object Dedup {
   def simHashJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, hammingCutoff: Int = 12,
       maxTokenDf: Option[Int] = None): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sets = docShingleSets(df, idCol, textCol, n).persist()
     try {
       val hashes = simHashVotes(df, idCol, textCol, maxTokenDf)
       // full signature as two 32-bit halves (bit 63 can't ride a single
@@ -367,9 +377,9 @@ object Dedup {
             (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
              bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))) <= hammingCutoff)
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        verifyJaccard(sh, candidates, threshold) // eager — see jaccardJoin
+        verifyJaccard(sets, candidates, threshold) // eager — see jaccardJoin
       } finally bands.unpersist(blocking = false)
-    } finally sh.unpersist(blocking = false)
+    } finally sets.unpersist(blocking = false)
   }
 
   // ------------------------------------------------- embedding near-dup/join
