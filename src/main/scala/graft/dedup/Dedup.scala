@@ -41,15 +41,16 @@ object Dedup {
 
   // ----------------------------------------------------- shingle foundation
 
-  /** Distinct (id, shingle-hash) pairs — the inverted-index rows every
-    * near-dup algorithm below builds on. Shingles are reduced to their
-    * 64-bit `xxhash64` AT THE SOURCE: the distinct, every band/candidate
-    * self-join, and the verification set aggregation then shuffle 8-byte
-    * longs instead of multi-word n-gram strings (at 100 TB the shingle
-    * table IS the dominant shuffle — its row width is the bill). The
-    * collision tradeoff is the one [[verifyJaccard]] already accepts:
-    * P(any two distinct shingles of a candidate pair colliding) ≈
-    * shingles²/2⁶⁴ — far below corpus noise. */
+  /** Distinct (id, shingle-hash) pairs — the flat inverted-index form
+    * (used where only distinct hash VALUES matter, e.g. [[decontaminate]]'s
+    * benchmark side; the near-dup joins build [[docShingleSets]] instead —
+    * same rows, one row per doc). Shingles are reduced to their 64-bit
+    * `xxhash64` AT THE SOURCE: everything downstream shuffles 8-byte longs
+    * instead of multi-word n-gram strings (at 100 TB the shingle table IS
+    * the dominant shuffle — its row width is the bill). The collision
+    * tradeoff is the one [[verifyJaccard]] already accepts: P(any two
+    * distinct shingles of a candidate pair colliding) ≈ shingles²/2⁶⁴ —
+    * far below corpus noise. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
@@ -232,12 +233,14 @@ object Dedup {
     (1L + 104729L * i, (0x9e3779bL * (i + 1)) % MinHashP)
 
   /** Per-ROW MinHash signature of a text column (ARRAY<LONG> of length
-    * `numHashes`) — the SAME values [[minHashLshJoin]]'s groupBy
-    * aggregation produces for the doc, computed without any shuffle: the
-    * streaming-friendly form (a stateful operator can't sit behind a
-    * corpus-wide aggregation). NULL when the text has fewer than n tokens
-    * (such docs have no shingles and are absent from the batch inverted
-    * index too). Let-bound throughout — see [[graft.functions.GraftFunctions.bind]]. */
+    * `numHashes`) — the SAME values [[minHashLshJoin]] derives from its
+    * per-doc shingle sets (same permutations over the same distinct
+    * hashes; duplicates in this row-local form can't move a min), computed
+    * directly from the text with no shuffle at all: the streaming-friendly
+    * form (a stateful operator can't sit behind a corpus-wide
+    * aggregation). NULL when the text has fewer than n tokens (such docs
+    * have no shingles and are absent from the batch sets table too).
+    * Let-bound throughout — see [[graft.functions.GraftFunctions.bind]]. */
   def minHashSignature(text: Column, n: Int, numHashes: Int = 16): Column =
     graft.functions.GraftFunctions.bind(
       transform(TextOps.ngrams(text, n), g => pmod(xxhash64(g), lit(MinHashP)))) { hs =>
