@@ -72,6 +72,12 @@ class PlanShapeSpec extends AnyFunSuite {
       vecs.where(col("id") < 2), vecs, "id", "vec", "id", "vec", 2))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast; plan:\n$p")
+    // the rank<=k filter must push a PARTIAL WindowGroupLimit below the
+    // qid exchange: the shuffle then carries k rows per map partition per
+    // query, not the full N×M scored product — the property that keeps
+    // the window formulation viable at corpus scale
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank filter must become a pre-shuffle group limit; plan:\n$p")
   }
 
   test("relational join pushes filters to the parquet scan and broadcasts the dim") {
@@ -118,6 +124,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // window must REUSE the first's exchange, not add its own
     assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
       s"the two windows must share one qid shuffle; plan:\n$p")
+    // the shortlist cut must push a PARTIAL group limit below that
+    // exchange (see the broadcast top-k pin)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"shortlist cut must become a pre-shuffle group limit; plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
