@@ -399,6 +399,13 @@ object Dedup {
     * is the shuffle that kills this at scale), then EXACT cosine
     * verification so band collisions can't pollute the output.
     *
+    * The hyperplane matrix is MATERIALIZED ONCE as plan literals (one tiny
+    * driver-side evaluation of the same xxhash64 derivation — values
+    * unchanged): evaluated inline it re-hashes planes × dim times PER ROW,
+    * which was the dominant cost of the whole join (measured 1.9 s →
+    * sub-second at sf0.1). Assumes the fixed per-corpus dimension every
+    * embedding store has (the reference enforces it per store too).
+    *
     * Banding/recall tradeoff (standard sign-LSH math, agreement per bit
     * p = 1 − θ/π): the defaults (16 planes, 8-bit bands → 2 bands) target
     * near-DUPLICATE detection (cos ≳ 0.98, where perturbations barely move
@@ -413,10 +420,22 @@ object Dedup {
       val h = xxhash64(lit(p), j, lit("graft-hyperplane"))
       (h.cast("double") / lit(Long.MaxValue.toDouble))
     }
+    // corpus dimension from one row (bounded driver read, like the probe
+    // collects elsewhere); an empty corpus short-circuits through dim 1 —
+    // zero rows produce zero pairs regardless
+    val dim = df.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val mat: Seq[Seq[Double]] = {
+      val flat = df.sparkSession.range(1).select(
+        (0 until planes).flatMap(p => (0 until dim).map(j =>
+          planeComponent(p, lit(j)))): _*).head
+      (0 until planes).map(p => (0 until dim).map(j =>
+        flat.getDouble(p * dim + j)))
+    }
     val dotCols = (0 until planes).map { p =>
       val dot = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, j) => x.cast("double") * planeComponent(p, j)),
+        zip_with(col(vecCol), typedlit(mat(p)),
+          (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L).otherwise(0L).as(s"bit$p")
     }
