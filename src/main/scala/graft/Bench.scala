@@ -84,7 +84,10 @@ object Bench {
     // `total` sums PASSING medians only, so it is comparable round-over-round
     // ONLY when `failed` is empty — a failure must never read as a speedup
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runs}""")
+    // headline keys (`value`, `failed`) go LAST: the driver captures the
+    // tail of stdout, so truncation must eat per-query detail, never the
+    // round-over-round `total` (BENCH_r06 lost it to a head-side cut)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries":$qs,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

@@ -62,19 +62,23 @@ object ConnectedComponents {
         val nbrMin = edges
           .join(labels.select(col("u").as("v"), col("l").as("lv")), "v")
           .groupBy("u").agg(min(col("lv")).as("nl"))
+        // carry the round-entry label (`lp`) through both updates so the
+        // convergence test below needs no join back to the previous table
         val stepped = labels.join(nbrMin, Seq("u"), "left")
-          .select(col("u"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+          .select(col("u"), col("l").as("lp"),
+            least(col("l"), coalesce(col("nl"), col("l"))).as("l1"))
         // 2. pointer jump: L(L(u)) — self-join of the label table
         val jumped = stepped.as("x")
-          .join(stepped.select(col("u").as("l"), col("l").as("ll")).as("y"),
-            Seq("l"), "left")
-          .select(col("u"), least(col("l"), coalesce(col("ll"), col("l"))).as("l"))
+          .join(stepped.select(col("u").as("l1"), col("l1").as("ll")).as("y"),
+            Seq("l1"), "left")
+          .select(col("u"), col("lp"),
+            least(col("l1"), coalesce(col("ll"), col("l1"))).as("l"))
           .localCheckpoint() // cut lineage: next round starts from stored blocks
-        // ONE scalar to the driver: did any label move this round?
-        val changed = jumped.as("n")
-          .join(labels.select(col("u"), col("l").as("lp")).as("p"), "u")
-          .where(col("l") =!= col("lp")).limit(1).count()
-        labels = jumped
+        // ONE scalar to the driver: did any label move this round? A plain
+        // scan of the just-checkpointed blocks — shuffle-free, unlike the
+        // old third join back to the previous label table
+        val changed = jumped.where(col("l") =!= col("lp")).limit(1).count()
+        labels = jumped.select(col("u"), col("l"))
         converged = changed == 0
         iter += 1
       }

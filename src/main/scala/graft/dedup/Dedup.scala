@@ -413,24 +413,31 @@ object Dedup {
     * width (e.g. planes=64 → 8 bands: P(miss | cos=0.9) ≈ 0.71^8 ≈ 6%,
     * planes=128 → 0.4%). */
   def cosineNearDupJoin(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 16, bandBits: Int = 8): DataFrame = {
+      threshold: Double, planes: Int = 16, bandBits: Int = 8,
+      dim: Option[Int] = None): DataFrame = {
     require(planes % bandBits == 0, "planes must be a multiple of bandBits")
     // plane p component j = hash-derived uniform in [-1, 1): deterministic
     def planeComponent(p: Int, j: Column): Column = {
       val h = xxhash64(lit(p), j, lit("graft-hyperplane"))
       (h.cast("double") / lit(Long.MaxValue.toDouble))
     }
-    // corpus dimension from one row (bounded driver read, like the probe
-    // collects elsewhere); an empty corpus short-circuits through dim 1 —
-    // zero rows produce zero pairs regardless
-    val dim = df.select(size(col(vecCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
+    // corpus dimension: pass `dim` to keep plan construction fully lazy
+    // (stream-safe, no job at build time); otherwise probe ONE non-null
+    // row (bounded driver read, like the probe collects elsewhere). An
+    // empty/all-null corpus short-circuits through dim 1 — such rows are
+    // excluded from banding below and produce zero pairs regardless.
+    val corpusDim = dim.getOrElse {
+      df.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head(1)
+        .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        .getOrElse(1)
+    }
     val mat: Seq[Seq[Double]] = {
       val flat = df.sparkSession.range(1).select(
-        (0 until planes).flatMap(p => (0 until dim).map(j =>
+        (0 until planes).flatMap(p => (0 until corpusDim).map(j =>
           planeComponent(p, lit(j)))): _*).head
-      (0 until planes).map(p => (0 until dim).map(j =>
-        flat.getDouble(p * dim + j)))
+      (0 until planes).map(p => (0 until corpusDim).map(j =>
+        flat.getDouble(p * corpusDim + j)))
     }
     val dotCols = (0 until planes).map { p =>
       val dot = aggregate(
@@ -439,7 +446,12 @@ object Dedup {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L).otherwise(0L).as(s"bit$p")
     }
-    val withBits = df.select(Seq(col(idCol).as("id")) ++ dotCols: _*)
+    // null or wrong-dimension vectors can't be scored (null dot would
+    // silently band as all-zero bits and only waste verify work — the
+    // exact-cosine filter rejects them anyway); exclude them up front
+    val banded = df.where(col(vecCol).isNotNull &&
+      size(col(vecCol)) === corpusDim)
+    val withBits = banded.select(Seq(col(idCol).as("id")) ++ dotCols: _*)
     // cached: the self-join's two sides would otherwise each recompute the
     // `planes` hyperplane dot products per row
     val bands = withBits.select(col("id"),
@@ -480,14 +492,23 @@ object Dedup {
     *
     * Scale shape: one explode pass produces narrow (id, pos, line-hash)
     * rows; the hot-line set is a hash-groupBy with a count-DISTINCT-ids
-    * aggregate, and its size is bounded by total-lines / maxDf (each hot
-    * line needs > maxDf supporting docs), so it broadcasts at any
-    * realistic maxDf; the corpus then anti-joins that broadcast WITHOUT
-    * shuffling on content, and the only corpus-wide shuffle is the final
-    * reassembly groupBy on id. Line identity is the 64-bit xxhash64 —
-    * lines never ride a join. */
+    * aggregate, its size bounded by total-lines / maxDf (each hot line
+    * needs > maxDf supporting docs); the corpus then anti-joins it, and
+    * the only unavoidable corpus-wide shuffle is the final reassembly
+    * groupBy on id. Line identity is the 64-bit xxhash64 — lines never
+    * ride a join.
+    *
+    * `broadcastHot` picks the anti-join shape. The broadcast arm (default)
+    * keeps the corpus unshuffled before reassembly, but the lines/maxDf
+    * bound is only small when maxDf scales with the corpus: at a fixed
+    * tiny maxDf over ~10^12 lines the hot set is ~3e10 hashes (~240 GB) —
+    * past any broadcast/driver budget. Envelope: broadcast while
+    * (distinct lines with df > maxDf) × 8 B fits the broadcast limit
+    * (≲ a few hundred MB, i.e. ≲ ~10^7-10^8 hot lines); beyond that pass
+    * `broadcastHot = false` for a plain shuffled anti-join on the 8-byte
+    * hash (one extra narrow shuffle — never a failure). */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-      maxDf: Int, sep: String = "\n"): DataFrame = {
+      maxDf: Int, sep: String = "\n", broadcastHot: Boolean = true): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol),
@@ -496,7 +517,7 @@ object Dedup {
     val hot = lines.groupBy("lh")
       .agg(count_distinct(col("id")).as("df"))
       .where(col("df") > maxDf).select("lh")
-    lines.join(broadcast(hot), Seq("lh"), "left_anti")
+    lines.join(if (broadcastHot) broadcast(hot) else hot, Seq("lh"), "left_anti")
       .groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -77,6 +77,9 @@ object Corpus {
   def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
+      // blank/whitespace-only docs tokenize to [''] (split-of-trim
+      // semantics); the empty string is not a vocabulary token
+      .where(col("token") =!= "")
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
 
@@ -138,7 +141,11 @@ object Corpus {
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize), got $overlap")
     val step = chunkSize - overlap
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+    // drop the [''] artifact of blank docs (split-of-trim semantics): a
+    // blank doc still yields its one chunk, but as ('', chunk_tok=0) —
+    // not a phantom 1-token chunk
+    df.select(col(idCol),
+        filter(TextOps.tokens(col(textCol)), t => t =!= "").as("t"))
       .select(col(idCol), col("t"),
         posexplode(sequence(lit(0),
           greatest(size(col("t")) - overlap - 1, lit(0)),

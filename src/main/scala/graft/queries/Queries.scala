@@ -1062,7 +1062,7 @@ object Queries {
         |FROM (SELECT doc_id, u.token
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |        FROM documents), UNNEST(t) AS u(token))
-        |GROUP BY token ORDER BY token""".stripMargin)),
+        |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin)),
 
     // ---- concat-then-chunk sequence packing (GPT-style pretraining): docs
     // laid end-to-end in id order per md5 shard, stream cut every 2048
@@ -1097,7 +1097,8 @@ object Queries {
         "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy("doc_id", "chunk_ix"),
       Some(raw"""WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
         |starts AS (
         |  SELECT doc_id, t, s
         |  FROM toks, UNNEST(range(0, greatest(len(t) - 8, 1), 24)) AS r(s))

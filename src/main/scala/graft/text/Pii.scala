@@ -54,7 +54,18 @@ object Pii {
 
   /** Per-kind match counts over the ORIGINAL text — the audit column a
     * scrub pipeline keeps next to the redacted output (how much PII did
-    * this source carry?). Same engine-portable patterns. */
+    * this source carry?). Same engine-portable patterns.
+    *
+    * Counting contract: counts are RAW per-pattern matches, each pattern
+    * scanned independently over the original text — a span matching two
+    * patterns (e.g. `10.0.0.1@example.com`) increments BOTH counters,
+    * while [[redactAll]]'s ordered chain emits only the first rule's
+    * token. So `n_email + n_ip + n_phone` can exceed the number of
+    * replacement tokens in the redacted text; the counts answer "how
+    * much of each KIND did the source carry", not "how many tokens did
+    * redaction write". (Counting on the progressively-redacted text
+    * would tie the audit to one specific rule order and lose the
+    * per-kind signal for overlapping spans.) */
   def piiCounts(text: Column): (Column, Column, Column) =
     (regexp_count(text, lit(EmailPattern)),
      regexp_count(text, lit(Ipv4Pattern)),
