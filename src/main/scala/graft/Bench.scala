@@ -49,7 +49,17 @@ object Bench {
       ()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset filter (comma-separated names / prefixes ending in
+    // '*') — the regression-bisection lever: run one family, or replay an
+    // old round's query set, inside the same binary
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
       val samples = (0 until runs).flatMap { _ =>
         // between RUNS too, not just between queries: the near-dup joins
         // unpersist their stage caches non-blocking, so a back-to-back

@@ -189,6 +189,176 @@ object AnnIndex {
   }
 
   private def toFloats(s: Seq[Float]): Array[Float] = s.toArray
+
+  // ------------------------------------------------------ artifact IO
+  //
+  // Serialized per-shard index structures next to the store (SURVEY §2.4's
+  // "binary files next to the table"; the reference snapshots its
+  // non-linear indexes inside the persistence image,
+  // ahnlich/utils/src/persistence.rs + db/src/engine/versioned.rs). Layout:
+  //
+  //   <dir>/manifest.json   # parts, config identity, per-shard source stamp
+  //   <dir>/s<i>.bin        # java-serialized AnnShard (absent = empty shard)
+  //
+  // Each shard's manifest entry records the PERSISTENCE BUCKET PATH its
+  // rows came from (shard i ⊆ bucket i % NumBuckets — shard counts are
+  // multiples of NumBuckets by construction). That string IS the version
+  // stamp: a mutation moves its touched buckets to a new version dir, so
+  // on load a shard is fresh iff its recorded source equals the store's
+  // current bucket path — untouched shards deserialize (no graph build),
+  // touched ones rebuild via the same delta-[[patch]] a live mutation uses.
+  // Artifacts are DERIVED state: any read failure falls back to a rebuild,
+  // never an error. Task-side java.nio IO (executors and driver share the
+  // filesystem here; a cluster deployment routes through the Hadoop
+  // FileSystem API like the parquet layer).
+
+  private def shardFile(dir: String, i: Int) =
+    java.nio.file.Paths.get(dir, s"s$i.bin")
+
+  /** Source stamp for shard `i` of a `parts`-shard index: the persistence
+    * path of the bucket its rows live in ("" = bucket currently empty). */
+  private def srcStamp(bucketPaths: Map[Int, String], i: Int, parts: Int): String =
+    bucketPaths.getOrElse(i % GraftEngine.NumBuckets, "")
+
+  /** Persist the index's shard structures under `dir`. `touchedOnly`
+    * restricts the write to the given shard indices (the mutation path's
+    * incremental save — cost proportional to the batch, like the parquet
+    * write it rides behind); `None` writes every shard (initial build).
+    * One Spark job; the manifest flips last (tmp+rename), so a crash
+    * mid-save leaves stale-but-consistent stamps that simply rebuild. */
+  def save(index: AnnIndex, dir: String, bucketPaths: Map[Int, String],
+      touchedOnly: Option[Set[Int]] = None): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parts = index.numShards
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val written = index.shards.mapPartitionsWithIndex { (i, it) =>
+      if (!touchedOnly.forall(_.contains(i))) Iterator.empty
+      else {
+        val target = shardFile(dir, i)
+        val shards = it.toArray
+        if (shards.isEmpty) {
+          java.nio.file.Files.deleteIfExists(target)
+          Iterator.single(i -> false)
+        } else {
+          val tmp = target.resolveSibling(s"s$i.bin.tmp")
+          val os = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(tmp)))
+          try os.writeObject(shards.head) finally os.close()
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Iterator.single(i -> true)
+        }
+      }
+    }.collect().toMap
+    // carry forward untouched shards' manifest entries on incremental saves
+    val previous: Map[Int, (String, Boolean)] = touchedOnly match {
+      case Some(_) => readManifest(dir).map(_.shards).getOrElse(Map.empty)
+      case None => Map.empty
+    }
+    val entries = (0 until parts).map { i =>
+      written.get(i) match {
+        case Some(present) => i -> (srcStamp(bucketPaths, i, parts), present)
+        case None => i -> previous.getOrElse(i, ("", false))
+      }
+    }.toMap
+    val json = JObject(
+      "kind" -> JString(index.kind),
+      "parts" -> JInt(parts),
+      "config" -> JString(index.config.toString),
+      "shards" -> JObject(entries.toList.sortBy(_._1).map { case (i, (src, p)) =>
+        i.toString -> (JObject("src" -> JString(src), "present" -> JBool(p)): JValue)
+      }))
+    val target = java.nio.file.Paths.get(dir, "manifest.json")
+    val tmp = target.resolveSibling("manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private final case class Manifest(kind: String, parts: Int, config: String,
+      shards: Map[Int, (String, Boolean)])
+
+  private def readManifest(dir: String): Option[Manifest] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = java.nio.file.Paths.get(dir, "manifest.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      val kind = (j \ "kind") match { case JString(s) => s; case _ => return None }
+      val parts = (j \ "parts") match {
+        case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => return None }
+      val config = (j \ "config") match { case JString(s) => s; case _ => return None }
+      val shards = (j \ "shards") match {
+        case JObject(fields) => fields.collect {
+          case (k, v) if k.forall(_.isDigit) =>
+            val src = (v \ "src") match { case JString(s) => s; case _ => "" }
+            val present = (v \ "present") == JBool(true)
+            k.toInt -> (src, present)
+        }.toMap
+        case _ => Map.empty[Int, (String, Boolean)]
+      }
+      Some(Manifest(kind, parts, config, shards))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Restore an index from artifacts, rebuilding ONLY stale shards (stamp
+    * mismatch = their bucket was mutated since the save; missing file;
+    * unknown shard). Returns None — caller falls back to a full build —
+    * when there is no usable manifest, the config changed, or every shard
+    * is stale. The fresh-shard path runs ZERO build work: partition i
+    * deserializes s<i>.bin; the stale set goes through [[patch]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      config: NonLinearConfig, bucketPaths: Map[Int, String],
+      df: DataFrame, dim: Int): Option[AnnIndex] =
+    try {
+      val m = readManifest(dir).getOrElse(return None)
+      if (m.config != config.toString || m.parts < 1 ||
+          m.parts % GraftEngine.NumBuckets != 0) return None
+      val parts = m.parts
+      val stale = (0 until parts).filter { i =>
+        m.shards.get(i) match {
+          case None => true
+          case Some((src, present)) =>
+            src != srcStamp(bucketPaths, i, parts) ||
+              (present && !java.nio.file.Files.exists(shardFile(dir, i)))
+        }
+      }.toSet
+      if (stale.size == parts) return None
+      val fresh = (0 until parts).toSet -- stale
+      val present = fresh.filter(i => m.shards(i)._2)
+      val loaded = spark.sparkContext
+        .parallelize(0 until parts, parts)
+        .mapPartitionsWithIndex { (i, _) =>
+          if (!present.contains(i)) Iterator.empty
+          else {
+            val is = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+              java.nio.file.Files.newInputStream(shardFile(dir, i))))
+            try Iterator.single(is.readObject().asInstanceOf[AnnShard])
+            finally is.close()
+          }
+        }
+      val base = new AnnIndex(config.kind, config, loaded, parts)
+      if (stale.isEmpty) {
+        val cached = loaded.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        Some(new AnnIndex(config.kind, config, cached, parts))
+      } else {
+        val patched = patch(base, df, dim, stale) // persists + materializes
+        // self-heal: refresh the artifacts for exactly the shards rebuilt,
+        // so the next restart deserializes them instead of patching again
+        save(patched, dir, bucketPaths, Some(stale))
+        Some(patched)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"AnnIndex.load($dir) failed — falling back to rebuild", e)
+        None
+    }
 }
 
 /** The non-linear arms of GetSimN's 4-way dispatch (store.rs:314-383). */

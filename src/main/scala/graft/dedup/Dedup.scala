@@ -432,12 +432,19 @@ object Dedup {
         .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
         .getOrElse(1)
     }
+    // the matrix entries are constant expressions — evaluate them
+    // interpretively on the driver (one analyzer pass, zero Spark jobs):
+    // the planes×dim-column projection JOB this replaces spent ~0.6-0.8 s
+    // per call analyzing/optimizing/codegen'ing 1024 expressions to compute
+    // 1024 constants (measured at sf0.1 — it dominated the whole join and
+    // was the round-6 embed_near_dup bench regression)
     val mat: Seq[Seq[Double]] = {
-      val flat = df.sparkSession.range(1).select(
+      val flat = org.apache.spark.sql.graftbridge.ColumnBridge.evalConstants(
+        df.sparkSession,
         (0 until planes).flatMap(p => (0 until corpusDim).map(j =>
-          planeComponent(p, lit(j)))): _*).head
+          planeComponent(p, lit(j)))))
       (0 until planes).map(p => (0 until corpusDim).map(j =>
-        flat.getDouble(p * corpusDim + j)))
+        flat(p * corpusDim + j).asInstanceOf[Double]))
     }
     val dotCols = (0 until planes).map { p =>
       val dot = aggregate(

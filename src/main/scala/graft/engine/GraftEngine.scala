@@ -72,6 +72,24 @@ class GraftEngine(val spark: SparkSession,
   private def dropRecord(schema: String, name: String): Unit =
     persistRoot.foreach(Persistence.deleteStoreRecord(_, schema, name))
 
+  /** Persist one index's shard artifacts (see [[graft.ann.AnnIndex.save]]);
+    * `touched` = incremental save of just-patched shards. Best-effort:
+    * artifacts are derived state, so an IO failure here degrades the next
+    * restart to a rebuild — it never fails the operation that built the
+    * index. No-op without a persistRoot. */
+  private def saveIndexArtifacts(schema: String, name: String, kind: String,
+      idx: graft.ann.AnnIndex, paths: Map[Int, String],
+      touched: Option[Set[Int]] = None): Unit =
+    persistRoot.foreach { root =>
+      try graft.ann.AnnIndex.save(idx,
+        Persistence.indexDir(root, schema, name, kind), paths, touched)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"index artifact save failed for $schema.$name/$kind", e)
+      }
+    }
+
   /** Tables-as-truth INCREMENTAL write: store rows hash into
     * [[GraftEngine.NumBuckets]] buckets by content id; a mutation writes
     * ONLY its touched buckets into the new version dir, untouched buckets
@@ -278,16 +296,23 @@ class GraftEngine(val spark: SparkSession,
     // .nonLinearIndexes); a config whose structure was never built — lazy
     // post-restart attach, see ensureAnnIndex — stays unbuilt, so mutations
     // on never-queried indexed stores don't pay an index build
-    val rebuilt = st.annIndexes.map { case (kind, old) =>
-      val patched = for {
+    val rebuiltWithTouch = st.annIndexes.map { case (kind, old) =>
+      val touchedShards = for {
         shards <- touch.byModulus.get(old.numShards)
         // pruned patch source is only complete when every shard's rows live
         // in touched buckets, i.e. NumBuckets divides the shard modulus
         if persistRoot.isEmpty || old.numShards % GraftEngine.NumBuckets == 0
-      } yield graft.ann.AnnIndex.patch(old, patchSrc, st.meta.dimension, shards)
-      kind -> patched.getOrElse(graft.ann.AnnIndex.build(
-        cached, st.meta.dimension, st.meta.nonLinearIndexes(kind)))
+      } yield shards
+      touchedShards match {
+        case Some(shards) =>
+          kind -> (graft.ann.AnnIndex.patch(old, patchSrc, st.meta.dimension,
+            shards), Some(shards))
+        case None =>
+          kind -> (graft.ann.AnnIndex.build(
+            cached, st.meta.dimension, st.meta.nonLinearIndexes(kind)), None)
+      }
     }
+    val rebuilt = rebuiltWithTouch.map { case (k, (idx, _)) => k -> idx }
     // Releasing the predecessor here also drops its localCheckpoint blocks
     // (when the predecessor generation was checkpointed): a lazy DataFrame
     // handed out by getPred/getKey BEFORE this mutation must be consumed
@@ -299,6 +324,12 @@ class GraftEngine(val spark: SparkSession,
     catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
       annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths)
     flushStore(schema, name)
+    // keep on-disk index artifacts current: patched indexes rewrite ONLY
+    // their touched shards (write cost rides the batch size, like the
+    // parquet write above); full rebuilds rewrite all shards
+    rebuiltWithTouch.foreach { case (kind, (idx, touched)) =>
+      saveIndexArtifacts(schema, name, kind, idx, newPaths, touched)
+    }
     persistRoot.foreach(Persistence.gcOldVersions(_, schema, name,
       newPaths.values.map(_.split("/")(0)).toSet))
   }
@@ -340,7 +371,10 @@ class GraftEngine(val spark: SparkSession,
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
         dropRecord(schema, name)
-        persistRoot.foreach(r => Persistence.deleteDir(s"$r/data/$schema/$name"))
+        persistRoot.foreach { r =>
+          Persistence.deleteDir(s"$r/data/$schema/$name")
+          Persistence.deleteDir(s"$r/index/$schema/$name")
+        }
         1
       case None =>
         if (errorIfNotExists) throw GraftErrors.storeNotFound(schema, name)
@@ -359,7 +393,10 @@ class GraftEngine(val spark: SparkSession,
       }
       dropRecord(k._1, k._2)
     }
-    persistRoot.foreach(r => Persistence.deleteDir(s"$r/data/$schema"))
+    persistRoot.foreach { r =>
+      Persistence.deleteDir(s"$r/data/$schema")
+      Persistence.deleteDir(s"$r/index/$schema")
+    }
     keys.size
   }
 
@@ -374,7 +411,10 @@ class GraftEngine(val spark: SparkSession,
       }
       dropRecord(k._1, k._2)
     }
-    persistRoot.foreach(r => Persistence.deleteDir(s"$r/data"))
+    persistRoot.foreach { r =>
+      Persistence.deleteDir(s"$r/data")
+      Persistence.deleteDir(s"$r/index")
+    }
     n
   }
 
@@ -720,6 +760,9 @@ class GraftEngine(val spark: SparkSession,
         st.meta.nonLinearIndexes ++ fresh.map(c => c.kind -> c)),
       annIndexes = st.annIndexes ++ built)
     flushStore(schema, name)
+    built.foreach { case (kind, idx) =>
+      saveIndexArtifacts(schema, name, kind, idx, st.bucketPaths)
+    }
     fresh.size
   }
 
@@ -735,6 +778,8 @@ class GraftEngine(val spark: SparkSession,
       meta = st.meta.copy(nonLinearIndexes = st.meta.nonLinearIndexes -- present),
       annIndexes = st.annIndexes -- present)
     flushStore(schema, name)
+    persistRoot.foreach(root => present.foreach(k =>
+      Persistence.deleteDir(Persistence.indexDir(root, schema, name, k))))
     present.size
   }
 
@@ -742,17 +787,27 @@ class GraftEngine(val spark: SparkSession,
       schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
     state(schema, name).annIndexes.get(kind)
 
-  /** The store's ANN index of `kind`, building it on first use when only
-    * the CONFIG survived (post-[[GraftEngine.load]] attach): restart never
-    * pays an index build for a store the session doesn't query. None ⇔ no
-    * index of that kind was ever created. The built structure is cached back
-    * into the catalog (derived state — never flushed to disk). */
+  /** The store's ANN index of `kind`, attached on first use when only the
+    * CONFIG survived (post-[[GraftEngine.load]] attach): restart never pays
+    * index work for a store the session doesn't query. On first use the
+    * structure comes from the serialized shard artifacts when they are
+    * current ([[graft.ann.AnnIndex.load]] — deserialization, zero graph
+    * builds; shards whose bucket mutated since the save are delta-patched),
+    * falling back to a full build (which then writes fresh artifacts).
+    * None ⇔ no index of that kind was ever created. */
   private[graft] def ensureAnnIndex(name: String, kind: String,
       schema: String = DefaultSchema): Option[graft.ann.AnnIndex] = {
     val st = state(schema, name)
     st.annIndexes.get(kind).orElse {
       st.meta.nonLinearIndexes.get(kind).map { cfg =>
-        val built = graft.ann.AnnIndex.build(st.df, st.meta.dimension, cfg)
+        val restored = persistRoot.flatMap(root => graft.ann.AnnIndex.load(
+          spark, Persistence.indexDir(root, schema, name, kind), cfg,
+          st.bucketPaths, st.df, st.meta.dimension))
+        val built = restored.getOrElse {
+          val b = graft.ann.AnnIndex.build(st.df, st.meta.dimension, cfg)
+          saveIndexArtifacts(schema, name, kind, b, st.bucketPaths)
+          b
+        }
         catalog((schema, name)) = st.copy(annIndexes = st.annIndexes + (kind -> built))
         built
       }

@@ -10,4 +10,34 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Driver-side evaluation of CONSTANT Column expressions (literal-only
+    * subtrees — e.g. a hash-derived hyperplane matrix): one analyzer pass
+    * over a single Project resolves every function/type, then each
+    * expression is evaluated INTERPRETIVELY — milliseconds total, zero
+    * Spark jobs. The `range(1).select(cols).head` formulation this replaces
+    * pays analyze + optimize + whole-stage-codegen + job-submit to compute
+    * the same constants (measured 0.6-0.8 s warm for a 1024-column matrix).
+    * Expressions must reference no input columns; anything unresolvable or
+    * attribute-bearing throws here, at the caller, not inside a task. */
+  def evalConstants(spark: org.apache.spark.sql.SparkSession,
+      cols: Seq[Column]): Seq[Any] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+    // convert eagerly (ColumnNodeToExpressionConverter) rather than via
+    // ExpressionUtils.expression: the latter wraps the node in a LAZY
+    // ColumnNodeExpression that only converts inside the session's own
+    // query execution — it reports resolved but throws Unevaluable on a
+    // direct eval
+    val plan = Project(
+      cols.zipWithIndex.map { case (c, i) =>
+        Alias(org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node), s"c$i")()
+      },
+      OneRowRelation())
+    val analyzed = spark.sessionState.analyzer.execute(plan)
+    spark.sessionState.analyzer.checkAnalysis(analyzed)
+    analyzed.asInstanceOf[Project].projectList
+      .map(a => a.asInstanceOf[Alias].child.eval(InternalRow.empty))
+  }
 }

@@ -268,6 +268,56 @@ class PersistenceSpec extends AnyFunSuite {
     Persistence.deleteDir(root)
   }
 
+  test("restart restores ANN indexes from artifacts: no graph build, results identical") {
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("art", 4)
+    e1.setSeq("art", (0 until 300).map(i => (
+      Array(i.toFloat, (i % 7).toFloat, (i % 13).toFloat, (i % 3).toFloat),
+      meta("i" -> i.toString))))
+    e1.createNonLinearIndex("art", Seq(
+      NonLinearConfig.HNSWConfig(), NonLinearConfig.KDTreeConfig()))
+    val q = Array(10f, 3f, 10f, 1f)
+    val before = e1.getSimN("art", q, 5, Algorithm.HNSW).collect().toSeq
+    assert(Files.exists(Paths.get(root, "index", "public", "art", "hnsw", "manifest.json")),
+      "index artifacts were not written")
+
+    val e2 = GraftEngine.load(spark, root)
+    // first HNSW query after restart must RESTORE, not rebuild: a graph
+    // build shuffles (keyedRows partitionBy => a multi-stage job); the
+    // restore path runs only single-stage jobs (deserialize, search,
+    // bucket-pruned hydrate)
+    val stageCounts = scala.collection.mutable.ArrayBuffer[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        stageCounts.synchronized { stageCounts += s.stageInfos.size }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val after = try {
+      val r = e2.getSimN("art", q, 5, Algorithm.HNSW).collect().toSeq
+      spark.sparkContext.parallelize(Seq(1), 1).count() // listener flush marker
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stageCounts.synchronized(stageCounts.isEmpty) &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(stageCounts.synchronized(stageCounts.forall(_ == 1)),
+      s"first post-restart HNSW query ran a build shuffle (stages: $stageCounts)")
+    assert(after == before, "restored index answers differently")
+
+    // a mutation keeps artifacts current (incremental save) — the NEXT
+    // restart restores the patched graphs and sees the new row
+    e2.setSeq("art", Seq((Array(1000f, 1000f, 1000f, 1000f), meta("i" -> "new"))))
+    val mutated = e2.getSimN("art", Array(1000f, 1000f, 1000f, 1000f), 1,
+      Algorithm.HNSW).collect().toSeq
+    val e3 = GraftEngine.load(spark, root)
+    val restored = e3.getSimN("art", Array(1000f, 1000f, 1000f, 1000f), 1,
+      Algorithm.HNSW).collect().toSeq
+    assert(restored == mutated)
+    assert(restored.head.getAs[Float]("similarity") == 1.0f)
+    e3.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("in-memory engines (no persistRoot) keep working with zero disk IO") {
     val e = new GraftEngine(spark)
     e.createStore("mem", 2)
