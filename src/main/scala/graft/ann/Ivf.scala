@@ -88,6 +88,68 @@ final class IvfIndex(
         col("rank"))
   }
 
+  /** SQ8 × IVF composition — the 100 TB top-k story stacked the right way:
+    * the int8 coarse pass ([[graft.functions.Quantize]]'s byte-per-dim IO
+    * cut) runs over the PROBED CELLS ONLY (this index's partition pruning),
+    * so scanned bytes shrink multiplicatively — nProbe/nCells of the
+    * corpus × ~4× fewer bytes per row — instead of the quantized
+    * brute-force arm's full-corpus coarse scan. Candidates leave the
+    * coarse pass as (qid, id) pairs; float vectors are only re-attached
+    * for the `shortlist`-deep rescore (ids-only discipline, same as the
+    * dedup joins). At nProbe = nCells the probed set is the whole corpus
+    * and the result is EXACTLY [[graft.functions.Quantize.quantizedTopKJoin]]
+    * (same coarse math, same tie-breaks — the embed_topk_quantized_ivf
+    * oracle pins that identity); smaller nProbe compounds the IVF recall
+    * tradeoff onto the quantization one. Cosine output contract ==
+    * (qid, cid, cos, rank). At cluster scale the code columns live stored
+    * beside the cell-partitioned table; here they project off the cached
+    * cells (same values — int8Codes is deterministic). */
+  def quantizedTopKJoin(queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Quantize
+    require(k > 0, s"k must be > 0, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val np = math.max(1, math.min(nProbe, nCells))
+    val cellRank = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
+        lit(i).as("c")) }: _*))
+    // qid-deduped queries (see topKJoin); quantized once per query
+    val q0 = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .groupBy("qid").agg(min(col("qv")).as("qv"))
+    val (qmn, qmx) = Quantize.quantParams(col("qv"))
+    val probed = q0
+      .select(col("qid"), col("qv"), Quantize.int8Codes(col("qv")).as("qcodes"),
+        qmn.as("qmn"), qmx.as("qmx"))
+      .withColumn("_p", explode(slice(cellRank, 1, np)))
+      .select(col("qid"), col("qcodes"), col("qmn"), col("qmx"),
+        col("_p.c").as("cell"))
+    // coarse: ONLY the code columns of the probed cells ride the join —
+    // the float vectors never touch this, the widest stage
+    val (cmn, cmx) = Quantize.quantParams(col("key"))
+    val codes = cells.select(col("cell"), col("id"),
+      Quantize.int8Codes(col("key")).as("ccodes"), cmn.as("cmn"), cmx.as("cmx"))
+    val coarse = probed.join(codes, "cell")
+      .withColumn("s_coarse", Similarity.hof.cosineSimilarity(
+        Quantize.dequantize(col("qcodes"), col("qmn"), col("qmx")),
+        Quantize.dequantize(col("ccodes"), col("cmn"), col("cmx"))))
+    val wCoarse = Window.partitionBy("qid")
+      .orderBy(col("s_coarse").desc, col("id").asc)
+    val short = coarse.withColumn("_rs", row_number().over(wCoarse))
+      .where(col("_rs") <= shortlist)
+      .select("qid", "id")
+    // rescore the shortlist only: float vectors by id (shortlist-bounded),
+    // query vectors by qid (broadcast-sized)
+    val exact = short
+      .join(cells.select(col("id"), col("key")), "id")
+      .join(broadcast(q0), "qid")
+      .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("key")))
+    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+    exact.withColumn("rank", row_number().over(wExact)).where(col("rank") <= k)
+      .select(col("qid"), col("id").as("cid"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Top-n over the probed cells only: `cell IN probes` prunes partitions,
     * then exact scoring + TakeOrderedAndProject. Returns (id, key, sim). */
   def search(q: Array[Float], n: Int, nProbe: Int): DataFrame = {

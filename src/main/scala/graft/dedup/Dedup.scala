@@ -288,6 +288,21 @@ object Dedup {
     } finally sets.unpersist(blocking = false)
   }
 
+  /** Exact-verify an EXTERNALLY generated candidate pair list (cols `a`,
+    * `b`) against the corpus — the downstream half of the streaming
+    * candidate contract ([[graft.streaming.StreamingIngest
+    * .streamingNearDupCandidates]] emits unverified band collisions; a
+    * dedup decision needs this batch join). Output contract ==
+    * [[jaccardJoin]]: (a, b, jac), exact Jaccard over full shingle sets,
+    * jac ≥ threshold. Same size-ratio-pruned verify the in-process
+    * candidate generators use; candidate volume drives the cost. */
+  def verifyJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
+    val sets = docShingleSets(df, idCol, textCol, n).persist()
+    try verifyJaccard(sets, candidates.select("a", "b"), threshold)
+    finally sets.unpersist(blocking = false)
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word-level xxhash64: explode tokens once (narrow

@@ -1391,6 +1391,57 @@ object Queries {
     // path (no query broadcast: queries are cell-assigned and shuffle-join
     // the cell-partitioned corpus). nProbe = nCells ⇒ exact ⇒ shares the
     // exhaustive oracle; pruned-probe recall is pinned in IvfSpec.
+    // ---- SQ8 x IVF composition: int8 coarse pass WITHIN probed cells,
+    // ids-only shortlist, exact float rescore. nProbe = nCells => the
+    // probed set is the whole corpus and the result is EXACTLY the
+    // quantized brute-force arm (embed_topk_quantized) — so the oracle is
+    // that arm's SQL verbatim; pruned-probe recall rides IvfSpec ----
+    "embed_topk_quantized_ivf" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<float>").as("key"))
+        val ivf = graft.ann.IvfIndex.build(e, nCells = 8, iters = 2)
+        val out = ivf.quantizedTopKJoin(
+          e.where(col("id") < 12).select(col("id").as("vec_id"), col("key").as("embedding")),
+          "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 40)
+        val rows = out.collect()
+        ivf.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some(s"""WITH mm AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(least(255.0, floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn))) AS BIGINT)
+        |      END) AS qs,
+        |    mn, mx
+        |  FROM mm),
+        |dq AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(qs, q -> mn + CAST(q AS DOUBLE) * (mx - mn) / 255.0) AS dv
+        |  FROM qz),
+        |coarse AS (
+        |  SELECT a.vec_id qid, b.vec_id cid, a.embedding qv, b.embedding cv,
+        |    ${cosSql("a.dv", "b.dv")} AS s_coarse
+        |  FROM dq a, dq b WHERE a.vec_id < 12),
+        |short AS (
+        |  SELECT qid, cid, qv, cv,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_coarse DESC, cid ASC) AS rs
+        |  FROM coarse),
+        |resc AS (
+        |  SELECT qid, cid, ${cosSql("qv", "cv")} AS c FROM short WHERE rs <= 40),
+        |ranked AS (
+        |  SELECT qid, cid, round(c, 4) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid ASC) AS rank
+        |  FROM resc)
+        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
+
     "embed_topk_join_ivf" -> Q(
       (s, dir) => {
         val e = TestStores.table(s, dir, "embeddings")
@@ -1451,6 +1502,62 @@ object Queries {
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
         |FROM sid GROUP BY user_id, s
         |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // ---- streaming near-dup: the documents corpus replayed through a
+    // MemoryStream into the stateful banded candidate operator (signature
+    // bit-identical to the batch path), candidates exact-verified by the
+    // SAME batch Jaccard join contract — so the verified output must equal
+    // the batch minHashLshJoin pair set, i.e. the shared jaccardOracle ----
+    "events_neardup_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // replay corpus bounded at 1000 ids: covers the ENTIRE corpus at
+        // the sf0.01 correctness gate (ids 0..499), and keeps the bench's
+        // 3x replay of this single-JVM streaming harness proportionate at
+        // sf0.1 (the uncapped band state pairs quadratically on the
+        // template corpus — 158k candidates over 5k docs)
+        val docs = TestStores.table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .where(col("doc_id") < 1000)
+        val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val src = mem.toDF()
+          .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+          .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        // parity arm: no band cap (the cap is the skew guard, pinned in
+        // StreamingSpec) so the candidate domain matches the batch join's
+        val cands = graft.streaming.StreamingIngest.streamingNearDupCandidates(
+          src, "doc_id", "text", "ts", "1 hour", n = 3, numHashes = 16,
+          maxDocsPerBand = 1 << 20)
+        val name = "events_neardup_stream_sink"
+        s.catalog.dropTempView(name)
+        // the stateful operator pays a fixed per-partition state-store cost
+        // each micro-batch; 5k docs x 16 bands need few partitions — scope
+        // a lower shuffle width to the streaming query only
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try cands.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val candidatePairs = try {
+          mem.addData(rows: _*)
+          q.processAllAvailable()
+          s.table(name).select(col("a"), col("b")).distinct().collect().toSeq
+        } finally { q.stop(); s.catalog.dropTempView(name); () }
+        val cdf = s.createDataFrame(
+          s.sparkContext.parallelize(candidatePairs, 4),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType))))
+        graft.dedup.Dedup.verifyJaccardPairs(docs, "doc_id", "text", 3, 0.8, cdf)
+          .orderBy("a", "b")
+      },
+      Some(jaccardOracle.replace("FROM documents",
+        "FROM documents WHERE doc_id < 1000"))),
 
     // ---- IVF index (extension): partition-pruned ANN. nProbe = nCells ⇒
     // exhaustive ⇒ identical to the exact linear scan — the correctness

@@ -131,6 +131,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("SQ8-in-IVF top-k: cell equi-join coarse pass, no all-pairs product") {
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Seq(i.toFloat, (i % 3).toFloat, 2f))).toDF("id", "key")
+    val ivf = graft.ann.IvfIndex.build(vecs, nCells = 4, iters = 1)
+    try {
+      val p = plan(ivf.quantizedTopKJoin(
+        vecs.where(col("id") < 2).select(col("id"), col("key").as("v")),
+        "id", "v", k = 2, nProbe = 4, shortlist = 8))
+      // the coarse pass must reach the corpus through the (cell, cell)
+      // equi-join — never a cross/nested-loop product of queries x corpus
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"coarse pass must be the cell equi-join; plan:\n$p")
+      // the float rescore re-attaches queries by qid as a broadcast
+      assert(p.contains("BroadcastHashJoin"),
+        s"query rescore side must broadcast; plan:\n$p")
+    } finally ivf.unpersist()
+  }
+
   test("removeBoilerplateLines broadcasts the hot-line set; corpus anti-joins unshuffled") {
     val p = plan(graft.dedup.Dedup.removeBoilerplateLines(
       docs, "doc_id", "text", maxDf = 2, sep = " "))
