@@ -43,7 +43,18 @@ object Cli {
     case Right(Response.SimEntries(df)) => renderRows(df, sim = true)
   }
 
+  /** Extension-statement results are plain relational frames (pairs,
+    * chunks, vocab, ...) — no store (key, value) shape to pretty-print. */
+  private def renderRelational(df: org.apache.spark.sql.DataFrame): String = {
+    val rows = df.collect()
+    if (rows.isEmpty) return "(0 rows)"
+    s"(${rows.length} rows) [${df.columns.mkString(", ")}]\n" +
+      rows.take(50).map(r => "  " + r.mkString("(", ", ", ")")).mkString("\n") +
+      (if (rows.length > 50) s"\n  ... ${rows.length - 50} more" else "")
+  }
+
   private def renderRows(df: org.apache.spark.sql.DataFrame, sim: Boolean): String = {
+    if (!df.columns.contains("value")) return renderRelational(df)
     val rows = df.collect()
     if (rows.isEmpty) return "(0 rows)"
     val out = rows.map { row =>
@@ -70,13 +81,15 @@ object Cli {
   }
 
   private[graft] val Usage =
-    "usage: graft.Cli [--ai] [--persist DIR] [SCRIPT...]"
+    "usage: graft.Cli [--ai | --ext] [--persist DIR] [SCRIPT...]"
 
   /** Argument parsing, separated for testability. `--persist` must be
     * followed by a directory that is not itself a flag — a bare trailing
     * `--persist` or `--persist --ai` is a usage error, not an AIOOBE. */
   private[graft] def parseArgs(args: Array[String]): (Boolean, Option[String], Seq[String]) = {
     val ai = args.contains("--ai")
+    if (ai && args.contains("--ext"))
+      throw new IllegalArgumentException(s"--ai and --ext are exclusive\n$Usage")
     if (args.count(_ == "--persist") > 1)
       throw new IllegalArgumentException(s"--persist given more than once\n$Usage")
     val persistIdx = args.indexOf("--persist")
@@ -85,7 +98,7 @@ object Cli {
       else if (persistIdx + 1 >= args.length || args(persistIdx + 1).startsWith("--"))
         throw new IllegalArgumentException(s"--persist requires a directory argument\n$Usage")
       else Some(args(persistIdx + 1))
-    args.find(a => a.startsWith("--") && a != "--ai" && a != "--persist")
+    args.find(a => a.startsWith("--") && a != "--ai" && a != "--ext" && a != "--persist")
       .foreach(a => throw new IllegalArgumentException(s"unknown flag $a\n$Usage"))
     val scripts = args.zipWithIndex.filterNot { case (a, i) =>
       a.startsWith("--") || (persistIdx >= 0 && i == persistIdx + 1) }.map(_._1).toSeq
@@ -111,10 +124,12 @@ object Cli {
       graft.engine.GraftEngine.load(spark, r))
     val aiEngine = new graft.ai.AiEngine(engine)
 
+    val ext = args.contains("--ext")
     def run(script: String): Unit =
       try {
         val results =
-          if (ai) Pipeline.runAi(aiEngine, script)
+          if (ext) Pipeline.runExt(spark, script)
+          else if (ai) Pipeline.runAi(aiEngine, script)
           else Pipeline.runDb(engine, script)
         results.foreach(r => println(render(r)))
       } catch {
@@ -124,7 +139,7 @@ object Cli {
     if (scripts.nonEmpty) scripts.foreach(run)
     else {
       System.err.println(
-        s"graft ${if (ai) "AI" else "DB"} repl — `;`-separated statements, ctrl-D to exit")
+        s"graft ${if (ext) "EXT" else if (ai) "AI" else "DB"} repl — `;`-separated statements, ctrl-D to exit")
       Iterator.continually(StdIn.readLine("graft> "))
         .takeWhile(l => l != null && l.trim != "exit")
         .filter(_.trim.nonEmpty)

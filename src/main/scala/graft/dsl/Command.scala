@@ -81,6 +81,36 @@ object Command {
     * (operations.rs:276-278; the `keys - ReservedKey` guard). */
   final case class AiDropPredIndex(store: String, keys: Seq[String],
       errorIfNotExists: Boolean, schema: Option[String]) extends Command
+
+  // ---- Extension statements (graft-only — the reference has none; the
+  // LLM-data-pipeline operators of SURVEY §2.7 exposed to DSL scripting).
+  // They act on REGISTERED TABLES (SCAN registers parquet as a view), not
+  // engine stores: pipeline operators are corpus-relational, the store ops
+  // above are vector-key-value — conflating the two surfaces would force
+  // every corpus through a store schema it doesn't have.
+  final case class ExtScan(path: String, view: String) extends Command
+  final case class ExtDedupExact(view: String, id: String, text: String)
+      extends Command
+  /** method ∈ minhash | simhash | jaccard. */
+  final case class ExtDedupNear(view: String, id: String, text: String,
+      method: String, n: Int, threshold: Double) extends Command
+  final case class ExtDedupKeepOne(view: String, id: String, text: String,
+      method: String, n: Int, threshold: Double) extends Command
+  final case class ExtSplit(view: String, id: String, trainPct: Int,
+      valPct: Int) extends Command
+  final case class ExtSample(view: String, id: String, fraction: Double)
+      extends Command
+  final case class ExtPack(view: String, id: String, text: String,
+      budget: Int, shards: Int) extends Command
+  final case class ExtChunk(view: String, id: String, text: String,
+      size: Int, overlap: Int) extends Command
+  final case class ExtVocab(view: String, id: String, text: String)
+      extends Command
+  final case class ExtTextStats(view: String, id: String, text: String)
+      extends Command
+  final case class ExtTopK(k: Int, queriesView: String, qId: String,
+      qVec: String, corpusView: String, cId: String, cVec: String)
+      extends Command
 }
 
 /** Parse failure with the offending statement's span in the input —

@@ -273,6 +273,66 @@ object DslParser extends RegexParsers {
     createPredIndex | dropNonLinearIndex | aiCreateStore | aiGetKey |
     aiDelKey | aiSet | aiGetSimN | aiUpsert
 
+  // ---------------------------------------------- extension statements
+  // (graft-only surface — SURVEY §2.7 pipeline operators; same `;`-loop
+  // and span-carrying errors as the parity grammars, but a THIRD entry
+  // point so reference scripts can never collide with extension keywords)
+
+  private val pathLit: Parser[String] =
+    ("'" ~> "[^']+".r <~ "'") | """[^\s;]+""".r
+  private val fromView: Parser[String] = kw("from") ~> name
+  private val idCol: Parser[String] = kw("id") ~> name
+  private val textCol: Parser[String] = kw("text") ~> name
+  private val dedupMethod: Parser[String] =
+    (kw("minhash") ^^^ "minhash") | (kw("simhash") ^^^ "simhash") |
+    (kw("jaccard") ^^^ "jaccard")
+  private val f64: Parser[Double] = """[0-9]+(\.[0-9]+)?""".r ^^ (_.toDouble)
+
+  private val extScan: Parser[Command] =
+    kw("scan") ~> pathLit ~ (kw("as") ~> name) ^^ { case p ~ v => ExtScan(p, v) }
+  private val dedupParams =
+    fromView ~ idCol ~ textCol ~ (kw("using") ~> dedupMethod) ~
+      (kw("ngram") ~> nonZero) ~ (kw("threshold") ~> f64)
+  private val extDedupNear: Parser[Command] =
+    kw("dedup") ~> kw("near") ~> dedupParams ^^ {
+      case v ~ i ~ t ~ m ~ n ~ th => ExtDedupNear(v, i, t, m, n, th) }
+  private val extDedupKeepOne: Parser[Command] =
+    kw("dedup") ~> kw("keepone") ~> dedupParams ^^ {
+      case v ~ i ~ t ~ m ~ n ~ th => ExtDedupKeepOne(v, i, t, m, n, th) }
+  private val extDedupExact: Parser[Command] =
+    kw("dedup") ~> kw("exact") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtDedupExact(v, i, t) }
+  private val extSplit: Parser[Command] =
+    kw("split") ~> fromView ~ idCol ~ opt(kw("train") ~> nonZero) ~
+      opt(kw("val") ~> nonZero) ^^ { case v ~ i ~ tr ~ va =>
+        ExtSplit(v, i, tr.getOrElse(90), va.getOrElse(5)) }
+  private val extSample: Parser[Command] =
+    kw("sample") ~> fromView ~ idCol ~ (kw("fraction") ~> f64) ^^ {
+      case v ~ i ~ f => ExtSample(v, i, f) }
+  private val extPack: Parser[Command] =
+    kw("pack") ~> fromView ~ idCol ~ textCol ~ (kw("budget") ~> nonZero) ~
+      opt(kw("shards") ~> nonZero) ^^ { case v ~ i ~ t ~ b ~ sh =>
+        ExtPack(v, i, t, b, sh.getOrElse(1)) }
+  private val extChunk: Parser[Command] =
+    kw("chunk") ~> fromView ~ idCol ~ textCol ~ (kw("size") ~> nonZero) ~
+      (kw("overlap") ~> "[0-9]+".r) ^^ { case v ~ i ~ t ~ sz ~ ov =>
+        ExtChunk(v, i, t, sz, ov.toInt) }
+  private val extVocab: Parser[Command] =
+    kw("vocab") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtVocab(v, i, t) }
+  private val extTextStats: Parser[Command] =
+    kw("textstats") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtTextStats(v, i, t) }
+  private val extTopK: Parser[Command] =
+    kw("topk") ~> nonZero ~ fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (inKw ~> name) ~ idCol ~ (kw("vec") ~> name) ^^ {
+        case k ~ qv ~ qi ~ qc ~ cv ~ ci ~ cc =>
+          ExtTopK(k, qv, qi, qc, cv, ci, cc) }
+
+  private val extStatement: Parser[Command] =
+    extScan | extDedupNear | extDedupKeepOne | extDedupExact | extSplit |
+    extSample | extPack | extChunk | extVocab | extTextStats | extTopK
+
   // ------------------------------------------------------------ entry points
 
   /** parse_db_query analog (dsl/src/db.rs:49-56). */
@@ -280,6 +340,9 @@ object DslParser extends RegexParsers {
 
   /** parse_ai_query analog (dsl/src/ai.rs). */
   def parseAi(input: String): Seq[Command] = parseStatements(aiStatement, input)
+
+  /** Extension-pipeline scripts (graft-only — no reference analog). */
+  def parseExt(input: String): Seq[Command] = parseStatements(extStatement, input)
 
   /** `;`-separated statement loop; a statement that fails to parse raises
     * [[DslParseError]] with its span (invalid_statement analog). */

@@ -47,6 +47,66 @@ object Pipeline {
   def runAi(ai: graft.ai.AiEngine, script: String): Seq[StepResult] =
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
+  /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
+    * VOCAB/TEXTSTATS/TOPK over registered tables — the SURVEY §2.7
+    * operators scriptable without Scala. Same per-statement error capture. */
+  def runExt(spark: org.apache.spark.sql.SparkSession,
+      script: String): Seq[StepResult] =
+    DslParser.parseExt(script).map { cmd =>
+      try Right(executeExt(spark, cmd))
+      catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
+    }
+
+  def executeExt(spark: org.apache.spark.sql.SparkSession,
+      cmd: Command): Response = {
+    import Command._
+    import org.apache.spark.sql.functions.col
+    def t(view: String): DataFrame = spark.table(view)
+    def nearPairs(v: String, id: String, text: String, method: String,
+        n: Int, th: Double): DataFrame = method match {
+      case "minhash" => graft.dedup.Dedup.minHashLshJoin(t(v), id, text, n, th)
+      case "simhash" => graft.dedup.Dedup.simHashJoin(t(v), id, text, n, th)
+      case _         => graft.dedup.Dedup.jaccardJoin(t(v), id, text, n, th)
+    }
+    cmd match {
+      case ExtScan(path, view) =>
+        spark.read.parquet(path).createOrReplaceTempView(view)
+        Response.Ok
+      case ExtDedupExact(v, id, text) =>
+        Response.Entries(graft.dedup.Dedup.exactClusters(t(v), id, text))
+      case ExtDedupNear(v, id, text, m, n, th) =>
+        Response.Entries(nearPairs(v, id, text, m, n, th))
+      case ExtDedupKeepOne(v, id, text, m, n, th) =>
+        Response.Entries(graft.dedup.ConnectedComponents.dropNearDuplicates(
+          t(v), id, nearPairs(v, id, text, m, n, th), "a", "b"))
+      case ExtSplit(v, id, tr, va) =>
+        Response.Entries(graft.pipeline.Corpus.assignSplit(t(v), id, tr, va))
+      case ExtSample(v, id, f) =>
+        Response.Entries(graft.pipeline.Corpus.deterministicSample(t(v), id, f))
+      case ExtPack(v, id, text, budget, shards) =>
+        Response.Entries(graft.pipeline.Corpus.packSequences(
+          t(v), id, text, budget, shards))
+      case ExtChunk(v, id, text, size, overlap) =>
+        Response.Entries(graft.pipeline.Corpus.chunkByTokens(
+          t(v), id, text, size, overlap))
+      case ExtVocab(v, id, text) =>
+        Response.Entries(graft.pipeline.Corpus.vocabulary(t(v), id, text))
+      case ExtTextStats(v, id, text) =>
+        val tc = col(text)
+        Response.Entries(t(v).select(col(id),
+          graft.text.TextOps.langId(tc).as("lang"),
+          graft.text.TextOps.tokenCount(tc).as("n_tok"),
+          graft.text.TextOps.qualityScore(tc).as("quality"),
+          graft.text.TextOps.fingerprint(tc).as("fingerprint")))
+      case ExtTopK(k, qv, qi, qc, cv, ci, cc) =>
+        Response.Entries(graft.dedup.Dedup.topKJoin(
+          t(qv), t(cv), qi, qc, ci, cc, k))
+      case other =>
+        throw graft.types.GraftException(
+          s"$other is not an extension statement — use runDb/runAi")
+    }
+  }
+
   /** Execute pre-parsed commands sequentially, capturing per-statement
     * errors (handler.rs:526-895 loop). */
   def execute(engine: GraftEngine, commands: Seq[Command],

@@ -857,6 +857,7 @@ object GraftEngine {
     * query (PersistenceSpec pins the zero-job load). */
   def load(spark: SparkSession, root: String): GraftEngine = {
     val e = new GraftEngine(spark, Some(root))
+    val legacy = Persistence.isLegacyRoot(root)
     Persistence.readCatalog(root).foreach { rec =>
       val m = rec.meta
       val df = e.readBuckets(root, m.schema, m.name, rec.bucketPaths)
@@ -864,6 +865,13 @@ object GraftEngine {
       val len = if (rec.len >= 0) rec.len else df.count()
       e.catalog((m.schema, m.name)) =
         e.StoreState(m, df, len, Map.empty, rec.version, rec.bucketPaths)
+    }
+    // snapshot-format migration (versioned.rs analog): a v1 whole-catalog
+    // root is re-recorded as current-format per-store files and the old
+    // file retired, so the legacy reader runs once per root, not forever
+    if (legacy) {
+      e.catalog.keys.foreach { case (schema, name) => e.flushStore(schema, name) }
+      Persistence.retireLegacyCatalog(root)
     }
     e
   }

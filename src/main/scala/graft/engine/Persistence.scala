@@ -36,6 +36,20 @@ import graft.types.{Algorithm, NonLinearConfig, StoreMeta}
  */
 object Persistence {
 
+  /** Catalog record format version, stamped into every store record (the
+    * reference versions its snapshot images the same way and migrates old
+    * ones on load — db/src/engine/versioned.rs). History:
+    *  - (unstamped) v1: one whole-catalog `<root>/catalog.json` with a
+    *    `stores` array; len/bucketPaths may be absent (defaults apply).
+    *  - v2: per-store record files under `<root>/catalog/`, explicit
+    *    len/bucketPaths.
+    * Records stamped NEWER than this engine understands fail the load
+    * loudly — silently misreading a future format corrupts stores. Old
+    * roots load through the lenient legacy path and are MIGRATED in place
+    * by [[GraftEngine.load]] (per-store records written, the old file
+    * retired), so the migration runs once, not on every restart. */
+  val FormatVersion = 2
+
   /** bucketPaths: bucket index → the version dir that last rewrote it
     * (relative to the store's data dir). A mutation writes ONLY its touched
     * buckets into the new version dir; untouched buckets carry forward by
@@ -62,6 +76,7 @@ object Persistence {
   private def metaToJson(r: StoreRecord): JValue = {
     val m = r.meta
     JObject(
+      "formatVersion" -> JInt(FormatVersion),
       "schema" -> JString(m.schema),
       "name" -> JString(m.name),
       "dimension" -> JInt(m.dimension),
@@ -90,6 +105,15 @@ object Persistence {
   }
 
   private def metaFromJson(j: JValue): StoreRecord = {
+    // unstamped = v1 (legacy whole-catalog file); anything beyond this
+    // engine's FormatVersion is a FUTURE format — refuse rather than
+    // misread (a silently-dropped field here corrupts the store later)
+    val recVersion = (j \ "formatVersion") match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 1
+    }
+    if (recVersion > FormatVersion)
+      sys.error(s"store record has formatVersion $recVersion, newer than " +
+        s"this engine's $FormatVersion — upgrade the engine to load this root")
     def str(k: String): String = (j \ k) match { case JString(s) => s; case other => sys.error(s"bad $k: $other") }
     def optStr(k: String): Option[String] = (j \ k) match { case JString(s) => Some(s); case _ => None }
     def int(k: String): Int = (j \ k) match { case JInt(i) => i.toInt; case JLong(l) => l.toInt; case other => sys.error(s"bad $k: $other") }
@@ -158,6 +182,22 @@ object Persistence {
   def deleteStoreRecord(root: String, schema: String, name: String): Unit = {
     val p = recordPath(root, schema, name)
     try Files.deleteIfExists(p) catch { case _: Exception => () }
+  }
+
+  /** True when `root` still carries only the v1 whole-catalog file —
+    * [[GraftEngine.load]] migrates such roots to per-store records. */
+  def isLegacyRoot(root: String): Boolean =
+    !Files.isDirectory(Paths.get(root, "catalog")) &&
+      Files.exists(Paths.get(root, "catalog.json"))
+
+  /** After a legacy root's stores have been re-recorded in the current
+    * format, retire the old file (kept as .migrated for operator forensics,
+    * invisible to every reader) so the migration runs exactly once. */
+  def retireLegacyCatalog(root: String): Unit = {
+    val p = Paths.get(root, "catalog.json")
+    if (Files.exists(p))
+      Files.move(p, p.resolveSibling("catalog.json.migrated"),
+        StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readCatalog(root: String): Seq[StoreRecord] = {

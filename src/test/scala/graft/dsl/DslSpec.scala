@@ -436,4 +436,75 @@ class DslSpec extends AnyFunSuite {
       case other => fail(s"unexpected $other")
     }
   }
+
+  // ------------------------------------------ extension statements (§2.7)
+
+  test("extension grammar parses the pipeline-operator family") {
+    assert(DslParser.parseExt("SCAN '/tmp/x y.parquet' AS docs") ==
+      Seq(ExtScan("/tmp/x y.parquet", "docs")))
+    assert(DslParser.parseExt(
+      "dedup near FROM docs ID doc_id TEXT body USING minhash NGRAM 3 THRESHOLD 0.8") ==
+      Seq(ExtDedupNear("docs", "doc_id", "body", "minhash", 3, 0.8)))
+    assert(DslParser.parseExt(
+      "DEDUP KEEPONE FROM docs ID doc_id TEXT text USING jaccard NGRAM 2 THRESHOLD 0.5;" +
+      "DEDUP EXACT FROM docs ID doc_id TEXT text") ==
+      Seq(ExtDedupKeepOne("docs", "doc_id", "text", "jaccard", 2, 0.5),
+        ExtDedupExact("docs", "doc_id", "text")))
+    assert(DslParser.parseExt("SPLIT FROM docs ID doc_id TRAIN 80 VAL 10") ==
+      Seq(ExtSplit("docs", "doc_id", 80, 10)))
+    assert(DslParser.parseExt("SPLIT FROM docs ID doc_id") ==
+      Seq(ExtSplit("docs", "doc_id", 90, 5))) // reference-style defaults
+    assert(DslParser.parseExt("SAMPLE FROM docs ID doc_id FRACTION 0.2") ==
+      Seq(ExtSample("docs", "doc_id", 0.2)))
+    assert(DslParser.parseExt(
+      "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
+      "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
+      Seq(ExtPack("docs", "doc_id", "text", 2048, 8),
+        ExtChunk("docs", "doc_id", "text", 32, 8)))
+    assert(DslParser.parseExt("VOCAB FROM docs ID doc_id TEXT text;" +
+      "TEXTSTATS FROM docs ID doc_id TEXT text") ==
+      Seq(ExtVocab("docs", "doc_id", "text"),
+        ExtTextStats("docs", "doc_id", "text")))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM queries ID qid VEC emb IN corpus ID cid VEC emb") ==
+      Seq(ExtTopK(5, "queries", "qid", "emb", "corpus", "cid", "emb")))
+    // bad statements carry spans, like the parity grammars
+    val err = intercept[DslParseError](
+      DslParser.parseExt("DEDUP NEAR FROM docs NO SUCH CLAUSE"))
+    assert(err.start == 0)
+    // extension keywords are NOT valid reference statements
+    intercept[DslParseError](DslParser.parseDb("SCAN /tmp/x AS docs"))
+  }
+
+  test("extension pipeline executes against registered views (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val results = Pipeline.runExt(spark,
+      """DEDUP EXACT FROM ext_docs ID doc_id TEXT text;
+        |DEDUP KEEPONE FROM ext_docs ID doc_id TEXT text USING minhash NGRAM 3 THRESHOLD 0.5;
+        |SPLIT FROM ext_docs ID doc_id;
+        |VOCAB FROM missing_view ID doc_id TEXT text;
+        |CHUNK FROM ext_docs ID doc_id TEXT text SIZE 4 OVERLAP 1""".stripMargin)
+    assert(results.size == 5)
+    def df(i: Int) = results(i) match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"step $i: $other")
+    }
+    // exact: docs 0 and 2 share content — one cluster, keeper 0
+    assert(df(0).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L)))
+    // keep-one over the near-dup graph drops 1 and 2 (component rep = 0)
+    assert(df(1).select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 3L))
+    assert(df(2).columns.contains("split") && df(2).count() == 4)
+    assert(results(3).isLeft, "missing view must be a captured error")
+    assert(df(4).count() ==
+      graft.pipeline.Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1).count())
+  }
 }

@@ -318,6 +318,79 @@ class PersistenceSpec extends AnyFunSuite {
     e3.purgeStores(); Persistence.deleteDir(root)
   }
 
+  test("a committed v1 (whole-catalog) root loads and migrates to per-store records") {
+    // the fixture is the OLD on-disk format, committed verbatim — it pins
+    // the legacy reader against writer drift (reference analog: loading an
+    // old flat snapshot fixture, db/src/tests/fixtures/db_old_flat_snapshot
+    // .json via db/src/engine/versioned.rs)
+    val root = tmpRoot()
+    Files.copy(Paths.get("src/test/resources/legacy_root_v1/catalog.json"),
+      Paths.get(root, "catalog.json"))
+    val e = GraftEngine.load(spark, root)
+    // meta survived the legacy read
+    val info = e.getStore("vintage")
+    assert(info.dimension == 3 && info.len == 0)
+    assert(info.predicateIndexes == Seq("lang", "tag"))
+    assert(info.nonLinearIndexes == Seq("hnsw", "kdtree"))
+    assert(e.getStore("empty_store", "archive").dimension == 8)
+    // the migration materialized: current-format records exist, stamped
+    // with the engine's format version; the old file is retired
+    assert(Files.exists(Persistence.recordPath(root, "public", "vintage")))
+    assert(Files.readString(Persistence.recordPath(root, "public", "vintage"))
+      .contains(s""""formatVersion" : ${Persistence.FormatVersion}"""))
+    assert(!Files.exists(Paths.get(root, "catalog.json")))
+    assert(Files.exists(Paths.get(root, "catalog.json.migrated")))
+    // the migrated root is fully live: mutate, reload, data intact
+    e.setSeq("vintage", Seq((Array(1f, 2f, 3f), meta("tag" -> "a"))))
+    val e2 = GraftEngine.load(spark, root)
+    assert(e2.storeLen("vintage") == 1)
+    assert(e2.getPred("vintage", Equals("tag", RawString("a"))).count() == 1)
+    e2.purgeStores(); Persistence.deleteDir(root)
+  }
+
+  test("a data-bearing root demoted to v1 migrates with its data intact") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("d", 1, predicates = Set("n"))
+    e1.setSeq("d", (0 until 30).map(i => (Array(i.toFloat), meta("n" -> (i % 3).toString))))
+    // demote: merge the per-store records into one v1 catalog.json (strip
+    // the version stamp — v1 records carried none) and drop catalog/
+    val records = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(Paths.get(root, "catalog")).iterator()).asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => JsonMethods.parse(Files.readString(p)).removeField {
+        case ("formatVersion", _) => true; case _ => false
+      }).toList
+    Files.writeString(Paths.get(root, "catalog.json"),
+      JsonMethods.pretty(JsonMethods.render(JObject("stores" -> JArray(records)))))
+    Persistence.deleteDir(Paths.get(root, "catalog").toString)
+    // load migrates; every row and predicate behavior survives
+    val e2 = GraftEngine.load(spark, root)
+    assert(e2.storeLen("d") == 30)
+    assert(e2.getPred("d", Equals("n", RawString("1"))).count() == 10)
+    assert(Files.exists(Paths.get(root, "catalog.json.migrated")))
+    assert(Files.isDirectory(Paths.get(root, "catalog")))
+    val e3 = GraftEngine.load(spark, root) // second load: current-format path
+    assert(e3.storeLen("d") == 30)
+    e3.purgeStores(); Persistence.deleteDir(root)
+  }
+
+  test("a record stamped with a FUTURE format version refuses to load") {
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("f", 1)
+    val p = Persistence.recordPath(root, "public", "f")
+    Files.writeString(p, Files.readString(p).replace(
+      s""""formatVersion" : ${Persistence.FormatVersion}""",
+      s""""formatVersion" : ${Persistence.FormatVersion + 1}"""))
+    val err = intercept[RuntimeException](GraftEngine.load(spark, root))
+    assert(err.getMessage.contains("newer than"),
+      s"expected a format-version refusal, got: ${err.getMessage}")
+    Persistence.deleteDir(root)
+  }
+
   test("in-memory engines (no persistRoot) keep working with zero disk IO") {
     val e = new GraftEngine(spark)
     e.createStore("mem", 2)
