@@ -94,6 +94,26 @@ class ShardedRecallSpec extends AnyFunSuite {
     } finally patched.unpersist()
   }
 
+  test("save/load cycle: restored shards answer identically, so recall carries over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sharded-artifacts").toString
+    val stamps = (0 until Shards).map(b => b -> s"v1/_b=$b").toMap
+    AnnIndex.save(index, dir, stamps)
+    val loaded = AnnIndex.load(spark, dir, cfg, stamps, toDf(ids, vecs), Dim)
+    assert(loaded.isDefined, "artifacts failed to load")
+    try {
+      // bit-identical graphs => identical merged top-k per query; recall at
+      // the non-degenerate shard size therefore equals the build's (>= 0.90,
+      // asserted above) — checked directly too
+      queries.take(20).foreach { q =>
+        assert(loaded.get.search(q, K) == index.search(q, K),
+          "restored sharded index diverges from the built one")
+      }
+      val r = meanRecall(loaded.get, ids, vecs)
+      info(f"post-restore recall@$K = $r%.4f")
+      assert(r >= 0.90, f"post-restore recall@$K = $r%.4f < 0.90")
+    } finally loaded.get.unpersist()
+  }
+
   test("Bloom accept arm (>4096 ids): slack + exact post-verify reaches Recall@50 >= 0.90") {
     // accept set = even ids (5000 > BruteForceCutover) — the AnnSearch plan:
     // Bloom sketch, per-shard search with false-positive slack, exact verify

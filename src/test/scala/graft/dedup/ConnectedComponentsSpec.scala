@@ -27,9 +27,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     nodes.map(x => x -> find(x)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** cutover = -1 forces the DISTRIBUTED pointer-jumping arm; the default
+    * takes the driver union-find arm on these small graphs. Both are
+    * asserted — the adaptive dispatch must never change the labeling. */
+  private def ccOf(edges: Seq[(Long, Long)],
+      cutover: Long = ConnectedComponents.DriverUnionFindCutover): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.label(edges.toDF("a", "b"), "a", "b")
+    ConnectedComponents.label(edges.toDF("a", "b"), "a", "b",
+      driverCutover = cutover)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -38,6 +43,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // triangle with non-contiguous ids
     val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (7L, 20L), (20L, 9L), (9L, 7L))
     assert(ccOf(edges) == unionFind(21, edges))
+    assert(ccOf(edges, cutover = -1) == unionFind(21, edges)) // distributed arm
     assert(ccOf(edges)(2L) == 0L) // transitivity across the chain
   }
 
@@ -45,7 +51,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // a 64-node path: diameter 63, so neighbor-min alone would need ~63
     // rounds; with jumping it must finish inside the default bound of 50
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = ccOf(edges)
+    val got = ccOf(edges, cutover = -1) // the distributed arm is under test
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
@@ -56,7 +62,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val edges = (1 to n).map(_ =>
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
-      if (edges.nonEmpty) assert(ccOf(edges) == unionFind(n, edges))
+      if (edges.nonEmpty) {
+        val expected = unionFind(n, edges)
+        assert(ccOf(edges) == expected)
+        assert(ccOf(edges, cutover = -1) == expected) // arms agree
+      }
     }
   }
 
