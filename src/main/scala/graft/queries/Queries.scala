@@ -1538,6 +1538,7 @@ object Queries {
         // a lower shuffle width to the streaming query only
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         val q = try cands.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -1545,7 +1546,12 @@ object Queries {
           mem.addData(rows: _*)
           q.processAllAvailable()
           s.table(name).select(col("a"), col("b")).distinct().collect().toSeq
-        } finally { q.stop(); s.catalog.dropTempView(name); () }
+        } finally {
+          q.stop(); s.catalog.dropTempView(name)
+          // leave nothing resident: unload state-store providers + stop
+          // their maintenance thread (next streaming query reloads lazily)
+          org.apache.spark.sql.graftbridge.ColumnBridge.unloadStreamingStateStores()
+        }
         val cdf = s.createDataFrame(
           s.sparkContext.parallelize(candidatePairs, 4),
           org.apache.spark.sql.types.StructType(Seq(

@@ -40,4 +40,12 @@ object ColumnBridge {
     analyzed.asInstanceOf[Project].projectList
       .map(a => a.asInstanceOf[Alias].child.eval(InternalRow.empty))
   }
+
+  /** Unload every loaded streaming state-store provider and stop the
+    * maintenance thread (they restart lazily on the next streaming query).
+    * A short-lived replay harness otherwise leaves providers + a periodic
+    * disk-touching maintenance task resident in a long-lived session —
+    * unattributable pressure on whatever runs after it in a bench JVM. */
+  def unloadStreamingStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
