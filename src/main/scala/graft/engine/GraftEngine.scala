@@ -55,6 +55,20 @@ class GraftEngine(val spark: SparkSession,
   private val catalog = TrieMap[(String, String), StoreState]()
   val DefaultSchema = "public"
 
+  /** Concurrency contract: READS never lock — they take the immutable
+    * [[StoreState]] snapshot out of the catalog (one-generation snapshot
+    * semantics, like the reference's epoch-guarded reads). WRITES serialize
+    * PER STORE through this lock map: every mutation is a read-modify-write
+    * of (state, version dir, catalog record, index set), and two unlocked
+    * writers would both claim version N+1 — lost update in memory, colliding
+    * v(N+1) dirs on disk. Per-store granularity = the reference's
+    * linearized-writer behavior without cross-store convoying (store A's
+    * bulk load never blocks store B). Locks are leaf-level (no mutation
+    * takes two stores' locks), so no ordering discipline is needed. */
+  private val storeLocks = TrieMap[(String, String), Object]()
+  private def storeLock(schema: String, name: String): Object =
+    storeLocks.getOrElseUpdate((schema, name), new Object)
+
   // --------------------------------------------------------- persistence
 
   /** Flip ONE store's on-disk record to its current in-memory state (atomic
@@ -263,7 +277,7 @@ class GraftEngine(val spark: SparkSession,
     * predecessor; every [[GraftEngine.LineageCheckpointEvery]]-th version is
     * local-checkpointed so plan depth stays bounded across mutation chains. */
   private def swap(schema: String, name: String, rewrite: DataFrame => DataFrame,
-      touch: Touch, lenDelta: Long): Unit = {
+      touch: Touch, lenDelta: Long): Unit = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val newVersion = st.version + 1
     val (cached, newPaths, patchSrc): (DataFrame, Map[Int, String], DataFrame) =
@@ -466,7 +480,7 @@ class GraftEngine(val spark: SparkSession,
     * GetPred validation + StoreInfo parity hold (store.rs:224-238). Returns
     * the number of NEW keys indexed (idempotent). */
   def createPredIndex(name: String, keys: Set[String],
-      schema: String = DefaultSchema): Int = {
+      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val newKeys = keys -- st.meta.predicateIndexes
     catalog((schema, name)) = st.copy(meta =
@@ -477,7 +491,8 @@ class GraftEngine(val spark: SparkSession,
 
   /** DropPredIndex (store.rs:651-666). */
   def dropPredIndex(name: String, keys: Set[String],
-      errorIfNotExists: Boolean = true, schema: String = DefaultSchema): Int = {
+      errorIfNotExists: Boolean = true,
+      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val present = keys.intersect(st.meta.predicateIndexes)
     if (present.size != keys.size && errorIfNotExists)
@@ -494,7 +509,8 @@ class GraftEngine(val spark: SparkSession,
   /** Set — batch upsert, dedup-by-content, returns (inserted, updated)
     * (store.rs:425-439, 1049-1135). Within a batch, later entries win
     * (sequential-insert semantics of the reference). */
-  def set(name: String, entries: DataFrame, schema: String = DefaultSchema): (Long, Long) = {
+  def set(name: String, entries: DataFrame,
+      schema: String = DefaultSchema): (Long, Long) = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     // stamp batch ordinal + content id ONCE and pin it, so validation and the
     // write see the same rows even for non-deterministic sources, and the
@@ -583,7 +599,7 @@ class GraftEngine(val spark: SparkSession,
     * so the touched buckets are known driver-side — the count AND the
     * rewrite then scan only those buckets. */
   def delKey(name: String, keys: Seq[Array[Float]],
-      schema: String = DefaultSchema): Long = {
+      schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     keys.find(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
@@ -607,7 +623,7 @@ class GraftEngine(val spark: SparkSession,
     * behind the AI layer's stale-entry cleanup. Bucket-incremental like
     * DelKey; never collects more than the distinct bucket numbers. */
   private[graft] def delByIds(name: String, ids: DataFrame,
-      schema: String = DefaultSchema): Long = {
+      schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val idsD = ids.select(col(ids.columns.head).as("_pid")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -628,7 +644,7 @@ class GraftEngine(val spark: SparkSession,
     * predicate scan; the REWRITE is still bucket-incremental — only the
     * buckets holding matched ids are re-read and re-written. */
   def delPred(name: String, cond: PredicateCondition,
-      schema: String = DefaultSchema): Long = {
+      schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val c = Predicates.toColumn(cond, col("value"))
     val matched = st.df.where(c).select("id").persist(StorageLevel.MEMORY_AND_DISK)
@@ -654,6 +670,7 @@ class GraftEngine(val spark: SparkSession,
     // rejects it (aiproxy_test.rs:3130 upsert_error_neither_input_nor_value)
     if (newKey.isEmpty && newValue.isEmpty)
       throw GraftException("Upsert requires a new key or a new value")
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     newKey.filter(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
@@ -688,6 +705,7 @@ class GraftEngine(val spark: SparkSession,
           col("id") === col("_nid"), "left_anti")
         .union(replacement),
       touch, lenDelta = -collided)
+    }
   }
 
   private def rowToMetaMap(m: scala.collection.Map[String, Row]): Map[String, MetadataValue] =
@@ -749,7 +767,7 @@ class GraftEngine(val spark: SparkSession,
   /** CreateNonLinearAlgorithmIndex — batch index-build job
     * (store.rs:240-254, 1160-1186). Idempotent: only new kinds are built. */
   def createNonLinearIndex(name: String, configs: Seq[NonLinearConfig],
-      schema: String = DefaultSchema): Int = {
+      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))
     val built = fresh.map { c =>
@@ -768,7 +786,8 @@ class GraftEngine(val spark: SparkSession,
 
   /** DropNonLinearAlgorithmIndex (store.rs:668-686). */
   def dropNonLinearIndex(name: String, kinds: Set[String],
-      errorIfNotExists: Boolean = true, schema: String = DefaultSchema): Int = {
+      errorIfNotExists: Boolean = true,
+      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val present = kinds.intersect(st.meta.nonLinearIndexes.keySet)
     if (present.size != kinds.size && errorIfNotExists)
@@ -796,7 +815,8 @@ class GraftEngine(val spark: SparkSession,
     * falling back to a full build (which then writes fresh artifacts).
     * None ⇔ no index of that kind was ever created. */
   private[graft] def ensureAnnIndex(name: String, kind: String,
-      schema: String = DefaultSchema): Option[graft.ann.AnnIndex] = {
+      schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
+      storeLock(schema, name).synchronized {
     val st = state(schema, name)
     st.annIndexes.get(kind).orElse {
       st.meta.nonLinearIndexes.get(kind).map { cfg =>

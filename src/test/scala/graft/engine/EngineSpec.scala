@@ -196,4 +196,28 @@ class EngineSpec extends AnyFunSuite {
     assert(e.purgeStores() == 1)
     assert(e.listStores().isEmpty)
   }
+
+  test("concurrent writers to one store serialize: no lost updates, len exact") {
+    // 8 threads x disjoint batches; unlocked read-modify-write would lose
+    // whole batches (both writers claim version N+1). Checked on BOTH
+    // engine kinds — the persistent path must also never collide version
+    // dirs on disk.
+    val root = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    Seq(new GraftEngine(spark), new GraftEngine(spark, Some(root))).foreach { e =>
+      e.createStore("conc", 1)
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          e.setSeq("conc", (0 until 5).map(i =>
+            (Array((t * 100 + i).toFloat), meta("t" -> t.toString))))
+          e.delKey("conc", Seq(Array((t * 100).toFloat)))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // every thread inserted 5 distinct vectors then deleted 1
+      assert(e.storeLen("conc") == 32, s"lost update (persist=${e.persistRoot.isDefined})")
+      assert(e.storeDf("conc").count() == 32)
+      e.purgeStores()
+    }
+    graft.engine.Persistence.deleteDir(root)
+  }
 }
