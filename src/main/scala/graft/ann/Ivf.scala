@@ -130,9 +130,9 @@ final class IvfIndex(
     val codes = cells.select(col("cell"), col("id"),
       Quantize.int8Codes(col("key")).as("ccodes"), cmn.as("cmn"), cmx.as("cmx"))
     val coarse = probed.join(codes, "cell")
-      .withColumn("s_coarse", Similarity.hof.cosineSimilarity(
-        Quantize.dequantize(col("qcodes"), col("qmn"), col("qmx")),
-        Quantize.dequantize(col("ccodes"), col("cmn"), col("cmx"))))
+      .withColumn("s_coarse", Quantize.coarseCosine(
+        col("qcodes"), col("qmn"), col("qmx"),
+        col("ccodes"), col("cmn"), col("cmx")))
     val wCoarse = Window.partitionBy("qid")
       .orderBy(col("s_coarse").desc, col("id").asc)
     val short = coarse.withColumn("_rs", row_number().over(wCoarse))

@@ -54,6 +54,22 @@ object Quantize {
   def dequantize(codes: Column, mn: Column, mx: Column): Column =
     transform(codes, q => mn + q.cast("double") * (mx - mn) / 255.0)
 
+  /** The coarse score: cosine over two quantized vectors, dequantizing
+    * INLINE in one fused native codegen'd loop
+    * ([[org.apache.spark.sql.graftbridge.Sq8Cosine]]) — bit-identical to
+    * `hof.cosineSimilarity(dequantize(a), dequantize(b))` (same per-element
+    * operation order, same left folds, same unguarded division — pinned in
+    * QuantizeSpec) without that formulation's five interpreted array walks
+    * and three intermediate arrays per scored pair. */
+  def coarseCosine(codesA: Column, mnA: Column, mxA: Column,
+      codesB: Column, mnB: Column, mxB: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, Sq8Cosine}
+    ColumnBridge.column(Sq8Cosine(
+      ColumnBridge.expression(codesA), ColumnBridge.expression(mnA),
+      ColumnBridge.expression(mxA), ColumnBridge.expression(codesB),
+      ColumnBridge.expression(mnB), ColumnBridge.expression(mxB)))
+  }
+
   /** Quantized top-k similarity join — the SQ8 two-phase search: a COARSE
     * cosine over the DEQUANTIZED int8 codes ranks the corpus per query, a
     * `shortlist`-deep cut survives, and only the shortlist is RESCORED with
@@ -86,9 +102,9 @@ object Quantize {
     val q = quantized(queries, qId, qVec, "q")
     val c = quantized(corpus, cId, cVec, "c")
     val coarse = broadcast(q).crossJoin(c)
-      .withColumn("s_coarse", Similarity.hof.cosineSimilarity(
-        dequantize(col("qcodes"), col("qmn"), col("qmx")),
-        dequantize(col("ccodes"), col("cmn"), col("cmx"))))
+      .withColumn("s_coarse", coarseCosine(
+        col("qcodes"), col("qmn"), col("qmx"),
+        col("ccodes"), col("cmn"), col("cmx")))
     val wCoarse = Window.partitionBy("qid")
       .orderBy(col("s_coarse").desc, col("cid").asc)
     val wExact = Window.partitionBy("qid")

@@ -52,6 +52,42 @@ class QuantizeSpec extends AnyFunSuite {
     assert(codesOf(Seq(2f, 4f, 6f)) == Seq(0L, 127L, 255L))
   }
 
+  test("fused Sq8Cosine kernel is bit-identical to the HOF dequantize-then-cosine") {
+    // random vectors incl. negatives and a near-constant one; the kernel
+    // must reproduce the interpreted formulation EXACTLY (same dequantize
+    // op order, same left folds, same unguarded division) — it feeds the
+    // coarse ranking the oracle recomputes in DuckDB
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(32)((rnd.nextFloat() * 4f - 2f))) } :+
+      (200L, Seq.fill(32)(1.5f)) // mx == mn -> all-zero codes
+    val df = vecs.toDF("id", "v")
+    val (mn, mx) = graft.functions.Quantize.quantParams(col("v"))
+    val q = df.select(col("id"),
+      graft.functions.Quantize.int8Codes(col("v")).as("c"),
+      mn.as("mn"), mx.as("mx"))
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .where(col("a.id") < col("b.id"))
+    val both = pairs.select(
+      graft.functions.Quantize.coarseCosine(
+        col("a.c"), col("a.mn"), col("a.mx"),
+        col("b.c"), col("b.mn"), col("b.mx")).as("kernel"),
+      graft.functions.Similarity.hof.cosineSimilarity(
+        graft.functions.Quantize.dequantize(col("a.c"), col("a.mn"), col("a.mx")),
+        graft.functions.Quantize.dequantize(col("b.c"), col("b.mn"), col("b.mx")))
+        .as("hof"))
+      .collect()
+    assert(both.length == 201 * 100)
+    both.foreach { r =>
+      val (k, h) = (r.getDouble(0), r.getDouble(1))
+      // bit comparison: NaN == NaN here (constant vector dequantizes to a
+      // nonzero constant though — NaN only if mn == 0; either way both
+      // formulations must agree bitwise)
+      assert(java.lang.Double.doubleToLongBits(k) ==
+        java.lang.Double.doubleToLongBits(h), s"kernel $k != hof $h")
+    }
+  }
+
   test("quantized top-k with shortlist = corpus size IS the brute-force join") {
     val (ids, vecs) = TestFixtures.dataset(seed = 7L, n = 120, dim = 32)
     val df = ids.zip(vecs).map { case (i, v) => (i, v.toSeq) }.toSeq
