@@ -154,6 +154,61 @@ class AiSpec extends AnyFunSuite {
     assert(out.head._2.toSeq == again.head._2.toSeq)
   }
 
+  test("unsupported model names are rejected at createStore (aiproxy_test.rs:2176)") {
+    val e = new GraftEngine(spark)
+    val ai = new graft.ai.AiEngine(e)
+    val err = intercept[GraftException](
+      ai.createStore("bad", "definitely-not-a-model", "all-minilm-l6-v2"))
+    assert(err.getMessage.contains("unsupported ai model"))
+    val err2 = intercept[GraftException](
+      ai.createStore("bad", "all-minilm-l6-v2", "nope-v0"))
+    assert(err2.getMessage.contains("unsupported ai model"))
+    assert(e.listStores().isEmpty, "a failed createStore must not leave a store")
+  }
+
+  test("ai upsert variants: value-only and input-only (aiproxy_test.rs:2750,2890)") {
+    val e = new GraftEngine(spark)
+    val ai = new graft.ai.AiEngine(e)
+    ai.createStore("uv", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
+    ai.set("uv", Seq((RawString("doc one"): MetadataValue) ->
+      meta("tag" -> "a", "keep" -> "x")))
+    // value-only (input None): metadata MERGED (the AI layer always merges,
+    // like the reference's update-in-place), embedding untouched — the same
+    // raw input still finds it
+    ai.upsert("uv", Equals("tag", RawString("a")),
+      newInput = None, newValue = Some(meta("tag" -> "b")))
+    val after = ai.getKey("uv", Seq(RawString("doc one"))).collect()
+    assert(after.length == 1)
+    val m = after.head.getMap[String, org.apache.spark.sql.Row](
+      after.head.fieldIndex("value"))
+    assert(m("tag").getString(1) == "b")
+    assert(m("keep").getString(1) == "x", "merge must keep untouched keys")
+    // input-only (value None): re-embedded under the new input, metadata
+    // kept; the OLD input no longer resolves, the new one does
+    ai.upsert("uv", Equals("tag", RawString("b")),
+      newInput = Some(RawString("doc two")), newValue = None)
+    assert(ai.getKey("uv", Seq(RawString("doc one"))).collect().isEmpty)
+    val moved = ai.getKey("uv", Seq(RawString("doc two"))).collect()
+    assert(moved.length == 1)
+    assert(moved.head.getMap[String, org.apache.spark.sql.Row](
+      moved.head.fieldIndex("value"))("tag").getString(1) == "b")
+  }
+
+  test("ai dropStore / purgeStores remove the backing engine store (cascade)") {
+    val e = new GraftEngine(spark)
+    val ai = new graft.ai.AiEngine(e)
+    ai.createStore("casc", "all-minilm-l6-v2", "all-minilm-l6-v2")
+    ai.set("casc", Seq((RawString("x"): MetadataValue) -> meta("k" -> "v")))
+    assert(e.listStores().map(_.name) == Seq("casc"))
+    e.dropStore("casc")
+    assert(e.listStores().isEmpty)
+    intercept[GraftException](ai.getSimN("casc", RawString("x"), 1,
+      graft.types.Algorithm.CosineSimilarity))
+    ai.createStore("casc2", "all-minilm-l6-v2", "all-minilm-l6-v2")
+    assert(e.purgeStores() == 1)
+    assert(e.listStores().isEmpty)
+  }
+
   test("ai DSL pipeline end-to-end (parse → embed → search)") {
     val ai = fresh()
     val script =
