@@ -117,10 +117,19 @@ object Dedup {
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
       .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
       .select("a", "b")
+    // |ha ∩ hb| via the native count kernel: the arrays are per-doc SETS
+    // (collect_set), so the count is exactly size(array_intersect(·)) —
+    // without allocating the intersection array per candidate (DedupSpec
+    // pins the equality against the array_intersect formulation)
+    def interCount(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graftbridge.{ColumnBridge, LongSetIntersectCount}
+      ColumnBridge.column(LongSetIntersectCount(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    }
     pruned
       .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
       .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("inter", interCount(col("ha"), col("hb")))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
       .where(col("jac") >= threshold)

@@ -158,4 +158,27 @@ class DedupSpec extends AnyFunSuite {
       .toSet
     assert(out == eligible, s"got $out expected $eligible")
   }
+
+  test("native intersect-count kernel equals size(array_intersect) on set inputs") {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, LongSetIntersectCount}
+    import graft.TestFixtures.spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random DISTINCT-element long arrays of skewed sizes, incl. empties and
+    // disjoint pairs — the kernel's contract domain (per-doc shingle sets)
+    val rows = (0 until 300).map { i =>
+      val na = rnd.nextInt(40)
+      val nb = rnd.nextInt(400)
+      (rnd.shuffle((0L until 500L).toList).take(na),
+        rnd.shuffle((200L until 900L).toList).take(nb))
+    } :+ ((List.empty[Long], List(1L, 2L))) :+ ((List(5L), List.empty[Long]))
+    val df = rows.toDF("ha", "hb")
+    def kernel(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(LongSetIntersectCount(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val bad = df.select(
+      kernel(col("ha"), col("hb")).as("k"),
+      size(array_intersect(col("ha"), col("hb"))).cast("long").as("s"))
+      .where(col("k") =!= col("s")).count()
+    assert(bad == 0, s"$bad rows disagree with array_intersect")
+  }
 }
