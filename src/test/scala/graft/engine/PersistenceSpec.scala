@@ -318,6 +318,61 @@ class PersistenceSpec extends AnyFunSuite {
     e3.purgeStores(); Persistence.deleteDir(root)
   }
 
+  test("randomized differential: both engine kinds track a driver model through 30 ops") {
+    // seeded fuzz over set/delKey/delPred, applied identically to an
+    // in-memory engine, a persistent engine, AND a driver-side model map
+    // keyed by vector value (dim 1 ⇒ content identity = the float).
+    // Catches bucket-math, pruned-read, and len-accounting bugs the fixed
+    // differential chain can't reach; ends with a reload, so the on-disk
+    // state must equal the in-memory one too.
+    val rnd = new scala.util.Random(20260813L)
+    val root = tmpRoot()
+    val em = new GraftEngine(spark)
+    val ep = new GraftEngine(spark, Some(root))
+    val engines = Seq(em, ep)
+    engines.foreach(_.createStore("fuzz", 1, predicates = Set("n")))
+    val model = scala.collection.mutable.Map[Float, String]() // vec -> n
+    def snapshot(e: GraftEngine): Map[Float, String] =
+      e.storeDf("fuzz").collect().map { r =>
+        val v = r.getMap[String, org.apache.spark.sql.Row](r.fieldIndex("value"))
+        (r.getSeq[Float](r.fieldIndex("key")).head, v("n").getString(1))
+      }.toMap
+    (0 until 30).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // batch set from a small value domain (collisions intended)
+          val batch = (0 until 1 + rnd.nextInt(6)).map { _ =>
+            val v = rnd.nextInt(30).toFloat
+            (Array(v), meta("n" -> (rnd.nextInt(5)).toString))
+          }
+          engines.foreach(_.setSeq("fuzz", batch))
+          batch.foreach { case (k, m) => model(k.head) = m("n").asInstanceOf[
+            graft.types.MetadataValue.RawString].s }
+        case 1 => // delKey over a mix of present and absent vectors
+          val keys = (0 until 1 + rnd.nextInt(4)).map(_ => Array(rnd.nextInt(40).toFloat))
+          val expected = keys.map(_.head).distinct.count(model.contains)
+          val deleted = engines.map(_.delKey("fuzz", keys)).distinct
+          assert(deleted == Seq(expected.toLong), s"step $step delKey: $deleted vs $expected")
+          keys.foreach(k => model.remove(k.head))
+        case 2 => // delPred on the indexed key
+          val n = rnd.nextInt(5).toString
+          val expected = model.valuesIterator.count(_ == n)
+          val deleted = engines.map(_.delPred("fuzz",
+            Equals("n", RawString(n)))).distinct
+          assert(deleted == Seq(expected.toLong), s"step $step delPred: $deleted vs $expected")
+          model.filterInPlace { case (_, v) => v != n }
+      }
+      engines.foreach(e => assert(e.storeLen("fuzz") == model.size,
+        s"step $step len drift (persist=${e.persistRoot.isDefined})"))
+    }
+    val want = model.toMap
+    assert(snapshot(em) == want, "in-memory diverged from the model")
+    assert(snapshot(ep) == want, "persistent diverged from the model")
+    val reloaded = GraftEngine.load(spark, root)
+    assert(snapshot(reloaded) == want, "reloaded root diverged")
+    assert(reloaded.storeLen("fuzz") == want.size)
+    reloaded.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("a committed v1 (whole-catalog) root loads and migrates to per-store records") {
     // the fixture is the OLD on-disk format, committed verbatim — it pins
     // the legacy reader against writer drift (reference analog: loading an
