@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, PolyHash, VecOp}
+import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, LongSetIntersectCount, PolyHash, Sq8Cosine, VecOp}
 
 /**
  * SQL-surface registration for the native similarity kernels, so
@@ -72,6 +72,22 @@ object GraftFunctions {
     ByteSum(args.head)
   }
 
+  private val sq8Info =
+    new ExpressionInfo(classOf[Sq8Cosine].getName, "graft_sq8_cosine")
+  private val sq8Builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 6,
+      "graft_sq8_cosine takes (codesA, mnA, mxA, codesB, mnB, mxB)")
+    Sq8Cosine(args(0), args(1), args(2), args(3), args(4), args(5))
+  }
+
+  private val interInfo = new ExpressionInfo(
+    classOf[LongSetIntersectCount].getName, "graft_intersect_count")
+  private val interBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "graft_intersect_count takes exactly 2 array<bigint> SET arguments")
+    LongSetIntersectCount(args.head, args(1))
+  }
+
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, op) =>
@@ -82,6 +98,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_byte_sum"), byteSumInfo, byteSumBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_poly_hash"), polyHashInfo, polyHashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sq8_cosine"), sq8Info, sq8Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_intersect_count"), interInfo, interBuilder)
   }
 
   /** Inject into a SparkSessionExtensions (spark.sql.extensions path). */
@@ -93,6 +113,10 @@ object GraftFunctions {
       (FunctionIdentifier("graft_byte_sum"), byteSumInfo, byteSumBuilder))
     extensions.injectFunction(
       (FunctionIdentifier("graft_poly_hash"), polyHashInfo, polyHashBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_sq8_cosine"), sq8Info, sq8Builder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_intersect_count"), interInfo, interBuilder))
   }
 }
 

@@ -65,6 +65,14 @@ class NativeKernelSpec extends AnyFunSuite {
     assert(sql.map(_.getDouble(0)).toSeq == api.map(_.getDouble(0)).toSeq)
     assert(sql.map(_.getDouble(1)).toSeq == api.map(_.getDouble(1)).toSeq)
     assert(sql.map(_.getDouble(2)).toSeq == api.map(_.getDouble(2)).toSeq)
+    // the SQ8 + intersect-count kernels register too
+    val extra = spark.sql(
+      """SELECT graft_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) i,
+        |  graft_sq8_cosine(array(0L, 255L), CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |                   array(0L, 255L), CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) c
+        |""".stripMargin).head()
+    assert(extra.getLong(0) == 2L)
+    assert(extra.getDouble(1) == 1.0) // identical vectors -> cosine 1
   }
 
   test("kernels run inside whole-stage codegen (plan has no fallback)") {
