@@ -360,6 +360,19 @@ class GraftEngine(val spark: SparkSession,
       queryModel: Option[String] = None,
       indexModel: Option[String] = None): Boolean = {
     require(dimension > 0, "dimension must be non-zero")
+    // persistent stores place schema/name into filesystem paths
+    // (data/<schema>/<name>, index/...): reject separator and traversal
+    // characters up front rather than scattering dirs outside the root.
+    // In-memory engines keep the reference's arbitrary-string names (the
+    // DSL's name grammar is stricter than this anyway).
+    if (persistRoot.isDefined) {
+      val safe = "[A-Za-z0-9_.-]+".r
+      Seq("schema" -> schema, "store name" -> name).foreach { case (what, v) =>
+        if (!safe.matches(v) || v == "." || v == "..")
+          throw GraftException(
+            s"persistent $what '$v' must match [A-Za-z0-9_.-]+ (it names a directory)")
+      }
+    }
     if (catalog.contains((schema, name))) {
       if (errorIfExists) throw GraftErrors.storeAlreadyExists(schema, name)
       false

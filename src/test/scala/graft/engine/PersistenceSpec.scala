@@ -446,6 +446,22 @@ class PersistenceSpec extends AnyFunSuite {
     Persistence.deleteDir(root)
   }
 
+  test("persistent store/schema names must be filesystem-safe; in-memory stays free") {
+    val root = tmpRoot()
+    val ep = new GraftEngine(spark, Some(root))
+    Seq("a/b", "..", "a\\b", "x y", "").foreach { bad =>
+      intercept[Exception](ep.createStore(bad, 1))
+    }
+    intercept[GraftException](ep.createStore("ok", 1, schema = "../escape"))
+    assert(ep.listStores().isEmpty)
+    // the reference allows arbitrary store names — the in-memory engine
+    // keeps that freedom (no paths involved)
+    val em = new GraftEngine(spark)
+    em.createStore("weird name/with slash", 1)
+    assert(em.listStores().map(_.name) == Seq("weird name/with slash"))
+    em.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("in-memory engines (no persistRoot) keep working with zero disk IO") {
     val e = new GraftEngine(spark)
     e.createStore("mem", 2)
