@@ -46,6 +46,26 @@ final class IvfIndex(
       .take(math.max(1, math.min(nProbe, nCells)))
       .map(_._1)
 
+  /** The np nearest cells per query row as a deterministic expression:
+    * (distance, cell) structs sort by distance then cell index, slice
+    * keeps the np best. Shared by both cell-routed joins so their probe
+    * routing can never diverge. */
+  private def cellRankExpr(np: Int): Column =
+    slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
+        lit(i).as("c")) }: _*)), 1, np)
+
+  /** qid-deduped queries: duplicate query ids would double-score every
+    * matched corpus row and burn ranks on repeats (a qid names ONE query).
+    * Duplicate qids carrying DIFFERENT vectors are caller error; min(qv)
+    * (lexicographic array order) picks one deterministically, where a
+    * dropDuplicates would keep whichever row a partitioning race surfaced.
+    * Shared by both cell-routed joins. */
+  private def dedupedQueries(queries: DataFrame, qId: String,
+      qVec: String): DataFrame =
+    queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .groupBy("qid").agg(min(col("qv")).as("qv"))
+
   /** Batch k-NN JOIN through the cells — the both-sides-large path that
     * [[graft.dedup.Dedup.topKJoin]]'s broadcast shape can't take: each
     * query row is assigned its `nProbe` nearest cells by a DISTRIBUTED
@@ -62,19 +82,8 @@ final class IvfIndex(
       nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val np = math.max(1, math.min(nProbe, nCells))
-    // array of (distance, cell) structs sorts by distance then cell index —
-    // slice(·, 1, np) = the np nearest cells, deterministically
-    val cellRank = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
-        lit(i).as("c")) }: _*))
-    // dedupe by qid first: duplicate query ids would double-score every
-    // matched corpus row and burn ranks on repeats (a qid names ONE query).
-    // Duplicate qids carrying DIFFERENT vectors are caller error; min(qv)
-    // (lexicographic array order) picks one deterministically, where a
-    // dropDuplicates would keep whichever row a partitioning race surfaced.
-    val probed = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
-      .groupBy("qid").agg(min(col("qv")).as("qv"))
-      .withColumn("_p", explode(slice(cellRank, 1, np)))
+    val probed = dedupedQueries(queries, qId, qVec)
+      .withColumn("_p", explode(cellRankExpr(np)))
       .select(col("qid"), col("qv"), col("_p.c").as("cell"))
     // a corpus row lives in exactly one cell and (qid, cell) probes are
     // distinct, so no match can appear twice
@@ -111,17 +120,12 @@ final class IvfIndex(
     require(k > 0, s"k must be > 0, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val np = math.max(1, math.min(nProbe, nCells))
-    val cellRank = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
-        lit(i).as("c")) }: _*))
-    // qid-deduped queries (see topKJoin); quantized once per query
-    val q0 = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
-      .groupBy("qid").agg(min(col("qv")).as("qv"))
+    val q0 = dedupedQueries(queries, qId, qVec) // quantized once per query
     val (qmn, qmx) = Quantize.quantParams(col("qv"))
     val probed = q0
       .select(col("qid"), col("qv"), Quantize.int8Codes(col("qv")).as("qcodes"),
         qmn.as("qmn"), qmx.as("qmx"))
-      .withColumn("_p", explode(slice(cellRank, 1, np)))
+      .withColumn("_p", explode(cellRankExpr(np)))
       .select(col("qid"), col("qcodes"), col("qmn"), col("qmx"),
         col("_p.c").as("cell"))
     // coarse: ONLY the code columns of the probed cells ride the join —

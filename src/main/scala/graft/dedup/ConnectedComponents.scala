@@ -64,8 +64,11 @@ object ConnectedComponents {
     // (checkpointed) pair frames, so this scans node-local blocks. A lazy
     // expensive `pairs` plan would run twice — the near-dup joins all
     // return materialized pairs by contract (see Dedup's lifecycle note).
-    val probeLimit = math.min(driverCutover + 1, Int.MaxValue.toLong - 1).toInt
-    if (driverCutover >= 0 && e0.limit(probeLimit).count() <= driverCutover)
+    // the probe counts at most cut+1 rows; cutovers beyond the probe's
+    // int-limit range are capped, so an oversized driverCutover can never
+    // silently turn the driver arm into an unbounded collect
+    val cut = math.min(driverCutover, Int.MaxValue.toLong - 2)
+    if (cut >= 0 && e0.limit((cut + 1).toInt).count() <= cut)
       return labelViaDriver(e0)
     // both orientations, so min labels flow against the original edge
     // direction too; distinct keeps the per-round join width minimal

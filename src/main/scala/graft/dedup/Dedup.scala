@@ -446,15 +446,18 @@ object Dedup {
       (h.cast("double") / lit(Long.MaxValue.toDouble))
     }
     // corpus dimension: pass `dim` to keep plan construction fully lazy
-    // (stream-safe, no job at build time); otherwise probe ONE non-null
-    // row (bounded driver read, like the probe collects elsewhere). An
+    // (stream-safe, no job at build time); otherwise take the MODE of a
+    // bounded sample (one tiny job) — a first-row probe would let a single
+    // aberrant-length vector at scan head define the dimension and the
+    // size filter below would then silently drop the whole corpus. An
     // empty/all-null corpus short-circuits through dim 1 — such rows are
     // excluded from banding below and produce zero pairs regardless.
     val corpusDim = dim.getOrElse {
-      df.where(col(vecCol).isNotNull)
-        .select(size(col(vecCol)).as("d")).head(1)
-        .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-        .getOrElse(1)
+      val sample = df.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).limit(1024).collect()
+      if (sample.isEmpty) 1
+      else sample.groupBy(_.getInt(0)).view.mapValues(_.size)
+        .toSeq.maxBy { case (d, cnt) => (cnt, -d) }._1
     }
     // the matrix entries are constant expressions — evaluate them
     // interpretively on the driver (one analyzer pass, zero Spark jobs):

@@ -393,7 +393,10 @@ class GraftEngine(val spark: SparkSession,
   /** DropStore (store.rs:688-713). */
   def dropStore(name: String, schema: String = DefaultSchema,
       errorIfNotExists: Boolean = true): Int =
-    catalog.remove((schema, name)) match {
+    // under the store lock: an in-flight mutation's final catalog write
+    // would otherwise RESURRECT the dropped store with bucket paths whose
+    // files this drop just deleted
+    storeLock(schema, name).synchronized { catalog.remove((schema, name)) } match {
       case Some(st) =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
@@ -414,7 +417,7 @@ class GraftEngine(val spark: SparkSession,
     val keys = catalog.keys.filter(_._1 == schema).toSeq
     if (keys.isEmpty && errorIfNotExists) throw GraftErrors.schemaNotFound(schema)
     keys.foreach { k =>
-      catalog.remove(k).foreach { st =>
+      storeLock(k._1, k._2).synchronized { catalog.remove(k) }.foreach { st =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
       }
@@ -432,7 +435,7 @@ class GraftEngine(val spark: SparkSession,
   def purgeStores(): Int = {
     val n = catalog.size
     catalog.keys.toSeq.foreach { k =>
-      catalog.remove(k).foreach { st =>
+      storeLock(k._1, k._2).synchronized { catalog.remove(k) }.foreach { st =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
       }
@@ -828,8 +831,13 @@ class GraftEngine(val spark: SparkSession,
     * falling back to a full build (which then writes fresh artifacts).
     * None ⇔ no index of that kind was ever created. */
   private[graft] def ensureAnnIndex(name: String, kind: String,
-      schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =
-      storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Option[graft.ann.AnnIndex] = {
+    // lock-free fast path: once the structure is attached, reads must not
+    // queue behind long-running mutations (the line-58 contract); only the
+    // attach itself — a catalog read-modify-write — takes the lock
+    val fast = state(schema, name).annIndexes.get(kind)
+    if (fast.isDefined) return fast
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     st.annIndexes.get(kind).orElse {
       st.meta.nonLinearIndexes.get(kind).map { cfg =>
@@ -844,6 +852,7 @@ class GraftEngine(val spark: SparkSession,
         catalog((schema, name)) = st.copy(annIndexes = st.annIndexes + (kind -> built))
         built
       }
+    }
     }
   }
 

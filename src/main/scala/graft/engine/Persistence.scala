@@ -184,11 +184,11 @@ object Persistence {
     try Files.deleteIfExists(p) catch { case _: Exception => () }
   }
 
-  /** True when `root` still carries only the v1 whole-catalog file —
-    * [[GraftEngine.load]] migrates such roots to per-store records. */
+  /** True while `root` still carries the v1 whole-catalog file (even
+    * alongside a partially-written catalog/ dir — a crashed migration) —
+    * [[GraftEngine.load]] (re-)runs the migration until the file retires. */
   def isLegacyRoot(root: String): Boolean =
-    !Files.isDirectory(Paths.get(root, "catalog")) &&
-      Files.exists(Paths.get(root, "catalog.json"))
+    Files.exists(Paths.get(root, "catalog.json"))
 
   /** After a legacy root's stores have been re-recorded in the current
     * format, retire the old file (kept as .migrated for operator forensics,
@@ -202,20 +202,26 @@ object Persistence {
 
   def readCatalog(root: String): Seq[StoreRecord] = {
     val dir = Paths.get(root, "catalog")
-    if (Files.isDirectory(dir)) {
-      Files.list(dir).iterator().asScala.toSeq
+    val fromDir: Seq[StoreRecord] =
+      if (!Files.isDirectory(dir)) Nil
+      else Files.list(dir).iterator().asScala.toSeq
         .filter(p => p.getFileName.toString.endsWith(".json"))
         .sortBy(_.getFileName.toString)
         .map(p => metaFromJson(JsonMethods.parse(Files.readString(p))))
-    } else {
-      // legacy single-file layout (pre-per-store records)
-      val p = Paths.get(root, "catalog.json")
-      if (!Files.exists(p)) return Nil
-      JsonMethods.parse(Files.readString(p)) \ "stores" match {
+    // the legacy single-file layout is read WHENEVER catalog.json is still
+    // present — not only when catalog/ is absent — and merged with the dir
+    // (dir records win per store). A crash mid-migration (some records
+    // written, catalog.json not yet retired) must not hide the
+    // not-yet-migrated stores; retireLegacyCatalog ends the merge era.
+    val legacyPath = Paths.get(root, "catalog.json")
+    val fromLegacy: Seq[StoreRecord] =
+      if (!Files.exists(legacyPath)) Nil
+      else JsonMethods.parse(Files.readString(legacyPath)) \ "stores" match {
         case JArray(items) => items.map(metaFromJson)
         case _ => Nil
       }
-    }
+    val seen = fromDir.map(r => (r.meta.schema, r.meta.name)).toSet
+    fromDir ++ fromLegacy.filterNot(r => seen((r.meta.schema, r.meta.name)))
   }
 
   /** Best-effort cleanup of superseded version dirs / dropped stores. */

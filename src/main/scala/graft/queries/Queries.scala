@@ -1537,11 +1537,16 @@ object Queries {
         // each micro-batch; 5k docs x 16 bands need few partitions — scope
         // a lower shuffle width to the streaming query only
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         val q = try cands.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        }
         val candidatePairs = try {
           mem.addData(rows: _*)
           q.processAllAvailable()

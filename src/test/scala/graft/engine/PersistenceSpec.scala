@@ -432,6 +432,38 @@ class PersistenceSpec extends AnyFunSuite {
     e3.purgeStores(); Persistence.deleteDir(root)
   }
 
+  test("a crash mid-migration (some records written, legacy file not retired) loses nothing") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = tmpRoot()
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("ma", 1); e1.setSeq("ma", Seq((Array(1f), meta("k" -> "a"))))
+    e1.createStore("mb", 1); e1.setSeq("mb", Seq((Array(2f), meta("k" -> "b"))))
+    // demote to v1, then simulate a crashed migration: ONLY ma's v2 record
+    // landed before the "crash" — catalog.json still present
+    val maRecord = Files.readString(Persistence.recordPath(root, "public", "ma"))
+    val records = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(Paths.get(root, "catalog")).iterator()).asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => JsonMethods.parse(Files.readString(p)).removeField {
+        case ("formatVersion", _) => true; case _ => false
+      }).toList
+    Files.writeString(Paths.get(root, "catalog.json"),
+      JsonMethods.pretty(JsonMethods.render(JObject("stores" -> JArray(records)))))
+    Persistence.deleteDir(Paths.get(root, "catalog").toString)
+    Files.createDirectories(Paths.get(root, "catalog"))
+    Files.writeString(Persistence.recordPath(root, "public", "ma"), maRecord)
+    // load: BOTH stores visible (dir record wins for ma, legacy fills mb);
+    // the migration then completes and retires the file
+    val e2 = GraftEngine.load(spark, root)
+    assert(e2.storeLen("ma") == 1 && e2.storeLen("mb") == 1)
+    assert(!Files.exists(Paths.get(root, "catalog.json")))
+    assert(Files.exists(Persistence.recordPath(root, "public", "mb")))
+    val e3 = GraftEngine.load(spark, root)
+    assert(e3.storeLen("ma") == 1 && e3.storeLen("mb") == 1)
+    e3.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("a record stamped with a FUTURE format version refuses to load") {
     val root = tmpRoot()
     val e1 = new GraftEngine(spark, Some(root))
