@@ -1503,6 +1503,59 @@ object Queries {
         |FROM sid GROUP BY user_id, s
         |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ---- streaming exact dedup: originals replayed in batch 1, content
+    // copies (re-id'd doc_id<50, later event time within the watermark) in
+    // batch 2 — state from batch 1 must drop every copy, so the kept set
+    // is exactly the originals (texts are unique under the id bound;
+    // verified per SF). Exercises cross-micro-batch state + the
+    // watermark-bounded dropDuplicatesWithinWatermark path end-to-end ----
+    "events_dedup_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = TestStores.table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .where(col("doc_id") < 1000)
+        val originals = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val copies = originals.filter(_._1 < 50).map { case (id, t) => (id + 10000, t) }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val src = mem.toDF()
+          .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+          .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+            when(col("doc_id") >= 10000, 100L).otherwise(0L)))
+        val deduped = graft.streaming.StreamingIngest.streamingDropDuplicates(
+          src, "text", "ts", "1 hour")
+        val name = "events_dedup_stream_sink"
+        s.catalog.dropTempView(name)
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val q = try deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        val kept = try {
+          mem.addData(originals: _*)
+          q.processAllAvailable()
+          mem.addData(copies: _*)
+          q.processAllAvailable()
+          s.table(name).select(col("doc_id"), col("content_hash")).collect().toSeq
+        } finally {
+          q.stop(); s.catalog.dropTempView(name)
+          org.apache.spark.sql.graftbridge.ColumnBridge.unloadStreamingStateStores()
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(kept, 4),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content_hash",
+              org.apache.spark.sql.types.StringType)))).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin)),
+
     // ---- streaming near-dup: the documents corpus replayed through a
     // MemoryStream into the stateful banded candidate operator (signature
     // bit-identical to the batch path), candidates exact-verified by the
