@@ -507,4 +507,42 @@ class DslSpec extends AnyFunSuite {
     assert(df(4).count() ==
       graft.pipeline.Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1).count())
   }
+
+  test("extension pipeline: SCAN/SAMPLE/PACK/VOCAB/TEXTSTATS/TOPK execute (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"alpha beta gamma delta token$i"))
+      .toDF("doc_id", "text")
+    val parquetDir = java.nio.file.Files.createTempDirectory("graft-ext-scan").toString
+    docs.write.mode("overwrite").parquet(s"$parquetDir/docs.parquet")
+    val vecs = (0L until 10L).map(i => (i, Seq(i.toFloat, 1f, 2f)))
+      .toDF("vec_id", "emb")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val results = Pipeline.runExt(spark,
+      s"""SCAN '$parquetDir/docs.parquet' AS scanned;
+         |SAMPLE FROM scanned ID doc_id FRACTION 0.5;
+         |PACK FROM scanned ID doc_id TEXT text BUDGET 8 SHARDS 2;
+         |VOCAB FROM scanned ID doc_id TEXT text;
+         |TEXTSTATS FROM scanned ID doc_id TEXT text;
+         |TOPK 3 FROM ext_vecs ID vec_id VEC emb IN ext_vecs ID vec_id VEC emb""".stripMargin)
+    assert(results.size == 6)
+    assert(results(0) == Right(Response.Ok))
+    def df(i: Int) = results(i) match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"step $i: $other")
+    }
+    assert(df(1).count() ==
+      graft.pipeline.Corpus.deterministicSample(docs, "doc_id", 0.5).count())
+    assert(df(2).columns.toSet == Set("doc_id", "shard", "seq", "off", "n_tok"))
+    assert(df(2).count() == 20)
+    // 4 shared tokens + 20 unique token<i> words
+    assert(df(3).count() == 24)
+    assert(df(4).columns.toSet ==
+      Set("doc_id", "lang", "n_tok", "quality", "fingerprint"))
+    // every query's rank-1 neighbor under cosine is itself
+    val top1 = df(5).where(org.apache.spark.sql.functions.col("rank") === 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length == 10 && top1.forall { case (q, c) => q == c })
+    graft.engine.Persistence.deleteDir(parquetDir)
+  }
 }
