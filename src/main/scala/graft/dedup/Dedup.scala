@@ -93,9 +93,10 @@ object Dedup {
     * shaped for candidate VOLUME: `sets` is the caller-cached per-doc
     * shingle-hash-array table (ONE row per doc — shingles-per-doc× fewer
     * rows than the inverted index), the candidates join it twice, and the
-    * intersection is computed per candidate row with `array_intersect` —
+    * intersection CARDINALITY is computed per candidate row by the native
+    * [[org.apache.spark.sql.graftbridge.LongSetIntersectCount]] kernel —
     * no candidate×shingle row explosion, no giant re-join against the
-    * inverted index. (Measured at sf0.1: simhash end-to-end 23 s → 13 s on
+    * inverted index, no intersection array materialized. (Measured at sf0.1: simhash end-to-end 23 s → 13 s on
     * its ~155k banded candidates, capped-Jaccard 13 s → 8 s; pair sets
     * identical.) 64-bit hashing cannot meaningfully collide within a pair
     * (P ≈ shingles²/2⁶⁴); the arrays are exact per-doc sets by
