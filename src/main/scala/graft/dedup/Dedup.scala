@@ -515,6 +515,27 @@ object Dedup {
     } finally bands.unpersist(blocking = false)
   }
 
+  /** SemDeDup-style semantic corpus dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-cosine near-dup pairs chained into
+    * clusters, then the corpus keeps ONE representative — the min id — per
+    * semantic cluster (singletons survive by absence from the pair graph).
+    * Where the paper prunes within k-means cells of a trained clustering,
+    * this uses [[cosineNearDupJoin]]'s sign-LSH bands for the same
+    * candidate-pruning role — deterministic, no trained model, no
+    * cross-bucket comparisons — so the 100 TB shape is the sum of already
+    * audited parts: banded candidate generation (never all-pairs), ids-only
+    * candidate joins, exact-cosine verification of candidates only, and a
+    * connected-components pass bounded by the pair graph, not the corpus.
+    * Tune `planes`/`bandBits` for looser thresholds per the recall math on
+    * [[cosineNearDupJoin]]. */
+  def semanticKeepOne(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16, bandBits: Int = 8,
+      dim: Option[Int] = None): DataFrame = {
+    val pairs = cosineNearDupJoin(df, idCol, vecCol, threshold, planes,
+      bandBits, dim)
+    ConnectedComponents.dropNearDuplicates(df, idCol, pairs, "a", "b")
+  }
+
   // -------------------------------------------------- line-level dedup
 
   /** Line-level boilerplate removal (the CCNet/RefinedWeb preprocessing

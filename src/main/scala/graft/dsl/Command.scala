@@ -96,6 +96,9 @@ object Command {
       method: String, n: Int, threshold: Double) extends Command
   final case class ExtDedupKeepOne(view: String, id: String, text: String,
       method: String, n: Int, threshold: Double) extends Command
+  /** SemDeDup-style embedding-cosine keep-one (Dedup.semanticKeepOne). */
+  final case class ExtDedupSemantic(view: String, id: String, vec: String,
+      threshold: Double) extends Command
   final case class ExtSplit(view: String, id: String, trainPct: Int,
       valPct: Int) extends Command
   final case class ExtSample(view: String, id: String, fraction: Double)

@@ -302,6 +302,10 @@ object DslParser extends RegexParsers {
   private val extDedupExact: Parser[Command] =
     kw("dedup") ~> kw("exact") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtDedupExact(v, i, t) }
+  private val extDedupSemantic: Parser[Command] =
+    kw("dedup") ~> kw("semantic") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (kw("threshold") ~> f64) ^^ {
+        case v ~ i ~ vc ~ th => ExtDedupSemantic(v, i, vc, th) }
   private val extSplit: Parser[Command] =
     kw("split") ~> fromView ~ idCol ~ opt(kw("train") ~> nonZero) ~
       opt(kw("val") ~> nonZero) ^^ { case v ~ i ~ tr ~ va =>
@@ -330,7 +334,8 @@ object DslParser extends RegexParsers {
           ExtTopK(k, qv, qi, qc, cv, ci, cc) }
 
   private val extStatement: Parser[Command] =
-    extScan | extDedupNear | extDedupKeepOne | extDedupExact | extSplit |
+    extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
+    extDedupExact | extSplit |
     extSample | extPack | extChunk | extVocab | extTextStats | extTopK
 
   // ------------------------------------------------------------ entry points

@@ -79,6 +79,8 @@ object Pipeline {
       case ExtDedupKeepOne(v, id, text, m, n, th) =>
         Response.Entries(graft.dedup.ConnectedComponents.dropNearDuplicates(
           t(v), id, nearPairs(v, id, text, m, n, th), "a", "b"))
+      case ExtDedupSemantic(v, id, vec, th) =>
+        Response.Entries(graft.dedup.Dedup.semanticKeepOne(t(v), id, vec, th))
       case ExtSplit(v, id, tr, va) =>
         Response.Entries(graft.pipeline.Corpus.assignSplit(t(v), id, tr, va))
       case ExtSample(v, id, f) =>

@@ -1293,6 +1293,44 @@ object Queries {
         |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
         |SELECT a, b, round(c, 4) AS cos FROM pairs WHERE c >= 0.9 ORDER BY a, b""".stripMargin)),
 
+    // ---- SemDeDup-style semantic keep-one: the embed_near_dup pair graph
+    // (sign-LSH bands + exact cosine verify) chained by connected
+    // components; the corpus keeps the min-id representative per semantic
+    // cluster. Same rescaled-variant corpus as embed_near_dup, so every
+    // {original, variant} pair collapses to the original and the kept set
+    // is exactly the natural corpus. Oracle: exact all-pairs cosine +
+    // recursive-CTE reachability (the clusterOracle pattern, over
+    // embeddings). ----
+    "embed_semantic_keep_one" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val variants = e.where(col("vec_id") < 20).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.02f)).cast("float"))
+            .as("embedding"))
+        val corpus = e.select("vec_id", "embedding").union(variants)
+        graft.dedup.Dedup.semanticKeepOne(corpus, "vec_id", "embedding", 0.9)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.02 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT a.vec_id a, b.vec_id b FROM corpus a, corpus b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.9),
+        |edges AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS node, u AS label FROM edges
+        |  UNION
+        |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+        |SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (
+        |  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
+        |ORDER BY vec_id""".stripMargin)),
+
     // ---- int8 scalar quantization of the embedding column: per-vector
     // min/max codes in FIXED-ORDER double math, so DuckDB reproduces them
     // bit-exactly. Summed codes + rounded params pin the full code array

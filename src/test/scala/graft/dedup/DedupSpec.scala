@@ -159,6 +159,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out == eligible, s"got $out expected $eligible")
   }
 
+  test("semanticKeepOne keeps one representative per semantic cluster") {
+    import spark.implicits._
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(16)(j => graft.TestFixtures.vec(5L, i.toLong, 16)(j))))
+    // two independent rescales of base(i): cosine ≈ 1 to the base AND to
+    // each other, so {i, 1000+i, 2000+i} chains into one cluster and the
+    // min id — the natural corpus row — must be the survivor
+    val v1 = (0 until 5).map(i => (1000L + i, base(i)._2.map(x => x * 1.02f)))
+    val v2 = (0 until 5).map(i => (2000L + i, base(i)._2.map(x => x * 1.04f)))
+    val corpus = (base ++ v1 ++ v2).toDF("id", "vec")
+    val kept = Dedup.semanticKeepOne(corpus, "id", "vec", 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == base.map(_._1).toSet)
+    // composition agreement: the convenience wrapper == manual pipeline
+    val manual = graft.dedup.ConnectedComponents.dropNearDuplicates(
+      corpus, "id",
+      Dedup.cosineNearDupJoin(corpus, "id", "vec", 0.95), "a", "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == manual)
+  }
+
   test("native intersect-count kernel equals size(array_intersect) on set inputs") {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, LongSetIntersectCount}
     import graft.TestFixtures.spark.implicits._

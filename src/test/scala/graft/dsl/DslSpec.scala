@@ -468,6 +468,9 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM queries ID qid VEC emb IN corpus ID cid VEC emb") ==
       Seq(ExtTopK(5, "queries", "qid", "emb", "corpus", "cid", "emb")))
+    assert(DslParser.parseExt(
+      "DEDUP SEMANTIC FROM vecs ID vec_id VEC emb THRESHOLD 0.9") ==
+      Seq(ExtDedupSemantic("vecs", "vec_id", "emb", 0.9)))
     // bad statements carry spans, like the parity grammars
     val err = intercept[DslParseError](
       DslParser.parseExt("DEDUP NEAR FROM docs NO SUCH CLAUSE"))
@@ -506,6 +509,27 @@ class DslSpec extends AnyFunSuite {
     assert(results(3).isLeft, "missing view must be a captured error")
     assert(df(4).count() ==
       graft.pipeline.Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1).count())
+  }
+
+  test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val base = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(16)(j => graft.TestFixtures.vec(9L, i.toLong, 16)(j)).toSeq))
+    // rescaled duplicates of ids 0 and 1: cosine ≈ 1, must collapse to base
+    val dups = (0 until 2).map(i => (100L + i, base(i)._2.map(x => x * 1.03f)))
+    (base ++ dups).toDF("vec_id", "emb").createOrReplaceTempView("sem_vecs")
+    val results = Pipeline.runExt(spark,
+      "DEDUP SEMANTIC FROM sem_vecs ID vec_id VEC emb THRESHOLD 0.95")
+    val kept = results.head match {
+      case Right(Response.Entries(d)) =>
+        d.select("vec_id").as[Long].collect().toSet
+      case other => fail(s"$other")
+    }
+    assert(kept == base.map(_._1).toSet)
+    assert(kept == graft.dedup.Dedup.semanticKeepOne(
+      spark.table("sem_vecs"), "vec_id", "emb", 0.95)
+      .select("vec_id").as[Long].collect().toSet)
   }
 
   test("extension pipeline: SCAN/SAMPLE/PACK/VOCAB/TEXTSTATS/TOPK execute (API parity)") {
