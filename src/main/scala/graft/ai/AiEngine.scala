@@ -123,20 +123,23 @@ class AiEngine(val db: GraftEngine) {
       if (v.getLong(2) > 0)
         throw GraftException(s"Cannot insert reserved key $ReservedKey")
       recordSessionConfig(name, schema, preprocessAction, executionProvider)
-      // stale-entry cleanup BEFORE embedding (operations.rs:229-266): entries
-      // whose reserved input matches an incoming input are deleted, so
-      // one-to-many re-ingestion can't leave orphaned expansions behind.
-      // Skipped entirely on FIRST ingest — an empty store has nothing stale,
-      // and the probe-join jobs are pure overhead then.
-      if (meta.storeOriginal && db.storeLen(name, schema) > 0)
-        delByReservedInput(name, pinned.select("input"), schema)
       val prepared =
         if (meta.storeOriginal)
           pinned.withColumn("value",
             map_concat(col("value"), map(lit(ReservedKey), col("input"))))
         else pinned
       val embedded = embedEntries(prepared, im)
-      db.set(name, embedded, schema)
+      // stale-entry cleanup fused into the write (operations.rs:229-266):
+      // store entries whose reserved input matches an incoming input are
+      // deleted in the SAME swap as the set, so one-to-many re-ingestion
+      // can't leave orphaned expansions behind and the store pays ONE
+      // rewrite, not two. Skipped entirely on FIRST ingest — an empty store
+      // has nothing stale, and the probe-join jobs are pure overhead then.
+      if (meta.storeOriginal && db.storeLen(name, schema) > 0)
+        db.delIdsAndSet(name,
+          staleIdsByReservedInput(name, pinned.select("input"), schema),
+          embedded, schema)
+      else db.set(name, embedded, schema)
     } finally pinned.unpersist(blocking = false)
   }
 
@@ -170,15 +173,16 @@ class AiEngine(val db: GraftEngine) {
       executionProvider = executionProvider.map(fold)
         .orElse(m.executionProvider)))
 
-  /** Distributed analog of DelPred(ReservedKey IN batch-inputs). The store
-    * scan is pruned by a broadcast of 8-byte `xxhash64(input)` values ONLY —
-    * never the raw payloads (an image/audio batch would otherwise broadcast
-    * every payload byte); the tiny hash-matched candidate set is then
-    * verified by exact input equality in a shuffle join (hash collisions
-    * can't delete a wrong row), and the confirmed ids feed the engine's
-    * bucket-incremental id delete. */
-  private def delByReservedInput(name: String, inputs: DataFrame,
-      schema: String): Long = {
+  /** Stale ids for DelPred(ReservedKey IN batch-inputs) — the delete itself
+    * rides the engine's fused delIdsAndSet swap. The store scan is pruned by
+    * a broadcast of 8-byte `xxhash64(input)` values ONLY — never the raw
+    * payloads (an image/audio batch would otherwise broadcast every payload
+    * byte); the tiny hash-matched candidate set is then verified by exact
+    * input equality in a shuffle join (hash collisions can't delete a wrong
+    * row). Returns a lazy id frame over the CURRENT store generation — the
+    * engine materializes it before swapping. */
+  private def staleIdsByReservedInput(name: String, inputs: DataFrame,
+      schema: String): DataFrame = {
     val st = db.storeDf(name, schema)
     val keyCol = element_at(col("value"), ReservedKey)
     // `inputs` must derive from a frame the CALLER already pinned (setDf's
@@ -189,11 +193,10 @@ class AiEngine(val db: GraftEngine) {
     val probeHash = broadcast(probe.select(xxhash64(col("input")).as("_ph")))
     val candidates = st.where(keyCol.isNotNull)
       .join(probeHash, xxhash64(keyCol) === col("_ph"), "left_semi")
-    val confirmed = candidates.join(
+    candidates.join(
         probe.select(col("input").as("_probe")).hint("shuffle_hash"),
         keyCol === col("_probe"), "left_semi")
       .select("id")
-    db.delByIds(name, confirmed, schema)
   }
 
   /** The embedding stage: mapPartitions with a broadcast embedder; one-to-many

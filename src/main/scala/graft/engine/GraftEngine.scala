@@ -200,26 +200,14 @@ class GraftEngine(val spark: SparkSession,
     ((if (persistRoot.isDefined) Set(GraftEngine.NumBuckets) else Set.empty[Int]) ++
       st.annIndexes.values.map(_.numShards)).toSeq.sorted
 
-  private def touchOf(st: StoreState, ids: DataFrame): Touch = {
-    val moduli = touchModuli(st)
-    if (moduli.isEmpty) Touch(Map.empty)
-    else {
-      val idCol = col(ids.columns.head)
-      val cols = moduli.map(m => pmod(idCol, lit(m)).cast("int").as(s"_m$m"))
-      val rows = ids.select(cols: _*).distinct().collect()
-      Touch(moduli.zipWithIndex.map { case (m, i) =>
-        m -> rows.map(_.getInt(i)).toSet
-      }.toMap)
-    }
-  }
-
-  /** Driver-side variant when the touched content ids are already in hand
+  /** Driver-side variant of the touch resolution when the touched content
+    * ids are already in hand
     * (DelKey probes, Upsert's two ids) — zero Spark jobs. */
   private def touchOfIds(st: StoreState, ids: Seq[Long]): Touch =
     Touch(touchModuli(st).map(m =>
       m -> ids.map(id => java.lang.Math.floorMod(id, m.toLong).toInt).toSet).toMap)
 
-  /** [[touchOf]] fused with the id count — ONE aggregation job resolves both
+  /** Touch resolution fused with the id count — ONE aggregation job resolves both
     * the touched buckets (per modulus) and the distinct-batch size, instead
     * of a count job followed by a distinct job (the grouped row count is
     * bounded by the bucket-combination product, not the batch). */
@@ -526,7 +514,27 @@ class GraftEngine(val spark: SparkSession,
     * (store.rs:425-439, 1049-1135). Within a batch, later entries win
     * (sequential-insert semantics of the reference). */
   def set(name: String, entries: DataFrame,
-      schema: String = DefaultSchema): (Long, Long) = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): (Long, Long) =
+    setCore(name, entries, None, schema)
+
+  /** Set fused with a preceding delete-by-id in ONE store swap. The AI
+    * proxy's store_original re-ingest (ai/src/engine/operations.rs:229-266)
+    * issues DelPred(reserved input)-then-Set as one pipeline; running it as
+    * two engine mutations doubles the rewrite cost — two bucket
+    * read/write cycles, two ANN patches, two catalog flushes (and, for
+    * in-memory stores, two full-store materializations). Counting parity
+    * with the two-step path is preserved: `updated` counts batch ids found
+    * in the store AFTER the stale delete, so a re-ingested input reports as
+    * inserted, exactly like the reference's pipeline. `staleIds` must be
+    * ids of current store rows (the caller derives them from a scan of this
+    * store; the shared lock keeps the generation stable). */
+  private[graft] def delIdsAndSet(name: String, staleIds: DataFrame,
+      entries: DataFrame, schema: String = DefaultSchema): (Long, Long) =
+    setCore(name, entries, Some(staleIds), schema)
+
+  private def setCore(name: String, entries: DataFrame,
+      staleIdsOpt: Option[DataFrame],
+      schema: String): (Long, Long) = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     // stamp batch ordinal + content id ONCE and pin it, so validation and the
     // write see the same rows even for non-deterministic sources, and the
@@ -541,7 +549,9 @@ class GraftEngine(val spark: SparkSession,
       // wrong dimension): an empty batch returns (0, 0) immediately — no
       // version bump, no empty version dir, no catalog flush, no no-op ANN
       // patch — and a dimension mismatch rejects the whole batch before any
-      // mutation (par-validation, store.rs:1074-1079)
+      // mutation (par-validation, store.rs:1074-1079). An empty batch also
+      // implies an empty stale set (stale ids derive from the batch's
+      // inputs), so the fused path may return here too.
       val v = withId.agg(count(lit(1)),
         max(when(size(col("key")) =!= st.meta.dimension, size(col("key"))))).head()
       if (v.getLong(0) == 0) return (0L, 0L)
@@ -554,25 +564,50 @@ class GraftEngine(val spark: SparkSession,
           max_by(struct(col("key"), col("value")), col("_ord")).as("_kv"))
         .select(col("id"), col("_kv.key").as("key"), col("_kv.value").as("value"))
       val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+      // materialized (touchAndCount below) BEFORE the swap: the stale frame's
+      // plan reads the CURRENT store generation, and swap releases it
+      val staleCached = staleIdsOpt.map(ids =>
+        ids.select(col(ids.columns.head).as("_sid")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
       try {
-        // one job: materializes the dedup cache AND yields (touch, count)
-        val (touch, batchDistinct) =
+        // one job each: materializes the cache AND yields (touch, count);
+        // stale ids are store rows by contract, so their row count IS the
+        // deleted count — no recount against the store needed
+        val (touchBatch, batchDistinct) =
           touchAndCount(st, dedupedCached.select("id"))
+        val (touch, deleted) = staleCached match {
+          case None => (touchBatch, 0L)
+          case Some(sc) =>
+            val (touchStale, nStale) = touchAndCount(st, sc)
+            (Touch((touchBatch.byModulus.keySet ++ touchStale.byModulus.keySet)
+              .map(m => m -> (touchBatch.byModulus.getOrElse(m, Set.empty[Int]) ++
+                touchStale.byModulus.getOrElse(m, Set.empty[Int]))).toMap),
+              nStale)
+        }
         val batchIds = broadcast(dedupedCached.select(col("id").as("_nid")))
+        def minusStale(df: DataFrame): DataFrame = staleCached match {
+          case None => df
+          case Some(sc) =>
+            df.join(broadcast(sc), col("id") === col("_sid"), "left_anti")
+        }
         // updated = store rows whose id appears in the batch — counted on the
-        // PRUNED touched-bucket view (batch ids only live in touched buckets)
+        // PRUNED touched-bucket view (batch ids only live in touched
+        // buckets), post-stale-delete when fused
         val updated =
           if (st.len == 0) 0L
-          else mutationView(st, touch)
+          else minusStale(mutationView(st, touch))
             .join(batchIds, col("id") === col("_nid"), "left_semi").count()
         val inserted = batchDistinct - updated
         swap(schema, name,
-          src => src.select("id", "key", "value")
+          src => minusStale(src.select("id", "key", "value"))
             .join(batchIds, col("id") === col("_nid"), "left_anti")
             .union(dedupedCached.select("id", "key", "value")),
-          touch, lenDelta = inserted)
+          touch, lenDelta = inserted - deleted)
         (inserted, updated)
-      } finally dedupedCached.unpersist(blocking = false)
+      } finally {
+        dedupedCached.unpersist(blocking = false)
+        staleCached.foreach(_.unpersist(blocking = false))
+      }
     } finally withId.unpersist(blocking = false)
   }
 
@@ -638,23 +673,6 @@ class GraftEngine(val spark: SparkSession,
   /** Delete by content ids supplied as a DataFrame — the distributed arm
     * behind the AI layer's stale-entry cleanup. Bucket-incremental like
     * DelKey; never collects more than the distinct bucket numbers. */
-  private[graft] def delByIds(name: String, ids: DataFrame,
-      schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
-    val st = state(schema, name)
-    val idsD = ids.select(col(ids.columns.head).as("_pid")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val touch = touchOf(st, idsD)
-      val deleted = mutationView(st, touch)
-        .join(broadcast(idsD), col("id") === col("_pid"), "left_semi").count()
-      if (deleted > 0)
-        swap(schema, name,
-          src => src.join(broadcast(idsD), col("id") === col("_pid"), "left_anti"),
-          touch, lenDelta = -deleted)
-      deleted
-    } finally idsD.unpersist(blocking = false)
-  }
-
   /** DelPred — delete by predicate, returns deleted count
     * (store.rs:272-286, 851-856). Finding the matches is necessarily a full
     * predicate scan; the REWRITE is still bucket-incremental — only the
