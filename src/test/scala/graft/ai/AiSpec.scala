@@ -79,11 +79,22 @@ class AiSpec extends AnyFunSuite {
   test("re-set of the same input deletes stale entries first (DelPred+Set composite)") {
     val ai = fresh()
     ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2", storeOriginal = true)
-    ai.set("s", Seq((RawString("doc"), meta("v" -> "1"))))
-    ai.set("s", Seq((RawString("doc"), meta("v" -> "2"))))
+    assert(ai.set("s", Seq((RawString("doc"), meta("v" -> "1")))) == ((1L, 0L)))
+    // delete-first counting (operations.rs:229-266): the re-ingested input
+    // is deleted before the set sees the store, so it reports as INSERTED —
+    // (0, 1) here would mean the composite degraded to a plain overwrite
+    assert(ai.set("s", Seq((RawString("doc"), meta("v" -> "2")))) == ((1L, 0L)))
     assert(ai.db.storeDf("s").count() == 1)
+    assert(ai.db.storeLen("s") == 1)
     val got = ai.getKey("s", Seq(RawString("doc"))).collect()
     assert(got.head.getMap[String, org.apache.spark.sql.Row](1)("v").getString(1) == "2")
+    // mixed batch against a 1-row store: "doc" re-ingests (delete-first →
+    // inserted), "new" is a true insert — updated must stay 0 and the
+    // store length must account for the stale delete
+    assert(ai.set("s", Seq(
+      (RawString("doc"), meta("v" -> "3")),
+      (RawString("new"), meta("v" -> "1")))) == ((2L, 0L)))
+    assert(ai.db.storeLen("s") == 2)
   }
 
   test("one-to-many model expands one input into 1+(len mod 3) indexed entries; delKey removes all") {
