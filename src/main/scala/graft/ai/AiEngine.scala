@@ -227,13 +227,14 @@ class AiEngine(val db: GraftEngine) {
   }
 
   /** AI Upsert — always merge-mode; embeds new_input with the index model;
-    * rejects one-to-many models (ai/src/engine/store.rs:433-497). */
+    * rejects one-to-many models (ai/src/engine/store.rs:433-497). Returns
+    * (inserted, updated) like the DB upsert's Set-shaped response. */
   def upsert(name: String, cond: PredicateCondition,
       newInput: Option[MetadataValue] = None,
       newValue: Option[Map[String, MetadataValue]] = None,
       schema: String = db.DefaultSchema,
       preprocessAction: String = "nopreprocessing",
-      executionProvider: Option[String] = None): Unit = {
+      executionProvider: Option[String] = None): (Long, Long) = {
     validateSessionConfig(preprocessAction, executionProvider)
     val meta = aiMeta(name, schema)
     val im = Models.details(meta.indexModel.get)

@@ -151,8 +151,10 @@ object Pipeline {
         val (i, u) = engine.set(n, es, s.getOrElse(d))
         Response.SetResult(i, u)
       case Upsert(n, k, v, c, m, s) =>
-        engine.upsert(n, c, k, v, m, s.getOrElse(d))
-        Response.Ok
+        // the reference answers Upsert with its Set-shaped response carrying
+        // UpsertResult (db/src/server/handler.rs:483-512)
+        val (i, u) = engine.upsert(n, c, k, v, m, s.getOrElse(d))
+        Response.SetResult(i, u)
       case PurgeStores => Response.Count(engine.purgeStores().toLong)
       case aiCmd =>
         val aiEngine = ai.getOrElse(throw graft.types.GraftException(
@@ -171,8 +173,8 @@ object Pipeline {
           case AiDelKey(n, ks, s) =>
             Response.Count(aiEngine.delKey(n, ks, s.getOrElse(d)))
           case AiUpsert(n, k, v, c, pa, ep, s) =>
-            aiEngine.upsert(n, c, k, v, s.getOrElse(d), pa, ep)
-            Response.Ok
+            val (i, u) = aiEngine.upsert(n, c, k, v, s.getOrElse(d), pa, ep)
+            Response.SetResult(i, u)
           case AiGetPred(n, c, s) =>
             Response.Entries(aiEngine.getPred(n, c, s.getOrElse(d)))
           case AiDropPredIndex(n, ks, e, s) =>

@@ -694,12 +694,15 @@ class GraftEngine(val spark: SparkSession,
 
   /** Upsert — update exactly-one entry matched by predicate; optional new
     * key/value; merge flag; validates match-count==1 before (and, by
-    * construction, after) — store.rs:441-528. */
+    * construction, after) — store.rs:441-528. Returns (inserted, updated) =
+    * (0, 1), the reference's UpsertResult carried in its Set-shaped
+    * response (db/src/server/handler.rs:483-512, upsert.rs count
+    * assertions). */
   def upsert(name: String, cond: PredicateCondition,
       newKey: Option[Array[Float]] = None,
       newValue: Option[Map[String, MetadataValue]] = None,
       mergeMetadata: Boolean = false,
-      schema: String = DefaultSchema): Unit = {
+      schema: String = DefaultSchema): (Long, Long) = {
     // neither a new key nor a new value is a no-op request — the reference
     // rejects it (aiproxy_test.rs:3130 upsert_error_neither_input_nor_value)
     if (newKey.isEmpty && newValue.isEmpty)
@@ -739,6 +742,7 @@ class GraftEngine(val spark: SparkSession,
           col("id") === col("_nid"), "left_anti")
         .union(replacement),
       touch, lenDelta = -collided)
+    (0L, 1L)
     }
   }
 

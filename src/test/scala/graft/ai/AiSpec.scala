@@ -232,8 +232,9 @@ class AiSpec extends AnyFunSuite {
         |DELKEY ([farewell]) IN aistore""".stripMargin
     val results = graft.dsl.Pipeline.runAi(ai, script)
     assert(results.size == 7)
-    results(4) match { // AI upsert: merge + re-embed through the pipeline
-      case Right(graft.dsl.Response.Ok) => ()
+    results(4) match { // AI upsert: merge + re-embed through the pipeline;
+      // the reference answers with its Set-shaped UpsertResult (updated=1)
+      case Right(graft.dsl.Response.SetResult(0L, 1L)) => ()
       case other => fail(s"unexpected $other")
     }
     results(5) match {

@@ -75,6 +75,50 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getPred("s", Equals("only", RawString("v"))).count() == 1)
   }
 
+  test("upsert key-only: metadata preserved, old key gone (upsert.rs:16-97)") {
+    val e = fresh()
+    e.createStore("s", 3, predicates = Set("id"))
+    e.setSeq("s", Seq((Array(1f, 2f, 3f), meta("id" -> "123"))))
+    val cond = Equals("id", RawString("123"))
+    // the reference's UpsertResult: updated=1, inserted=0 on every success
+    assert(e.upsert("s", cond, newKey = Some(Array(4f, 5f, 6f))) == ((0L, 1L)))
+    assert(e.getPred("s", cond).count() == 1)
+    assert(e.getKey("s", Seq(Array(1f, 2f, 3f))).count() == 0)
+    val rows = e.getKey("s", Seq(Array(4f, 5f, 6f))).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getMap[String, org.apache.spark.sql.Row](1)("id")
+      .getString(1) == "123")
+  }
+
+  test("upsert both key and value: full replacement at the new key (upsert.rs:308-399)") {
+    val e = fresh()
+    e.createStore("s", 3, predicates = Set("id"))
+    e.setSeq("s", Seq((Array(1f, 2f, 3f), meta("id" -> "123"))))
+    assert(e.upsert("s", Equals("id", RawString("123")),
+      newKey = Some(Array(4f, 5f, 6f)),
+      newValue = Some(meta("id" -> "456"))) == ((0L, 1L)))
+    assert(e.getKey("s", Seq(Array(1f, 2f, 3f))).count() == 0)
+    val rows = e.getKey("s", Seq(Array(4f, 5f, 6f))).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getMap[String, org.apache.spark.sql.Row](1)("id")
+      .getString(1) == "456")
+    assert(e.storeLen("s") == 1)
+  }
+
+  test("upsert matching more than one entry is rejected (upsert.rs:493-562)") {
+    val e = fresh()
+    e.createStore("s", 2, predicates = Set("k"))
+    e.setSeq("s", Seq(
+      (Array(1f, 1f), meta("k" -> "dup")),
+      (Array(2f, 2f), meta("k" -> "dup"))))
+    val err = intercept[GraftException](
+      e.upsert("s", Equals("k", RawString("dup")), newValue = Some(meta("v" -> "x"))))
+    assert(err.getMessage.contains("more than one"))
+    // store untouched by the failed upsert
+    assert(e.storeLen("s") == 2)
+    assert(e.getPred("s", Equals("v", RawString("x"))).count() == 0)
+  }
+
   test("mutation keeps ANN indexes live and serving (non_linear.rs:244-251)") {
     val e = fresh()
     e.createStore("s", 4)
