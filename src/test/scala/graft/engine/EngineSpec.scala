@@ -228,6 +228,26 @@ class EngineSpec extends AnyFunSuite {
     assert(e.storeDf("empty_set").count() == 1)
   }
 
+  test("duplicate non-linear index prevention: only new kinds count (server_tests.rs:3670)") {
+    val e = fresh()
+    e.createStore("dup", 3,
+      nonLinearIndexes = Seq(NonLinearConfig.HNSWConfig()))
+    // same HNSW again → 0 created (exists, not duplicated)
+    assert(e.createNonLinearIndex("dup", Seq(NonLinearConfig.HNSWConfig())) == 0)
+    // KDTree is new → 1
+    assert(e.createNonLinearIndex("dup", Seq(NonLinearConfig.KDTreeConfig())) == 1)
+    // both exist → 0
+    assert(e.createNonLinearIndex("dup", Seq(
+      NonLinearConfig.HNSWConfig(), NonLinearConfig.KDTreeConfig())) == 0)
+    assert(e.getStore("dup").nonLinearIndexes.sorted == Seq("hnsw", "kdtree"))
+  }
+
+  test("getStore on a missing store is a not-found error (server_tests.rs:4250)") {
+    val e = fresh()
+    val err = intercept[GraftException](e.getStore("no_such_store"))
+    assert(err.getMessage.toLowerCase.contains("not found"))
+  }
+
   test("dropSchema / purgeStores / listStores") {
     val e = fresh()
     e.createStore("a", 1)
