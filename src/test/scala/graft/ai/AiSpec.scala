@@ -220,6 +220,31 @@ class AiSpec extends AnyFunSuite {
     assert(e.listStores().isEmpty)
   }
 
+  test("ai schema suite: isolation, cascade drop, public guard (aiproxy_test.rs schema tests)") {
+    val ai = fresh()
+    // same store name in two schemas: isolated stores, isolated contents
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2",
+      storeOriginal = true, schema = "t1")
+    ai.createStore("s", "all-minilm-l6-v2", "all-minilm-l6-v2",
+      storeOriginal = true, schema = "t2")
+    ai.set("s", Seq((RawString("one"): MetadataValue) -> meta("k" -> "a")),
+      schema = "t1")
+    ai.set("s", Seq(
+      (RawString("one"): MetadataValue) -> meta("k" -> "b"),
+      (RawString("two"): MetadataValue) -> meta("k" -> "c")), schema = "t2")
+    assert(ai.db.storeLen("s", "t1") == 1)
+    assert(ai.db.storeLen("s", "t2") == 2)
+    assert(ai.getKey("s", Seq(RawString("one")), schema = "t1").collect()
+      .head.getMap[String, org.apache.spark.sql.Row](1)("k").getString(1) == "a")
+    // commands address the schema they name, not public
+    intercept[GraftException](ai.getKey("s", Seq(RawString("one"))))
+    // dropSchema cascades through the proxy; public refuses
+    assert(ai.dropSchema("t1") == 1)
+    intercept[GraftException](ai.getKey("s", Seq(RawString("one")), schema = "t1"))
+    assert(ai.db.storeLen("s", "t2") == 2)
+    intercept[GraftException](ai.dropSchema("public"))
+  }
+
   test("ai DSL pipeline end-to-end (parse → embed → search)") {
     val ai = fresh()
     val script =
