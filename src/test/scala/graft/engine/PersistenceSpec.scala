@@ -400,6 +400,18 @@ class PersistenceSpec extends AnyFunSuite {
     val e2 = GraftEngine.load(spark, root)
     assert(e2.storeLen("vintage") == 1)
     assert(e2.getPred("vintage", Equals("tag", RawString("a"))).count() == 1)
+    // the migrated AI store serves through the proxy (reference analog:
+    // ai/src/tests/migration_test.rs — an old snapshot's AI stores must be
+    // usable, not just listed): model meta + reserved predicate survived,
+    // so set/getKey by raw input work immediately
+    val ai = new graft.ai.AiEngine(e2)
+    import graft.types.MetadataValue.RawString
+    ai.set("vintage_ai",
+      Seq((RawString("doc"): graft.types.MetadataValue) -> meta("topic" -> "x")))
+    val got = ai.getKey("vintage_ai", Seq(RawString("doc"))).collect()
+    assert(got.length == 1)
+    assert(got.head.getMap[String, org.apache.spark.sql.Row](1)("topic")
+      .getString(1) == "x")
     e2.purgeStores(); Persistence.deleteDir(root)
   }
 
