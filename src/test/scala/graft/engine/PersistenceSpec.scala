@@ -338,7 +338,7 @@ class PersistenceSpec extends AnyFunSuite {
         (r.getSeq[Float](r.fieldIndex("key")).head, v("n").getString(1))
       }.toMap
     (0 until 30).foreach { step =>
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // batch set from a small value domain (collisions intended)
           val batch = (0 until 1 + rnd.nextInt(6)).map { _ =>
             val v = rnd.nextInt(30).toFloat
@@ -360,6 +360,24 @@ class PersistenceSpec extends AnyFunSuite {
             Equals("n", RawString(n)))).distinct
           assert(deleted == Seq(expected.toLong), s"step $step delPred: $deleted vs $expected")
           model.filterInPlace { case (_, v) => v != n }
+        case 3 => // upsert: move the matched entry to a (possibly colliding)
+          // new vector — exercises delete+reinsert, the new-key collision
+          // squash, and exactly-one enforcement, with both engines agreeing
+          // on success result AND failure
+          val n = rnd.nextInt(5).toString
+          val newV = rnd.nextInt(30).toFloat
+          val newN = rnd.nextInt(5).toString
+          if (model.valuesIterator.count(_ == n) == 1) {
+            val res = engines.map(_.upsert("fuzz", Equals("n", RawString(n)),
+              newKey = Some(Array(newV)), newValue = Some(meta("n" -> newN)))).distinct
+            assert(res == Seq((0L, 1L)), s"step $step upsert result: $res")
+            val oldKey = model.find(_._2 == n).get._1
+            model.remove(oldKey)
+            model(newV) = newN
+          } else
+            engines.foreach(e => intercept[GraftException](
+              e.upsert("fuzz", Equals("n", RawString(n)),
+                newKey = Some(Array(newV)), newValue = Some(meta("n" -> newN)))))
       }
       engines.foreach(e => assert(e.storeLen("fuzz") == model.size,
         s"step $step len drift (persist=${e.persistRoot.isDefined})"))
