@@ -93,6 +93,11 @@ class DedupSpec extends AnyFunSuite {
     val pruned = rows(Dedup.simHashJoin(tmplDocs, "doc_id", "text", 3, 0.5,
       maxTokenDf = Some(5)))
     assert(pruned == exactTmpl, s"DF-pruned simhash $pruned != exact $exactTmpl")
+    // candidate-scoped verify arm (the sparse-corpus scale path) produces
+    // the identical pair set with identical exact values
+    val scoped = rows(Dedup.simHashJoin(tmplDocs, "doc_id", "text", 3, 0.5,
+      maxTokenDf = Some(5), verifyCandidatesOnly = true))
+    assert(scoped == pruned, s"candidate-scoped simhash $scoped != $pruned")
   }
 
   test("jaccard values are exact (not estimated) in every algorithm") {
