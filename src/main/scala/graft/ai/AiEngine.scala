@@ -262,7 +262,18 @@ class AiEngine(val db: GraftEngine) {
     val meta = aiMeta(name, schema)
     val qm = Models.details(meta.queryModel.get)
     requireKind(input, qm, "Query")
-    val q = Embedders.forModel(qm.name).embedOne(input).head
+    // a one-to-many query model must yield EXACTLY one embedding for the
+    // search input — zero is an embedding failure, several is ambiguous
+    // (which face would we search for?) — ai/src/engine/store.rs:568-578
+    // (ModelInputToEmbeddingError / MultipleEmbeddingsForQuery)
+    val q = Embedders.forModel(qm.name).embedOne(input) match {
+      case Seq(one) => one
+      case Seq()    => throw GraftException(
+        s"Query input produced no embeddings under model ${qm.name}")
+      case many     => throw GraftException(
+        s"Query input produced ${many.length} embeddings under model " +
+          s"${qm.name}; GetSimN requires exactly one")
+    }
     stripReserved(db.getSimN(name, q, closestN, algorithm, condition, schema))
   }
 

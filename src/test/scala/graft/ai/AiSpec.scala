@@ -117,6 +117,20 @@ class AiSpec extends AnyFunSuite {
       Equals("who", RawString("b")), Some(img3)))
   }
 
+  test("one-to-many query model: getSimN needs exactly one embedding (sface_yunet_test.rs:406)") {
+    val ai = fresh()
+    ai.createStore("faces", "buffalo-l", "buffalo-l", storeOriginal = true)
+    ai.set("faces", Seq((Image(Array[Byte](5, 6, 7)), meta("who" -> "b"))))
+    // 3-byte image → 1 + (3 % 3) = 1 face: a valid query
+    val ok = ai.getSimN("faces", Image(Array[Byte](9, 9, 9)), 1,
+      Algorithm.CosineSimilarity).collect()
+    assert(ok.length == 1)
+    // 4-byte image → 2 faces: ambiguous query, rejected with the count
+    val err = intercept[GraftException](ai.getSimN("faces",
+      Image(Array[Byte](1, 2, 3, 4)), 1, Algorithm.CosineSimilarity))
+    assert(err.getMessage.contains("2 embeddings"))
+  }
+
   test("getKey/delKey by raw input require STOREORIGINAL (aiproxy_test.rs:296)") {
     val ai = fresh()
     ai.createStore("noorig", "all-minilm-l6-v2", "all-minilm-l6-v2") // no original
