@@ -133,11 +133,12 @@ class AiEngine(val db: GraftEngine) {
       // store entries whose reserved input matches an incoming input are
       // deleted in the SAME swap as the set, so one-to-many re-ingestion
       // can't leave orphaned expansions behind and the store pays ONE
-      // rewrite, not two. Skipped entirely on FIRST ingest — an empty store
-      // has nothing stale, and the probe-join jobs are pure overhead then.
-      if (meta.storeOriginal && db.storeLen(name, schema) > 0)
+      // rewrite, not two. The stale ids are CONSTRUCTED BY THE ENGINE under
+      // the store lock (a frame built here could straddle a concurrent
+      // mutation's generation swap); empty stores skip the probe there too.
+      if (meta.storeOriginal)
         db.delIdsAndSet(name,
-          staleIdsByReservedInput(name, pinned.select("input"), schema),
+          storeDf => staleIdsByReservedInput(storeDf, pinned.select("input")),
           embedded, schema)
       else db.set(name, embedded, schema)
     } finally pinned.unpersist(blocking = false)
@@ -174,16 +175,16 @@ class AiEngine(val db: GraftEngine) {
         .orElse(m.executionProvider)))
 
   /** Stale ids for DelPred(ReservedKey IN batch-inputs) — the delete itself
-    * rides the engine's fused delIdsAndSet swap. The store scan is pruned by
+    * rides the engine's fused delIdsAndSet swap, which calls this UNDER the
+    * store lock with the locked generation's df. The store scan is pruned by
     * a broadcast of 8-byte `xxhash64(input)` values ONLY — never the raw
     * payloads (an image/audio batch would otherwise broadcast every payload
     * byte); the tiny hash-matched candidate set is then verified by exact
     * input equality in a shuffle join (hash collisions can't delete a wrong
-    * row). Returns a lazy id frame over the CURRENT store generation — the
-    * engine materializes it before swapping. */
-  private def staleIdsByReservedInput(name: String, inputs: DataFrame,
-      schema: String): DataFrame = {
-    val st = db.storeDf(name, schema)
+    * row). Returns a lazy id frame — the engine materializes it before
+    * swapping. */
+  private def staleIdsByReservedInput(st: DataFrame,
+      inputs: DataFrame): DataFrame = {
     val keyCol = element_at(col("value"), ReservedKey)
     // `inputs` must derive from a frame the CALLER already pinned (setDf's
     // batch cache): the hash probe and the exact verify below must see the

@@ -525,15 +525,22 @@ class GraftEngine(val spark: SparkSession,
     * in-memory stores, two full-store materializations). Counting parity
     * with the two-step path is preserved: `updated` counts batch ids found
     * in the store AFTER the stale delete, so a re-ingested input reports as
-    * inserted, exactly like the reference's pipeline. `staleIds` must be
-    * ids of current store rows (the caller derives them from a scan of this
-    * store; the shared lock keeps the generation stable). */
-  private[graft] def delIdsAndSet(name: String, staleIds: DataFrame,
+    * inserted, exactly like the reference's pipeline.
+    *
+    * `staleIdsOf` is a CONSTRUCTOR — the engine applies it to the store's
+    * current df UNDER THE STORE LOCK, so the ids it yields are rows of the
+    * generation being mutated (a frame built by the caller ahead of the
+    * lock could reference a superseded generation after a concurrent
+    * mutation: wrong deletes, drifted len). It is skipped entirely when the
+    * store is empty (nothing can be stale; the probe joins are pure
+    * overhead on first ingest) — that check also rides the lock. */
+  private[graft] def delIdsAndSet(name: String,
+      staleIdsOf: DataFrame => DataFrame,
       entries: DataFrame, schema: String = DefaultSchema): (Long, Long) =
-    setCore(name, entries, Some(staleIds), schema)
+    setCore(name, entries, Some(staleIdsOf), schema)
 
   private def setCore(name: String, entries: DataFrame,
-      staleIdsOpt: Option[DataFrame],
+      staleIdsOfOpt: Option[DataFrame => DataFrame],
       schema: String): (Long, Long) = storeLock(schema, name).synchronized {
     val st = state(schema, name)
     // stamp batch ordinal + content id ONCE and pin it, so validation and the
@@ -564,11 +571,14 @@ class GraftEngine(val spark: SparkSession,
           max_by(struct(col("key"), col("value")), col("_ord")).as("_kv"))
         .select(col("id"), col("_kv.key").as("key"), col("_kv.value").as("value"))
       val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
-      // materialized (touchAndCount below) BEFORE the swap: the stale frame's
-      // plan reads the CURRENT store generation, and swap releases it
-      val staleCached = staleIdsOpt.map(ids =>
+      // the stale-id frame is constructed HERE, under the lock, over the
+      // generation this mutation rewrites — and materialized (touchAndCount
+      // below) BEFORE the swap, because swap releases that generation
+      val staleCached = staleIdsOfOpt.filter(_ => st.len > 0).map { f =>
+        val ids = f(st.df)
         ids.select(col(ids.columns.head).as("_sid")).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       try {
         // one job each: materializes the cache AND yields (touch, count);
         // stale ids are store rows by contract, so their row count IS the
@@ -670,9 +680,6 @@ class GraftEngine(val spark: SparkSession,
     deleted
   }
 
-  /** Delete by content ids supplied as a DataFrame — the distributed arm
-    * behind the AI layer's stale-entry cleanup. Bucket-incremental like
-    * DelKey; never collects more than the distinct bucket numbers. */
   /** DelPred — delete by predicate, returns deleted count
     * (store.rs:272-286, 851-856). Finding the matches is necessarily a full
     * predicate scan; the REWRITE is still bucket-incremental — only the

@@ -234,6 +234,37 @@ class AiSpec extends AnyFunSuite {
     assert(e.listStores().isEmpty)
   }
 
+  test("concurrent re-ingests serialize: stale ids resolve under the store lock") {
+    // the stale-id frame is constructed by the engine under the store lock;
+    // two writers re-ingesting overlapping inputs must land on exactly one
+    // row per input with an exact len, regardless of interleaving
+    val ai = fresh()
+    ai.createStore("conc", "all-minilm-l6-v2", "all-minilm-l6-v2",
+      storeOriginal = true)
+    ai.set("conc", (0 until 8).map(i =>
+      (RawString(s"doc$i"): MetadataValue) -> meta("v" -> "seed")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        ai.set("conc", (0 until 8).map(i =>
+          (RawString(s"doc$i"): MetadataValue) -> meta("v" -> s"w$w")))
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(ai.db.storeLen("conc") == 8)
+    assert(ai.db.storeDf("conc").count() == 8)
+    // serialized mutations: the last writer's batch rewrote every input, so
+    // all rows carry exactly ONE writer's tag (a mixed set would mean two
+    // writers' swaps interleaved mid-batch)
+    val vs = ai.getKey("conc", (0 until 8).map(i => RawString(s"doc$i")))
+      .collect().map(_.getMap[String, org.apache.spark.sql.Row](1)("v").getString(1))
+      .toSet
+    assert(vs.size == 1 && vs.subsetOf(Set("w0", "w1", "w2", "w3")),
+      s"unexpected values $vs")
+  }
+
   test("ai schema suite: isolation, cascade drop, public guard (aiproxy_test.rs schema tests)") {
     val ai = fresh()
     // same store name in two schemas: isolated stores, isolated contents
