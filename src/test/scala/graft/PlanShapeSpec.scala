@@ -66,6 +66,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticKeepOne: corpus anti-join broadcasts the doomed set, no cartesian") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => graft.TestFixtures.vec(7L, i.toLong, 8)(j))))
+    val dups = (0 until 4).map(i => (500L + i, vecs(i)._2.map(x => x * 1.02f)))
+    val corpus = (vecs ++ dups).toDF("id", "vec")
+    val kept = graft.dedup.Dedup.semanticKeepOne(corpus, "id", "vec", 0.95)
+    val p = plan(kept)
+    assert(!p.contains("CartesianProduct"))
+    // the doomed set is bounded by the duplicate population — it must reach
+    // the corpus as a broadcast anti-join, never a corpus shuffle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$p")
+  }
+
   test("broadcast top-k join: query side broadcasts, corpus streams") {
     val vecs = (0 until 8).map(i => (i.toLong, Array(i.toFloat, 1f))).toDF("id", "vec")
     val p = plan(graft.dedup.Dedup.topKJoin(
