@@ -736,7 +736,11 @@ class GraftEngine(val spark: SparkSession,
     // delete-then-reinsert, as the reference does (store.rs:517-522)
     val replacement = entriesDf(Seq((finalKey, finalValue)))
       .withColumn("id", keyId(col("key"))).select("id", "key", "value")
-    val newId = replacement.select("id").head().getLong(0)
+    // the new content id is a constant — same keyId expression the row
+    // carries, evaluated interpretively on the driver (zero Spark jobs)
+    // instead of a head() job against the 1-row frame
+    val newId = org.apache.spark.sql.graftbridge.ColumnBridge.evalConstants(
+      spark, Seq(keyId(typedlit(finalKey.toSeq)))).head.asInstanceOf[Long]
     val touch = touchOfIds(st, Seq(oldId, newId))
     // the new key may collide with a different existing entry (last-wins);
     // the collision probe scans only the new id's bucket
