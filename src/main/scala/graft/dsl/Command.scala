@@ -105,6 +105,9 @@ object Command {
       extends Command
   final case class ExtPack(view: String, id: String, text: String,
       budget: Int, shards: Int) extends Command
+  /** Deterministic epoch shuffle (Corpus.epochShuffle). */
+  final case class ExtShuffle(view: String, id: String, epoch: Int,
+      shards: Int) extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

@@ -317,6 +317,10 @@ object DslParser extends RegexParsers {
     kw("pack") ~> fromView ~ idCol ~ textCol ~ (kw("budget") ~> nonZero) ~
       opt(kw("shards") ~> nonZero) ^^ { case v ~ i ~ t ~ b ~ sh =>
         ExtPack(v, i, t, b, sh.getOrElse(1)) }
+  private val extShuffle: Parser[Command] =
+    kw("shuffle") ~> fromView ~ idCol ~ (kw("epoch") ~> "[0-9]+".r) ~
+      (kw("shards") ~> nonZero) ^^ { case v ~ i ~ ep ~ sh =>
+        ExtShuffle(v, i, ep.toInt, sh) }
   private val extChunk: Parser[Command] =
     kw("chunk") ~> fromView ~ idCol ~ textCol ~ (kw("size") ~> nonZero) ~
       (kw("overlap") ~> "[0-9]+".r) ^^ { case v ~ i ~ t ~ sz ~ ov =>
@@ -336,7 +340,8 @@ object DslParser extends RegexParsers {
   private val extStatement: Parser[Command] =
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
     extDedupExact | extSplit |
-    extSample | extPack | extChunk | extVocab | extTextStats | extTopK
+    extSample | extPack | extShuffle | extChunk | extVocab | extTextStats |
+    extTopK
 
   // ------------------------------------------------------------ entry points
 

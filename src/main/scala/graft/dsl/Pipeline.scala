@@ -88,6 +88,8 @@ object Pipeline {
       case ExtPack(v, id, text, budget, shards) =>
         Response.Entries(graft.pipeline.Corpus.packSequences(
           t(v), id, text, budget, shards))
+      case ExtShuffle(v, id, ep, sh) =>
+        Response.Entries(graft.pipeline.Corpus.epochShuffle(t(v), id, ep, sh))
       case ExtChunk(v, id, text, size, overlap) =>
         Response.Entries(graft.pipeline.Corpus.chunkByTokens(
           t(v), id, text, size, overlap))

@@ -90,6 +90,33 @@ object Corpus {
     pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint"),
       lit(buckets.toLong))
 
+  /** Deterministic epoch shuffle — the training-run ordering op: each epoch
+    * re-orders the corpus into `shards` hash-bucketed shards with a
+    * per-shard position, all derived from (id, epoch) alone via the same
+    * md5-prefix derivation as [[idBucket]] with the epoch salted into the
+    * hash input. Reproducible across engines and runs (no RNG state, no
+    * partition-layout dependence), and every epoch yields an independent
+    * order. Output: (idCol, shard, pos), pos 1-based within shard.
+    *
+    * Scale shape: one shuffle on shard, then the order is a per-shard
+    * window — shards ≈ cluster cores at 100 TB, exactly the
+    * [[packSequences]] discipline (a single global sort would range-
+    * partition fine, but per-shard files are what a training loader
+    * consumes anyway). Hash ties break by id, so the order is total. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      shards: Int): DataFrame = {
+    require(epoch >= 0, s"invalid epoch $epoch")
+    require(shards >= 1, s"invalid shards $shards")
+    val h = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(s":$epoch"))), 1, 8), 16, 10)
+      .cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), pmod(h, lit(shards.toLong)).as("shard"), h.as("_h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Concat-then-chunk sequence assignment — the GPT-style pretraining
     * packing: documents are laid end-to-end in id order and the stream is
     * cut every `budget` tokens; each doc is assigned the training sequence

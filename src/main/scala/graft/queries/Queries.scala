@@ -1050,6 +1050,22 @@ object Queries {
         |WHERE b < (CAST(substr(source, 4) AS INT) % 5) * 25
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic epoch shuffle: (id, epoch) → (shard, pos), the
+    // training-run ordering op. One shuffle on shard + a per-shard window;
+    // md5-salted hash order is engine-reproducible, ties break by id ----
+    "pipeline_epoch_shuffle" -> Q(
+      (s, dir) => graft.pipeline.Corpus.epochShuffle(
+        TestStores.table(s, dir, "documents").select("doc_id"),
+        "doc_id", epoch = 3, shards = 8)
+        .orderBy("shard", "pos"),
+      Some("""SELECT doc_id, shard, CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id, h, h % 8 AS shard FROM (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':3')), 1, 8)) AS BIGINT) AS h
+        |  FROM documents))
+        |ORDER BY shard, pos""".stripMargin)),
+
     // ---- corpus vocabulary (wordcount + doc frequency): one shuffle on
     // token, map-side partial agg — the substrate for stopword lists and
     // every frequency-based filter ----

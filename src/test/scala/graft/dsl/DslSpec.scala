@@ -471,6 +471,8 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "DEDUP SEMANTIC FROM vecs ID vec_id VEC emb THRESHOLD 0.9") ==
       Seq(ExtDedupSemantic("vecs", "vec_id", "emb", 0.9)))
+    assert(DslParser.parseExt("SHUFFLE FROM docs ID doc_id EPOCH 0 SHARDS 8") ==
+      Seq(ExtShuffle("docs", "doc_id", 0, 8)))
     // bad statements carry spans, like the parity grammars
     val err = intercept[DslParseError](
       DslParser.parseExt("DEDUP NEAR FROM docs NO SUCH CLAUSE"))
