@@ -229,6 +229,28 @@ object Dedup {
       .groupBy("id").agg(count_distinct(col("h")).as("hits"))
   }
 
+  /** Embedding-level benchmark decontamination: per corpus row, the MAX
+    * cosine against ANY benchmark embedding — the semantic analog of
+    * [[decontaminate]] for paraphrased leakage that shares no n-gram.
+    * Returns (id, max_cos); callers drop rows with max_cos ≥ threshold.
+    *
+    * Scale shape: the benchmark rides the plan as an array-of-structs
+    * literal and the max-cosine is a codegen'd per-row HOF fold — the
+    * corpus streams through a PROJECTION: no join, no shuffle, no
+    * broadcast exchange even. Sized for real eval suites (thousands of
+    * vectors × the embedding dim must fit a plan literal — tens of MB);
+    * a million-vector benchmark wants [[topKJoin]] instead. */
+  def decontaminateByEmbedding(docs: DataFrame, idCol: String,
+      vecCol: String, benchmark: Seq[Seq[Float]]): DataFrame = {
+    require(benchmark.nonEmpty, "benchmark embedding set is empty")
+    val bench = typedlit(benchmark)
+    val maxCos = aggregate(
+      transform(bench, b =>
+        graft.functions.Similarity.cosineSimilarity(col(vecCol), b)),
+      lit(Double.MinValue), (acc, c) => greatest(acc, c))
+    docs.select(col(idCol), round(maxCos, 4).as("max_cos"))
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Deterministic hash permutations: h_i(x) = (a_i·x + b_i) mod p over the

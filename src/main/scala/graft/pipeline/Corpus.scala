@@ -90,6 +90,28 @@ object Corpus {
     pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint"),
       lit(buckets.toLong))
 
+  /** Per-group document cap — the C4/RefinedWeb "max pages per domain"
+    * balancing rule: keep at most `maxPerGroup` docs per group (source,
+    * domain, language…), chosen DETERMINISTICALLY by the md5 hash order of
+    * ids (ties by id) rather than arrival order, so the kept set is stable
+    * across runs and engines and never migrates as the corpus grows —
+    * a doc is evicted only when its group gains higher-ranked members.
+    *
+    * Scale shape: one shuffle on the group column, then a bounded
+    * per-group window; group skew (one giant domain) is exactly the skew
+    * AQE's skew-join handling and the window's rank short-circuit absorb —
+    * output per group is capped, so downstream stages see balanced data. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"invalid maxPerGroup $maxPerGroup")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxPerGroup).drop("_rk")
+  }
+
   /** Deterministic epoch shuffle — the training-run ordering op: each epoch
     * re-orders the corpus into `shards` hash-bucketed shards with a
     * per-shard position, all derived from (id, epoch) alone via the same

@@ -1066,6 +1066,21 @@ object Queries {
         |  FROM documents))
         |ORDER BY shard, pos""".stripMargin)),
 
+    // ---- per-group document cap (C4/RefinedWeb max-pages-per-domain):
+    // deterministic md5-rank keep, one shuffle on the group, bounded
+    // per-group window ----
+    "pipeline_group_cap" -> Q(
+      (s, dir) => graft.pipeline.Corpus.capPerGroup(
+        TestStores.table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", maxPerGroup = 10)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus vocabulary (wordcount + doc frequency): one shuffle on
     // token, map-side partial agg — the substrate for stopword lists and
     // every frequency-based filter ----
@@ -1346,6 +1361,23 @@ object Queries {
         |SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (
         |  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
         |ORDER BY vec_id""".stripMargin)),
+
+    // ---- embedding-level decontamination: per corpus row the MAX cosine
+    // vs a benchmark embedding set riding the plan as a literal — pure
+    // projection, no join/shuffle (the semantic analog of
+    // dedup_decontaminate for paraphrased leakage) ----
+    "embed_decontaminate" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val bench = e.where(col("vec_id") < 5).orderBy("vec_id").collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toSeq
+        graft.dedup.Dedup.decontaminateByEmbedding(e, "vec_id", "embedding", bench)
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT c.vec_id, round(MAX(${cosSql("c.embedding", "b.embedding")}), 4) AS max_cos
+        |FROM embeddings c CROSS JOIN
+        |  (SELECT embedding FROM embeddings WHERE vec_id < 5) b
+        |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin)),
 
     // ---- int8 scalar quantization of the embedding column: per-vector
     // min/max codes in FIXED-ORDER double math, so DuckDB reproduces them

@@ -164,6 +164,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out == eligible, s"got $out expected $eligible")
   }
 
+  test("decontaminateByEmbedding: max cosine vs the benchmark set, projection only") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j => graft.TestFixtures.vec(3L, i.toLong, 8)(j))))
+    val corpus = vecs.toDF("id", "vec")
+    val bench = Seq(vecs(0)._2.toSeq, vecs(1)._2.map(x => x * 2f).toSeq)
+    val out = Dedup.decontaminateByEmbedding(corpus, "id", "vec", bench)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // id 0 matches bench(0) exactly, id 1 matches its rescale: cosine 1.0
+    assert(out(0L) == 1.0 && out(1L) == 1.0)
+    // every row scored, max over the whole set
+    assert(out.size == 20 && out.values.forall(c => c <= 1.0 && c >= -1.0))
+    // driver-checkable: max over explicit pairwise cosines
+    def cos(a: Array[Float], b: Seq[Float]): Double = {
+      val va = a.map(_.toDouble); val vb = b.map(_.toDouble).toArray
+      va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    vecs.foreach { case (id, v) =>
+      val want = BigDecimal(bench.map(b => cos(v, b)).max)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(id) - want) < 1e-9, s"id $id: ${out(id)} vs $want")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateByEmbedding(corpus, "id", "vec", Seq.empty))
+  }
+
   test("semanticKeepOne keeps one representative per semantic cluster") {
     import spark.implicits._
     val base = (0 until 50).map(i =>

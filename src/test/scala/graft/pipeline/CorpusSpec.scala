@@ -146,6 +146,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(full("c") == ((1L, 1L)))
   }
 
+  test("capPerGroup: deterministic cap, growth only evicts via higher rank") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val kept = Corpus.capPerGroup(docs, "id", "src", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // cap respected per group, deterministic across runs
+    assert(kept.groupBy(_._2).forall(_._2.size == 5))
+    assert(Corpus.capPerGroup(docs, "id", "src", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted == kept.sorted)
+    // growth stability: adding docs to OTHER groups never changes a group's
+    // kept set (the rank is within-group)
+    val grown = docs.union(Seq((100L, "srcNEW"), (101L, "srcNEW")).toDF("id", "src"))
+    val keptGrown = Corpus.capPerGroup(grown, "id", "src", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(keptGrown.filter(_._2 != "srcNEW").sorted == kept.sorted)
+    assert(keptGrown.count(_._2 == "srcNEW") == 2) // below cap: all kept
+  }
+
   test("epochShuffle: deterministic per epoch, total order, epochs independent") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("id")
