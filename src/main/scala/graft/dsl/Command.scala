@@ -108,6 +108,16 @@ object Command {
   /** Deterministic epoch shuffle (Corpus.epochShuffle). */
   final case class ExtShuffle(view: String, id: String, epoch: Int,
       shards: Int) extends Command
+  /** Per-group cap (Corpus.capPerGroup). */
+  final case class ExtCap(view: String, id: String, group: String,
+      max: Int) extends Command
+  /** Line-level boilerplate removal (Dedup.removeBoilerplateLines). */
+  final case class ExtLines(view: String, id: String, text: String,
+      maxDf: Int) extends Command
+  /** N-gram benchmark decontamination (Dedup.decontaminate). */
+  final case class ExtDecon(view: String, id: String, text: String,
+      benchView: String, benchId: String, benchText: String, n: Int)
+      extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

@@ -321,6 +321,16 @@ object DslParser extends RegexParsers {
     kw("shuffle") ~> fromView ~ idCol ~ (kw("epoch") ~> "[0-9]+".r) ~
       (kw("shards") ~> nonZero) ^^ { case v ~ i ~ ep ~ sh =>
         ExtShuffle(v, i, ep.toInt, sh) }
+  private val extCap: Parser[Command] =
+    kw("cap") ~> fromView ~ idCol ~ (kw("groupby") ~> name) ~
+      (kw("max") ~> nonZero) ^^ { case v ~ i ~ g ~ m => ExtCap(v, i, g, m) }
+  private val extLines: Parser[Command] =
+    kw("lines") ~> fromView ~ idCol ~ textCol ~ (kw("maxdf") ~> nonZero) ^^ {
+      case v ~ i ~ t ~ m => ExtLines(v, i, t, m) }
+  private val extDecon: Parser[Command] =
+    kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
+      idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
+        case v ~ i ~ t ~ bv ~ bi ~ bt ~ n => ExtDecon(v, i, t, bv, bi, bt, n) }
   private val extChunk: Parser[Command] =
     kw("chunk") ~> fromView ~ idCol ~ textCol ~ (kw("size") ~> nonZero) ~
       (kw("overlap") ~> "[0-9]+".r) ^^ { case v ~ i ~ t ~ sz ~ ov =>
@@ -340,8 +350,8 @@ object DslParser extends RegexParsers {
   private val extStatement: Parser[Command] =
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
     extDedupExact | extSplit |
-    extSample | extPack | extShuffle | extChunk | extVocab | extTextStats |
-    extTopK
+    extSample | extPack | extShuffle | extCap | extLines | extDecon |
+    extChunk | extVocab | extTextStats | extTopK
 
   // ------------------------------------------------------------ entry points
 

@@ -90,6 +90,14 @@ object Pipeline {
           t(v), id, text, budget, shards))
       case ExtShuffle(v, id, ep, sh) =>
         Response.Entries(graft.pipeline.Corpus.epochShuffle(t(v), id, ep, sh))
+      case ExtCap(v, id, g, m) =>
+        Response.Entries(graft.pipeline.Corpus.capPerGroup(t(v), id, g, m))
+      case ExtLines(v, id, text, maxDf) =>
+        Response.Entries(graft.dedup.Dedup.removeBoilerplateLines(
+          t(v), id, text, maxDf))
+      case ExtDecon(v, id, text, bv, bi, bt, n) =>
+        Response.Entries(graft.dedup.Dedup.decontaminate(
+          t(v), id, text, t(bv), bi, bt, n))
       case ExtChunk(v, id, text, size, overlap) =>
         Response.Entries(graft.pipeline.Corpus.chunkByTokens(
           t(v), id, text, size, overlap))

@@ -473,6 +473,13 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtDedupSemantic("vecs", "vec_id", "emb", 0.9)))
     assert(DslParser.parseExt("SHUFFLE FROM docs ID doc_id EPOCH 0 SHARDS 8") ==
       Seq(ExtShuffle("docs", "doc_id", 0, 8)))
+    assert(DslParser.parseExt("CAP FROM docs ID doc_id GROUPBY source MAX 10") ==
+      Seq(ExtCap("docs", "doc_id", "source", 10)))
+    assert(DslParser.parseExt("LINES FROM docs ID doc_id TEXT text MAXDF 3") ==
+      Seq(ExtLines("docs", "doc_id", "text", 3)))
+    assert(DslParser.parseExt(
+      "DECON FROM docs ID doc_id TEXT text BENCH evals ID eid TEXT etext NGRAM 8") ==
+      Seq(ExtDecon("docs", "doc_id", "text", "evals", "eid", "etext", 8)))
     // bad statements carry spans, like the parity grammars
     val err = intercept[DslParseError](
       DslParser.parseExt("DEDUP NEAR FROM docs NO SUCH CLAUSE"))
@@ -511,6 +518,39 @@ class DslSpec extends AnyFunSuite {
     assert(results(3).isLeft, "missing view must be a captured error")
     assert(df(4).count() ==
       graft.pipeline.Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1).count())
+  }
+
+  test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"header line\nbody unique to doc $i\nfooter line"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("lx_docs")
+    val grouped = (0L until 30L).map(i => (i, s"g${i % 2}")).toDF("doc_id", "src")
+    grouped.createOrReplaceTempView("lx_grouped")
+    // exactly one trigram, and it occurs only in doc 7's body
+    Seq((0L, "to doc 7")).toDF("eid", "etext")
+      .createOrReplaceTempView("lx_bench")
+    val results = Pipeline.runExt(spark,
+      """SHUFFLE FROM lx_docs ID doc_id EPOCH 1 SHARDS 4;
+        |CAP FROM lx_grouped ID doc_id GROUPBY src MAX 3;
+        |LINES FROM lx_docs ID doc_id TEXT text MAXDF 5;
+        |DECON FROM lx_docs ID doc_id TEXT text BENCH lx_bench ID eid TEXT etext NGRAM 3""".stripMargin)
+    def df(i: Int) = results(i) match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"step $i: $other")
+    }
+    assert(df(0).count() == 30 &&
+      df(0).columns.toSet == Set("doc_id", "shard", "pos"))
+    assert(df(1).count() == 6) // 3 per group x 2 groups
+    // header/footer repeat in all 30 docs (df > 5) — stripped everywhere
+    val lines = df(2).collect().map(_.getString(1))
+    assert(lines.length == 30 && lines.forall(t =>
+      !t.contains("header") && !t.contains("footer") && t.contains("body")))
+    // only doc 7 shares a 3-gram with the benchmark line
+    val hits = df(3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(7L) && hits(7L) > 0)
   }
 
   test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {
