@@ -244,10 +244,13 @@ object Dedup {
       vecCol: String, benchmark: Seq[Seq[Float]]): DataFrame = {
     require(benchmark.nonEmpty, "benchmark embedding set is empty")
     val bench = typedlit(benchmark)
-    val maxCos = aggregate(
+    // array_max skips null elements and folds an all-null array to NULL, so
+    // a row with a null vector reports max_cos = NULL (SQL MAX-over-NULLs
+    // semantics) rather than a sentinel a threshold filter would mistake
+    // for a real score.
+    val maxCos = array_max(
       transform(bench, b =>
-        graft.functions.Similarity.cosineSimilarity(col(vecCol), b)),
-      lit(Double.MinValue), (acc, c) => greatest(acc, c))
+        graft.functions.Similarity.cosineSimilarity(col(vecCol), b)))
     docs.select(col(idCol), round(maxCos, 4).as("max_cos"))
   }
 

@@ -34,7 +34,15 @@ object DslParser extends RegexParsers {
   private def kw(s: String): Parser[String] = ("(?i)" + s + "(?![A-Za-z0-9])").r
 
   private val name: Parser[String] = "[A-Za-z0-9_-]+".r
-  private val nonZero: Parser[Int] = "[1-9][0-9]*".r ^^ (_.toInt)
+  // Int literals reject out-of-range values as a span-carrying DslParseError
+  // like any bad statement, never a raw NumberFormatException escaping the
+  // semantic action. `err` (not failure) so the message survives alternation
+  // instead of backtracking into the generic unexpected-statement fallback.
+  private def boundedInt(re: String): Parser[Int] = re.r >> { s =>
+    if (BigInt(s).isValidInt) success(s.toInt)
+    else err(s"integer literal out of range: $s") }
+  private val nonZero: Parser[Int] = boundedInt("[1-9][0-9]*")
+  private val nonNegInt: Parser[Int] = boundedInt("[0-9]+")
   private val f32: Parser[Float] = """[0-9]+(\.[0-9]+)?""".r ^^ (_.toFloat)
 
   private val f32Array: Parser[Array[Float]] =
@@ -318,9 +326,9 @@ object DslParser extends RegexParsers {
       opt(kw("shards") ~> nonZero) ^^ { case v ~ i ~ t ~ b ~ sh =>
         ExtPack(v, i, t, b, sh.getOrElse(1)) }
   private val extShuffle: Parser[Command] =
-    kw("shuffle") ~> fromView ~ idCol ~ (kw("epoch") ~> "[0-9]+".r) ~
+    kw("shuffle") ~> fromView ~ idCol ~ (kw("epoch") ~> nonNegInt) ~
       (kw("shards") ~> nonZero) ^^ { case v ~ i ~ ep ~ sh =>
-        ExtShuffle(v, i, ep.toInt, sh) }
+        ExtShuffle(v, i, ep, sh) }
   private val extCap: Parser[Command] =
     kw("cap") ~> fromView ~ idCol ~ (kw("groupby") ~> name) ~
       (kw("max") ~> nonZero) ^^ { case v ~ i ~ g ~ m => ExtCap(v, i, g, m) }
@@ -333,8 +341,8 @@ object DslParser extends RegexParsers {
         case v ~ i ~ t ~ bv ~ bi ~ bt ~ n => ExtDecon(v, i, t, bv, bi, bt, n) }
   private val extChunk: Parser[Command] =
     kw("chunk") ~> fromView ~ idCol ~ textCol ~ (kw("size") ~> nonZero) ~
-      (kw("overlap") ~> "[0-9]+".r) ^^ { case v ~ i ~ t ~ sz ~ ov =>
-        ExtChunk(v, i, t, sz, ov.toInt) }
+      (kw("overlap") ~> nonNegInt) ^^ { case v ~ i ~ t ~ sz ~ ov =>
+        ExtChunk(v, i, t, sz, ov) }
   private val extVocab: Parser[Command] =
     kw("vocab") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtVocab(v, i, t) }
@@ -388,6 +396,13 @@ object DslParser extends RegexParsers {
             if (input.charAt(pos) == ';') pos += 1
             else fail(tail) // statement followed by trailing garbage
           }
+        // a committed Error (err(...), e.g. an out-of-range int literal)
+        // carries a diagnostic better than the generic fallback — surface
+        // it with the same statement span
+        case Error(msg, _) =>
+          val semi = input.indexOf(';', pos)
+          val end = if (semi < 0) input.length else semi
+          throw DslParseError(msg, pos, end)
         case _ => fail(pos)
       }
     }

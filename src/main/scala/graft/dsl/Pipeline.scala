@@ -48,8 +48,9 @@ object Pipeline {
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
   /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
-    * VOCAB/TEXTSTATS/TOPK over registered tables — the SURVEY §2.7
-    * operators scriptable without Scala. Same per-statement error capture. */
+    * VOCAB/TEXTSTATS/TOPK/SHUFFLE/CAP/LINES/DECON over registered tables —
+    * the SURVEY §2.7 operators scriptable without Scala. Same per-statement
+    * error capture. */
   def runExt(spark: org.apache.spark.sql.SparkSession,
       script: String): Seq[StepResult] =
     DslParser.parseExt(script).map { cmd =>

@@ -83,12 +83,18 @@ object Corpus {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
 
+  /** First-8-hex-of-md5 → base-10 bigint: THE cross-engine reproducibility
+    * primitive every deterministic op in this file derives from. The exact
+    * derivation (`conv(substring(md5(x),1,8),16,10)::bigint`) is pinned by
+    * every oracle SQL — change it here or nowhere. */
+  private def md5Prefix(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+
   /** Stable id → [0, buckets) assignment from the same md5 prefix as
     * [[splitBucket]] (which is `idBucket(id, 100)`): engine-reproducible,
     * shuffle-free, and independent of corpus contents. */
   def idBucket(id: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint"),
-      lit(buckets.toLong))
+    pmod(md5Prefix(id.cast("string")), lit(buckets.toLong))
 
   /** Per-group document cap — the C4/RefinedWeb "max pages per domain"
     * balancing rule: keep at most `maxPerGroup` docs per group (source,
@@ -104,8 +110,7 @@ object Corpus {
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup >= 1, s"invalid maxPerGroup $maxPerGroup")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("bigint")
+    val h = md5Prefix(col(idCol).cast("string"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.withColumn("_rk", row_number().over(w))
@@ -129,9 +134,7 @@ object Corpus {
       shards: Int): DataFrame = {
     require(epoch >= 0, s"invalid epoch $epoch")
     require(shards >= 1, s"invalid shards $shards")
-    val h = conv(substring(md5(
-      concat(col(idCol).cast("string"), lit(s":$epoch"))), 1, 8), 16, 10)
-      .cast("bigint")
+    val h = md5Prefix(concat(col(idCol).cast("string"), lit(s":$epoch")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("_h"), col(idCol))
     df.select(col(idCol), pmod(h, lit(shards.toLong)).as("shard"), h.as("_h"))

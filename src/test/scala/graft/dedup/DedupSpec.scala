@@ -191,6 +191,22 @@ class DedupSpec extends AnyFunSuite {
       Dedup.decontaminateByEmbedding(corpus, "id", "vec", Seq.empty))
   }
 
+  test("decontaminateByEmbedding: null vector scores NULL, not a sentinel") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Some(Seq(1f, 0f, 0f, 0f))),
+      (1L, Option.empty[Seq[Float]])).toDF("id", "vec")
+    val out = Dedup.decontaminateByEmbedding(
+        corpus, "id", "vec", Seq(Seq(1f, 0f, 0f, 0f)))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(0L).contains(1.0))
+    // MAX over all-NULL cosines is NULL (SQL semantics) — a threshold
+    // filter must not see Double.MinValue here and silently keep the row
+    assert(out(1L).isEmpty, s"null vector must score NULL, got ${out(1L)}")
+  }
+
   test("semanticKeepOne keeps one representative per semantic cluster") {
     import spark.implicits._
     val base = (0 until 50).map(i =>

@@ -488,6 +488,18 @@ class DslSpec extends AnyFunSuite {
     intercept[DslParseError](DslParser.parseDb("SCAN /tmp/x AS docs"))
   }
 
+  test("over-Int int literals are span-carrying parse errors, not raw NumberFormatException") {
+    // EPOCH takes a non-negative int; 11 digits overflows Int and must fail
+    // INSIDE the grammar's error contract (DslParseError), never escape the
+    // semantic action as java.lang.NumberFormatException
+    val e = intercept[DslParseError](DslParser.parseExt(
+      "SHUFFLE FROM docs ID doc_id EPOCH 99999999999 SHARDS 8"))
+    assert(e.message.contains("out of range"), e.message)
+    val e2 = intercept[DslParseError](DslParser.parseExt(
+      "CHUNK FROM docs ID doc_id TEXT text SIZE 4294967296 OVERLAP 0"))
+    assert(e2.message.contains("out of range"), e2.message)
+  }
+
   test("extension pipeline executes against registered views (API parity)") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._
