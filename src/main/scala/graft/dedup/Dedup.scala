@@ -631,6 +631,73 @@ object Dedup {
       .select(col("id").as(idCol), col("cleaned"))
   }
 
+  // ------------------------------------------------ substring-level dedup
+
+  /** Exact substring (span-level) dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * preprocessing step, re-expressed relationally: any run of `n`
+    * consecutive whitespace tokens occurring at least `minOcc` times
+    * ACROSS THE CORPUS (within-document repeats count) is a duplicated
+    * span; the first occurrence in (id, position) order survives, every
+    * other occurrence's `n` tokens are cut, and each document is
+    * reassembled from its surviving tokens in original order. Catches
+    * copy-paste passages document-level dedup misses (the rest of the doc
+    * differs) and [[removeBoilerplateLines]] misses (no line structure).
+    * Documents whose every token is cut disappear from the output (same
+    * contract as the line op); documents shorter than `n` tokens pass
+    * through whole.
+    *
+    * Scale shape: the position table is one narrow (id, pos, 8-byte gram
+    * hash) row per token — the same O(corpus tokens) class as the Jaccard
+    * shingle table; the occurrence census is a hash-groupBy to (count,
+    * first-occurrence) per gram whose map-side partial aggregation
+    * absorbs boilerplate skew (no per-gram window, so a million-occurrence
+    * gram never pins a partition); occurrences that survive the census
+    * join with a different (id, pos) than the minimum form the marked
+    * set, bounded by the duplicate population, never the corpus. The
+    * span → token explosion multiplies only marked rows by `n`, and the
+    * final anti-join + reassembly groupBy on id is the one corpus-wide
+    * shuffle. Gram identity is the 64-bit xxhash64: at trillion-gram
+    * scale birthday collisions cut a false span per ~billions of tokens —
+    * acceptable for a lossy cleaning op (a keeper occurrence always
+    * survives; nothing is lost corpus-wide). */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOcc: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val toks = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("tk"))
+    // 1-based start positions; a gram is the space-join of tokens
+    // [i, i+n) — tokens carry no whitespace, so the join is injective
+    val grams = toks.where(size(col("tk")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i, lit(n))))))
+        .as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("h"))
+    // census: occurrence count + lexicographic-min (id, pos) per gram
+    val dup = grams.groupBy("h").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .where(col("cnt") >= minOcc)
+      .select("h", "first")
+    // non-first occurrences cut their n token positions
+    val cut = grams.join(dup, "h")
+      .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
+      .distinct()
+    val tokRows = toks
+      .select(col("id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("j"), col("tok"))
+    tokRows.join(cut, Seq("id", "j"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned"))
+      .select(col("id").as(idCol), col("cleaned"))
+  }
+
   /** Brute-force top-k similarity JOIN: every query row × corpus, scored,
     * per-query bounded top-k via window rank. Broadcast the (small) query
     * side; the corpus streams — the baseline batch k-NN join

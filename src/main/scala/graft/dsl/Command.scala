@@ -118,6 +118,9 @@ object Command {
   final case class ExtDecon(view: String, id: String, text: String,
       benchView: String, benchId: String, benchText: String, n: Int)
       extends Command
+  /** Substring-level dedup (Dedup.removeRepeatedSpans). */
+  final case class ExtSpans(view: String, id: String, text: String,
+      n: Int) extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

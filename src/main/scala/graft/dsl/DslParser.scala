@@ -335,6 +335,9 @@ object DslParser extends RegexParsers {
   private val extLines: Parser[Command] =
     kw("lines") ~> fromView ~ idCol ~ textCol ~ (kw("maxdf") ~> nonZero) ^^ {
       case v ~ i ~ t ~ m => ExtLines(v, i, t, m) }
+  private val extSpans: Parser[Command] =
+    kw("spans") ~> fromView ~ idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
+      case v ~ i ~ t ~ n => ExtSpans(v, i, t, n) }
   private val extDecon: Parser[Command] =
     kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
       idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
@@ -358,8 +361,8 @@ object DslParser extends RegexParsers {
   private val extStatement: Parser[Command] =
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
     extDedupExact | extSplit |
-    extSample | extPack | extShuffle | extCap | extLines | extDecon |
-    extChunk | extVocab | extTextStats | extTopK
+    extSample | extPack | extShuffle | extCap | extLines | extSpans |
+    extDecon | extChunk | extVocab | extTextStats | extTopK
 
   // ------------------------------------------------------------ entry points
 

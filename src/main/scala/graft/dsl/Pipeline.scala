@@ -48,9 +48,9 @@ object Pipeline {
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
   /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
-    * VOCAB/TEXTSTATS/TOPK/SHUFFLE/CAP/LINES/DECON over registered tables —
-    * the SURVEY §2.7 operators scriptable without Scala. Same per-statement
-    * error capture. */
+    * VOCAB/TEXTSTATS/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON over registered
+    * tables — the SURVEY §2.7 operators scriptable without Scala. Same
+    * per-statement error capture. */
   def runExt(spark: org.apache.spark.sql.SparkSession,
       script: String): Seq[StepResult] =
     DslParser.parseExt(script).map { cmd =>
@@ -99,6 +99,9 @@ object Pipeline {
       case ExtDecon(v, id, text, bv, bi, bt, n) =>
         Response.Entries(graft.dedup.Dedup.decontaminate(
           t(v), id, text, t(bv), bi, bt, n))
+      case ExtSpans(v, id, text, n) =>
+        Response.Entries(graft.dedup.Dedup.removeRepeatedSpans(
+          t(v), id, text, n))
       case ExtChunk(v, id, text, size, overlap) =>
         Response.Entries(graft.pipeline.Corpus.chunkByTokens(
           t(v), id, text, size, overlap))

@@ -1256,6 +1256,39 @@ object Queries {
         |FROM ex ANTI JOIN hot USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- substring-level dedup (Lee et al. 2022): every non-first
+    // occurrence of a duplicated 8-token run is cut and the doc
+    // reassembled; the template corpus carries natural repeats (~5% of
+    // gram occurrences are non-first duplicates), so no fixture
+    // injection is needed. Oracle mirrors the census/keeper/cut/anti-join
+    // pipeline on raw gram STRINGS (the engine shuffles 64-bit hashes —
+    // collision-free at this scale). ----
+    "dedup_spans" -> Q(
+      (s, dir) => graft.dedup.Dedup.removeRepeatedSpans(
+        TestStores.table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", n = 8).orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(tk) - 8 + 2)) AS r(i)
+        |  WHERE len(tk) >= 8),
+        |dup AS (
+        |  SELECT g, min(struct_pack(id := doc_id, p := pos)) AS first
+        |  FROM grams GROUP BY g HAVING count(*) >= 2),
+        |cut AS (
+        |  SELECT DISTINCT gr.doc_id, j
+        |  FROM grams gr JOIN dup USING (g),
+        |    UNNEST(range(gr.pos, gr.pos + 8)) AS t(j)
+        |  WHERE gr.doc_id <> dup.first.id OR gr.pos <> dup.first.p),
+        |tokrows AS (
+        |  SELECT doc_id, i AS j, tk[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i))
+        |SELECT t.doc_id, array_to_string(list(t.tok ORDER BY t.j), ' ') AS cleaned
+        |FROM tokrows t ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.j = c.j
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // ---- near-dup clusters: MinHash-LSH pairs (the 100 TB candidate
     // path) → distributed connected components (min-label + pointer
     // jumping) → (id, component-min). Corpus augmented with re-id'd copies

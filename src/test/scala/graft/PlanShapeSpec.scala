@@ -53,6 +53,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("removeRepeatedSpans: hash-keyed census joins, no cartesian product") {
+    val df = graft.dedup.Dedup.removeRepeatedSpans(docs, "doc_id", "text", 8)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // the gram census and the cut join both key on the 64-bit hash —
+    // the gram STRING never rides a shuffle
+    assert(p.contains("xxhash64"))
+  }
+
   test("near-dup joins never plan a cartesian product") {
     Seq(
       graft.dedup.Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5),

@@ -207,6 +207,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L).isEmpty, s"null vector must score NULL, got ${out(1L)}")
   }
 
+  test("removeRepeatedSpans cuts non-first occurrences of duplicated n-token runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t"),          // holds the FIRST "p q r" → untouched
+      (2L, "m n p q r z"),        // "p q r" at pos 3 → tokens 3-5 cut
+      (3L, "p q r"),              // entire doc is a later occurrence → vanishes
+      (4L, "u v w u v w"),        // within-doc repeat: second "u v w" cut
+      (5L, "a b")                 // shorter than n → passes through whole
+    ).toDF("id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(
+      1L -> "p q r s t",
+      2L -> "m n z",
+      4L -> "u v w",
+      5L -> "a b"), s"got $out")
+    // doc 3 lost every token → absent (documented contract)
+    assert(!out.contains(3L))
+    intercept[IllegalArgumentException](
+      Dedup.removeRepeatedSpans(docs, "id", "text", n = 1))
+    intercept[IllegalArgumentException](
+      Dedup.removeRepeatedSpans(docs, "id", "text", n = 3, minOcc = 1))
+  }
+
   test("semanticKeepOne keeps one representative per semantic cluster") {
     import spark.implicits._
     val base = (0 until 50).map(i =>
