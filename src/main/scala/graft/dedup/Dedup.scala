@@ -682,11 +682,12 @@ object Dedup {
       .where(col("cnt") >= minOcc)
       .select("h", "first")
     // non-first occurrences cut their n token positions
+    // overlapping spans duplicate (id, j) rows — left_anti is insensitive
+    // to right-side duplicates, so no distinct (one shuffle saved)
     val cut = grams.join(dup, "h")
       .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
-      .distinct()
     val tokRows = toks
       .select(col("id"), posexplode(col("tk")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).as("j"), col("tok"))

@@ -121,6 +121,9 @@ object Command {
   /** Substring-level dedup (Dedup.removeRepeatedSpans). */
   final case class ExtSpans(view: String, id: String, text: String,
       n: Int) extends Command
+  /** Corpus-trained bigram perplexity scoring (LangModel.bigramPerplexity). */
+  final case class ExtPpl(view: String, id: String, text: String)
+      extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

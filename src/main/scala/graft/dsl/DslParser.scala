@@ -338,6 +338,9 @@ object DslParser extends RegexParsers {
   private val extSpans: Parser[Command] =
     kw("spans") ~> fromView ~ idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
       case v ~ i ~ t ~ n => ExtSpans(v, i, t, n) }
+  private val extPpl: Parser[Command] =
+    kw("ppl") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtPpl(v, i, t) }
   private val extDecon: Parser[Command] =
     kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
       idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
@@ -362,7 +365,7 @@ object DslParser extends RegexParsers {
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
-    extDecon | extChunk | extVocab | extTextStats | extTopK
+    extDecon | extChunk | extVocab | extTextStats | extPpl | extTopK
 
   // ------------------------------------------------------------ entry points
 

@@ -48,7 +48,7 @@ object Pipeline {
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
   /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
-    * VOCAB/TEXTSTATS/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON over registered
+    * VOCAB/TEXTSTATS/PPL/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON over registered
     * tables — the SURVEY §2.7 operators scriptable without Scala. Same
     * per-statement error capture. */
   def runExt(spark: org.apache.spark.sql.SparkSession,
@@ -102,6 +102,8 @@ object Pipeline {
       case ExtSpans(v, id, text, n) =>
         Response.Entries(graft.dedup.Dedup.removeRepeatedSpans(
           t(v), id, text, n))
+      case ExtPpl(v, id, text) =>
+        Response.Entries(graft.text.LangModel.bigramPerplexity(t(v), id, text))
       case ExtChunk(v, id, text, size, overlap) =>
         Response.Entries(graft.pipeline.Corpus.chunkByTokens(
           t(v), id, text, size, overlap))

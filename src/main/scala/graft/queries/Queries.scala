@@ -969,6 +969,31 @@ object Queries {
         |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- CCNet-style perplexity filter: add-1-smoothed bigram model
+    // trained on the corpus itself, every doc scored by exp(mean -ln P).
+    // Engine groups/joins on 64-bit token hashes; the oracle recomputes
+    // the identical model on raw token strings (collision-free here) ----
+    "text_perplexity" -> Q(
+      (s, dir) => graft.text.LangModel.bigramPerplexity(
+        TestStores.table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS V
+        |  FROM (SELECT unnest(tk) AS tok FROM toks)),
+        |nll AS (
+        |  SELECT bg.doc_id, -ln((bc.c2 + 1.0) / (uc.c1 + 1.0 * v.V)) AS nll
+        |  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- text analysis: PII redaction + per-kind audit counts. The corpus
     // carries no natural PII, so the query injects a deterministic, doc_id-
     // varying payload (0-3 emails, one IP, one phone) on BOTH sides and

@@ -565,21 +565,31 @@ class DslSpec extends AnyFunSuite {
     assert(hits.keySet == Set(7L) && hits(7L) > 0)
   }
 
-  test("extension pipeline: SPANS parses and executes (API parity)") {
+  test("extension pipeline: SPANS and PPL parse and execute (API parity)") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._
     assert(DslParser.parseExt("SPANS FROM docs ID doc_id TEXT text NGRAM 8") ==
       Seq(ExtSpans("docs", "doc_id", "text", 8)))
+    assert(DslParser.parseExt("PPL FROM docs ID doc_id TEXT text") ==
+      Seq(ExtPpl("docs", "doc_id", "text")))
     Seq((1L, "p q r s t"), (2L, "m n p q r z"))
       .toDF("doc_id", "text").createOrReplaceTempView("sp_docs")
-    val out = Pipeline.runExt(spark,
-      "SPANS FROM sp_docs ID doc_id TEXT text NGRAM 3").head match {
+    val results = Pipeline.runExt(spark,
+      """SPANS FROM sp_docs ID doc_id TEXT text NGRAM 3;
+        |PPL FROM sp_docs ID doc_id TEXT text""".stripMargin)
+    val out = results(0) match {
       case Right(Response.Entries(d)) =>
         d.collect().map(r => (r.getLong(0), r.getString(1))).toMap
       case other => fail(s"$other")
     }
     // doc 1 holds the first "p q r"; doc 2's occurrence is cut
     assert(out == Map(1L -> "p q r s t", 2L -> "m n z"), s"got $out")
+    val ppl = results(1) match {
+      case Right(Response.Entries(d)) =>
+        d.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      case other => fail(s"$other")
+    }
+    assert(ppl.keySet == Set(1L, 2L) && ppl.values.forall(_ > 0))
   }
 
   test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {

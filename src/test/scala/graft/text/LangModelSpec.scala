@@ -1,0 +1,41 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LangModelSpec extends AnyFunSuite {
+  private val spark = graft.TestFixtures.spark
+  import spark.implicits._
+
+  test("bigramPerplexity: hand-computed add-1 model on a 3-doc corpus") {
+    // corpus bigrams: doc1 "x y x y" → (x,y),(y,x),(x,y); doc2 "x z" → (x,z)
+    // counts: c(x,y)=2 c(y,x)=1 c(x,z)=1; contexts: c(x·)=3 c(y·)=1
+    // V = |{x,y,z,solo}| = 4 (doc3 contributes vocabulary, no bigrams)
+    // P(y|x)=(2+1)/(3+4)=3/7  P(x|y)=(1+1)/(1+4)=2/5  P(z|x)=(1+1)/(3+4)=2/7
+    // doc1 ppl = ((7/3)^2 * 5/2)^(1/3) = 2.3876...; doc2 ppl = 7/2 = 3.5
+    val docs = Seq(
+      (1L, "x y x y"),
+      (2L, "x z"),
+      (3L, "solo")).toDF("id", "text")
+    val out = LangModel.bigramPerplexity(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 2.3876, 2L -> 3.5), s"got $out")
+    // fewer than two tokens → no bigrams → absent (documented contract)
+    assert(!out.contains(3L))
+    intercept[IllegalArgumentException](
+      LangModel.bigramPerplexity(docs, "id", "text", k = 0.0))
+  }
+
+  test("bigramPerplexity separates natural text from shuffled-token noise") {
+    // a corpus dominated by one repeated sentence gives LOW perplexity to
+    // conforming docs and HIGH perplexity to a doc of rare transitions
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val docs = ((0L until 20L).map(i => (i, sent)) :+
+      (99L, "dog brown lazy the fox quick jumps dog over")).toDF("id", "text")
+    val out = LangModel.bigramPerplexity(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val conforming = out(0L)
+    assert((0L until 20L).forall(i => out(i) == conforming))
+    assert(out(99L) > 2 * conforming,
+      s"noise doc ${out(99L)} should be far above conforming $conforming")
+  }
+}
