@@ -124,6 +124,9 @@ object Command {
   /** Corpus-trained bigram perplexity scoring (LangModel.bigramPerplexity). */
   final case class ExtPpl(view: String, id: String, text: String)
       extends Command
+  /** Gopher quality-rule flags (TextOps.gopherFlags). */
+  final case class ExtGopher(view: String, id: String, text: String)
+      extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

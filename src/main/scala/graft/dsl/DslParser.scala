@@ -341,6 +341,9 @@ object DslParser extends RegexParsers {
   private val extPpl: Parser[Command] =
     kw("ppl") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtPpl(v, i, t) }
+  private val extGopher: Parser[Command] =
+    kw("gopher") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtGopher(v, i, t) }
   private val extDecon: Parser[Command] =
     kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
       idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
@@ -365,7 +368,8 @@ object DslParser extends RegexParsers {
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
-    extDecon | extChunk | extVocab | extTextStats | extPpl | extTopK
+    extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
+    extTopK
 
   // ------------------------------------------------------------ entry points
 

@@ -48,9 +48,9 @@ object Pipeline {
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
   /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
-    * VOCAB/TEXTSTATS/PPL/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON over registered
-    * tables — the SURVEY §2.7 operators scriptable without Scala. Same
-    * per-statement error capture. */
+    * VOCAB/TEXTSTATS/PPL/GOPHER/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON over
+    * registered tables — the SURVEY §2.7 operators scriptable without
+    * Scala. Same per-statement error capture. */
   def runExt(spark: org.apache.spark.sql.SparkSession,
       script: String): Seq[StepResult] =
     DslParser.parseExt(script).map { cmd =>
@@ -104,6 +104,13 @@ object Pipeline {
           t(v), id, text, n))
       case ExtPpl(v, id, text) =>
         Response.Entries(graft.text.LangModel.bigramPerplexity(t(v), id, text))
+      case ExtGopher(v, id, text) =>
+        import org.apache.spark.sql.functions.col
+        Response.Entries(t(v).select(col(id),
+          graft.text.TextOps.gopherFlags(col(text)).as("g"))
+          .select(col(id), col("g.ok_words"), col("g.ok_mean_len"),
+            col("g.ok_symbol"), col("g.ok_alpha"), col("g.ok_stop"),
+            col("g.pass")))
       case ExtChunk(v, id, text, size, overlap) =>
         Response.Entries(graft.pipeline.Corpus.chunkByTokens(
           t(v), id, text, size, overlap))

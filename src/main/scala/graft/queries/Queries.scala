@@ -969,6 +969,56 @@ object Queries {
         |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher quality-rule bundle: the published boolean filters, one
+    // flag each + the conjunction. The synthetic corpus is stopword-poor
+    // and symbol-free, so (PII-query idiom) deterministic payloads are
+    // injected on BOTH sides to make every rule split the corpus ----
+    "text_gopher" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(" of and that"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit(" #" * 14))
+              .otherwise(lit(""))).as("t"))
+        aug.select(col("doc_id"),
+            graft.text.TextOps.gopherFlags(col("t")).as("g"))
+          .select(col("doc_id"), col("g.ok_words"), col("g.ok_mean_len"),
+            col("g.ok_symbol"), col("g.ok_alpha"), col("g.ok_stop"),
+            col("g.pass"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0 THEN ' of and that' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN repeat(' #', 14) ELSE '' END) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, t, string_split_regex(trim(t), '\s+') AS tk FROM aug),
+        |lowered AS (SELECT *, list_transform(tk, x -> lower(x)) AS lw FROM toks),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(tk) BETWEEN 50 AND 100000 AS ok_words,
+        |    (CAST(len(regexp_replace(trim(t), '\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(len(tk), 1)) BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+        |    CAST(len(list_filter(tk, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS DOUBLE)
+        |      / greatest(len(tk), 1) <= 0.1 AS ok_symbol,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(tk), 1) >= 0.8 AS ok_alpha,
+        |    (CAST(list_contains(lw, 'the') AS INT)
+        |     + CAST(list_contains(lw, 'be') AS INT)
+        |     + CAST(list_contains(lw, 'to') AS INT)
+        |     + CAST(list_contains(lw, 'of') AS INT)
+        |     + CAST(list_contains(lw, 'and') AS INT)
+        |     + CAST(list_contains(lw, 'that') AS INT)
+        |     + CAST(list_contains(lw, 'have') AS INT)
+        |     + CAST(list_contains(lw, 'with') AS INT)) >= 2 AS ok_stop
+        |  FROM lowered)
+        |SELECT doc_id, ok_words, ok_mean_len, ok_symbol, ok_alpha, ok_stop,
+        |  ok_words AND ok_mean_len AND ok_symbol AND ok_alpha AND ok_stop AS pass
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     // ---- CCNet-style perplexity filter: add-1-smoothed bigram model
     // trained on the corpus itself, every doc scored by exp(mean -ln P).
     // Engine groups/joins on 64-bit token hashes; the oracle recomputes

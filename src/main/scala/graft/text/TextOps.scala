@@ -121,6 +121,46 @@ object TextOps {
           size(array_distinct(g)).cast("double") / size(g).cast("double")), 4)
     }
 
+  /** Gopher quality-rule bundle (Rae et al. 2021, MassiveText §A.1.1) —
+    * the published boolean document filters, each surfaced as a flag plus
+    * their conjunction:
+    *
+    *  - `ok_words`:    50 ≤ word count ≤ 100 000
+    *  - `ok_mean_len`: 3 ≤ mean word length ≤ 10
+    *  - `ok_symbol`:   ≤ 10% of words contain `#` or `...`
+    *  - `ok_alpha`:    ≥ 80% of words contain an alphabetic character
+    *  - `ok_stop`:     ≥ 2 distinct common English stopwords present
+    *
+    * Shuffle-free per-row projection (the line-based bullet/ellipsis rules
+    * are omitted: the corpus documents are single-line; [[repetitionRatio]]
+    * carries the separate repetition rule). Token array and lowered copy
+    * are let-bound so each is computed once per row. */
+  def gopherFlags(text: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    bind(tokens(text)) { tks =>
+      bind(greatest(size(tks), lit(1)).cast("double")) { nw =>
+        val okWords = size(tks).between(50, 100000)
+        val okMeanLen = meanTokenLen(text).between(3.0, 10.0)
+        val okSymbol = (size(filter(tks, t =>
+          t.contains("#") || t.contains("..."))).cast("double") / nw) <= 0.1
+        val okAlpha = (size(filter(tks, t =>
+          t.rlike("[A-Za-z]"))).cast("double") / nw) >= 0.8
+        val okStop = bind(transform(tks, t => lower(t))) { lw =>
+          GopherStopwords.map(s =>
+            when(array_contains(lw, s), 1).otherwise(0)).reduce(_ + _) >= 2
+        }
+        struct(okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+          okSymbol.as("ok_symbol"), okAlpha.as("ok_alpha"),
+          okStop.as("ok_stop"),
+          (okWords && okMeanLen && okSymbol && okAlpha && okStop).as("pass"))
+      }
+    }
+  }
+
+  /** The Gopher rule's stopword list (Rae et al. 2021 §A.1.1, verbatim). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   // ----------------------------------------------------------- fingerprints
 
   /** Polynomial rolling hash over codepoints, mod 1e9+7, init 7 — a

@@ -572,6 +572,8 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtSpans("docs", "doc_id", "text", 8)))
     assert(DslParser.parseExt("PPL FROM docs ID doc_id TEXT text") ==
       Seq(ExtPpl("docs", "doc_id", "text")))
+    assert(DslParser.parseExt("GOPHER FROM docs ID doc_id TEXT text") ==
+      Seq(ExtGopher("docs", "doc_id", "text")))
     Seq((1L, "p q r s t"), (2L, "m n p q r z"))
       .toDF("doc_id", "text").createOrReplaceTempView("sp_docs")
     val results = Pipeline.runExt(spark,
@@ -590,6 +592,14 @@ class DslSpec extends AnyFunSuite {
       case other => fail(s"$other")
     }
     assert(ppl.keySet == Set(1L, 2L) && ppl.values.forall(_ > 0))
+    val gopher = Pipeline.runExt(spark,
+      "GOPHER FROM sp_docs ID doc_id TEXT text").head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"$other")
+    }
+    assert(gopher.columns.toSeq == Seq("doc_id", "ok_words", "ok_mean_len",
+      "ok_symbol", "ok_alpha", "ok_stop", "pass"))
+    assert(gopher.count() == 2)
   }
 
   test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {

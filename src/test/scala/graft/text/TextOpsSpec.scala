@@ -98,4 +98,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(prose > junk)
     assert(prose >= 0.0 && prose <= 1.0 && junk >= 0.0)
   }
+
+  test("gopher rule flags: each rule trips on its own violation") {
+    def flags(text: String): Map[String, Boolean] = {
+      val r = Seq(text).toDF("t")
+        .select(TextOps.gopherFlags(col("t")).as("g")).select("g.*").head
+      r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.getBoolean(i) }.toMap
+    }
+    // 60 normal words incl. two stopwords → every rule passes
+    val good = ("the word " + Seq.tabulate(57)(i => s"word$i").mkString(" ")) + " of"
+    assert(flags(good)("pass"), s"good doc failed: ${flags(good)}")
+    // too short
+    assert(!flags("the word of list")("ok_words"))
+    // symbol-heavy: >10% of words carry # or ...
+    val symbolic = good + " " + Seq.fill(10)("#").mkString(" ")
+    assert(!flags(symbolic)("ok_symbol"))
+    // numeric soup: <80% of words contain a letter
+    val numeric = ("the of " + Seq.fill(58)("12345").mkString(" "))
+    assert(!flags(numeric)("ok_alpha"))
+    // only one distinct stopword
+    val oneStop = "the word " + Seq.tabulate(58)(i => s"word$i").mkString(" ")
+    assert(!flags(oneStop)("ok_stop"))
+    // 1-char words pull mean length under 3
+    val short = "the of " + Seq.fill(58)("a b").mkString(" ")
+    assert(!flags(short)("ok_mean_len"))
+  }
 }
