@@ -969,6 +969,44 @@ object Queries {
         |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- cross-domain perplexity (the actual CCNet shape): train the
+    // bigram LM on the English subcorpus only, score EVERY doc against
+    // it — unseen bigrams/contexts coalesce to count 0 and add-1 prices
+    // them at 1/(c1+V), so non-English docs surface with high ppl ----
+    "text_perplexity_xlang" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        val model = graft.text.LangModel.train(
+          docs.where(col("lang") === "en"), "doc_id", "text")
+        graft.text.LangModel.score(model, docs.select("doc_id", "text"),
+          "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH ttoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |tbg AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM ttoks, UNNEST(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS V
+        |  FROM (SELECT unnest(tk) AS tok FROM ttoks)),
+        |stoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sbg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM stoks, UNNEST(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |nll AS (
+        |  SELECT sbg.doc_id,
+        |    -ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(uc.c1, 0) + 1.0 * v.V)) AS nll
+        |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+        |    CROSS JOIN v)
+        |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Gopher quality-rule bundle: the published boolean filters, one
     // flag each + the conjunction. The synthetic corpus is stopword-poor
     // and symbol-free, so (PII-query idiom) deterministic payloads are

@@ -25,6 +25,25 @@ class LangModelSpec extends AnyFunSuite {
       LangModel.bigramPerplexity(docs, "id", "text", k = 0.0))
   }
 
+  test("train/score: out-of-domain bigrams price at k/(kV), self-score matches") {
+    // model trained on "x y x y": V = {x,y} = 2
+    // scoring "q r": bigram and context both unseen → P = 1/(0 + 1·2) = 1/2
+    // → ppl = 2.0 = V (the canonical unseen-text ceiling for add-1)
+    val ref = Seq((1L, "x y x y")).toDF("id", "text")
+    val model = LangModel.train(ref, "id", "text")
+    val out = LangModel.score(model, Seq((9L, "q r")).toDF("id", "text"),
+        "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(9L -> 2.0), s"got $out")
+    // self-scoring through train+score equals the one-corpus formulation
+    val docs = Seq((1L, "x y x y"), (2L, "x z")).toDF("id", "text")
+    val self = LangModel.score(LangModel.train(docs, "id", "text"), docs,
+      "id", "text").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val one = LangModel.bigramPerplexity(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(self == one, s"$self vs $one")
+  }
+
   test("bigramPerplexity separates natural text from shuffled-token noise") {
     // a corpus dominated by one repeated sentence gives LOW perplexity to
     // conforming docs and HIGH perplexity to a doc of rare transitions
