@@ -127,6 +127,10 @@ object Command {
   /** Gopher quality-rule flags (TextOps.gopherFlags). */
   final case class ExtGopher(view: String, id: String, text: String)
       extends Command
+  /** BM25 lexical top-k retrieval (Bm25.bm25TopK). */
+  final case class ExtBm25(k: Int, queriesView: String, qId: String,
+      qText: String, corpusView: String, cId: String, cText: String)
+      extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

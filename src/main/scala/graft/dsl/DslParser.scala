@@ -344,6 +344,11 @@ object DslParser extends RegexParsers {
   private val extGopher: Parser[Command] =
     kw("gopher") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtGopher(v, i, t) }
+  private val extBm25: Parser[Command] =
+    kw("bm25") ~> nonZero ~ fromView ~ idCol ~ textCol ~
+      (inKw ~> name) ~ idCol ~ textCol ^^ {
+        case k ~ qv ~ qi ~ qt ~ cv ~ ci ~ ct =>
+          ExtBm25(k, qv, qi, qt, cv, ci, ct) }
   private val extDecon: Parser[Command] =
     kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
       idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
@@ -369,7 +374,7 @@ object DslParser extends RegexParsers {
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extTopK
+    extBm25 | extTopK
 
   // ------------------------------------------------------------ entry points
 

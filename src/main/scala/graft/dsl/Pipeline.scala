@@ -48,8 +48,8 @@ object Pipeline {
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
   /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
-    * VOCAB/TEXTSTATS/PPL/GOPHER/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON over
-    * registered tables — the SURVEY §2.7 operators scriptable without
+    * VOCAB/TEXTSTATS/PPL/GOPHER/BM25/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON
+    * over registered tables — the SURVEY §2.7 operators scriptable without
     * Scala. Same per-statement error capture. */
   def runExt(spark: org.apache.spark.sql.SparkSession,
       script: String): Seq[StepResult] =
@@ -104,6 +104,9 @@ object Pipeline {
           t(v), id, text, n))
       case ExtPpl(v, id, text) =>
         Response.Entries(graft.text.LangModel.bigramPerplexity(t(v), id, text))
+      case ExtBm25(k, qv, qi, qt2, cv, ci, ct) =>
+        Response.Entries(graft.text.Bm25.bm25TopK(
+          t(cv), ci, ct, t(qv), qi, qt2, k))
       case ExtGopher(v, id, text) =>
         import org.apache.spark.sql.functions.col
         Response.Entries(t(v).select(col(id),

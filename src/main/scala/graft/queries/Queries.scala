@@ -969,6 +969,50 @@ object Queries {
         |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- BM25 lexical retrieval: literal query set over the corpus
+    // vocabulary, top-5 per query. Rank is computed ON the 4-place-rounded
+    // score (ties by doc id) in BOTH engines, so float summation order
+    // can never flip the cutoff ----
+    "text_bm25" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (1L, "fast table scan merge join"),
+          (2L, "spark stream window batch dup"),
+          (3L, "vector hash order sort key")).toDF("qid", "qtext")
+        graft.text.Bm25.bm25TopK(
+          TestStores.table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", queries, "qid", "qtext", k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q(qid, qtext) AS (VALUES
+        |  (1, 'fast table scan merge join'),
+        |  (2, 'spark stream window batch dup'),
+        |  (3, 'vector hash order sort key')),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id AS did, len(tk) AS dl, tok, count(*) AS tf
+        |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY doc_id, len(tk), tok),
+        |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        |stats AS (SELECT count(*) AS N, avg(len(tk)) AS avgdl FROM toks),
+        |qt AS (SELECT DISTINCT qid, tok
+        |  FROM q, UNNEST(string_split_regex(trim(qtext), '\s+')) AS u(tok)),
+        |scored AS (
+        |  SELECT qt.qid, dt.did,
+        |    round(sum(ln(1 + (s.N - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      dt.tf * 2.2 / (dt.tf + 1.2 * (0.25 + 0.75 * dt.dl / s.avgdl))), 4)
+        |      AS score
+        |  FROM qt JOIN dt USING (tok) JOIN dfs USING (tok) CROSS JOIN stats s
+        |  GROUP BY qt.qid, dt.did)
+        |SELECT CAST(qid AS BIGINT) AS qid, did, score,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, did ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // ---- cross-domain perplexity (the actual CCNet shape): train the
     // bigram LM on the English subcorpus only, score EVERY doc against
     // it — unseen bigrams/contexts coalesce to count 0 and add-1 prices

@@ -53,6 +53,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bm25: query-term set broadcasts; no cartesian product") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val qs = Seq((1L, "alpha beta")).toDF("qid", "qtext")
+    val p = plan(graft.text.Bm25.bm25TopK(
+      docs, "doc_id", "text", qs, "qid", "qtext", 5))
+    assert(!p.contains("CartesianProduct"))
+    // postings are FILTERED by the broadcast query-term set — the corpus
+    // postings never shuffle to meet the queries
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("removeRepeatedSpans: hash-keyed census joins, no cartesian product") {
     val df = graft.dedup.Dedup.removeRepeatedSpans(docs, "doc_id", "text", 8)
     val p = plan(df)

@@ -574,6 +574,9 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtPpl("docs", "doc_id", "text")))
     assert(DslParser.parseExt("GOPHER FROM docs ID doc_id TEXT text") ==
       Seq(ExtGopher("docs", "doc_id", "text")))
+    assert(DslParser.parseExt(
+      "BM25 5 FROM qs ID qid TEXT qtext IN docs ID doc_id TEXT text") ==
+      Seq(ExtBm25(5, "qs", "qid", "qtext", "docs", "doc_id", "text")))
     Seq((1L, "p q r s t"), (2L, "m n p q r z"))
       .toDF("doc_id", "text").createOrReplaceTempView("sp_docs")
     val results = Pipeline.runExt(spark,
@@ -600,6 +603,16 @@ class DslSpec extends AnyFunSuite {
     assert(gopher.columns.toSeq == Seq("doc_id", "ok_words", "ok_mean_len",
       "ok_symbol", "ok_alpha", "ok_stop", "pass"))
     assert(gopher.count() == 2)
+    Seq((7L, "p q")).toDF("qid", "qtext").createOrReplaceTempView("sp_qs")
+    val bm = Pipeline.runExt(spark,
+      "BM25 2 FROM sp_qs ID qid TEXT qtext IN sp_docs ID doc_id TEXT text")
+      .head match {
+      case Right(Response.Entries(d)) =>
+        d.collect().map(r => (r.getLong(3), r.getLong(1))).toMap
+      case other => fail(s"$other")
+    }
+    // both docs match "p q"; the shorter doc (1) outranks the longer (2)
+    assert(bm == Map(1L -> 1L, 2L -> 2L), s"got $bm")
   }
 
   test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {
