@@ -1051,6 +1051,68 @@ object Queries {
         |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- the same cross-domain scoring as a STREAM: documents replayed
+    // through a MemoryStream in two halves, scored per micro-batch against
+    // the batch-trained EN model (stream-static enrichment, zero streaming
+    // state — a doc is one row, so batching can't change its score). The
+    // oracle is text_perplexity_xlang's SQL verbatim ----
+    "docs_ppl_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = TestStores.table(s, dir, "documents")
+        val model = graft.text.LangModel.train(
+          docs.where(col("lang") === "en"), "doc_id", "text")
+        val rows = docs.select(col("doc_id").cast("long"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val src = mem.toDF()
+          .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val q = try graft.streaming.StreamingIngest.scoreStreamPerplexity(
+          src, model, "doc_id", "text") { scored =>
+            val batch = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+            buf.synchronized { buf ++= batch; () }
+          }
+        finally s.conf.set(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        try {
+          val (a, b) = rows.splitAt(rows.size / 2)
+          mem.addData(a: _*); q.processAllAvailable()
+          mem.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        buf.toSeq.toDF("doc_id", "ppl").orderBy("doc_id")
+      },
+      Some("""WITH ttoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |tbg AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM ttoks, UNNEST(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS V
+        |  FROM (SELECT unnest(tk) AS tok FROM ttoks)),
+        |stoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sbg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM stoks, UNNEST(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |nll AS (
+        |  SELECT sbg.doc_id,
+        |    -ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(uc.c1, 0) + 1.0 * v.V)) AS nll
+        |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+        |    CROSS JOIN v)
+        |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Gopher quality-rule bundle: the published boolean filters, one
     // flag each + the conjunction. The synthetic corpus is stopword-poor
     // and symbol-free, so (PII-query idiom) deterministic payloads are

@@ -36,6 +36,27 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream-side perplexity scoring: each micro-batch of documents is
+    * scored against a BATCH-trained bigram model — the CCNet production
+    * shape (the reference LM is static, the crawl is the stream). Pure
+    * stream-static enrichment through foreachBatch: a document is one
+    * row, so scoring needs no cross-batch state and no watermark, and the
+    * result is independent of how the stream is batched (pinned against
+    * the batch scorer in StreamingSpec). `sink` receives each scored
+    * micro-batch. */
+  def scoreStreamPerplexity(docs: DataFrame,
+      model: graft.text.LangModel.BigramModel, idCol: String,
+      textCol: String, checkpointDir: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.text.LangModel.score(model, batch, idCol, textCol))
+      }
+      .start()
+  }
+
   /** Event-time tumbling-window aggregation per event type; identical
     * semantics in batch and streaming (pass a watermark for streams so
     * state is dropped once the window closes). Money-style sums go through

@@ -214,4 +214,29 @@ class StreamingSpec extends AnyFunSuite {
         (2L, 0L, "short doc")))
     } finally q.stop()
   }
+
+  test("scoreStreamPerplexity matches the batch scorer regardless of batching") {
+    val ref = Seq((100L, "x y x y z"), (101L, "x z y x")).toDF("id", "text")
+    val model = graft.text.LangModel.train(ref, "id", "text")
+    val docs = Seq((1L, "x y z"), (2L, "q r s"), (3L, "y x"))
+    val batchScores = graft.text.LangModel.score(
+        model, docs.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().withColumnRenamed("_1", "id")
+      .withColumnRenamed("_2", "text")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = graft.streaming.StreamingIngest.scoreStreamPerplexity(
+      src, model, "id", "text") { scored =>
+      val rows = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      buf.synchronized { buf ++= rows; () }
+    }
+    try {
+      // two micro-batches that split the doc set — per-doc scores cannot
+      // depend on the batch boundary (a doc is one row)
+      mem.addData(docs.take(2): _*); q.processAllAvailable()
+      mem.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toMap == batchScores, s"${buf.toMap} vs $batchScores")
+  }
 }
