@@ -638,8 +638,10 @@ object Dedup {
     * preprocessing step, re-expressed relationally: any run of `n`
     * consecutive whitespace tokens occurring at least `minOcc` times
     * ACROSS THE CORPUS (within-document repeats count) is a duplicated
-    * span; the first occurrence in (id, position) order survives, every
-    * other occurrence's `n` tokens are cut, and each document is
+    * span; the first occurrence in (id, position) order survives — its
+    * `n` positions are protected even when a later occurrence's span
+    * overlaps them (periodic text like "a a a a") — every other
+    * occurrence's unprotected tokens are cut, and each document is
     * reassembled from its surviving tokens in original order. Catches
     * copy-paste passages document-level dedup misses (the rest of the doc
     * differs) and [[removeBoilerplateLines]] misses (no line structure).
@@ -681,13 +683,22 @@ object Dedup {
         min(struct(col("id"), col("pos"))).as("first"))
       .where(col("cnt") >= minOcc)
       .select("h", "first")
-    // non-first occurrences cut their n token positions
-    // overlapping spans duplicate (id, j) rows — left_anti is insensitive
-    // to right-side duplicates, so no distinct (one shuffle saved)
-    val cut = grams.join(dup, "h")
-      .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+    val occ = grams.join(dup, "h")
+    val isFirst =
+      col("id") === col("first.id") && col("pos") === col("first.pos")
+    // keeper spans are PROTECTED: with self-overlapping repeats
+    // ("a a a a", n=2) the non-first occurrences' spans cover part of the
+    // first occurrence too — subtracting the keeper positions is what
+    // makes "exactly one copy survives" hold instead of erasing them all
+    val keep = occ.where(isFirst).select(col("id"),
+      explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
+    // non-first occurrences cut their n token positions (minus protected
+    // ones) — overlapping spans duplicate (id, j) rows on both sides, and
+    // left_anti is insensitive to duplicates, so no distincts needed
+    val cut = occ.where(!isFirst)
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
+      .join(keep, Seq("id", "j"), "left_anti")
     val tokRows = toks
       .select(col("id"), posexplode(col("tk")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).as("j"), col("tok"))

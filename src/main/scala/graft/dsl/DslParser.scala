@@ -335,8 +335,12 @@ object DslParser extends RegexParsers {
   private val extLines: Parser[Command] =
     kw("lines") ~> fromView ~ idCol ~ textCol ~ (kw("maxdf") ~> nonZero) ^^ {
       case v ~ i ~ t ~ m => ExtLines(v, i, t, m) }
+  // SPANS' NGRAM must be >= 2 (a 1-token "span" is exact token dedup) —
+  // enforced in the grammar so the violation is a span-carrying parse
+  // error, not a runtime require() escaping the statement loop
   private val extSpans: Parser[Command] =
-    kw("spans") ~> fromView ~ idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
+    kw("spans") ~> fromView ~ idCol ~ textCol ~ (kw("ngram") ~> (nonZero >>
+      (n => if (n >= 2) success(n) else err(s"NGRAM must be >= 2, got $n")))) ^^ {
       case v ~ i ~ t ~ n => ExtSpans(v, i, t, n) }
   private val extPpl: Parser[Command] =
     kw("ppl") ~> fromView ~ idCol ~ textCol ^^ {

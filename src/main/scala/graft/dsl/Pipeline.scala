@@ -108,12 +108,10 @@ object Pipeline {
         Response.Entries(graft.text.Bm25.bm25TopK(
           t(cv), ci, ct, t(qv), qi, qt2, k))
       case ExtGopher(v, id, text) =>
-        import org.apache.spark.sql.functions.col
+        // g.* expansion: the flag list lives only in TextOps.gopherFlags
         Response.Entries(t(v).select(col(id),
           graft.text.TextOps.gopherFlags(col(text)).as("g"))
-          .select(col(id), col("g.ok_words"), col("g.ok_mean_len"),
-            col("g.ok_symbol"), col("g.ok_alpha"), col("g.ok_stop"),
-            col("g.pass")))
+          .select(col(id), col("g.*")))
       case ExtChunk(v, id, text, size, overlap) =>
         Response.Entries(graft.pipeline.Corpus.chunkByTokens(
           t(v), id, text, size, overlap))

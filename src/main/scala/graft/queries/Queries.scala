@@ -99,6 +99,37 @@ object Queries {
 
   // ----------------------------------------------------------- the queries
 
+  /** Cross-lingual perplexity oracle (train bigram LM on the English
+    * subcorpus, add-1, score every doc) — shared by the batch entry
+    * (text_perplexity_xlang) and the streaming replay (docs_ppl_stream),
+    * which must gate the SAME scoring semantics by construction. */
+  private val xlangPplOracle: String =
+    """WITH ttoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE lang = 'en'),
+      |tbg AS (
+      |  SELECT tk[i] AS w1, tk[i+1] AS w2
+      |  FROM ttoks, UNNEST(range(1, len(tk))) AS r(i)
+      |  WHERE len(tk) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+      |uc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT tok) AS V
+      |  FROM (SELECT unnest(tk) AS tok FROM ttoks)),
+      |stoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |sbg AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM stoks, UNNEST(range(1, len(tk))) AS r(i)
+      |  WHERE len(tk) >= 2),
+      |nll AS (
+      |  SELECT sbg.doc_id,
+      |    -ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(uc.c1, 0) + 1.0 * v.V)) AS nll
+      |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+      |    CROSS JOIN v)
+      |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
+      |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, Q] = Map(
 
     // ---- relational headline (extension surface; lineitem agg) ----
@@ -1025,31 +1056,7 @@ object Queries {
         graft.text.LangModel.score(model, docs.select("doc_id", "text"),
           "doc_id", "text").orderBy("doc_id")
       },
-      Some("""WITH ttoks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents WHERE lang = 'en'),
-        |tbg AS (
-        |  SELECT tk[i] AS w1, tk[i+1] AS w2
-        |  FROM ttoks, UNNEST(range(1, len(tk))) AS r(i)
-        |  WHERE len(tk) >= 2),
-        |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
-        |uc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
-        |v AS (SELECT count(DISTINCT tok) AS V
-        |  FROM (SELECT unnest(tk) AS tok FROM ttoks)),
-        |stoks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents),
-        |sbg AS (
-        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-        |  FROM stoks, UNNEST(range(1, len(tk))) AS r(i)
-        |  WHERE len(tk) >= 2),
-        |nll AS (
-        |  SELECT sbg.doc_id,
-        |    -ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(uc.c1, 0) + 1.0 * v.V)) AS nll
-        |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
-        |    CROSS JOIN v)
-        |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
-        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(xlangPplOracle)),
 
     // ---- the same cross-domain scoring as a STREAM: documents replayed
     // through a MemoryStream in two halves, scored per micro-batch against
@@ -1084,34 +1091,10 @@ object Queries {
           val (a, b) = rows.splitAt(rows.size / 2)
           mem.addData(a: _*); q.processAllAvailable()
           mem.addData(b: _*); q.processAllAvailable()
-        } finally q.stop()
+        } finally { q.stop(); model.unpersist() }
         buf.toSeq.toDF("doc_id", "ppl").orderBy("doc_id")
       },
-      Some("""WITH ttoks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents WHERE lang = 'en'),
-        |tbg AS (
-        |  SELECT tk[i] AS w1, tk[i+1] AS w2
-        |  FROM ttoks, UNNEST(range(1, len(tk))) AS r(i)
-        |  WHERE len(tk) >= 2),
-        |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
-        |uc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
-        |v AS (SELECT count(DISTINCT tok) AS V
-        |  FROM (SELECT unnest(tk) AS tok FROM ttoks)),
-        |stoks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents),
-        |sbg AS (
-        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-        |  FROM stoks, UNNEST(range(1, len(tk))) AS r(i)
-        |  WHERE len(tk) >= 2),
-        |nll AS (
-        |  SELECT sbg.doc_id,
-        |    -ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(uc.c1, 0) + 1.0 * v.V)) AS nll
-        |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
-        |    CROSS JOIN v)
-        |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
-        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(xlangPplOracle)),
 
     // ---- Gopher quality-rule bundle: the published boolean filters, one
     // flag each + the conjunction. The synthetic corpus is stopword-poor
@@ -1127,9 +1110,7 @@ object Queries {
               .otherwise(lit(""))).as("t"))
         aug.select(col("doc_id"),
             graft.text.TextOps.gopherFlags(col("t")).as("g"))
-          .select(col("doc_id"), col("g.ok_words"), col("g.ok_mean_len"),
-            col("g.ok_symbol"), col("g.ok_alpha"), col("g.ok_stop"),
-            col("g.pass"))
+          .select(col("doc_id"), col("g.*"))
           .orderBy("doc_id")
       },
       Some("""WITH aug AS (
@@ -1496,11 +1477,18 @@ object Queries {
         |dup AS (
         |  SELECT g, min(struct_pack(id := doc_id, p := pos)) AS first
         |  FROM grams GROUP BY g HAVING count(*) >= 2),
+        |keep AS (
+        |  SELECT DISTINCT gr.doc_id, j
+        |  FROM grams gr JOIN dup USING (g),
+        |    UNNEST(range(gr.pos, gr.pos + 8)) AS t(j)
+        |  WHERE gr.doc_id = dup.first.id AND gr.pos = dup.first.p),
         |cut AS (
         |  SELECT DISTINCT gr.doc_id, j
         |  FROM grams gr JOIN dup USING (g),
         |    UNNEST(range(gr.pos, gr.pos + 8)) AS t(j)
-        |  WHERE gr.doc_id <> dup.first.id OR gr.pos <> dup.first.p),
+        |  WHERE (gr.doc_id <> dup.first.id OR gr.pos <> dup.first.p)
+        |  AND NOT EXISTS (SELECT 1 FROM keep k
+        |    WHERE k.doc_id = gr.doc_id AND k.j = t.j)),
         |tokrows AS (
         |  SELECT doc_id, i AS j, tk[i] AS tok
         |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i))

@@ -43,11 +43,15 @@ object StreamingIngest {
     * row, so scoring needs no cross-batch state and no watermark, and the
     * result is independent of how the stream is batched (pinned against
     * the batch scorer in StreamingSpec). `sink` receives each scored
-    * micro-batch. */
+    * micro-batch. The model's count plans are persisted here so each
+    * batch reuses the trained aggregations instead of re-running them
+    * over the reference corpus; call `model.unpersist()` once the query
+    * stops. */
   def scoreStreamPerplexity(docs: DataFrame,
       model: graft.text.LangModel.BigramModel, idCol: String,
       textCol: String, checkpointDir: Option[String] = None)(
       sink: DataFrame => Unit): StreamingQuery = {
+    model.persist()
     val w = docs.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: DataFrame, _: Long) =>

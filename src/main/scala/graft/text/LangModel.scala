@@ -20,7 +20,19 @@ object LangModel {
     * lazily into every scoring query, and Spark caches/reuses the
     * aggregation across scores if the caller persists them. */
   final case class BigramModel(bigramCounts: DataFrame,
-      contextCounts: DataFrame, vocab: DataFrame, k: Double)
+      contextCounts: DataFrame, vocab: DataFrame, k: Double) {
+    /** Cache the three count plans — REQUIRED before scoring repeatedly
+      * (a streaming query scores every micro-batch: without this each
+      * batch re-runs the full training aggregation over the reference
+      * corpus). Lazy like any persist: materialized by the first score. */
+    def persist(): this.type = {
+      bigramCounts.persist(); contextCounts.persist(); vocab.persist(); this
+    }
+    def unpersist(): Unit = {
+      bigramCounts.unpersist(false); contextCounts.unpersist(false)
+      vocab.unpersist(false); ()
+    }
+  }
 
   /** (id, context-hash, bigram-hash) per adjacent token pair; xxhash64
     * over two columns chains per-value seeds, so ("ab","c") and ("a","bc")

@@ -140,7 +140,9 @@ object TextOps {
     bind(tokens(text)) { tks =>
       bind(greatest(size(tks), lit(1)).cast("double")) { nw =>
         val okWords = size(tks).between(50, 100000)
-        val okMeanLen = meanTokenLen(text).between(3.0, 10.0)
+        // meanTokenLen(text) would re-tokenize; reuse the bound count
+        val okMeanLen = (length(regexp_replace(trim(text), "\\s+", ""))
+          .cast("double") / nw).between(3.0, 10.0)
         val okSymbol = (size(filter(tks, t =>
           t.contains("#") || t.contains("..."))).cast("double") / nw) <= 0.1
         val okAlpha = (size(filter(tks, t =>

@@ -214,7 +214,9 @@ class DedupSpec extends AnyFunSuite {
       (2L, "m n p q r z"),        // "p q r" at pos 3 → tokens 3-5 cut
       (3L, "p q r"),              // entire doc is a later occurrence → vanishes
       (4L, "u v w u v w"),        // within-doc repeat: second "u v w" cut
-      (5L, "a b")                 // shorter than n → passes through whole
+      (5L, "a b"),                // shorter than n → passes through whole
+      (6L, "c c c c c")           // self-overlapping periodic repeat:
+                                  // keeper span {1,2,3} protected, rest cut
     ).toDF("id", "text")
     val out = Dedup.removeRepeatedSpans(docs, "id", "text", n = 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
@@ -222,7 +224,8 @@ class DedupSpec extends AnyFunSuite {
       1L -> "p q r s t",
       2L -> "m n z",
       4L -> "u v w",
-      5L -> "a b"), s"got $out")
+      5L -> "a b",
+      6L -> "c c c"), s"got $out")
     // doc 3 lost every token → absent (documented contract)
     assert(!out.contains(3L))
     intercept[IllegalArgumentException](

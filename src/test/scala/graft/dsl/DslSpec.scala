@@ -498,6 +498,11 @@ class DslSpec extends AnyFunSuite {
     val e2 = intercept[DslParseError](DslParser.parseExt(
       "CHUNK FROM docs ID doc_id TEXT text SIZE 4294967296 OVERLAP 0"))
     assert(e2.message.contains("out of range"), e2.message)
+    // SPANS' semantic lower bound is a grammar error too, not a runtime
+    // require() turning into a spanless step error
+    val e3 = intercept[DslParseError](DslParser.parseExt(
+      "SPANS FROM docs ID doc_id TEXT text NGRAM 1"))
+    assert(e3.message.contains("NGRAM must be >= 2"), e3.message)
   }
 
   test("extension pipeline executes against registered views (API parity)") {

@@ -236,7 +236,7 @@ class StreamingSpec extends AnyFunSuite {
       // depend on the batch boundary (a doc is one row)
       mem.addData(docs.take(2): _*); q.processAllAvailable()
       mem.addData(docs.drop(2): _*); q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); model.unpersist() }
     assert(buf.toMap == batchScores, s"${buf.toMap} vs $batchScores")
   }
 }
