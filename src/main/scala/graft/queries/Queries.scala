@@ -1058,6 +1058,74 @@ object Queries {
       },
       Some(xlangPplOracle)),
 
+    // ---- hybrid retrieval: query-by-document over BOTH surfaces —
+    // BM25 top-10 on the text, cosine top-10 on the aligned embedding
+    // (vec_id = doc_id by construction) — fused by reciprocal-rank.
+    // Fusion ranks on the 6-place-rounded rrf (ties by doc id), so the
+    // cutoff is engine-reproducible ----
+    "hybrid_retrieval" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+          .select("doc_id", "text")
+        val emb = TestStores.table(s, dir, "embeddings")
+        val qids = Seq(0L, 7L, 13L)
+        val tq = docs.where(col("doc_id").isin(qids: _*))
+          .select(col("doc_id").as("qid"), col("text").as("qtext"))
+        val bm = graft.text.Bm25.bm25TopK(
+          docs, "doc_id", "text", tq, "qid", "qtext", 10)
+        val vs = graft.dedup.Dedup.topKJoin(
+          emb.where(col("vec_id").isin(qids: _*)), emb,
+          "vec_id", "embedding", "vec_id", "embedding", 10)
+          .select(col("qid"), col("cid").as("did"), col("rank"))
+        graft.text.Hybrid.rrfFuse(
+          bm.select("qid", "did", "rank"), vs, k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT doc_id AS qid, text AS qtext FROM documents
+        |  WHERE doc_id IN (0, 7, 13)),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id AS did, len(tk) AS dl, tok, count(*) AS tf
+        |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY doc_id, len(tk), tok),
+        |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        |stats AS (SELECT count(*) AS N, avg(len(tk)) AS avgdl FROM toks),
+        |qt AS (SELECT DISTINCT qid, tok
+        |  FROM q, UNNEST(string_split_regex(trim(qtext), '\\s+')) AS u(tok)),
+        |bmscored AS (
+        |  SELECT qt.qid, dt.did,
+        |    round(sum(ln(1 + (s.N - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      dt.tf * 2.2 / (dt.tf + 1.2 * (0.25 + 0.75 * dt.dl / s.avgdl))), 4)
+        |      AS score
+        |  FROM qt JOIN dt USING (tok) JOIN dfs USING (tok) CROSS JOIN stats s
+        |  GROUP BY qt.qid, dt.did),
+        |bm AS (
+        |  SELECT qid, did, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, did ASC) AS rank
+        |    FROM bmscored) WHERE rank <= 10),
+        |vs AS (
+        |  SELECT qid, did, rank FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS did,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM embeddings q, embeddings c WHERE q.vec_id IN (0, 7, 13))
+        |  WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(bm.qid, vs.qid) AS qid,
+        |    coalesce(bm.did, vs.did) AS did,
+        |    round(coalesce(1.0/(60 + bm.rank), 0) +
+        |      coalesce(1.0/(60 + vs.rank), 0), 6) AS rrf
+        |  FROM bm FULL OUTER JOIN vs ON bm.qid = vs.qid AND bm.did = vs.did)
+        |SELECT qid, did, rrf, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, did ASC) AS rank
+        |  FROM fused)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // ---- the same cross-domain scoring as a STREAM: documents replayed
     // through a MemoryStream in two halves, scored per micro-batch against
     // the batch-trained EN model (stream-static enrichment, zero streaming
