@@ -683,22 +683,22 @@ object Dedup {
         min(struct(col("id"), col("pos"))).as("first"))
       .where(col("cnt") >= minOcc)
       .select("h", "first")
-    val occ = grams.join(dup, "h")
-    val isFirst =
-      col("id") === col("first.id") && col("pos") === col("first.pos")
     // keeper spans are PROTECTED: with self-overlapping repeats
     // ("a a a a", n=2) the non-first occurrences' spans cover part of the
-    // first occurrence too — subtracting the keeper positions is what
-    // makes "exactly one copy survives" hold instead of erasing them all
-    val keep = occ.where(isFirst).select(col("id"),
-      explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
-    // non-first occurrences cut their n token positions (minus protected
-    // ones) — overlapping spans duplicate (id, j) rows on both sides, and
-    // left_anti is insensitive to duplicates, so no distincts needed
-    val cut = occ.where(!isFirst)
-      .select(col("id"),
+    // first occurrence too — a position is cut iff SOME duplicated-gram
+    // occurrence covers it and NO first occurrence does, which is one
+    // groupBy over the exploded spans (max(isFirst) per position) instead
+    // of a two-sided anti-join. The exploded table is bounded by
+    // (duplicate occurrences + one keeper per dup gram) × n, never the
+    // corpus; this is what makes "exactly one copy survives" hold instead
+    // of erasing every copy of a periodic repeat.
+    val isFirst =
+      col("id") === col("first.id") && col("pos") === col("first.pos")
+    val cut = grams.join(dup, "h")
+      .select(col("id"), isFirst.as("f"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
-      .join(keep, Seq("id", "j"), "left_anti")
+      .groupBy("id", "j").agg(max(col("f")).as("anyFirst"))
+      .where(!col("anyFirst")).select("id", "j")
     val tokRows = toks
       .select(col("id"), posexplode(col("tk")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).as("j"), col("tok"))
