@@ -67,4 +67,52 @@ class DedupPropertySpec extends AnyFunSuite {
       docs.unpersist()
     }
   }
+
+  /** Driver-side reference of [[Dedup.removeRepeatedSpans]]: brute-force
+    * gram census, cut = (positions covered by a non-first occurrence) −
+    * (positions covered by ANY first occurrence) — the exact engine
+    * contract, computed with plain collections. */
+  private def referenceSpans(docs: Seq[(Long, String)], n: Int,
+      minOcc: Int): Map[Long, String] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val occ = for {
+      (id, tk) <- toks if tk.size >= n
+      i <- 1 to (tk.size - n + 1)
+    } yield (tk.slice(i - 1, i - 1 + n).mkString(" "), id, i)
+    val cut = scala.collection.mutable.Set[(Long, Int)]()
+    val firstCovered = scala.collection.mutable.Set[(Long, Int)]()
+    occ.groupBy(_._1).values.filter(_.size >= minOcc).foreach { os =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      val (_, fid, fpos) = sorted.head
+      (fpos until fpos + n).foreach(j => firstCovered += ((fid, j)))
+      sorted.tail.foreach { case (_, id, p) =>
+        (p until p + n).foreach(j => cut += ((id, j))) }
+    }
+    val reallyCut = cut -- firstCovered
+    toks.flatMap { case (id, tk) =>
+      val kept = tk.zipWithIndex.collect {
+        case (t, i0) if !reallyCut((id, i0 + 1)) => t }
+      if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+    }.toMap
+  }
+
+  test("removeRepeatedSpans matches the driver-side reference on random corpora") {
+    import spark.implicits._
+    Seq(7L, 2024L).foreach { seed =>
+      // the copy/variant corpus guarantees long duplicated passages, plus
+      // a periodic doc to stress self-overlapping spans
+      val base = corpus(seed, 30) :+ (99999L, Seq.fill(9)("per").mkString(" "))
+      val want = referenceSpans(base, n = 5, minOcc = 2)
+      val got = Dedup.removeRepeatedSpans(
+          base.toDF("doc_id", "text"), "doc_id", "text", n = 5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == want, {
+        val diff = (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+        s"seed $seed: ${diff.size} docs diverge, e.g. ${diff.take(3).map(k =>
+          (k, got.get(k), want.get(k)))}"
+      })
+      // something must actually have been cut, or the corpus is too easy
+      assert(got != base.toMap, s"seed $seed cut nothing — corpus bug")
+    }
+  }
 }
