@@ -131,6 +131,9 @@ object Command {
   final case class ExtBm25(k: Int, queriesView: String, qId: String,
       qText: String, corpusView: String, cId: String, cText: String)
       extends Command
+  /** DSIR importance weights vs a target corpus (Dsir.importanceWeights). */
+  final case class ExtDsir(view: String, id: String, text: String,
+      targetView: String, tId: String, tText: String) extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

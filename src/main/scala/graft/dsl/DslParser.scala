@@ -353,6 +353,10 @@ object DslParser extends RegexParsers {
       (inKw ~> name) ~ idCol ~ textCol ^^ {
         case k ~ qv ~ qi ~ qt ~ cv ~ ci ~ ct =>
           ExtBm25(k, qv, qi, qt, cv, ci, ct) }
+  private val extDsir: Parser[Command] =
+    kw("dsir") ~> fromView ~ idCol ~ textCol ~ (kw("target") ~> name) ~
+      idCol ~ textCol ^^ { case v ~ i ~ t ~ tv ~ ti ~ tt =>
+        ExtDsir(v, i, t, tv, ti, tt) }
   private val extDecon: Parser[Command] =
     kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
       idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
@@ -378,7 +382,7 @@ object DslParser extends RegexParsers {
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extBm25 | extTopK
+    extBm25 | extDsir | extTopK
 
   // ------------------------------------------------------------ entry points
 

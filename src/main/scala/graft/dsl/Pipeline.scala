@@ -48,9 +48,9 @@ object Pipeline {
     execute(ai.db, DslParser.parseAi(script), Some(ai))
 
   /** Extension pipeline (graft-only): SCAN/DEDUP/SPLIT/SAMPLE/PACK/CHUNK/
-    * VOCAB/TEXTSTATS/PPL/GOPHER/BM25/TOPK/SHUFFLE/CAP/LINES/SPANS/DECON
-    * over registered tables — the SURVEY §2.7 operators scriptable without
-    * Scala. Same per-statement error capture. */
+    * VOCAB/TEXTSTATS/PPL/GOPHER/BM25/DSIR/TOPK/SHUFFLE/CAP/LINES/SPANS/
+    * DECON over registered tables — the SURVEY §2.7 operators scriptable
+    * without Scala. Same per-statement error capture. */
   def runExt(spark: org.apache.spark.sql.SparkSession,
       script: String): Seq[StepResult] =
     DslParser.parseExt(script).map { cmd =>
@@ -107,6 +107,11 @@ object Pipeline {
       case ExtBm25(k, qv, qi, qt2, cv, ci, ct) =>
         Response.Entries(graft.text.Bm25.bm25TopK(
           t(cv), ci, ct, t(qv), qi, qt2, k))
+      case ExtDsir(v, id, text, tv, ti, tt) =>
+        // align the target view's column names with the raw view's
+        Response.Entries(graft.text.Dsir.importanceWeights(
+          t(v), t(tv).withColumnRenamed(ti, id).withColumnRenamed(tt, text),
+          id, text))
       case ExtGopher(v, id, text) =>
         // g.* expansion: the flag list lives only in TextOps.gopherFlags
         Response.Entries(t(v).select(col(id),

@@ -1058,6 +1058,52 @@ object Queries {
       },
       Some(xlangPplOracle)),
 
+    // ---- DSIR importance weights: hashed unigram+bigram log-likelihood
+    // ratio of every doc under the English subcorpus (target) vs the full
+    // corpus (raw) — md5-prefix feature buckets so the hashed feature
+    // space itself is engine-reproducible ----
+    "text_dsir" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        graft.text.Dsir.importanceWeights(
+          docs.select("doc_id", "text"),
+          docs.where(col("lang") === "en").select("doc_id", "text"),
+          "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH rtoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |rfeat AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 10007 AS b
+        |  FROM (
+        |    SELECT doc_id, unnest(tk) AS f FROM rtoks
+        |    UNION ALL
+        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+        |    FROM rtoks, UNNEST(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2)),
+        |ttoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |tfeat AS (
+        |  SELECT CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 10007 AS b
+        |  FROM (
+        |    SELECT unnest(tk) AS f FROM ttoks
+        |    UNION ALL
+        |    SELECT tk[i] || ' ' || tk[i+1] AS f
+        |    FROM ttoks, UNNEST(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2)),
+        |tc AS (SELECT b, count(*) AS ct FROM tfeat GROUP BY b),
+        |rc AS (SELECT b, count(*) AS cr FROM rfeat GROUP BY b),
+        |nt AS (SELECT sum(ct) AS nt FROM tc),
+        |nr AS (SELECT sum(cr) AS nr FROM rc),
+        |s AS (
+        |  SELECT rfeat.doc_id,
+        |    ln((coalesce(tc.ct, 0) + 1.0) / (nt.nt + 10007.0)) -
+        |    ln((rc.cr + 1.0) / (nr.nr + 10007.0)) AS s
+        |  FROM rfeat LEFT JOIN tc USING (b) JOIN rc USING (b)
+        |    CROSS JOIN nt CROSS JOIN nr)
+        |SELECT doc_id, round(sum(s), 4) AS dsir
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- hybrid retrieval: query-by-document over BOTH surfaces —
     // BM25 top-10 on the text, cosine top-10 on the aligned embedding
     // (vec_id = doc_id by construction) — fused by reciprocal-rank.

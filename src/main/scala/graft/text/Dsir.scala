@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): score every raw-corpus
+  * document by the log-likelihood ratio of its hashed n-gram features
+  * under the TARGET corpus (the high-quality domain to match) vs the raw
+  * corpus itself; resampling proportionally to the weight shifts the raw
+  * corpus toward the target distribution. The reference engine has no
+  * such operator; SURVEY §2.7 extension from the published technique.
+  */
+object Dsir {
+
+  /** Unigram + bigram feature OCCURRENCES of each doc, hashed into
+    * `buckets` via the engine-reproducible md5-prefix derivation (the
+    * same `conv(substring(md5(x),1,8),16,10)` contract as
+    * [[graft.pipeline.Corpus.idBucket]] — mirrorable in any engine,
+    * unlike xxhash64). Hashing IS the model here (DSIR's hashed feature
+    * space), not an optimization. */
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("id"), explode(concat(col("tk"),
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ",
+              element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("bigint"),
+          lit(buckets.toLong)).as("b"))
+
+  /** Per-document importance weight (log scale):
+    *
+    *   dsir(d) = Σ_{f ∈ d} [ ln p̂_target(f) − ln p̂_raw(f) ]
+    *
+    * with add-k-smoothed bucket probabilities p̂(b) = (c(b)+k)/(n+k·B).
+    * Output: (idCol, dsir), rounded to 4 places; high = target-like.
+    * Callers resample with probability ∝ exp(dsir) (or rank-select).
+    * `target` must be non-empty — an empty target yields NULL scores.
+    *
+    * Scale shape: both count tables are bucket-bounded (≤ `buckets`
+    * rows) hash-groupBys with map-side combine; totals ride the plan as
+    * broadcast one-row aggregates; scoring joins the raw feature stream
+    * against the two bounded count tables on the bucket id and folds one
+    * sum per doc — the raw corpus shuffles once on the bucket and once
+    * on the doc id, both narrow. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10007, k: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val rawF = features(raw, idCol, textCol, buckets)
+    val tCounts = features(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tTotal = tCounts.agg(sum(col("ct")).as("nt"))
+    val rTotal = rCounts.agg(sum(col("cr")).as("nr"))
+    rawF.join(tCounts, Seq("b"), "left")
+      .join(rCounts, Seq("b")) // inner: raw features are counted from raw
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("id"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(k)) /
+             (col("nt") + lit(k * buckets))) -
+         log((col("cr") + lit(k)) /
+             (col("nr") + lit(k * buckets)))).as("s"))
+      .groupBy("id").agg(round(sum(col("s")), 4).as("dsir"))
+      .select(col("id").as(idCol), col("dsir"))
+  }
+}

@@ -582,6 +582,9 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "BM25 5 FROM qs ID qid TEXT qtext IN docs ID doc_id TEXT text") ==
       Seq(ExtBm25(5, "qs", "qid", "qtext", "docs", "doc_id", "text")))
+    assert(DslParser.parseExt(
+      "DSIR FROM docs ID doc_id TEXT text TARGET wiki ID wid TEXT wtext") ==
+      Seq(ExtDsir("docs", "doc_id", "text", "wiki", "wid", "wtext")))
     Seq((1L, "p q r s t"), (2L, "m n p q r z"))
       .toDF("doc_id", "text").createOrReplaceTempView("sp_docs")
     val results = Pipeline.runExt(spark,
@@ -618,6 +621,17 @@ class DslSpec extends AnyFunSuite {
     }
     // both docs match "p q"; the shorter doc (1) outranks the longer (2)
     assert(bm == Map(1L -> 1L, 2L -> 2L), s"got $bm")
+    Seq((50L, "p q r s t")).toDF("tid", "ttext")
+      .createOrReplaceTempView("sp_target")
+    val dsir = Pipeline.runExt(spark,
+      "DSIR FROM sp_docs ID doc_id TEXT text TARGET sp_target ID tid TEXT ttext")
+      .head match {
+      case Right(Response.Entries(d)) =>
+        d.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      case other => fail(s"$other")
+    }
+    // doc 1 IS the target text; doc 2 only overlaps partially
+    assert(dsir.keySet == Set(1L, 2L) && dsir(1L) > dsir(2L), s"got $dsir")
   }
 
   test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {
