@@ -57,8 +57,13 @@ object Dsir {
     val rCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
     val tTotal = tCounts.agg(sum(col("ct")).as("nt"))
     val rTotal = rCounts.agg(sum(col("cr")).as("nr"))
-    rawF.join(tCounts, Seq("b"), "left")
-      .join(rCounts, Seq("b")) // inner: raw features are counted from raw
+    // both count tables are ≤ `buckets` rows — merge them once (left from
+    // the raw side: every scored feature has a raw count) and BROADCAST,
+    // so the per-occurrence feature stream is never shuffled to meet the
+    // counts; past ~1M buckets fall back to a shuffled join
+    val counts = rCounts.join(tCounts, Seq("b"), "left")
+    val countsSide = if (buckets <= 1000000) broadcast(counts) else counts
+    rawF.join(countsSide, Seq("b"))
       .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
       .select(col("id"),
         (log((coalesce(col("ct"), lit(0L)) + lit(k)) /

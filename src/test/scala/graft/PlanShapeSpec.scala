@@ -65,6 +65,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("dsir: bucket-bounded counts broadcast; feature stream unshuffled to meet them") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val p = plan(graft.text.Dsir.importanceWeights(
+      docs, target, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("removeRepeatedSpans: hash-keyed census joins, no cartesian product") {
     val df = graft.dedup.Dedup.removeRepeatedSpans(docs, "doc_id", "text", 8)
     val p = plan(df)
