@@ -108,10 +108,10 @@ object Pipeline {
         Response.Entries(graft.text.Bm25.bm25TopK(
           t(cv), ci, ct, t(qv), qi, qt2, k))
       case ExtDsir(v, id, text, tv, ti, tt) =>
-        // align the target view's column names with the raw view's
+        // project+alias (not withColumnRenamed): robust when the target
+        // view also carries columns named like the raw view's id/text
         Response.Entries(graft.text.Dsir.importanceWeights(
-          t(v), t(tv).withColumnRenamed(ti, id).withColumnRenamed(tt, text),
-          id, text))
+          t(v), t(tv).select(col(ti).as(id), col(tt).as(text)), id, text))
       case ExtGopher(v, id, text) =>
         // g.* expansion: the flag list lives only in TextOps.gopherFlags
         Response.Entries(t(v).select(col(id),

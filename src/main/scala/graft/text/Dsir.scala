@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Unigram + bigram feature OCCURRENCES of each doc, hashed into
-    * `buckets` via the engine-reproducible md5-prefix derivation (the
-    * same `conv(substring(md5(x),1,8),16,10)` contract as
-    * [[graft.pipeline.Corpus.idBucket]] — mirrorable in any engine,
-    * unlike xxhash64). Hashing IS the model here (DSIR's hashed feature
-    * space), not an optimization. */
+    * `buckets` via [[graft.pipeline.Corpus.idBucket]] — the ONE
+    * engine-reproducible md5-prefix derivation every deterministic op
+    * shares (mirrorable in any engine, unlike xxhash64). Hashing IS the
+    * model here (DSIR's hashed feature space), not an optimization. */
   private def features(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
@@ -29,8 +28,7 @@ object Dsir {
               element_at(col("tk"), i), element_at(col("tk"), i + 1))))
           .otherwise(array().cast("array<string>")))).as("f"))
       .select(col("id"),
-        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("bigint"),
-          lit(buckets.toLong)).as("b"))
+        graft.pipeline.Corpus.idBucket(col("f"), buckets).as("b"))
 
   /** Per-document importance weight (log scale):
     *
@@ -39,7 +37,8 @@ object Dsir {
     * with add-k-smoothed bucket probabilities p̂(b) = (c(b)+k)/(n+k·B).
     * Output: (idCol, dsir), rounded to 4 places; high = target-like.
     * Callers resample with probability ∝ exp(dsir) (or rank-select).
-    * `target` must be non-empty — an empty target yields NULL scores.
+    * A target corpus with no features raises at execution time rather
+    * than emitting silent all-NULL scores.
     *
     * Scale shape: both count tables are bucket-bounded (≤ `buckets`
     * rows) hash-groupBys with map-side combine; totals ride the plan as
@@ -55,19 +54,26 @@ object Dsir {
     val tCounts = features(target, idCol, textCol, buckets)
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val rCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tTotal = tCounts.agg(sum(col("ct")).as("nt"))
-    val rTotal = rCounts.agg(sum(col("cr")).as("nr"))
-    // both count tables are ≤ `buckets` rows — merge them once (left from
-    // the raw side: every scored feature has a raw count) and BROADCAST,
-    // so the per-occurrence feature stream is never shuffled to meet the
-    // counts; past ~1M buckets fall back to a shuffled join
-    val counts = rCounts.join(tCounts, Seq("b"), "left")
+    // both count tables are ≤ `buckets` rows — merge them once (full
+    // outer so the totals see every bucket), fold the corpus totals in as
+    // single-partition window sums over the tiny merged table (no extra
+    // corpus scans for nt/nr), and BROADCAST, so the per-occurrence
+    // feature stream is never shuffled to meet the counts; past ~1M
+    // buckets fall back to a shuffled join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val counts = rCounts.join(tCounts, Seq("b"), "full_outer")
+      .select(col("b"), col("ct"), col("cr"),
+        sum(col("ct")).over(w).as("nt"), sum(col("cr")).over(w).as("nr"))
     val countsSide = if (buckets <= 1000000) broadcast(counts) else counts
-    rawF.join(countsSide, Seq("b"))
-      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+    // an empty target has no features anywhere: nt is NULL — fail loudly
+    // instead of emitting silent all-NULL scores
+    val ntSafe = when(col("nt").isNull,
+      raise_error(lit("DSIR: target corpus has no features")).cast("bigint"))
+      .otherwise(col("nt"))
+    rawF.join(countsSide, Seq("b")) // inner: raw features always have cr
       .select(col("id"),
         (log((coalesce(col("ct"), lit(0L)) + lit(k)) /
-             (col("nt") + lit(k * buckets))) -
+             (ntSafe + lit(k * buckets))) -
          log((col("cr") + lit(k)) /
              (col("nr") + lit(k * buckets)))).as("s"))
       .groupBy("id").agg(round(sum(col("s")), 4).as("dsir"))

@@ -93,8 +93,13 @@ object TextOps {
     langScore(text, LangMarkers.head._2).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
+  /** Non-whitespace character count — the shared numerator of every
+    * mean-word-length signal ([[meanTokenLen]], [[gopherFlags]]). */
+  private def nonWsCharCount(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", ""))
+
   def meanTokenLen(text: Column): Column =
-    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+    nonWsCharCount(text).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Composite [0,1]-ish quality score: rewards mid-length docs with modest
@@ -141,8 +146,8 @@ object TextOps {
       bind(greatest(size(tks), lit(1)).cast("double")) { nw =>
         val okWords = size(tks).between(50, 100000)
         // meanTokenLen(text) would re-tokenize; reuse the bound count
-        val okMeanLen = (length(regexp_replace(trim(text), "\\s+", ""))
-          .cast("double") / nw).between(3.0, 10.0)
+        val okMeanLen =
+          (nonWsCharCount(text).cast("double") / nw).between(3.0, 10.0)
         val okSymbol = (size(filter(tks, t =>
           t.contains("#") || t.contains("..."))).cast("double") / nw) <= 0.1
         val okAlpha = (size(filter(tks, t =>

@@ -26,6 +26,11 @@ class DsirSpec extends AnyFunSuite {
       Dsir.importanceWeights(raw, target, "id", "text", buckets = 1))
     intercept[IllegalArgumentException](
       Dsir.importanceWeights(raw, target, "id", "text", k = 0.0))
+    // an empty target raises loudly at execution, never silent NULL scores
+    val e = intercept[Exception](
+      Dsir.importanceWeights(raw, target.limit(0), "id", "text").collect())
+    assert(e.getMessage.contains("no features") ||
+      Option(e.getCause).exists(_.getMessage.contains("no features")), e.toString)
   }
 
   test("importanceWeights matches a driver-side reference computation") {
