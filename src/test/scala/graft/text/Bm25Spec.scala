@@ -36,4 +36,45 @@ class Bm25Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Bm25.bm25TopK(docs, "did", "text", queries, "qid", "qtext", 0))
   }
+
+  test("bm25TopK matches a driver-side reference on a random corpus") {
+    import graft.TestFixtures.splitmix64
+    // seeded corpus from a small vocabulary so query terms repeat across
+    // docs with varying tf/dl — the statistics BM25 actually exercises
+    val vocab = (0 until 30).map(i => s"w$i")
+    def doc(seed: Long, len: Int): Seq[String] =
+      (0 until len).map(i =>
+        vocab((splitmix64(seed * 131 + i) >>> 8).toInt.abs % vocab.size))
+    val docs = (0 until 60).map { d =>
+      (d.toLong, doc(42L + d, 8 + (splitmix64(d.toLong) >>> 8).toInt.abs % 20))
+    }
+    val queries = Seq((100L, "w0 w3 w7"), (200L, "w11 w11 w25"))
+    val k1 = 1.2; val b = 0.75; val k = 7
+    // reference: plain-collections BM25 with the same idf/tfn and
+    // rounded-score ranking contract
+    val nDocs = docs.size
+    val avgdl = docs.map(_._2.size).sum.toDouble / nDocs
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).map { case (t, v) => t -> v.size }
+    def want(qterms: Seq[String]): Seq[(Long, Double)] = docs.flatMap { case (id, tk) =>
+      val s = qterms.distinct.flatMap { t =>
+        val tf = tk.count(_ == t)
+        if (tf == 0) None else Some(
+          math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * tk.size / avgdl)))
+      }.sum
+      if (s == 0.0) None
+      else Some((id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+    import spark.implicits._
+    val got = Bm25.bm25TopK(
+        docs.map { case (id, tk) => (id, tk.mkString(" ")) }.toDF("did", "text"),
+        "did", "text", queries.toDF("qid", "qtext"), "qid", "qtext", k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(got(100L) == want(Seq("w0", "w3", "w7")),
+      s"${got(100L)} vs ${want(Seq("w0", "w3", "w7"))}")
+    assert(got(200L) == want(Seq("w11", "w25")),
+      s"${got(200L)} vs ${want(Seq("w11", "w25"))}")
+  }
 }
