@@ -34,10 +34,19 @@ object Bm25 {
     * per-(query, doc) score aggregation, both key-bounded. Term identity
     * is the 64-bit xxhash64 — token strings never ride a join (a
     * collision merges two terms' postings: retrieval noise, absent at
-    * oracle scales). */
+    * oracle scales).
+    *
+    * `broadcastQueries` picks the term-filter shape (the
+    * [[graft.dedup.Dedup.removeBoilerplateLines]] `broadcastHot`
+    * discipline): the broadcast arm (default) is right while the distinct
+    * query-term set fits the broadcast budget (≲ ~10^7-10^8 hashes); a
+    * both-sides-large batch retrieval passes `false` for a plain shuffled
+    * join on the 8-byte term hash — one extra narrow shuffle, never a
+    * failure. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = docs.select(col(idCol).as("did"),
       TextOps.tokens(col(textCol)).as("tk"))
@@ -56,7 +65,8 @@ object Bm25 {
       (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") * lit(k1 + 1.0) / (col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = broadcast(qterms).join(postings, Seq("ht"))
+    val scored = (if (broadcastQueries) broadcast(qterms) else qterms)
+      .join(postings, Seq("ht"))
       .join(dfs, Seq("ht"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("did"), (idf * tfn).as("s"))

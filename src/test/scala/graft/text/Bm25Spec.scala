@@ -33,6 +33,12 @@ class Bm25Spec extends AnyFunSuite {
         Seq((10L, "apple apple")).toDF("qid", "qtext"), "qid", "qtext", 1)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(dup == Map(1L -> 0.6463), s"got $dup")
+    // both term-filter arms agree (broadcast vs shuffled)
+    val shuffled = Bm25.bm25TopK(docs, "did", "text", queries, "qid", "qtext",
+        2, broadcastQueries = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(3)),
+        (r.getLong(1), r.getDouble(2)))).toMap
+    assert(shuffled == out, s"arms disagree: $shuffled vs $out")
     intercept[IllegalArgumentException](
       Bm25.bm25TopK(docs, "did", "text", queries, "qid", "qtext", 0))
   }
