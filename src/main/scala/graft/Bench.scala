@@ -52,8 +52,13 @@ object Bench {
     // optional subset filter (comma-separated names / prefixes ending in
     // '*') — the regression-bisection lever: run one family, or replay an
     // old round's query set, inside the same binary
+    // trailing .filter(_.nonEmpty): SPARK_GRAFT_BENCH_ONLY="" must mean
+    // "unset", not "select nothing" — an empty token list would make
+    // selected() false for every query and the bench would print a vacuous
+    // total=0 that reads as a round-over-round speedup
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
 
@@ -97,7 +102,19 @@ object Bench {
     // headline keys (`value`, `failed`) go LAST: the driver captures the
     // tail of stdout, so truncation must eat per-query detail, never the
     // round-over-round `total` (BENCH_r06 lost it to a head-side cut)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries":$qs,"failed":$failed,"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries":$qs,"failed":$failed,"value":$total}"""
+    println(line)
+    // truncation-proof copy: the driver's stdout tail capture has twice
+    // eaten per-query detail (18 queries in round 7, including the round's
+    // #1 perf target); the full JSON also lands in a repo file so every
+    // per-query median survives regardless of how stdout is captured.
+    // Overridable for side-runs (isolation bisects) so they can't clobber
+    // the round's record.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -53,8 +53,21 @@ object Cli {
       (if (rows.length > 50) s"\n  ... ${rows.length - 50} more" else "")
   }
 
+  /** A frame is store-shaped only if its `value` column actually carries
+    * the store map type (map<string, metadata-struct>). An --ext session
+    * can SCAN arbitrary parquet, so a relational result that merely
+    * *names* a column "value" (e.g. a string or long) must route to the
+    * relational renderer — getMap on it would throw ClassCastException. */
+  private def hasStoreValueColumn(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.schema.fields.find(_.name == "value").exists(_.dataType match {
+      case org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        _: org.apache.spark.sql.types.StructType, _) => true
+      case _ => false
+    })
+
   private def renderRows(df: org.apache.spark.sql.DataFrame, sim: Boolean): String = {
-    if (!df.columns.contains("value")) return renderRelational(df)
+    if (!hasStoreValueColumn(df)) return renderRelational(df)
     val rows = df.collect()
     if (rows.isEmpty) return "(0 rows)"
     val out = rows.map { row =>

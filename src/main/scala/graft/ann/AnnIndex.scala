@@ -241,7 +241,14 @@ object AnnIndex {
           java.nio.file.Files.deleteIfExists(target)
           Iterator.single(i -> false)
         } else {
-          val tmp = target.resolveSibling(s"s$i.bin.tmp")
+          // suffix the tmp name with the task attempt id: with speculative
+          // execution (or a retry racing a slow first attempt) two attempts
+          // of the same shard write concurrently — a shared tmp path could
+          // interleave and ATOMIC_MOVE would publish a truncated object.
+          // Distinct tmp files keep each attempt's rename-into-place atomic.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .fold(0L)(_.taskAttemptId())
+          val tmp = target.resolveSibling(s"s$i.bin.tmp.$attempt")
           val os = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
             java.nio.file.Files.newOutputStream(tmp)))
           try os.writeObject(shards.head) finally os.close()

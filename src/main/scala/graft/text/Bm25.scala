@@ -58,9 +58,16 @@ object Bm25 {
     val dfs = postings.groupBy("ht").agg(count(lit(1)).as("df"))
     val stats = toks.select(size(col("tk")).cast("double").as("dl"))
       .agg(count(lit(1)).as("N"), avg(col("dl")).as("avgdl"))
+    // .distinct() after the explode: array_distinct only dedups WITHIN a
+    // row, so a queries frame carrying duplicate qid rows would otherwise
+    // double-count every term's contribution — the DuckDB oracle's
+    // `SELECT DISTINCT qid, tok` and IvfIndex.dedupedQueries both dedup
+    // globally for exactly this reason. The frame is k-bounded per query,
+    // so the extra exchange is negligible (and folds into the broadcast).
     val qterms = queries.select(col(qIdCol).as("qid"),
         explode(array_distinct(transform(TextOps.tokens(col(qTextCol)),
           t => xxhash64(t)))).as("ht"))
+      .distinct()
     val idf = log(lit(1.0) +
       (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") * lit(k1 + 1.0) / (col("tf") +

@@ -40,6 +40,16 @@ class CliSpec extends AnyFunSuite {
     assert(rendered(11) == "count: 1")
   }
 
+  test("relational frame with a column named 'value' renders relationally") {
+    import spark.implicits._
+    // an --ext SCAN can surface arbitrary parquet; a string/long column
+    // that merely NAMES itself "value" must not route into the store
+    // renderer (which getMaps it and would throw ClassCastException)
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "value")
+    val out = Cli.render(Right(Response.Entries(df)))
+    assert(out.contains("(2 rows)") && out.contains("hello"), out)
+  }
+
   test("errors render per-statement without aborting the pipeline") {
     val e = new GraftEngine(spark)
     val out = Pipeline.runDb(e, "GETPRED (a = b) IN missing; PING").map(Cli.render)

@@ -33,6 +33,14 @@ class Bm25Spec extends AnyFunSuite {
         Seq((10L, "apple apple")).toDF("qid", "qtext"), "qid", "qtext", 1)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(dup == Map(1L -> 0.6463), s"got $dup")
+    // a queries frame with DUPLICATE qid rows must not double-count terms:
+    // array_distinct dedups within a row only; the global (qid, ht)
+    // distinct catches repeats across rows
+    val dupRows = Bm25.bm25TopK(docs, "did", "text",
+        Seq((10L, "apple"), (10L, "apple")).toDF("qid", "qtext"),
+        "qid", "qtext", 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(dupRows == Map(1L -> 0.6463), s"got $dupRows")
     // both term-filter arms agree (broadcast vs shuffled)
     val shuffled = Bm25.bm25TopK(docs, "did", "text", queries, "qid", "qtext",
         2, broadcastQueries = false)
