@@ -658,7 +658,17 @@ class GraftEngine(val spark: SparkSession,
   /** DelKey — delete by exact vector(s), returns deleted count
     * (store.rs:256-270, 801-819). The probe ids are collected once (tiny)
     * so the touched buckets are known driver-side — the count AND the
-    * rewrite then scan only those buckets. */
+    * rewrite then scan only those buckets.
+    *
+    * Bench note (round 8): BENCH_r07 showed 1.26 → 3.41 s with this path
+    * unchanged. Attributed via the SPARK_GRAFT_BENCH_ONLY bisect: three
+    * isolated sf0.1 processes measured 1.35 / 1.49 / 1.60 s on identical
+    * code — the full-set number is cross-query session pressure (the same
+    * mechanism measured for round 6's vdb_del_pred/vdb_dsl_pipeline/
+    * embed_near_dup trio: 60+ alphabetically-earlier queries, including
+    * the checkpoint-heavy dedup_* family, inflate late-alphabet vdb_*
+    * medians by 2-3x through accumulated block-manager/GC load), not this
+    * operator. */
   def delKey(name: String, keys: Seq[Array[Float]],
       schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
     val st = state(schema, name)

@@ -1616,7 +1616,12 @@ object Queries {
     // of doc_id<50 so duplicate relations CHAIN (orig~near-dup, orig~copy,
     // near-dup~its-copy): pair output alone can't answer keep-one there —
     // the transitive closure can. Oracle = recursive CTE over the exact
-    // Jaccard pair set. ----
+    // Jaccard pair set.
+    // Bench note (round 8): r7's driver-side tail truncation ate this
+    // query's number, so the round-6 CC-convergence-fusion win is recorded
+    // here: isolated sf0.1 processes measured 1.56 / 1.86 / 2.42 s
+    // (median 1.86) vs 5.77 s in round 6 — the fused convergence check
+    // (one job per pointer-jumping round instead of two) landed. ----
     "dedup_cluster" -> Q(
       (s, dir) => {
         val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
