@@ -161,13 +161,19 @@ object Corpus {
     * shards=1 = one global stream (only for small corpora: a single
     * window partition serializes onto one task). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Int, shards: Int = 1): DataFrame = {
+      budget: Int, shards: Int = 1,
+      bpe: Option[graft.text.Bpe.Model] = None): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
     require(shards > 0, s"shards must be > 0, got $shards")
+    // `bpe` routes the budget over REAL subword token counts (one extra
+    // codegen'd projection, merge table broadcast in the plan — the scale
+    // shape is unchanged) instead of whitespace tokens
+    val nTok = bpe.fold(TextOps.tokenCount(col(textCol)))(m =>
+      graft.text.Bpe.tokenCount(col(textCol), m))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol), idBucket(col(idCol), shards).as("shard"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+        nTok.cast("long").as("n_tok"))
       .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col(idCol), col("shard"),
         floor(col("start_tok") / budget).as("seq"),
@@ -188,22 +194,30 @@ object Corpus {
     * speed and parallelizes with the input partitioning at any corpus
     * size. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, overlap: Int): DataFrame = {
+      chunkSize: Int, overlap: Int,
+      bpe: Option[graft.text.Bpe.Model] = None): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be > 0, got $chunkSize")
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize), got $overlap")
     val step = chunkSize - overlap
-    // drop the [''] artifact of blank docs (split-of-trim semantics): a
-    // blank doc still yields its one chunk, but as ('', chunk_tok=0) —
-    // not a phantom 1-token chunk
-    df.select(col(idCol),
-        filter(TextOps.tokens(col(textCol)), t => t =!= "").as("t"))
+    // `bpe` chunks over REAL subword tokens: the window slides over the
+    // encoded sequence and chunk text is the concatenation of its
+    // subwords (each carries its own leading space, so joining by ''
+    // reconstructs readable text; a boundary may fall inside a word —
+    // that is what token-level chunking means). Whitespace arm drops the
+    // [''] artifact of blank docs (split-of-trim semantics): a blank doc
+    // still yields its one chunk, but as ('', chunk_tok=0) — not a
+    // phantom 1-token chunk.
+    val toks = bpe.fold(filter(TextOps.tokens(col(textCol)), t => t =!= ""))(
+      m => graft.text.Bpe.encode(col(textCol), m))
+    val sep = if (bpe.isDefined) "" else " "
+    df.select(col(idCol), toks.as("t"))
       .select(col(idCol), col("t"),
         posexplode(sequence(lit(0),
           greatest(size(col("t")) - overlap - 1, lit(0)),
           lit(step))).as(Seq("chunk_ix", "s")))
       .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
-        array_join(slice(col("t"), col("s") + 1, lit(chunkSize)), " ").as("chunk"),
+        array_join(slice(col("t"), col("s") + 1, lit(chunkSize)), sep).as("chunk"),
         least(size(col("t")) - col("s"), lit(chunkSize)).cast("long").as("chunk_tok"))
   }
 }

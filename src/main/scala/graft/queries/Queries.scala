@@ -39,6 +39,81 @@ object Queries {
   /** round(double(float(e)), 4) — mirrors TestStores.simResult. */
   private def r4(e: String): String = s"round(CAST(CAST($e AS FLOAT) AS DOUBLE), 4)"
 
+  // --------------------------------------------------- BPE oracle helpers
+
+  /** Deterministic BPE training corpus for the pipeline_bpe* queries: the
+    * documents template vocabulary (so the learned merges actually fire on
+    * the documents table) plus digits, punctuation, and an overlapping-run
+    * case ("aaa aaaa" pins the one-greedy-pass-per-merge semantics), with
+    * Zipf-ish repetition so pair counts are well separated. Inline and
+    * sfDir-independent by construction — the merges are a pure function of
+    * THIS list, which is what lets the DuckDB side carry them as VALUES
+    * literals. */
+  private[graft] val BpeDemoCorpus: Seq[String] = {
+    val base = Seq(
+      "the fast scan reads the table",
+      "the slow scan reads the big table",
+      "a hash join beats a sort merge join on small data",
+      "the query plans a window over the stream",
+      "spark shuffles the data to group the rows",
+      "filter the rows then group the values",
+      "the customer orders 2048 parts",
+      "batch 1024 rows per partition",
+      "key value pairs hash to buckets",
+      "the vector column stores 512 floats",
+      "dedup the lines, keep the first value!",
+      "sort the keys; merge the runs",
+      "aaa aaaa aa aaa aaaa",
+      "the the the a a a")
+    base ++ base.take(7) ++ base.take(3)
+  }
+
+  private val BpeNumMerges = 32
+
+  /** The driver-side reference's merges on the demo corpus — the oracle
+    * literals. The pipeline_bpe_train hash-match is therefore a
+    * DIFFERENTIAL gate: the DISTRIBUTED trainer (forced arm) against the
+    * independent classic single-node algorithm. */
+  private lazy val bpeDemoMerges: Seq[(String, String)] =
+    graft.text.BpeReference.train(BpeDemoCorpus, BpeNumMerges)
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private lazy val bpeMergeValues: String = bpeDemoMerges.zipWithIndex
+    .map { case ((l, r), i) => s"(${i + 1}, ${sqlStr(l)}, ${sqlStr(r)})" }
+    .mkString(", ")
+
+  /** DuckDB BPE encode as a recursive CTE: word-level symbol lists; each
+    * step finds the lowest-rank applicable merge and replaces its leftmost
+    * occurrence — exactly the pinned encode procedure of BpeEncodeImpl /
+    * BpeReference.encodeWord. Recursion depth per word ≤ its length. */
+  private def bpeEncodeCte(docFilter: String): String = {
+    val bpePat = graft.text.TextOps.BpePattern
+    raw"""pre AS (
+      |  SELECT doc_id, i AS w_ix, regexp_extract_all(text, '$bpePat')[i] AS w
+      |  FROM documents,
+      |    UNNEST(range(1, len(regexp_extract_all(text, '$bpePat')) + 1)) AS r(i)
+      |  WHERE $docFilter),
+      |merges(rank, l, r) AS (VALUES $bpeMergeValues),
+      |init AS (SELECT doc_id, w_ix, string_split(w, '') AS syms FROM pre),
+      |enc AS (
+      |  SELECT doc_id, w_ix, syms FROM init
+      |  UNION ALL
+      |  SELECT e.doc_id, e.w_ix,
+      |    e.syms[1:best.p-1] || [best.l || best.r] || e.syms[best.p+2:] AS syms
+      |  FROM enc e, LATERAL (
+      |    SELECT m.l AS l, m.r AS r,
+      |      list_filter(range(1, len(e.syms)), i -> e.syms[i]=m.l AND e.syms[i+1]=m.r)[1] AS p
+      |    FROM merges m
+      |    WHERE len(list_filter(range(1, len(e.syms)), i -> e.syms[i]=m.l AND e.syms[i+1]=m.r)) > 0
+      |    ORDER BY m.rank LIMIT 1) AS best),
+      |fin AS (
+      |  SELECT doc_id, w_ix, syms FROM enc e
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM merges m
+      |    WHERE len(list_filter(range(1, len(e.syms)), i -> e.syms[i]=m.l AND e.syms[i+1]=m.r)) > 0))""".stripMargin
+  }
+
   private val withQ = "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
 
   /** Exact 3-gram Jaccard pairs ≥ 0.8 on documents — the shared oracle for
@@ -1451,6 +1526,78 @@ object Queries {
         |  array_to_string(t[s+1:s+32], ' ') AS chunk,
         |  CAST(len(t[s+1:s+32]) AS BIGINT) AS chunk_tok
         |FROM starts ORDER BY doc_id, chunk_ix""".stripMargin)),
+
+    // ---- corpus-trained BPE (Sennrich 2016). Train: the only
+    // corpus-scale stage is the pre-token histogram groupBy; the merge
+    // loop runs on the vocabulary-bounded table, FORCED onto the
+    // distributed arm here so the oracle gates it rather than the driver
+    // shortcut. Oracle = the independent classic single-node algorithm's
+    // merges as VALUES (the BM25/spans differential idiom routed through
+    // the driver's own hash gate). ----
+    "pipeline_bpe_train" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = s.sparkContext.parallelize(BpeDemoCorpus, 4).toDF("text")
+        val model = graft.text.Bpe.train(corpus, "text",
+          numMerges = BpeNumMerges, forceDistributed = true)
+        graft.text.Bpe.mergesDF(s, model).orderBy("rank")
+      },
+      Some(s"""SELECT CAST(rank AS BIGINT) AS rank, l, r
+        |FROM (VALUES $bpeMergeValues) AS t(rank, l, r)
+        |ORDER BY rank""".stripMargin)),
+
+    // ---- BPE encode: a single codegen'd projection with the bounded
+    // merge table broadcast in the plan — no shuffle, no join, the corpus
+    // never moves (plan-pinned). Oracle re-derives the encoding
+    // independently in DuckDB via a recursive CTE over the merge
+    // literals. ----
+    "pipeline_bpe" -> Q(
+      (s, dir) => {
+        val model = graft.text.Bpe.Model(bpeDemoMerges)
+        TestStores.table(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"),
+            graft.text.Bpe.encode(col("text"), model).as("tk"))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+            array_join(col("tk"), "\u0001").as("toks"))
+          .where(col("n_tok") > 0).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${bpeEncodeCte("doc_id % 10 = 0")}
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  string_agg(tok, chr(1) ORDER BY w_ix, s_ix) AS toks
+        |FROM (SELECT doc_id, w_ix, s_ix, syms[s_ix] AS tok
+        |      FROM fin, UNNEST(range(1, len(syms)+1)) AS u(s_ix))
+        |GROUP BY doc_id HAVING count(*) > 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- sequence packing over REAL subword token counts: same one
+    // shuffle on shard + per-shard running-sum window as pipeline_pack,
+    // with the token budget measured in BPE tokens (one extra codegen'd
+    // count projection; merge table broadcast) ----
+    "pipeline_pack_bpe" -> Q(
+      (s, dir) => {
+        val model = graft.text.Bpe.Model(bpeDemoMerges)
+        graft.pipeline.Corpus.packSequences(
+          TestStores.table(s, dir, "documents").select("doc_id", "text")
+            .where(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", budget = 64, shards = 4, bpe = Some(model))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${bpeEncodeCte("doc_id % 5 = 0")},
+        |cnt AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
+        |        FROM fin GROUP BY doc_id),
+        |toks AS (
+        |  SELECT d.doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |    COALESCE(cnt.n, 0) AS n_tok
+        |  FROM documents d LEFT JOIN cnt USING (doc_id) WHERE d.doc_id % 5 = 0),
+        |cum AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, shard, CAST(floor(start_tok / 64) AS BIGINT) AS seq,
+        |  start_tok % 64 AS off, n_tok
+        |FROM cum ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup: exact clusters by content hash (hash-groupBy) ----
     "dedup_exact" -> Q(

@@ -75,6 +75,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("bpe encode: one codegen'd projection — no shuffle, no join, merge table in-plan") {
+    val model = graft.text.Bpe.Model(Seq(("t", "h"), ("th", "e")))
+    // parquet-backed input: a local Seq relation collapses to
+    // LocalTableScan and the projection never plans
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      graft.text.Bpe.encode(col("text"), model).as("tk"),
+      graft.text.Bpe.tokenCount(col("text"), model).as("n"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"encode must not shuffle; plan:\n$p")
+    assert(!p.contains("Join"), s"encode must not join; plan:\n$p")
+    // "*(1)" is executedPlan.toString's whole-stage-codegen marker
+    assert(p.contains("*(1) Project"),
+      s"encode must stay inside whole-stage codegen; plan:\n$p")
+    assert(p.contains("bpe_encode") && p.contains("bpe_token_count"), p)
+  }
+
   test("removeRepeatedSpans: hash-keyed census joins, no cartesian product") {
     val df = graft.dedup.Dedup.removeRepeatedSpans(docs, "doc_id", "text", 8)
     val p = plan(df)
