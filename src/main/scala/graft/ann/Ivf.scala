@@ -212,4 +212,100 @@ object IvfIndex {
     df.unpersist(blocking = false)
     new IvfIndex(centroids, cells, metric)
   }
+
+  // ------------------------------------------------------ artifact IO
+  //
+  // The HNSW/KD shards persist (AnnIndex.save) but IVF used to retrain
+  // k-means and re-partition on every process. Its natural artifact is
+  // different from a graph's: the index IS (a) the k centroids — tiny,
+  // driver-side — and (b) the cell-stamped corpus, whose scale-native
+  // form is a parquet table PARTITIONED BY CELL (probing then becomes
+  // partition pruning from the `cell IN (...)` filter; cluster
+  // deployments point `dir` at shared storage). Layout:
+  //
+  //   <dir>/ivf_manifest.json   # metric, dims, source stamp,
+  //                             # centroids as float INT BITS (exact)
+  //   <dir>/cells/              # the cells frame, partitionBy("cell")
+  //
+  // The caller-supplied `sourceStamp` names the corpus version the index
+  // was built from (a persistence bucket path, a parquet snapshot dir —
+  // whatever identifies the data). Load returns None on any stamp/config
+  // mismatch or read failure: unlike HNSW's per-shard delta patch, a
+  // stale IVF rebuilds WHOLE — its mutation story at scale is periodic
+  // reclustering, not incremental repair (centroids drift with the data;
+  // patching cells against frozen centroids silently degrades recall).
+  // Centroid floats travel as intBits so restore is bit-identical: cell
+  // assignment and probe routing after a load can never diverge from the
+  // build that wrote the artifact.
+
+  def save(index: IvfIndex, dir: String, sourceStamp: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    index.cells.write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(java.nio.file.Paths.get(dir, "cells").toString)
+    val json = JObject(
+      "kind" -> JString("ivf"),
+      "metric" -> JString(index.metric.toString),
+      "sourceStamp" -> JString(sourceStamp),
+      "centroids" -> JArray(index.centroids.toList.map(c =>
+        JArray(c.toList.map(f => JInt(BigInt(java.lang.Float.floatToRawIntBits(f))))))))
+    val target = java.nio.file.Paths.get(dir, "ivf_manifest.json")
+    val tmp = target.resolveSibling("ivf_manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Restore an index from `dir`. None (caller rebuilds) when the
+    * manifest is missing/corrupt, the metric differs, or the recorded
+    * source stamp doesn't match `sourceStamp`. The restored cells frame
+    * reads straight from the cell-partitioned parquet — zero Lloyd
+    * iterations, zero repartition (the layout on disk IS the
+    * partitioning). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      metric: Algorithm, sourceStamp: String): Option[IvfIndex] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "ivf_manifest.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      if ((j \ "kind") != JString("ivf")) return None
+      if ((j \ "metric") != JString(metric.toString)) return None
+      if ((j \ "sourceStamp") != JString(sourceStamp)) return None
+      val centroids: Array[Array[Float]] = (j \ "centroids") match {
+        case JArray(cs) => cs.map {
+          case JArray(vs) => vs.map {
+            case JInt(b) => java.lang.Float.intBitsToFloat(b.toInt)
+            case _ => return None
+          }.toArray
+          case _ => return None
+        }.toArray
+        case _ => return None
+      }
+      if (centroids.isEmpty) return None
+      val cellsPath = java.nio.file.Paths.get(dir, "cells")
+      if (!java.nio.file.Files.exists(cellsPath)) return None
+      val raw = spark.read.parquet(cellsPath.toString)
+      // partitionBy moved `cell` to a discovered partition column (last,
+      // int-inferred); restore the build's column order and type
+      val others = raw.columns.filterNot(_ == "cell")
+      val cells = raw.select(others.map(col) :+ col("cell").cast("int"): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Some(new IvfIndex(centroids, cells, metric))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Load if fresh, else build and save — the one-call form. */
+  def buildOrLoad(dfIn: DataFrame, nCells: Int, dir: String,
+      sourceStamp: String, iters: Int = 3,
+      metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex =
+    load(dfIn.sparkSession, dir, metric, sourceStamp).getOrElse {
+      val built = build(dfIn, nCells, iters, metric)
+      save(built, dir, sourceStamp)
+      built
+    }
 }

@@ -123,4 +123,50 @@ class AnnArtifactsSpec extends AnyFunSuite {
       "corrupt artifacts must fall back to rebuild")
     built.unpersist()
   }
+
+  test("IVF artifacts: bit-identical restore, stamp staleness, corrupt fallback") {
+    val df = toDf(ids, vecs)
+    val built = IvfIndex.build(df, nCells = 8, iters = 2)
+    val dir = tmpDir()
+    IvfIndex.save(built, dir, sourceStamp = "v1")
+
+    // restore: centroids must be BIT-identical (intBits round-trip), so
+    // probe routing and cell assignment can never diverge from the build
+    val loaded = IvfIndex.load(spark, dir, built.metric, "v1")
+    assert(loaded.isDefined, "fresh stamp must restore")
+    assert(loaded.get.centroids.length == built.centroids.length)
+    loaded.get.centroids.zip(built.centroids).foreach { case (a, b) =>
+      assert(a.map(java.lang.Float.floatToRawIntBits).toSeq ==
+        b.map(java.lang.Float.floatToRawIntBits).toSeq,
+        "centroids must round-trip bit-exactly")
+    }
+    // identical search results through the restored cell-partitioned
+    // parquet (exhaustive probe => exact, so equality is the contract)
+    queries.take(5).foreach { q =>
+      def hits(ix: IvfIndex) = ix.search(q, K, nProbe = 8).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Float]("similarity"))).toSeq
+      assert(hits(built) == hits(loaded.get),
+        "restored index must answer identically")
+    }
+
+    // staleness: a different source stamp or metric means None (rebuild)
+    assert(IvfIndex.load(spark, dir, built.metric, "v2").isEmpty,
+      "a mutated source must invalidate the artifacts")
+    assert(IvfIndex.load(spark, dir, Algorithm.CosineSimilarity, "v1").isEmpty,
+      "a different metric must invalidate the artifacts")
+    assert(IvfIndex.load(spark, tmpDir(), built.metric, "v1").isEmpty,
+      "no manifest must mean no restore")
+
+    // buildOrLoad: second call restores (bit-equal centroids), no retrain
+    val viaBuildOrLoad = IvfIndex.buildOrLoad(df, 8, dir, "v1", iters = 2)
+    assert(viaBuildOrLoad.centroids.map(_.toSeq).toSeq ==
+      built.centroids.map(_.toSeq).toSeq)
+
+    // corrupt manifest: fall back to rebuild, never an exception
+    Files.writeString(Paths.get(dir, "ivf_manifest.json"), "{not json")
+    assert(IvfIndex.load(spark, dir, built.metric, "v1").isEmpty,
+      "corrupt manifest must fall back to rebuild")
+
+    Seq(Some(built), loaded, Some(viaBuildOrLoad)).flatten.foreach(_.unpersist())
+  }
 }
