@@ -439,11 +439,17 @@ object Dedup {
         // organic corpus whose candidate population is a sliver of the
         // whole, that skips shingling everything else — the right arm at
         // scale. On candidate-dense corpora the pruning is pure overhead
-        // (the materialization barrier + semi-join bought nothing: measured
-        // 3.3 → 5.1 s at sf0.1 on the template corpus, where nearly every
-        // doc is in some band collision), so the dense arm — one fused
-        // job over full-corpus sets — stays the default. Both arms produce
-        // identical pairs (DedupSpec pins the agreement).
+        // (the materialization barrier + semi-join bought nothing), so the
+        // dense arm — one fused job over full-corpus sets — stays the
+        // default. Measured A/B on the template corpus at sf0.1, 3
+        // interleaved runs per arm in one process (round 7: dense 3.3 s vs
+        // scoped 5.1 s; re-measured round 8: dense 2.2/2.8/2.9 s vs scoped
+        // 4.9/5.3/5.7 s — the dense default wins ~2× and the residual is
+        // candidate density itself, not arm choice). Crossover discipline
+        // mirrors the Jaccard cap: route `verifyCandidatesOnly` when the
+        // candidate-doc population is a small fraction of the corpus —
+        // organic (non-template) text at tight thresholds. Both arms
+        // produce identical pairs (DedupSpec pins the agreement).
         val scope =
           if (verifyCandidatesOnly) {
             candidates.count() // materialize before both consumers fork
