@@ -140,9 +140,31 @@ object Command {
       extends Command
   final case class ExtTextStats(view: String, id: String, text: String)
       extends Command
+  /** Acceleration arm for [[ExtTopK]] — mirrors the library's top-k
+    * family: exact broadcast scan, SQ8 two-phase, IVF partition pruning,
+    * and the SQ8×IVF composition. */
+  sealed trait TopKMode
+  object TopKMode {
+    case object Exact extends TopKMode
+    final case class Quantized(shortlist: Int) extends TopKMode
+    final case class Ivf(cells: Int, probe: Int,
+        quantizedShortlist: Option[Int]) extends TopKMode
+  }
   final case class ExtTopK(k: Int, queriesView: String, qId: String,
-      qVec: String, corpusView: String, cId: String, cVec: String)
+      qVec: String, corpusView: String, cId: String, cVec: String,
+      mode: TopKMode = TopKMode.Exact)
       extends Command
+  /** RRF fusion of two ranked views (Hybrid.rrfFuse): each side needs
+    * (qid, <docid>, rank); the per-side doc-id column is renamed to `did`
+    * so BM25 output (did) and TOPK output (cid) fuse without projection
+    * boilerplate. */
+  final case class ExtFuse(k: Int, viewA: String, aDid: String,
+      viewB: String, bDid: String, c: Int) extends Command
+  /** Register the inner statement's result frame as a temp view — the
+    * piping form that lets retrieval stages compose in one script:
+    * `BM25 ... AS lex; TOPK ... AS vec; FUSE 5 FROM lex ID did IN vec
+    * ID cid`. */
+  final case class ExtAs(inner: Command, view: String) extends Command
 }
 
 /** Parse failure with the offending statement's span in the input —

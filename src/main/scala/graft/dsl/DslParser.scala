@@ -371,18 +371,45 @@ object DslParser extends RegexParsers {
   private val extTextStats: Parser[Command] =
     kw("textstats") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtTextStats(v, i, t) }
+  // TOPK acceleration arms: QUANTIZED SHORTLIST n (SQ8 two-phase),
+  // IVF CELLS c PROBE p (partition pruning), and their composition
+  // IVF ... QUANTIZED SHORTLIST n (int8 coarse pass over probed cells
+  // only). SHORTLIST >= k is enforced by the operators' require at run
+  // time (it depends on k, which the grammar has already consumed).
+  private val topKQuant: Parser[Int] =
+    kw("quantized") ~> kw("shortlist") ~> nonZero
+  private val topKMode: Parser[Command.TopKMode] = {
+    val ivf = kw("ivf") ~> (kw("cells") ~> nonZero) ~
+      (kw("probe") ~> nonZero) ~ opt(topKQuant) ^^ {
+        case c ~ p ~ q => Command.TopKMode.Ivf(c, p, q) }
+    val quant = topKQuant ^^ { s => Command.TopKMode.Quantized(s) }
+    ivf | quant
+  }
   private val extTopK: Parser[Command] =
     kw("topk") ~> nonZero ~ fromView ~ idCol ~ (kw("vec") ~> name) ~
-      (inKw ~> name) ~ idCol ~ (kw("vec") ~> name) ^^ {
-        case k ~ qv ~ qi ~ qc ~ cv ~ ci ~ cc =>
-          ExtTopK(k, qv, qi, qc, cv, ci, cc) }
+      (inKw ~> name) ~ idCol ~ (kw("vec") ~> name) ~ opt(topKMode) ^^ {
+        case k ~ qv ~ qi ~ qc ~ cv ~ ci ~ cc ~ m =>
+          ExtTopK(k, qv, qi, qc, cv, ci, cc,
+            m.getOrElse(Command.TopKMode.Exact)) }
+  private val extFuse: Parser[Command] =
+    kw("fuse") ~> nonZero ~ fromView ~ idCol ~ (inKw ~> name) ~ idCol ~
+      opt(kw("c") ~> nonZero) ^^ { case k ~ va ~ ai ~ vb ~ bi ~ c =>
+        ExtFuse(k, va, ai, vb, bi, c.getOrElse(60)) }
 
-  private val extStatement: Parser[Command] =
+  private val extInner: Parser[Command] =
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extBm25 | extDsir | extTopK
+    extBm25 | extDsir | extFuse | extTopK
+
+  // any ext statement's result can be registered as a view with a
+  // trailing `AS name` — the piping form that composes retrieval stages
+  // (BM25 ... AS lex; TOPK ... AS vec; FUSE ... FROM lex ... IN vec)
+  private val extStatement: Parser[Command] =
+    extInner ~ opt(kw("as") ~> name) ^^ {
+      case c ~ Some(v) => ExtAs(c, v)
+      case c ~ None => c }
 
   // ------------------------------------------------------------ entry points
 

@@ -129,9 +129,41 @@ object Pipeline {
           graft.text.TextOps.tokenCount(tc).as("n_tok"),
           graft.text.TextOps.qualityScore(tc).as("quality"),
           graft.text.TextOps.fingerprint(tc).as("fingerprint")))
-      case ExtTopK(k, qv, qi, qc, cv, ci, cc) =>
-        Response.Entries(graft.dedup.Dedup.topKJoin(
-          t(qv), t(cv), qi, qc, ci, cc, k))
+      case ExtTopK(k, qv, qi, qc, cv, ci, cc, mode) => mode match {
+        case Command.TopKMode.Exact =>
+          Response.Entries(graft.dedup.Dedup.topKJoin(
+            t(qv), t(cv), qi, qc, ci, cc, k))
+        case Command.TopKMode.Quantized(shortlist) =>
+          Response.Entries(graft.functions.Quantize.quantizedTopKJoin(
+            t(qv), t(cv), qi, qc, ci, cc, k, shortlist))
+        case Command.TopKMode.Ivf(cells, probe, quantized) =>
+          // cosine metric to match the exact arm's ranking contract; the
+          // built index's cached cells stay pinned for the session (the
+          // returned frame reads through them) — a long-lived deployment
+          // uses IvfIndex.buildOrLoad artifacts instead of per-statement
+          // builds
+          val corpus = t(cv).select(
+            col(ci).cast("long").as("id"),
+            col(cc).cast("array<float>").as("key"))
+          val ivf = graft.ann.IvfIndex.build(corpus, nCells = cells,
+            metric = graft.types.Algorithm.CosineSimilarity)
+          Response.Entries(quantized match {
+            case Some(shortlist) =>
+              ivf.quantizedTopKJoin(t(qv), qi, qc, k, probe, shortlist)
+            case None => ivf.topKJoin(t(qv), qi, qc, k, probe)
+          })
+      }
+      case ExtFuse(k, va, aDid, vb, bDid, c) =>
+        Response.Entries(graft.text.Hybrid.rrfFuse(
+          t(va).select(col("qid"), col(aDid).as("did"), col("rank")),
+          t(vb).select(col("qid"), col(bDid).as("did"), col("rank")), k, c))
+      case ExtAs(inner, view) =>
+        executeExt(spark, inner) match {
+          case r @ Response.Entries(df) =>
+            df.createOrReplaceTempView(view); r
+          case other => throw graft.types.GraftException(
+            s"AS $view needs a frame-producing statement, got $other")
+        }
       case other =>
         throw graft.types.GraftException(
           s"$other is not an extension statement — use runDb/runAi")

@@ -468,6 +468,26 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM queries ID qid VEC emb IN corpus ID cid VEC emb") ==
       Seq(ExtTopK(5, "queries", "qid", "emb", "corpus", "cid", "emb")))
+    // acceleration arms + fusion + AS piping
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb QUANTIZED SHORTLIST 40") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Quantized(40))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Ivf(8, 2, None))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 QUANTIZED SHORTLIST 40") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Ivf(8, 2, Some(40)))))
+    assert(DslParser.parseExt("FUSE 5 FROM lex ID did IN vec ID cid") ==
+      Seq(ExtFuse(5, "lex", "did", "vec", "cid", 60)))
+    assert(DslParser.parseExt("FUSE 5 FROM lex ID did IN vec ID cid C 10") ==
+      Seq(ExtFuse(5, "lex", "did", "vec", "cid", 10)))
+    assert(DslParser.parseExt(
+      "BM25 3 FROM q ID qid TEXT qt IN docs ID did TEXT text AS lex") ==
+      Seq(ExtAs(ExtBm25(3, "q", "qid", "qt", "docs", "did", "text"), "lex")))
     assert(DslParser.parseExt(
       "DEDUP SEMANTIC FROM vecs ID vec_id VEC emb THRESHOLD 0.9") ==
       Seq(ExtDedupSemantic("vecs", "vec_id", "emb", 0.9)))
@@ -568,6 +588,65 @@ class DslSpec extends AnyFunSuite {
     // only doc 7 shares a 3-gram with the benchmark line
     val hits = df(3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(hits.keySet == Set(7L) && hits(7L) > 0)
+  }
+
+  test("extension pipeline: hybrid retrieval composes via AS piping; TOPK arms agree") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta epsilon"),
+      (2L, "gamma delta zeta"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("hy_docs")
+    docs.where($"doc_id" === 0L)
+      .select($"doc_id".as("qid"), $"text".as("qtext"))
+      .createOrReplaceTempView("hy_q")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Seq(0.9f, 0.1f, 0.2f, 0.1f)),
+      (2L, Seq(0.1f, 1.0f, 0.0f, 0.3f)),
+      (3L, Seq(0.0f, 0.1f, 1.0f, 0.9f)),
+      (4L, Seq(0.2f, 0.9f, 0.1f, 0.2f)),
+      (5L, Seq(0.8f, 0.2f, 0.3f, 0.0f))).toDF("vid", "emb")
+    vecs.createOrReplaceTempView("hy_vecs")
+    vecs.where($"vid" === 0L).select($"vid".as("qid"), $"emb")
+      .createOrReplaceTempView("hy_qvecs")
+
+    val results = Pipeline.runExt(spark,
+      """BM25 3 FROM hy_q ID qid TEXT qtext IN hy_docs ID doc_id TEXT text AS hy_lex;
+        |TOPK 3 FROM hy_qvecs ID qid VEC emb IN hy_vecs ID vid VEC emb AS hy_vec;
+        |FUSE 3 FROM hy_lex ID did IN hy_vec ID cid;
+        |TOPK 3 FROM hy_qvecs ID qid VEC emb IN hy_vecs ID vid VEC emb QUANTIZED SHORTLIST 6;
+        |TOPK 3 FROM hy_qvecs ID qid VEC emb IN hy_vecs ID vid VEC emb IVF CELLS 2 PROBE 2;
+        |TOPK 3 FROM hy_qvecs ID qid VEC emb IN hy_vecs ID vid VEC emb IVF CELLS 2 PROBE 2 QUANTIZED SHORTLIST 6""".stripMargin)
+    assert(results.size == 6, results)
+    def df(i: Int) = results(i) match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"step $i: $other")
+    }
+    // rank is int on the scan arms and long on fused output — normalize
+    def ranked(i: Int) = df(i).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Number]("rank").longValue())).sortBy(t => (t._1, t._3)).toSeq
+
+    // FUSE equals a direct rrfFuse of the two piped stages
+    val want = graft.text.Hybrid.rrfFuse(
+      spark.table("hy_lex").select($"qid", $"did", $"rank"),
+      spark.table("hy_vec").select($"qid", $"cid".as("did"), $"rank"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(df(2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want)
+    // exhaustive settings (shortlist >= corpus, probe = cells) make every
+    // acceleration arm EXACT: identical (qid, cid, rank) to the exact arm
+    assert(ranked(3) == ranked(1), "SQ8 arm diverged at exhaustive settings")
+    assert(ranked(4) == ranked(1), "IVF arm diverged at exhaustive probes")
+    assert(ranked(5) == ranked(1), "SQ8-in-IVF arm diverged at exhaustive settings")
+    // AS on a non-frame statement (SCAN's own AS is part of its grammar;
+    // the trailing AS w wraps the Ok response) is a captured error, not
+    // an abort
+    val bad = Pipeline.runExt(spark, "SCAN '/tmp/nope.parquet' AS v AS w")
+    assert(bad.size == 1 && bad(0).isLeft)
   }
 
   test("extension pipeline: SPANS and PPL parse and execute (API parity)") {
