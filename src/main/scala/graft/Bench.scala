@@ -31,24 +31,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // pre-build shared stores outside the timed region
-    graft.queries.TestStores.engine(spark, sfDir)
-    graft.queries.TestStores.aiEngine(spark, sfDir)
-    graft.queries.TestStores.li4Engine(spark, sfDir)
-
-    // warm the near-dup/CC code paths on a toy corpus: whole-stage codegen
-    // compilation and JIT otherwise land entirely on whichever family
-    // member runs FIRST (alphabetically dedup_cluster — measured 10.4 s
-    // cold vs 3.8 s warm for the same query), skewing per-query medians
-    {
-      import spark.implicits._
-      val toy = Seq(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "x y z w q r")
-        .toDF("doc_id", "text")
-      val pairs = graft.dedup.Dedup.minHashLshJoin(toy, "doc_id", "text", 3, 0.5)
-      graft.dedup.ConnectedComponents.label(pairs, "a", "b").count()
-      ()
-    }
-
     // optional subset filter (comma-separated names / prefixes ending in
     // '*') — the regression-bisection lever: run one family, or replay an
     // old round's query set, inside the same binary
@@ -61,7 +43,40 @@ object Bench {
       .filter(_.nonEmpty)
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
+    val selectedNames = SparkEntry.queries.keys.filter(selected).toSeq
 
+    // pre-build shared stores outside the timed region — but only the
+    // stores the SELECTED queries touch. Queries build them lazily anyway
+    // (TestStores memoizes), so gating can't break a run; it keeps
+    // family-scoped sessions (BENCH_ONLY bisects, the ScaleGen stress run)
+    // from paying an untimed multi-minute ai/vdb store build they never
+    // read — at the 100×-docs scale dir the aiEngine build alone embeds
+    // 500k documents.
+    if (selectedNames.exists(n => n.startsWith("vdb_") || n.startsWith("q") ||
+        n.startsWith("ann_")))
+      graft.queries.TestStores.engine(spark, sfDir)
+    if (selectedNames.exists(_.startsWith("ai_")))
+      graft.queries.TestStores.aiEngine(spark, sfDir)
+    if (selectedNames.contains("vdb_sim_kdtree_filtered_large"))
+      graft.queries.TestStores.li4Engine(spark, sfDir)
+
+    // warm the near-dup/CC code paths on a toy corpus: whole-stage codegen
+    // compilation and JIT otherwise land entirely on whichever family
+    // member runs FIRST (alphabetically dedup_cluster — measured 10.4 s
+    // cold vs 3.8 s warm for the same query), skewing per-query medians
+    if (selectedNames.exists(n => n.startsWith("dedup_") || n.startsWith("embed_") ||
+        n.startsWith("events_"))) {
+      import spark.implicits._
+      val toy = Seq(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "x y z w q r")
+        .toDF("doc_id", "text")
+      val pairs = graft.dedup.Dedup.minHashLshJoin(toy, "doc_id", "text", 3, 0.5)
+      graft.dedup.ConnectedComponents.label(pairs, "a", "b").count()
+      ()
+    }
+
+    // first error per failed query, surfaced in the JSON: a silent -1 made
+    // the 100×-corpus stress run undiagnosable without a per-query rerun
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
@@ -80,7 +95,11 @@ object Bench {
         // (text_*, mm_*) would then measure parquet scan + row count, not
         // the expression work the query exists to measure.
         val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+                .replaceAll("[\"\\\\\n\r\t]", " "))
+            false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
       // (the near-dup joins return eager localCheckpoints whose blocks are
@@ -102,7 +121,9 @@ object Bench {
     // headline keys (`value`, `failed`) go LAST: the driver captures the
     // tail of stdout, so truncation must eat per-query detail, never the
     // round-over-round `total` (BENCH_r06 lost it to a head-side cut)
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries":$qs,"failed":$failed,"value":$total}"""
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
     println(line)
     // truncation-proof copy: the driver's stdout tail capture has twice
     // eaten per-query detail (18 queries in round 7, including the round's

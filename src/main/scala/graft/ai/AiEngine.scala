@@ -39,6 +39,17 @@ class AiEngine(val db: GraftEngine) {
     StructField("input", metadataValueType, nullable = false),
     StructField("value", valueType, nullable = false)))
 
+  /** AI-layer spans (graft.obs.Trace). The proxy's own work (embedding,
+    * reserved-key plumbing) traces as an `AI.*` span; the DB ops it
+    * delegates to open their own nested spans, so the span tree shows
+    * proxy overhead vs engine work — the same two-level view the
+    * reference's tracer gives its AI proxy (ahnlich/ai spans over db
+    * client calls). Pure passthroughs (dropStore etc.) are not re-wrapped:
+    * the DB-level span already carries them. */
+  @inline private def traced[T](op: String, name: String, schema: String)(f: => T): T =
+    graft.obs.Trace.span(spark, op,
+      if (schema == db.DefaultSchema) name else s"$schema.$name")(f)
+
   // ------------------------------------------------------------- create/drop
 
   /** AI CreateStore (operations.rs:83-136): dimension comes from the index
@@ -49,7 +60,7 @@ class AiEngine(val db: GraftEngine) {
       nonLinearIndexes: Seq[NonLinearConfig] = Seq.empty,
       errorIfExists: Boolean = true,
       storeOriginal: Boolean = false,
-      schema: String = db.DefaultSchema): Boolean = {
+      schema: String = db.DefaultSchema): Boolean = traced("AI.CreateStore", name, schema) {
     val qm = Models.details(queryModel)
     val im = Models.details(indexModel)
     if (qm.dim != im.dim)
@@ -90,7 +101,7 @@ class AiEngine(val db: GraftEngine) {
   def setDf(name: String, entries: DataFrame,
       schema: String = db.DefaultSchema,
       preprocessAction: String = "nopreprocessing",
-      executionProvider: Option[String] = None): (Long, Long) = {
+      executionProvider: Option[String] = None): (Long, Long) = traced("AI.Set", name, schema) {
     validateSessionConfig(preprocessAction, executionProvider)
     val meta = aiMeta(name, schema)
     val im = Models.details(meta.indexModel.get)
@@ -235,7 +246,7 @@ class AiEngine(val db: GraftEngine) {
       newValue: Option[Map[String, MetadataValue]] = None,
       schema: String = db.DefaultSchema,
       preprocessAction: String = "nopreprocessing",
-      executionProvider: Option[String] = None): (Long, Long) = {
+      executionProvider: Option[String] = None): (Long, Long) = traced("AI.Upsert", name, schema) {
     validateSessionConfig(preprocessAction, executionProvider)
     val meta = aiMeta(name, schema)
     val im = Models.details(meta.indexModel.get)
@@ -259,7 +270,7 @@ class AiEngine(val db: GraftEngine) {
     * (ai/src/server/handler.rs:339-420). */
   def getSimN(name: String, input: MetadataValue, closestN: Int,
       algorithm: Algorithm, condition: Option[PredicateCondition] = None,
-      schema: String = db.DefaultSchema): DataFrame = {
+      schema: String = db.DefaultSchema): DataFrame = traced("AI.GetSimN", name, schema) {
     val meta = aiMeta(name, schema)
     val qm = Models.details(meta.queryModel.get)
     requireKind(input, qm, "Query")
@@ -281,7 +292,7 @@ class AiEngine(val db: GraftEngine) {
   /** AI GetKey — lookup by raw input via the reserved key (requires
     * STOREORIGINAL; ai/src/engine/store.rs:500-521). */
   def getKey(name: String, inputs: Seq[MetadataValue],
-      schema: String = db.DefaultSchema): DataFrame = {
+      schema: String = db.DefaultSchema): DataFrame = traced("AI.GetKey", name, schema) {
     requireStoreOriginal(name, schema, "GetKey")
     stripReserved(db.getPred(name,
       In(ReservedKey, inputs.toSet), schema))
@@ -289,7 +300,7 @@ class AiEngine(val db: GraftEngine) {
 
   /** AI DelKey — delete by raw input via the reserved key. */
   def delKey(name: String, inputs: Seq[MetadataValue],
-      schema: String = db.DefaultSchema): Long = {
+      schema: String = db.DefaultSchema): Long = traced("AI.DelKey", name, schema) {
     requireStoreOriginal(name, schema, "DelKey")
     db.delPred(name, In(ReservedKey, inputs.toSet), schema)
   }
@@ -297,12 +308,13 @@ class AiEngine(val db: GraftEngine) {
   /** AI GetPred — passthrough + reserved-key strip into `input`. */
   def getPred(name: String, cond: PredicateCondition,
       schema: String = db.DefaultSchema): DataFrame =
-    stripReserved(db.getPred(name, cond, schema))
+    traced("AI.GetPred", name, schema) { stripReserved(db.getPred(name, cond, schema)) }
 
   /** ConvertStoreInputToEmbeddings (protos/ai/query.proto:178-184):
     * standalone inputs × model → vectors. */
   def convertStoreInputToEmbeddings(inputs: Seq[MetadataValue],
-      model: String): Seq[(MetadataValue, Array[Float])] = {
+      model: String): Seq[(MetadataValue, Array[Float])] =
+    traced("AI.ConvertStoreInputToEmbeddings", model, db.DefaultSchema) {
     val m = Models.details(model)
     val embedder = Embedders.forModel(m.name)
     inputs.map(i => { requireKind(i, m, "Convert"); i -> embedder.embedOne(i).head })

@@ -165,6 +165,10 @@ object Command {
     * `BM25 ... AS lex; TOPK ... AS vec; FUSE 5 FROM lex ID did IN vec
     * ID cid`. */
   final case class ExtAs(inner: Command, view: String) extends Command
+  /** Engine-op tracing control (graft.obs.Trace): `TRACE ON|OFF` toggles
+    * the recorder, `TRACE SHOW` returns the span frame, `TRACE RESET`
+    * clears it. */
+  final case class ExtTrace(action: String) extends Command
 }
 
 /** Parse failure with the offending statement's span in the input —

@@ -391,6 +391,9 @@ object DslParser extends RegexParsers {
         case k ~ qv ~ qi ~ qc ~ cv ~ ci ~ cc ~ m =>
           ExtTopK(k, qv, qi, qc, cv, ci, cc,
             m.getOrElse(Command.TopKMode.Exact)) }
+  private val extTrace: Parser[Command] =
+    kw("trace") ~> (kw("on") | kw("off") | kw("show") | kw("reset")) ^^ {
+      a => ExtTrace(a.toLowerCase(java.util.Locale.ROOT)) }
   private val extFuse: Parser[Command] =
     kw("fuse") ~> nonZero ~ fromView ~ idCol ~ (inKw ~> name) ~ idCol ~
       opt(kw("c") ~> nonZero) ^^ { case k ~ va ~ ai ~ vb ~ bi ~ c =>
@@ -401,7 +404,7 @@ object DslParser extends RegexParsers {
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extBm25 | extDsir | extFuse | extTopK
+    extBm25 | extDsir | extFuse | extTopK | extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

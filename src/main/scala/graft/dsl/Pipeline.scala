@@ -157,6 +157,12 @@ object Pipeline {
         Response.Entries(graft.text.Hybrid.rrfFuse(
           t(va).select(col("qid"), col(aDid).as("did"), col("rank")),
           t(vb).select(col("qid"), col(bDid).as("did"), col("rank")), k, c))
+      case ExtTrace(action) => action match {
+        case "on"    => graft.obs.Trace.enabled = true; Response.Ok
+        case "off"   => graft.obs.Trace.enabled = false; Response.Ok
+        case "reset" => graft.obs.Trace.reset(); Response.Ok
+        case "show"  => Response.Entries(graft.obs.Trace.frame(spark))
+      }
       case ExtAs(inner, view) =>
         executeExt(spark, inner) match {
           case r @ Response.Entries(df) =>

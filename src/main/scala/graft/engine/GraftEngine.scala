@@ -336,6 +336,16 @@ class GraftEngine(val spark: SparkSession,
       newPaths.values.map(_.split("/")(0)).toSet))
   }
 
+  /** Engine-op span (graft.obs.Trace): one per public call, with Spark
+    * job/task attribution via job groups. A disabled trace (the default)
+    * is a single volatile read — the hot path is unchanged. The reference
+    * wraps every request in a tracing span the same way
+    * (ahnlich/utils/src/server.rs request task instrumentation). */
+  @inline private def traced[T](op: String, name: String,
+      schema: String = DefaultSchema)(f: => T): T =
+    graft.obs.Trace.span(spark, op,
+      if (schema == DefaultSchema) name else s"$schema.$name")(f)
+
   // ------------------------------------------------------------ catalog ops
 
   /** CreateStore (store.rs:624-649). */
@@ -346,7 +356,7 @@ class GraftEngine(val spark: SparkSession,
       schema: String = DefaultSchema,
       storeOriginal: Boolean = false,
       queryModel: Option[String] = None,
-      indexModel: Option[String] = None): Boolean = {
+      indexModel: Option[String] = None): Boolean = traced("CreateStore", name, schema) {
     require(dimension > 0, "dimension must be non-zero")
     // persistent stores place schema/name into filesystem paths
     // (data/<schema>/<name>, index/...): reject separator and traversal
@@ -380,7 +390,7 @@ class GraftEngine(val spark: SparkSession,
 
   /** DropStore (store.rs:688-713). */
   def dropStore(name: String, schema: String = DefaultSchema,
-      errorIfNotExists: Boolean = true): Int =
+      errorIfNotExists: Boolean = true): Int = traced("DropStore", name, schema) {
     // under the store lock: an in-flight mutation's final catalog write
     // would otherwise RESURRECT the dropped store with bucket paths whose
     // files this drop just deleted
@@ -398,9 +408,10 @@ class GraftEngine(val spark: SparkSession,
         if (errorIfNotExists) throw GraftErrors.storeNotFound(schema, name)
         0
     }
+  }
 
   /** DropSchema — refuses "public" (store.rs:715-736). */
-  def dropSchema(schema: String, errorIfNotExists: Boolean = true): Int = {
+  def dropSchema(schema: String, errorIfNotExists: Boolean = true): Int = traced("DropSchema", "*", schema) {
     if (schema == DefaultSchema) throw GraftErrors.cannotDropPublic
     val keys = catalog.keys.filter(_._1 == schema).toSeq
     if (keys.isEmpty && errorIfNotExists) throw GraftErrors.schemaNotFound(schema)
@@ -420,7 +431,7 @@ class GraftEngine(val spark: SparkSession,
 
   /** PurgeStores — AI-layer: drop ALL stores in all schemas
     * (ai/src/engine/store.rs:232-242). */
-  def purgeStores(): Int = {
+  def purgeStores(): Int = traced("PurgeStores", "*", "") {
     val n = catalog.size
     catalog.keys.toSeq.foreach { k =>
       storeLock(k._1, k._2).synchronized { catalog.remove(k) }.foreach { st =>
@@ -439,13 +450,15 @@ class GraftEngine(val spark: SparkSession,
   /** ListStores → (schema, name, len, size_bytes_est, dimension, indexes)
     * (store.rs:530-577). Pure catalog read — zero Spark jobs. */
   def listStores(schema: String = DefaultSchema): Seq[StoreInfo] =
-    catalog.toSeq.filter(_._1._1 == schema).sortBy(_._1._2).map {
-      case ((sch, nm), st) => storeInfo(st)
+    traced("ListStores", "*", schema) {
+      catalog.toSeq.filter(_._1._1 == schema).sortBy(_._1._2).map {
+        case ((sch, nm), st) => storeInfo(st)
+      }
     }
 
   /** GetStore (store.rs:579-622). */
   def getStore(name: String, schema: String = DefaultSchema): StoreInfo =
-    storeInfo(state(schema, name))
+    traced("GetStore", name, schema) { storeInfo(state(schema, name)) }
 
   private def storeInfo(st: StoreState): StoreInfo = {
     // len is the driver-maintained counter — no count job (the reference's
@@ -484,19 +497,21 @@ class GraftEngine(val spark: SparkSession,
     * GetPred validation + StoreInfo parity hold (store.rs:224-238). Returns
     * the number of NEW keys indexed (idempotent). */
   def createPredIndex(name: String, keys: Set[String],
-      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Int = traced("CreatePredIndex", name, schema) {
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val newKeys = keys -- st.meta.predicateIndexes
     catalog((schema, name)) = st.copy(meta =
       st.meta.copy(predicateIndexes = st.meta.predicateIndexes ++ newKeys))
     flushStore(schema, name)
     newKeys.size
-  }
+  }}
 
   /** DropPredIndex (store.rs:651-666). */
   def dropPredIndex(name: String, keys: Set[String],
       errorIfNotExists: Boolean = true,
-      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Int = traced("DropPredIndex", name, schema) {
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val present = keys.intersect(st.meta.predicateIndexes)
     if (present.size != keys.size && errorIfNotExists)
@@ -506,7 +521,7 @@ class GraftEngine(val spark: SparkSession,
       st.meta.copy(predicateIndexes = st.meta.predicateIndexes -- present))
     flushStore(schema, name)
     present.size
-  }
+  }}
 
   // -------------------------------------------------------------- write ops
 
@@ -515,7 +530,7 @@ class GraftEngine(val spark: SparkSession,
     * (sequential-insert semantics of the reference). */
   def set(name: String, entries: DataFrame,
       schema: String = DefaultSchema): (Long, Long) =
-    setCore(name, entries, None, schema)
+    traced("Set", name, schema) { setCore(name, entries, None, schema) }
 
   /** Set fused with a preceding delete-by-id in ONE store swap. The AI
     * proxy's store_original re-ingest (ai/src/engine/operations.rs:229-266)
@@ -537,7 +552,9 @@ class GraftEngine(val spark: SparkSession,
   private[graft] def delIdsAndSet(name: String,
       staleIdsOf: DataFrame => DataFrame,
       entries: DataFrame, schema: String = DefaultSchema): (Long, Long) =
-    setCore(name, entries, Some(staleIdsOf), schema)
+    // traced as "Set": this IS the store's set op, with stale-id cleanup
+    // fused into the same swap (the AI proxy's storeOriginal write path)
+    traced("Set", name, schema) { setCore(name, entries, Some(staleIdsOf), schema) }
 
   private def setCore(name: String, entries: DataFrame,
       staleIdsOfOpt: Option[DataFrame => DataFrame],
@@ -634,7 +651,7 @@ class GraftEngine(val spark: SparkSession,
     * probe ids (tiny, user-bounded) are collected once so the scan is
     * pruned to the ids' hash buckets, like every mutation's read. */
   def getKey(name: String, keys: Seq[Array[Float]],
-      schema: String = DefaultSchema): DataFrame = {
+      schema: String = DefaultSchema): DataFrame = traced("GetKey", name, schema) {
     val st = state(schema, name)
     keys.find(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
@@ -650,7 +667,7 @@ class GraftEngine(val spark: SparkSession,
 
   /** GetPred (store.rs:401-411, 869-874). */
   def getPred(name: String, cond: PredicateCondition,
-      schema: String = DefaultSchema): DataFrame = {
+      schema: String = DefaultSchema): DataFrame = traced("GetPred", name, schema) {
     val st = state(schema, name)
     st.df.where(Predicates.toColumn(cond, col("value"))).select("key", "value")
   }
@@ -670,7 +687,8 @@ class GraftEngine(val spark: SparkSession,
     * medians by 2-3x through accumulated block-manager/GC load), not this
     * operator. */
   def delKey(name: String, keys: Seq[Array[Float]],
-      schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Long = traced("DelKey", name, schema) {
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     keys.find(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
@@ -688,14 +706,15 @@ class GraftEngine(val spark: SparkSession,
         src => src.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
         touch, lenDelta = -deleted)
     deleted
-  }
+  }}
 
   /** DelPred — delete by predicate, returns deleted count
     * (store.rs:272-286, 851-856). Finding the matches is necessarily a full
     * predicate scan; the REWRITE is still bucket-incremental — only the
     * buckets holding matched ids are re-read and re-written. */
   def delPred(name: String, cond: PredicateCondition,
-      schema: String = DefaultSchema): Long = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Long = traced("DelPred", name, schema) {
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val c = Predicates.toColumn(cond, col("value"))
     val matched = st.df.where(c).select("id").persist(StorageLevel.MEMORY_AND_DISK)
@@ -707,7 +726,7 @@ class GraftEngine(val spark: SparkSession,
         swap(schema, name, src => src.where(!c), touch, lenDelta = -deleted)
       deleted
     } finally matched.unpersist(blocking = false)
-  }
+  }}
 
   /** Upsert — update exactly-one entry matched by predicate; optional new
     * key/value; merge flag; validates match-count==1 before (and, by
@@ -719,7 +738,7 @@ class GraftEngine(val spark: SparkSession,
       newKey: Option[Array[Float]] = None,
       newValue: Option[Map[String, MetadataValue]] = None,
       mergeMetadata: Boolean = false,
-      schema: String = DefaultSchema): (Long, Long) = {
+      schema: String = DefaultSchema): (Long, Long) = traced("Upsert", name, schema) {
     // neither a new key nor a new value is a no-op request — the reference
     // rejects it (aiproxy_test.rs:3130 upsert_error_neither_input_nor_value)
     if (newKey.isEmpty && newValue.isEmpty)
@@ -790,7 +809,7 @@ class GraftEngine(val spark: SparkSession,
    */
   def getSimN(name: String, searchInput: Array[Float], closestN: Int,
       algorithm: Algorithm, condition: Option[PredicateCondition] = None,
-      schema: String = DefaultSchema): DataFrame = {
+      schema: String = DefaultSchema): DataFrame = traced("GetSimN", name, schema) {
     require(closestN > 0, "closest_n must be non-zero")
     val st = state(schema, name)
     if (searchInput.length != st.meta.dimension)
@@ -826,7 +845,8 @@ class GraftEngine(val spark: SparkSession,
   /** CreateNonLinearAlgorithmIndex — batch index-build job
     * (store.rs:240-254, 1160-1186). Idempotent: only new kinds are built. */
   def createNonLinearIndex(name: String, configs: Seq[NonLinearConfig],
-      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Int = traced("CreateNonLinearIndex", name, schema) {
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))
     val built = fresh.map { c =>
@@ -841,12 +861,13 @@ class GraftEngine(val spark: SparkSession,
       saveIndexArtifacts(schema, name, kind, idx, st.bucketPaths)
     }
     fresh.size
-  }
+  }}
 
   /** DropNonLinearAlgorithmIndex (store.rs:668-686). */
   def dropNonLinearIndex(name: String, kinds: Set[String],
       errorIfNotExists: Boolean = true,
-      schema: String = DefaultSchema): Int = storeLock(schema, name).synchronized {
+      schema: String = DefaultSchema): Int = traced("DropNonLinearIndex", name, schema) {
+    storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val present = kinds.intersect(st.meta.nonLinearIndexes.keySet)
     if (present.size != kinds.size && errorIfNotExists)
@@ -859,7 +880,7 @@ class GraftEngine(val spark: SparkSession,
     persistRoot.foreach(root => present.foreach(k =>
       Persistence.deleteDir(Persistence.indexDir(root, schema, name, k))))
     present.size
-  }
+  }}
 
   private[graft] def annIndex(name: String, kind: String,
       schema: String = DefaultSchema): Option[graft.ann.AnnIndex] =

@@ -25,6 +25,10 @@ object Queries {
 
   final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
+  /** Per-invocation store-name nonce for vdb_trace: the span recorder is
+    * JVM-global, so each replay must trace a store no earlier replay used. */
+  private val traceNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ----------------------------------------------------------- SQL helpers
 
   private def dotSql(a: String, b: String): String =
@@ -632,6 +636,43 @@ object Queries {
         |  (15, 'nl-drop:1'), (16, 'public-guarded'), (17, 'schema-drop:1'),
         |  (18, 'schema-missing-error'), (19, 'purge:1'), (20, 'post-purge:0')
         |) t(step, info) ORDER BY step""".stripMargin)),
+
+    // ---- Observability: engine-op tracing (graft.obs.Trace; the
+    // reference's ahnlich/tracer analog). A scripted op sequence on a
+    // fresh engine with tracing enabled must record one span per op with
+    // the right outcome — aggregated to (op, n, n_ok) so the result is
+    // deterministic (durations/job counts are real but not assertable
+    // cross-run). The store name is nonce'd per invocation because the
+    // span recorder is JVM-global and bench replays the query 3×. ----
+    "vdb_trace" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        val store = s"tr_${traceNonce.incrementAndGet()}"
+        val prev = graft.obs.Trace.enabled
+        graft.obs.Trace.enabled = true
+        try {
+          e.createStore(store, 4)
+          e.setSeq(store, Seq(
+            (Array(1f, 0f, 0f, 0f), Map[String, MetadataValue](
+              "t" -> MetadataValue.RawString("x"))),
+            (Array(0f, 1f, 0f, 0f), Map[String, MetadataValue](
+              "t" -> MetadataValue.RawString("y")))))
+          e.getPred(store, Equals("t", MetadataValue.RawString("x")))
+          try e.createStore(store, 4) catch { case _: Exception => () }
+          e.delKey(store, Seq(Array(1f, 0f, 0f, 0f)))
+          e.dropStore(store)
+        } finally graft.obs.Trace.enabled = prev
+        graft.obs.Trace.frame(s).where(col("store") === store)
+          .groupBy("op").agg(
+            count(lit(1)).as("n"),
+            sum(col("ok").cast("long")).as("n_ok"))
+          .orderBy("op")
+      },
+      Some("""SELECT op, CAST(n AS BIGINT) AS n, CAST(n_ok AS BIGINT) AS n_ok
+        |FROM (VALUES
+        |  ('CreateStore', 2, 1), ('Set', 1, 1), ('GetPred', 1, 1),
+        |  ('DelKey', 1, 1), ('DropStore', 1, 1)
+        |) t(op, n, n_ok) ORDER BY op""".stripMargin)),
 
     // ---- Persistence: tables-as-truth restart round-trip (SURVEY §7.3;
     // reference persistence suites server_tests.rs:772,3219). Write through

@@ -649,6 +649,26 @@ class DslSpec extends AnyFunSuite {
     assert(bad.size == 1 && bad(0).isLeft)
   }
 
+  test("extension pipeline: TRACE controls the span recorder") {
+    val spark = graft.TestFixtures.spark
+    assert(DslParser.parseExt("TRACE ON; TRACE SHOW; TRACE RESET; TRACE OFF") ==
+      Seq(ExtTrace("on"), ExtTrace("show"), ExtTrace("reset"), ExtTrace("off")))
+    val prev = graft.obs.Trace.enabled
+    try {
+      val results = Pipeline.runExt(spark, "TRACE ON; TRACE SHOW; TRACE OFF")
+      assert(results.size == 3 && results.forall(_.isRight))
+      val frame = results(1) match {
+        case Right(Response.Entries(df)) => df
+        case other => fail(s"TRACE SHOW: $other")
+      }
+      // span schema is the queryable surface — pin the load-bearing columns
+      val cols = frame.columns.toSet
+      assert(Set("seq", "parent", "op", "store", "durNs", "ok", "jobs",
+        "taskTimeMs").subsetOf(cols), cols)
+      assert(!graft.obs.Trace.enabled)
+    } finally graft.obs.Trace.enabled = prev
+  }
+
   test("extension pipeline: SPANS and PPL parse and execute (API parity)") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._

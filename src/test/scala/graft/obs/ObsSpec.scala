@@ -1,0 +1,104 @@
+package graft.obs
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types._
+import graft.types.PredicateCondition.Equals
+
+/** Engine-op tracing: span recording, error capture, nesting (AI proxy →
+  * DB engine), Spark job attribution, and the disabled fast path. Spans
+  * are asserted by store-name scope (`obs_*`) so the global recorder can
+  * carry spans from other suites sharing the JVM. */
+class ObsSpec extends AnyFunSuite {
+
+  private def spark = graft.TestFixtures.spark
+
+  private def spansFor(store: String): Seq[(String, Boolean, Long, Int)] =
+    Trace.frame(spark)
+      .where(col("store") === store)
+      .select("op", "ok", "parent", "jobs")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+
+  test("spans record op, store, outcome; mutation spans attribute Spark jobs") {
+    val e = new graft.engine.GraftEngine(spark)
+    Trace.enabled = true
+    try {
+      e.createStore("obs_a", 4)
+      e.setSeq("obs_a", Seq(
+        (Array(1f, 0f, 0f, 0f), Map("t" -> MetadataValue.RawString("x"))),
+        (Array(0f, 1f, 0f, 0f), Map("t" -> MetadataValue.RawString("y")))))
+      e.getPred("obs_a", Equals("t", MetadataValue.RawString("x")))
+      intercept[GraftException] { e.createStore("obs_a", 4) }
+      e.delKey("obs_a", Seq(Array(1f, 0f, 0f, 0f)))
+    } finally Trace.enabled = false
+
+    val spans = spansFor("obs_a")
+    assert(spans.count(_._1 == "CreateStore") == 2, spans)
+    // the duplicate CreateStore recorded its failure and rethrew
+    assert(spans.filter(_._1 == "CreateStore").map(_._2).sorted == Seq(false, true))
+    assert(spans.exists(s => s._1 == "Set" && s._2))
+    assert(spans.exists(s => s._1 == "GetPred" && s._2))
+    assert(spans.exists(s => s._1 == "DelKey" && s._2))
+    // Set and DelKey are eager — each must have launched at least one Spark
+    // job inside its group (listener events land async; retry briefly)
+    def jobsOf(op: String): Int = spansFor("obs_a")
+      .filter(_._1 == op).map(_._4).max
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((jobsOf("Set") == 0 || jobsOf("DelKey") == 0) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(jobsOf("Set") > 0, "Set span attributed no Spark jobs")
+    assert(jobsOf("DelKey") > 0, "DelKey span attributed no Spark jobs")
+    // lazy read: GetPred builds a plan, never runs a job
+    assert(spansFor("obs_a").filter(_._1 == "GetPred").forall(_._4 == 0))
+  }
+
+  test("AI proxy spans nest: AI.Set is the parent of the engine's ops") {
+    val ai = new graft.ai.AiEngine(new graft.engine.GraftEngine(spark))
+    Trace.enabled = true
+    try {
+      ai.createStore("obs_ai", "all-minilm-l6-v2", "all-minilm-l6-v2",
+        storeOriginal = true)
+      ai.set("obs_ai", Seq(
+        (MetadataValue.RawString("hello world"),
+          Map("k" -> MetadataValue.RawString("v")))))
+    } finally Trace.enabled = false
+
+    val spans = Trace.frame(spark).where(col("store") === "obs_ai")
+      .select("seq", "parent", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val aiSet = spans.filter(_._3 == "AI.Set")
+    assert(aiSet.size == 1, spans)
+    // the proxy's inner engine work is parented under the AI.Set span
+    val children = spans.filter(_._2 == aiSet.head._1).map(_._3)
+    assert(children.nonEmpty, spans)
+    // AI.CreateStore wraps the engine CreateStore the same way
+    val aiCreate = spans.filter(_._3 == "AI.CreateStore")
+    assert(aiCreate.size == 1)
+    assert(spans.exists(s => s._3 == "CreateStore" && s._2 == aiCreate.head._1))
+  }
+
+  test("disabled tracing records nothing and job groups are restored") {
+    val e = new graft.engine.GraftEngine(spark)
+    Trace.enabled = false
+    val before = Trace.frame(spark).where(col("store") === "obs_off").count()
+    e.createStore("obs_off", 4)
+    e.setSeq("obs_off", Seq(
+      (Array(1f, 0f, 0f, 0f), Map("t" -> MetadataValue.RawString("x")))))
+    assert(Trace.frame(spark).where(col("store") === "obs_off").count() == before)
+
+    // a user-set job group survives a traced call unchanged
+    val sc = spark.sparkContext
+    Trace.enabled = true
+    try {
+      sc.setJobGroup("user-group", "mine", interruptOnCancel = false)
+      e.getPred("obs_off", Equals("t", MetadataValue.RawString("x"))).count()
+      assert(sc.getLocalProperty("spark.jobGroup.id") == "user-group")
+    } finally {
+      Trace.enabled = false
+      sc.clearJobGroup()
+    }
+  }
+}
