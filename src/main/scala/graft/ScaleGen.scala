@@ -57,12 +57,24 @@ object ScaleGen {
 
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
 
+    // the stride comments below assert "larger than any source id" — check
+    // it, don't assume it: pointing SPARK_GRAFT_SCALE_SRC at an already-
+    // scaled dir (ids up to ~99e6) would silently collide replica id spaces
+    def checkedRead(table: String, idCol: String, stride: Long): DataFrame = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val mx = df.agg(max(col(idCol))).head.getLong(0)
+      require(mx < stride, s"$table: max($idCol)=$mx >= replica stride " +
+        s"$stride — ids would collide across replicas. Point " +
+        "SPARK_GRAFT_SCALE_SRC at an unscaled source directory.")
+      df
+    }
+
     counts("documents") = writeScaled(out, "documents",
-      scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), docsMult))
+      scaleDocuments(checkedRead("documents", "doc_id", DocStride), docsMult))
     counts("embeddings") = writeScaled(out, "embeddings",
-      scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), embMult))
+      scaleEmbeddings(checkedRead("embeddings", "vec_id", VecStride), embMult))
     counts("events") = writeScaled(out, "events",
-      scaleEvents(spark.read.parquet(s"$src/events.parquet"), evMult))
+      scaleEvents(checkedRead("events", "event_id", EvStride), evMult))
 
     val cs = counts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"scalegen":"$out","docs_mult":$docsMult,"emb_mult":$embMult,"events_mult":$evMult,"rows":$cs}""")
@@ -73,8 +85,11 @@ object ScaleGen {
     // repartition by the salted id so replicas of one base row scatter
     // across files — a scale dir whose file layout pre-groups duplicate
     // clusters would hand the dedup operators locality the real corpus
-    // doesn't have
-    df.repartition(32, col(df.columns.head))
+    // doesn't have. File count follows the configured core count (one
+    // writer per core) instead of a fixed 32, so large multipliers don't
+    // bottleneck on too few oversized output files.
+    val parts = SparkSession.active.sparkContext.defaultParallelism
+    df.repartition(parts, col(df.columns.head))
       .write.mode("overwrite").parquet(s"$out/$name.parquet")
     SparkSession.active.read.parquet(s"$out/$name.parquet").count()
   }
@@ -90,11 +105,14 @@ object ScaleGen {
       .withColumn("new_id", col("doc_id") + col("rep") * lit(DocStride))
       .withColumn("h", pmod(xxhash64(col("doc_id"), col("rep")), lit(100)))
     val toks = split(trim(col("text")), "\\s+")
-    // near-dup: append 1-3 hash-chosen filler tokens — high-Jaccard kin of
-    // the base doc, distinct shingle tail
+    // near-dup: append two hash-chosen filler tokens — high-Jaccard kin of
+    // the base doc with a distinct shingle tail. Modulus 1000 gives 1e6
+    // tail combos, so members of one ~15-replica near-dup family stay
+    // pairwise distinct (a small modulus made some "near-dups" exact
+    // copies of each other by birthday collision)
     val nearText = concat_ws(" ", col("text"),
-      concat(lit("nd"), pmod(xxhash64(col("new_id")), lit(7))),
-      concat(lit("nd"), pmod(xxhash64(col("new_id"), lit(2)), lit(7))))
+      concat(lit("nd"), pmod(xxhash64(col("new_id")), lit(1000))),
+      concat(lit("nd"), pmod(xxhash64(col("new_id"), lit(2)), lit(1000))))
     // unique: every token carries a doc-keyed salt, so no shingle survives
     // across replicas (the 75% slice must not read as one giant near-dup family)
     val uniqueText = concat_ws(" ", transform(toks,
@@ -127,9 +145,10 @@ object ScaleGen {
   }
 
   /** event_id offsets by replica; timestamps shift one hour per replica so
-   * the stream's watermark windows stay populated across a 10x longer
-   * timeline; user_id is kept so per-user state (sessionization) grows with
-   * the multiplier — that growth is the stress. */
+   * replica copies interleave instead of stacking on identical instants —
+   * the source spans ~30 days, so the timeline gets denser, not longer;
+   * user_id is kept so per-user state (sessionization) grows with the
+   * multiplier — that growth is the stress. */
   private[graft] def scaleEvents(ev: DataFrame, mult: Int): DataFrame =
     replicate(ev, mult).select(
       (col("event_id") + col("rep") * lit(EvStride)).as("event_id"),

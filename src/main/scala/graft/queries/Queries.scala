@@ -2114,8 +2114,9 @@ object Queries {
     // ---- gap-based sessionization, batch twin of the streaming
     // flatMapGroupsWithState operator (StreamingIngest.sessionize; the
     // streaming/batch agreement is pinned in StreamingSpec). Timestamps
-    // compare as epoch MICROS on both engines (events.parquet carries
-    // nanos; Spark reads them truncated to micros). ----
+    // compare as epoch MICROS on both engines regardless of the parquet
+    // physical type (nanos truncate; micros pass through — TestStores
+    // .eventsTable normalizes). ----
     "events_sessionize" -> Q(
       (s, dir) => graft.streaming.StreamingIngest
         .sessionizeBatch(TestStores.eventsTable(s, dir), gapSeconds = 1800)

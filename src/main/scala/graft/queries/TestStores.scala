@@ -39,12 +39,23 @@ object TestStores {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tables.getOrElseUpdate((sfDir, name), spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp. */
+  /** events.parquet's `ts` physical type varies across driver testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's parquet reader only
+    * accepts as a raw long via the legacy flag — or TIMESTAMP(MICROS),
+    * which it reads natively (as TIMESTAMP_NTZ when the writer leaves
+    * isAdjustedToUTC unset). Normalize either to a session-TZ (UTC)
+    * TimestampType column carrying the same epoch micros the DuckDB
+    * oracle computes with epoch_ns(ts)/1000. */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def embEntries(spark: SparkSession, sfDir: String): DataFrame =
