@@ -136,9 +136,13 @@ object ScaleGen {
     val rep = replicate(emb, mult)
       .withColumn("new_id", col("vec_id") + col("rep") * lit(VecStride))
       .withColumn("h", pmod(xxhash64(col("vec_id"), col("rep")), lit(100)))
+    // cast each jittered element back to float: the division promotes to
+    // double, and a scaled table that silently widens embedding to
+    // array<double> is not a drop-in replacement (the float-vector
+    // kernels reject it — caught by the sf1 hybrid_retrieval run)
     val jittered = transform(col("embedding"), (x, i) =>
-      x + (pmod(xxhash64(col("new_id"), i), lit(1001)).cast("float") / lit(500.0f)
-        - lit(1.0f)) * lit(0.02f))
+      (x + (pmod(xxhash64(col("new_id"), i), lit(1001)).cast("float") / lit(500.0f)
+        - lit(1.0f)) * lit(0.02f)).cast("float"))
     val emb2 = when(col("rep") === 0 || col("h") < 10, col("embedding"))
       .otherwise(jittered)
     rep.select(col("new_id").as("vec_id"), emb2.as("embedding"), col("label"))

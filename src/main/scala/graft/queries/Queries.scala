@@ -1220,6 +1220,67 @@ object Queries {
         |SELECT doc_id, round(sum(s), 4) AS dsir
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- classifier-based filtering (GPT-3 §A / fastText-style): hashed
+    // n-gram Naive Bayes trained on the even-doc_id half labeled by lang,
+    // predicting over the WHOLE corpus (odd ids are unseen text). Model
+    // tables are class/bucket-bounded and broadcast; the corpus shuffles
+    // once, on the doc id. Argmax ranks on the 6-place-rounded score
+    // (ties by label) so FP sum order can't pick the winner. ----
+    "text_classify" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        val model = graft.text.Classify.trainNaiveBayes(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", "lang")
+        graft.text.Classify.predict(model, docs.select("doc_id", "text"),
+          "doc_id", "text").orderBy("doc_id")
+      },
+      Some(raw"""WITH ttoks AS (
+        |  SELECT doc_id, lang AS label,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tfeat AS (
+        |  SELECT doc_id, label,
+        |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 10007 AS b
+        |  FROM (
+        |    SELECT doc_id, label, unnest(tk) AS f FROM ttoks
+        |    UNION ALL
+        |    SELECT doc_id, label, tk[i] || ' ' || tk[i+1] AS f
+        |    FROM ttoks, UNNEST(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2)),
+        |bc AS (SELECT label, b, count(*) AS c FROM tfeat GROUP BY 1, 2),
+        |ct AS (SELECT label, count(*) AS nf,
+        |         count(DISTINCT doc_id) AS ndoc FROM tfeat GROUP BY 1),
+        |ntot AS (SELECT sum(ndoc) AS ntot FROM ct),
+        |rtoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |rfeat AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 10007 AS b
+        |  FROM (
+        |    SELECT doc_id, unnest(tk) AS f FROM rtoks
+        |    UNION ALL
+        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+        |    FROM rtoks, UNNEST(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2)),
+        |sc AS (
+        |  SELECT rfeat.doc_id, ct.label,
+        |    ln(ct.ndoc * 1.0 / ntot.ntot)
+        |      + sum(ln(coalesce(bc.c, 0) + 1.0))
+        |      - count(*) * ln(ct.nf + 10007.0) AS score
+        |  FROM rfeat CROSS JOIN ct CROSS JOIN ntot
+        |    LEFT JOIN bc ON bc.b = rfeat.b AND bc.label = ct.label
+        |  GROUP BY rfeat.doc_id, ct.label, ct.ndoc, ct.nf, ntot.ntot),
+        |rk AS (
+        |  SELECT doc_id, label, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(score, 6) DESC, label ASC) AS rk,
+        |    lead(score) OVER (PARTITION BY doc_id
+        |      ORDER BY round(score, 6) DESC, label ASC) AS second
+        |  FROM sc)
+        |SELECT doc_id, label AS pred, round(score, 4) AS score,
+        |  round(score - second, 4) AS margin
+        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
     // ---- hybrid retrieval: query-by-document over BOTH surfaces —
     // BM25 top-10 on the text, cosine top-10 on the aligned embedding
     // (vec_id = doc_id by construction) — fused by reciprocal-rank.

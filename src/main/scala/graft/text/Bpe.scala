@@ -82,7 +82,7 @@ object Bpe {
         val h = histo.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         Model(BpeReference.trainHistogram(h, numMerges, minPairCount))
       } else {
-        Model(trainDistributed(histo, numMerges, minPairCount))
+        Model(trainDistributed(histo, numMerges, minPairCount, n))
       }
     } finally { histo.unpersist(blocking = false); () }
   }
@@ -94,9 +94,16 @@ object Bpe {
     * changes a word's underlying string), so no re-grouping is needed
     * between rounds. */
   private def trainDistributed(histo: DataFrame, numMerges: Int,
-      minPairCount: Long): Seq[(String, String)] = {
+      minPairCount: Long, vocabRows: Long): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var vocab = histo.select(split(col("w"), "").as("syms"), col("cnt"))
+    // adaptive parallelism: each merge round is a full Spark job over the
+    // vocab table, so a small vocabulary (e.g. the forced-distributed
+    // oracle arm, or a narrow-domain corpus) pays 32 shuffle tasks per
+    // round for rows that fit one partition — collapse to a single
+    // partition below ~64k entries and the loop's per-round cost drops to
+    // single-task job latency. Large vocabularies keep full parallelism.
+    val base = histo.select(split(col("w"), "").as("syms"), col("cnt"))
+    var vocab = (if (vocabRows <= 65536L) base.coalesce(1) else base)
       .localCheckpoint(true)
     var round = 0
     var done = false
