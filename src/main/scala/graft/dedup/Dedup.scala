@@ -383,11 +383,32 @@ object Dedup {
       .select(col("id"), array((0 until 64).map(b => col(s"v$b")): _*).as("votes"))
   }
 
-  /** SimHash banded near-dup join: 8 bands × 8 bits; candidates share a
-    * band (Hamming ≤ 7 guarantees a shared band by pigeonhole; near-dups at
-    * J ≥ ~0.8 cluster well under it), then EXACT Jaccard verification —
-    * same output contract as [[jaccardJoin]] at high thresholds. */
-  /** Corpus note: on template-correlated corpora (many docs sharing token
+  /** SimHash banded near-dup join: candidates share a band key, then
+    * EXACT Jaccard verification — same output contract as
+    * [[jaccardJoin]] at high thresholds.
+    *
+    * Band KEY WIDTH is the capacity knob (the sf1 stress run's lesson):
+    * an 8-bit band has 256 possible values, so at n docs every band
+    * bucket holds ~n/256 RANDOM colliders and the band self-join emits
+    * O(bands · n²/256) candidate rows — fine at 5k docs, an executor OOM
+    * at 500k, quadratic death at 100 TB. But a WIDER ALIGNED band (16
+    * bits, 4 windows) guts recall: template-corpus near-dups scatter
+    * ~10 vote-margin bit flips across the signature, and four fixed
+    * windows rarely include a clean one (measured: a true fixture pair
+    * lost). The scale geometry is the Manku et al. 2007 (WWW, "Detecting
+    * near-duplicates for web crawling") block-combination scheme: split
+    * the signature into 8 blocks of 8 bits and key one table per PAIR of
+    * blocks — C(8,2) = 28 tables × 16-bit keys. Capacity matches the
+    * 16-bit band (65536 values/table: random buckets stay single-digit
+    * into the tens of millions of docs) while a pair is caught whenever
+    * ANY TWO of its 8 blocks are clean (pigeonhole-guaranteed through
+    * Hamming 6, high-probability far beyond — vs "any one of 4 windows").
+    * `bandBits = 0` (default) picks the geometry from a pruned-column
+    * corpus count: single blocks under 100k docs, block pairs above.
+    * `bandBits = 8` / `16` force the two arms; DedupSpec pins that the
+    * pair arm returns the identical verified pair set.
+    *
+    * Corpus note: on template-correlated corpora (many docs sharing token
     * vocabulary) sub-threshold pairs also land at low Hamming distance, so
     * the prefilter passes more candidates than on organic text — measured
     * true-pair Hamming reaches `hammingCutoff` exactly at J = 0.8 on the
@@ -396,7 +417,15 @@ object Dedup {
   def simHashJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, hammingCutoff: Int = 12,
       maxTokenDf: Option[Int] = None,
-      verifyCandidatesOnly: Boolean = false): DataFrame = {
+      verifyCandidatesOnly: Boolean = false,
+      bandBits: Int = 0): DataFrame = {
+    require(bandBits == 0 || bandBits == 8 || bandBits == 16,
+      s"bandBits must be 0 (auto), 8 (single blocks) or 16 (block pairs), got $bandBits")
+    // auto geometry: one pruned-column count against the corpus — noise
+    // next to the votes aggregation, and it keeps the candidate-join
+    // capacity sane without the caller having to know the rule
+    val pairArm = if (bandBits > 0) bandBits == 16
+                  else df.select(idCol).count() >= 100000L
     val hashes = simHashVotes(df, idCol, textCol, maxTokenDf)
     // full signature as two 32-bit halves (bit 63 can't ride a single
     // long under ANSI arithmetic) for the popcount Hamming prefilter
@@ -406,11 +435,19 @@ object Dedup {
           .otherwise(0L)).reduce(_ + _)
     val withSig = hashes.select(col("id"),
       half(0).as("sig_lo"), half(32).as("sig_hi"), col("votes"))
+    // 8-bit block values of the signature
+    def blockVal(bnd: Int): org.apache.spark.sql.Column =
+      (0 until 8).map(k =>
+        when(element_at(col("votes"), bnd * 8 + k + 1) > 0, 1L << k)
+          .otherwise(0L)).reduce(_ + _)
+    // band tables: single blocks (8 tables × 8-bit keys), or every pair
+    // of blocks (28 tables × 16-bit keys) for the large-corpus arm
+    val tables: Seq[(Int, org.apache.spark.sql.Column)] =
+      if (!pairArm) (0 until 8).map(b => b -> blockVal(b))
+      else (for { i <- 0 until 8; j <- i + 1 until 8 } yield
+        (i * 8 + j) -> (shiftleft(blockVal(i), 8) + blockVal(j)))
     val bands = withSig.select(col("id"), col("sig_lo"), col("sig_hi"),
-      explode(array((0 until 8).map { bnd =>
-        val value = (0 until 8).map(k =>
-          when(element_at(col("votes"), bnd * 8 + k + 1) > 0, 1L << k)
-            .otherwise(0L)).reduce(_ + _)
+      explode(array(tables.map { case (bnd, value) =>
         struct(lit(bnd).as("band"), value.as("value"))
       }: _*)).as("bv"))
       .select(col("id"), col("sig_lo"), col("sig_hi"),

@@ -134,6 +134,11 @@ object Command {
   /** DSIR importance weights vs a target corpus (Dsir.importanceWeights). */
   final case class ExtDsir(view: String, id: String, text: String,
       targetView: String, tId: String, tText: String) extends Command
+  /** Naive Bayes classifier filtering (Classify.trainNaiveBayes +
+    * predict): train on a labeled view, score the corpus view. */
+  final case class ExtClassify(view: String, id: String, text: String,
+      trainView: String, tId: String, tText: String, label: String)
+      extends Command
   final case class ExtChunk(view: String, id: String, text: String,
       size: Int, overlap: Int) extends Command
   final case class ExtVocab(view: String, id: String, text: String)

@@ -357,6 +357,11 @@ object DslParser extends RegexParsers {
     kw("dsir") ~> fromView ~ idCol ~ textCol ~ (kw("target") ~> name) ~
       idCol ~ textCol ^^ { case v ~ i ~ t ~ tv ~ ti ~ tt =>
         ExtDsir(v, i, t, tv, ti, tt) }
+  private val extClassify: Parser[Command] =
+    kw("classify") ~> fromView ~ idCol ~ textCol ~ (kw("train") ~> name) ~
+      idCol ~ textCol ~ (kw("label") ~> name) ^^ {
+        case v ~ i ~ t ~ tv ~ ti ~ tt ~ lab =>
+          ExtClassify(v, i, t, tv, ti, tt, lab) }
   private val extDecon: Parser[Command] =
     kw("decon") ~> fromView ~ idCol ~ textCol ~ (kw("bench") ~> name) ~
       idCol ~ textCol ~ (kw("ngram") ~> nonZero) ^^ {
@@ -404,7 +409,7 @@ object DslParser extends RegexParsers {
     extDedupExact | extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extBm25 | extDsir | extFuse | extTopK | extTrace
+    extBm25 | extDsir | extClassify | extFuse | extTopK | extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

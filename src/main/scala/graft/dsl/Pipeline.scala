@@ -112,6 +112,10 @@ object Pipeline {
         // view also carries columns named like the raw view's id/text
         Response.Entries(graft.text.Dsir.importanceWeights(
           t(v), t(tv).select(col(ti).as(id), col(tt).as(text)), id, text))
+      case ExtClassify(v, id, text, tv, ti, tt, lab) =>
+        Response.Entries(graft.text.Classify.predict(
+          graft.text.Classify.trainNaiveBayes(t(tv), ti, tt, lab),
+          t(v), id, text))
       case ExtGopher(v, id, text) =>
         // g.* expansion: the flag list lives only in TextOps.gopherFlags
         Response.Entries(t(v).select(col(id),

@@ -98,6 +98,15 @@ class DedupSpec extends AnyFunSuite {
     val scoped = rows(Dedup.simHashJoin(tmplDocs, "doc_id", "text", 3, 0.5,
       maxTokenDf = Some(5), verifyCandidatesOnly = true))
     assert(scoped == pruned, s"candidate-scoped simhash $scoped != $pruned")
+    // the block-pair arm (the >100k-doc capacity geometry — auto-chosen
+    // at scale, forced here via bandBits=16) finds the identical verified
+    // pair set: C(8,2) combination tables catch a pair whenever any TWO
+    // signature blocks are clean, so the capacity upgrade costs no recall
+    // on template-shaped corpora (a single aligned 16-bit window did —
+    // it lost a true pair on this very fixture)
+    val wide = rows(Dedup.simHashJoin(tmplDocs, "doc_id", "text", 3, 0.5,
+      maxTokenDf = Some(5), bandBits = 16))
+    assert(wide == pruned, s"block-pair simhash $wide != $pruned")
   }
 
   test("jaccard values are exact (not estimated) in every algorithm") {

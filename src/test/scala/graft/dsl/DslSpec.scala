@@ -684,6 +684,9 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "DSIR FROM docs ID doc_id TEXT text TARGET wiki ID wid TEXT wtext") ==
       Seq(ExtDsir("docs", "doc_id", "text", "wiki", "wid", "wtext")))
+    assert(DslParser.parseExt(
+      "CLASSIFY FROM docs ID doc_id TEXT text TRAIN labeled ID lid TEXT ltext LABEL lang") ==
+      Seq(ExtClassify("docs", "doc_id", "text", "labeled", "lid", "ltext", "lang")))
     Seq((1L, "p q r s t"), (2L, "m n p q r z"))
       .toDF("doc_id", "text").createOrReplaceTempView("sp_docs")
     val results = Pipeline.runExt(spark,
@@ -731,6 +734,19 @@ class DslSpec extends AnyFunSuite {
     }
     // doc 1 IS the target text; doc 2 only overlaps partially
     assert(dsir.keySet == Set(1L, 2L) && dsir(1L) > dsir(2L), s"got $dsir")
+    Seq((1L, "p q r s t", "keep"), (2L, "zz yy xx ww", "drop"))
+      .toDF("tid", "ttext", "cls").createOrReplaceTempView("sp_train")
+    val cls = Pipeline.runExt(spark,
+      "CLASSIFY FROM sp_docs ID doc_id TEXT text " +
+        "TRAIN sp_train ID tid TEXT ttext LABEL cls")
+      .head match {
+      case Right(Response.Entries(d)) =>
+        d.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      case other => fail(s"$other")
+    }
+    // doc 1 is the "keep" training text verbatim; doc 2 overlaps it too
+    // (shares p q r) far more than the disjoint "drop" class
+    assert(cls == Map(1L -> "keep", 2L -> "keep"), s"got $cls")
   }
 
   test("extension pipeline: DEDUP SEMANTIC executes (API parity)") {
