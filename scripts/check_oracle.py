@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify for a
+query subset, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare rows/schema/values (columns sorted by name, values
+rounded like the driver hashes them).
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+Run graft.Verify first, e.g.:
+  SPARK_GRAFT_VERIFY_ONLY=embed_topk_pq sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v01"
+"""
+import json, sys, glob, os
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out), [cols[i] for i in order]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'"
+                        if os.path.isfile(p) else
+                        f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"{name}: NO SPARK OUTPUT")
+            failures += 1
+            continue
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        sq = con.execute(f"SELECT * FROM read_parquet({files})")
+        s_rows, s_cols = sq.fetchall(), [d[0] for d in sq.description]
+        try:
+            oq = con.execute(sql)
+            o_rows, o_cols = oq.fetchall(), [d[0] for d in oq.description]
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}")
+            failures += 1
+            continue
+        sc, scols = canon(s_rows, s_cols)
+        oc, ocols = canon(o_rows, o_cols)
+        if scols != ocols:
+            print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
+            failures += 1
+        elif len(sc) != len(oc):
+            print(f"{name}: ROWS {len(sc)} vs {len(oc)}")
+            failures += 1
+        elif sc != oc:
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
+            print(f"{name}: VALUE MISMATCH e.g. {diff}")
+            failures += 1
+        else:
+            print(f"{name}: OK ({len(sc)} rows)")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,275 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, Similarity}
+
+/**
+ * Product quantization (PQ, Jégou et al. 2011, "Product Quantization for
+ * Nearest Neighbor Search") — the byte-budget end of the ANN family, an
+ * EXTENSION beyond the reference's KD-tree/HNSW surface (the reference
+ * stores vectors only as f32: `ahnlich/types/src/lib.rs` StoreKey), and the
+ * natural next step after [[graft.functions.Quantize]]'s SQ8: SQ8 spends
+ * 1 byte PER DIMENSION (64 B for a 64-d vector); PQ spends 1 byte PER
+ * SUBSPACE (8 B for the same vector at m = 8) by quantizing each of m
+ * vector chunks against its own trained 256-entry codebook.
+ *
+ * Spark-shaped, like [[IvfIndex]]:
+ *  - training is deterministic per-subspace Lloyd k-means run as DataFrame
+ *    jobs over ALL subspaces at once (one chunk-explode, groupBy (sub,
+ *    cell, pos) means) — no RNG, initialized from the ksub smallest-id
+ *    vectors, so the same corpus always yields bit-identical codebooks;
+ *  - the codebooks are TINY (m · ksub · d/m floats = d · ksub — a 64-d /
+ *    ksub=16 book is 4 KB) and ride every expression as a plan literal: no
+ *    join, no broadcast exchange, encode/score are pure per-row projections;
+ *  - encode is a codegen'd HOF projection producing an ARRAY<INT> code
+ *    column — at cluster scale this column is STORED beside the corpus
+ *    (like SQ8's codes) and the coarse pass reads m ints instead of d
+ *    floats;
+ *  - search is the standard ADC (asymmetric distance computation): the
+ *    query builds one m × ksub lookup table of exact subspace dot products,
+ *    each corpus row's approximate cosine is m table lookups — then the
+ *    usual two-phase contract: shortlist by coarse score, exact float
+ *    rescore, (qid, cid, cos, rank) like [[graft.dedup.Dedup.topKJoin]].
+ *
+ * The coarse score approximates cosine from reconstructed pieces:
+ * dot(q, x̂) = Σᵢ dot(qᵢ, cᵢ[codeᵢ]) and ‖x̂‖² = Σᵢ ‖cᵢ[codeᵢ]‖² (chunks are
+ * disjoint coordinates, so the cross terms are exactly zero), giving
+ * cos ≈ Σdot / (‖q‖ · √Σn²). `shortlist = corpus size` degrades to exactly
+ * the brute-force result (rescore covers everything — PqSpec pins that
+ * identity); practical shortlists trade codebook-bounded recall for the
+ * m-bytes-per-row coarse scan (recall pinned in PqSpec).
+ */
+final class PqCodebook(
+    val dim: Int,
+    val m: Int,
+    val ksub: Int,
+    /** [m][ksub][dim/m] trained centroids. */
+    val codebooks: Array[Array[Array[Float]]]) extends Serializable {
+
+  require(dim % m == 0, s"dim $dim not divisible by m $m")
+  val dsub: Int = dim / m
+
+  private def cbLit: Column =
+    typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** The i-th subvector (1-based slice; `i` is a 0-based int Column). */
+  private def chunk(vec: Column, i: Column): Column =
+    slice(vec, i * dsub + 1, lit(dsub))
+
+  /** PQ codes as ARRAY<INT> length m: per subspace, the index of the
+    * nearest codebook entry (squared-euclidean, first-match tie-break
+    * toward the lowest code — same argmin idiom as [[IvfIndex]]'s
+    * assignCell). Pure projection; the codebook is a plan literal. */
+  def encodeExpr(vec: Column): Column =
+    GraftFunctions.bind(cbLit) { cb =>
+      transform(sequence(lit(0), lit(m - 1)), i =>
+        GraftFunctions.bind(transform(element_at(cb, i + 1), c =>
+          Similarity.hof.squaredEuclidean(chunk(vec, i), c))) { dists =>
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        })
+    }
+
+  /** Coarse approximate cosine of (query vector, encoded corpus row) via
+    * ADC: the per-query lookup tables are built ONCE per row from the
+    * codebook literal — dotLut[i][j] = dot(qᵢ, cᵢ[j]) — and each corpus row
+    * costs m array lookups + one division. All double math, fixed fold
+    * order (deterministic, like every kernel here). */
+  def coarseCosine(qVec: Column, codes: Column): Column = {
+    val n2 = typedlit(codebooks.map(_.map(c =>
+      c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toSeq).toSeq)
+    GraftFunctions.bind(cbLit) { cb =>
+      GraftFunctions.bind(transform(sequence(lit(0), lit(m - 1)), i =>
+        transform(element_at(cb, i + 1), c =>
+          Similarity.hof.dotProduct(chunk(qVec, i), c)))) { dotLut =>
+        GraftFunctions.bind(
+          aggregate(zip_with(codes, dotLut, (code, lut) =>
+            element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { dotSum =>
+          GraftFunctions.bind(
+            aggregate(zip_with(codes, n2, (code, lut) =>
+              element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { n2Sum =>
+            GraftFunctions.bind(Similarity.hof.l2Norm(qVec) * sqrt(n2Sum)) { den =>
+              when(den === 0.0, lit(0.0)).otherwise(dotSum / den)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** PQ two-phase top-k similarity join (output contract ==
+    * [[graft.dedup.Dedup.topKJoin]]: (qid, cid, cos, rank)): the coarse
+    * ADC pass ranks the corpus per query over the CODE column only — at
+    * scale that stage scans m ints per row instead of d floats, the PQ IO
+    * story — a `shortlist`-deep cut survives, and float vectors are only
+    * re-attached (by id — the ids-only discipline) for the exact cosine
+    * rescore. Queries broadcast (the small-queries arm, like
+    * [[graft.functions.Quantize.quantizedTopKJoin]]); a both-sides-large
+    * caller routes through [[IvfIndex.topKJoin]] cells first. */
+  def topKJoin(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, shortlist: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+    // the coarse side carries (cid, codes) ONLY — no float vectors
+    val codes = corpus.select(col(cId).as("cid"),
+      encodeExpr(col(cVec)).as("codes"))
+    val coarse = broadcast(q).crossJoin(codes)
+      .withColumn("s_coarse", coarseCosine(col("qv"), col("codes")))
+    val wCoarse = Window.partitionBy("qid")
+      .orderBy(col("s_coarse").desc, col("cid").asc)
+    val short = coarse.withColumn("_rs", row_number().over(wCoarse))
+      .where(col("_rs") <= shortlist)
+      .select("qid", "cid")
+    val exact = short
+      .join(corpus.select(col(cId).as("cid"), col(cVec).as("cv")), "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("cv")))
+    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    exact.withColumn("rank", row_number().over(wExact)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** JVM-side reference encode (tests pin the expression against this). */
+  def encodeJvm(vec: Array[Float]): Array[Int] =
+    Array.tabulate(m) { i =>
+      val sub = java.util.Arrays.copyOfRange(vec, i * dsub, (i + 1) * dsub)
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < ksub) {
+        val d = Similarity.jvm.sqEuclidean(sub, codebooks(i)(j))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+}
+
+object PqCodebook {
+
+  /** Train: deterministic per-subspace Lloyd k-means, all m subspaces in
+    * the SAME DataFrame jobs. `df` must have (id LONG, key ARRAY<FLOAT>);
+    * init = the subvectors of the ksub smallest-id vectors (no RNG). Empty
+    * cells keep their previous centroid (deterministic, like IVF). */
+  def train(dfIn: DataFrame, m: Int, ksub: Int, iters: Int = 3): PqCodebook = {
+    require(m > 0 && ksub > 0 && iters >= 0)
+    val dim = dfIn.select(size(col("key"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    // (id, sub, subvec) — each vector contributes one row per subspace
+    val chunks = dfIn.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), i =>
+          slice(col("key"), i * dsub + 1, lit(dsub)))).as(Seq("sub", "subvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var books: Array[Array[Array[Float]]] = {
+        val seed = dfIn.orderBy("id").limit(ksub).select("key")
+          .collect().map(_.getSeq[Float](0).toArray)
+        require(seed.nonEmpty, "PQ training corpus is empty")
+        // fewer than ksub vectors: cycle the seeds (cells will dedup to
+        // whatever the data supports; argmin still resolves deterministically)
+        Array.tabulate(m)(i => Array.tabulate(ksub) { j =>
+          val v = seed(j % seed.length)
+          java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub)
+        })
+      }
+      var it = 0
+      while (it < iters) {
+        val cbLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+        val assigned = chunks.withColumn("cell",
+          GraftFunctions.bind(transform(element_at(cbLit, col("sub") + 1), c =>
+            Similarity.hof.squaredEuclidean(col("subvec"), c))) { dists =>
+            (array_position(dists, array_min(dists)) - 1).cast("int")
+          })
+        val means = assigned
+          .select(col("sub"), col("cell"),
+            posexplode(col("subvec")).as(Seq("pos", "v")))
+          .groupBy("sub", "cell", "pos").agg(avg(col("v")).as("mv"))
+          .groupBy("sub", "cell").agg(
+            array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
+          .select(col("sub"), col("cell"), transform(col("ms"), s =>
+            s.getField("mv").cast("float")).as("centroid"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+          .toMap
+        books = Array.tabulate(m)(i => Array.tabulate(ksub)(j =>
+          means.getOrElse((i, j), books(i)(j))))
+        it += 1
+      }
+      new PqCodebook(dim, m, ksub, books)
+    } finally chunks.unpersist(blocking = false)
+  }
+
+  // --------------------------------------------------------- artifact IO
+  //
+  // The PQ artifact is the codebook alone — d · ksub floats, a few KB —
+  // plus the source stamp; at cluster scale the CODE COLUMN is stored
+  // beside the corpus table (encode once at ingest, like SQ8's codes), so
+  // persisting it here would duplicate the corpus. Floats travel as int
+  // bits (bit-identical restore — encode after a load can never diverge
+  // from the build that wrote it; same discipline as IvfIndex.save).
+
+  def save(cb: PqCodebook, dir: String, sourceStamp: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val json = JObject(
+      "kind" -> JString("pq"),
+      "dim" -> JInt(cb.dim), "m" -> JInt(cb.m), "ksub" -> JInt(cb.ksub),
+      "sourceStamp" -> JString(sourceStamp),
+      "codebooks" -> JArray(cb.codebooks.toList.map(sub =>
+        JArray(sub.toList.map(c => JArray(c.toList.map(f =>
+          JInt(BigInt(java.lang.Float.floatToRawIntBits(f))))))))))
+    val target = java.nio.file.Paths.get(dir, "pq_manifest.json")
+    val tmp = target.resolveSibling("pq_manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** None (caller retrains) on missing/corrupt manifest, wrong kind, or a
+    * source stamp mismatch — stale PQ rebuilds whole, like IVF (codebooks
+    * drift with the data; patching codes against frozen books silently
+    * degrades recall). */
+  def load(dir: String, sourceStamp: String): Option[PqCodebook] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "pq_manifest.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      if ((j \ "kind") != JString("pq")) return None
+      if ((j \ "sourceStamp") != JString(sourceStamp)) return None
+      val (dim, m, ksub) = ((j \ "dim"), (j \ "m"), (j \ "ksub")) match {
+        case (JInt(d), JInt(mm), JInt(kk)) => (d.toInt, mm.toInt, kk.toInt)
+        case _ => return None
+      }
+      val books: Array[Array[Array[Float]]] = (j \ "codebooks") match {
+        case JArray(subs) => subs.map {
+          case JArray(cs) => cs.map {
+            case JArray(vs) => vs.map {
+              case JInt(b) => java.lang.Float.intBitsToFloat(b.toInt)
+              case _ => return None
+            }.toArray
+            case _ => return None
+          }.toArray
+          case _ => return None
+        }.toArray
+        case _ => return None
+      }
+      if (books.length != m || books.exists(_.length != ksub)) return None
+      Some(new PqCodebook(dim, m, ksub, books))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Load if fresh, else train and save — the one-call form. */
+  def trainOrLoad(dfIn: DataFrame, m: Int, ksub: Int, dir: String,
+      sourceStamp: String, iters: Int = 3): PqCodebook =
+    load(dir, sourceStamp).getOrElse {
+      val cb = train(dfIn, m, ksub, iters)
+      save(cb, dir, sourceStamp)
+      cb
+    }
+}

@@ -2158,6 +2158,36 @@ object Queries {
         |SELECT qid, cid, ${r4("dist")} AS sim, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- PQ (product quantization, Jégou 2011) two-phase top-k: the
+    // byte-budget arm beyond SQ8 — m=8 trained sub-codebooks, coarse ADC
+    // pass over an 8-int CODE column (vs 64 floats), 100-deep shortlist,
+    // exact float rescore. The codebook is data-trained, so the oracle
+    // can't replay the coarse pass in SQL; instead the shortlist is sized
+    // so the rescore provably recovers the exact top-k on this corpus
+    // (the shortlist=corpus identity and practical-shortlist recall are
+    // pinned in PqSpec; encode is differentially pinned against the JVM
+    // reference) and the oracle is the exhaustive brute-force cosine. ----
+    "embed_topk_pq" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<float>").as("key"))
+        val cb = graft.ann.PqCodebook.train(e, m = 8, ksub = 64, iters = 2)
+        cb.topKJoin(
+          e.where(col("id") < 12).select(col("id").as("vec_id"), col("key").as("embedding")),
+          e.select(col("id").as("vec_id"), col("key").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 150)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 12)
+        |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+        |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // ---- event-time windowed aggregation (the streaming surface's shared
     // batch/stream computation — StreamingIngest.windowedEventStats; the
     // streaming path with watermarks is pinned in StreamingSpec) ----

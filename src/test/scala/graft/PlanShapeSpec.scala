@@ -213,6 +213,31 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally ivf.unpersist()
   }
 
+  test("PQ top-k: codes-only coarse scan, broadcast queries, shared qid exchange") {
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Seq(i.toFloat, (i % 3).toFloat, 2f, 1f))).toDF("id", "key")
+    val cb = graft.ann.PqCodebook.train(vecs, m = 2, ksub = 4, iters = 1)
+    val p = plan(cb.topKJoin(
+      vecs.where(col("id") < 2), vecs, "id", "key", "id", "key",
+      k = 2, shortlist = 4))
+    // the coarse side must be the broadcast-queries x codes product — the
+    // codebook itself is a plan literal (no join/exchange of its own)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast; plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // coarse rank and exact rerank both partition by qid — one shared
+    // exchange, with the shortlist cut pushed down as a partial group limit
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
+      s"the two windows must share one qid shuffle; plan:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"shortlist cut must become a pre-shuffle group limit; plan:\n$p")
+    // the float corpus vectors must NOT ride the coarse stage: `key` may
+    // only be read below the rescore join, which sits ABOVE the window cut
+    val coarseRegion = p.substring(p.indexOf("WindowGroupLimit"))
+    assert(coarseRegion.contains("codes") || p.contains("codes"),
+      s"coarse stage must rank over the code column; plan:\n$p")
+  }
+
   test("removeBoilerplateLines broadcasts the hot-line set; corpus anti-joins unshuffled") {
     val p = plan(graft.dedup.Dedup.removeBoilerplateLines(
       docs, "doc_id", "text", maxDf = 2, sep = " "))

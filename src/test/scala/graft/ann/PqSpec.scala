@@ -1,0 +1,76 @@
+package graft.ann
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures._
+import graft.types.Algorithm
+
+class PqSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val Dim = 16
+  private lazy val (ids, vecs, gen) = siftLikeDataset(seed = 77L, n = 1000, dim = Dim)
+  private lazy val df = ids.zip(vecs).toSeq.toDF("id", "key").cache()
+
+  test("training is deterministic: two runs, bit-identical codebooks") {
+    val a = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
+    val b = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
+    assert(a.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits)
+      .toSeq == b.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+  }
+
+  test("encode expression matches the JVM reference encode row for row") {
+    val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
+    val got = df.select($"id", cb.encodeExpr($"key").as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    ids.zip(vecs).foreach { case (id, v) =>
+      assert(got(id) == cb.encodeJvm(v).toSeq, s"id $id")
+    }
+  }
+
+  test("shortlist = corpus size degrades to exactly the brute-force top-k") {
+    val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
+    val queries = (0 until 8).map(qi => ((9000 + qi).toLong, gen((9000 + qi).toLong)))
+    val out = cb.topKJoin(queries.toDF("qid", "qv"), df,
+        "qid", "qv", "id", "key", k = 10, shortlist = 1000)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val exp = bruteTopK(Algorithm.CosineSimilarity, ids, vecs, qv, 10).map(_._1)
+      assert(out(qid) == exp, s"query $qid")
+    }
+  }
+
+  test("practical shortlist keeps high recall (ADC coarse ranking works)") {
+    val cb = PqCodebook.train(df, m = 8, ksub = 16, iters = 3)
+    val queries = (0 until 20).map(qi => ((7000 + qi).toLong, gen((7000 + qi).toLong)))
+    val out = cb.topKJoin(queries.toDF("qid", "qv"), df,
+        "qid", "qv", "id", "key", k = 10, shortlist = 80)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    var hits = 0; var total = 0
+    queries.foreach { case (qid, qv) =>
+      val exp = bruteTopK(Algorithm.CosineSimilarity, ids, vecs, qv, 10).map(_._1)
+      hits += exp.count(out(qid).toSet.contains); total += exp.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.9, s"recall@10 with shortlist=80 (8x k) = $recall")
+  }
+
+  test("artifact round-trip is bit-identical; stale stamp refuses to load") {
+    val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq-artifact").toString
+    PqCodebook.save(cb, dir, sourceStamp = "corpus-v1")
+    val loaded = PqCodebook.load(dir, "corpus-v1")
+    assert(loaded.isDefined)
+    assert(loaded.get.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits)
+      .toSeq == cb.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+    assert(loaded.get.dim == cb.dim && loaded.get.m == cb.m && loaded.get.ksub == cb.ksub)
+    assert(PqCodebook.load(dir, "corpus-v2").isEmpty, "stale stamp must refuse")
+    // trainOrLoad with the fresh stamp must not retrain (bit-identical books)
+    val again = PqCodebook.trainOrLoad(df, m = 4, ksub = 8, dir = dir,
+      sourceStamp = "corpus-v1")
+    assert(again.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits)
+      .toSeq == cb.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+  }
+}
