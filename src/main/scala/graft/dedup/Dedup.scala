@@ -260,11 +260,12 @@ object Dedup {
     * 31-bit reduction of the base shingle hash (xxhash64) — classic
     * universal hashing with p = 2^31−1, so a·h + b stays well inside a
     * 64-bit long under ANSI arithmetic. Fixed constants → stable signatures. */
-  private val MinHashP = 2147483647L // 2^31 − 1
+  private[dedup] val MinHashP = 2147483647L // 2^31 − 1
 
-  /** Permutation i's (a, b) — shared by the batch aggregation and the
-    * per-row streaming signature so the two can never drift. */
-  private def permParams(i: Int): (Long, Long) =
+  /** Permutation i's (a, b) — shared by the batch aggregation, the per-row
+    * streaming signature, AND [[IncrementalDedup]]'s persisted band tables,
+    * so none of the three can drift. */
+  private[dedup] def permParams(i: Int): (Long, Long) =
     (1L + 104729L * i, (0x9e3779bL * (i + 1)) % MinHashP)
 
   /** Per-ROW MinHash signature of a text column (ARRAY<LONG> of length

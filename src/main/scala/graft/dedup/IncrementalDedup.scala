@@ -1,0 +1,226 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental near-dedup against a PERSISTED MinHash index — the ingestion
+ * pattern every in-process near-dup join in [[Dedup]] cannot serve: a
+ * historical corpus is indexed ONCE, and each arriving batch (the daily
+ * crawl, the next dump shard) is deduplicated against all of history
+ * WITHOUT rescanning, re-shingling, or re-hashing the corpus. At 100 TB
+ * the corpus-side work is the whole bill — this module moves it out of the
+ * per-batch loop.
+ *
+ * The artifact has two tables plus a manifest:
+ *  - `bands/`  — (band INT, value LONG, id LONG), PARTITIONED BY band: the
+ *    LSH candidate surface. A batch probe joins on (band, value), so band
+ *    partition pruning applies and rows are 20 bytes each.
+ *  - `sets/`   — (id LONG, hs ARRAY<LONG>): the per-doc distinct
+ *    shingle-hash sets ([[Dedup.docShingleSets]]'s exact-verify payload).
+ *    Persisting them means verification NEVER touches the original corpus
+ *    text (which may be in cold storage); candidates fetch their sets by
+ *    an id equi-join bounded by candidate volume.
+ *  - `minhash_manifest.json` — shingle width n, numHashes, and the stamp
+ *    LIST of every source batch folded in (build + appends). Loads refuse
+ *    on config mismatch: an index probed with different n/numHashes would
+ *    silently return garbage candidates.
+ *
+ * Signatures and bands are derived EXACTLY as [[Dedup.minHashLshJoin]]
+ * derives them (same [[Dedup.permParams]] permutations over the same
+ * xxhash64 shingle domain — shared private[dedup] constants, so the three
+ * call sites can never drift), which makes the batch-vs-index candidate
+ * contract identical to the in-process join's: any pair with ANY agreeing
+ * minhash collides in some band; P(miss | J ≥ 0.8, 16 bands) ≈ 1e-11.
+ *
+ * Per-batch cost at scale: shingle+minhash the BATCH only (a projection),
+ * one (band, value) equi-join whose streamed side is batch-sized, a
+ * size-ratio-pruned exact-Jaccard verify over candidate ids only, and —
+ * for [[append]] — one parquet append of batch bands/sets. Nothing ever
+ * re-reads history; the index grows by exactly the batch's rows. Skewed
+ * band values (a boilerplate-heavy corpus collapsing many docs onto one
+ * signature value) surface as candidate volume, and the verify's
+ * size-ratio prefilter plus the banded geometry bound them the same way
+ * the in-process join's do.
+ */
+final class MinHashIndex private[dedup] (
+    val dir: String,
+    val n: Int,
+    val numHashes: Int,
+    val sourceStamps: Seq[String],
+    private val spark: SparkSession) {
+
+  def bands: DataFrame = {
+    val raw = spark.read.parquet(
+      java.nio.file.Paths.get(dir, "bands").toString)
+    // partitionBy moved `band` to a discovered partition column; restore
+    // build order/type so unioned appends line up
+    raw.select(col("id"), col("band").cast("int"), col("value"))
+  }
+
+  def sets: DataFrame = spark.read.parquet(
+    java.nio.file.Paths.get(dir, "sets").toString)
+}
+
+object IncrementalDedup {
+
+  /** Batch-side band table: (id, band, value) from the per-doc shingle
+    * sets, exactly the [[Dedup.minHashLshJoin]] derivation. */
+  private def bandTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sets = Dedup.docShingleSets(df, idCol, textCol, n)
+    bandsFromSets(sets, numHashes)
+  }
+
+  private def bandsFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    val sigs = sets.select(col("id") +: (0 until numHashes).map { i =>
+      val (a, b) = Dedup.permParams(i)
+      array_min(transform(col("hs"),
+        h => pmod(pmod(h, lit(Dedup.MinHashP)) * a + b, lit(Dedup.MinHashP))))
+        .as(s"mh$i")
+    }: _*)
+    sigs.select(col("id"),
+        explode(array((0 until numHashes).map(i =>
+          struct(lit(i).as("band"), col(s"mh$i").as("value"))): _*)).as("bv"))
+      .select(col("id"), col("bv.band"), col("bv.value"))
+  }
+
+  private def writeTables(dir: String, bands: DataFrame, sets: DataFrame,
+      mode: String): Unit = {
+    bands.write.mode(mode).partitionBy("band")
+      .parquet(java.nio.file.Paths.get(dir, "bands").toString)
+    sets.write.mode(mode)
+      .parquet(java.nio.file.Paths.get(dir, "sets").toString)
+  }
+
+  private def writeManifest(dir: String, n: Int, numHashes: Int,
+      stamps: Seq[String]): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = JObject(
+      "kind" -> JString("minhash-index"),
+      "n" -> JInt(n), "numHashes" -> JInt(numHashes),
+      "sourceStamps" -> JArray(stamps.toList.map(JString(_))))
+    val target = java.nio.file.Paths.get(dir, "minhash_manifest.json")
+    val tmp = target.resolveSibling("minhash_manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Index a corpus: one shingle shuffle (the docShingleSets groupBy — the
+    * same single corpus shuffle the in-process join pays), band projection,
+    * two parquet writes. This is the ONCE-per-history cost. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String, dir: String,
+      sourceStamp: String, n: Int = 3, numHashes: Int = 16): MinHashIndex = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val sets = Dedup.docShingleSets(df, idCol, textCol, n).persist()
+    try {
+      writeTables(dir, bandsFromSets(sets, numHashes), sets, "overwrite")
+      writeManifest(dir, n, numHashes, Seq(sourceStamp))
+      new MinHashIndex(dir, n, numHashes, Seq(sourceStamp), df.sparkSession)
+    } finally sets.unpersist(blocking = false)
+  }
+
+  /** None (caller rebuilds) on a missing/corrupt manifest or a config
+    * mismatch against the requested (n, numHashes). */
+  def load(spark: SparkSession, dir: String, n: Int = 3,
+      numHashes: Int = 16): Option[MinHashIndex] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "minhash_manifest.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      if ((j \ "kind") != JString("minhash-index")) return None
+      if ((j \ "n") != JInt(n) || (j \ "numHashes") != JInt(numHashes)) return None
+      val stamps = (j \ "sourceStamps") match {
+        case JArray(ss) => ss.map {
+          case JString(s) => s
+          case _ => return None
+        }
+        case _ => return None
+      }
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")) ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sets")))
+        return None
+      Some(new MinHashIndex(dir, n, numHashes, stamps, spark))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Dedup a batch against the index: (a = batch id, b = indexed id, jac)
+    * for every cross pair with exact n-gram Jaccard ≥ `threshold` whose
+    * MinHash signatures collide in ≥ 1 band. Batch ids and indexed ids are
+    * separate id spaces (nothing assumes disjointness or ordering — the
+    * pair is directional: batch → history).
+    *
+    * Scale shape: the batch side is shingled/banded fresh (batch-sized
+    * projections); candidates come from the (band, value) equi-join
+    * against the persisted band table (band partition pruning applies);
+    * the exact verify size-ratio-prunes candidates over narrow int
+    * columns, then fetches BOTH sides' shingle sets by id equi-joins
+    * bounded by candidate volume — the native intersect-count kernel
+    * scores each surviving pair. History is read, never recomputed. */
+  def dedupAgainst(index: MinHashIndex, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val bSets = Dedup.docShingleSets(batch, idCol, textCol, index.n).persist()
+    try {
+      val bBands = bandsFromSets(bSets, index.numHashes)
+      val candidates = bBands.as("x")
+        .join(index.bands.as("y"),
+          col("x.band") === col("y.band") && col("x.value") === col("y.value"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      // two-sided exact verify (the [[Dedup.verifyJaccard]] discipline over
+      // two sets tables): ratio-prune on sizes first, then intersect-count
+      val bSizes = bSets.select(col("id").as("a"), size(col("hs")).cast("long").as("na"))
+      val iSizes = index.sets.select(col("id").as("b"),
+        size(col("hs")).cast("long").as("nb"))
+      val t = lit(threshold)
+      val pruned = candidates
+        .join(bSizes, "a").join(iSizes, "b")
+        .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
+        .select("a", "b")
+      def interCount(a: Column, b: Column): Column = {
+        import org.apache.spark.sql.graftbridge.{ColumnBridge, LongSetIntersectCount}
+        ColumnBridge.column(LongSetIntersectCount(
+          ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      }
+      pruned
+        .join(bSets.select(col("id").as("a"), col("hs").as("ha")), "a")
+        .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+        .withColumn("inter", interCount(col("ha"), col("hb")))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
+        .where(col("jac") >= threshold)
+        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+        .localCheckpoint() // eager: bSets unpersists on return (see jaccardJoin)
+    } finally bSets.unpersist(blocking = false)
+  }
+
+  /** Fold a batch INTO the index (after the caller has filtered it with
+    * [[dedupAgainst]] to whatever keep policy applies): appends the
+    * batch's bands and sets — one parquet append each, no history
+    * rewrite — and records the batch stamp in the manifest. Returns the
+    * updated handle. Caller owns id-space discipline: appending an id the
+    * index already holds creates a duplicate row, not a replacement. */
+  def append(index: MinHashIndex, batch: DataFrame, idCol: String,
+      textCol: String, sourceStamp: String): MinHashIndex = {
+    val sets = Dedup.docShingleSets(batch, idCol, textCol, index.n).persist()
+    try {
+      writeTables(index.dir, bandsFromSets(sets, index.numHashes), sets, "append")
+      val stamps = index.sourceStamps :+ sourceStamp
+      writeManifest(index.dir, index.n, index.numHashes, stamps)
+      new MinHashIndex(index.dir, index.n, index.numHashes, stamps,
+        sets.sparkSession)
+    } finally sets.unpersist(blocking = false)
+  }
+
+  /** Load if config-compatible, else build and save — the one-call form
+    * (stamp freshness is the caller's policy here: an index is APPENDED
+    * to, not invalidated, as sources arrive — so load matches on config,
+    * and callers compare `sourceStamps` if they need build provenance). */
+  def buildOrLoad(df: DataFrame, idCol: String, textCol: String, dir: String,
+      sourceStamp: String, n: Int = 3, numHashes: Int = 16): MinHashIndex =
+    load(df.sparkSession, dir, n, numHashes)
+      .getOrElse(buildIndex(df, idCol, textCol, dir, sourceStamp, n, numHashes))
+}

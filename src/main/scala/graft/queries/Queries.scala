@@ -1764,6 +1764,40 @@ object Queries {
         .orderBy("a", "b"),
       Some(jaccardOracle)),
 
+    // ---- incremental dedup against a PERSISTED MinHash index: history
+    // (doc_id % 5 != 0) is indexed once — bands + shingle sets on disk —
+    // and the "arriving batch" (doc_id % 5 == 0) dedups against it with
+    // batch-side-only hashing; output is the directional (batch, history)
+    // near-dup pair list. The oracle recomputes the cross-pair exact
+    // Jaccard; the index round-trip/append mechanics are pinned in
+    // IncrementalDedupSpec. ----
+    "dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        val history = docs.where(col("doc_id") % 5 =!= 0)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-mh-index").toString
+        val idx = graft.dedup.IncrementalDedup.buildIndex(
+          history, "doc_id", "text", idxDir, sourceStamp = dir)
+        graft.dedup.IncrementalDedup
+          .dedupAgainst(idx, batch, "doc_id", "text", 0.8)
+          .orderBy("a", "b")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, g FROM toks,
+        |  UNNEST(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM shingles GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM shingles a
+        |  JOIN shingles b ON a.g = b.g
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0 GROUP BY 1, 2)
+        |SELECT ia AS a, ib AS b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jac
+        |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8 ORDER BY a, b""".stripMargin)),
+
     // SimHash: 64-bit token-hash sign aggregate, 8×8-bit bands (Hamming ≤ 7
     // guaranteed candidates), exact verify. Same output contract.
     "dedup_simhash" -> Q(
