@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.text.TextOps
+
+/**
+ * Corpus data card — the per-slice statistical profile every serious
+ * training-data release ships (datasheets for datasets, Gebru et al.
+ * 2021): document counts, token/char volumes, exact-duplicate rate, and a
+ * fixed-bucket length histogram, grouped by arbitrary slice columns
+ * (source, lang, source × lang, ...).
+ *
+ * Everything is computed in ONE scan + ONE groupBy whose key cardinality
+ * is the slice space (tens to thousands of rows — never corpus-shaped):
+ * per-row features are a single codegen'd projection, every aggregate is
+ * algebraic (sums, mins, maxes, count-distinct over a 64-bit content
+ * hash), so partial aggregation map-side-combines and the shuffle carries
+ * one partial row per (task, slice). At 100 TB this is the cheapest scan
+ * in the library — and the first one a pipeline should run, because its
+ * numbers (dup rate, empty-doc count, length mass) decide which of the
+ * heavier operators are worth their scans.
+ *
+ * Exactness discipline: token counts are the whitespace convention of
+ * [[TextOps.tokens]] with the empty-text guard made explicit (trim = '' →
+ * 0 — `split` alone would count one phantom token), the duplicate count
+ * uses count_distinct over xxhash64(text) (64-bit: collision probability
+ * ~n²/2⁶⁵ — negligible below billions of DISTINCT texts per slice; the
+ * oracle counts distinct raw texts and hash-matches, which IS the
+ * collision check), and the histogram buckets are integer token-count
+ * ranges — every output column is integral, so the DuckDB oracle
+ * reproduces the card bit-for-bit.
+ */
+object Profile {
+
+  /** Token-length histogram bucket edges (inclusive upper bounds; the last
+    * bucket is open). Fixed, documented edges — a data card is only
+    * comparable across corpora if everyone bins the same way. */
+  val LenBuckets: Seq[Int] = Seq(32, 128, 512)
+
+  /** The per-slice data card. Output: `groupCols` ++
+    * (n_docs, n_distinct_texts, n_exact_dups, n_empty, total_tokens,
+    * total_chars, min_tokens, max_tokens, len_le_32, len_le_128,
+    * len_le_512, len_gt_512), sorted by the group columns. */
+  def dataCard(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "data card needs at least one slice column")
+    val nTok: Column = GraftFunctions.bind(trim(col(textCol))) { t =>
+      when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
+    }
+    val withFeatures = docs.select(
+      groupCols.map(col) ++ Seq(
+        nTok.cast("long").as("_nt"),
+        length(col(textCol)).cast("long").as("_nc"),
+        xxhash64(col(textCol)).as("_h")): _*)
+    def bucket(lo: Long, hi: Option[Int]): Column = {
+      val cond = hi match {
+        case Some(h) => col("_nt") >= lo && col("_nt") <= h
+        case None    => col("_nt") >= lo
+      }
+      sum(when(cond, 1L).otherwise(0L))
+    }
+    val bucketCols = {
+      val edges = LenBuckets
+      val lows = 1L +: edges.map(_ + 1L)
+      val highs = edges.map(Some(_)) :+ None
+      lows.zip(highs).map { case (lo, hi) =>
+        val name = hi.map(h => s"len_le_$h").getOrElse(s"len_gt_${edges.last}")
+        bucket(lo, hi).as(name)
+      }
+    }
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("_h")).as("n_distinct_texts"),
+      (count(lit(1)) - count_distinct(col("_h"))).as("n_exact_dups"),
+      sum(when(col("_nt") === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(col("_nt")).as("total_tokens"),
+      sum(col("_nc")).as("total_chars"),
+      min(col("_nt")).as("min_tokens"),
+      max(col("_nt")).as("max_tokens")) ++ bucketCols
+    withFeatures
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+}

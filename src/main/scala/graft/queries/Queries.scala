@@ -1586,6 +1586,35 @@ object Queries {
         |        FROM documents), UNNEST(t) AS u(token))
         |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin)),
 
+    // ---- corpus data card (datasheets-for-datasets): per (source, lang)
+    // slice — doc counts, exact-dup rate (64-bit content hash), empty-doc
+    // count, token/char volumes, fixed-bucket length histogram. One scan,
+    // one map-side-combined groupBy; every column integral so the oracle
+    // reproduces it bit-for-bit. ----
+    "pipeline_datacard" -> Q(
+      (s, dir) => graft.pipeline.Profile.dataCard(
+        TestStores.table(s, dir, "documents"), "text", Seq("source", "lang")),
+      Some(raw"""WITH f AS (
+        |  SELECT source, lang, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+        |    length(text) AS nc
+        |  FROM documents)
+        |SELECT source, lang,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_distinct_texts,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+        |  CAST(SUM(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS total_chars,
+        |  CAST(MIN(nt) AS BIGINT) AS min_tokens,
+        |  CAST(MAX(nt) AS BIGINT) AS max_tokens,
+        |  CAST(SUM(CASE WHEN nt BETWEEN 1 AND 32 THEN 1 ELSE 0 END) AS BIGINT) AS len_le_32,
+        |  CAST(SUM(CASE WHEN nt BETWEEN 33 AND 128 THEN 1 ELSE 0 END) AS BIGINT) AS len_le_128,
+        |  CAST(SUM(CASE WHEN nt BETWEEN 129 AND 512 THEN 1 ELSE 0 END) AS BIGINT) AS len_le_512,
+        |  CAST(SUM(CASE WHEN nt > 512 THEN 1 ELSE 0 END) AS BIGINT) AS len_gt_512
+        |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
+
     // ---- concat-then-chunk sequence packing (GPT-style pretraining): docs
     // laid end-to-end in id order per md5 shard, stream cut every 2048
     // tokens; output = each doc's (shard, sequence, offset). The window
