@@ -154,6 +154,57 @@ final class IvfIndex(
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** PQ × IVF composition (IVF-ADC, the layout of Jégou 2011 §IV): the
+    * product-quantized coarse pass runs over the PROBED CELLS ONLY, so the
+    * two byte-budget levers stack multiplicatively — nProbe/nCells of the
+    * corpus scanned × m ints per row instead of d floats. The query side
+    * precomputes its ADC lookup table ONCE per (query, probed cell) row
+    * before the cell join ([[PqCodebook.lutExpr]] — the asymmetric half);
+    * each matched corpus row costs m lookups. Candidates leave as
+    * (qid, id) pairs; float vectors are only re-attached for the
+    * `shortlist`-deep exact rescore (ids-only discipline). At
+    * nProbe = nCells the probed set is the whole corpus and the result is
+    * EXACTLY [[PqCodebook.topKJoin]] (same coarse math, same tie-breaks —
+    * the embed_topk_pq_ivf oracle pins that identity); smaller nProbe
+    * compounds the IVF recall tradeoff onto the codebook one. Output
+    * contract == (qid, cid, cos, rank). At cluster scale the code column
+    * lives stored beside the cell-partitioned table (encode at ingest);
+    * here it projects off the cached cells (same values — encodeExpr is
+    * deterministic). */
+  def pqTopKJoin(queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int, shortlist: Int,
+      cb: PqCodebook): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be > 0, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val np = math.max(1, math.min(nProbe, nCells))
+    val q0 = dedupedQueries(queries, qId, qVec)
+    val probed = q0
+      .select(col("qid"), col("qv"), cb.lutExpr(col("qv")).as("luts"),
+        graft.functions.Similarity.hof.l2Norm(col("qv")).as("qn"))
+      .withColumn("_p", explode(cellRankExpr(np)))
+      .select(col("qid"), col("luts"), col("qn"), col("_p.c").as("cell"))
+    val codes = cells.select(col("cell"), col("id"),
+      cb.encodeExpr(col("key")).as("codes"))
+    val coarse = probed.join(codes, "cell")
+      .withColumn("s_coarse",
+        cb.adcCosine(col("luts"), col("qn"), col("codes")))
+    val wCoarse = Window.partitionBy("qid")
+      .orderBy(col("s_coarse").desc, col("id").asc)
+    val short = coarse.withColumn("_rs", row_number().over(wCoarse))
+      .where(col("_rs") <= shortlist)
+      .select("qid", "id")
+    val exact = short
+      .join(cells.select(col("id"), col("key")), "id")
+      .join(broadcast(q0), "qid")
+      .withColumn("cos",
+        graft.functions.Similarity.cosineSimilarity(col("qv"), col("key")))
+    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+    exact.withColumn("rank", row_number().over(wExact)).where(col("rank") <= k)
+      .select(col("qid"), col("id").as("cid"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Top-n over the probed cells only: `cell IN probes` prunes partitions,
     * then exact scoring + TakeOrderedAndProject. Returns (id, key, sim). */
   def search(q: Array[Float], n: Int, nProbe: Int): DataFrame = {

@@ -72,32 +72,47 @@ final class PqCodebook(
         })
     }
 
-  /** Coarse approximate cosine of (query vector, encoded corpus row) via
-    * ADC: the per-query lookup tables are built ONCE per row from the
-    * codebook literal — dotLut[i][j] = dot(qᵢ, cᵢ[j]) — and each corpus row
-    * costs m array lookups + one division. All double math, fixed fold
-    * order (deterministic, like every kernel here). */
-  def coarseCosine(qVec: Column, codes: Column): Column = {
-    val n2 = typedlit(codebooks.map(_.map(c =>
-      c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toSeq).toSeq)
+  /** The per-query ADC lookup table — dotLut[i][j] = dot(qᵢ, cᵢ[j]) — as an
+    * [m][ksub] DOUBLE array column. Computed ONCE PER QUERY ROW (on the
+    * query side, BEFORE any join): this is what makes ADC asymmetric —
+    * the O(d · ksub) table build is paid |queries| times, and every scored
+    * corpus row afterwards costs m array lookups. */
+  def lutExpr(qVec: Column): Column =
     GraftFunctions.bind(cbLit) { cb =>
-      GraftFunctions.bind(transform(sequence(lit(0), lit(m - 1)), i =>
+      transform(sequence(lit(0), lit(m - 1)), i =>
         transform(element_at(cb, i + 1), c =>
-          Similarity.hof.dotProduct(chunk(qVec, i), c)))) { dotLut =>
-        GraftFunctions.bind(
-          aggregate(zip_with(codes, dotLut, (code, lut) =>
-            element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { dotSum =>
-          GraftFunctions.bind(
-            aggregate(zip_with(codes, n2, (code, lut) =>
-              element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { n2Sum =>
-            GraftFunctions.bind(Similarity.hof.l2Norm(qVec) * sqrt(n2Sum)) { den =>
-              when(den === 0.0, lit(0.0)).otherwise(dotSum / den)
-            }
-          }
+          Similarity.hof.dotProduct(chunk(qVec, i), c)))
+    }
+
+  /** ‖cᵢ[j]‖² per codebook entry — query-independent, rides the plan as a
+    * literal (the reconstructed-norm half of the cosine denominator;
+    * chunks are disjoint coordinates, so Σᵢ ‖cᵢ[codeᵢ]‖² = ‖x̂‖² exactly). */
+  private def n2Lit: Column =
+    typedlit(codebooks.map(_.map(c =>
+      c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toSeq).toSeq)
+
+  /** Coarse approximate cosine from a PRECOMPUTED query lut + query norm
+    * (see [[lutExpr]]) against a corpus row's codes: m lookups into the
+    * dot table + m into the norm² literal + one division. All double
+    * math, fixed fold order (deterministic, like every kernel here). */
+  def adcCosine(luts: Column, qNorm: Column, codes: Column): Column =
+    GraftFunctions.bind(
+      aggregate(zip_with(codes, luts, (code, lut) =>
+        element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { dotSum =>
+      GraftFunctions.bind(
+        aggregate(zip_with(codes, n2Lit, (code, lut) =>
+          element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { n2Sum =>
+        GraftFunctions.bind(qNorm * sqrt(n2Sum)) { den =>
+          when(den === 0.0, lit(0.0)).otherwise(dotSum / den)
         }
       }
     }
-  }
+
+  /** One-argument form (tests, ad-hoc scoring): builds the lut inline, so
+    * the table rebuild is paid PER SCORED ROW — use [[lutExpr]] +
+    * [[adcCosine]] across a join. */
+  def coarseCosine(qVec: Column, codes: Column): Column =
+    adcCosine(lutExpr(qVec), Similarity.hof.l2Norm(qVec), codes)
 
   /** PQ two-phase top-k similarity join (output contract ==
     * [[graft.dedup.Dedup.topKJoin]]: (qid, cid, cos, rank)): the coarse
@@ -114,11 +129,16 @@ final class PqCodebook(
     require(k > 0, s"k must be > 0, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val q = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+    // lut + norm are computed ONCE per query row, before the broadcast —
+    // the asymmetric half of ADC (the broadcast materializes them, so the
+    // scan side never re-derives the table)
+    val qPrepped = q.select(col("qid"), lutExpr(col("qv")).as("luts"),
+      Similarity.hof.l2Norm(col("qv")).as("qn"))
     // the coarse side carries (cid, codes) ONLY — no float vectors
     val codes = corpus.select(col(cId).as("cid"),
       encodeExpr(col(cVec)).as("codes"))
-    val coarse = broadcast(q).crossJoin(codes)
-      .withColumn("s_coarse", coarseCosine(col("qv"), col("codes")))
+    val coarse = broadcast(qPrepped).crossJoin(codes)
+      .withColumn("s_coarse", adcCosine(col("luts"), col("qn"), col("codes")))
     val wCoarse = Window.partitionBy("qid")
       .orderBy(col("s_coarse").desc, col("cid").asc)
     val short = coarse.withColumn("_rs", row_number().over(wCoarse))

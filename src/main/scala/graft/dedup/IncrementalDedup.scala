@@ -148,6 +148,22 @@ object IncrementalDedup {
       Some(new MinHashIndex(dir, n, numHashes, stamps, spark))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Load with whatever (n, numHashes) the manifest records — the DSL /
+    * exploratory form, where the caller doesn't know the build config and
+    * wants the index's own. None on a missing/corrupt manifest. */
+  def loadAny(spark: SparkSession, dir: String): Option[MinHashIndex] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "minhash_manifest.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      ((j \ "n"), (j \ "numHashes")) match {
+        case (JInt(n), JInt(nh)) => load(spark, dir, n.toInt, nh.toInt)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Dedup a batch against the index: (a = batch id, b = indexed id, jac)
     * for every cross pair with exact n-gram Jaccard ≥ `threshold` whose
     * MinHash signatures collide in ≥ 1 band. Batch ids and indexed ids are

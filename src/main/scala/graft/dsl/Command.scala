@@ -154,6 +154,11 @@ object Command {
     final case class Quantized(shortlist: Int) extends TopKMode
     final case class Ivf(cells: Int, probe: Int,
         quantizedShortlist: Option[Int]) extends TopKMode
+    /** Product-quantized ADC arm (ann.PqCodebook.topKJoin). */
+    final case class Pq(m: Int, ksub: Int, shortlist: Int) extends TopKMode
+    /** IVF-ADC composition (ann.IvfIndex.pqTopKJoin). */
+    final case class IvfPq(cells: Int, probe: Int, m: Int, ksub: Int,
+        shortlist: Int) extends TopKMode
   }
   final case class ExtTopK(k: Int, queriesView: String, qId: String,
       qVec: String, corpusView: String, cId: String, cVec: String,
@@ -174,6 +179,20 @@ object Command {
     * the recorder, `TRACE SHOW` returns the span frame, `TRACE RESET`
     * clears it. */
   final case class ExtTrace(action: String) extends Command
+  /** Per-slice corpus data card (pipeline.Profile.dataCard). */
+  final case class ExtDatacard(view: String, text: String,
+      groups: Seq[String]) extends Command
+  /** Build a persisted MinHash index from a view
+    * (dedup.IncrementalDedup.buildIndex). */
+  final case class ExtDedupIndex(dir: String, view: String, id: String,
+      text: String, n: Int) extends Command
+  /** Fold a batch view into an existing index (IncrementalDedup.append). */
+  final case class ExtDedupAppend(dir: String, view: String, id: String,
+      text: String) extends Command
+  /** Dedup a batch view against a persisted index
+    * (IncrementalDedup.dedupAgainst): (a = batch id, b = indexed id, jac). */
+  final case class ExtDedupIncremental(dir: String, view: String, id: String,
+      text: String, threshold: Double) extends Command
 }
 
 /** Parse failure with the offending statement's span in the input —

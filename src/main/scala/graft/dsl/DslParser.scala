@@ -388,7 +388,18 @@ object DslParser extends RegexParsers {
       (kw("probe") ~> nonZero) ~ opt(topKQuant) ^^ {
         case c ~ p ~ q => Command.TopKMode.Ivf(c, p, q) }
     val quant = topKQuant ^^ { s => Command.TopKMode.Quantized(s) }
-    ivf | quant
+    // PQ M m KSUB k SHORTLIST s — the product-quantized ADC arm
+    val pqParams = (kw("m") ~> nonZero) ~ (kw("ksub") ~> nonZero) ~
+      (kw("shortlist") ~> nonZero)
+    val pq = kw("pq") ~> pqParams ^^ {
+      case m ~ ks ~ sl => Command.TopKMode.Pq(m, ks, sl) }
+    // IVF ... PQ ... — the stacked composition; must try BEFORE plain ivf
+    // (whose opt(QUANTIZED) would succeed consuming nothing and strand
+    // the PQ clause as a statement-level error)
+    val ivfPq = kw("ivf") ~> (kw("cells") ~> nonZero) ~
+      (kw("probe") ~> nonZero) ~ (kw("pq") ~> pqParams) ^^ {
+        case c ~ p ~ (m ~ ks ~ sl) => Command.TopKMode.IvfPq(c, p, m, ks, sl) }
+    ivfPq | ivf | pq | quant
   }
   private val extTopK: Parser[Command] =
     kw("topk") ~> nonZero ~ fromView ~ idCol ~ (kw("vec") ~> name) ~
@@ -403,13 +414,32 @@ object DslParser extends RegexParsers {
     kw("fuse") ~> nonZero ~ fromView ~ idCol ~ (inKw ~> name) ~ idCol ~
       opt(kw("c") ~> nonZero) ^^ { case k ~ va ~ ai ~ vb ~ bi ~ c =>
         ExtFuse(k, va, ai, vb, bi, c.getOrElse(60)) }
+  private val extDatacard: Parser[Command] =
+    kw("datacard") ~> fromView ~ textCol ~
+      (kw("groupby") ~> rep1sep(name, ",")) ^^ {
+        case v ~ t ~ gs => ExtDatacard(v, t, gs) }
+  // persisted-MinHash-index family (dedup.IncrementalDedup): INDEX builds,
+  // APPEND folds a batch in, INCREMENTAL probes a batch against history
+  private val extDedupIndex: Parser[Command] =
+    kw("dedup") ~> kw("index") ~> pathLit ~ fromView ~ idCol ~ textCol ~
+      (kw("ngram") ~> nonZero) ^^ {
+        case d ~ v ~ i ~ t ~ n => ExtDedupIndex(d, v, i, t, n) }
+  private val extDedupAppend: Parser[Command] =
+    kw("dedup") ~> kw("append") ~> pathLit ~ fromView ~ idCol ~ textCol ^^ {
+      case d ~ v ~ i ~ t => ExtDedupAppend(d, v, i, t) }
+  private val extDedupIncremental: Parser[Command] =
+    kw("dedup") ~> kw("incremental") ~> pathLit ~ fromView ~ idCol ~
+      textCol ~ (kw("threshold") ~> f64) ^^ {
+        case d ~ v ~ i ~ t ~ th => ExtDedupIncremental(d, v, i, t, th) }
 
   private val extInner: Parser[Command] =
     extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
-    extDedupExact | extSplit |
+    extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
+    extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extBm25 | extDsir | extClassify | extFuse | extTopK | extTrace
+    extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
+    extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

@@ -140,6 +140,24 @@ object Pipeline {
         case Command.TopKMode.Quantized(shortlist) =>
           Response.Entries(graft.functions.Quantize.quantizedTopKJoin(
             t(qv), t(cv), qi, qc, ci, cc, k, shortlist))
+        case Command.TopKMode.Pq(m, ksub, shortlist) =>
+          // per-statement training, like the IVF arm's per-statement
+          // build; long-lived deployments use PqCodebook.trainOrLoad
+          val corpus = t(cv).select(
+            col(ci).cast("long").as("id"),
+            col(cc).cast("array<float>").as("key"))
+          val cb = graft.ann.PqCodebook.train(corpus, m, ksub)
+          Response.Entries(cb.topKJoin(
+            t(qv), t(cv), qi, qc, ci, cc, k, shortlist))
+        case Command.TopKMode.IvfPq(cells, probe, m, ksub, shortlist) =>
+          val corpus = t(cv).select(
+            col(ci).cast("long").as("id"),
+            col(cc).cast("array<float>").as("key"))
+          val cb = graft.ann.PqCodebook.train(corpus, m, ksub)
+          val ivf = graft.ann.IvfIndex.build(corpus, nCells = cells,
+            metric = graft.types.Algorithm.CosineSimilarity)
+          Response.Entries(ivf.pqTopKJoin(t(qv), qi, qc, k, probe,
+            shortlist, cb))
         case Command.TopKMode.Ivf(cells, probe, quantized) =>
           // cosine metric to match the exact arm's ranking contract; the
           // built index's cached cells stay pinned for the session (the
@@ -161,6 +179,25 @@ object Pipeline {
         Response.Entries(graft.text.Hybrid.rrfFuse(
           t(va).select(col("qid"), col(aDid).as("did"), col("rank")),
           t(vb).select(col("qid"), col(bDid).as("did"), col("rank")), k, c))
+      case ExtDatacard(v, text, groups) =>
+        Response.Entries(graft.pipeline.Profile.dataCard(t(v), text, groups))
+      case ExtDedupIndex(dir, v, id, text, n) =>
+        graft.dedup.IncrementalDedup.buildIndex(t(v), id, text, dir,
+          sourceStamp = v, n = n)
+        Response.Ok
+      case ExtDedupAppend(dir, v, id, text) =>
+        val idx = graft.dedup.IncrementalDedup.loadAny(spark, dir)
+          .getOrElse(throw graft.types.GraftException(
+            s"no MinHash index at $dir — DEDUP INDEX it first"))
+        graft.dedup.IncrementalDedup.append(idx, t(v), id, text,
+          sourceStamp = v)
+        Response.Ok
+      case ExtDedupIncremental(dir, v, id, text, th) =>
+        val idx = graft.dedup.IncrementalDedup.loadAny(spark, dir)
+          .getOrElse(throw graft.types.GraftException(
+            s"no MinHash index at $dir — DEDUP INDEX it first"))
+        Response.Entries(graft.dedup.IncrementalDedup.dedupAgainst(
+          idx, t(v), id, text, th))
       case ExtTrace(action) => action match {
         case "on"    => graft.obs.Trace.enabled = true; Response.Ok
         case "off"   => graft.obs.Trace.enabled = false; Response.Ok

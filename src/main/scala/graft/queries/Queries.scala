@@ -1827,6 +1827,61 @@ object Queries {
         |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
         |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8 ORDER BY a, b""".stripMargin)),
 
+    // ---- streaming twin of dedup_incremental: the SAME history index,
+    // probed by the batch slice arriving as a two-micro-batch stream
+    // (foreachBatch → the verified dedupAgainst — each doc verifies
+    // against the INDEX, so the batch boundary can't change the pair
+    // set). Shares dedup_incremental's oracle verbatim. ----
+    "docs_dedup_incr_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = TestStores.table(s, dir, "documents")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-mh-stream").toString
+        val idx = graft.dedup.IncrementalDedup.buildIndex(
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", idxDir,
+          sourceStamp = dir)
+        val rows = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val src = mem.toDF()
+          .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val q = try graft.streaming.StreamingIngest.streamingDedupAgainstIndex(
+          idx, src, "doc_id", "text", 0.8) { pairs =>
+            val batch = pairs.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            buf.synchronized { buf ++= batch; () }
+          }
+        finally s.conf.set(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        try {
+          val (a, b) = rows.splitAt(rows.size / 2)
+          mem.addData(a: _*); q.processAllAvailable()
+          mem.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        buf.toSeq.toDF("a", "b", "jac").orderBy("a", "b")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, g FROM toks,
+        |  UNNEST(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM shingles GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM shingles a
+        |  JOIN shingles b ON a.g = b.g
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0 GROUP BY 1, 2)
+        |SELECT ia AS a, ib AS b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jac
+        |FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8 ORDER BY a, b""".stripMargin)),
+
     // SimHash: 64-bit token-hash sign aggregate, 8×8-bit bands (Hamming ≤ 7
     // guaranteed candidates), exact verify. Same output contract.
     "dedup_simhash" -> Q(
@@ -2241,6 +2296,35 @@ object Queries {
           e.select(col("id").as("vec_id"), col("key").as("embedding")),
           "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 150)
           .orderBy("qid", "rank")
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 12)
+        |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+        |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // ---- PQ × IVF composition (IVF-ADC, Jégou 2011 §IV): the m-int ADC
+    // coarse pass runs over PROBED CELLS ONLY — partition pruning × the
+    // byte cut, stacked. nProbe = nCells ⇒ probed set = whole corpus ⇒
+    // EXACTLY the PQ brute-force arm (PqSpec pins the identity), so the
+    // oracle is that arm's exhaustive-cosine SQL verbatim; pruned-probe
+    // recall rides PqSpec. ----
+    "embed_topk_pq_ivf" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<float>").as("key"))
+        val cb = graft.ann.PqCodebook.train(e, m = 8, ksub = 64, iters = 2)
+        val ivf = graft.ann.IvfIndex.build(e, nCells = 8, iters = 2)
+        val out = ivf.pqTopKJoin(
+          e.where(col("id") < 12).select(col("id").as("vec_id"), col("key").as("embedding")),
+          "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 150, cb = cb)
+        val rows = out.collect()
+        ivf.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
       },
       Some(s"""WITH scored AS (
         |  SELECT q.vec_id qid, c.vec_id cid,

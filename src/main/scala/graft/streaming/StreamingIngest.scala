@@ -163,6 +163,58 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-vs-HISTORY near-dup candidates — the stream-static twin of
+    * [[graft.dedup.IncrementalDedup.dedupAgainst]]'s candidate stage: each
+    * arriving doc's per-row MinHash signature
+    * ([[graft.dedup.Dedup.minHashSignature]] — the same values the index's
+    * band table persists, pinned in IncrementalDedupSpec) explodes into
+    * (band, value) keys and inner-joins the PERSISTED band table. Emits
+    * UNVERIFIED (doc_id, hist_id) collisions — STATELESS (a stream-static
+    * join holds no state; the static side is the index, bounded on disk),
+    * so unlike [[streamingNearDupCandidates]] there is no watermark, no
+    * cap, no horizon: history isn't a stream, it's a table. A pair
+    * colliding in several bands repeats; verification dedups — use
+    * [[streamingDedupAgainstIndex]] for decisions. */
+  def streamingIndexCandidates(index: graft.dedup.MinHashIndex,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = graft.dedup.Dedup.minHashSignature(
+      col(textCol), index.n, index.numHashes)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "value")))
+      .join(index.bands
+          .select(col("band"), col("value"), col("id").as("hist_id")),
+        Seq("band", "value"))
+      .select(col("doc_id"), col("hist_id"))
+  }
+
+  /** Stream-vs-history near-dup DECISIONS: each micro-batch runs the full
+    * verified [[graft.dedup.IncrementalDedup.dedupAgainst]] (band probe +
+    * size-ratio prune + exact-Jaccard verify) against the persisted index
+    * — the CCNet/crawl production shape, like [[scoreStreamPerplexity]]:
+    * history is static, the crawl is the stream, and the exact verify is
+    * a batch join by construction (it needs both sides' shingle sets), so
+    * foreachBatch is the honest seam, not a limitation. `sink` receives
+    * each micro-batch's (a = stream id, b = history id, jac) pairs; the
+    * result is independent of how the stream is batched (each doc verifies
+    * against the INDEX, not against co-batched docs — pinned in
+    * StreamingSpec). Callers who also need stream-vs-stream dedup within
+    * the horizon compose [[streamingNearDupCandidates]] upstream. */
+  def streamingDedupAgainstIndex(index: graft.dedup.MinHashIndex,
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      checkpointDir: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.dedup.IncrementalDedup.dedupAgainst(
+            index, batch, idCol, textCol, threshold))
+      }
+      .start()
+  }
+
   // ------------------------------------------------------- sessionization
 
   /** Batch twin of [[sessionize]]: gap-based sessions as a pure window

@@ -57,6 +57,34 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 with shortlist=80 (8x k) = $recall")
   }
 
+  test("IVF-PQ: nProbe = nCells is exactly the PQ brute-force arm; pruned probes keep recall") {
+    val cb = PqCodebook.train(df, m = 8, ksub = 16, iters = 2)
+    val ivf = IvfIndex.build(df, nCells = 8, iters = 2)
+    try {
+      val queries = (0 until 10).map(qi => ((8000 + qi).toLong, gen((8000 + qi).toLong)))
+      val qDf = queries.toDF("qid", "qv")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val exhaustive = rows(ivf.pqTopKJoin(qDf, "qid", "qv",
+        k = 10, nProbe = 8, shortlist = 80, cb))
+      val brute = rows(cb.topKJoin(qDf, df, "qid", "qv", "id", "key",
+        k = 10, shortlist = 80))
+      assert(exhaustive == brute, "nProbe = nCells must equal the PQ brute-force arm")
+      // pruned probes: recall over the batch against the true exact top-k
+      val pruned = ivf.pqTopKJoin(qDf, "qid", "qv",
+          k = 10, nProbe = 3, shortlist = 80, cb)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+      var hits = 0; var total = 0
+      queries.foreach { case (qid, qv) =>
+        val exp = bruteTopK(Algorithm.CosineSimilarity, ids, vecs, qv, 10).map(_._1)
+        hits += exp.count(pruned(qid).toSet.contains); total += exp.size
+      }
+      assert(hits.toDouble / total >= 0.7,
+        s"IVF-PQ recall@10 with nProbe=3/8 = ${hits.toDouble / total}")
+    } finally ivf.unpersist()
+  }
+
   test("artifact round-trip is bit-identical; stale stamp refuses to load") {
     val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("pq-artifact").toString

@@ -649,6 +649,101 @@ class DslSpec extends AnyFunSuite {
     assert(bad.size == 1 && bad(0).isLeft)
   }
 
+  test("extension grammar parses PQ / DATACARD / persisted-index dedup forms") {
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb PQ M 8 KSUB 16 SHORTLIST 100") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Pq(8, 16, 100))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 PQ M 8 KSUB 16 SHORTLIST 100") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.IvfPq(8, 2, 8, 16, 100))))
+    assert(DslParser.parseExt("DATACARD FROM docs TEXT text GROUPBY source,lang") ==
+      Seq(ExtDatacard("docs", "text", Seq("source", "lang"))))
+    assert(DslParser.parseExt(
+      "DEDUP INDEX '/tmp/idx dir' FROM docs ID doc_id TEXT text NGRAM 3;" +
+      "DEDUP APPEND '/tmp/idx dir' FROM batch ID doc_id TEXT text;" +
+      "DEDUP INCREMENTAL '/tmp/idx dir' FROM batch ID doc_id TEXT text THRESHOLD 0.8") ==
+      Seq(ExtDedupIndex("/tmp/idx dir", "docs", "doc_id", "text", 3),
+        ExtDedupAppend("/tmp/idx dir", "batch", "doc_id", "text"),
+        ExtDedupIncremental("/tmp/idx dir", "batch", "doc_id", "text", 0.8)))
+  }
+
+  test("extension pipeline: PQ arm, DATACARD, and incremental dedup execute (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Seq(0.9f, 0.1f, 0.2f, 0.1f)),
+      (2L, Seq(0.1f, 1.0f, 0.0f, 0.3f)),
+      (3L, Seq(0.0f, 0.1f, 1.0f, 0.9f)),
+      (4L, Seq(0.2f, 0.9f, 0.1f, 0.2f)),
+      (5L, Seq(0.8f, 0.2f, 0.3f, 0.0f))).toDF("vid", "emb")
+    vecs.createOrReplaceTempView("pq_vecs")
+    vecs.where($"vid" === 0L).select($"vid".as("qid"), $"emb")
+      .createOrReplaceTempView("pq_q")
+    val results = Pipeline.runExt(spark,
+      """TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb;
+        |TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb PQ M 2 KSUB 4 SHORTLIST 6;
+        |TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb IVF CELLS 2 PROBE 2 PQ M 2 KSUB 4 SHORTLIST 6""".stripMargin)
+    assert(results.size == 3 && results.forall(_.isRight), results)
+    def ranked(i: Int) = results(i) match {
+      case Right(Response.Entries(d)) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._3).toSeq
+      case other => fail(s"step $i: $other")
+    }
+    // shortlist = corpus ⇒ the PQ arms rescan everything exactly
+    assert(ranked(1) == ranked(0), "PQ arm diverged at exhaustive shortlist")
+    assert(ranked(2) == ranked(0), "IVF-PQ arm diverged at exhaustive settings")
+
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
+      (2L, "unrelated words entirely", "books", "de")).toDF(
+      "doc_id", "text", "source", "lang")
+    docs.createOrReplaceTempView("dc_docs")
+    val card = Pipeline.runExt(spark,
+      "DATACARD FROM dc_docs TEXT text GROUPBY source,lang") match {
+      case Seq(Right(Response.Entries(d))) => d.collect()
+      case other => fail(s"$other")
+    }
+    assert(card.length == 2)
+    val web = card.find(_.getString(0) == "web").get
+    assert(web.getAs[Long]("n_docs") == 2 && web.getAs[Long]("n_exact_dups") == 1)
+
+    // index build → probe → append → re-probe, all through statements
+    val dir = java.nio.file.Files.createTempDirectory("dsl-mh").toString
+    docs.where($"doc_id" < 2).createOrReplaceTempView("mh_hist")
+    Seq((100L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mh_batch")
+    val steps = Pipeline.runExt(spark,
+      s"""DEDUP INDEX '$dir' FROM mh_hist ID doc_id TEXT text NGRAM 3;
+         |DEDUP INCREMENTAL '$dir' FROM mh_batch ID doc_id TEXT text THRESHOLD 0.5;
+         |DEDUP APPEND '$dir' FROM mh_batch ID doc_id TEXT text""".stripMargin)
+    assert(steps.size == 3 && steps.forall(_.isRight), steps)
+    val pairs = steps(1) match {
+      case Right(Response.Entries(d)) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      case other => fail(s"$other")
+    }
+    assert(pairs == Set((100L, 0L), (100L, 1L)))
+    // the appended batch is now part of history for the next generation
+    Seq((200L, "the quick brown fox jumps over the lazy dog again today indeed"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mh_batch2")
+    val probe2 = Pipeline.runExt(spark,
+      s"DEDUP INCREMENTAL '$dir' FROM mh_batch2 ID doc_id TEXT text THRESHOLD 0.5")
+    val pairs2 = probe2.head match {
+      case Right(Response.Entries(d)) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      case other => fail(s"$other")
+    }
+    assert(pairs2.contains((200L, 100L)), pairs2)
+    // probing a dir with no index is a captured step error, not an abort
+    val missing = Pipeline.runExt(spark,
+      "DEDUP INCREMENTAL '/tmp/definitely-no-index' FROM mh_batch ID doc_id TEXT text THRESHOLD 0.5")
+    assert(missing.size == 1 && missing.head.isLeft)
+  }
+
   test("extension pipeline: TRACE controls the span recorder") {
     val spark = graft.TestFixtures.spark
     assert(DslParser.parseExt("TRACE ON; TRACE SHOW; TRACE RESET; TRACE OFF") ==

@@ -215,6 +215,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedupAgainstIndex matches the batch probe regardless of batching") {
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "spark catalyst plans the query into stages"),
+      (2L, "large language models need deduplicated corpora"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stream-mh").toString
+    val idx = graft.dedup.IncrementalDedup.buildIndex(
+      history, "doc_id", "text", dir, "hist-v1")
+    val arriving = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again today"),
+      (101L, "totally novel content matching no history"),
+      (102L, "large language models need deduplicated corpora as well"))
+    val batchPairs = graft.dedup.IncrementalDedup.dedupAgainst(
+        idx, arriving.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs.map(p => (p._1, p._2)) == Set((100L, 0L), (102L, 2L)))
+
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().withColumnRenamed("_1", "doc_id")
+      .withColumnRenamed("_2", "text")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = graft.streaming.StreamingIngest.streamingDedupAgainstIndex(
+      idx, src, "doc_id", "text", 0.5) { pairs =>
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      buf.synchronized { buf ++= rows; () }
+    }
+    try {
+      // batch boundary between the docs — each verifies against the INDEX,
+      // so the split cannot change the pair set
+      mem.addData(arriving.take(1): _*); q.processAllAvailable()
+      mem.addData(arriving.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchPairs, s"${buf.toSet} vs $batchPairs")
+
+    // the stateless candidate probe: every verified pair must appear among
+    // the raw band collisions (candidates ⊇ decisions)
+    val cands = graft.streaming.StreamingIngest.streamingIndexCandidates(
+        idx, arriving.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.map(p => (p._1, p._2)).subsetOf(cands), s"$cands")
+  }
+
   test("scoreStreamPerplexity matches the batch scorer regardless of batching") {
     val ref = Seq((100L, "x y x y z"), (101L, "x z y x")).toDF("id", "text")
     val model = graft.text.LangModel.train(ref, "id", "text")
