@@ -59,11 +59,39 @@ final class PqCodebook(
   private def chunk(vec: Column, i: Column): Column =
     slice(vec, i * dsub + 1, lit(dsub))
 
+  /** The codebook as one flat float[] in [sub][code][dim] row-major order
+    * — the native kernel's reference-object form. */
+  private[ann] lazy val flatBook: Array[Float] = {
+    val out = new Array[Float](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        System.arraycopy(codebooks(s)(j), 0, out, (s * ksub + j) * dsub, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
   /** PQ codes as ARRAY<INT> length m: per subspace, the index of the
-    * nearest codebook entry (squared-euclidean, first-match tie-break
-    * toward the lowest code — same argmin idiom as [[IvfIndex]]'s
-    * assignCell). Pure projection; the codebook is a plan literal. */
-  def encodeExpr(vec: Column): Column =
+    * nearest codebook entry (squared-euclidean, strict-< argmin — ties
+    * break toward the lowest code). A native codegen'd kernel
+    * ([[org.apache.spark.sql.graftbridge.PqEncode]]): the HOF formulation
+    * ([[encodeExprHof]], kept as the differential reference) evaluates its
+    * lambdas interpreted — measured ~1 ms/row at m=8 ksub=64 d=64 vs the
+    * kernel's tight primitive loops. Bit-identical codes (PqSpec pins all
+    * three formulations against each other). */
+  def encodeExpr(vec: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, PqEncode}
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), flatBook, m, ksub))
+  }
+
+  /** The higher-order-function encode — interpreted, kept ONLY as the
+    * independent reference implementation the native kernel is pinned
+    * against (the [[Similarity.hof]] discipline). */
+  private[ann] def encodeExprHof(vec: Column): Column =
     GraftFunctions.bind(cbLit) { cb =>
       transform(sequence(lit(0), lit(m - 1)), i =>
         GraftFunctions.bind(transform(element_at(cb, i + 1), c =>
@@ -169,23 +197,32 @@ final class PqCodebook(
 
 object PqCodebook {
 
-  /** Train: deterministic per-subspace Lloyd k-means, all m subspaces in
-    * the SAME DataFrame jobs. `df` must have (id LONG, key ARRAY<FLOAT>);
-    * init = the subvectors of the ksub smallest-id vectors (no RNG). Empty
-    * cells keep their previous centroid (deterministic, like IVF). */
+  /** Train: deterministic per-subspace Lloyd k-means, ALL m subspaces in
+    * one DataFrame job per iteration. `df` must have (id LONG,
+    * key ARRAY<FLOAT>); init = the subvectors of the ksub smallest-id
+    * vectors (no RNG). Empty cells keep their previous centroid
+    * (deterministic, like IVF).
+    *
+    * Each iteration is one pass: the native [[org.apache.spark.sql
+    * .graftbridge.PqEncode]] kernel assigns every subspace's cell in a
+    * single projection (assignment IS encoding under the current books),
+    * positions explode to (sub, cell, dim, value) rows, and one
+    * map-side-combined groupBy produces every (sub, cell, dim) mean —
+    * m · ksub · dsub result rows collected to the driver (a few KB). The
+    * training frame is scanned `iters` times and never shuffled on
+    * content. 100 TB discipline: codebooks are trained on a bounded
+    * SAMPLE (the Faiss convention — ~100k–1M vectors saturates ksub ≤ 256
+    * codebooks); pass `deterministicSample`'d input, then [[PqCodebook
+    * .encodeExpr]] the full corpus once with the trained books. */
   def train(dfIn: DataFrame, m: Int, ksub: Int, iters: Int = 3): PqCodebook = {
     require(m > 0 && ksub > 0 && iters >= 0)
     val dim = dfIn.select(size(col("key"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    // (id, sub, subvec) — each vector contributes one row per subspace
-    val chunks = dfIn.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)), i =>
-          slice(col("key"), i * dsub + 1, lit(dsub)))).as(Seq("sub", "subvec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var books: Array[Array[Array[Float]]] = {
-        val seed = dfIn.orderBy("id").limit(ksub).select("key")
+        val seed = df.orderBy("id").limit(ksub).select("key")
           .collect().map(_.getSeq[Float](0).toArray)
         require(seed.nonEmpty, "PQ training corpus is empty")
         // fewer than ksub vectors: cycle the seeds (cells will dedup to
@@ -197,29 +234,37 @@ object PqCodebook {
       }
       var it = 0
       while (it < iters) {
-        val cbLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
-        val assigned = chunks.withColumn("cell",
-          GraftFunctions.bind(transform(element_at(cbLit, col("sub") + 1), c =>
-            Similarity.hof.squaredEuclidean(col("subvec"), c))) { dists =>
-            (array_position(dists, array_min(dists)) - 1).cast("int")
-          })
-        val means = assigned
-          .select(col("sub"), col("cell"),
-            posexplode(col("subvec")).as(Seq("pos", "v")))
-          .groupBy("sub", "cell", "pos").agg(avg(col("v")).as("mv"))
-          .groupBy("sub", "cell").agg(
-            array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
-          .select(col("sub"), col("cell"), transform(col("ms"), s =>
-            s.getField("mv").cast("float")).as("centroid"))
+        val cb = new PqCodebook(dim, m, ksub, books)
+        val sub = (col("pos") / dsub).cast("int")
+        // materialize (key, codes) BEFORE the position explode: projection
+        // collapse would otherwise inline the encode kernel into the
+        // generate and re-run the full m·ksub argmin once per EXPLODED row
+        // — measured 2.4 s/iteration vs 0.3 s at 2000×64-d (a d× blowup).
+        // The checkpoint is bounded: PQ codebooks are trained on a SAMPLE
+        // at scale (the Faiss discipline — pass a deterministicSample'd
+        // frame for 100 TB corpora; see scaladoc above).
+        val coded = df
+          .select(col("key"), cb.encodeExpr(col("key")).as("codes"))
+          .localCheckpoint()
+        val means = coded
+          .select(col("codes"), posexplode(col("key")).as(Seq("pos", "v")))
+          .select(sub.as("sub"),
+            pmod(col("pos"), lit(dsub)).cast("int").as("p"),
+            element_at(col("codes"), sub + 1).as("cell"),
+            col("v"))
+          .groupBy("sub", "cell", "p").agg(avg(col("v")).as("mv"))
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
           .toMap
-        books = Array.tabulate(m)(i => Array.tabulate(ksub)(j =>
-          means.getOrElse((i, j), books(i)(j))))
+        books = Array.tabulate(m)(s => Array.tabulate(ksub) { j =>
+          if (means.contains((s, j, 0)))
+            Array.tabulate(dsub)(p => means((s, j, p)).toFloat)
+          else books(s)(j) // empty cell keeps its previous centroid
+        })
         it += 1
       }
       new PqCodebook(dim, m, ksub, books)
-    } finally chunks.unpersist(blocking = false)
+    } finally df.unpersist(blocking = false)
   }
 
   // --------------------------------------------------------- artifact IO

@@ -151,4 +151,31 @@ object ConnectedComponents {
       .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }
+
+  /** Quality-ranked keep-one: like [[dropNearDuplicates]], but each
+    * component's survivor is the member with the HIGHEST `rankCol` value
+    * (ties → lowest id), not the minimum id — the keeper policy of the
+    * dedup recipes that rank members by a quality signal (document length,
+    * classifier score, perplexity head-ness) before dropping: min-id
+    * keep-one discards quality information the pipeline already computed.
+    *
+    * Scale shape: ranks are fetched by an id equi-join against the label
+    * table (bounded by the DUPLICATE population, never corpus-shaped), the
+    * winner is one window over that bounded set partitioned by component,
+    * and the corpus pays the same single anti-join on id as min-id
+    * keep-one. Rows in no pair survive by absence, as before. */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+      rankCol: String, pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = label(pairs, aCol, bCol)
+      .join(df.select(col(idCol).cast("long").as("id"), col(rankCol).as("_r")),
+        "id")
+    val w = Window.partitionBy("component")
+      .orderBy(col("_r").desc, col("id").asc)
+    val doomed = ranked.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
 }

@@ -96,6 +96,9 @@ object Command {
       method: String, n: Int, threshold: Double) extends Command
   final case class ExtDedupKeepOne(view: String, id: String, text: String,
       method: String, n: Int, threshold: Double) extends Command
+  /** Quality-ranked keep-one (ConnectedComponents.dropNearDuplicatesKeepBest). */
+  final case class ExtDedupKeepBest(view: String, id: String, text: String,
+      rank: String, method: String, n: Int, threshold: Double) extends Command
   /** SemDeDup-style embedding-cosine keep-one (Dedup.semanticKeepOne). */
   final case class ExtDedupSemantic(view: String, id: String, vec: String,
       threshold: Double) extends Command

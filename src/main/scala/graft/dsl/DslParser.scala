@@ -307,6 +307,12 @@ object DslParser extends RegexParsers {
   private val extDedupKeepOne: Parser[Command] =
     kw("dedup") ~> kw("keepone") ~> dedupParams ^^ {
       case v ~ i ~ t ~ m ~ n ~ th => ExtDedupKeepOne(v, i, t, m, n, th) }
+  private val extDedupKeepBest: Parser[Command] =
+    kw("dedup") ~> kw("keepbest") ~> fromView ~ idCol ~ textCol ~
+      (kw("rank") ~> name) ~ (kw("using") ~> dedupMethod) ~
+      (kw("ngram") ~> nonZero) ~ (kw("threshold") ~> f64) ^^ {
+        case v ~ i ~ t ~ r ~ m ~ n ~ th =>
+          ExtDedupKeepBest(v, i, t, r, m, n, th) }
   private val extDedupExact: Parser[Command] =
     kw("dedup") ~> kw("exact") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtDedupExact(v, i, t) }
@@ -433,7 +439,8 @@ object DslParser extends RegexParsers {
         case d ~ v ~ i ~ t ~ th => ExtDedupIncremental(d, v, i, t, th) }
 
   private val extInner: Parser[Command] =
-    extScan | extDedupNear | extDedupKeepOne | extDedupSemantic |
+    extScan | extDedupNear | extDedupKeepOne | extDedupKeepBest |
+    extDedupSemantic |
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplit |
     extSample | extPack | extShuffle | extCap | extLines | extSpans |

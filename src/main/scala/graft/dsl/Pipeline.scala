@@ -80,6 +80,10 @@ object Pipeline {
       case ExtDedupKeepOne(v, id, text, m, n, th) =>
         Response.Entries(graft.dedup.ConnectedComponents.dropNearDuplicates(
           t(v), id, nearPairs(v, id, text, m, n, th), "a", "b"))
+      case ExtDedupKeepBest(v, id, text, r, m, n, th) =>
+        Response.Entries(graft.dedup.ConnectedComponents
+          .dropNearDuplicatesKeepBest(
+            t(v), id, r, nearPairs(v, id, text, m, n, th), "a", "b"))
       case ExtDedupSemantic(v, id, vec, th) =>
         Response.Entries(graft.dedup.Dedup.semanticKeepOne(t(v), id, vec, th))
       case ExtSplit(v, id, tr, va) =>

@@ -209,6 +209,37 @@ object Queries {
       |SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The shared perplexity CTE chain (train on EN, score everything) up
+    * to a `scored(doc_id, ppl)` relation — the base of both the
+    * text_perplexity_xlang oracle and the CCNet bucket oracle. */
+  private val pplScoredCtes: String =
+    """WITH ttoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE lang = 'en'),
+      |tbg AS (
+      |  SELECT tk[i] AS w1, tk[i+1] AS w2
+      |  FROM ttoks, UNNEST(range(1, len(tk))) AS r(i)
+      |  WHERE len(tk) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+      |uc AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT tok) AS V
+      |  FROM (SELECT unnest(tk) AS tok FROM ttoks)),
+      |stoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |sbg AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM stoks, UNNEST(range(1, len(tk))) AS r(i)
+      |  WHERE len(tk) >= 2),
+      |nll AS (
+      |  SELECT sbg.doc_id,
+      |    -ln((coalesce(bc.c2, 0) + 1.0) / (coalesce(uc.c1, 0) + 1.0 * v.V)) AS nll
+      |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+      |    CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
+      |  FROM nll GROUP BY doc_id)""".stripMargin
+
   val registry: Map[String, Q] = Map(
 
     // ---- relational headline (extension surface; lineitem agg) ----
@@ -1174,6 +1205,36 @@ object Queries {
       },
       Some(xlangPplOracle)),
 
+    // ---- CCNet head/middle/tail bucketing (Wenzek 2020 §4.3): cutoffs
+    // come from the deterministic md5 sample of the SCORED corpus (the
+    // bounded global sort — the corpus itself is never sorted), NTILE(3)
+    // on (ppl, doc_id), broadcast CASE assignment. Oracle replays the
+    // sample + tiles + cutoffs on the shared perplexity CTE chain. ----
+    "text_ppl_buckets" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        val model = graft.text.LangModel.train(
+          docs.where(col("lang") === "en"), "doc_id", "text")
+        val scored = graft.text.LangModel.score(
+          model, docs.select("doc_id", "text"), "doc_id", "text")
+        graft.text.LangModel.pplBuckets(scored, "doc_id", "ppl", 0.2)
+          .orderBy("doc_id")
+      },
+      Some(pplScoredCtes + """,
+        |samp AS (
+        |  SELECT doc_id, ppl FROM scored
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20),
+        |tiles AS (
+        |  SELECT doc_id, ppl, ntile(3) OVER (ORDER BY ppl, doc_id) AS t FROM samp),
+        |cuts AS (
+        |  SELECT max(CASE WHEN t = 1 THEN ppl END) AS t1,
+        |         max(CASE WHEN t = 2 THEN ppl END) AS t2 FROM tiles)
+        |SELECT s.doc_id, s.ppl,
+        |  CASE WHEN s.ppl <= c.t1 THEN 'head'
+        |       WHEN s.ppl <= coalesce(c.t2, c.t1) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s CROSS JOIN cuts c ORDER BY s.doc_id""".stripMargin)),
+
     // ---- DSIR importance weights: hashed unigram+bigram log-likelihood
     // ratio of every doc under the English subcorpus (target) vs the full
     // corpus (raw) — md5-prefix feature buckets so the hashed feature
@@ -2019,6 +2080,34 @@ object Queries {
       Some(clusterOracle(
         """SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN (
           |  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
+          |ORDER BY doc_id""".stripMargin))),
+
+    // ---- quality-ranked keep-one over the same cluster graph: each
+    // component's survivor is its LONGEST member (ties → lowest id) — the
+    // keeper policy that preserves the quality signal instead of min-id.
+    // Exact-copy clusters tie on length and fall back to min id; near-dup
+    // families keep their longest variant (the differentiator vs
+    // dedup_near_keep_one). ----
+    "dedup_keep_best" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .withColumn("_len", length(col("text")))
+        val pairs = graft.dedup.Dedup.minHashLshJoin(
+          corpus, "doc_id", "text", 3, 0.8)
+        graft.dedup.ConnectedComponents
+          .dropNearDuplicatesKeepBest(corpus, "doc_id", "_len", pairs, "a", "b")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(clusterOracle(
+        """, comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+          |ranked AS (
+          |  SELECT c.node, row_number() OVER (PARTITION BY c.comp
+          |    ORDER BY length(co.text) DESC, c.node ASC) AS rn
+          |  FROM comp c JOIN corpus co ON co.doc_id = c.node)
+          |SELECT doc_id FROM corpus
+          |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
           |ORDER BY doc_id""".stripMargin))),
 
     // ---- embedding near-dup: sign-LSH bands + exact cosine verify.

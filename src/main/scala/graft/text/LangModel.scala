@@ -108,4 +108,44 @@ object LangModel {
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 1.0): DataFrame =
     score(train(docs, idCol, textCol, k), docs, idCol, textCol)
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3:
+    * each language's corpus splits into equal thirds by LM perplexity;
+    * training recipes then keep the head, or reweight by bucket). Input is
+    * a SCORED frame ([[score]]'s (id, ppl) shape); output adds a `bucket`
+    * column ∈ head | middle | tail.
+    *
+    * Scale shape — why thresholds come from a sample: exact corpus-wide
+    * tertiles need a global sort, which is the one shape this library
+    * refuses on a 100 TB corpus. CCNet itself computes cutoffs on a
+    * held-out slice and applies them as constants; here the slice is the
+    * deterministic md5 sample ([[graft.pipeline.Corpus
+    * .deterministicSample]] — growth-stable, no RNG), the slice alone is
+    * NTILE(3)-ranked (ordered by (ppl, id) so ties can't float between
+    * engines; the global window sorts ONLY the bounded sample), and the
+    * two resulting cutoffs broadcast into a per-row CASE — the corpus
+    * itself is never sorted or shuffled. Sample rows at a cutoff may land
+    * one bucket away from their own tile rank (boundary ties go low);
+    * that is CCNet's behavior too — the cutoffs are the contract, not the
+    * tile assignment. Fewer than 3 sample rows degenerate deterministically
+    * (missing upper tiles reuse the last cutoff; middle empties out). */
+  def pplBuckets(scored: DataFrame, idCol: String, pplCol: String,
+      sampleFraction: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = graft.pipeline.Corpus
+      .deterministicSample(scored, idCol, sampleFraction)
+    val w = Window.orderBy(col(pplCol), col(idCol))
+    val cuts = sample.withColumn("_tile", ntile(3).over(w))
+      .groupBy("_tile").agg(max(col(pplCol)).as("cut"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(cuts.nonEmpty,
+      s"pplBuckets: the $sampleFraction sample of the scored corpus is " +
+        "empty — score a non-empty corpus or raise the fraction")
+    val t1 = cuts(1) // tile 1 always exists on a non-empty sample
+    val t2 = cuts.getOrElse(2, t1)
+    scored.withColumn("bucket",
+      when(col(pplCol) <= t1, lit("head"))
+        .when(col(pplCol) <= t2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
 }

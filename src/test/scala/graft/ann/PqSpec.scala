@@ -19,12 +19,15 @@ class PqSpec extends AnyFunSuite {
       .toSeq == b.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
   }
 
-  test("encode expression matches the JVM reference encode row for row") {
+  test("native encode kernel == HOF formulation == JVM reference, row for row") {
     val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
     val got = df.select($"id", cb.encodeExpr($"key").as("codes"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val hof = df.select($"id", cb.encodeExprHof($"key").as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
     ids.zip(vecs).foreach { case (id, v) =>
-      assert(got(id) == cb.encodeJvm(v).toSeq, s"id $id")
+      assert(got(id) == cb.encodeJvm(v).toSeq, s"kernel vs jvm, id $id")
+      assert(hof(id) == got(id), s"hof vs kernel, id $id")
     }
   }
 

@@ -80,4 +80,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 3L, 4L, 5L, 6L, 8L, 9L))
   }
+
+  test("dropNearDuplicatesKeepBest keeps the highest-ranked member per component") {
+    import spark.implicits._
+    // ranks: component {0,1,2} → 2 wins (rank 9); {5,7} → tie at 4, lowest
+    // id (5) wins; singletons untouched
+    val corpus = Seq(
+      (0L, 3L), (1L, 7L), (2L, 9L), (3L, 1L), (4L, 2L),
+      (5L, 4L), (6L, 8L), (7L, 4L), (8L, 0L), (9L, 5L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("a", "b")
+    val kept = ConnectedComponents
+      .dropNearDuplicatesKeepBest(corpus, "doc_id", "quality", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 5L, 6L, 8L, 9L))
+    // with a constant rank the policy degrades to min-id keep-one exactly
+    val flat = corpus.withColumn("quality", org.apache.spark.sql.functions.lit(1L))
+    val keptFlat = ConnectedComponents
+      .dropNearDuplicatesKeepBest(flat, "doc_id", "quality", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    val keptMinId = ConnectedComponents
+      .dropNearDuplicates(corpus, "doc_id", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlat == keptMinId)
+  }
 }

@@ -661,6 +661,9 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt("DATACARD FROM docs TEXT text GROUPBY source,lang") ==
       Seq(ExtDatacard("docs", "text", Seq("source", "lang"))))
     assert(DslParser.parseExt(
+      "DEDUP KEEPBEST FROM docs ID doc_id TEXT text RANK quality USING minhash NGRAM 3 THRESHOLD 0.8") ==
+      Seq(ExtDedupKeepBest("docs", "doc_id", "text", "quality", "minhash", 3, 0.8)))
+    assert(DslParser.parseExt(
       "DEDUP INDEX '/tmp/idx dir' FROM docs ID doc_id TEXT text NGRAM 3;" +
       "DEDUP APPEND '/tmp/idx dir' FROM batch ID doc_id TEXT text;" +
       "DEDUP INCREMENTAL '/tmp/idx dir' FROM batch ID doc_id TEXT text THRESHOLD 0.8") ==

@@ -44,6 +44,42 @@ class LangModelSpec extends AnyFunSuite {
     assert(self == one, s"$self vs $one")
   }
 
+  test("pplBuckets: sample cutoffs split head/middle/tail; order respects ppl") {
+    // 30 docs across three clear perplexity strata (conforming, mildly
+    // noisy, scrambled) — sampleFraction 1.0 makes the tertiles exact
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val docs = (
+      (0L until 10L).map(i => (i, sent)) ++
+      (10L until 20L).map(i => (i, sent + " entropy token" + (i % 3))) ++
+      (20L until 30L).map(i => (i, s"dog brown lazy the fox quick jumps $i over"))
+    ).toDF("id", "text")
+    val scored = LangModel.bigramPerplexity(docs, "id", "text")
+    val out = LangModel.pplBuckets(scored, "id", "ppl", sampleFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 30)
+    // buckets are monotone in ppl: no head doc scores above any tail doc
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // full-sample tertiles: 10 docs each
+    assert(byBucket.view.mapValues(_.length).toMap ==
+      Map("head" -> 10, "middle" -> 10, "tail" -> 10))
+    // determinism: same input, same buckets
+    val again = LangModel.pplBuckets(scored, "id", "ppl", sampleFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out.map(t => t._1 -> t._3).toMap == again)
+    // degenerate: a 1-row sample buckets everything at/below its cut as
+    // head, the rest tail (middle collapses) — deterministic, no throw
+    val one = LangModel.pplBuckets(scored.where($"id" === 0L), "id", "ppl",
+      sampleFraction = 1.0).collect()
+    assert(one.forall(_.getString(2) == "head"))
+    // empty scored frame fails loudly
+    intercept[IllegalArgumentException] {
+      LangModel.pplBuckets(scored.where($"id" < 0L), "id", "ppl", 1.0)
+    }
+  }
+
   test("bigramPerplexity separates natural text from shuffled-token noise") {
     // a corpus dominated by one repeated sentence gives LOW perplexity to
     // conforming docs and HIGH perplexity to a doc of rare transitions
