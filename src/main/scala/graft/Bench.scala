@@ -60,6 +60,9 @@ object Bench {
       graft.queries.TestStores.aiEngine(spark, sfDir)
     if (selectedNames.contains("vdb_sim_kdtree_filtered_large"))
       graft.queries.TestStores.li4Engine(spark, sfDir)
+    if (selectedNames.exists(n => n == "dedup_incremental" ||
+        n == "docs_dedup_incr_stream"))
+      graft.queries.TestStores.minHashIndex(spark, sfDir)
 
     // warm the near-dup/CC code paths on a toy corpus: whole-stage codegen
     // compilation and JIT otherwise land entirely on whichever family

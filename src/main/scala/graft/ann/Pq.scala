@@ -119,11 +119,30 @@ final class PqCodebook(
     typedlit(codebooks.map(_.map(c =>
       c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toSeq).toSeq)
 
+  /** ‖cᵢ[j]‖² as one flat double[] ([sub·ksub + code] order) — the native
+    * ADC kernel's reference-object form; same fold order as [[n2Lit]]. */
+  private lazy val n2Flat: Array[Double] =
+    codebooks.flatMap(_.map(c =>
+      c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+
   /** Coarse approximate cosine from a PRECOMPUTED query lut + query norm
     * (see [[lutExpr]]) against a corpus row's codes: m lookups into the
-    * dot table + m into the norm² literal + one division. All double
-    * math, fixed fold order (deterministic, like every kernel here). */
-  def adcCosine(luts: Column, qNorm: Column, codes: Column): Column =
+    * dot table + m into the norm² reference array + one division — the
+    * per-scored-row hot loop, a native codegen'd kernel
+    * ([[org.apache.spark.sql.graftbridge.PqAdc]]; [[adcCosineHof]] is the
+    * interpreted differential reference, pinned bit-identical in PqSpec).
+    * All double math, fixed fold order. */
+  def adcCosine(luts: Column, qNorm: Column, codes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, PqAdc}
+    ColumnBridge.column(PqAdc(
+      ColumnBridge.expression(codes), ColumnBridge.expression(luts),
+      ColumnBridge.expression(qNorm), n2Flat, ksub))
+  }
+
+  /** HOF ADC — interpreted; kept ONLY as the differential reference the
+    * native kernel is pinned against (the [[Similarity.hof]] discipline). */
+  private[ann] def adcCosineHof(luts: Column, qNorm: Column,
+      codes: Column): Column =
     GraftFunctions.bind(
       aggregate(zip_with(codes, luts, (code, lut) =>
         element_at(lut, code + 1)), lit(0.0), (acc, x) => acc + x)) { dotSum =>

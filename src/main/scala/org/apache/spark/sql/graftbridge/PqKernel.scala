@@ -94,3 +94,96 @@ case class PqEncode(child: Expression, codebook: Array[Float], m: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * The ADC coarse cosine as a native codegen'd expression: given a corpus
+ * row's `codes` (array<int>, length m), a query's precomputed dot-product
+ * lookup table `luts` (array<array<double>>, [m][ksub]) and query norm
+ * `qNorm`, with the codebook-entry norms² riding as a flat reference
+ * array — cos ≈ Σᵢ lut[i][codeᵢ] / (qNorm · √Σᵢ n2[i·ksub + codeᵢ]).
+ *
+ * This is the per-scored-row hot loop of every PQ top-k (corpus-sized at
+ * 100 TB): m array lookups, one sqrt, one division — the HOF formulation
+ * ([[graft.ann.PqCodebook.adcCosineHof]], kept as the differential
+ * reference) pays interpreted lambda frames and boxed doubles per element.
+ * Accumulation is double, left-to-right over i = 0..m-1 — identical fold
+ * order, bit-identical scores (pinned in PqSpec). Zero denominator → 0.0,
+ * matching the HOF's guard.
+ */
+case class PqAdc(codes: Expression, luts: Expression, qNorm: Expression,
+    n2: Array[Double], ksub: Int) extends Expression with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(codes, luts, qNorm)
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(IntegerType),
+    ArrayType(ArrayType(org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.DoubleType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean =
+    codes.nullable || luts.nullable || qNorm.nullable
+  override def prettyName: String = "pq_adc_cosine"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = codes.eval(input)
+    val l = luts.eval(input)
+    val q = qNorm.eval(input)
+    if (c == null || l == null || q == null) return null
+    val ca = c.asInstanceOf[ArrayData]
+    val la = l.asInstanceOf[ArrayData]
+    val qn = q.asInstanceOf[Double]
+    val mm = ca.numElements()
+    var dot = 0.0
+    var nn = 0.0
+    var i = 0
+    while (i < mm) {
+      val code = ca.getInt(i)
+      dot += la.getArray(i).getDouble(code)
+      nn += n2(i * ksub + code)
+      i += 1
+    }
+    val den = qn * math.sqrt(nn)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val n2Ref = ctx.addReferenceObj("pqN2", n2, "double[]")
+    val evs = children.map(_.genCode(ctx))
+    val (c, l, q) = (evs(0).value, evs(1).value, evs(2).value)
+    val i = ctx.freshName("i"); val mm = ctx.freshName("mm")
+    val cd = ctx.freshName("code"); val dot = ctx.freshName("dot")
+    val nn = ctx.freshName("nn"); val den = ctx.freshName("den")
+    val compute =
+      s"""int $mm = $c.numElements();
+         |double $dot = 0.0; double $nn = 0.0;
+         |for (int $i = 0; $i < $mm; $i++) {
+         |  int $cd = $c.getInt($i);
+         |  $dot += $l.getArray($i).getDouble($cd);
+         |  $nn += $n2Ref[$i * $ksub + $cd];
+         |}
+         |double $den = $q * java.lang.Math.sqrt($nn);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;""".stripMargin
+    if (nullable) {
+      val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+      ev.copy(code = code"""
+        ${evs.map(_.code).mkString("\n")}
+        boolean ${ev.isNull} = false;
+        double ${ev.value} = 0.0;
+        if ($nullCheck) {
+          ${ev.isNull} = true;
+        } else {
+          $compute
+        }""")
+    } else {
+      ev.copy(code = code"""
+        ${evs.map(_.code).mkString("\n")}
+        double ${ev.value} = 0.0;
+        $compute""", isNull = FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(codes = newChildren(0), luts = newChildren(1), qNorm = newChildren(2))
+}

@@ -31,6 +31,25 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("native ADC kernel == HOF formulation, score for score") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
+    val q = gen(5000L)
+    val qv = typedlit(q.toSeq)
+    val prep = df.select(col("id"), cb.encodeExpr(col("key")).as("codes"))
+      .withColumn("luts", cb.lutExpr(qv))
+      .withColumn("qn", graft.functions.Similarity.hof.l2Norm(qv))
+    val both = prep.select(col("id"),
+        cb.adcCosine(col("luts"), col("qn"), col("codes")).as("k"),
+        cb.adcCosineHof(col("luts"), col("qn"), col("codes")).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"id ${r.getLong(0)}: kernel ${r.getDouble(1)} vs hof ${r.getDouble(2)}")
+    }
+  }
+
   test("shortlist = corpus size degrades to exactly the brute-force top-k") {
     val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 2)
     val queries = (0 until 8).map(qi => ((9000 + qi).toLong, gen((9000 + qi).toLong)))
