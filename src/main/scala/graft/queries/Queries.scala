@@ -2419,6 +2419,36 @@ object Queries {
         |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- AS-OF JOIN (point-in-time enrichment): each purchase matched to
+    // the latest view at-or-before it per user — union-and-sweep (one
+    // shuffle on user, one per-key window, zero joins), vs DuckDB's native
+    // ASOF LEFT JOIN with the same greatest-payload duplicate rule. ----
+    "events_asof_join" -> Q(
+      (s, dir) => {
+        val ev = TestStores.eventsTable(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+        graft.events.EventOps.asofJoin(
+          ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_us"),
+          "ts_us",
+          ev.where(col("event_type") === "view")
+            .select("event_id", "user_id", "ts_us"),
+          "ts_us", "user_id", Seq("event_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, ts_us, max(event_id) AS mid
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  v.ts_us AS matched_ts_us, v.mid AS matched_event_id
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY p.event_id""".stripMargin)),
+
     // ---- event-time windowed aggregation (the streaming surface's shared
     // batch/stream computation — StreamingIngest.windowedEventStats; the
     // streaming path with watermarks is pinned in StreamingSpec) ----

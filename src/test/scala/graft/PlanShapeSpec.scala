@@ -238,6 +238,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"coarse stage must rank over the code column; plan:\n$p")
   }
 
+  test("asofJoin is union-and-sweep: zero joins, windows share one key shuffle") {
+    val l = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "ts_us")
+    val r = Seq((2L, 1L, 90L, 1.0)).toDF("event_id", "user_id", "ts_us", "price")
+    val p = plan(graft.events.EventOps.asofJoin(
+      l, "ts_us", r, "ts_us", "user_id", Seq("event_id", "price")))
+    assert(!p.contains("Join"), s"asof must not plan a join; plan:\n$p")
+    // allowed exchanges: the right-side (key, ts) dedup aggregation and
+    // the key partitioning the union + window share
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2,
+      s"union and window must share the key shuffle; plan:\n$p")
+    assert(p.contains("Window"), s"the sweep must be a window; plan:\n$p")
+    assert(p.contains("Union"))
+  }
+
   test("removeBoilerplateLines broadcasts the hot-line set; corpus anti-joins unshuffled") {
     val p = plan(graft.dedup.Dedup.removeBoilerplateLines(
       docs, "doc_id", "text", maxDf = 2, sep = " "))

@@ -1,0 +1,71 @@
+package graft.events
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+
+class EventOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // left: (id, user, ts) — right: (id, user, ts, price)
+  private lazy val purchases = Seq(
+    (100L, 1L, 1000L), // after views at 900/950 → matches 950
+    (101L, 1L, 950L),  // same instant as a view → inclusive match
+    (102L, 1L, 800L),  // before every view of user 1 → no match
+    (103L, 2L, 5000L), // user 2's only view is at 5000 (dup rows)
+    (104L, 3L, 7000L)) // user 3 has no views at all → no match
+    .toDF("event_id", "user_id", "ts_us")
+
+  private lazy val views = Seq(
+    (10L, 1L, 900L, 1.0),
+    (11L, 1L, 950L, 2.0),
+    (12L, 2L, 5000L, 3.0), // duplicate instant —
+    (13L, 2L, 5000L, 4.0)) //   greatest payload struct (id 13) must win
+    .toDF("event_id", "user_id", "ts_us", "price")
+
+  private def run(tol: Option[Long] = None) =
+    EventOps.asofJoin(purchases, "ts_us", views, "ts_us", "user_id",
+        Seq("event_id", "price"), tol)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+
+  test("latest-at-or-before match, inclusive ties, deterministic duplicates, nulls") {
+    val out = run()
+    assert(out(100L) == (Some(950L), Some(11L), Some(2.0)))
+    assert(out(101L) == (Some(950L), Some(11L), Some(2.0)), "equal ts is inclusive")
+    assert(out(102L) == (None, None, None), "no earlier right row")
+    assert(out(103L) == (Some(5000L), Some(13L), Some(4.0)),
+      "same-instant duplicate rights resolve to the greatest payload")
+    assert(out(104L) == (None, None, None), "key absent from right")
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = run(tol = Some(25L))
+    assert(out(100L) == (None, None, None), "950 is 50us stale at tol 25")
+    assert(out(101L) == (Some(950L), Some(11L), Some(2.0)), "0us within tol")
+  }
+
+  test("matches a per-key scan reference on a randomized corpus") {
+    val rnd = new scala.util.Random(42)
+    val l = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val r = (0 until 200).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val got = EventOps.asofJoin(
+        l.toDF("event_id", "user_id", "ts_us"),
+        "ts_us", r.toDF("event_id", "user_id", "ts_us", "price"),
+        "ts_us", "user_id", Seq("event_id"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    l.foreach { case (id, u, ts) =>
+      // reference: among right rows (u, rts <= ts), max (rts, then payload)
+      val cand = r.filter(x => x._2 == u && x._3 <= ts)
+      // tie order mirrors the op's greatest-payload-struct rule:
+      // (ts, then carried cols in declaration order — here event_id)
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(x => (x._3, x._1, x._4))._3)
+      assert(got(id) == want, s"left $id user $u ts $ts")
+    }
+  }
+}
