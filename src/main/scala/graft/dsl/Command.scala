@@ -88,7 +88,10 @@ object Command {
   // engine stores: pipeline operators are corpus-relational, the store ops
   // above are vector-key-value — conflating the two surfaces would force
   // every corpus through a store schema it doesn't have.
-  final case class ExtScan(path: String, view: String) extends Command
+  /** format ∈ parquet (default) | jsonl | csv — non-parquet formats read
+    * through the schema'd PERMISSIVE corpus reader (good rows only). */
+  final case class ExtScan(path: String, view: String,
+      format: String = "parquet") extends Command
   final case class ExtDedupExact(view: String, id: String, text: String)
       extends Command
   /** method ∈ minhash | simhash | jaccard. */

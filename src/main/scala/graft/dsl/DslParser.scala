@@ -296,8 +296,13 @@ object DslParser extends RegexParsers {
     (kw("jaccard") ^^^ "jaccard")
   private val f64: Parser[Double] = """[0-9]+(\.[0-9]+)?""".r ^^ (_.toDouble)
 
+  private val scanFormat: Parser[String] =
+    (kw("jsonl") ^^^ "jsonl") | (kw("csv") ^^^ "csv") |
+    (kw("parquet") ^^^ "parquet")
   private val extScan: Parser[Command] =
-    kw("scan") ~> pathLit ~ (kw("as") ~> name) ^^ { case p ~ v => ExtScan(p, v) }
+    kw("scan") ~> pathLit ~ opt(kw("format") ~> scanFormat) ~
+      (kw("as") ~> name) ^^ {
+        case p ~ f ~ v => ExtScan(p, v, f.getOrElse("parquet")) }
   private val dedupParams =
     fromView ~ idCol ~ textCol ~ (kw("using") ~> dedupMethod) ~
       (kw("ngram") ~> nonZero) ~ (kw("threshold") ~> f64)

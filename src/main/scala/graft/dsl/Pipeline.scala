@@ -70,8 +70,13 @@ object Pipeline {
       case _         => graft.dedup.Dedup.jaccardJoin(t(v), id, text, n, th)
     }
     cmd match {
-      case ExtScan(path, view) =>
-        spark.read.parquet(path).createOrReplaceTempView(view)
+      case ExtScan(path, view, format) =>
+        val df = format match {
+          case "jsonl" => graft.sources.CorpusSource.readJsonl(spark, path).good
+          case "csv"   => graft.sources.CorpusSource.readCsv(spark, path).good
+          case _       => spark.read.parquet(path)
+        }
+        df.createOrReplaceTempView(view)
         Response.Ok
       case ExtDedupExact(v, id, text) =>
         Response.Entries(graft.dedup.Dedup.exactClusters(t(v), id, text))

@@ -1647,6 +1647,28 @@ object Queries {
         |        FROM documents), UNNEST(t) AS u(token))
         |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin)),
 
+    // ---- JSONL source boundary: documents written as JSONL shards (with
+    // two injected corrupt lines), read back through the schema'd
+    // PERMISSIVE reader — parsed rows must round-trip byte-for-byte and
+    // corrupt lines must divert to the audit frame, never kill the read
+    // or leak into it. Oracle = the original table. ----
+    "source_jsonl_docs" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-jsonl").toString
+        graft.sources.CorpusSource.writeJsonl(
+          TestStores.table(s, dir, "documents")
+            .select("doc_id", "text", "lang", "source", "n_chars"), out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "part-corrupt.json"),
+          "{\"doc_id\": 1, \"text\": \"truncat\nnot json either\n")
+        val r = graft.sources.CorpusSource.readJsonl(s, out)
+        require(r.corrupt.collect().length == 2, "corrupt lines must surface")
+        r.good.orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus data card (datasheets-for-datasets): per (source, lang)
     // slice — doc counts, exact-dup rate (64-bit content hash), empty-doc
     // count, token/char volumes, fixed-bucket length histogram. One scan,

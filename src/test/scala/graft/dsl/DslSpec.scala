@@ -663,6 +663,10 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "DEDUP KEEPBEST FROM docs ID doc_id TEXT text RANK quality USING minhash NGRAM 3 THRESHOLD 0.8") ==
       Seq(ExtDedupKeepBest("docs", "doc_id", "text", "quality", "minhash", 3, 0.8)))
+    assert(DslParser.parseExt("SCAN '/tmp/x' FORMAT jsonl AS docs") ==
+      Seq(ExtScan("/tmp/x", "docs", "jsonl")))
+    assert(DslParser.parseExt("SCAN '/tmp/x' AS docs") ==
+      Seq(ExtScan("/tmp/x", "docs", "parquet")))
     assert(DslParser.parseExt(
       "DEDUP INDEX '/tmp/idx dir' FROM docs ID doc_id TEXT text NGRAM 3;" +
       "DEDUP APPEND '/tmp/idx dir' FROM batch ID doc_id TEXT text;" +
