@@ -117,6 +117,9 @@ object Command {
   /** Per-group cap (Corpus.capPerGroup). */
   final case class ExtCap(view: String, id: String, group: String,
       max: Int) extends Command
+  /** Temperature-flattened mixture sampling (Corpus.temperatureMix). */
+  final case class ExtMix(view: String, id: String, group: String,
+      target: Double, alpha: Double) extends Command
   /** Line-level boilerplate removal (Dedup.removeBoilerplateLines). */
   final case class ExtLines(view: String, id: String, text: String,
       maxDf: Int) extends Command

@@ -343,6 +343,10 @@ object DslParser extends RegexParsers {
   private val extCap: Parser[Command] =
     kw("cap") ~> fromView ~ idCol ~ (kw("groupby") ~> name) ~
       (kw("max") ~> nonZero) ^^ { case v ~ i ~ g ~ m => ExtCap(v, i, g, m) }
+  private val extMix: Parser[Command] =
+    kw("mix") ~> fromView ~ idCol ~ (kw("groupby") ~> name) ~
+      (kw("target") ~> f64) ~ opt(kw("alpha") ~> f64) ^^ {
+        case v ~ i ~ g ~ t ~ a => ExtMix(v, i, g, t, a.getOrElse(0.5)) }
   private val extLines: Parser[Command] =
     kw("lines") ~> fromView ~ idCol ~ textCol ~ (kw("maxdf") ~> nonZero) ^^ {
       case v ~ i ~ t ~ m => ExtLines(v, i, t, m) }
@@ -448,7 +452,7 @@ object DslParser extends RegexParsers {
     extDedupSemantic |
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplit |
-    extSample | extPack | extShuffle | extCap | extLines | extSpans |
+    extSample | extPack | extShuffle | extCap | extMix | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
     extTrace

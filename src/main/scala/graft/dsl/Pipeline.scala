@@ -102,6 +102,9 @@ object Pipeline {
         Response.Entries(graft.pipeline.Corpus.epochShuffle(t(v), id, ep, sh))
       case ExtCap(v, id, g, m) =>
         Response.Entries(graft.pipeline.Corpus.capPerGroup(t(v), id, g, m))
+      case ExtMix(v, id, g, target, alpha) =>
+        Response.Entries(graft.pipeline.Corpus.temperatureMix(
+          t(v), id, g, target, alpha))
       case ExtLines(v, id, text, maxDf) =>
         Response.Entries(graft.dedup.Dedup.removeBoilerplateLines(
           t(v), id, text, maxDf))

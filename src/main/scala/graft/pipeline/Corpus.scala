@@ -67,6 +67,48 @@ object Corpus {
     df.where(splitBucket(col(idCol)) < threshold)
   }
 
+  /** Temperature-flattened mixture sampling (the GPT-3 §2.2 / multilingual
+    * α-sampling recipe): group g's keep probability is ∝ n_g^(α−1), so the
+    * KEPT corpus's group shares go as n_g^α — α = 1 preserves natural
+    * proportions, α → 0 equalizes groups, α = 0.5 (the common setting, and
+    * the default) is the square-root flatten. `targetFraction` fixes the
+    * expected kept size at that fraction of the corpus; a tiny group whose
+    * implied probability exceeds 1 is capped there (a filter cannot
+    * oversample — the kept corpus then lands slightly under target, the
+    * standard behavior; repeat-epoch oversampling is [[epochShuffle]]'s
+    * job).
+    *
+    * Determinism discipline: group counts collect to the driver (bounded
+    * by group cardinality), weights fold in GROUP-NAME ORDER with
+    * left-associated double arithmetic, α = 0.5 routes through `sqrt`
+    * (correctly rounded in IEEE — `pow` is not), and probabilities round
+    * to 4 decimals before the 1%-granular md5 bucketing of
+    * [[weightedSample]] — every step an oracle can replay bit-for-bit.
+    * Same id bucketing as every sampler here: composes with splits, never
+    * migrates documents as the corpus grows. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      targetFraction: Double, alpha: Double = 0.5): DataFrame = {
+    require(targetFraction >= 0.0 && targetFraction <= 1.0,
+      s"invalid targetFraction $targetFraction")
+    require(alpha >= 0.0 && alpha <= 1.0, s"invalid alpha $alpha")
+    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val w = counts.map { case (g, n) =>
+      g -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha))
+    }
+    val s = w.foldLeft(0.0)((acc, gw) => acc + gw._2)
+    val nTotal = counts.foldLeft(0L)((acc, gn) => acc + gn._2).toDouble
+    val fractions = counts.zip(w).map { case ((g, n), (_, wg)) =>
+      val p = math.min(1.0, targetFraction * nTotal * wg / (s * n.toDouble))
+      g -> math.round(p * 10000.0) / 10000.0
+    }.toMap
+    weightedSample(df, idCol, groupCol, fractions)
+  }
+
   /** Corpus vocabulary: (token, tf, df) — total occurrences and document
     * frequency per whitespace token. The classic wordcount shape: explode
     * to narrow (id, token) rows, ONE shuffle on token with map-side

@@ -1586,6 +1586,31 @@ object Queries {
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |  FROM documents) WHERE b < 20 ORDER BY doc_id""".stripMargin)),
 
+    // ---- temperature-flattened mixing (α = 0.5 square-root flatten at a
+    // 40% target): keep probabilities ∝ n_g^(α−1) from driver-side group
+    // counts, folded in group-name order with sqrt (correctly rounded,
+    // unlike pow) so the oracle replays the arithmetic bit-for-bit via an
+    // ordered list_reduce; sampling = the shared md5 bucketing. ----
+    "pipeline_temperature_mix" -> Q(
+      (s, dir) => graft.pipeline.Corpus.temperatureMix(
+        TestStores.table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", targetFraction = 0.4)
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM n),
+        |s AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+        |  (a, b) -> a + b) AS S FROM n),
+        |p AS (
+        |  SELECT source,
+        |    round(least(1.0, 0.4 * tot.N * sqrt(CAST(n.n AS DOUBLE))
+        |      / (s.S * CAST(n.n AS DOUBLE))), 4) AS p
+        |  FROM n, tot, s)
+        |SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < round(p.p * 100)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- corpus down-mixing: per-source deterministic sampling. Weights
     // follow a formula of the source suffix (srcN keeps (N mod 5)·25%), so
     // the oracle derives the same thresholds arithmetically while the

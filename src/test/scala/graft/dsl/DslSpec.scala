@@ -665,6 +665,11 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtDedupKeepBest("docs", "doc_id", "text", "quality", "minhash", 3, 0.8)))
     assert(DslParser.parseExt("SCAN '/tmp/x' FORMAT jsonl AS docs") ==
       Seq(ExtScan("/tmp/x", "docs", "jsonl")))
+    assert(DslParser.parseExt("MIX FROM docs ID doc_id GROUPBY source TARGET 0.4") ==
+      Seq(ExtMix("docs", "doc_id", "source", 0.4, 0.5)))
+    assert(DslParser.parseExt(
+      "MIX FROM docs ID doc_id GROUPBY source TARGET 0.4 ALPHA 0.7") ==
+      Seq(ExtMix("docs", "doc_id", "source", 0.4, 0.7)))
     assert(DslParser.parseExt("SCAN '/tmp/x' AS docs") ==
       Seq(ExtScan("/tmp/x", "docs", "parquet")))
     assert(DslParser.parseExt(

@@ -186,4 +186,31 @@ class CorpusSpec extends AnyFunSuite {
       (a._2, a._3) != (b._2, b._3) }
     assert(moved > 100, s"epoch 2 moved only $moved of 200 docs")
   }
+
+  test("temperatureMix flattens group shares toward the α exponent") {
+    import graft.TestFixtures.spark.implicits._
+    // natural shares: A 80%, B 15%, C 5%
+    val docs = ((0L until 800L).map(i => (i, "A")) ++
+      (800L until 950L).map(i => (i, "B")) ++
+      (950L until 1000L).map(i => (i, "C"))).toDF("doc_id", "source")
+    val kept = Corpus.temperatureMix(docs, "doc_id", "source", 0.4, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGroup = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // sqrt-flatten: keep prob ∝ 1/sqrt(n) ⇒ C's keep RATE far above A's
+    val rateA = byGroup("A") / 800.0
+    val rateC = byGroup("C") / 50.0
+    assert(rateC > 2.5 * rateA, s"expected flattening: A=$rateA C=$rateC")
+    // expected total ≈ 40% (1%-bucket granularity tolerance)
+    assert(math.abs(kept.length - 400) < 60, s"kept ${kept.length} of 1000")
+    // α = 1 degrades to plain uniform sampling — identical row set
+    val alpha1 = Corpus.temperatureMix(docs, "doc_id", "source", 0.4, alpha = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    val uniform = Corpus.deterministicSample(docs, "doc_id", 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(alpha1 == uniform)
+    // determinism
+    val again = Corpus.temperatureMix(docs, "doc_id", "source", 0.4, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
