@@ -188,6 +188,10 @@ object Command {
     * the recorder, `TRACE SHOW` returns the span frame, `TRACE RESET`
     * clears it. */
   final case class ExtTrace(action: String) extends Command
+  /** As-of point-in-time enrichment (events.EventOps.asofJoin). */
+  final case class ExtAsof(leftView: String, leftTs: String,
+      rightView: String, rightTs: String, key: String, carry: Seq[String],
+      toleranceUs: Option[Long]) extends Command
   /** Per-slice corpus data card (pipeline.Profile.dataCard). */
   final case class ExtDatacard(view: String, text: String,
       groups: Seq[String]) extends Command

@@ -429,6 +429,13 @@ object DslParser extends RegexParsers {
     kw("fuse") ~> nonZero ~ fromView ~ idCol ~ (inKw ~> name) ~ idCol ~
       opt(kw("c") ~> nonZero) ^^ { case k ~ va ~ ai ~ vb ~ bi ~ c =>
         ExtFuse(k, va, ai, vb, bi, c.getOrElse(60)) }
+  private val extAsof: Parser[Command] =
+    kw("asof") ~> fromView ~ (kw("ts") ~> name) ~ (inKw ~> name) ~
+      (kw("ts") ~> name) ~ (kw("key") ~> name) ~
+      (kw("carry") ~> rep1sep(name, ",")) ~
+      opt(kw("tolerance") ~> ("""[0-9]{1,18}""".r ^^ (_.toLong))) ^^ {
+        case lv ~ lt ~ rv ~ rt ~ k ~ cs ~ tol =>
+          ExtAsof(lv, lt, rv, rt, k, cs, tol) }
   private val extDatacard: Parser[Command] =
     kw("datacard") ~> fromView ~ textCol ~
       (kw("groupby") ~> rep1sep(name, ",")) ^^ {
@@ -455,7 +462,7 @@ object DslParser extends RegexParsers {
     extSample | extPack | extShuffle | extCap | extMix | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
-    extTrace
+    extAsof | extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

@@ -58,7 +58,27 @@ object Pipeline {
       catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
     }
 
+  /** Every extension statement runs inside a [[graft.obs.Trace]] span
+    * (`ext.<statement>` on its first view/path operand) — the same
+    * observability unit the engine ops carry, so a cluster operator sees
+    * pipeline-DSL work in the same frame with the same job attribution.
+    * TRACE control statements themselves are exempt (SHOW must not
+    * pollute the frame it reads). */
   def executeExt(spark: org.apache.spark.sql.SparkSession,
+      cmd: Command): Response = cmd match {
+    case Command.ExtTrace(_) => executeExtImpl(spark, cmd)
+    case _ =>
+      // every Command is a case class/object, hence a Product; the trait
+      // itself doesn't extend it (parity with the reference's proto ADT)
+      val p = cmd.asInstanceOf[Product]
+      val op = "ext." + p.productPrefix.stripPrefix("Ext")
+        .toLowerCase(java.util.Locale.ROOT)
+      val target = p.productIterator
+        .collectFirst { case s: String => s }.getOrElse("")
+      graft.obs.Trace.span(spark, op, target)(executeExtImpl(spark, cmd))
+  }
+
+  private def executeExtImpl(spark: org.apache.spark.sql.SparkSession,
       cmd: Command): Response = {
     import Command._
     import org.apache.spark.sql.functions.col
@@ -191,6 +211,9 @@ object Pipeline {
         Response.Entries(graft.text.Hybrid.rrfFuse(
           t(va).select(col("qid"), col(aDid).as("did"), col("rank")),
           t(vb).select(col("qid"), col(bDid).as("did"), col("rank")), k, c))
+      case ExtAsof(lv, lt, rv, rt, k, carry, tol) =>
+        Response.Entries(graft.events.EventOps.asofJoin(
+          t(lv), lt, t(rv), rt, k, carry, tol))
       case ExtDatacard(v, text, groups) =>
         Response.Entries(graft.pipeline.Profile.dataCard(t(v), text, groups))
       case ExtDedupIndex(dir, v, id, text, n) =>

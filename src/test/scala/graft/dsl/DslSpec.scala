@@ -668,6 +668,14 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt("MIX FROM docs ID doc_id GROUPBY source TARGET 0.4") ==
       Seq(ExtMix("docs", "doc_id", "source", 0.4, 0.5)))
     assert(DslParser.parseExt(
+      "ASOF FROM purchases TS ts_us IN views TS ts_us KEY user_id CARRY event_id,price TOLERANCE 60000000") ==
+      Seq(ExtAsof("purchases", "ts_us", "views", "ts_us", "user_id",
+        Seq("event_id", "price"), Some(60000000L))))
+    assert(DslParser.parseExt(
+      "ASOF FROM purchases TS ts_us IN views TS ts_us KEY user_id CARRY event_id") ==
+      Seq(ExtAsof("purchases", "ts_us", "views", "ts_us", "user_id",
+        Seq("event_id"), None)))
+    assert(DslParser.parseExt(
       "MIX FROM docs ID doc_id GROUPBY source TARGET 0.4 ALPHA 0.7") ==
       Seq(ExtMix("docs", "doc_id", "source", 0.4, 0.7)))
     assert(DslParser.parseExt("SCAN '/tmp/x' AS docs") ==
@@ -762,9 +770,14 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtTrace("on"), ExtTrace("show"), ExtTrace("reset"), ExtTrace("off")))
     val prev = graft.obs.Trace.enabled
     try {
-      val results = Pipeline.runExt(spark, "TRACE ON; TRACE SHOW; TRACE OFF")
-      assert(results.size == 3 && results.forall(_.isRight))
-      val frame = results(1) match {
+      import spark.implicits._
+      Seq(("a", "en", "x y z")).toDF("source", "lang", "text")
+        .createOrReplaceTempView("tr_docs")
+      val results = Pipeline.runExt(spark,
+        "TRACE ON; DATACARD FROM tr_docs TEXT text GROUPBY source; " +
+        "TRACE SHOW; TRACE OFF")
+      assert(results.size == 4 && results.forall(_.isRight))
+      val frame = results(2) match {
         case Right(Response.Entries(df)) => df
         case other => fail(s"TRACE SHOW: $other")
       }
@@ -772,6 +785,11 @@ class DslSpec extends AnyFunSuite {
       val cols = frame.columns.toSet
       assert(Set("seq", "parent", "op", "store", "durNs", "ok", "jobs",
         "taskTimeMs").subsetOf(cols), cols)
+      // extension statements land in the same frame as engine ops,
+      // named ext.<statement> on their first operand
+      val spans = frame.select("op", "store").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(spans.contains(("ext.datacard", "tr_docs")), spans.toSeq)
       assert(!graft.obs.Trace.enabled)
     } finally graft.obs.Trace.enabled = prev
   }
