@@ -17,17 +17,20 @@ import graft.functions.{GraftFunctions, Similarity}
  * vector chunks against its own trained 256-entry codebook.
  *
  * Spark-shaped, like [[IvfIndex]]:
- *  - training is deterministic per-subspace Lloyd k-means run as DataFrame
- *    jobs over ALL subspaces at once (one chunk-explode, groupBy (sub,
- *    cell, pos) means) — no RNG, initialized from the ksub smallest-id
- *    vectors, so the same corpus always yields bit-identical codebooks;
+ *  - training is deterministic per-subspace Lloyd k-means run as ONE
+ *    DataFrame job per iteration over ALL subspaces at once (a native
+ *    encode pass assigns every subspace's cell, one map-side-combined
+ *    groupBy produces every mean) — no RNG, initialized from the ksub
+ *    smallest-id vectors, so the same input always yields bit-identical
+ *    codebooks;
  *  - the codebooks are TINY (m · ksub · d/m floats = d · ksub — a 64-d /
- *    ksub=16 book is 4 KB) and ride every expression as a plan literal: no
- *    join, no broadcast exchange, encode/score are pure per-row projections;
- *  - encode is a codegen'd HOF projection producing an ARRAY<INT> code
- *    column — at cluster scale this column is STORED beside the corpus
- *    (like SQ8's codes) and the coarse pass reads m ints instead of d
- *    floats;
+ *    ksub=16 book is 4 KB) and ride the native kernels as plan reference
+ *    objects: no join, no broadcast exchange, encode/score are pure
+ *    per-row projections;
+ *  - encode ([[org.apache.spark.sql.graftbridge.PqEncode]]) produces an
+ *    ARRAY<INT> code column — at cluster scale this column is STORED
+ *    beside the corpus (like SQ8's codes) and the coarse pass reads m
+ *    ints instead of d floats;
  *  - search is the standard ADC (asymmetric distance computation): the
  *    query builds one m × ksub lookup table of exact subspace dot products,
  *    each corpus row's approximate cosine is m table lookups — then the
