@@ -192,6 +192,10 @@ object Command {
   final case class ExtAsof(leftView: String, leftTs: String,
       rightView: String, rightTs: String, key: String, carry: Seq[String],
       toleranceUs: Option[Long]) extends Command
+  /** Interval join (events.EventOps.intervalJoin). */
+  final case class ExtInterval(leftView: String, leftTs: String,
+      rightView: String, rightTs: String, key: String, carry: Seq[String],
+      lowerUs: Long, upperUs: Long) extends Command
   /** Per-slice corpus data card (pipeline.Profile.dataCard). */
   final case class ExtDatacard(view: String, text: String,
       groups: Seq[String]) extends Command

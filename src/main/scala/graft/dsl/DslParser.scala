@@ -436,6 +436,15 @@ object DslParser extends RegexParsers {
       opt(kw("tolerance") ~> ("""[0-9]{1,18}""".r ^^ (_.toLong))) ^^ {
         case lv ~ lt ~ rv ~ rt ~ k ~ cs ~ tol =>
           ExtAsof(lv, lt, rv, rt, k, cs, tol) }
+  private val signedLong: Parser[Long] =
+    """-?[0-9]{1,18}""".r ^^ (_.toLong)
+  private val extInterval: Parser[Command] =
+    kw("interval") ~> fromView ~ (kw("ts") ~> name) ~ (inKw ~> name) ~
+      (kw("ts") ~> name) ~ (kw("key") ~> name) ~
+      (kw("carry") ~> rep1sep(name, ",")) ~
+      (kw("lower") ~> signedLong) ~ (kw("upper") ~> signedLong) ^^ {
+        case lv ~ lt ~ rv ~ rt ~ k ~ cs ~ lo ~ up =>
+          ExtInterval(lv, lt, rv, rt, k, cs, lo, up) }
   private val extDatacard: Parser[Command] =
     kw("datacard") ~> fromView ~ textCol ~
       (kw("groupby") ~> rep1sep(name, ",")) ^^ {
@@ -462,7 +471,7 @@ object DslParser extends RegexParsers {
     extSample | extPack | extShuffle | extCap | extMix | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
-    extAsof | extTrace
+    extAsof | extInterval | extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

@@ -214,6 +214,9 @@ object Pipeline {
       case ExtAsof(lv, lt, rv, rt, k, carry, tol) =>
         Response.Entries(graft.events.EventOps.asofJoin(
           t(lv), lt, t(rv), rt, k, carry, tol))
+      case ExtInterval(lv, lt, rv, rt, k, carry, lo, up) =>
+        Response.Entries(graft.events.EventOps.intervalJoin(
+          t(lv), lt, t(rv), rt, k, carry, lo, up))
       case ExtDatacard(v, text, groups) =>
         Response.Entries(graft.pipeline.Profile.dataCard(t(v), text, groups))
       case ExtDedupIndex(dir, v, id, text, n) =>

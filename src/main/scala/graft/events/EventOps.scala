@@ -71,4 +71,34 @@ object EventOps {
         (matched.getField("ts").as("matched_ts_us") +:
           rightCols.map(c => matched.getField(c).as(s"matched_$c"))): _*)
   }
+
+  /** INTERVAL JOIN: every (left, right) pair with the same `key` whose
+    * right timestamp falls in [left + lowerUs, left + upperUs] — the
+    * all-matches sibling of [[asofJoin]]'s latest-one (attribution windows,
+    * "views within the hour before each purchase", quote context around a
+    * trade). Timestamps are LONG epoch-micros, like everything here.
+    *
+    * Plan shape matters more than it looks: the range condition alone
+    * would plan a cartesian/broadcast-nested-loop; keyed as an EQUI-join
+    * on `key` with the interval as a post-join filter it is one ordinary
+    * shuffled hash join — |left|+|right| narrow rows shuffle on the key,
+    * matched volume is bounded by per-key event density × window width,
+    * and skew follows the key distribution (AQE skew-split territory, same
+    * as sessionize). Left columns pass through; right columns arrive as
+    * `matched_<name>` + `matched_ts_us` — same contract as [[asofJoin]],
+    * minus the at-most-one guarantee (inner semantics: unmatched left rows
+    * are absent; as-of's enrichment NULL would multiply here). */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, key: String, rightCols: Seq[String],
+      lowerUs: Long, upperUs: Long): DataFrame = {
+    require(lowerUs <= upperUs, s"empty interval [$lowerUs, $upperUs]")
+    val r = right.select((col(key) +: col(rightTs).as("_rts") +:
+      rightCols.map(c => col(c).as(s"matched_$c"))): _*)
+    left.join(r, Seq(key))
+      .where(col("_rts") >= col(leftTs) + lowerUs &&
+        col("_rts") <= col(leftTs) + upperUs)
+      .select(left.columns.map(col) ++
+        (col("_rts").as("matched_ts_us") +:
+          rightCols.map(c => col(s"matched_$c"))): _*)
+  }
 }

@@ -2496,6 +2496,35 @@ object Queries {
         |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
         |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- INTERVAL JOIN (attribution windows): every view within the hour
+    // before each purchase per user — keyed equi-join + range filter (one
+    // ordinary shuffled join, no cartesian); the stream-stream twin with
+    // watermark-bounded state is pinned in StreamingSpec. ----
+    "events_interval_join" -> Q(
+      (s, dir) => {
+        val ev = TestStores.eventsTable(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+        graft.events.EventOps.intervalJoin(
+          ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_us"),
+          "ts_us",
+          ev.where(col("event_type") === "view")
+            .select("event_id", "user_id", "ts_us"),
+          "ts_us", "user_id", Seq("event_id"),
+          lowerUs = -3600L * 1000000L, upperUs = 0L)
+          .orderBy("event_id", "matched_event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  v.ts_us AS matched_ts_us, v.event_id AS matched_event_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
+        |ORDER BY p.event_id, v.event_id""".stripMargin)),
+
     // ---- event-time windowed aggregation (the streaming surface's shared
     // batch/stream computation — StreamingIngest.windowedEventStats; the
     // streaming path with watermarks is pinned in StreamingSpec) ----

@@ -215,6 +215,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Stream-STREAM interval join — the continuous twin of
+    * [[graft.events.EventOps.intervalJoin]]: both streams watermark their
+    * event-time column, the join keys on `key` with the interval as the
+    * time-range condition, and Spark's stream-stream join machinery keeps
+    * BOTH sides' buffered state bounded by watermark + interval width
+    * (the range condition is what lets it evict: without it a
+    * stream-stream inner join must buffer forever). Output columns:
+    * left's, then right's ts as `matched_ts_us`-style naming is left to
+    * the caller's select — the raw join keeps `l_`/`r_` prefixes so
+    * nothing collides. Batch/stream agreement is pinned in StreamingSpec
+    * (same rows regardless of micro-batching). */
+  def streamingIntervalJoin(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String, key: String,
+      watermark: String, lowerSec: Long, upperSec: Long): DataFrame = {
+    require(lowerSec <= upperSec, s"empty interval [$lowerSec, $upperSec]")
+    val l = left.withWatermark(leftTsCol, watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(rightTsCol, watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$rightTsCol") >= col(s"l_$leftTsCol") +
+          expr(s"make_interval(0, 0, 0, 0, 0, 0, $lowerSec)") &&
+        col(s"r_$rightTsCol") <= col(s"l_$leftTsCol") +
+          expr(s"make_interval(0, 0, 0, 0, 0, 0, $upperSec)"))
+  }
+
   // ------------------------------------------------------- sessionization
 
   /** Batch twin of [[sessionize]]: gap-based sessions as a pure window

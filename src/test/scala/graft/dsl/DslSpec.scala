@@ -676,6 +676,10 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtAsof("purchases", "ts_us", "views", "ts_us", "user_id",
         Seq("event_id"), None)))
     assert(DslParser.parseExt(
+      "INTERVAL FROM p TS ts_us IN v TS ts_us KEY user_id CARRY event_id LOWER -3600000000 UPPER 0") ==
+      Seq(ExtInterval("p", "ts_us", "v", "ts_us", "user_id",
+        Seq("event_id"), -3600000000L, 0L)))
+    assert(DslParser.parseExt(
       "MIX FROM docs ID doc_id GROUPBY source TARGET 0.4 ALPHA 0.7") ==
       Seq(ExtMix("docs", "doc_id", "source", 0.4, 0.7)))
     assert(DslParser.parseExt("SCAN '/tmp/x' AS docs") ==

@@ -47,6 +47,40 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(101L) == (Some(950L), Some(11L), Some(2.0)), "0us within tol")
   }
 
+  test("intervalJoin keeps every match inside the window (inner semantics)") {
+    val got = EventOps.intervalJoin(purchases, "ts_us", views, "ts_us",
+        "user_id", Seq("event_id"), lowerUs = -100L, upperUs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(got == Set(
+      (100L, 10L), (100L, 11L),       // 900/-100 and 950/-50 both in window
+      (101L, 10L), (101L, 11L),       // -50 and 0 (inclusive bounds)
+      (103L, 12L), (103L, 13L)))      // BOTH same-instant duplicates kept
+    // empty interval rejected loudly
+    intercept[IllegalArgumentException] {
+      EventOps.intervalJoin(purchases, "ts_us", views, "ts_us",
+        "user_id", Seq("event_id"), 10L, -10L)
+    }
+  }
+
+  test("intervalJoin matches a scan reference on a randomized corpus") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(500).toLong))
+    val r = (0 until 200).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, rnd.nextDouble()))
+    val got = EventOps.intervalJoin(
+        l.toDF("event_id", "user_id", "ts_us"), "ts_us",
+        r.toDF("event_id", "user_id", "ts_us", "price"), "ts_us",
+        "user_id", Seq("event_id"), lowerUs = -50L, upperUs = 20L)
+      .collect().map(x => (x.getLong(0), x.getLong(4))).toSet
+    val want = (for {
+      (lid, lu, lts) <- l
+      (rid, ru, rts, _) <- r
+      if lu == ru && rts >= lts - 50 && rts <= lts + 20
+    } yield (lid, rid)).toSet
+    assert(got == want)
+  }
+
   test("matches a per-key scan reference on a randomized corpus") {
     val rnd = new scala.util.Random(42)
     val l = (0 until 300).map(i =>

@@ -215,6 +215,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin matches the batch interval join regardless of batching") {
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val clicks = Seq((1L, 1L, ts(100)), (2L, 1L, ts(200)), (3L, 2L, ts(150)))
+    val views = Seq((10L, 1L, ts(80)), (11L, 1L, ts(190)), (12L, 2L, ts(160)))
+    // batch twin over epoch-micros
+    val batch = graft.events.EventOps.intervalJoin(
+        clicks.toDF("event_id", "user_id", "t")
+          .withColumn("ts_us", unix_micros($"t")).drop("t"),
+        "ts_us",
+        views.toDF("event_id", "user_id", "t")
+          .withColumn("ts_us", unix_micros($"t")).drop("t"),
+        "ts_us", "user_id", Seq("event_id"),
+        lowerUs = -30L * 1000000L, upperUs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(batch == Set((1L, 10L), (2L, 11L)))
+
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Long, Timestamp)]
+    def named(df: org.apache.spark.sql.DataFrame) = df
+      .withColumnRenamed("_1", "event_id").withColumnRenamed("_2", "user_id")
+      .withColumnRenamed("_3", "ts")
+    val joined = graft.streaming.StreamingIngest.streamingIntervalJoin(
+      named(lMem.toDF()), "ts", named(rMem.toDF()), "ts", "user_id",
+      watermark = "10 minutes", lowerSec = -30L, upperSec = 0L)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // adversarial batching: sides arrive in different micro-batches
+      lMem.addData(clicks.take(2): _*); q.processAllAvailable()
+      rMem.addData(views.take(1): _*); q.processAllAvailable()
+      lMem.addData(clicks.drop(2): _*)
+      rMem.addData(views.drop(1): _*); q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"$got vs $batch")
+    } finally q.stop()
+  }
+
   test("streamingDedupAgainstIndex matches the batch probe regardless of batching") {
     val history = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again"),
