@@ -1448,6 +1448,33 @@ object Queries {
       },
       Some(xlangPplOracle)),
 
+    // ---- text canonicalization (pre-dedup): NFC + lower + whitespace
+    // collapse + trim. Deterministic unicode payloads are injected on both
+    // sides (the PII/gopher idiom) so case folding and run collapsing
+    // fire — and the two sides DELIBERATELY inject different encodings of
+    // the same accents (Spark: composed é/Ï; DuckDB: e+chr(769),
+    // I+chr(776)), so the hash-match itself proves NFC converges
+    // cross-encoding inputs to identical canonical bytes. ----
+    "text_canonicalize" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" Café   NAÏVE Mix")).otherwise(lit(""))).as("t"))
+        aug.select(col("doc_id"),
+            graft.text.TextOps.canonicalize(col("t")).as("canon"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' Cafe' || chr(769) || '   NAI' || chr(776) || 'VE Mix'
+        |      ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g')) AS canon
+        |FROM aug ORDER BY doc_id""".stripMargin)),
+
     // ---- Gopher quality-rule bundle: the published boolean filters, one
     // flag each + the conjunction. The synthetic corpus is stopword-poor
     // and symbol-free, so (PII-query idiom) deterministic payloads are

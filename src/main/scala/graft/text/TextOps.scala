@@ -93,6 +93,26 @@ object TextOps {
     langScore(text, LangMarkers.head._2).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
+  /** Unicode NFC normalization (native kernel — Spark has no builtin;
+    * [[org.apache.spark.sql.graftbridge.NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NfcNormalize}
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+  }
+
+  /** Text canonicalization BEFORE content hashing/dedup: NFC-normalize
+    * (composed and decomposed accents must hash identically), lowercase,
+    * collapse whitespace runs to single spaces, trim. Exactly this
+    * composition in exactly this order — the oracle mirrors it as
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`
+    * — so canonical texts are engine-portable hash inputs. A pure per-row
+    * projection; pipelines run it once at ingest and feed the canonical
+    * column to [[graft.dedup.Dedup]]'s joins (case/spacing/encoding
+    * variants then collapse into the same exact-dup cluster instead of
+    * surviving as "near"-dups). */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(nfcNormalize(text)), "\\s+", " "))
+
   /** Non-whitespace character count — the shared numerator of every
     * mean-word-length signal ([[meanTokenLen]], [[gopherFlags]]). */
   private def nonWsCharCount(text: Column): Column =

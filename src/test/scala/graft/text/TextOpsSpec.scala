@@ -123,4 +123,24 @@ class TextOpsSpec extends AnyFunSuite {
     val short = "the of " + Seq.fill(58)("a b").mkString(" ")
     assert(!flags(short)("ok_mean_len"))
   }
+
+  test("canonicalize: NFC converges encodings; case/whitespace collapse; idempotent") {
+    import graft.TestFixtures.spark.implicits._
+    def canon(s: String): String =
+      Seq(s).toDF("t").select(TextOps.canonicalize($"t")).head.getString(0)
+    // composed vs decomposed accents canonicalize to identical bytes
+    val composed = "Café NAÏVE"
+    val decomposed = "Café NAÏVE"
+    assert(canon(composed) == canon(decomposed))
+    assert(canon(composed) == "café naïve")
+    // whitespace runs collapse, edges trim, case folds
+    assert(canon("  The   QUICK\t\tFox\n ") == "the quick fox")
+    // idempotence: canonical text is its own canonical form
+    val once = canon("  MiXeD   Café ")
+    assert(canon(once) == once)
+    // exact dedup converges cross-encoding variants after canonicalization
+    val docs = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.canonicalize($"text").as("text"))
+    assert(graft.dedup.Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 1)
+  }
 }
