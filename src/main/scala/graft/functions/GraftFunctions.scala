@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, LongSetIntersectCount, PolyHash, Sq8Cosine, VecOp}
+import org.apache.spark.sql.graftbridge.{ByteSum, ColumnBridge, FloatVecKernel, LongSetIntersectCount, NfcNormalize, PolyHash, Sq8Cosine, VecOp}
 
 /**
  * SQL-surface registration for the native similarity kernels, so
@@ -88,6 +88,13 @@ object GraftFunctions {
     LongSetIntersectCount(args.head, args(1))
   }
 
+  private val nfcInfo =
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
+  private val nfcBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "graft_nfc takes exactly 1 string argument")
+    NfcNormalize(args.head)
+  }
+
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, op) =>
@@ -102,6 +109,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_sq8_cosine"), sq8Info, sq8Builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_intersect_count"), interInfo, interBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder)
   }
 
   /** Inject into a SparkSessionExtensions (spark.sql.extensions path). */
@@ -117,6 +126,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_sq8_cosine"), sq8Info, sq8Builder))
     extensions.injectFunction(
       (FunctionIdentifier("graft_intersect_count"), interInfo, interBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder))
   }
 }
 

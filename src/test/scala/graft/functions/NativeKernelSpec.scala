@@ -73,6 +73,9 @@ class NativeKernelSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(extra.getLong(0) == 2L)
     assert(extra.getDouble(1) == 1.0) // identical vectors -> cosine 1
+    // NFC registers too: decomposed e + U+0301 composes to é
+    val nfc = spark.sql("SELECT graft_nfc('Café') n").head().getString(0)
+    assert(nfc == "Café", nfc)
   }
 
   test("kernels run inside whole-stage codegen (plan has no fallback)") {
