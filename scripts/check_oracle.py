@@ -46,8 +46,13 @@ def main():
             failures += 1
             continue
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
-        sq = con.execute(f"SELECT * FROM read_parquet({files})")
-        s_rows, s_cols = sq.fetchall(), [d[0] for d in sq.description]
+        try:
+            sq = con.execute(f"SELECT * FROM read_parquet({files})")
+            s_rows, s_cols = sq.fetchall(), [d[0] for d in sq.description]
+        except Exception as e:
+            print(f"{name}: SPARK OUTPUT READ ERROR: {e}")
+            failures += 1
+            continue
         try:
             oq = con.execute(sql)
             o_rows, o_cols = oq.fetchall(), [d[0] for d in oq.description]

@@ -348,15 +348,25 @@ object PqCodebook {
         case _ => return None
       }
       if (books.length != m || books.exists(_.length != ksub)) return None
+      // a truncated/hand-edited manifest with short centroid vectors must
+      // refuse HERE (None-means-retrain), not surface later as an
+      // ArrayIndexOutOfBounds inside flatBook/encode
+      if (m <= 0 || dim % m != 0 ||
+          books.exists(_.exists(_.length != dim / m))) return None
       Some(new PqCodebook(dim, m, ksub, books))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Load if fresh, else train and save — the one-call form. */
+  /** Load if fresh AND configuration-matching, else train and save — the
+    * one-call form. A stamp-matching artifact built at a different
+    * (m, ksub) must NOT satisfy this call: it would silently run the
+    * pipeline at the wrong byte budget/recall (the IncrementalDedup.load
+    * refusal discipline). */
   def trainOrLoad(dfIn: DataFrame, m: Int, ksub: Int, dir: String,
       sourceStamp: String, iters: Int = 3): PqCodebook =
-    load(dir, sourceStamp).getOrElse {
-      val cb = train(dfIn, m, ksub, iters)
-      save(cb, dir, sourceStamp)
-      cb
-    }
+    load(dir, sourceStamp).filter(cb => cb.m == m && cb.ksub == ksub)
+      .getOrElse {
+        val cb = train(dfIn, m, ksub, iters)
+        save(cb, dir, sourceStamp)
+        cb
+      }
 }

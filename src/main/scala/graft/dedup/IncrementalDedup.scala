@@ -64,14 +64,8 @@ final class MinHashIndex private[dedup] (
 
 object IncrementalDedup {
 
-  /** Batch-side band table: (id, band, value) from the per-doc shingle
-    * sets, exactly the [[Dedup.minHashLshJoin]] derivation. */
-  private def bandTable(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame = {
-    val sets = Dedup.docShingleSets(df, idCol, textCol, n)
-    bandsFromSets(sets, numHashes)
-  }
-
+  /** Band table (id, band, value) off a per-doc shingle-set frame —
+    * exactly the [[Dedup.minHashLshJoin]] derivation. */
   private def bandsFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
     val sigs = sets.select(col("id") +: (0 until numHashes).map { i =>
       val (a, b) = Dedup.permParams(i)

@@ -60,10 +60,14 @@ object Pipeline {
 
   /** Every extension statement runs inside a [[graft.obs.Trace]] span
     * (`ext.<statement>` on its first view/path operand) — the same
-    * observability unit the engine ops carry, so a cluster operator sees
-    * pipeline-DSL work in the same frame with the same job attribution.
-    * TRACE control statements themselves are exempt (SHOW must not
-    * pollute the frame it reads). */
+    * observability unit the engine ops carry. Same LAZY boundary as the
+    * engine's read ops (see Trace's scaladoc): statements whose work is
+    * driver-eager (DEDUP INDEX/APPEND, PQ/IVF training, anything ending
+    * in a collect) attribute their cluster jobs to this span; statements
+    * returning a lazy frame attribute only their planning here, and the
+    * jobs run at the caller's materialization under whatever span is
+    * open then. TRACE control statements themselves are exempt (SHOW
+    * must not pollute the frame it reads). */
   def executeExt(spark: org.apache.spark.sql.SparkSession,
       cmd: Command): Response = cmd match {
     case Command.ExtTrace(_) => executeExtImpl(spark, cmd)
@@ -91,12 +95,21 @@ object Pipeline {
     }
     cmd match {
       case ExtScan(path, view, format) =>
-        val df = format match {
-          case "jsonl" => graft.sources.CorpusSource.readJsonl(spark, path).good
-          case "csv"   => graft.sources.CorpusSource.readCsv(spark, path).good
-          case _       => spark.read.parquet(path)
+        // non-parquet formats read with the canonical documents schema
+        // (SCAN has no schema clause; a custom-shaped corpus goes through
+        // the CorpusSource API). The corrupt-line audit frame registers
+        // alongside as <view>_corrupt — silently discarding it would hide
+        // exactly the corpus rot the PERMISSIVE reader exists to surface.
+        format match {
+          case "jsonl" | "csv" =>
+            val r = if (format == "jsonl")
+              graft.sources.CorpusSource.readJsonl(spark, path)
+            else graft.sources.CorpusSource.readCsv(spark, path)
+            r.good.createOrReplaceTempView(view)
+            r.corrupt.createOrReplaceTempView(s"${view}_corrupt")
+          case _ =>
+            spark.read.parquet(path).createOrReplaceTempView(view)
         }
-        df.createOrReplaceTempView(view)
         Response.Ok
       case ExtDedupExact(v, id, text) =>
         Response.Entries(graft.dedup.Dedup.exactClusters(t(v), id, text))

@@ -45,6 +45,9 @@ object EventOps {
       rightTs: String, key: String, rightCols: Seq[String],
       toleranceUs: Option[Long] = None): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin needs at least one carried column")
+    require(!rightCols.contains(rightTs),
+      s"$rightTs is always carried as matched_ts_us — listing it in " +
+        "rightCols would emit a duplicate column")
     val payload = struct(col(rightTs).as("ts") +: rightCols.map(col): _*)
     // one right row per (key, ts): greatest payload struct (deterministic)
     val r = right.groupBy(col(key), col(rightTs))
@@ -92,6 +95,9 @@ object EventOps {
       rightTs: String, key: String, rightCols: Seq[String],
       lowerUs: Long, upperUs: Long): DataFrame = {
     require(lowerUs <= upperUs, s"empty interval [$lowerUs, $upperUs]")
+    require(!rightCols.contains(rightTs),
+      s"$rightTs is always carried as matched_ts_us — listing it in " +
+        "rightCols would emit a duplicate column")
     val r = right.select((col(key) +: col(rightTs).as("_rts") +:
       rightCols.map(c => col(c).as(s"matched_$c"))): _*)
     left.join(r, Seq(key))

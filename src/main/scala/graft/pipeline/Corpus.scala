@@ -91,10 +91,16 @@ object Corpus {
     require(targetFraction >= 0.0 && targetFraction <= 1.0,
       s"invalid targetFraction $targetFraction")
     require(alpha >= 0.0 && alpha <= 1.0, s"invalid alpha $alpha")
-    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+    val rawCounts = df.groupBy(col(groupCol).cast("string").as("g"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    // fail loudly on null groups: the name-ordered fold would NPE and the
+    // bucketing CASE could never match them — silent row loss either way
+    rawCounts.collectFirst { case (None, n) => n }.foreach(n =>
+      throw new IllegalArgumentException(
+        s"temperatureMix: $n rows have a NULL $groupCol — assign them a " +
+          "real group (or filter them) before mixing"))
+    val counts = rawCounts.map { case (g, n) => g.get -> n }.sortBy(_._1)
     require(counts.nonEmpty, "temperatureMix: empty corpus")
     val w = counts.map { case (g, n) =>
       g -> (if (alpha == 0.5) math.sqrt(n.toDouble)

@@ -122,5 +122,36 @@ class PqSpec extends AnyFunSuite {
       sourceStamp = "corpus-v1")
     assert(again.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits)
       .toSeq == cb.codebooks.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+    // a stamp-matching artifact at a DIFFERENT (m, ksub) must retrain, not
+    // silently serve the wrong byte budget
+    val reconfigured = PqCodebook.trainOrLoad(df, m = 8, ksub = 16, dir = dir,
+      sourceStamp = "corpus-v1")
+    assert(reconfigured.m == 8 && reconfigured.ksub == 16)
+    // ...and the retrain overwrote the artifact at the new config
+    assert(PqCodebook.load(dir, "corpus-v1").exists(c => c.m == 8 && c.ksub == 16))
+  }
+
+  test("a truncated manifest refuses to load (short centroid vectors)") {
+    val cb = PqCodebook.train(df, m = 4, ksub = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pq-corrupt").toString
+    PqCodebook.save(cb, dir, "v1")
+    val p = java.nio.file.Paths.get(dir, "pq_manifest.json")
+    // chop every centroid to half length by rewriting dim only is not
+    // enough — rewrite the json with truncated inner arrays
+    val txt = java.nio.file.Files.readString(p)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(txt).transformField {
+      case ("codebooks", JArray(subs)) => "codebooks" -> JArray(subs.map {
+        case JArray(cs) => JArray(cs.map {
+          case JArray(vs) => JArray(vs.take(vs.length / 2))
+          case x => x
+        })
+        case x => x
+      })
+    }
+    java.nio.file.Files.writeString(p, JsonMethods.compact(JsonMethods.render(j)))
+    assert(PqCodebook.load(dir, "v1").isEmpty,
+      "short centroid vectors must refuse at load, not fail inside encode")
   }
 }

@@ -60,6 +60,15 @@ class EventOpsSpec extends AnyFunSuite {
       EventOps.intervalJoin(purchases, "ts_us", views, "ts_us",
         "user_id", Seq("event_id"), 10L, -10L)
     }
+    // carrying the right ts column again would duplicate matched_ts_us
+    intercept[IllegalArgumentException] {
+      EventOps.intervalJoin(purchases, "ts_us", views, "ts_us",
+        "user_id", Seq("event_id", "ts_us"), -100L, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.asofJoin(purchases, "ts_us", views, "ts_us",
+        "user_id", Seq("ts_us"))
+    }
   }
 
   test("intervalJoin matches a scan reference on a randomized corpus") {

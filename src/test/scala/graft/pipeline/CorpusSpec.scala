@@ -212,5 +212,12 @@ class CorpusSpec extends AnyFunSuite {
     val again = Corpus.temperatureMix(docs, "doc_id", "source", 0.4, alpha = 0.5)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // null groups fail loudly (the fold would NPE / the CASE can't match)
+    val withNull = docs.union(Seq((9999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source"))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(withNull, "doc_id", "source", 0.4)
+    }
+    assert(e.getMessage.contains("NULL source"), e.getMessage)
   }
 }
