@@ -37,48 +37,61 @@ object CorpusSource {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** A schema'd read split into parsed rows and corrupt lines. `good`
-    * drops the corrupt column; `corrupt` keeps the whole row — the
-    * schema'd fields (all null or partially parsed) plus the verbatim
-    * line as `raw`. Keeping the full projection is deliberate twice over:
-    * an audit frame WANTS the partial parse next to the raw line, and
-    * Spark refuses a query whose only reference into a raw file scan is
-    * the corrupt column itself (SPARK-21610) — both frames are plain
-    * filters over the one scan. Caveat that restriction leaves: an
-    * aggregation over `corrupt` that PRUNES to the corrupt column alone
-    * (a bare `count()`) still trips it — collect full rows, project
-    * schema'd fields alongside `raw`, or persist the frame first. */
+  /** A schema'd read split into parsed rows and corrupt lines.
+    *
+    * The two frames are INDEPENDENT reads of the same files, not filters
+    * over one scan — deliberately. Spark refuses any query whose
+    * references into a raw file scan prune down to the corrupt column
+    * alone (SPARK-21610), and that includes the innocent-looking
+    * `good.count()` (the corrupt-is-null filter is the only referenced
+    * column once count prunes the output). So `good` reads with
+    * DROPMALFORMED — no corrupt column in its schema at all, every query
+    * shape works — and `corrupt` reads PERMISSIVE keeping the whole row:
+    * the schema'd fields (null or partially parsed) next to the verbatim
+    * line as `raw`. Each frame is one pass over the bytes; pipelines
+    * normally consume `good` and hand `corrupt` to an audit job, so the
+    * second scan only runs when someone actually looks at the rot.
+    * Residual caveat on `corrupt` only: a bare `corrupt.count()` prunes
+    * to the corrupt column and still trips the refusal — collect rows,
+    * project fields alongside `raw`, or persist first. */
   final case class CorpusRead(good: DataFrame, corrupt: DataFrame)
 
-  private def split(raw: DataFrame): CorpusRead = CorpusRead(
-    good = raw.where(col(CorruptCol).isNull).drop(CorruptCol),
-    corrupt = raw.where(col(CorruptCol).isNotNull)
-      .withColumnRenamed(CorruptCol, "raw"))
-
   /** JSONL (one JSON object per line). Unknown keys are ignored; missing
-    * keys parse as null (schema'd PERMISSIVE semantics); unparseable lines
-    * land in `corrupt` verbatim. */
+    * keys parse as null (schema'd semantics); unparseable lines land in
+    * `corrupt` verbatim. */
   def readJsonl(spark: SparkSession, path: String,
-      schema: StructType = DocumentsSchema): CorpusRead =
-    split(spark.read
+      schema: StructType = DocumentsSchema): CorpusRead = CorpusRead(
+    good = spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path),
+    corrupt = spark.read
       .schema(schema.add(CorruptCol, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path))
+      .json(path)
+      .where(col(CorruptCol).isNotNull)
+      .withColumnRenamed(CorruptCol, "raw"))
 
   /** Headered CSV with RFC-4180 quoting (embedded newlines supported via
     * multiLine). Same corrupt-capture contract as [[readJsonl]]. */
   def readCsv(spark: SparkSession, path: String,
       schema: StructType = DocumentsSchema,
-      multiLine: Boolean = false): CorpusRead =
-    split(spark.read
-      .schema(schema.add(CorruptCol, StringType))
+      multiLine: Boolean = false): CorpusRead = {
+    def base(s: StructType) = spark.read
+      .schema(s)
       .option("header", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
       .option("multiLine", multiLine.toString)
       .option("escape", "\"")
-      .csv(path))
+    CorpusRead(
+      good = base(schema).option("mode", "DROPMALFORMED").csv(path),
+      corrupt = base(schema.add(CorruptCol, StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .csv(path)
+        .where(col(CorruptCol).isNotNull)
+        .withColumnRenamed(CorruptCol, "raw"))
+  }
 
   /** Write a corpus as JSONL shards (the interchange twin of
     * [[readJsonl]]; `partitions` controls shard count — size for

@@ -766,6 +766,20 @@ class DslSpec extends AnyFunSuite {
     val missing = Pipeline.runExt(spark,
       "DEDUP INCREMENTAL '/tmp/definitely-no-index' FROM mh_batch ID doc_id TEXT text THRESHOLD 0.5")
     assert(missing.size == 1 && missing.head.isLeft)
+
+    // SCAN FORMAT jsonl registers both the parsed view and its corrupt
+    // audit twin
+    val srcDir = java.nio.file.Files.createTempDirectory("dsl-jsonl").toString
+    graft.sources.CorpusSource.writeJsonl(
+      Seq((1L, "alpha", "en", "web", 5L), (2L, "beta", "en", "web", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), srcDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(srcDir, "part-bad.json"), "not json\n")
+    val scanned = Pipeline.runExt(spark, s"SCAN '$srcDir' FORMAT jsonl AS dj")
+    assert(scanned == Seq(Right(Response.Ok)), scanned)
+    assert(spark.table("dj").count() == 2)
+    assert(spark.table("dj_corrupt").collect()
+      .map(_.getAs[String]("raw")).toSeq == Seq("not json"))
   }
 
   test("extension pipeline: TRACE controls the span recorder") {
