@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.types.{Algorithm, NonLinearConfig}
+
+/**
+ * ANN recall at the SCALE corpus (VERDICT r9 #4): the repo's recall
+ * evidence lived only on the SIFT-shaped 10k spec corpora
+ * (RecallSpec/ShardedRecallSpec); this main measures Recall@50 against
+ * brute force at the sf1 scale dir (200k × 64-d) for the three
+ * approximate families users actually operate at that size — the
+ * reference's own validation method (docs/specs/hnsw.md:952-1138: mean
+ * Recall@K over a query sample vs exact top-K) applied at the scale the
+ * repo claims:
+ *
+ *  - sharded HNSW ([[graft.ann.AnnIndex]], 16 shards, reference build
+ *    params M=40/M0=80/efC=100) — threshold: ≥ 0.90 (hnsw.md:1026-1093);
+ *  - IVF ([[graft.ann.IvfIndex]], 256 cells) over an nProbe sweep — the
+ *    recall/scan-fraction CURVE, with the operating point recorded;
+ *  - PQ ([[graft.ann.PqCodebook]], m=8, ksub=256, sample-trained) over a
+ *    shortlist-depth sweep — the recall/rescore-cost curve.
+ *
+ * Ground truth is [[graft.dedup.Dedup.topKJoin]] (broadcast-query exact
+ * cosine) — an INDEPENDENT code path from all three index joins.
+ * Everything runs cosine so the families are comparable. Queries are 100
+ * corpus vectors picked by a deterministic id stride (reproducible, no
+ * RNG). Prints one markdown table; numbers land in SCALE.md.
+ *
+ * Usage: SPARK_GRAFT_SF_DIR=<scale dir> runMain graft.ScaleRecall
+ */
+object ScaleRecall {
+
+  private val K = 50
+  private val NQueries = 100
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/scale/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    val stride = math.max(1L, n / NQueries)
+    val queries = emb.where(pmod(col("id"), lit(stride)) === 0)
+      .limit(NQueries)
+      .select(col("id").as("qid"), col("key").as("qv"))
+      .persist()
+    val nq = queries.count()
+    println(s"corpus $n vectors, $nq queries (id stride $stride), K=$K")
+
+    // ---- ground truth: exact cosine top-K (independent code path) ----
+    val t0 = System.nanoTime()
+    val gt = graft.dedup.Dedup.topKJoin(
+        queries, emb, "qid", "qv", "id", "key", K)
+      .select("qid", "cid").persist()
+    gt.count()
+    println(f"ground truth built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val gtByQ: Map[Long, Set[Long]] = gt.collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+
+    /** Mean Recall@K of a (qid, cid) result frame vs the ground truth. */
+    def recallOf(res: DataFrame): Double = {
+      val byQ = res.select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+      val rs = gtByQ.map { case (q, exp) =>
+        byQ.get(q).fold(0.0)(got => (exp & got).size.toDouble / exp.size) }
+      rs.sum / rs.size
+    }
+    def timed[A](what: String)(f: => A): A = {
+      val t = System.nanoTime()
+      val r = f
+      println(f"  [$what done in ${(System.nanoTime() - t) / 1e9}%.1f s]")
+      r
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+
+    // ---- sharded HNSW at reference build params ----
+    if (sys.env.getOrElse("SCALE_RECALL_HNSW", "1") == "1") {
+      val cfg = NonLinearConfig.HNSWConfig(efConstruction = 100,
+        maximumConnections = 40, maximumConnectionsZero = 80,
+        efSearch = 16, metric = Algorithm.CosineSimilarity)
+      val index = timed("hnsw build (16 shards)") {
+        graft.ann.AnnIndex.build(emb, 64, cfg, numShards = Some(16))
+      }
+      val qvecs = queries.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val rec = timed("hnsw search") {
+        val per = qvecs.map { case (q, v) =>
+          val got = index.search(v, K).map(_._1).toSet
+          (gtByQ(q) & got).size.toDouble / gtByQ(q).size }
+        per.sum / per.length
+      }
+      rows += f"| sharded HNSW (16 shards, M=40/M0=80/efC=100, efS=16) | full graph | $rec%.4f |"
+      println(rows.last)
+    }
+
+    // ---- IVF nProbe sweep ----
+    if (sys.env.getOrElse("SCALE_RECALL_IVF", "1") == "1") {
+      val nCells = 256
+      val ivf = timed(s"ivf build ($nCells cells)") {
+        graft.ann.IvfIndex.build(emb, nCells = nCells, iters = 2,
+          metric = Algorithm.CosineSimilarity)
+      }
+      for (nProbe <- Seq(1, 4, 16, 64)) {
+        val rec = timed(s"ivf nProbe=$nProbe") {
+          recallOf(ivf.topKJoin(queries, "qid", "qv", K, nProbe))
+        }
+        val frac = nProbe.toDouble / nCells
+        rows += f"| IVF $nCells cells, nProbe=$nProbe | $frac%.3f of corpus scanned | $rec%.4f |"
+        println(rows.last)
+      }
+      ivf.unpersist()
+    }
+
+    // ---- PQ shortlist sweep (sample-trained, ADC coarse + exact rescore) ----
+    if (sys.env.getOrElse("SCALE_RECALL_PQ", "1") == "1") {
+      val sample = graft.pipeline.Corpus.deterministicSample(emb, "id", 0.1)
+      val cb = timed("pq train (m=8, ksub=256, 10% sample)") {
+        graft.ann.PqCodebook.train(sample, m = 8, ksub = 256, iters = 3)
+      }
+      for (shortlist <- Seq(100, 500, 2000)) {
+        val rec = timed(s"pq shortlist=$shortlist") {
+          recallOf(cb.topKJoin(queries, emb, "qid", "qv", "id", "key",
+            K, shortlist))
+        }
+        rows += f"| PQ m=8 ksub=256, shortlist=$shortlist | ${shortlist}-deep rescore | $rec%.4f |"
+        println(rows.last)
+      }
+    }
+
+    println()
+    println("| configuration | cost knob | Recall@50 |")
+    println("|---|---|---|")
+    rows.foreach(println)
+    spark.stop()
+  }
+}

@@ -268,16 +268,22 @@ object PqCodebook {
         val coded = df
           .select(col("key"), cb.encodeExpr(col("key")).as("codes"))
           .localCheckpoint()
-        val means = coded
-          .select(col("codes"), posexplode(col("key")).as(Seq("pos", "v")))
-          .select(sub.as("sub"),
-            pmod(col("pos"), lit(dsub)).cast("int").as("p"),
-            element_at(col("codes"), sub + 1).as("cell"),
-            col("v"))
-          .groupBy("sub", "cell", "p").agg(avg(col("v")).as("mv"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
-          .toMap
+        val means =
+          try coded
+            .select(col("codes"), posexplode(col("key")).as(Seq("pos", "v")))
+            .select(sub.as("sub"),
+              pmod(col("pos"), lit(dsub)).cast("int").as("p"),
+              element_at(col("codes"), sub + 1).as("cell"),
+              col("v"))
+            .groupBy("sub", "cell", "p").agg(avg(col("v")).as("mv"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+            .toMap
+          // each iteration's checkpoint is dead once its means are
+          // collected — release it, or `iters` copies of the training
+          // sample pile up in executor storage until driver GC
+          finally org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseLocalCheckpoint(coded)
         books = Array.tabulate(m)(s => Array.tabulate(ksub) { j =>
           if (means.contains((s, j, 0)))
             Array.tabulate(dsub)(p => means((s, j, p)).toFloat)

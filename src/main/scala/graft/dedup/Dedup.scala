@@ -414,19 +414,33 @@ object Dedup {
     * the prefilter passes more candidates than on organic text — measured
     * true-pair Hamming reaches `hammingCutoff` exactly at J = 0.8 on the
     * driver corpus, so don't tighten it; prefer [[minHashLshJoin]] when the
-    * threshold is loose (its banding probability tracks Jaccard directly). */
+    * threshold is loose (its banding probability tracks Jaccard directly).
+    *
+    * AUTO-ROUTE: in auto geometry (`bandBits = 0`) the band-bucket
+    * histogram is aggregated BEFORE the candidate join; when the exact
+    * band-join emission count Σ C(bucket, 2) exceeds
+    * max(50 · nDocs, `autoRoutePairBudget`) the corpus is template-shaped
+    * (signature clustering ⇒ giant buckets ⇒ candidate cost decoupled
+    * from true-pair volume) and the call returns
+    * [[minHashLshJoin]](df, n, threshold) instead — measured at sf1:
+    * the identical verified pair set in 113 s vs 917 s. Forcing
+    * `bandBits` disables routing (the spec/A-B instrument). */
   def simHashJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, hammingCutoff: Int = 12,
       maxTokenDf: Option[Int] = None,
       verifyCandidatesOnly: Boolean = false,
-      bandBits: Int = 0): DataFrame = {
+      bandBits: Int = 0,
+      autoRoutePairBudget: Double = 1e7): DataFrame = {
     require(bandBits == 0 || bandBits == 8 || bandBits == 16,
       s"bandBits must be 0 (auto), 8 (single blocks) or 16 (block pairs), got $bandBits")
     // auto geometry: one pruned-column count against the corpus — noise
     // next to the votes aggregation, and it keeps the candidate-join
-    // capacity sane without the caller having to know the rule
-    val pairArm = if (bandBits > 0) bandBits == 16
-                  else df.select(idCol).count() >= 100000L
+    // capacity sane without the caller having to know the rule. The count
+    // doubles as the auto-route budget below (None ⇔ forced arm: specs and
+    // A/B harnesses that pass bandBits explicitly always get simhash).
+    val nDocsAuto: Option[Long] =
+      if (bandBits > 0) None else Some(df.select(idCol).count())
+    val pairArm = nDocsAuto.fold(bandBits == 16)(_ >= 100000L)
     val hashes = simHashVotes(df, idCol, textCol, maxTokenDf)
     // full signature as two 32-bit halves (bit 63 can't ride a single
     // long under ANSI arithmetic) for the popcount Hamming prefilter
@@ -455,6 +469,31 @@ object Dedup {
         col("bv.band"), col("bv.value"))
       .persist() // self-joined: don't recompute the votes agg per side
     try {
+      // AUTO-ROUTE (auto geometry only; sf1 stress finding made code, not
+      // comment — VERDICT r9 #2): template-shaped corpora collapse many
+      // docs onto identical block values, so band buckets are giant and
+      // the band self-join emits Σ_buckets C(c,2) rows REGARDLESS of the
+      // Hamming prefilter (the filter runs per emitted row — the emission
+      // IS the 917 s). One map-side-combined aggregation over the band
+      // table computes that emission count EXACTLY before paying it; when
+      // it dwarfs the corpus (> max(50·nDocs, 10M) — organic text with
+      // near-singleton buckets sits far below, the sf1 template corpus
+      // orders of magnitude above), the corpus is template-shaped and
+      // MinHash-LSH is the right instrument: its banding probability
+      // tracks Jaccard itself, so candidate volume follows TRUE pair
+      // volume, not signature clustering (sf1: identical verified pair
+      // set, 113 s vs 917 s). DedupSpec pins the pair-set identity on the
+      // routed shape.
+      val routeToMinHash = nDocsAuto.exists { nDocs =>
+        val estPairs = bands.groupBy("band", "value")
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("double")),
+            lit(0.0)))
+          .head.getDouble(0)
+        estPairs > math.max(50.0 * nDocs, autoRoutePairBudget)
+      }
+      if (routeToMinHash)
+        return minHashLshJoin(df, idCol, textCol, n, threshold)
       // band collision → cheap Hamming prefilter on the full signature
       // (random pairs have expected Hamming ≈ 32; near-dups ≲ 8 — the
       // filter removes virtually every accidental band collision before

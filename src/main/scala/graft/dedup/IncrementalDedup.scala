@@ -88,12 +88,21 @@ object IncrementalDedup {
   }
 
   private def writeManifest(dir: String, n: Int, numHashes: Int,
-      stamps: Seq[String]): Unit = {
+      stamps: Seq[String], setRows: Long): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val json = JObject(
       "kind" -> JString("minhash-index"),
       "n" -> JInt(n), "numHashes" -> JInt(numHashes),
+      // torn-write detection: bands/sets are two separate parquet writes
+      // (appends on [[append]]), so a crash between them leaves band rows
+      // whose id has no sets row — probes would silently drop those
+      // candidates at the sets equi-join. The manifest records the expected
+      // cumulative row counts (bands = sets × numHashes by construction:
+      // one exploded band row per hash per doc) and [[load]] verifies them,
+      // refusing with None-means-rebuild on mismatch — the same discipline
+      // the config check already applies.
+      "setRows" -> JInt(setRows),
       "sourceStamps" -> JArray(stamps.toList.map(JString(_))))
     val target = java.nio.file.Paths.get(dir, "minhash_manifest.json")
     val tmp = target.resolveSibling("minhash_manifest.json.tmp")
@@ -102,6 +111,10 @@ object IncrementalDedup {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def countParquet(spark: SparkSession, dir: String,
+      table: String): Long =
+    spark.read.parquet(java.nio.file.Paths.get(dir, table).toString).count()
 
   /** Index a corpus: one shingle shuffle (the docShingleSets groupBy — the
     * same single corpus shuffle the in-process join pays), band projection,
@@ -112,7 +125,8 @@ object IncrementalDedup {
     val sets = Dedup.docShingleSets(df, idCol, textCol, n).persist()
     try {
       writeTables(dir, bandsFromSets(sets, numHashes), sets, "overwrite")
-      writeManifest(dir, n, numHashes, Seq(sourceStamp))
+      writeManifest(dir, n, numHashes, Seq(sourceStamp),
+        setRows = countParquet(df.sparkSession, dir, "sets"))
       new MinHashIndex(dir, n, numHashes, Seq(sourceStamp), df.sparkSession)
     } finally sets.unpersist(blocking = false)
   }
@@ -138,6 +152,17 @@ object IncrementalDedup {
       }
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")) ||
           !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sets")))
+        return None
+      // torn-write check (see writeManifest): verify the on-disk row counts
+      // against the manifest's expected totals. count() over parquet is a
+      // footer-metadata scan, not a data read — cheap even on a large
+      // index. Pre-count manifests (JNothing) fail the match → rebuild.
+      val expectedSets = (j \ "setRows") match {
+        case JInt(v) => v.toLong
+        case _ => return None
+      }
+      if (countParquet(spark, dir, "sets") != expectedSets ||
+          countParquet(spark, dir, "bands") != expectedSets * numHashes)
         return None
       Some(new MinHashIndex(dir, n, numHashes, stamps, spark))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -217,9 +242,14 @@ object IncrementalDedup {
       textCol: String, sourceStamp: String): MinHashIndex = {
     val sets = Dedup.docShingleSets(batch, idCol, textCol, index.n).persist()
     try {
+      // bands first, sets second, manifest (atomic move) last: a crash at
+      // any point leaves a manifest whose setRows no longer matches the
+      // on-disk counts, so the next load() refuses and the caller rebuilds
+      // — no partial fold is ever probed.
       writeTables(index.dir, bandsFromSets(sets, index.numHashes), sets, "append")
       val stamps = index.sourceStamps :+ sourceStamp
-      writeManifest(index.dir, index.n, index.numHashes, stamps)
+      writeManifest(index.dir, index.n, index.numHashes, stamps,
+        setRows = countParquet(sets.sparkSession, index.dir, "sets"))
       new MinHashIndex(index.dir, index.n, index.numHashes, stamps,
         sets.sparkSession)
     } finally sets.unpersist(blocking = false)

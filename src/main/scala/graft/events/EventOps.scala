@@ -48,9 +48,27 @@ object EventOps {
     require(!rightCols.contains(rightTs),
       s"$rightTs is always carried as matched_ts_us — listing it in " +
         "rightCols would emit a duplicate column")
+    // the sweep's working columns are flat names in the unioned frame; an
+    // input already carrying one would produce an ambiguous reference (or a
+    // silently shadowed output) instead of a clear error — refuse up front,
+    // like the rightTs guard above
+    val reserved = Set("_ts", "_side", "_rp", "_lp", "_m")
+    for ((side, cols) <- Seq("left" -> left.columns, "right" -> right.columns);
+         c <- cols if reserved(c))
+      throw new IllegalArgumentException(
+        s"asofJoin $side input column `$c` collides with an internal " +
+          s"working column (reserved: ${reserved.mkString(", ")}) — rename it")
+    val outNames = "matched_ts_us" +: rightCols.map(c => s"matched_$c")
+    for (c <- left.columns if outNames.contains(c))
+      throw new IllegalArgumentException(
+        s"asofJoin left column `$c` collides with an output column — rename it")
+    // equi-join NULL semantics: a NULL key matches nothing, but the window
+    // partitions NULL keys together, so null-key right rows would sweep
+    // into null-key left rows. Drop them; null-key left rows then read an
+    // empty sweep state and come out unmatched (NULL), exactly like a join.
     val payload = struct(col(rightTs).as("ts") +: rightCols.map(col): _*)
     // one right row per (key, ts): greatest payload struct (deterministic)
-    val r = right.groupBy(col(key), col(rightTs))
+    val r = right.where(col(key).isNotNull).groupBy(col(key), col(rightTs))
       .agg(max(payload).as("_rp"))
       .select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
         col("_rp"))
@@ -98,6 +116,13 @@ object EventOps {
     require(!rightCols.contains(rightTs),
       s"$rightTs is always carried as matched_ts_us — listing it in " +
         "rightCols would emit a duplicate column")
+    // same collision discipline as asofJoin: working + output names must
+    // not already exist on the left (right columns are renamed away)
+    val iOutNames = "_rts" +: "matched_ts_us" +: rightCols.map(c => s"matched_$c")
+    for (c <- left.columns if iOutNames.contains(c))
+      throw new IllegalArgumentException(
+        s"intervalJoin left column `$c` collides with a working/output " +
+          "column — rename it")
     val r = right.select((col(key) +: col(rightTs).as("_rts") +:
       rightCols.map(c => col(c).as(s"matched_$c"))): _*)
     left.join(r, Seq(key))

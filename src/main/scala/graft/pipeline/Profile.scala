@@ -54,7 +54,13 @@ object Profile {
       groupCols.map(col) ++ Seq(
         nTok.cast("long").as("_nt"),
         length(col(textCol)).cast("long").as("_nc"),
-        xxhash64(col(textCol)).as("_h")): _*)
+        // distinct-text counting is by fingerprint, not text, so the
+        // groupBy never shuffles document bodies. A bare 64-bit hash can
+        // collide and silently undercount; pairing it with the length (a
+        // 2nd independent 8-byte channel, already computed) pushes the
+        // collision probability to ~2^-64 · P(same length) at no extra
+        // shuffle width beyond 8 bytes/row.
+        struct(xxhash64(col(textCol)), length(col(textCol))).as("_h")): _*)
     def bucket(lo: Long, hi: Option[Int]): Column = {
       val cond = hi match {
         case Some(h) => col("_nt") >= lo && col("_nt") <= h

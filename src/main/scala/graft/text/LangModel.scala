@@ -130,10 +130,29 @@ object LangModel {
     * tile assignment. Fewer than 3 sample rows degenerate deterministically
     * (missing upper tiles reuse the last cutoff; middle empties out). */
   def pplBuckets(scored: DataFrame, idCol: String, pplCol: String,
-      sampleFraction: Double = 0.2): DataFrame = {
+      sampleFraction: Double = 0.2,
+      maxSampleRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sample = graft.pipeline.Corpus
+    val fractionSample = graft.pipeline.Corpus
       .deterministicSample(scored, idCol, sampleFraction)
+    // the fraction alone scales LINEARLY with the corpus — at 100 TB a 20%
+    // slice through a single-partition ntile window is billions of rows in
+    // one task. Cap the slice ABSOLUTELY (the Faiss/PQ-training
+    // discipline: cutoff quality saturates long before 1M points): when
+    // the fraction sample exceeds `maxSampleRows`, thin it again with a
+    // finer-grained deterministic hash threshold (ppm, not the sampler's
+    // 1% buckets — 1% of 100 TB is still too big). Deterministic given the
+    // data; ~maxSampleRows survivors (binomial spread is irrelevant to
+    // cutoff quality). Test/sf corpora sit far below the cap, so cutoffs
+    // there are byte-identical to the uncapped formulation.
+    val n = fractionSample.count()
+    val sample =
+      if (n <= maxSampleRows) fractionSample
+      else {
+        val ppm = math.round(maxSampleRows.toDouble / n * 1e6)
+        fractionSample.where(
+          pmod(xxhash64(col(idCol)), lit(1000000L)) < ppm)
+      }
     val w = Window.orderBy(col(pplCol), col(idCol))
     val cuts = sample.withColumn("_tile", ntile(3).over(w))
       .groupBy("_tile").agg(max(col(pplCol)).as("cut"))

@@ -41,6 +41,23 @@ object ColumnBridge {
       .map(a => a.asInstanceOf[Alias].child.eval(InternalRow.empty))
   }
 
+  /** Unpersist the block-manager storage behind a `localCheckpoint()`ed
+    * frame. A local checkpoint persists its internal RDD (MEMORY_AND_DISK)
+    * and nothing releases it until the driver GCs the Dataset — an
+    * iterative trainer that checkpoints per iteration accumulates every
+    * iteration's copy in executor storage. `Dataset.unpersist` only
+    * consults the CacheManager (plan-fingerprint cache), not RDD-level
+    * persistence, so the release has to reach the LogicalRDD's rdd
+    * directly — which is what this does. Safe on any frame: non-LogicalRDD
+    * plans are left untouched; blocking=false (fire-and-forget, like every
+    * unpersist in this library). */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Unload every loaded streaming state-store provider and stop the
     * maintenance thread (they restart lazily on the next streaming query).
     * A short-lived replay harness otherwise leaves providers + a periodic

@@ -109,6 +109,32 @@ class DedupSpec extends AnyFunSuite {
     assert(wide == pruned, s"block-pair simhash $wide != $pruned")
   }
 
+  test("simhash auto-routes template-shaped corpora to MinHash with the identical pair set") {
+    import spark.implicits._
+    // 30 content-identical docs: every signature is identical, so each of
+    // the 8 single-block band tables holds ONE bucket of 30 — the
+    // band-bucket histogram estimates 8·C(30,2) = 3480 emitted rows,
+    // above the 50·nDocs = 1500 route line once the absolute budget is
+    // lowered (the default 1e7 floor exists so only genuinely large
+    // corpora ever route; this spec shrinks it to make the route
+    // observable at unit scale)
+    val clones = (0L until 30L)
+      .map(i => (i, "the same template text repeated in every document"))
+      .toDF("doc_id", "text").cache()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = rows(Dedup.simHashJoin(clones, "doc_id", "text", 3, 0.8,
+      autoRoutePairBudget = 0.0))
+    val forced = rows(Dedup.simHashJoin(clones, "doc_id", "text", 3, 0.8,
+      bandBits = 8)) // bandBits forced ⇒ never routes
+    assert(routed.size == 30 * 29 / 2) // all pairs, jaccard 1.0
+    assert(routed == forced, s"routed $routed != forced-simhash $forced")
+    // default budget does NOT route small corpora: est 3480 < 1e7 floor
+    val unrouted = rows(Dedup.simHashJoin(clones, "doc_id", "text", 3, 0.8))
+    assert(unrouted == forced)
+    clones.unpersist()
+  }
+
   test("jaccard values are exact (not estimated) in every algorithm") {
     def jacs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

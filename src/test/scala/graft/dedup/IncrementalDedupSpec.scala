@@ -77,6 +77,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idx.sourceStamps == Seq("v1"))
   }
 
+  test("load refuses a torn write (on-disk rows mismatch the manifest counts)") {
+    val dir = tmp()
+    IncrementalDedup.buildIndex(corpus, "doc_id", "text", dir, "v1")
+    assert(IncrementalDedup.load(spark, dir).isDefined)
+    // simulate a crash between the bands append and the sets append: some
+    // sets rows are missing relative to what the manifest recorded —
+    // probing such an index would silently drop candidates at the sets
+    // equi-join, so load must refuse (None-means-rebuild)
+    val setsDir = java.nio.file.Paths.get(dir, "sets")
+    val part = java.nio.file.Files.list(setsDir)
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst.get
+    java.nio.file.Files.delete(part)
+    assert(IncrementalDedup.load(spark, dir).isEmpty)
+  }
+
   test("band values in the persisted index match the streaming signature") {
     // the per-row minHashSignature is the streaming twin — index bands must
     // carry exactly those values so a streaming prefilter can probe them

@@ -47,6 +47,41 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(101L) == (Some(950L), Some(11L), Some(2.0)), "0us within tol")
   }
 
+  test("reserved/colliding column names refuse loudly; null keys never match") {
+    // internal working-column collision (either side)
+    val badLeft = purchases.withColumnRenamed("event_id", "_ts")
+    intercept[IllegalArgumentException] {
+      EventOps.asofJoin(badLeft, "ts_us", views, "ts_us", "user_id", Seq("price"))
+    }
+    val badRight = views.withColumnRenamed("event_id", "_m")
+    intercept[IllegalArgumentException] {
+      EventOps.asofJoin(purchases, "ts_us", badRight, "ts_us", "user_id", Seq("price"))
+    }
+    // output-name collision on the left
+    val badOut = purchases.withColumnRenamed("event_id", "matched_price")
+    intercept[IllegalArgumentException] {
+      EventOps.asofJoin(badOut, "ts_us", views, "ts_us", "user_id", Seq("price"))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.intervalJoin(badOut, "ts_us", views, "ts_us", "user_id",
+        Seq("price"), -100L, 0L)
+    }
+    // equi-join NULL semantics: a null-key left row must come out
+    // unmatched even when null-key right rows exist at earlier ts
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val nullKeyLeft = purchases.withColumn("user_id",
+      when(col("event_id") === 104L, lit(null).cast("long"))
+        .otherwise(col("user_id")))
+    val nullKeyRight = views.withColumn("user_id",
+      when(col("event_id") === 10L, lit(null).cast("long"))
+        .otherwise(col("user_id")))
+    val out = EventOps.asofJoin(nullKeyLeft, "ts_us", nullKeyRight, "ts_us",
+        "user_id", Seq("event_id", "price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(104L).isEmpty, "null-key left row must not match null-key right rows")
+    assert(out(100L).contains(950L), "non-null keys unaffected")
+  }
+
   test("intervalJoin keeps every match inside the window (inner semantics)") {
     val got = EventOps.intervalJoin(purchases, "ts_us", views, "ts_us",
         "user_id", Seq("event_id"), lowerUs = -100L, upperUs = 0L)
