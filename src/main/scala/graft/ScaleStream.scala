@@ -97,7 +97,9 @@ object ScaleStream {
     }
 
     // ---------- landing dirs (untimed prep; a real feed writes these) ----
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // eventsTable normalizes the ts physical type (NANOS-as-long or
+    // TIMESTAMP_NTZ, depending on the writer) to a session-TZ TIMESTAMP
+    val events = graft.queries.TestStores.eventsTable(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
     val eventsDir = dir("events_landing")
