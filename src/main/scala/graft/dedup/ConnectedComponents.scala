@@ -105,6 +105,13 @@ object ConnectedComponents {
         // scan of the just-checkpointed blocks — shuffle-free, unlike the
         // old third join back to the previous label table
         val changed = jumped.where(col("l") =!= col("lp")).limit(1).count()
+        // the previous round's checkpoint blocks are dead once `jumped` is
+        // materialized — release them, or `iter` copies of the label table
+        // pile up in block-manager storage until driver GC (the Pq.train
+        // leak, same fix; back-to-back bench runs otherwise inherit the
+        // previous run's unreleased blocks)
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .releaseLocalCheckpoint(labels)
         labels = jumped.select(col("u"), col("l"))
         converged = changed == 0
         iter += 1
