@@ -430,7 +430,8 @@ object Dedup {
       maxTokenDf: Option[Int] = None,
       verifyCandidatesOnly: Boolean = false,
       bandBits: Int = 0,
-      autoRoutePairBudget: Double = 1e7): DataFrame = {
+      autoRoutePairBudget: Double = 1e7,
+      sampleDetectAbove: Long = 200000L): DataFrame = {
     require(bandBits == 0 || bandBits == 8 || bandBits == 16,
       s"bandBits must be 0 (auto), 8 (single blocks) or 16 (block pairs), got $bandBits")
     // auto geometry: one pruned-column count against the corpus — noise
@@ -441,15 +442,12 @@ object Dedup {
     val nDocsAuto: Option[Long] =
       if (bandBits > 0) None else Some(df.select(idCol).count())
     val pairArm = nDocsAuto.fold(bandBits == 16)(_ >= 100000L)
-    val hashes = simHashVotes(df, idCol, textCol, maxTokenDf)
     // full signature as two 32-bit halves (bit 63 can't ride a single
     // long under ANSI arithmetic) for the popcount Hamming prefilter
     def half(lo: Int): org.apache.spark.sql.Column =
       (lo until lo + 32).map(b =>
         when(element_at(col("votes"), b + 1) > 0, 1L << (b - lo))
           .otherwise(0L)).reduce(_ + _)
-    val withSig = hashes.select(col("id"),
-      half(0).as("sig_lo"), half(32).as("sig_hi"), col("votes"))
     // 8-bit block values of the signature
     def blockVal(bnd: Int): org.apache.spark.sql.Column =
       (0 until 8).map(k =>
@@ -461,12 +459,48 @@ object Dedup {
       if (!pairArm) (0 until 8).map(b => b -> blockVal(b))
       else (for { i <- 0 until 8; j <- i + 1 until 8 } yield
         (i * 8 + j) -> (shiftleft(blockVal(i), 8) + blockVal(j)))
-    val bands = withSig.select(col("id"), col("sig_lo"), col("sig_hi"),
-      explode(array(tables.map { case (bnd, value) =>
-        struct(lit(bnd).as("band"), value.as("value"))
-      }: _*)).as("bv"))
-      .select(col("id"), col("sig_lo"), col("sig_hi"),
-        col("bv.band"), col("bv.value"))
+    def bandTableOf(src: DataFrame): DataFrame =
+      simHashVotes(src, idCol, textCol, maxTokenDf)
+        .select(col("id"),
+          half(0).as("sig_lo"), half(32).as("sig_hi"), col("votes"))
+        .select(col("id"), col("sig_lo"), col("sig_hi"),
+          explode(array(tables.map { case (bnd, value) =>
+            struct(lit(bnd).as("band"), value.as("value"))
+          }: _*)).as("bv"))
+        .select(col("id"), col("sig_lo"), col("sig_hi"),
+          col("bv.band"), col("bv.value"))
+    // exact band-join emission count Σ_buckets C(c, 2) of a band table —
+    // one map-side-combined aggregation, never the join itself
+    def estPairsOf(b: DataFrame): Double = b.groupBy("band", "value")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("double")),
+        lit(0.0)))
+      .head.getDouble(0)
+    // SAMPLED early route (auto geometry, large corpora): the exact
+    // detector below needs the full band table, i.e. the full-corpus
+    // token shuffle — ~90 s of the 208 s routed sf1 time was signature
+    // work whose only outcome was "don't run simhash". Above
+    // `sampleDetectAbove` docs, a deterministic ~20k-doc sample is
+    // signed/banded instead and its emission count scales by
+    // (nDocs/nSample)² — template buckets hold a constant FRACTION of
+    // the corpus, so bucket sizes scale ~linearly and pair counts
+    // quadratically; organic corpora sample to near-zero and fall
+    // through. The full-table check below stays as the exact backstop
+    // (a sample miss costs the old price, never a wrong answer —
+    // routing is a performance decision, the pair-set contract is
+    // verification's either way).
+    for (nDocs <- nDocsAuto if nDocs >= sampleDetectAbove) {
+      val f = math.min(1.0, math.max(0.01, 20000.0 / nDocs))
+      val sample = graft.pipeline.Corpus.deterministicSample(df, idCol, f)
+      val nS = sample.select(idCol).count()
+      if (nS >= 2) {
+        val scale = (nDocs.toDouble / nS) * (nDocs.toDouble / nS)
+        if (estPairsOf(bandTableOf(sample)) * scale >
+            math.max(50.0 * nDocs, autoRoutePairBudget))
+          return minHashLshJoin(df, idCol, textCol, n, threshold)
+      }
+    }
+    val bands = bandTableOf(df)
       .persist() // self-joined: don't recompute the votes agg per side
     try {
       // AUTO-ROUTE (auto geometry only; sf1 stress finding made code, not
@@ -484,14 +518,8 @@ object Dedup {
       // volume, not signature clustering (sf1: identical verified pair
       // set, 113 s vs 917 s). DedupSpec pins the pair-set identity on the
       // routed shape.
-      val routeToMinHash = nDocsAuto.exists { nDocs =>
-        val estPairs = bands.groupBy("band", "value")
-          .agg(count(lit(1)).as("c"))
-          .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("double")),
-            lit(0.0)))
-          .head.getDouble(0)
-        estPairs > math.max(50.0 * nDocs, autoRoutePairBudget)
-      }
+      val routeToMinHash = nDocsAuto.exists(nDocs =>
+        estPairsOf(bands) > math.max(50.0 * nDocs, autoRoutePairBudget))
       if (routeToMinHash)
         return minHashLshJoin(df, idCol, textCol, n, threshold)
       // band collision → cheap Hamming prefilter on the full signature

@@ -132,6 +132,13 @@ class DedupSpec extends AnyFunSuite {
     // default budget does NOT route small corpora: est 3480 < 1e7 floor
     val unrouted = rows(Dedup.simHashJoin(clones, "doc_id", "text", 3, 0.8))
     assert(unrouted == forced)
+    // the SAMPLED early-detector (the large-corpus path, size threshold
+    // lowered to unit scale — nDocs < 20k ⇒ fraction clamps to 1.0, so
+    // the sample is the corpus and the scaled estimate is exact): routes
+    // to the identical pair set without ever building the full band table
+    val sampled = rows(Dedup.simHashJoin(clones, "doc_id", "text", 3, 0.8,
+      autoRoutePairBudget = 0.0, sampleDetectAbove = 10L))
+    assert(sampled == forced)
     clones.unpersist()
   }
 
