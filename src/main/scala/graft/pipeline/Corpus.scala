@@ -34,6 +34,41 @@ object Corpus {
         .otherwise(lit("test")))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: like [[assignSplit]], but every
+    * near-dup CLUSTER lands on one side — the eval-contamination guard a
+    * per-document split cannot give (a J ≥ 0.8 twin of a test document
+    * sitting in train is exactly the leakage decontamination pipelines
+    * exist to prevent; splitting per-doc puts ~2·p·(1−p) of every dup
+    * pair across the boundary). `pairs` is any verified near-dup pair
+    * frame ([[graft.dedup.Dedup.jaccardJoin]] / `minHashLshJoin` /
+    * `simHashJoin` output); rows are bucketed by their component
+    * REPRESENTATIVE (min id — [[graft.dedup.ConnectedComponents.label]]),
+    * singletons by their own id, so (a) a cluster moves as a unit, (b)
+    * singleton assignment is IDENTICAL to [[assignSplit]]'s, and (c) the
+    * assignment stays growth-stable: new corpus batches can join a
+    * cluster, but an existing cluster's side never changes unless a new
+    * pair MERGES components (the same rebuild-on-merge semantics as the
+    * clusters themselves).
+    *
+    * Scale shape: the label table is bounded by the duplicate population;
+    * the corpus pays ONE id equi-join against it plus the shuffle-free
+    * md5 bucket projection — never a content comparison. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val rep = graft.dedup.ConnectedComponents.label(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component").as("_rep"))
+    val b = splitBucket(coalesce(col("_rep"), col(idCol).cast("long")))
+    df.join(rep, Seq(idCol), "left")
+      .withColumn("split",
+        when(b < trainPct, lit("train"))
+          .when(b < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .drop("_rep")
+  }
+
   /** Deterministic ~fraction sample by the same id bucketing (keep rows
     * whose bucket < fraction·100, 1% granularity): reproducible across
     * engines and runs, no RNG state, and composable with [[assignSplit]]

@@ -1604,6 +1604,55 @@ object Queries {
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |  FROM documents) ORDER BY doc_id""".stripMargin)),
 
+    // ---- LEAKAGE-SAFE split: whole near-dup clusters (exact 3-gram
+    // Jaccard >= 0.8 pair graph) land on one side of the train/val/test
+    // boundary — the eval-contamination guard; singletons split exactly
+    // like pipeline_split. Oracle recomputes the pair graph + a
+    // recursive-CTE connected components + the same md5 bucket of the
+    // component representative. ----
+    "pipeline_split_safe" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+        // capped candidate generation (the sf1-proven 25× arm —
+        // dedup_jaccard_capped's config): pair set is identical to
+        // uncapped at J >= 0.8 (DedupSpec pins it; verification runs over
+        // FULL sets), so the oracle below stays the exact graph
+        val pairs = graft.dedup.Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.8,
+          maxShingleDf = Some(10))
+        graft.pipeline.Corpus.leakageSafeSplit(
+          docs.select("doc_id"), "doc_id", pairs, "a", "b")
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, g FROM toks,
+        |  UNNEST(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM shingles GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM shingles a
+        |  JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT ia a, ib b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT a u, b v FROM prs UNION SELECT b, a FROM prs),
+        |reach AS (
+        |  SELECT u AS node, u AS label FROM edges
+        |  UNION
+        |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+        |rep AS (SELECT node, MIN(label) AS rp FROM reach GROUP BY node),
+        |based AS (
+        |  SELECT d.doc_id, COALESCE(rep.rp, d.doc_id) AS rp
+        |  FROM documents d LEFT JOIN rep ON rep.node = d.doc_id),
+        |bk AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(rp AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM based)
+        |SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin)),
+
     // ---- deterministic ~20% sample by the same md5 id-bucketing ----
     "pipeline_sample" -> Q(
       (s, dir) => graft.pipeline.Corpus.deterministicSample(

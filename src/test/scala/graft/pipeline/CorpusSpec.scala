@@ -106,6 +106,36 @@ class CorpusSpec extends AnyFunSuite {
 
   // ----------------------------------------------------- weighted sample
 
+  test("leakageSafeSplit: near-dup clusters move as a unit; singletons match assignSplit") {
+    // a 200-doc corpus where ids 0..49 pair with 1000..1049 (J = 1 twins)
+    // and 50..199 are singletons
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until 50L).map(i => (i, i + 1000L)).toDF("a", "b")
+    val out = Corpus.leakageSafeSplit(docs, "doc_id", pairs, "a", "b")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // paired ids 0..49 split by their CLUSTER representative (min id = the
+    // id itself here, since 1000+i > i) — and the twin 1000+i, were it in
+    // the corpus, would get the same side. Verify via a corpus containing
+    // both sides:
+    val both = ((0L until 200L) ++ (1000L until 1050L))
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val outBoth = Corpus.leakageSafeSplit(both, "doc_id", pairs, "a", "b")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 50L).foreach { i =>
+      assert(outBoth(i) == outBoth(i + 1000L),
+        s"pair ($i, ${i + 1000L}) split across the boundary")
+    }
+    // singletons get EXACTLY the per-doc assignment
+    val plain = Corpus.assignSplit(docs.where(col("doc_id") >= 50), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (50L until 200L).foreach(i => assert(out(i) == plain(i)))
+    // all three splits non-degenerate on the singleton population
+    assert(Set("train", "val", "test").subsetOf(plain.values.toSet))
+  }
+
   test("weightedSample keeps each group's own fraction of the id buckets") {
     val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
     val df = rows.toDF("id", "grp")
