@@ -107,6 +107,11 @@ object Command {
       threshold: Double) extends Command
   final case class ExtSplit(view: String, id: String, trainPct: Int,
       valPct: Int) extends Command
+  /** Leakage-safe split (Corpus.leakageSafeSplit): near-dup clusters —
+    * pairs from the named method — land whole on one side. */
+  final case class ExtSplitSafe(view: String, id: String, text: String,
+      method: String, n: Int, threshold: Double, trainPct: Int,
+      valPct: Int) extends Command
   final case class ExtSample(view: String, id: String, fraction: Double)
       extends Command
   final case class ExtPack(view: String, id: String, text: String,

@@ -325,6 +325,13 @@ object DslParser extends RegexParsers {
     kw("dedup") ~> kw("semantic") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
       (kw("threshold") ~> f64) ^^ {
         case v ~ i ~ vc ~ th => ExtDedupSemantic(v, i, vc, th) }
+  // SAFE must parse before the plain form: `split from …` would otherwise
+  // consume the prefix and fail on the SAFE tail
+  private val extSplitSafe: Parser[Command] =
+    kw("split") ~> kw("safe") ~> dedupParams ~
+      opt(kw("train") ~> nonZero) ~ opt(kw("val") ~> nonZero) ^^ {
+        case (v ~ i ~ t ~ m ~ n ~ th) ~ tr ~ va =>
+          ExtSplitSafe(v, i, t, m, n, th, tr.getOrElse(90), va.getOrElse(5)) }
   private val extSplit: Parser[Command] =
     kw("split") ~> fromView ~ idCol ~ opt(kw("train") ~> nonZero) ~
       opt(kw("val") ~> nonZero) ^^ { case v ~ i ~ tr ~ va =>
@@ -467,7 +474,7 @@ object DslParser extends RegexParsers {
     extScan | extDedupNear | extDedupKeepOne | extDedupKeepBest |
     extDedupSemantic |
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
-    extSplit |
+    extSplitSafe | extSplit |
     extSample | extPack | extShuffle | extCap | extMix | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |

@@ -126,6 +126,9 @@ object Pipeline {
         Response.Entries(graft.dedup.Dedup.semanticKeepOne(t(v), id, vec, th))
       case ExtSplit(v, id, tr, va) =>
         Response.Entries(graft.pipeline.Corpus.assignSplit(t(v), id, tr, va))
+      case ExtSplitSafe(v, id, text, m, n, th, tr, va) =>
+        Response.Entries(graft.pipeline.Corpus.leakageSafeSplit(
+          t(v), id, nearPairs(v, id, text, m, n, th), "a", "b", tr, va))
       case ExtSample(v, id, f) =>
         Response.Entries(graft.pipeline.Corpus.deterministicSample(t(v), id, f))
       case ExtPack(v, id, text, budget, shards) =>

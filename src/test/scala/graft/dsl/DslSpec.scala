@@ -454,6 +454,12 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtSplit("docs", "doc_id", 80, 10)))
     assert(DslParser.parseExt("SPLIT FROM docs ID doc_id") ==
       Seq(ExtSplit("docs", "doc_id", 90, 5))) // reference-style defaults
+    assert(DslParser.parseExt("SPLIT SAFE FROM docs ID doc_id TEXT text " +
+      "USING minhash NGRAM 3 THRESHOLD 0.8 TRAIN 80 VAL 10") ==
+      Seq(ExtSplitSafe("docs", "doc_id", "text", "minhash", 3, 0.8, 80, 10)))
+    assert(DslParser.parseExt("SPLIT SAFE FROM docs ID doc_id TEXT text " +
+      "USING jaccard NGRAM 2 THRESHOLD 0.5") ==
+      Seq(ExtSplitSafe("docs", "doc_id", "text", "jaccard", 2, 0.5, 90, 5)))
     assert(DslParser.parseExt("SAMPLE FROM docs ID doc_id FRACTION 0.2") ==
       Seq(ExtSample("docs", "doc_id", 0.2)))
     assert(DslParser.parseExt(
@@ -540,8 +546,9 @@ class DslSpec extends AnyFunSuite {
         |DEDUP KEEPONE FROM ext_docs ID doc_id TEXT text USING minhash NGRAM 3 THRESHOLD 0.5;
         |SPLIT FROM ext_docs ID doc_id;
         |VOCAB FROM missing_view ID doc_id TEXT text;
-        |CHUNK FROM ext_docs ID doc_id TEXT text SIZE 4 OVERLAP 1""".stripMargin)
-    assert(results.size == 5)
+        |CHUNK FROM ext_docs ID doc_id TEXT text SIZE 4 OVERLAP 1;
+        |SPLIT SAFE FROM ext_docs ID doc_id TEXT text USING jaccard NGRAM 3 THRESHOLD 0.5""".stripMargin)
+    assert(results.size == 6)
     def df(i: Int) = results(i) match {
       case Right(Response.Entries(d)) => d
       case other => fail(s"step $i: $other")
@@ -555,6 +562,12 @@ class DslSpec extends AnyFunSuite {
     assert(results(3).isLeft, "missing view must be a captured error")
     assert(df(4).count() ==
       graft.pipeline.Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1).count())
+    // SPLIT SAFE: the 0/1/2 near-dup cluster lands on one side as a unit
+    val safe = df(5).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(safe.size == 4)
+    assert(safe(0L) == safe(1L) && safe(1L) == safe(2L),
+      "near-dup cluster split across the boundary")
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {
