@@ -35,6 +35,48 @@ object ScaleRecall {
   private val K = 50
   private val NQueries = 100
 
+  /** SIFT-shaped deterministic generator (low-intrinsic-dim manifold,
+    * x = W·z) — the main-scope twin of the test fixture
+    * (`TestFixtures.SiftLike`): real descriptor/embedding corpora live on
+    * low-dimensional manifolds, which is the geometry ANN recall is
+    * meaningful on. Used by the ORGANIC mode below because the SCALED
+    * corpus is replica-structured (each query's true top-K are its own
+    * near-replicas — every bucketed method reads 1.0 there). */
+  private final class SiftGen(seed: Long, dim: Int,
+      intrinsic: Int) extends Serializable {
+    private def mix(s: Long): Long = {
+      var z = s + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    private def u01(s: Long, i: Long): Double =
+      (mix(s * 0x632be59bd9b4e019L + i) >>> 11).toDouble / (1L << 53).toDouble
+    private def vec(s: Long, idx: Long, d: Int): Array[Float] = {
+      val a = new Array[Float](d)
+      var j = 0
+      while (j < d) {
+        val base = idx * d + j
+        a(j) = (u01(s, base * 2) + u01(s, base * 2 + 1) - 1.0).toFloat
+        j += 1
+      }
+      a
+    }
+    private val w: Array[Array[Float]] =
+      Array.tabulate(dim)(j => vec(seed * 17 + 11, j.toLong, intrinsic))
+    def apply(idx: Long): Array[Float] = {
+      val z = vec(seed * 7 + 3, idx, intrinsic)
+      val a = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        var s = 0.0; var t = 0
+        while (t < intrinsic) { s += w(j)(t) * z(t); t += 1 }
+        a(j) = s.toFloat; j += 1
+      }
+      a
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/scale/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,10 +88,22 @@ object ScaleRecall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id").cast("long").as("id"),
-        col("embedding").cast("array<float>").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ORGANIC mode: a deterministically generated 200k SIFT-shaped corpus
+    // instead of the scale dir's replica-structured one — the geometry on
+    // which the IVF/PQ operating-point CURVES are informative
+    val organicN = sys.env.get("SCALE_RECALL_ORGANIC").map(_.toLong)
+    val emb = (organicN match {
+      case Some(on) =>
+        import spark.implicits._
+        val gen = new SiftGen(seed = 4242L, dim = 64, intrinsic = 12)
+        println(s"ORGANIC corpus: $on SIFT-shaped 64-d vectors (intrinsic 12)")
+        spark.range(on).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+          .select(col("id"), col("key").cast("array<float>").as("key"))
+      case None =>
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<float>").as("key"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
     val stride = math.max(1L, n / NQueries)
     val queries = emb.where(pmod(col("id"), lit(stride)) === 0)
