@@ -50,10 +50,23 @@ final class IvfIndex(
     * (distance, cell) structs sort by distance then cell index, slice
     * keeps the np best. Shared by both cell-routed joins so their probe
     * routing can never diverge. */
-  private def cellRankExpr(np: Int): Column =
-    slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.squaredEuclidean(col("qv"), typedLit(c)).as("d"),
-        lit(i).as("c")) }: _*)), 1, np)
+  /** The np nearest cells of a query vector, as array<struct<d, c>>:
+    * every centroid distance comes out of ONE native kernel call
+    * ([[org.apache.spark.sql.graftbridge.CentroidDists]] — the
+    * per-centroid-kernel-call array it replaces blew codegen's method
+    * budget at large nCells and ran interpreted, the assignCell flaw on
+    * the query side), then a k-element struct sort ranks them — tiny,
+    * scalar, and ordered (d asc, c asc) exactly as before. This is the
+    * both-sides-large routing path: at 1M+ query rows the distance work
+    * is the corpus-scale cost, the sort is 256 scalars/row. */
+  private def cellRankExpr(np: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+    val dists = ColumnBridge.column(CentroidDists(
+      ColumnBridge.expression(col("qv")), centroids.flatten, centroids.length))
+    slice(array_sort(zip_with(dists,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (d, c) => struct(d.as("d"), c.as("c")))), 1, np)
+  }
 
   /** qid-deduped queries: duplicate query ids would double-score every
     * matched corpus row and burn ranks on repeats (a qid names ONE query).

@@ -96,6 +96,77 @@ case class PqEncode(child: Expression, codebook: Array[Float], m: Int,
 }
 
 /**
+ * Squared-euclidean distances from a float vector to EVERY centroid of a
+ * flat [cell][dim] row-major table, as one native codegen'd expression
+ * returning array<double> (index = cell id). The query-side sibling of
+ * [[PqEncode]]'s m=1 argmin: IVF query routing needs the np SMALLEST
+ * cells, so the distances come out of one kernel call (k · dim primitive
+ * mul-adds over a single float[] reference) and the tiny k-element
+ * struct-sort stays ordinary expression land. The array-of-per-centroid-
+ * kernel-calls formulation this replaces carried k · dim literal nodes —
+ * past whole-stage codegen's method budget at k = 256, where the whole
+ * projection fell back to interpreted eval (the same flaw, measured 99×,
+ * as the corpus-side assignment — see IvfIndex.assignCell). Same double
+ * math in the same ascending order: distances bit-identical.
+ */
+case class CentroidDists(child: Expression, centroids: Array[Float],
+    k: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0 && centroids.length % k == 0,
+    s"flat centroid table length ${centroids.length} not divisible by k=$k")
+  private val dim = centroids.length / k
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_dists"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var p = 0
+      val base = j * dim
+      while (p < dim) {
+        val t = x.getFloat(p).toDouble - centroids(base + p).toDouble
+        acc += t * t
+        p += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("centroidTable", centroids, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val t = ctx.freshName("t")
+      s"""double[] $out = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $acc = 0.0;
+         |  int $base = $j * $dim;
+         |  for (int $p = 0; $p < $dim; $p++) {
+         |    double $t = (double) $a.getFloat($p) - (double) $tab[$base + $p];
+         |    $acc += $t * $t;
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * The ADC coarse cosine as a native codegen'd expression: given a corpus
  * row's `codes` (array<int>, length m), a query's precomputed dot-product
  * lookup table `luts` (array<array<double>>, [m][ksub]) and query norm

@@ -31,6 +31,18 @@ class NativeKernelSpec extends AnyFunSuite {
       collectD(Similarity.hof.euclideanDistance(col("a"), col("b"))))
   }
 
+  test("CentroidDists: one kernel call == per-centroid sqEuclidean, bitwise") {
+    import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+    val cents = Array.tabulate(17)(j => vec(99L, j.toLong, 32))
+    val native = ColumnBridge.column(CentroidDists(
+      ColumnBridge.expression(col("a")), cents.flatten, cents.length))
+    val ref = array(cents.map(c =>
+      Similarity.squaredEuclidean(col("a"), typedLit(c))): _*)
+    val got = df.select(native.as("r")).collect().map(_.getSeq[Double](0)).toSeq
+    val exp = df.select(ref.as("r")).collect().map(_.getSeq[Double](0)).toSeq
+    assert(got == exp)
+  }
+
   test("native kernels agree with the JVM reference kernels") {
     val rows = df.select(col("a"), col("b"),
       Similarity.dotProduct(col("a"), col("b")).as("d"),
