@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge, NbModelTable, NbScore}
 
 /**
  * Classifier-based document filtering — the supervised quality/domain
@@ -20,11 +21,12 @@ import org.apache.spark.sql.functions._
  *    hash-groupBy with map-side combine onto (label, bucket), a table
  *    bounded by classes × buckets (C·B ≤ a few hundred k rows), never by
  *    corpus size. Doc/label priors are one more bounded groupBy.
- *  - PREDICT broadcasts the model pivoted to C dense count columns; the
- *    corpus feature stream joins it once on the bucket id and folds one
- *    map-side-combined groupBy(id) carrying C sum columns — no per-class
- *    row fan-out, and the one corpus shuffle carries a row per doc, not
- *    per token. No corpus-sized side ever shuffles to meet the model.
+ *  - PREDICT collects the model-bounded tables once and scores each doc
+ *    inside one native kernel ([[org.apache.spark.sql.graftbridge
+ *    .NbScore]]) carrying the flat ln-count table as a single array
+ *    reference: a pure narrow map over the corpus — no explode, no
+ *    join, no shuffle. Nothing corpus-sized ever moves to meet the
+ *    model; nothing moves at all.
  *
  * Determinism discipline: scores are doubles (sums of ln terms whose
  * partial-aggregation order Spark does not fix), so the argmax ranks on
@@ -90,25 +92,56 @@ object Classify {
     * log-posterior, and the 4-place gap to the runner-up (the filter
     * confidence knob; margin is NULL for single-class models).
     *
-    * Shape: the model's class list and per-class totals are C rows —
-    * collected once and baked into the plan as literals (C is single
-    * digits in every published pipeline). The bucket table pivots into
-    * C dense count columns (still ≤ B rows) and broadcasts; the corpus
-    * feature stream joins it once on the bucket id and folds ONE
-    * map-side-combined groupBy(id) carrying C sums — no per-class row
-    * fan-out, one corpus shuffle whose payload is a row per doc, not
-    * per token (the first cut fanned every occurrence × C and spent
-    * 95 s at 500k docs; this shape cuts the shuffled volume by ~2C×). */
+    * Shape: the model is COLLECTED — class totals are C rows, bucket
+    * counts ≤ B·C rows, both model-bounded, never corpus-bounded — and
+    * baked into ONE native kernel ([[org.apache.spark.sql.graftbridge
+    * .NbScore]]) whose flat ln(cnt+k) table rides the expression as a
+    * single array reference. Corpus scoring is then a pure NARROW MAP:
+    * tokenize, fold every hashed unigram+bigram's C table entries into
+    * per-class sums inside the kernel, argmax over C slots — no explode,
+    * no join, NO SHUFFLE at any corpus size. Lineage of this shape: the
+    * first cut exploded features × C classes (95 s at 500k docs), the
+    * second kept the explode but pivoted the model to C broadcast
+    * columns and shuffled one row per doc (10-32 s); the kernel removes
+    * the remaining explode + shuffle entirely (the per-doc work IS the
+    * arithmetic). The shuffle formulation survives as
+    * [[predictViaShuffle]], pinned equal in ClassifySpec. */
   def predict(model: Model, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val bkts = model.buckets
     val k = model.k
-    val totals = model.classTotals.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    require(totals.nonEmpty, "Classify: model has no classes")
-    val labels = totals.map(_._1).toSeq
-    val ntot = totals.map(_._3).sum.toDouble
+    val (labels, totals, ntot) = collectTotals(model)
+    val c = labels.length
+    // flat [bucket][class] ln(cnt+k) with the ln(k) smoothing floor for
+    // unseen pairs — same double math as log(coalesce(cnt,0)+k)
+    val lnTable = Array.fill(bkts * c)(math.log(k))
+    val labelIdx = labels.zipWithIndex.toMap
+    model.bucketCounts.collect().foreach { r =>
+      lnTable(r.getLong(1).toInt * c + labelIdx(r.getString(0))) =
+        math.log(r.getLong(2).toDouble + k)
+    }
+    val tbl = new NbModelTable(lnTable, bkts, c)
+    val nb = ColumnBridge.column(NbScore(
+      ColumnBridge.expression(TextOps.tokens(col(textCol))), tbl))
+    // null text produced no feature rows under explode (doc absent from
+    // the output); the kernel path drops those docs explicitly
+    val sums = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), nb.as("nb"))
+      .select(col("id") +:
+        (labels.indices.map(i => element_at(col("nb"), i + 1).as(s"t$i")) :+
+          element_at(col("nb"), c + 1).as("dlen")): _*)
+    scoreSums(sums, labels, totals, ntot, bkts, k, idCol)
+  }
+
+  /** The pre-kernel predict shape — explode features, broadcast-join the
+    * model pivoted to C dense columns, fold one map-side-combined
+    * groupBy(id) — kept as the independent Spark-native formulation the
+    * kernel is differentially pinned against (ClassifySpec). */
+  private[text] def predictViaShuffle(model: Model, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bkts = model.buckets
+    val k = model.k
+    val (labels, totals, ntot) = collectTotals(model)
     // bucket table → C dense columns (null = zero count), positional
     // names so label strings never have to survive column-name quoting
     val pivoted = model.bucketCounts.groupBy("b")
@@ -123,6 +156,25 @@ object Classify {
       sum(log(coalesce(col(s"c$i"), lit(0L)).cast("double") + lit(k)))
         .as(s"t$i")) :+ count(lit(1)).as("dlen")
     val sums = joined.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    scoreSums(sums, labels, totals, ntot, bkts, k, idCol)
+  }
+
+  /** Model-bounded collects shared by both predict paths: sorted class
+    * list with (nf, ndoc) totals, and the prior denominator. */
+  private def collectTotals(model: Model)
+      : (Seq[String], Array[(String, Long, Long)], Double) = {
+    val totals = model.classTotals.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(totals.nonEmpty, "Classify: model has no classes")
+    (totals.map(_._1).toSeq, totals, totals.map(_._3).sum.toDouble)
+  }
+
+  /** (id, t0..tC-1, dlen) → (idCol, pred, score, margin): the score
+    * assembly + 6-place-rounded argmax shared by both predict paths. */
+  private def scoreSums(sums: DataFrame, labels: Seq[String],
+      totals: Array[(String, Long, Long)], ntot: Double, bkts: Int,
+      k: Double, idCol: String): DataFrame = {
     val scoreCols = labels.indices.map { i =>
       val (_, nf, ndoc) = totals(i)
       (lit(math.log(ndoc / ntot)) + col(s"t$i") -

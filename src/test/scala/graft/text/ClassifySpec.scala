@@ -88,6 +88,33 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("kernel predict equals the shuffle formulation on a generated corpus") {
+    // the shipped path scores inside NbScore (narrow map, fixed in-doc
+    // fold order); the retained explode+broadcast-join+groupBy path sums
+    // in arbitrary partial-agg order — the engine's 6/4-place rounding
+    // pins them equal, which is exactly what the oracle relies on
+    val docs = spark.range(0, 400).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, 3 + cast(id % 9 as int)),
+         i -> concat('w', cast((id * 31 + i * 7) % 23 as string)))) as text""",
+      "case when id % 3 = 0 then 'a' when id % 3 = 1 then 'b' else 'c' end as lab")
+    val model = Classify.trainNaiveBayes(
+      docs.where("id % 2 = 0"), "id", "text", "lab", buckets = 211)
+    val a = Classify.predict(model, docs.select("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val b = Classify.predictViaShuffle(model, docs.select("id", "text"),
+      "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(a.length == 400 && a.toSeq == b.toSeq)
+    // null text: dropped by both paths (explode emits no rows; the
+    // kernel path filters)
+    val withNull = Seq((1L, "aa bb"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    assert(Classify.predict(model, withNull, "id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("single-class model yields NULL margin; bad params rejected") {
     val one = Seq((1L, "aa bb", "only")).toDF("id", "text", "lab")
     val model = Classify.trainNaiveBayes(one, "id", "text", "lab", buckets = 11)
