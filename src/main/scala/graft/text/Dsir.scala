@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge, NbModelTable, NbScore}
 
 /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
   * Language Models via Importance Resampling"): score every raw-corpus
@@ -40,14 +41,53 @@ object Dsir {
     * A target corpus with no features raises at execution time rather
     * than emitting silent all-NULL scores.
     *
-    * Scale shape: both count tables are bucket-bounded (≤ `buckets`
-    * rows) hash-groupBys with map-side combine; totals ride the plan as
-    * broadcast one-row aggregates; scoring joins the raw feature stream
-    * against the two bounded count tables on the bucket id and folds one
-    * sum per doc — the raw corpus shuffles once on the bucket and once
-    * on the doc id, both narrow. */
+    * Scale shape: the two count tables are bucket-bounded (≤ `buckets`
+    * rows) hash-groupBys with map-side combine — the ONLY corpus-wide
+    * aggregations, and they ARE the model, so they are collected once
+    * (≤ `buckets` rows each, never corpus-sized) and folded driver-side
+    * into one flat per-bucket log-ratio table. Scoring then rides
+    * [[org.apache.spark.sql.graftbridge.NbScore]] with that table as a
+    * single-class model: each doc's Σ ln-ratio folds inside the kernel —
+    * a pure narrow map, no feature-stream join, no per-doc shuffle (the
+    * join+groupBy formulation survives as
+    * [[importanceWeightsViaShuffle]], pinned equal in DsirSpec).
+    * An empty target fails loudly here, at model build. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10007, k: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val ct = new Array[Long](buckets)
+    val cr = new Array[Long](buckets)
+    features(target, idCol, textCol, buckets).groupBy("b")
+      .agg(count(lit(1)).as("ct")).collect()
+      .foreach(r => ct(r.getLong(0).toInt) = r.getLong(1))
+    features(raw, idCol, textCol, buckets).groupBy("b")
+      .agg(count(lit(1)).as("cr")).collect()
+      .foreach(r => cr(r.getLong(0).toInt) = r.getLong(1))
+    val nt = ct.sum
+    if (nt == 0L)
+      throw new IllegalArgumentException("DSIR: target corpus has no features")
+    val nr = cr.sum
+    // per-bucket ln p̂_target − ln p̂_raw, the same double math as the
+    // shuffle formulation's log((c+k)/(n+k·B)) terms
+    val w = Array.tabulate(buckets)(b =>
+      math.log((ct(b) + k) / (nt + k * buckets)) -
+        math.log((cr(b) + k) / (nr + k * buckets)))
+    val nb = ColumnBridge.column(NbScore(
+      ColumnBridge.expression(TextOps.tokens(col(textCol))),
+      new NbModelTable(w, buckets, 1)))
+    // null text produced no feature rows under explode; drop explicitly
+    raw.where(col(textCol).isNotNull)
+      .select(col(idCol), round(element_at(nb, 1), 4).as("dsir"))
+  }
+
+  /** The pre-kernel scoring shape — broadcast the merged count table,
+    * join the exploded feature stream, fold one groupBy(id) — kept as
+    * the independent Spark-native formulation the kernel path is
+    * differentially pinned against (DsirSpec). */
+  private[text] def importanceWeightsViaShuffle(raw: DataFrame,
+      target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10007, k: Double = 1.0): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(k > 0, s"smoothing k must be > 0, got $k")
     val rawF = features(raw, idCol, textCol, buckets)

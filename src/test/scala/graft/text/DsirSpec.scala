@@ -26,7 +26,7 @@ class DsirSpec extends AnyFunSuite {
       Dsir.importanceWeights(raw, target, "id", "text", buckets = 1))
     intercept[IllegalArgumentException](
       Dsir.importanceWeights(raw, target, "id", "text", k = 0.0))
-    // an empty target raises loudly at execution, never silent NULL scores
+    // an empty target raises loudly at model build, never silent NULL scores
     val e = intercept[Exception](
       Dsir.importanceWeights(raw, target.limit(0), "id", "text").collect())
     assert(e.getMessage.contains("no features") ||
@@ -68,5 +68,23 @@ class DsirSpec extends AnyFunSuite {
         "id", "text", buckets = b)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(out == want, s"$out vs $want")
+  }
+
+  test("kernel scoring equals the shuffle formulation on a generated corpus") {
+    // shipped path folds the flat log-ratio table inside NbScore (fixed
+    // in-doc order); the retained join+groupBy path sums in arbitrary
+    // partial-agg order — the 4-place rounding pins them equal
+    val raw = spark.range(0, 300).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, 2 + cast(id % 7 as int)),
+         i -> concat('w', cast((id * 17 + i * 5) % 19 as string)))) as text""")
+    val target = spark.range(0, 40).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, 4),
+         i -> concat('w', cast((id + i) % 6 as string)))) as text""")
+    val a = Dsir.importanceWeights(raw, target, "id", "text", buckets = 211)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = Dsir.importanceWeightsViaShuffle(raw, target, "id", "text",
+      buckets = 211)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.length == 300 && a.toSeq == b.toSeq)
   }
 }
