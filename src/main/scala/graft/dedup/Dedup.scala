@@ -663,15 +663,44 @@ object Dedup {
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
           col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+        .select(col("x.id").as("a"), col("y.id").as("b"))
       val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      // Candidate volume grows ~quadratically inside each (band, value)
+      // bucket — at 200k vectors the default 8-bit bands emit ~10⁸
+      // candidate rows, and shuffling THAT stream (a distinct + two
+      // repartition joins) is the whole cost of the operator. When the
+      // vector table itself fits an executor broadcast (≤ ~256 MB of
+      // packed floats — corpus-DIMENSION aware, one cheap count probe),
+      // verification goes map-side instead: the candidate stream never
+      // shuffles at all — band-join output flows straight through two
+      // broadcast lookups + the codegen'd cosine filter, and the pair
+      // dedup (a pair can collide in several bands) runs AFTER the
+      // threshold cut, on the duplicate-bounded survivor set (sf1: 191 s
+      // → the band join itself). Corpora past the broadcast bound keep
+      // the shuffled shape: distinct FIRST (so each pair verifies once),
+      // then repartition joins — the arm that scales out along the
+      // candidate stream; docs route genuinely huge corpora to the IVF
+      // path instead.
+      // streaming frames can't count (and can't broadcast a moving side):
+      // they keep the shuffled arm, preserving this builder's stream-safety
+      val nVecs = if (df.isStreaming) Long.MaxValue else banded.count()
+      val bcastOk = nVecs.toDouble * corpusDim * 4 <= 256e6
       // eager: see jaccardJoin — materialize against the live cache
-      candidates
-        .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
-        .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
-        .withColumn("cos", cosine(col("va"), col("vb")))
-        .where(col("cos") >= threshold)
-        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      (if (bcastOk)
+        candidates
+          .join(broadcast(vecs.select(col("id").as("a"), col("vec").as("va"))), "a")
+          .join(broadcast(vecs.select(col("id").as("b"), col("vec").as("vb"))), "b")
+          .withColumn("cos", cosine(col("va"), col("vb")))
+          .where(col("cos") >= threshold)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+          .distinct()
+      else
+        candidates.distinct()
+          .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
+          .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
+          .withColumn("cos", cosine(col("va"), col("vb")))
+          .where(col("cos") >= threshold)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos")))
         .localCheckpoint()
     } finally bands.unpersist(blocking = false)
   }

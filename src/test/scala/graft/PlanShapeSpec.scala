@@ -65,14 +65,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("dsir: bucket-bounded counts broadcast; feature stream unshuffled to meet them") {
+  test("dsir scoring: one codegen'd narrow map — no shuffle, no join") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._
     val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    // the count tables fold into the kernel at build; the SCORING frame
+    // (what executes per corpus row at scale) must plan as a pure map.
+    // parquet-backed corpus: a local Seq collapses to LocalTableScan
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = plan(graft.text.Dsir.importanceWeights(
-      docs, target, "doc_id", "text"))
-    assert(!p.contains("CartesianProduct"))
-    assert(p.contains("BroadcastHashJoin"))
+      corpus, target, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"dsir scoring must not shuffle; plan:\n$p")
+    assert(!p.contains("Join"), s"dsir scoring must not join; plan:\n$p")
+    assert(p.contains("nb_score"), s"kernel missing from plan:\n$p")
+  }
+
+  test("classifier predict: one codegen'd narrow map — no shuffle, no join") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val labeled = Seq((1L, "alpha beta", "x"), (2L, "gamma delta", "y"))
+      .toDF("doc_id", "text", "lab")
+    val model = graft.text.Classify.trainNaiveBayes(
+      labeled, "doc_id", "text", "lab", buckets = 101)
+    // parquet-backed corpus: a local Seq collapses to LocalTableScan
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.text.Classify.predict(model, corpus, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"predict must not shuffle; plan:\n$p")
+    assert(!p.contains("Join"), s"predict must not join; plan:\n$p")
+    assert(p.contains("nb_score"), s"kernel missing from plan:\n$p")
   }
 
   test("bpe encode: one codegen'd projection — no shuffle, no join, merge table in-plan") {
