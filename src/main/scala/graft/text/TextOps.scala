@@ -158,9 +158,28 @@ object TextOps {
     *
     * Shuffle-free per-row projection (the line-based bullet/ellipsis rules
     * are omitted: the corpus documents are single-line; [[repetitionRatio]]
-    * carries the separate repetition rule). Token array and lowered copy
-    * are let-bound so each is computed once per row. */
+    * carries the separate repetition rule). Served by the native
+    * [[org.apache.spark.sql.graftbridge.GopherFlags]] kernel — one loop
+    * over the token array; the higher-order-function formulation
+    * ([[gopherFlagsHof]], all-interpreted lambdas, measured ~35 µs/row)
+    * is kept as the independent reference it is bit-pinned against in
+    * TextOpsSpec. */
   def gopherFlags(text: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, GopherFlags}
+    val flags = ColumnBridge.column(
+      GopherFlags(ColumnBridge.expression(tokens(text))))
+    bind(flags) { f =>
+      struct(element_at(f, 1).as("ok_words"), element_at(f, 2).as("ok_mean_len"),
+        element_at(f, 3).as("ok_symbol"), element_at(f, 4).as("ok_alpha"),
+        element_at(f, 5).as("ok_stop"), element_at(f, 6).as("pass"))
+    }
+  }
+
+  /** The higher-order-function formulation of [[gopherFlags]] — the
+    * engine-portable reference (mirrors the oracle SQL shape; every
+    * lambda evaluates interpreted, so prefer the kernel on hot paths). */
+  def gopherFlagsHof(text: Column): Column = {
     import graft.functions.GraftFunctions.bind
     bind(tokens(text)) { tks =>
       bind(greatest(size(tks), lit(1)).cast("double")) { nw =>

@@ -143,4 +143,31 @@ class TextOpsSpec extends AnyFunSuite {
       .select($"doc_id", TextOps.canonicalize($"text").as("text"))
     assert(graft.dedup.Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 1)
   }
+
+  test("native gopher kernel is flag-pinned to the HOF formulation") {
+    // generated corpus sweeping every rule boundary: word counts straddling
+    // 50, symbol/alpha ratios around their cutoffs, mixed-case stopwords,
+    // unicode tokens, empty and whitespace-only text
+    val docs = spark.range(0, 300).selectExpr("id",
+      """concat(
+         concat_ws(' ', transform(sequence(1, 40 + cast(id % 20 as int)),
+           i -> case
+             when (id + i) % 13 = 0 then '#tag'
+             when (id + i) % 17 = 0 then 'dots...'
+             when (id + i) % 7 = 0 then '1234'
+             when (id + i) % 5 = 0 then elt(1 + cast(i % 8 as int),
+               'The', 'BE', 'to', 'OF', 'and', 'THAT', 'have', 'with')
+             else concat('wörd', cast(i % 11 as string)) end)),
+         case when id % 10 = 0 then '' else ' trailer' end) as text""")
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "solo")).toDF("id", "text"))
+    val kern = docs.select(col("id"),
+        TextOps.gopherFlags(col("text")).as("g")).select(col("id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).sortBy(_._1)
+    val hof = docs.select(col("id"),
+        TextOps.gopherFlagsHof(col("text")).as("g")).select(col("id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).sortBy(_._1)
+    assert(kern.length == 303 && kern.toSeq == hof.toSeq)
+    // both ok_words regimes must actually occur in the sweep
+    assert(kern.map(_._2.head).distinct.length == 2)
+  }
 }
