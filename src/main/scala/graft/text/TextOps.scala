@@ -125,8 +125,34 @@ object TextOps {
   /** Composite [0,1]-ish quality score: rewards mid-length docs with modest
     * punctuation and a healthy stopword share — the standard shape of
     * pre-filtering heuristics for web corpora. Deterministic, documented,
-    * SQL-mirrorable; not a learned model. */
+    * SQL-mirrorable; not a learned model.
+    *
+    * The four counts come from ONE pass of the native
+    * [[org.apache.spark.sql.graftbridge.TextStats]] kernel (the builtin
+    * formulation paid two tokenizations, a match-array regexp_extract_all
+    * and a ten-way-alternation regexp_count per row — measured 49.6 s at
+    * 500k docs); every ratio/clamp below stays ordinary expression
+    * arithmetic on those exact integers. [[qualityScoreRegex]] keeps the
+    * builtin formulation, value-pinned in TextOpsSpec. */
   def qualityScore(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, TextStats}
+    import graft.functions.GraftFunctions.bind
+    val stats = ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+    bind(stats) { st =>
+      val toks = element_at(st, 1)
+      val lenScore = least(toks.cast("double") / lit(100.0), lit(1.0))
+      val punct = element_at(st, 2).cast("double") /
+        greatest(element_at(st, 4), lit(1L)).cast("double")
+      val stop = least(element_at(st, 3).cast("double") /
+        greatest(toks, lit(1L)).cast("double") * lit(5.0), lit(1.0))
+      round((lenScore + (lit(1.0) - least(punct * lit(5.0), lit(1.0))) + stop) / lit(3.0), 4)
+    }
+  }
+
+  /** The all-builtins formulation of [[qualityScore]] — the
+    * engine-portable reference (mirrors the oracle SQL; regex- and
+    * allocation-bound per row, so prefer the kernel on hot paths). */
+  def qualityScoreRegex(text: Column): Column = {
     val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
     val punct = punctRatio(text)
     val stop = least(stopwordRatio(text) * lit(5.0), lit(1.0))

@@ -170,4 +170,45 @@ class TextOpsSpec extends AnyFunSuite {
     // both ok_words regimes must actually occur in the sweep
     assert(kern.map(_._2.head).distinct.length == 2)
   }
+
+  test("native text-stats kernel is value-pinned to the regex formulation") {
+    // counts AND composed score, over edge text: tabs/newline heads (the
+    // leading-empty-token split artifact), unicode words and punctuation,
+    // stopwords at string edges and inside underscore/digit runs (no \\b),
+    // empty and whitespace-only strings
+    val docs = spark.range(0, 200).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, 5 + cast(id % 40 as int)),
+         i -> case
+           when (id + i) % 11 = 0 then 'the'
+           when (id + i) % 13 = 0 then 'x_the'
+           when (id + i) % 7 = 0 then 'wörd,'
+           when (id + i) % 5 = 0 then elt(1 + cast(i % 5 as int),
+             'and', 'of', 'IS', 'that2', 'it')
+           else concat('tok', cast(i as string), '!') end)) as text""")
+      .union(Seq((901L, ""), (902L, "   "), (903L, "\tthe cat"),
+        (904L, "the"), (905L, "for...for_for for"), (906L, "é the é"))
+        .toDF("id", "text"))
+    val kern = docs.select(col("id"),
+        TextOps.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val ref = docs.select(col("id"),
+        TextOps.qualityScoreRegex(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(kern.length == 206 && kern.toSeq == ref.toSeq)
+    // and the raw counts equal their builtin derivations
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, TextStats}
+    val st = ColumnBridge.column(TextStats(ColumnBridge.expression(col("text"))))
+    val both = docs.select(col("id"), st.as("st"),
+        TextOps.tokenCount(col("text")).cast("long").as("t"),
+        size(regexp_extract_all(col("text"),
+          lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("p"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|is|to|in|that|it|was|for)\\b")).cast("long").as("sw"),
+        length(col("text")).cast("long").as("c")).collect()
+    both.foreach { r =>
+      val a = r.getSeq[Long](1)
+      assert(a == Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+        s"id ${r.getLong(0)}: kernel $a vs builtins ${r.toSeq.drop(2)}")
+    }
+  }
 }
