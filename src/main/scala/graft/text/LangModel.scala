@@ -32,6 +32,13 @@ object LangModel {
       bigramCounts.unpersist(false); contextCounts.unpersist(false)
       vocab.unpersist(false); ()
     }
+    /** Memoized collect-arm decision + broadcast tables ([[score]]):
+      * Some(bc) once collected, None once judged too big — either way the
+      * probe never re-runs for this model instance (a streaming sink
+      * scores every micro-batch through the same model). */
+    @transient private[text] var kernelArm:
+      Option[Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graftbridge.BigramTables]]] = None
   }
 
   /** (id, context-hash, bigram-hash) per adjacent token pair; xxhash64
@@ -83,12 +90,59 @@ object LangModel {
     * failing. Documents with fewer than two tokens have no bigrams and
     * are absent from the output.
     *
-    * Scale shape: one narrow (id, 8-byte, 8-byte) row per scored bigram,
-    * two hash left-joins against the count tables (skewed hot bigrams are
-    * what AQE skew-split handles), one per-doc aggregation — the scored
-    * corpus is never shuffled on content. */
+    * Scale shape — ADAPTIVE on model size (corpus size never matters):
+    * the count tables are bounded by DISTINCT bigrams; a limit-collect
+    * probe (bounded driver memory by construction) collects models up to
+    * `maxCollectBigrams` rows, ships them as one ordinary Spark
+    * broadcast, and scores each doc inside the native
+    * [[org.apache.spark.sql.graftbridge.BigramPpl]] kernel — a pure
+    * narrow map, no explode/join/shuffle, stream-safe. Models past the
+    * bound take [[scoreViaJoin]]: one narrow (id, 8-byte, 8-byte) row
+    * per scored bigram through two hash left-joins (AQE absorbs hot-
+    * bigram skew) and one per-doc aggregation. The decision memoizes on
+    * the model instance, so per-micro-batch scoring probes once. */
   def score(model: BigramModel, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, maxCollectBigrams: Int = 4000000): DataFrame = {
+    val arm = model.kernelArm.getOrElse {
+      val probe = model.bigramCounts.limit(maxCollectBigrams + 1).collect()
+      val a = if (probe.length > maxCollectBigrams) None
+      else {
+        val bg = probe.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        // contexts are distinct w1 values — never more than distinct
+        // bigrams, so this collect is covered by the probe's bound
+        val cx = model.contextCounts.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val v = model.vocab.collect()(0).getLong(0)
+        Some(docs.sparkSession.sparkContext.broadcast(
+          new org.apache.spark.sql.graftbridge.BigramTables(
+            bg.map(_._1), bg.map(_._2), cx.map(_._1), cx.map(_._2),
+            v, model.k)))
+      }
+      model.kernelArm = Some(a)
+      a
+    }
+    arm match {
+      case Some(bc) =>
+        import org.apache.spark.sql.graftbridge.{BigramPpl, ColumnBridge}
+        val nll = ColumnBridge.column(BigramPpl(
+          ColumnBridge.expression(TextOps.tokens(col(textCol))), bc))
+        docs.where(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), nll.as("s"))
+          // < 2 tokens: no bigrams — absent from the output, like the
+          // explode arm
+          .where(element_at(col("s"), 2) > 0.0)
+          .select(col("id").as(idCol),
+            round(exp(element_at(col("s"), 1) / element_at(col("s"), 2)), 4)
+              .as("ppl"))
+      case None => scoreViaJoin(model, docs, idCol, textCol)
+    }
+  }
+
+  /** The join formulation of [[score]] — the arm for models past the
+    * collect bound, and the independent reference the kernel arm is
+    * pinned against (LangModelSpec). */
+  private[text] def scoreViaJoin(model: BigramModel, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val k = model.k
     bigramsOf(docs, idCol, textCol)
       .join(model.bigramCounts, Seq("hb"), "left")

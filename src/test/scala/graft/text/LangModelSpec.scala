@@ -93,4 +93,33 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(99L) > 2 * conforming,
       s"noise doc ${out(99L)} should be far above conforming $conforming")
   }
+
+  test("kernel scoring arm equals the join formulation, including the fallback") {
+    import org.apache.spark.sql.functions._
+    val ref = spark.range(0, 150).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, 4 + cast(id % 9 as int)),
+         i -> concat('w', cast((id * 13 + i * 3) % 17 as string)))) as text""")
+    val docs = spark.range(0, 200).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, 1 + cast(id % 8 as int)),
+         i -> concat('w', cast((id * 7 + i * 11) % 23 as string)))) as text""")
+      .union(Seq((901L, "solo"), (902L, null.asInstanceOf[String]),
+        (903L, "w1 w1 w1 unseen")).toDF("id", "text"))
+    val model = LangModel.train(ref, "id", "text")
+    val kern = LangModel.score(model, docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // the arm memoized as Some(broadcast) — the kernel path really ran
+    assert(model.kernelArm.exists(_.isDefined))
+    val join = LangModel.scoreViaJoin(model, docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(kern.toSeq == join.toSeq)
+    // single-token and null-text docs absent from both outputs
+    assert(!kern.exists(r => r._1 == 901L || r._1 == 902L))
+    assert(kern.exists(_._1 == 903L))
+    // a fresh model forced past the collect bound takes the join arm and
+    // produces the identical frame
+    val big = LangModel.train(ref, "id", "text")
+    val fb = LangModel.score(big, docs, "id", "text", maxCollectBigrams = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(big.kernelArm.contains(None) && fb.toSeq == kern.toSeq)
+  }
 }
