@@ -201,6 +201,9 @@ object Command {
   final case class ExtInterval(leftView: String, leftTs: String,
       rightView: String, rightTs: String, key: String, carry: Seq[String],
       lowerUs: Long, upperUs: Long) extends Command
+  /** URL canonicalization + domain keys (text.UrlOps): appends
+    * url_canon / host / rdomain columns to the view. */
+  final case class ExtUrlCanon(view: String, url: String) extends Command
   /** Per-slice corpus data card (pipeline.Profile.dataCard). */
   final case class ExtDatacard(view: String, text: String,
       groups: Seq[String]) extends Command

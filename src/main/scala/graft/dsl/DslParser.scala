@@ -452,6 +452,11 @@ object DslParser extends RegexParsers {
       (kw("lower") ~> signedLong) ~ (kw("upper") ~> signedLong) ^^ {
         case lv ~ lt ~ rv ~ rt ~ k ~ cs ~ lo ~ up =>
           ExtInterval(lv, lt, rv, rt, k, cs, lo, up) }
+  // URL hygiene (text.UrlOps): URL CANON FROM view COL urlcol —
+  // appends url_canon / host / rdomain to the view
+  private val extUrlCanon: Parser[Command] =
+    kw("url") ~> kw("canon") ~> fromView ~ (kw("col") ~> name) ^^ {
+      case v ~ u => ExtUrlCanon(v, u) }
   private val extDatacard: Parser[Command] =
     kw("datacard") ~> fromView ~ textCol ~
       (kw("groupby") ~> rep1sep(name, ",")) ^^ {
@@ -478,7 +483,7 @@ object DslParser extends RegexParsers {
     extSample | extPack | extShuffle | extCap | extMix | extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
-    extAsof | extInterval | extTrace
+    extAsof | extInterval | extUrlCanon | extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

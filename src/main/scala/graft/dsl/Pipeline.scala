@@ -233,6 +233,11 @@ object Pipeline {
       case ExtInterval(lv, lt, rv, rt, k, carry, lo, up) =>
         Response.Entries(graft.events.EventOps.intervalJoin(
           t(lv), lt, t(rv), rt, k, carry, lo, up))
+      case ExtUrlCanon(v, u) =>
+        Response.Entries(t(v)
+          .withColumn("url_canon", graft.text.UrlOps.canonicalizeUrl(col(u)))
+          .withColumn("host", graft.text.UrlOps.urlHost(col(u)))
+          .withColumn("rdomain", graft.text.UrlOps.registrableDomain(col(u))))
       case ExtDatacard(v, text, groups) =>
         Response.Entries(graft.pipeline.Profile.dataCard(t(v), text, groups))
       case ExtDedupIndex(dir, v, id, text, n) =>

@@ -1737,6 +1737,87 @@ object Queries {
     // ---- corpus vocabulary (wordcount + doc frequency): one shuffle on
     // token, map-side partial agg — the substrate for stopword lists and
     // every frequency-based filter ----
+    // ---- URL hygiene (UrlOps): documents get deterministic messy URLs
+    // (mixed-case schemes/hosts, default and explicit ports, tracking
+    // params in every position, fragments, scheme-less junk rows), and
+    // the query emits the canonical form plus the host/registrable-domain
+    // grouping keys — the C4/RefinedWeb pre-dedup rewrite. The oracle
+    // mirrors the augmentation AND every rewrite rule function-for-
+    // function in DuckDB. ----
+    "pipeline_url_canon" -> Q(
+      (s, dir) => {
+        val d = TestStores.table(s, dir, "documents")
+        val id = col("doc_id")
+        val u = when(pmod(id, lit(11)) === 0,
+          concat(lit("  relative/path/"), id, lit("  ")))
+          .otherwise(concat(
+            element_at(array(lit("HTTP"), lit("https"), lit("hTTp"),
+              lit("HTTPS")), (pmod(id, lit(4)) + 1).cast("int")),
+            lit("://"),
+            element_at(array(lit("WWW.Example.COM:80"),
+              lit("cdn.Example.com:443"), lit("Sub.Site.Example.NET:8080"),
+              lit("example.org"), lit("localhost")),
+              (pmod(id, lit(5)) + 1).cast("int")),
+            when(pmod(id, lit(3)) === 0, lit(""))
+              .otherwise(concat(lit("/p/"), col("source"), lit("/"), id)),
+            when(pmod(id, lit(3)) === 0,
+              concat(lit("?utm_source=a&id="), id, lit("&utm_campaign=b")))
+              .when(pmod(id, lit(3)) === 1,
+                concat(lit("?id="), id, lit("&fbclid=xyz")))
+              .otherwise(lit("?utm_content=z")),
+            when(pmod(id, lit(2)) === 0, lit("#Frag")).otherwise(lit(""))))
+        d.select(id, u.as("u"))
+          .select(id,
+            graft.text.UrlOps.canonicalizeUrl(col("u")).as("url_canon"),
+            graft.text.UrlOps.urlHost(col("u")).as("host"),
+            graft.text.UrlOps.registrableDomain(col("u")).as("rdomain"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH u0 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN '  relative/path/' || doc_id || '  '
+        |    ELSE (['HTTP','https','hTTp','HTTPS'])[(doc_id % 4) + 1] || '://' ||
+        |      (['WWW.Example.COM:80','cdn.Example.com:443',
+        |        'Sub.Site.Example.NET:8080','example.org','localhost'])[(doc_id % 5) + 1] ||
+        |      (CASE WHEN doc_id % 3 = 0 THEN ''
+        |            ELSE '/p/' || source || '/' || doc_id END) ||
+        |      (CASE doc_id % 3
+        |        WHEN 0 THEN '?utm_source=a&id=' || doc_id || '&utm_campaign=b'
+        |        WHEN 1 THEN '?id=' || doc_id || '&fbclid=xyz'
+        |        ELSE '?utm_content=z' END) ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END)
+        |    END AS u FROM documents),
+        |parts AS (
+        |  SELECT doc_id, trim(u) AS t,
+        |    lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    lower(regexp_extract(trim(u), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+        |    regexp_extract(trim(u), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(trim(u), '^[^#]*?\?([^#]*)', 1) AS query0
+        |  FROM u0),
+        |steps AS (
+        |  SELECT doc_id, t, sch, query0,
+        |    CASE WHEN sch = 'http' THEN regexp_replace(auth0, ':80$$', '')
+        |         WHEN sch = 'https' THEN regexp_replace(auth0, ':443$$', '')
+        |         ELSE auth0 END AS auth,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    list_filter(string_split(query0, '&'), p ->
+        |      NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$$)')) AS kept,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^[^@]*@', ''), ':[0-9]*$$', '') AS host
+        |  FROM parts)
+        |SELECT doc_id,
+        |  CASE WHEN sch = '' THEN t
+        |       ELSE sch || '://' || auth || path ||
+        |         (CASE WHEN query0 = '' OR len(kept) = 0 THEN ''
+        |               ELSE '?' || array_to_string(kept, '&') END)
+        |  END AS url_canon,
+        |  host,
+        |  CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+        |       ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        |  END AS rdomain
+        |FROM steps ORDER BY doc_id""".stripMargin)),
+
     "pipeline_vocab" -> Q(
       (s, dir) => graft.pipeline.Corpus.vocabulary(
         TestStores.table(s, dir, "documents"), "doc_id", "text")

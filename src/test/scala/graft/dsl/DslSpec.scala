@@ -963,4 +963,34 @@ class DslSpec extends AnyFunSuite {
     assert(top1.length == 10 && top1.forall { case (q, c) => q == c })
     graft.engine.Persistence.deleteDir(parquetDir)
   }
+
+  test("URL CANON: grammar parses and execution matches the UrlOps API") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    assert(DslParser.parseExt("URL CANON FROM pages COL u") ==
+      Seq(ExtUrlCanon("pages", "u")))
+    val pages = Seq(
+      (0L, "HTTP://WWW.Example.COM:80/A?utm_source=x&id=9#f"),
+      (1L, "https://cdn.a.site.NET:443"),
+      (2L, "plain junk")).toDF("pid", "u")
+    pages.createOrReplaceTempView("url_pages")
+    val got = Pipeline.runExt(spark, "URL CANON FROM url_pages COL u") match {
+      case Seq(Right(Response.Entries(d))) =>
+        d.collect().map(r => (r.getLong(0), r.getString(2), r.getString(3),
+          r.getString(4))).sortBy(_._1).toSeq
+      case other => fail(s"$other")
+    }
+    assert(got == Seq(
+      (0L, "http://www.example.com/A?id=9", "www.example.com", "example.com"),
+      (1L, "https://cdn.a.site.net/", "cdn.a.site.net", "site.net"),
+      (2L, "plain junk", "", "")))
+    val api = pages.select(col("pid"),
+      graft.text.UrlOps.canonicalizeUrl(col("u")).as("c"),
+      graft.text.UrlOps.urlHost(col("u")).as("h"),
+      graft.text.UrlOps.registrableDomain(col("u")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got == api)
+  }
 }
