@@ -126,11 +126,14 @@ object LangModel {
         import org.apache.spark.sql.graftbridge.{BigramPpl, ColumnBridge}
         val nll = ColumnBridge.column(BigramPpl(
           ColumnBridge.expression(TextOps.tokens(col(textCol))), bc))
-        docs.where(col(textCol).isNotNull)
+        // filter on a CHEAP token-count split, not on the kernel output —
+        // a kernel-referencing Filter under the Project would evaluate
+        // the kernel twice per row (Filter copy + Project copy; the
+        // alias-in-own-Project below survives CollapseProject because
+        // a non-cheap alias referenced twice never inlines)
+        docs.where(col(textCol).isNotNull &&
+            size(TextOps.tokens(col(textCol))) >= 2)
           .select(col(idCol).as("id"), nll.as("s"))
-          // < 2 tokens: no bigrams — absent from the output, like the
-          // explode arm
-          .where(element_at(col("s"), 2) > 0.0)
           .select(col("id").as(idCol),
             round(exp(element_at(col("s"), 1) / element_at(col("s"), 2)), 4)
               .as("ppl"))
