@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * Count-for-count contracts (pinned against the regex formulation in
  * TextOpsSpec's differential):
  *  - tokens ≡ `size(split(trim(text), "\\s+"))`: strip 0x20 ends (Spark
- *    `trim` removes spaces only), count non-`\s` runs, +1 leading empty
- *    token when the stripped text starts with non-space `\s`, and 1 for
- *    the empty string (Java split returns [""]).
+ *    `trim` removes spaces only), then one token per separator GAP plus
+ *    one — i.e. (maximal `\s`-run count) + 1. Spark's split runs
+ *    Pattern.split with limit = -1, which KEEPS leading and trailing
+ *    empty tokens (unlike Java's default split) — a detail the fuzz
+ *    differential caught on trailing `\r`/`\t` (trailing spaces are
+ *    gone by then, other `\s` survives the space-only trim).
  *  - punct ≡ `regexp_count(text, "[^A-Za-z0-9\\s]")`: every codepoint
  *    not ASCII-alphanumeric and not Java `\s` ([ \t\n\x0B\f\r]) — which
  *    includes every non-ASCII codepoint, counted once per LEAD byte.
@@ -55,23 +58,21 @@ object TextStatsImpl {
   def eval(t: UTF8String): ArrayData = {
     val bytes = t.getBytes
     val n = bytes.length
-    // ---- tokens: Spark trim strips 0x20 only; then count \s+ runs
+    // ---- tokens: Spark trim strips 0x20 only; split keeps leading AND
+    // trailing empties (limit -1), so tokens = (\s-run count) + 1 — the
+    // empty string falls out of the same formula (0 runs → [""])
     var lo = 0
     while (lo < n && bytes(lo) == ' ') lo += 1
     var hi = n
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
-    var tokens = 0L
-    if (hi == lo) tokens = 1L // "" splits to [""]
-    else {
-      if (isWs(bytes(lo))) tokens += 1 // leading empty token (tab/newline head)
-      var inRun = false
-      var i = lo
-      while (i < hi) {
-        val ws = bytes(i) >= 0 && isWs(bytes(i))
-        if (!ws && !inRun) { tokens += 1; inRun = true }
-        else if (ws) inRun = false
-        i += 1
-      }
+    var tokens = 1L
+    var inWs = false
+    var i0 = lo
+    while (i0 < hi) {
+      val ws = bytes(i0) >= 0 && isWs(bytes(i0))
+      if (ws && !inWs) { tokens += 1; inWs = true }
+      else if (!ws) inWs = false
+      i0 += 1
     }
     // ---- punct + chars over the ORIGINAL text: one byte scan
     var punct = 0L

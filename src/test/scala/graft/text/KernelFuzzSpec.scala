@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic fuzz differentials: every text kernel against its
+  * retained builtin/HOF formulation over adversarial generated strings —
+  * supplementary-plane codepoints (4-byte UTF-8: the surrogate-pair
+  * handling both Java regex and UTF8String must agree on), every Java
+  * `\s` whitespace variant, '#'/'...'/stopword fragments embedded inside
+  * and between words, underscores and digits (ASCII `\b` edges), and
+  * empty/whitespace-only strings. Fixed seed — reproducible, no
+  * flakiness; 400 samples per run. */
+class KernelFuzzSpec extends AnyFunSuite {
+  private val spark = graft.TestFixtures.spark
+  import spark.implicits._
+
+  private def fuzzCorpus(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val atoms = Array(
+      "the", "The", "THE", "and", "of", "is", "not", "x_the", "the2",
+      "wörd", "naïve", "日本語", "テスト", "😀", "😀the",
+      "#", "#tag", "...", "dots...", "a#b", "1234", "_", "__", "a_b",
+      "for", "was", "it", "in", "to", "be", "with", "have", "that",
+      "ref", "refx", "x", "Q", "", "é")
+    val seps = Array(" ", "  ", "\t", "\n", "", "\f", "\r", " \t ")
+    (0L until n.toLong).map { i =>
+      val parts = (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.length)))
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+      parts.zipWithIndex.foreach { case (p, j) =>
+        sb.append(p)
+        if (j < parts.size - 1) sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      if (rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+      (i, sb.toString)
+    }
+  }
+
+  test("TextStats / GopherFlags / quality kernels survive 400 adversarial strings") {
+    val docs = fuzzCorpus(0xD5EEDL, 400).toDF("id", "text")
+    val q = docs.select(col("id"),
+        TextOps.qualityScore(col("text")).as("a"),
+        TextOps.qualityScoreRegex(col("text")).as("b")).collect()
+    q.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"quality diverged on id ${r.getLong(0)}"))
+    val g = docs.select(col("id"),
+        TextOps.gopherFlags(col("text")).as("a"),
+        TextOps.gopherFlagsHof(col("text")).as("b")).collect()
+    g.foreach(r => assert(r.getStruct(1) == r.getStruct(2),
+      s"gopher diverged on id ${r.getLong(0)}"))
+  }
+
+  test("NbScore-backed classify and dsir survive the fuzz corpus") {
+    val docs = fuzzCorpus(0xBEEFL, 300).toDF("id", "text")
+      .where(length(trim(col("text"))) > 0)
+    val labeled = docs.withColumn("lab",
+      (pmod(col("id"), lit(3))).cast("string"))
+    val model = Classify.trainNaiveBayes(labeled, "id", "text", "lab",
+      buckets = 211)
+    val a = Classify.predict(model, docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    val b = Classify.predictViaShuffle(model, docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    val t = fuzzCorpus(0xCAFEL, 60).toDF("id", "text")
+      .where(length(trim(col("text"))) > 0)
+    val da = Dsir.importanceWeights(docs, t, "id", "text", buckets = 211)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val db = Dsir.importanceWeightsViaShuffle(docs, t, "id", "text",
+      buckets = 211)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(da.toSeq == db.toSeq)
+  }
+
+  test("BigramPpl arm equals the join arm on the fuzz corpus") {
+    val ref = fuzzCorpus(0xF00DL, 200).toDF("id", "text")
+    val docs = fuzzCorpus(0xFACEL, 200).toDF("id", "text")
+    val m = LangModel.train(ref, "id", "text")
+    val a = LangModel.score(m, docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(m.kernelArm.exists(_.isDefined))
+    val b = LangModel.scoreViaJoin(m, docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+}
