@@ -276,8 +276,18 @@ object Dedup {
     * form (a stateful operator can't sit behind a corpus-wide
     * aggregation). NULL when the text has fewer than n tokens (such docs
     * have no shingles and are absent from the batch sets table too).
-    * Let-bound throughout — see [[graft.functions.GraftFunctions.bind]]. */
+    * Served by the native [[org.apache.spark.sql.graftbridge.MinHashSig]]
+    * kernel — one pass updating all `numHashes` minima (the HOF
+    * formulation, numHashes interpreted array_min(transform) passes, is
+    * kept as [[minHashSignatureHof]] and value-pinned in DedupSpec). */
   def minHashSignature(text: Column, n: Int, numHashes: Int = 16): Column =
+    minHashKernel(transform(TextOps.ngrams(text, n), g => xxhash64(g)),
+      numHashes)
+
+  /** The all-HOF formulation of [[minHashSignature]] — the
+    * engine-portable reference the kernel is pinned against. */
+  private[dedup] def minHashSignatureHof(text: Column, n: Int,
+      numHashes: Int = 16): Column =
     graft.functions.GraftFunctions.bind(
       transform(TextOps.ngrams(text, n), g => pmod(xxhash64(g), lit(MinHashP)))) { hs =>
       when(size(hs) <= 0, lit(null).cast("array<bigint>"))
@@ -286,6 +296,17 @@ object Dedup {
           array_min(transform(hs, h => pmod(h * a + b, lit(MinHashP))))
         }: _*))
     }
+
+  /** [[MinHashSig]] over a raw (or pre-reduced — pmod is idempotent)
+    * shingle-hash array Column, permutation table baked from
+    * [[permParams]]. Shared by the per-row signature, the batch LSH
+    * join, and the persisted-index band tables. */
+  private[dedup] def minHashKernel(hashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, MinHashSig}
+    val ab = (0 until numHashes).map(permParams)
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes),
+      ab.map(_._1).toArray, ab.map(_._2).toArray, MinHashP))
+  }
 
   /** MinHash + LSH near-dup join: signature of `numHashes` min-values,
     * banded one hash per band (most permissive banding — candidate if ANY
@@ -299,19 +320,13 @@ object Dedup {
     try {
       // signatures are PER-ROW projections off the cached sets — the
       // min-aggregate formulation would shuffle the whole inverted index a
-      // second time; array_min over the per-doc hash array produces the
-      // SAME values (same distinct hashes, same permutations — and the same
-      // values minHashSignature computes per streaming row). The 31-bit
-      // pmod reduction runs once per element, inside the lambda.
-      val sigs = sets.select(col("id") +: (0 until numHashes).map { i =>
-        val (a, b) = permParams(i) // a < p for any sane numHashes
-        array_min(transform(col("hs"),
-          h => pmod(pmod(h, lit(MinHashP)) * a + b, lit(MinHashP)))).as(s"mh$i")
-      }: _*)
-      val bands = sigs.select(col("id"),
-        explode(array((0 until numHashes).map(i =>
-          struct(lit(i).as("band"), col(s"mh$i").as("value"))): _*)).as("bv"))
-        .select(col("id"), col("bv.band"), col("bv.value"))
+      // second time; the MinHashSig kernel folds all numHashes minima in
+      // one pass over the per-doc hash array and produces the SAME values
+      // minHashSignature computes per streaming row (sets never empty
+      // here: shingle-less docs are absent from docShingleSets)
+      val bands = sets
+        .select(col("id"), posexplode(minHashKernel(col("hs"), numHashes))
+          .as(Seq("band", "value")))
         .persist() // self-joined: don't recompute the signatures per side
       try {
         val candidates = bands.as("x")

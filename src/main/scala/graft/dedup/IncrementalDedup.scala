@@ -66,18 +66,13 @@ object IncrementalDedup {
 
   /** Band table (id, band, value) off a per-doc shingle-set frame —
     * exactly the [[Dedup.minHashLshJoin]] derivation. */
-  private def bandsFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
-    val sigs = sets.select(col("id") +: (0 until numHashes).map { i =>
-      val (a, b) = Dedup.permParams(i)
-      array_min(transform(col("hs"),
-        h => pmod(pmod(h, lit(Dedup.MinHashP)) * a + b, lit(Dedup.MinHashP))))
-        .as(s"mh$i")
-    }: _*)
-    sigs.select(col("id"),
-        explode(array((0 until numHashes).map(i =>
-          struct(lit(i).as("band"), col(s"mh$i").as("value"))): _*)).as("bv"))
-      .select(col("id"), col("bv.band"), col("bv.value"))
-  }
+  private def bandsFromSets(sets: DataFrame, numHashes: Int): DataFrame =
+    // one MinHashSig kernel pass per doc (values identical to the HOF
+    // formulation — DedupSpec pins it — so existing on-disk band tables
+    // stay probe-compatible)
+    sets.select(col("id"),
+      posexplode(Dedup.minHashKernel(col("hs"), numHashes))
+        .as(Seq("band", "value")))
 
   private def writeTables(dir: String, bands: DataFrame, sets: DataFrame,
       mode: String): Unit = {

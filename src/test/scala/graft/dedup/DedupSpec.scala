@@ -319,4 +319,34 @@ class DedupSpec extends AnyFunSuite {
       .where(col("k") =!= col("s")).count()
     assert(bad == 0, s"$bad rows disagree with array_intersect")
   }
+
+  test("MinHashSig kernel is value-pinned to the HOF signature formulation") {
+    import spark.implicits._
+    val docs = spark.range(0, 200).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, cast(id % 12 as int)),
+         i -> concat('w', cast((id * 7 + i) % 31 as string)))) as text""")
+      .union(Seq((900L, ""), (901L, "one two"),
+        (902L, null.asInstanceOf[String])).toDF("id", "text"))
+    val both = docs.select(col("id"), col("text").isNull.as("tn"),
+        Dedup.minHashSignature(col("text"), 3).as("k"),
+        Dedup.minHashSignatureHof(col("text"), 3).as("h")).collect()
+    both.foreach { r =>
+      if (r.getBoolean(1)) {
+        // null text: the kernel yields clean NULL where the HOF's
+        // when/size null semantics accidentally produced an array of
+        // null elements — equivalent downstream (null band values never
+        // equi-match; verify rejects), and the kernel form never emits
+        // junk band rows
+        assert(r.isNullAt(2), s"kernel not null on null text ${r.getLong(0)}")
+      } else {
+        assert(r.isNullAt(2) == r.isNullAt(3),
+          s"nullability diverged on ${r.getLong(0)}")
+        if (!r.isNullAt(2))
+          assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+            s"signature diverged on ${r.getLong(0)}")
+      }
+    }
+    // short docs (< n tokens) are NULL in both
+    assert(both.find(_.getLong(0) == 901L).get.isNullAt(2))
+  }
 }
