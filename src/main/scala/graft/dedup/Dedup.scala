@@ -53,9 +53,19 @@ object Dedup {
     * far below corpus noise. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+        explode(ngramHashes(col(textCol), n)).as("h"))
       .distinct()
+
+  /** Word n-gram xxhash64 array straight off the text — the
+    * [[org.apache.spark.sql.graftbridge.NgramHash]] kernel over the
+    * token split: one compiled pass, no n-gram strings materialized, and
+    * the explodes downstream carry 8-byte longs (bit-pinned against the
+    * `xxhash64(array_join(...))` Column formulation in DedupSpec). */
+  private[graft] def ngramHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash}
+    ColumnBridge.column(NgramHash(
+      ColumnBridge.expression(TextOps.tokens(text)), n))
+  }
 
   /** Per-doc distinct shingle-hash SETS — the near-dup joins' shared
     * foundation, built with ONE corpus shuffle: raw exploded (id, hash)
@@ -69,8 +79,7 @@ object Dedup {
   def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(TextOps.ngrams(col(textCol), n)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+        explode(ngramHashes(col(textCol), n)).as("h"))
       .groupBy("id").agg(collect_set(col("h")).as("hs"))
 
   /** Jaccard from per-pair intersection counts + per-doc sizes (projected
@@ -281,8 +290,7 @@ object Dedup {
     * formulation, numHashes interpreted array_min(transform) passes, is
     * kept as [[minHashSignatureHof]] and value-pinned in DedupSpec). */
   def minHashSignature(text: Column, n: Int, numHashes: Int = 16): Column =
-    minHashKernel(transform(TextOps.ngrams(text, n), g => xxhash64(g)),
-      numHashes)
+    minHashKernel(ngramHashes(text, n), numHashes)
 
   /** The all-HOF formulation of [[minHashSignature]] — the
     * engine-portable reference the kernel is pinned against. */

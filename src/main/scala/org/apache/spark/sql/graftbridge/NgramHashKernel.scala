@@ -1,0 +1,78 @@
+// lives inside org.apache.spark.sql so it can extend ExpectsInputTypes
+// (AbstractDataType is private[sql]); the logic is graft's own
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Word n-gram xxhash64 values straight from the token array — ONE native
+ * pass replacing the `explode(transform(slice→array_join)) → xxhash64`
+ * pipeline at the base of every shingle operator (Jaccard/MinHash
+ * candidate generation, decontamination, the per-row streaming
+ * signature). The Column formulation materializes every n-gram STRING
+ * (an interpreted array_join per position, then a string-payload explode
+ * whose rows exist only to be hashed); this kernel hashes the n-gram's
+ * exact byte image (tokens joined by 0x20 — including empty tokens,
+ * which Spark's limit=-1 split can produce) without ever allocating the
+ * joined string, and the explode that follows carries 8-byte longs.
+ *
+ * Bit-compat: hash = `xxhash64(array_join(slice(tokens,i,n), " "))` —
+ * [[XxHash64Function]] over the identical UTF-8 bytes with the same
+ * seed 42, pinned against the Column formulation in DedupSpec. Fewer
+ * than n tokens → empty array (the `ngrams` contract).
+ */
+case class NgramHash(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val tb = new Array[Array[Byte]](m)
+      var i = 0
+      while (i < m) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+      val out = new Array[Long](cnt)
+      var p = 0
+      while (p < cnt) {
+        var len = n - 1 // the n-1 joining spaces
+        var j = 0
+        while (j < n) { len += tb(p + j).length; j += 1 }
+        val g = new Array[Byte](len)
+        var off = 0
+        j = 0
+        while (j < n) {
+          val t = tb(p + j)
+          System.arraycopy(t, 0, g, off, t.length)
+          off += t.length
+          if (j < n - 1) { g(off) = ' '; off += 1 }
+          j += 1
+        }
+        out(p) = XxHash64Function.hash(UTF8String.fromBytes(g), StringType, 42L)
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramHash", this, classOf[NgramHash].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  ((${classOf[NgramHash].getName}) $ref).nullSafeEval($c);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

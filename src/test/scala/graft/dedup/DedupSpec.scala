@@ -349,4 +349,25 @@ class DedupSpec extends AnyFunSuite {
     // short docs (< n tokens) are NULL in both
     assert(both.find(_.getLong(0) == 901L).get.isNullAt(2))
   }
+
+  test("NgramHash kernel is bit-pinned to the xxhash64(array_join) formulation") {
+    import spark.implicits._
+    val docs = spark.range(0, 150).selectExpr("id",
+      """concat_ws(' ', transform(sequence(1, cast(id % 9 as int)),
+         i -> concat('w', cast((id * 5 + i) % 13 as string)))) as text""")
+      .union(Seq((900L, ""), (901L, "a b"), (902L, "a b\tc\t"),
+        (903L, "w\u00f6rd \ud83d\ude00 x y")).toDF("id", "text"))
+    val kern = docs.select(col("id"),
+        graft.dedup.Dedup.ngramHashes(col("text"), 3).as("k")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    val ref = docs.select(col("id"), graft.text.TextOps.ngrams(col("text"), 3)
+        .as("g"))
+      .select(col("id"), transform(col("g"), g => xxhash64(g)).as("h")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(kern == ref)
+    // the trailing-empty-token split artifact flows through identically
+    assert(kern(902L).size == 2) // tokens [a, b, c, ""] -> 2 trigrams
+  }
 }
