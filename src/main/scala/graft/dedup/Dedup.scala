@@ -621,6 +621,25 @@ object Dedup {
     * signs); for looser thresholds pass more planes with the same band
     * width (e.g. planes=64 → 8 bands: P(miss | cos=0.9) ≈ 0.71^8 ≈ 6%,
     * planes=128 → 0.4%). */
+  /** The Column formulation of the sign-band projection — `planes`
+    * aggregate/zip_with dot folds + the per-band bit assembly, all
+    * interpreted — kept as the reference [[org.apache.spark.sql
+    * .graftbridge.SignBands]] is band-pinned against (DedupSpec). */
+  private[dedup] def signBandValuesHof(vec: Column, mat: Seq[Seq[Double]],
+      bandBits: Int): Column = {
+    val planes = mat.size
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, typedlit(mat(p)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    array((0 until planes / bandBits).map { bnd =>
+      (0 until bandBits).map(k =>
+        bits(bnd * bandBits + k) * (1L << k)).reduce(_ + _)
+    }: _*)
+  }
+
   def cosineNearDupJoin(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 16, bandBits: Int = 8,
       dim: Option[Int] = None): DataFrame = {
@@ -658,28 +677,22 @@ object Dedup {
       (0 until planes).map(p => (0 until corpusDim).map(j =>
         flat(p * corpusDim + j).asInstanceOf[Double]))
     }
-    val dotCols = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(col(vecCol), typedlit(mat(p)),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, 1L).otherwise(0L).as(s"bit$p")
-    }
     // null or wrong-dimension vectors can't be scored (null dot would
     // silently band as all-zero bits and only waste verify work — the
     // exact-cosine filter rejects them anyway); exclude them up front
     val banded = df.where(col(vecCol).isNotNull &&
       size(col(vecCol)) === corpusDim)
-    val withBits = banded.select(Seq(col(idCol).as("id")) ++ dotCols: _*)
-    // cached: the self-join's two sides would otherwise each recompute the
-    // `planes` hyperplane dot products per row
-    val bands = withBits.select(col("id"),
-      explode(array((0 until planes / bandBits).map { bnd =>
-        val v = (0 until bandBits).map(k =>
-          col(s"bit${bnd * bandBits + k}") * (1L << k)).reduce(_ + _)
-        struct(lit(bnd).as("band"), v.as("value"))
-      }: _*)).as("bv"))
-      .select(col("id"), col("bv.band"), col("bv.value"))
+    // all `planes` hyperplane dots + band assembly in ONE kernel pass per
+    // row (the HOF formulation — `planes` interpreted aggregate/zip_with
+    // folds — survives as signBandValuesHof, band-pinned in DedupSpec);
+    // cached: the self-join's two sides would otherwise each recompute it
+    val sig = {
+      import org.apache.spark.sql.graftbridge.{ColumnBridge, SignBands}
+      ColumnBridge.column(SignBands(ColumnBridge.expression(col(vecCol)),
+        mat.flatten.toArray, planes, bandBits))
+    }
+    val bands = banded
+      .select(col(idCol).as("id"), posexplode(sig).as(Seq("band", "value")))
       .persist()
     try {
       val candidates = bands.as("x")

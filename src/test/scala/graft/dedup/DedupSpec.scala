@@ -370,4 +370,31 @@ class DedupSpec extends AnyFunSuite {
     // the trailing-empty-token split artifact flows through identically
     assert(kern(902L).size == 2) // tokens [a, b, c, ""] -> 2 trigrams
   }
+
+  test("SignBands kernel is band-pinned to the HOF hyperplane formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SignBands}
+    val dim = 8
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => graft.TestFixtures.vec(3L, i.toLong, dim)(j))))
+      .toDF("id", "vec")
+    // the same hash-derived hyperplane matrix cosineNearDupJoin evaluates
+    def planeComponent(p: Int, j: org.apache.spark.sql.Column) = {
+      val h = xxhash64(lit(p), j, lit("graft-hyperplane"))
+      h.cast("double") / lit(Long.MaxValue.toDouble)
+    }
+    val planes = 16; val bandBits = 8
+    val flat = ColumnBridge.evalConstants(spark,
+      (0 until planes).flatMap(p => (0 until dim).map(j =>
+        planeComponent(p, lit(j)))))
+      .map(_.asInstanceOf[Double])
+    val mat = (0 until planes).map(p => (0 until dim).map(j => flat(p * dim + j)))
+    val kern = ColumnBridge.column(SignBands(
+      ColumnBridge.expression(col("vec")), flat.toArray, planes, bandBits))
+    val rows = vecs.select(col("id"), kern.as("k"),
+      graft.dedup.Dedup.signBandValuesHof(col("vec"), mat, bandBits).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"bands diverged on id ${r.getLong(0)}"))
+  }
 }
