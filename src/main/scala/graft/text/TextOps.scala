@@ -27,7 +27,9 @@ object TextOps {
     * with an optional leading space (the GPT-2 pre-tokenizer shape). */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+    // regexp_count: same non-overlapping scan as regexp_extract_all, but
+    // no match array materialized per row just to be size()d
+    regexp_count(text, lit(BpePattern))
 
   /** Word n-grams (n consecutive whitespace tokens joined by single spaces).
     * Texts shorter than n tokens yield an empty array (guarded explicitly —
@@ -164,9 +166,16 @@ object TextOps {
     * document — the Gopher/MassiveText boilerplate rule (high repeated-
     * n-gram share ⇒ template/spam text). Shuffle-free per-row expression:
     * 1 − distinct/total over the doc's n-gram array; docs shorter than n
-    * tokens score 0. */
+    * tokens score 0.
+    *
+    * Runs over the [[graft.dedup.Dedup.ngramHashes]] kernel's 64-bit
+    * n-gram hashes instead of materialized n-gram strings (one compiled
+    * pass + codegen'd array_distinct on longs): distinct/total is
+    * identical unless two DISTINCT n-grams of the SAME doc collide in 64
+    * bits — P ≈ grams²/2⁶⁵ per doc, far beyond the 4-place rounding. */
   def repetitionRatio(text: Column, n: Int): Column =
-    graft.functions.GraftFunctions.bind(ngrams(text, n)) { g =>
+    graft.functions.GraftFunctions.bind(
+        graft.dedup.Dedup.ngramHashes(text, n)) { g =>
       round(when(size(g) <= 0, lit(0.0))
         .otherwise(lit(1.0) -
           size(array_distinct(g)).cast("double") / size(g).cast("double")), 4)
