@@ -26,9 +26,18 @@ object TextOps {
   /** BPE-ish subword count: runs of letters / digits / other-symbols, each
     * with an optional leading space (the GPT-2 pre-tokenizer shape). */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
-  def bpeTokenCount(text: Column): Column =
-    // regexp_count: same non-overlapping scan as regexp_extract_all, but
-    // no match array materialized per row just to be size()d
+  def bpeTokenCount(text: Column): Column = {
+    // native run-class scan ([[org.apache.spark.sql.graftbridge
+    // .BpeRunCount]]) — the regex alternation pass cost ~10 s at 500k
+    // docs; [[bpeTokenCountRegex]] keeps the regex twin, count-pinned in
+    // TextOpsSpec/KernelFuzzSpec
+    import org.apache.spark.sql.graftbridge.{BpeRunCount, ColumnBridge}
+    ColumnBridge.column(BpeRunCount(ColumnBridge.expression(text)))
+  }
+
+  /** The regex formulation of [[bpeTokenCount]] — the engine-portable
+    * reference (mirrors the oracle SQL's regexp_extract_all count). */
+  def bpeTokenCountRegex(text: Column): Column =
     regexp_count(text, lit(BpePattern))
 
   /** Word n-grams (n consecutive whitespace tokens joined by single spaces).

@@ -135,3 +135,58 @@ case class TextStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Count of BPE-ish pre-tokenizer matches — the native twin of
+ * `regexp_count(text, " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")`
+ * (the GPT-2 pre-tokenizer shape, [[graft.text.TextOps.BpePattern]]).
+ * The regex's non-overlapping left-to-right matches are exactly the
+ * maximal same-class runs of the text, where class ∈ {ASCII letters,
+ * ASCII digits, other-non-whitespace} — the optional leading space only
+ * extends a match leftward, never changes the count, and whitespace
+ * (Java ASCII `\s`) separates runs without matching. Every non-ASCII
+ * codepoint falls in the `other` class (its lead AND continuation bytes
+ * all map there, so a multi-byte char can't split a run). One byte scan
+ * per row versus a three-way-alternation regex engine pass (measured
+ * ~10 s at 500k docs); count-pinned against the regex in TextOpsSpec
+ * and the fuzz corpus.
+ */
+case class BpeRunCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "bpe_run_count"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    var cnt = 0L
+    var prev = 0 // 0 = ws/none, 1 = alpha, 2 = digit, 3 = other
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val cls =
+        if (b >= 0) {
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) 1
+          else if (b >= '0' && b <= '9') 2
+          else if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+            b == '\f' || b == '\r') 0
+          else 3
+        } else 3
+      if (cls != 0 && cls != prev) cnt += 1
+      prev = cls
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRunCount", this, classOf[BpeRunCount].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Long) ((${classOf[BpeRunCount].getName}) $ref).nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

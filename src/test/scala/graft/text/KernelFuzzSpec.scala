@@ -49,6 +49,11 @@ class KernelFuzzSpec extends AnyFunSuite {
         TextOps.gopherFlagsHof(col("text")).as("b")).collect()
     g.foreach(r => assert(r.getStruct(1) == r.getStruct(2),
       s"gopher diverged on id ${r.getLong(0)}"))
+    val bp = docs.select(col("id"),
+        TextOps.bpeTokenCount(col("text")).as("a"),
+        TextOps.bpeTokenCountRegex(col("text")).cast("long").as("b")).collect()
+    bp.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"bpe count diverged on id ${r.getLong(0)}"))
   }
 
   test("NbScore-backed classify and dsir survive the fuzz corpus") {

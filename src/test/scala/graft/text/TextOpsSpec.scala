@@ -15,7 +15,7 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one[Int](TextOps.tokenCount(col("t")), "  a b   c  ") == 3)
     assert(one[Int](TextOps.tokenCount(col("t")), "one") == 1)
     // "don't stop" -> [don][']|[t]... pattern: ' ?[A-Za-z]+' etc.
-    assert(one[Int](TextOps.bpeTokenCount(col("t")), "hello world42!") == 4)
+    assert(one[Long](TextOps.bpeTokenCount(col("t")), "hello world42!") == 4L)
   }
 
   test("ngrams produce n consecutive tokens, empty below n") {
