@@ -1560,12 +1560,16 @@ object Queries {
           "  CAST(doc_id % 5 AS STRING), '.org '), CAST(doc_id % 4 AS INT)), " +
           "'ip 10.', CAST(doc_id % 200 AS STRING), '.0.1 tel 555-', " +
           "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-0199')")
-        val (e, i, p) = graft.text.Pii.piiCounts(injected)
+        // counts array aliased once, fields extracted in a follow-up
+        // projection: one PiiMatchCounts scan per row (see piiCountsArray)
         TestStores.table(s, dir, "documents").select(
           col("doc_id"),
           graft.text.Pii.redactAll(injected).as("redacted"),
-          e.cast("bigint").as("n_email"), i.cast("bigint").as("n_ip"),
-          p.cast("bigint").as("n_phone"))
+          graft.text.Pii.piiCountsArray(injected).as("_pc"))
+          .select(col("doc_id"), col("redacted"),
+            element_at(col("_pc"), 1).as("n_email"),
+            element_at(col("_pc"), 2).as("n_ip"),
+            element_at(col("_pc"), 3).as("n_phone"))
           .orderBy("doc_id")
       },
       Some {

@@ -48,8 +48,24 @@ object Pii {
 
   /** Apply a rule chain in order (default: email → IPv4 → phone).
     * Idempotent for the default rules: the replacement tokens contain
-    * no digits or @, so a second pass finds nothing. */
+    * no digits or @, so a second pass finds nothing.
+    *
+    * The DEFAULT chain runs as one native kernel
+    * ([[org.apache.spark.sql.graftbridge.PiiRedact]] — three hand-rolled
+    * leftmost matchers reproducing the regex spans byte-for-byte; the
+    * three regexp_replace engine passes measured ~9 s at 500k docs,
+    * span-pinned against [[redactAllRegex]] in TextOpsSpec and the
+    * PII-adversarial fuzz corpus). Custom rule sets keep the generic
+    * regexp_replace fold. */
   def redactAll(text: Column, rules: Seq[(String, String)] = DefaultRules): Column =
+    if (rules == DefaultRules) {
+      import org.apache.spark.sql.graftbridge.{ColumnBridge, PiiRedact}
+      ColumnBridge.column(PiiRedact(ColumnBridge.expression(text)))
+    } else redactAllRegex(text, rules)
+
+  /** The regexp_replace formulation of [[redactAll]] — the engine-portable
+    * reference (the oracle SQL chains the same three patterns). */
+  def redactAllRegex(text: Column, rules: Seq[(String, String)] = DefaultRules): Column =
     rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
 
   /** Per-kind match counts over the ORIGINAL text — the audit column a
@@ -70,4 +86,16 @@ object Pii {
     (regexp_count(text, lit(EmailPattern)),
      regexp_count(text, lit(Ipv4Pattern)),
      regexp_count(text, lit(PhonePattern)))
+
+  /** All three audit counts in ONE native scan of the original text
+    * ([[org.apache.spark.sql.graftbridge.PiiMatchCounts]]) — array slots
+    * [email, ip, phone], count-pinned against [[piiCounts]]. Callers
+    * should alias the array once and extract fields in a FOLLOW-UP
+    * projection (a non-cheap alias referenced ≥2× survives
+    * CollapseProject, so the kernel runs once per row; naive per-field
+    * copies of the expression would scan three times). */
+  def piiCountsArray(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, PiiMatchCounts}
+    ColumnBridge.column(PiiMatchCounts(ColumnBridge.expression(text)))
+  }
 }

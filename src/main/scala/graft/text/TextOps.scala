@@ -56,32 +56,59 @@ object TextOps {
 
   // ------------------------------------------------------------ language ID
 
-  /** Stopword marker regexes per language — the classic cheap n-gram/stopword
-    * heuristic. Counts of these per language vote; argmax wins (ties broken
-    * by fixed language order). */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|is|to|in|that|it|was|for)\\b",
-    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
-    "fr" -> "\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
-    "es" -> "\\b(el|los|las|es|una|para|con|por|del|se)\\b",
-    "zh" -> "[\\x{4e00}-\\x{9fff}]") // \x{..} syntax: valid in BOTH Java and RE2
+  /** Stopword vocabularies per marker language — the classic cheap
+    * n-gram/stopword heuristic. Counts of these per language vote; argmax
+    * wins (ties broken by fixed language order). */
+  val LangWordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "por", "del", "se"))
+
+  /** The marker regexes the vocabularies compile to (zh is a Han-block
+    * char class, not a word list) — fed verbatim to the DuckDB oracle.
+    * \x{..} syntax: valid in BOTH Java and RE2. */
+  val LangMarkers: Seq[(String, String)] =
+    LangWordSets.map { case (l, ws) => l -> s"\\b(${ws.mkString("|")})\\b" } :+
+      ("zh" -> "[\\x{4e00}-\\x{9fff}]")
 
   def langScore(text: Column, marker: String): Column =
     regexp_count(lower(text), lit(marker))
 
   /** Predicted language = argmax of marker counts; "und" (undetermined) when
-    * every score is zero. Evaluation discipline: the lowered text, the
-    * score vector, and the max are all LET-BOUND, so each marker regex
-    * runs EXACTLY once per row — the naive argmax-as-CASE formulation
-    * re-evaluates every score per comparison branch (measured ~6× the
-    * regex work on the driver corpus). */
+    * every score is zero. The five marker counts come from ONE native byte
+    * scan ([[org.apache.spark.sql.graftbridge.LangMarkerCounts]] — the five
+    * regexp_count passes of [[langIdRegex]] measured ~5 s at 500k docs,
+    * count-pinned in TextOpsSpec/KernelFuzzSpec); the count vector and the
+    * max are LET-BOUND so the kernel runs EXACTLY once per row. */
   def langId(text: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, LangMarkerCounts}
+    bind(ColumnBridge.column(LangMarkerCounts(
+      ColumnBridge.expression(text), LangWordSets.map(_._2)))) { sc =>
+      bind(array_max(sc)) { best =>
+        // first language (in declared order) achieving the max
+        LangMarkers.zipWithIndex.foldRight(lit("und")) {
+          case (((l, _), i), els) =>
+            when(element_at(sc, i + 1) === best && best > 0, lit(l))
+              .otherwise(els)
+        }
+      }
+    }
+  }
+
+  /** The regexp_count formulation of [[langId]] — the engine-portable
+    * reference (the oracle SQL recompiles the same marker patterns).
+    * Evaluation discipline: the lowered text, the score vector, and the
+    * max are all LET-BOUND, so each marker regex runs EXACTLY once per
+    * row — the naive argmax-as-CASE formulation re-evaluates every score
+    * per comparison branch (measured ~6× the regex work). */
+  def langIdRegex(text: Column): Column = {
     import graft.functions.GraftFunctions.bind
     bind(lower(text)) { lt =>
       bind(array(LangMarkers.map { case (_, m) =>
-        regexp_count(lt, lit(m)) }: _*)) { sc =>
+        regexp_count(lt, lit(m)).cast("long") }: _*)) { sc =>
         bind(array_max(sc)) { best =>
-          // first language (in declared order) achieving the max
           LangMarkers.zipWithIndex.foldRight(lit("und")) {
             case (((l, _), i), els) =>
               when(element_at(sc, i + 1) === best && best > 0, lit(l))

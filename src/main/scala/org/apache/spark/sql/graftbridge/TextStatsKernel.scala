@@ -34,10 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
  *    not ASCII-alphanumeric and not Java `\s` ([ \t\n\x0B\f\r]) — which
  *    includes every non-ASCII codepoint, counted once per LEAD byte.
  *  - stops ≡ `regexp_count(lower(text), "\\b(the|and|of|is|to|in|that|
- *    it|was|for)\\b")`: with default (ASCII) Java regex classes a match
- *    is exactly a maximal `[a-z0-9_]` run of the LOWERCASED text equal
- *    to one of the ten alternatives — matches can't overlap, so the scan
- *    over word runs reproduces the non-overlapping count.
+ *    it|was|for)\\b")`: a match is a maximal ASCII `[a-z0-9_]` run of
+ *    the LOWERCASED text equal to one of the ten alternatives, flanked
+ *    by non-word codepoints in `\b`'s UNICODE sense ([[JavaWordBoundary]]
+ *    — Java's `\b` is Unicode-aware even though its default `\w` is
+ *    ASCII-only, so `öthe` contains NO match; a later fuzz round caught
+ *    this as a latent divergence in the original ASCII-run scan) —
+ *    matches can't overlap, so the scan over word runs reproduces the
+ *    non-overlapping count.
  *  - chars ≡ `length(text)` (codepoints).
  *
  * Slot layout of the returned array<long>: [tokens, punct, stops, chars].
@@ -99,9 +103,11 @@ object TextStatsImpl {
         var e = s
         while (e < ln && lw(e) >= 0 && isWord(lw(e))) e += 1
         val len = e - s
+        val bounded = (s == 0 || !JavaWordBoundary.isWordBefore(lw, s)) &&
+          (e == ln || !JavaWordBoundary.isWordAt(lw, e))
         var k = 0
         var hit = false
-        while (!hit && k < Stops.length) {
+        while (!hit && bounded && k < Stops.length) {
           val st = Stops(k)
           if (st.length == len) {
             var j = 0

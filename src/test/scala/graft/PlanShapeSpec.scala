@@ -188,6 +188,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("lang-id and PII kernels evaluate ONCE per row in their query shapes") {
+    // the eval-count trap: a kernel expression copied per extracted field
+    // re-scans the text per field. langId let-binds the count array; the
+    // pii query aliases the counts array and extracts in a follow-up
+    // projection (non-cheap alias referenced 3x survives CollapseProject).
+    // range-backed frame: a local Seq constant-folds into a LocalTableScan
+    // and the probe would count zero kernels in an empty plan
+    val rdocs = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("der u"), col("id"), lit("@ex.org ip 1.2.3.4")).as("text"))
+    // alias: the auto-generated column name would echo the expression
+    // string and double-count the kernel name
+    val lp = plan(rdocs.select(graft.text.TextOps.langId(col("text")).as("lang")))
+    assert("lang_marker_counts".r.findAllIn(lp).size == 1,
+      s"langId must run the marker kernel once; plan:\n$lp")
+    val pdf = rdocs
+      .select(col("doc_id"),
+        graft.text.Pii.redactAll(col("text")).as("redacted"),
+        graft.text.Pii.piiCountsArray(col("text")).as("_pc"))
+      .select(col("doc_id"), col("redacted"),
+        element_at(col("_pc"), 1).as("n_email"),
+        element_at(col("_pc"), 2).as("n_ip"),
+        element_at(col("_pc"), 3).as("n_phone"))
+    val pp = plan(pdf)
+    assert("pii_match_counts".r.findAllIn(pp).size == 1 &&
+      "pii_redact".r.findAllIn(pp).size == 1,
+      s"pii kernels must each run once; plan:\n$pp")
+  }
+
   test("packSequences shuffles ONCE (on shard) and plans a per-shard window") {
     val p = plan(graft.pipeline.Corpus.packSequences(
       docs, "doc_id", "text", budget = 8, shards = 2))

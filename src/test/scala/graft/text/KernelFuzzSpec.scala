@@ -20,6 +20,7 @@ class KernelFuzzSpec extends AnyFunSuite {
     val atoms = Array(
       "the", "The", "THE", "and", "of", "is", "not", "x_the", "the2",
       "wörd", "naïve", "日本語", "テスト", "😀", "😀the",
+      "öthe", "theö", "é2", "日the", "𝐀the", "the𝟡",
       "#", "#tag", "...", "dots...", "a#b", "1234", "_", "__", "a_b",
       "for", "was", "it", "in", "to", "be", "with", "have", "that",
       "ref", "refx", "x", "Q", "", "é")
@@ -76,6 +77,45 @@ class KernelFuzzSpec extends AnyFunSuite {
       buckets = 211)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     assert(da.toSeq == db.toSeq)
+  }
+
+  test("LangMarkerCounts / PII kernels survive a PII-flavored fuzz corpus") {
+    // same generator, atoms skewed to the matchers' failure surface:
+    // partial emails, over-long octets, digit runs that flank real IPs,
+    // dots/hyphens/@ in every separator role, marker stopwords, Han chars
+    val rnd = new scala.util.Random(0x9117L)
+    val atoms = Array(
+      "a@b.co", "u3@ex4.org", "x@y@z.com", "a@b..cd", "a@b.c", "a@b.comm5",
+      "a@", "@b.cd", "@", "a.b@c.d.ef", "ex.org", "%+-", "._%",
+      "1.2.3.4", "10.0.0.1", "1234.5.6.7", "1.2.3.4567", "1.2", "255",
+      "555-042-0199", "555 042 0199", "555.042.0199", "5555", "0199",
+      "der", "the", "les", "el", "日本語", "漢字", "wörd", "😀", "é",
+      ".", "-", "..", "x_", "_9", "tel", "ip", "")
+    val seps = Array(" ", "", ".", "-", "@", "\t", "\n", " . ")
+    val docs = (0L until 400L).map { i =>
+      val parts = (0 until rnd.nextInt(24)).map(_ => atoms(rnd.nextInt(atoms.length)))
+      val sb = new StringBuilder
+      parts.zipWithIndex.foreach { case (p, j) =>
+        sb.append(p)
+        if (j < parts.size - 1) sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      (i, sb.toString)
+    }.toDF("id", "text")
+    val li = docs.select(col("id"), TextOps.langId(col("text")).as("a"),
+      TextOps.langIdRegex(col("text")).as("b")).collect()
+    li.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"langId diverged on id ${r.getLong(0)}"))
+    val (e, i, p) = Pii.piiCounts(col("text"))
+    val pi = docs.select(col("id"),
+        Pii.redactAll(col("text")).as("ra"), Pii.redactAllRegex(col("text")).as("rb"),
+        Pii.piiCountsArray(col("text")).as("ca"),
+        array(e.cast("long"), i.cast("long"), p.cast("long")).as("cb")).collect()
+    pi.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"redact diverged on id ${r.getLong(0)}: [${r.getString(1)}] vs [${r.getString(2)}]")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"counts diverged on id ${r.getLong(0)}: ${r.getSeq[Long](3)} vs ${r.getSeq[Long](4)}")
+    }
   }
 
   test("BigramPpl arm equals the join arm on the fuzz corpus") {

@@ -211,4 +211,61 @@ class TextOpsSpec extends AnyFunSuite {
         s"id ${r.getLong(0)}: kernel $a vs builtins ${r.toSeq.drop(2)}")
     }
   }
+
+  test("native lang-marker kernel is count-pinned to the regex formulation") {
+    // marker words at \b edges (underscore/digit flanks kill the boundary),
+    // non-ASCII adjacency (ö/emoji are non-\w, so they ARE boundaries),
+    // Han chars in and out of the U+4E00..9FFF block, cross-language
+    // homographs (fr "des" / es "es"), case folding, empty strings
+    val docs = Seq("the der le el 日本語 漢字測試", "öthe the5 x_the _the the_ THE",
+      "der die das und ist nicht ein eine mit von", "le la les et est une des",
+      "el los las es una para con por del se", "", " \t ", "😀the der😀die",
+      "ｔｈｅ the.the,the", "y el de la es 2026", "des es est in it 中文",
+      "㐀 ䷿ 一 龯 龰").zipWithIndex.map(_.swap).toDF("id", "text")
+    val ids = docs.select(col("id"), TextOps.langId(col("text")).as("a"),
+      TextOps.langIdRegex(col("text")).as("b")).collect()
+    ids.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"id ${r.getInt(0)}: kernel ${r.getString(1)} vs regex ${r.getString(2)}"))
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, LangMarkerCounts}
+    val k = ColumnBridge.column(LangMarkerCounts(
+      ColumnBridge.expression(col("text")), TextOps.LangWordSets.map(_._2)))
+    val counts = docs.select(col("id"), k.as("k"),
+      array(TextOps.LangMarkers.map { case (_, m) =>
+        regexp_count(lower(col("text")), lit(m)).cast("long") }: _*).as("r"))
+      .collect()
+    counts.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"id ${r.getInt(0)}: kernel ${r.getSeq[Long](1)} vs regex ${r.getSeq[Long](2)}"))
+  }
+
+  test("native PII kernels are span- and count-pinned to the regex formulations") {
+    // the adversarial shapes the hand-rolled matchers were derived for:
+    // multiple @s (backtracking picks the second), dot runs in domains,
+    // sub-2-letter TLDs, digit tails after the TLD letters, over-long
+    // octets (no \d{1,3} backtracking can save them), boundary-killing
+    // letter/underscore flanks, '.'-separated IP chains (two adjacent
+    // matches), phones inside email local parts (counted, not redacted),
+    // non-ASCII flanks (non-\w, so boundaries hold), empty strings
+    val docs = Seq(
+      "a@b.co x@y@z.com %^a@b.co a@b..cd a@b.c a@b.comm5x a.b@c.d.ef",
+      "plain text no pii at all", "a@ @b.cd a@-.xy u3@ex4.org done",
+      "1.2.3.4 1234.5.6.7 1.2.3.4.5.6.7.8 5.1.2.3.4 1.2.3.4a a1.2.3.4",
+      "10.0.0.1@example.com 1.2.3.4. 1..2.3.4 1.2.3.4567 ö1.2.3.4ö",
+      "555-042-0199 5555-042-0199 555 042 0199 555.042.0199 555-042-01999",
+      "x555-042-0199 555-042-0199@x.com 日555-123-4567本 tel 555-1-0199",
+      "", " ", "@", "...", "---", "mixed: u0@ex1.org ip 10.7.0.1 tel 555-007-0199")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val (e, i, p) = Pii.piiCounts(col("text"))
+    val rows = docs.select(col("id"),
+        Pii.redactAll(col("text")).as("rk"),
+        Pii.redactAllRegex(col("text")).as("rr"),
+        Pii.piiCountsArray(col("text")).as("ck"),
+        array(e.cast("long"), i.cast("long"), p.cast("long")).as("cr"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id ${r.getInt(0)}: kernel [${r.getString(1)}] vs regex [${r.getString(2)}]")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"id ${r.getInt(0)}: kernel counts ${r.getSeq[Long](3)} vs regex ${r.getSeq[Long](4)}")
+    }
+  }
 }
