@@ -114,6 +114,8 @@ object Command {
       valPct: Int) extends Command
   final case class ExtSample(view: String, id: String, fraction: Double)
       extends Command
+  final case class ExtBudgetSelect(view: String, id: String, text: String,
+      budget: Long) extends Command
   final case class ExtPack(view: String, id: String, text: String,
       budget: Int, shards: Int) extends Command
   /** Deterministic epoch shuffle (Corpus.epochShuffle). */

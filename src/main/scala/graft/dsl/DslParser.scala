@@ -339,6 +339,12 @@ object DslParser extends RegexParsers {
   private val extSample: Parser[Command] =
     kw("sample") ~> fromView ~ idCol ~ (kw("fraction") ~> f64) ^^ {
       case v ~ i ~ f => ExtSample(v, i, f) }
+  // BUDGET SELECT FROM docs ID doc_id TEXT text TOKENS 10000 — quality-
+  // ranked token-budget selection (Corpus.selectByTokenBudget)
+  private val extBudgetSelect: Parser[Command] =
+    kw("budget") ~> kw("select") ~> fromView ~ idCol ~ textCol ~
+      (kw("tokens") ~> "[1-9][0-9]*".r ^^ (_.toLong)) ^^ {
+        case v ~ i ~ t ~ b => ExtBudgetSelect(v, i, t, b) }
   private val extPack: Parser[Command] =
     kw("pack") ~> fromView ~ idCol ~ textCol ~ (kw("budget") ~> nonZero) ~
       opt(kw("shards") ~> nonZero) ^^ { case v ~ i ~ t ~ b ~ sh =>
@@ -480,7 +486,8 @@ object DslParser extends RegexParsers {
     extDedupSemantic |
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplitSafe | extSplit |
-    extSample | extPack | extShuffle | extCap | extMix | extLines | extSpans |
+    extSample | extBudgetSelect | extPack | extShuffle | extCap | extMix |
+    extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
     extAsof | extInterval | extUrlCanon | extTrace

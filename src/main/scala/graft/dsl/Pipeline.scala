@@ -131,6 +131,12 @@ object Pipeline {
           t(v), id, nearPairs(v, id, text, m, n, th), "a", "b", tr, va))
       case ExtSample(v, id, f) =>
         Response.Entries(graft.pipeline.Corpus.deterministicSample(t(v), id, f))
+      case ExtBudgetSelect(v, id, text, budget) =>
+        Response.Entries(graft.pipeline.Corpus.selectByTokenBudget(
+          t(v).select(col(id),
+            graft.text.TextOps.qualityScore(col(text)).as("quality"),
+            graft.text.TextOps.tokenCount(col(text)).cast("long").as("toks")),
+          id, "quality", "toks", budget))
       case ExtPack(v, id, text, budget, shards) =>
         Response.Entries(graft.pipeline.Corpus.packSequences(
           t(v), id, text, budget, shards))

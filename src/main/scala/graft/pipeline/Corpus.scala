@@ -81,6 +81,57 @@ object Corpus {
     df.where(splitBucket(col(idCol)) < math.round(fraction * 100.0))
   }
 
+  /** Token-budget corpus selection — keep the HIGHEST-scoring documents
+    * until a token budget is exhausted (the standard curation shape:
+    * "train on the best B tokens"). Selection order is (score DESC,
+    * id ASC); a document is kept iff the running token total up to and
+    * including it is ≤ `budget`. Output carries `cum_toks`, the global
+    * running total, so the cut is auditable.
+    *
+    * Scale shape — why there is NO global sort: a corpus-wide
+    * `orderBy(score)` + running-sum window plans a SINGLE-partition
+    * window (the 100 TB anti-pattern). Instead: (1) one hash-groupBy on
+    * the score value (bounded: scores are ROUNDED values — quality
+    * scores carry 4 decimals, so ≤ ~10k distinct groups; a limit-probe
+    * fails loudly past `maxDistinctScores` telling the caller to round
+    * coarser), (2) an exclusive prefix-sum over the collected per-score
+    * token totals on the driver, (3) a broadcast offsets join + ONE
+    * per-score-group window (partitionBy(score), orderBy(id)) to place
+    * each document at offset + within-group running sum, (4) a plain
+    * filter. Two score-keyed shuffles, zero global sorts; the only skew
+    * surface is a single score value owning a huge tie group — the same
+    * bounded-tie caveat as [[graft.text.LangModel.pplBuckets]]'s cutoff
+    * sample, documented rather than hidden. NULL scores are refused
+    * loudly (a NULL would sort nowhere deterministically). */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokCol: String, budget: Long,
+      maxDistinctScores: Int = 100001): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val badScores = df.where(col(scoreCol).isNull ||
+      isnan(col(scoreCol).cast("double"))).limit(1).count()
+    require(badScores == 0,
+      s"selectByTokenBudget: NULL/NaN values in $scoreCol — score every row first")
+    val perScore = df.groupBy(col(scoreCol).cast("double").as("_s"))
+      .agg(sum(col(tokCol)).cast("long").as("_st"))
+      .limit(maxDistinctScores + 1).collect()
+    require(perScore.length <= maxDistinctScores,
+      s"selectByTokenBudget: more than $maxDistinctScores distinct $scoreCol " +
+        "values — round the score so the per-score table stays bounded")
+    // exclusive prefix sums in (score DESC) order, on the driver
+    var acc = 0L
+    val offsets = perScore.map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1)
+      .map { case (s, t) => val o = acc; acc += t; (s, o) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("_s", "_off")
+    val w = Window.partitionBy(col(scoreCol)).orderBy(col(idCol).asc)
+    df.join(broadcast(offDf), col(scoreCol) === col("_s"))
+      .withColumn("cum_toks", col("_off") + sum(col(tokCol)).over(w))
+      .where(col("cum_toks") <= budget)
+      .drop("_s", "_off")
+  }
+
   /** Per-group deterministic sampling — corpus DOWN-MIXING: each group
     * (source, language, quality band, …) keeps its own fraction, from the
     * SAME id bucketing as [[deterministicSample]]/[[assignSplit]], so the

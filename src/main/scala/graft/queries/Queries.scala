@@ -1596,6 +1596,39 @@ object Queries {
            |FROM inj ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- token-budget corpus selection: keep the best-quality docs until
+    // the token budget is hit. NO global sort (the 100 TB anti-pattern):
+    // bounded per-score aggregation + driver prefix-sum + per-score-group
+    // window place every doc at its global running total; the oracle IS
+    // the global-sort window the operator refuses to plan ----
+    "pipeline_budget_select" -> Q(
+      (s, dir) => {
+        val d = TestStores.table(s, dir, "documents")
+        val scored = d.select(col("doc_id"),
+          graft.text.TextOps.qualityScore(col("text")).as("quality"),
+          graft.text.TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        graft.pipeline.Corpus.selectByTokenBudget(
+          scored, "doc_id", "quality", "toks", budget = 10000L)
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = graft.text.TextOps.LangMarkers.head._2
+        raw"""WITH scored AS (SELECT doc_id, round((
+           |  least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
+           |  + (1.0 - least(5.0 * CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           |      / greatest(length(text), 1), 1.0))
+           |  + least(5.0 * CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE)
+           |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+           |) / 3.0, 4) AS quality,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+           |  FROM documents),
+           |c AS (SELECT doc_id, quality, toks,
+           |  sum(toks) OVER (ORDER BY quality DESC, doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cum_toks FROM scored)
+           |SELECT doc_id, quality, toks, cum_toks FROM c
+           |WHERE cum_toks <= 10000 ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- deterministic train/val/test split: id-keyed md5 bucketing —
     // engine-reproducible, shuffle-free, stable under corpus growth ----
     "pipeline_split" -> Q(

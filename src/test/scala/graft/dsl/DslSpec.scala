@@ -463,6 +463,9 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt("SAMPLE FROM docs ID doc_id FRACTION 0.2") ==
       Seq(ExtSample("docs", "doc_id", 0.2)))
     assert(DslParser.parseExt(
+      "BUDGET SELECT FROM docs ID doc_id TEXT text TOKENS 10000") ==
+      Seq(ExtBudgetSelect("docs", "doc_id", "text", 10000L)))
+    assert(DslParser.parseExt(
       "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
       "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
       Seq(ExtPack("docs", "doc_id", "text", 2048, 8),
@@ -568,6 +571,24 @@ class DslSpec extends AnyFunSuite {
     assert(safe.size == 4)
     assert(safe(0L) == safe(1L) && safe(1L) == safe(2L),
       "near-dup cluster split across the boundary")
+    // BUDGET SELECT: matches the library call exactly
+    val bsel = Pipeline.runExt(spark,
+      "BUDGET SELECT FROM ext_docs ID doc_id TEXT text TOKENS 30")
+    val bdf = bsel.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"budget select: $other")
+    }
+    import org.apache.spark.sql.functions.col
+    val scored = docs.select(col("doc_id"),
+      graft.text.TextOps.qualityScore(col("text")).as("quality"),
+      graft.text.TextOps.tokenCount(col("text")).cast("long").as("toks"))
+    val ref = graft.pipeline.Corpus
+      .selectByTokenBudget(scored, "doc_id", "quality", "toks", 30L)
+      .select("doc_id", "cum_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ref.nonEmpty && ref.map(_._2).max <= 30L)
+    assert(bdf.select("doc_id", "cum_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == ref)
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {

@@ -250,4 +250,46 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("NULL source"), e.getMessage)
   }
+
+  test("selectByTokenBudget keeps best-first until the budget, cum is the global running sum") {
+    // scores with a tie group (0.8 x2, id order breaks the tie) and a
+    // boundary doc that exactly exhausts the budget
+    val docs = Seq(
+      (1L, 0.9, 40L), (2L, 0.8, 30L), (3L, 0.8, 20L),
+      (4L, 0.5, 10L), (5L, 0.3, 100L))
+      .toDF("doc_id", "score", "toks")
+    def sel(b: Long): Seq[(Long, Long)] =
+      Corpus.selectByTokenBudget(docs, "doc_id", "score", "toks", b)
+        .select("doc_id", "cum_toks").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // order is (score desc, id asc): 1(40) 2(70) 3(90) 4(100) 5(200)
+    assert(sel(100) == Seq((1L, 40L), (2L, 70L), (3L, 90L), (4L, 100L)))
+    assert(sel(99) == Seq((1L, 40L), (2L, 70L), (3L, 90L)))
+    assert(sel(89) == Seq((1L, 40L), (2L, 70L)))   // tie group cut INSIDE
+    assert(sel(39) == Seq.empty)                   // best doc alone busts it
+    assert(sel(0) == Seq.empty)
+    // matches the global-sort window formulation row for row
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = docs.withColumn("cum_toks", sum(col("toks")).over(w))
+      .where(col("cum_toks") <= 100)
+      .select("doc_id", "cum_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sel(100) == ref)
+    // NULL/NaN scores fail loudly; unbounded score cardinality fails loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.selectByTokenBudget(docs.union(
+        Seq((9L, Double.NaN, 1L)).toDF("doc_id", "score", "toks")),
+        "doc_id", "score", "toks", 100)
+    }
+    assert(e1.getMessage.contains("NULL/NaN"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.selectByTokenBudget(
+        spark.range(50).select(col("id").as("doc_id"),
+          (col("id") / 7.0).as("score"), lit(1L).as("toks")),
+        "doc_id", "score", "toks", 100, maxDistinctScores = 10)
+    }
+    assert(e2.getMessage.contains("distinct"), e2.getMessage)
+  }
 }
