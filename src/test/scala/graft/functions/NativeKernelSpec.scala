@@ -57,6 +57,40 @@ class NativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial floats: native == HOF bitwise on NaN/Inf/-0.0/denormal/overflow") {
+    // bit-level compare (Seq[Double] == would fail on NaN == NaN); the
+    // kernels must propagate special values exactly like the HOF fold
+    val inf = Float.PositiveInfinity
+    val pairs = Seq(
+      (Array(Float.NaN, 1f, 2f), Array(1f, 2f, 3f)),
+      (Array(inf, 1f), Array(1f, 1f)),
+      (Array(-inf, inf), Array(inf, -inf)),
+      (Array(-0.0f, 0.0f), Array(0.0f, -0.0f)),
+      (Array(Float.MaxValue, Float.MaxValue), Array(Float.MaxValue, 1f)),
+      (Array(Float.MinPositiveValue, Float.MinPositiveValue),
+        Array(Float.MinPositiveValue, 1f)),
+      (Array(0f, 0f), Array(0f, 0f)),
+      (Array(1e30f, -1e30f, 1f), Array(1e30f, 1e30f, -1f)))
+    val adv = pairs.toDF("a", "b")
+    def bits(df0: org.apache.spark.sql.DataFrame)(
+        c: org.apache.spark.sql.Column): Seq[Long] =
+      df0.select(c.cast("double").as("r")).collect()
+        .map(r => java.lang.Double.doubleToLongBits(r.getDouble(0))).toSeq
+    assert(bits(adv)(Similarity.dotProduct(col("a"), col("b"))) ==
+      bits(adv)(Similarity.hof.dotProduct(col("a"), col("b"))))
+    assert(bits(adv)(Similarity.squaredEuclidean(col("a"), col("b"))) ==
+      bits(adv)(Similarity.hof.squaredEuclidean(col("a"), col("b"))))
+    assert(bits(adv)(Similarity.euclideanDistance(col("a"), col("b"))) ==
+      bits(adv)(Similarity.hof.euclideanDistance(col("a"), col("b"))))
+    // cosine: zero-norm rows DIVERGE by design (kernel pins the reference's
+    // zero-norm -> 0.0 convention, the naive fold gives 0/0 = NaN — the
+    // dedicated test below); NaN/Inf rows must still agree bit-for-bit
+    val nonZeroNorm = pairs.filter { case (a, b) =>
+      a.exists(_ != 0f) && b.exists(_ != 0f) }.toDF("a", "b")
+    assert(bits(nonZeroNorm)(Similarity.cosineSimilarity(col("a"), col("b"))) ==
+      bits(nonZeroNorm)(Similarity.hof.cosineSimilarity(col("a"), col("b"))))
+  }
+
   test("zero-norm cosine returns 0.0 (reference convention), not NaN") {
     val z = Seq((Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
     val out = z.select(Similarity.cosineSimilarity(col("a"), col("b")).as("c"))
