@@ -206,6 +206,9 @@ object Command {
   /** URL canonicalization + domain keys (text.UrlOps): appends
     * url_canon / host / rdomain columns to the view. */
   final case class ExtUrlCanon(view: String, url: String) extends Command
+  /** HTML → plain-text extraction (text.Html): appends a clean_text
+    * column to the view. */
+  final case class ExtHtmlExtract(view: String, html: String) extends Command
   /** Per-slice corpus data card (pipeline.Profile.dataCard). */
   final case class ExtDatacard(view: String, text: String,
       groups: Seq[String]) extends Command

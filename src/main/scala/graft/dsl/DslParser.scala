@@ -463,6 +463,11 @@ object DslParser extends RegexParsers {
   private val extUrlCanon: Parser[Command] =
     kw("url") ~> kw("canon") ~> fromView ~ (kw("col") ~> name) ^^ {
       case v ~ u => ExtUrlCanon(v, u) }
+  // HTML → text (text.Html): HTML EXTRACT FROM view COL htmlcol —
+  // appends clean_text to the view
+  private val extHtmlExtract: Parser[Command] =
+    kw("html") ~> kw("extract") ~> fromView ~ (kw("col") ~> name) ^^ {
+      case v ~ h => ExtHtmlExtract(v, h) }
   private val extDatacard: Parser[Command] =
     kw("datacard") ~> fromView ~ textCol ~
       (kw("groupby") ~> rep1sep(name, ",")) ^^ {
@@ -490,7 +495,7 @@ object DslParser extends RegexParsers {
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
-    extAsof | extInterval | extUrlCanon | extTrace
+    extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 
   // any ext statement's result can be registered as a view with a
   // trailing `AS name` — the piping form that composes retrieval stages

@@ -244,6 +244,9 @@ object Pipeline {
           .withColumn("url_canon", graft.text.UrlOps.canonicalizeUrl(col(u)))
           .withColumn("host", graft.text.UrlOps.urlHost(col(u)))
           .withColumn("rdomain", graft.text.UrlOps.registrableDomain(col(u))))
+      case ExtHtmlExtract(v, h) =>
+        Response.Entries(t(v)
+          .withColumn("clean_text", graft.text.Html.extractText(col(h))))
       case ExtDatacard(v, text, groups) =>
         Response.Entries(graft.pipeline.Profile.dataCard(t(v), text, groups))
       case ExtDedupIndex(dir, v, id, text, n) =>

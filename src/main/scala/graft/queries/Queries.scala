@@ -1475,6 +1475,53 @@ object Queries {
         |  trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g')) AS canon
         |FROM aug ORDER BY doc_id""".stripMargin)),
 
+    // ---- HTML → text extraction (C4-style ingest): the corpus is plain
+    // text, so (PII-query idiom) each doc is wrapped into a deterministic
+    // HTML page on BOTH sides — comments, attributed script/STYLE blocks,
+    // entities incl. the double-encoded &amp;lt; single-pass case — and
+    // the hash-match proves the whole strip chain (block drop, tag strip,
+    // entity decode order, collapse) is engine-portable. ----
+    "text_html_extract" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><!-- id "), col("doc_id"),
+            lit(" --><head><STYLE type=\"text/css\">p{x:1}</STYLE>" +
+              "<script src=\"a.js\">var x=1;</script></head>" +
+              "<body><h1>T&amp;Cs &amp;lt;ok&gt;</h1><p class=\"b\">"),
+            col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit("</p><noscript>no js</noscript>" +
+                "<p>&lt;tail&gt;&nbsp;&#39;q&apos;")).otherwise(lit("")),
+            lit("</p> </body></html>")).as("html"))
+        aug.select(col("doc_id"),
+            graft.text.Html.extractText(col("html")).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH aug AS (
+        |  SELECT doc_id, '<html><!-- id ' || doc_id ||
+        |    ' --><head><STYLE type="text/css">p{x:1}</STYLE>' ||
+        |    '<script src="a.js">var x=1;</script></head>' ||
+        |    '<body><h1>T&amp;Cs &amp;lt;ok&gt;</h1><p class="b">' || text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '</p><noscript>no js</noscript>' ||
+        |      '<p>&lt;tail&gt;&nbsp;&#39;q&apos;' ELSE '' END ||
+        |    '</p> </body></html>' AS html FROM documents),
+        |c1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM aug),
+        |c2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(t,
+        |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |    '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g'),
+        |    '(?is)<template\b[^>]*>.*?</template\s*>', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |  replace(t, '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+        |  '&apos;',''''),'&nbsp;',' '),'&amp;','&') AS t FROM c3)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+        |FROM c4 ORDER BY doc_id""".stripMargin)),
+
     // ---- Gopher quality-rule bundle: the published boolean filters, one
     // flag each + the conjunction. The synthetic corpus is stopword-poor
     // and symbol-free, so (PII-query idiom) deterministic payloads are

@@ -1014,4 +1014,26 @@ class DslSpec extends AnyFunSuite {
         r.getString(3))).sortBy(_._1).toSeq
     assert(got == api)
   }
+
+  test("HTML EXTRACT: grammar parses and execution matches the Html API") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    assert(DslParser.parseExt("HTML EXTRACT FROM pages COL h") ==
+      Seq(ExtHtmlExtract("pages", "h")))
+    val pages = Seq(
+      (0L, "<html><body><p>a</p><script>x=1</script><p>b&amp;c</p></body>"),
+      (1L, "no markup at all")).toDF("pid", "h")
+    pages.createOrReplaceTempView("html_pages")
+    val got = Pipeline.runExt(spark, "HTML EXTRACT FROM html_pages COL h") match {
+      case Seq(Right(Response.Entries(d))) =>
+        d.collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+      case other => fail(s"$other")
+    }
+    assert(got == Seq((0L, "a b&c"), (1L, "no markup at all")))
+    val api = pages.select(col("pid"),
+      graft.text.Html.extractText(col("h")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == api)
+  }
 }
