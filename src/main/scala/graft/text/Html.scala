@@ -51,8 +51,23 @@ object Html {
     *     `<p>a</p><p>b</p>` must not fuse to `ab`);
     *  4. [[Entities]] decode;
     *  5. whitespace collapses to single spaces, ends trim.
-    * NULL in, NULL out. */
+    * NULL in, NULL out.
+    *
+    * Native kernel ([[org.apache.spark.sql.graftbridge.HtmlExtract]]):
+    * ingest-path strip runs over 100% of the raw corpus bytes, and the
+    * builtin formulation below is 14 regex/replace passes per row. The
+    * kernel is pinned bit-identical to [[extractTextBuiltins]] in
+    * HtmlSpec (case table + differential) and KernelFuzzSpec. */
   def extractText(html: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, HtmlExtract}
+    ColumnBridge.column(HtmlExtract(ColumnBridge.expression(html)))
+  }
+
+  /** The builtin-chain reference formulation of [[extractText]] — 14
+    * sequential codegen'd regex/replace passes. Kept as the semantic
+    * spec the kernel is differentially pinned against (it is also the
+    * shape the DuckDB oracle mirrors pattern-for-pattern). */
+  def extractTextBuiltins(html: Column): Column = {
     val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noBlocks = DroppedElements.foldLeft(noComments)((c, el) =>
       regexp_replace(c, s"(?is)<$el\\b[^>]*>.*?</$el\\s*>", " "))

@@ -7,11 +7,19 @@ class HtmlSpec extends AnyFunSuite {
   private val spark = graft.TestFixtures.spark
   import spark.implicits._
 
+  // every case runs through BOTH formulations — the kernel (product
+  // path) and the builtin regex chain (the semantic reference) — and
+  // each must produce the expected text
   private def extract(cases: (String, String)*): Unit = {
-    val out = cases.map(_._1).toDF("h")
-      .select(Html.extractText(col("h")).as("t")).collect().map(_.getString(0))
-    cases.map(_._2).zip(out).zip(cases.map(_._1)).foreach { case ((want, got), in) =>
-      assert(got == want, s"extractText($in): got [$got], want [$want]")
+    val df = cases.map(_._1).toDF("h")
+    for ((fn, label) <- Seq(
+        (Html.extractText _, "kernel"),
+        (Html.extractTextBuiltins _, "builtins"))) {
+      val out = df.select(fn(col("h")).as("t")).collect().map(_.getString(0))
+      cases.map(_._2).zip(out).zip(cases.map(_._1)).foreach {
+        case ((want, got), in) =>
+          assert(got == want, s"$label($in): got [$got], want [$want]")
+      }
     }
   }
 
@@ -42,7 +50,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
-  test("extractText stays whole-stage-codegen (no UDF, no kernel)") {
+  test("kernel == builtin chain on adversarial markup (differential)") {
+    // deliberately pathological: nested openers, closers inside comments,
+    // entity fragments split by tags, unicode \b flanks, case soup,
+    // unclosed everything
+    val adversarial = Seq(
+      "<script><!--</script>--></script>x",
+      "<style><script></style></script>tail",
+      "<scr<!-- -->ipt>alert(1)</script>done",
+      "<SCRIPTé>unicode-flank</SCRIPT>k",  // é after name: \b fails
+      "<scripts>not a block</scripts>",
+      "<script data-x=\"a>b\">early-gt</script>rest",
+      "&l<x>t; &amp;lt; &amp;amp; &&lt;&",
+      "<script>a<style>b</style>c</script>d<style>e</style>f",
+      "< p>space-tag</ p>",
+      "<p", "p>", "<>", "&", "&lt", "&#39", "",
+      "a<!--unterminated", "x<script>unterminated",
+      "</script>orphan-closer<script>then-open</script \t\n>z",
+      "  a  \t b c\r\n",
+      "<TEMPLATE x>T</template  >u<NOSCRIPT>n</noscript>v")
+    val df = adversarial.toDF("h")
+    val rows = df.select(
+      Html.extractText(col("h")).as("k"),
+      Html.extractTextBuiltins(col("h")).as("b")).collect()
+    rows.zip(adversarial).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel/builtins diverge on [$in]: [${r.getString(0)}] vs [${r.getString(1)}]")
+    }
+  }
+
+  test("extractText stays whole-stage-codegen (no UDF)") {
     // non-foldable input so the projection survives to the physical plan
     val df = spark.range(4).select(Html.extractText(
       concat(lit("<p>"), col("id"), lit("</p>"))))

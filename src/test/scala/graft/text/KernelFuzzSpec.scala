@@ -24,7 +24,7 @@ class KernelFuzzSpec extends AnyFunSuite {
       "#", "#tag", "...", "dots...", "a#b", "1234", "_", "__", "a_b",
       "for", "was", "it", "in", "to", "be", "with", "have", "that",
       "ref", "refx", "x", "Q", "", "é")
-    val seps = Array(" ", "  ", "\t", "\n", "", "\f", "\r", " \t ")
+    val seps = Array(" ", "  ", "\t", "\n", "\u000B", "\f", "\r", " \t ")
     (0L until n.toLong).map { i =>
       val parts = (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.length)))
       val sb = new StringBuilder
@@ -128,5 +128,34 @@ class KernelFuzzSpec extends AnyFunSuite {
     val b = LangModel.scoreViaJoin(m, docs, "id", "text").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("HtmlExtract kernel equals the 14-pass builtin chain on markup fuzz") {
+    // markup-flavored atom set: tag/comment/entity FRAGMENTS so random
+    // joins produce broken nesting, split entities, unicode \b flanks,
+    // case soup and unterminated everything — the shapes where a
+    // hand-rolled scan and a regex chain would disagree if they could
+    val rnd = new scala.util.Random(0x47AF7L)
+    val atoms = Array(
+      "<script>", "</script>", "<SCRIPT src=\"a>b\">", "</ScRiPt  >",
+      "<scriptö>", "<scripts>", "<script", "script>",
+      "<style>", "</style>", "<STYLE x>", "<noscript>", "</noscript>",
+      "<template>", "</template  \t>",
+      "<!--", "-->", "<!-- c -->", "<p>", "</p>", "<p", "p>", "<>", "<",
+      ">", "<div class='x'>", "< p>",
+      "&lt;", "&gt;", "&amp;", "&amp;lt;", "&quot;", "&#39;", "&apos;",
+      "&nbsp;", "&", "&lt", "&#3", ";", "&&lt;",
+      "word", "Wörd", "日本語", "😀", "𝐀", "_", "x2",
+      " ", "\t", "\n", "\u000B", "\f", "\r", " ", "  ")
+    val docs = (0L until 400L).map { i =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(40)).foreach(_ => sb.append(atoms(rnd.nextInt(atoms.length))))
+      (i, sb.toString)
+    }.toDF("id", "html")
+    val rows = docs.select(col("id"),
+      Html.extractText(col("html")).as("k"),
+      Html.extractTextBuiltins(col("html")).as("b")).collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"html diverged on id ${r.getLong(0)}: [${r.getString(1)}] vs [${r.getString(2)}]"))
   }
 }
