@@ -141,6 +141,9 @@ object Command {
   final case class ExtPpl(view: String, id: String, text: String)
       extends Command
   /** Gopher quality-rule flags (TextOps.gopherFlags). */
+  /** Gopher repetition-signal suite (text.TextOps.repetitionSignals). */
+  final case class ExtRepetition(view: String, id: String, text: String)
+      extends Command
   final case class ExtGopher(view: String, id: String, text: String)
       extends Command
   /** BM25 lexical top-k retrieval (Bm25.bm25TopK). */

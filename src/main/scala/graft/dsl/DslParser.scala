@@ -376,6 +376,11 @@ object DslParser extends RegexParsers {
   private val extGopher: Parser[Command] =
     kw("gopher") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtGopher(v, i, t) }
+  // Gopher's repetition half: REPETITION FROM view ID i TEXT t —
+  // id + the 13 repetition signals
+  private val extRepetition: Parser[Command] =
+    kw("repetition") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtRepetition(v, i, t) }
   private val extBm25: Parser[Command] =
     kw("bm25") ~> nonZero ~ fromView ~ idCol ~ textCol ~
       (inKw ~> name) ~ idCol ~ textCol ^^ {
@@ -494,6 +499,7 @@ object DslParser extends RegexParsers {
     extSample | extBudgetSelect | extPack | extShuffle | extCap | extMix |
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
+    extRepetition |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
     extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 

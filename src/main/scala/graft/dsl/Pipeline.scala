@@ -170,6 +170,10 @@ object Pipeline {
         Response.Entries(graft.text.Classify.predict(
           graft.text.Classify.trainNaiveBayes(t(tv), ti, tt, lab),
           t(v), id, text))
+      case ExtRepetition(v, id, text) =>
+        Response.Entries(t(v).select(col(id),
+          graft.text.TextOps.repetitionSignals(col(text)).as("r"))
+          .select(col(id), col("r.*")))
       case ExtGopher(v, id, text) =>
         // g.* expansion: the flag list lives only in TextOps.gopherFlags
         Response.Entries(t(v).select(col(id),

@@ -182,6 +182,73 @@ object Queries {
     * subcorpus, add-1, score every doc) — shared by the batch entry
     * (text_perplexity_xlang) and the streaming replay (docs_ppl_stream),
     * which must gate the SAME scoring semantics by construction. */
+  /** DuckDB twin of [[graft.text.TextOps.repetitionSignals]] — the 13
+    * Gopher repetition signals, built programmatically (3 top-n-gram
+    * blocks + 6 dup-n-gram coverage blocks are the same SQL shape).
+    * Conventions mirror the kernel scaladoc: lines/paragraphs split on
+    * the RAW text keeping empties, tokens = `\s+`-split of trim, char
+    * counts are token codepoints (the `''`-joined slice), n-gram
+    * identity is the space-join, top ties break (count, then charlen)
+    * via the window ORDER BY, coverage marks positions via the
+    * BETWEEN-join against duplicated starts. */
+  private def repSuiteOracle(augSql: String): String = {
+    val topBlocks = Seq(2, 3, 4).map { n =>
+      s"""c$n AS (SELECT doc_id, ng, count(*) AS c, any_value(cl) AS cl FROM (
+         |  SELECT doc_id, array_to_string(tk[st:st+${n - 1}], ' ') AS ng,
+         |         len(array_to_string(tk[st:st+${n - 1}], '')) AS cl
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-$n+2)) AS st
+         |        FROM toks WHERE len(tk) >= $n)) GROUP BY doc_id, ng),
+         |t$n AS (SELECT doc_id, c*cl AS num FROM (
+         |  SELECT doc_id, c, cl, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY c DESC, cl DESC) AS rn FROM c$n)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val dupBlocks = Seq(5, 6, 7, 8, 9, 10).map { n =>
+      s"""ds$n AS (SELECT doc_id, st FROM (
+         |  SELECT doc_id, st, count(*) OVER (PARTITION BY doc_id, ng) AS c FROM (
+         |    SELECT doc_id, st, array_to_string(tk[st:st+${n - 1}], ' ') AS ng
+         |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-$n+2)) AS st
+         |          FROM toks WHERE len(tk) >= $n))) WHERE c > 1),
+         |n$n AS (SELECT c.doc_id, sum(len(t.tk[c.p])) AS num FROM (
+         |    SELECT DISTINCT p.doc_id, p.p FROM pos p JOIN ds$n d
+         |      ON p.doc_id = d.doc_id AND p.p BETWEEN d.st AND d.st+${n - 1}) c
+         |  JOIN toks t USING(doc_id) GROUP BY c.doc_id)""".stripMargin
+    }
+    def unitStats(alias: String, sep: String) =
+      s"""${alias}u AS (SELECT doc_id, unnest(string_split(t, $sep)) AS un FROM aug),
+         |$alias AS (SELECT a.doc_id, a.cnt, a.dist, a.totc, d.distc FROM
+         |  (SELECT doc_id, count(*) AS cnt, count(DISTINCT un) AS dist,
+         |     sum(len(un)) AS totc FROM ${alias}u GROUP BY doc_id) a
+         |  JOIN (SELECT doc_id, sum(len(un)) AS distc FROM
+         |     (SELECT DISTINCT doc_id, un FROM ${alias}u) GROUP BY doc_id) d
+         |  USING(doc_id))""".stripMargin
+    val topSel = Seq(2, 3, 4).map(n =>
+      s"CASE WHEN ts.totc = 0 THEN 0.0 ELSE COALESCE(t$n.num, 0)::DOUBLE / ts.totc END AS top${n}gram_char_frac")
+    val dupSel = Seq(5, 6, 7, 8, 9, 10).map(n =>
+      s"CASE WHEN ts.totc = 0 THEN 0.0 ELSE COALESCE(n$n.num, 0)::DOUBLE / ts.totc END AS dup${n}gram_char_frac")
+    val joins = (Seq(2, 3, 4).map(n => s"LEFT JOIN t$n USING(doc_id)") ++
+      Seq(5, 6, 7, 8, 9, 10).map(n => s"LEFT JOIN n$n USING(doc_id)")).mkString(" ")
+    s"""WITH aug AS ($augSql),
+       |${unitStats("ls", "chr(10)")},
+       |${unitStats("ps", "chr(10)||chr(10)")},
+       |toks AS (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS tk FROM aug),
+       |ts AS (SELECT doc_id, list_sum(list_transform(tk, x -> len(x))) AS totc FROM toks),
+       |pos AS (SELECT doc_id, unnest(range(1, len(tk)+1)) AS p FROM toks),
+       |${topBlocks.mkString(",\n")},
+       |${dupBlocks.mkString(",\n")}
+       |SELECT aug.doc_id,
+       |  (ls.cnt - ls.dist)::DOUBLE / ls.cnt AS dup_line_frac,
+       |  CASE WHEN ls.totc = 0 THEN 0.0
+       |    ELSE (ls.totc - ls.distc)::DOUBLE / ls.totc END AS dup_line_char_frac,
+       |  (ps.cnt - ps.dist)::DOUBLE / ps.cnt AS dup_para_frac,
+       |  CASE WHEN ps.totc = 0 THEN 0.0
+       |    ELSE (ps.totc - ps.distc)::DOUBLE / ps.totc END AS dup_para_char_frac,
+       |  ${(topSel ++ dupSel).mkString(",\n  ")}
+       |FROM aug JOIN ls USING(doc_id) JOIN ps USING(doc_id) JOIN ts USING(doc_id)
+       |$joins
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val xlangPplOracle: String =
     """WITH ttoks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -1146,6 +1213,38 @@ object Queries {
         |SELECT doc_id, round(CASE WHEN len(gs) <= 0 THEN 0.0
         |  ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END, 4) AS rep3
         |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher repetition suite: the 13 repetitious-text signals of
+    // Rae et al. 2021 §A1.1 in one kernel pass per doc. The synthetic
+    // corpus is single-line and repetition-light, so (gopher idiom)
+    // deterministic payloads are injected on BOTH sides: duplicate
+    // lines (%3), a spam token run that drives top-gram and dup-5..10
+    // coverage (%4), and duplicate blank-line paragraphs (%5) ----
+    "text_repetition_suite" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("\nrepeat line q\nrepeat line q")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit(" spam spam spam spam spam spam spam")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\n\nsame para\n\nsame para")).otherwise(lit(""))).as("t"))
+        aug.select(col("doc_id"),
+            graft.text.TextOps.repetitionSignals(col("t")).as("r"))
+          .select(col("doc_id"), col("r.*"))
+          .orderBy("doc_id")
+      },
+      Some(repSuiteOracle(
+        """SELECT doc_id, concat(text,
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN chr(10)||'repeat line q'||chr(10)||'repeat line q' ELSE '' END,
+          |    CASE WHEN doc_id % 4 = 0
+          |      THEN ' spam spam spam spam spam spam spam' ELSE '' END,
+          |    CASE WHEN doc_id % 5 = 0
+          |      THEN chr(10)||chr(10)||'same para'||chr(10)||chr(10)||'same para'
+          |      ELSE '' END) AS t
+          |  FROM documents""".stripMargin))),
 
     // ---- BM25 lexical retrieval: literal query set over the corpus
     // vocabulary, top-5 per query. Rank is computed ON the 4-place-rounded

@@ -217,6 +217,32 @@ object TextOps {
           size(array_distinct(g)).cast("double") / size(g).cast("double")), 4)
     }
 
+  /** Gopher repetition-signal suite (Rae et al. 2021 §A1.1, the
+    * repetitious-text rules that complement [[gopherFlags]]): 13 signals
+    * as one native pass per document
+    * ([[org.apache.spark.sql.graftbridge.RepSignals]] — no explode, no
+    * shuffle; the per-doc count maps are bounded by the document).
+    * Struct fields: dup_line_frac, dup_line_char_frac, dup_para_frac,
+    * dup_para_char_frac, top{2,3,4}gram_char_frac,
+    * dup{5..10}gram_char_frac. The published thresholds (drop when
+    * dup_line_frac > 0.30, dup_para_frac > 0.30, char fracs > 0.20,
+    * top-gram > 0.20/0.18/0.16, dup-gram > 0.15/0.14/0.13/0.12/0.11/
+    * 0.10) are the caller's filter — the signals are the operator. */
+  def repetitionSignals(text: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, RepSignals}
+    val sig = ColumnBridge.column(RepSignals(ColumnBridge.expression(text)))
+    val names = Seq("dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "dup_para_char_frac",
+      "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+      "dup5gram_char_frac", "dup6gram_char_frac", "dup7gram_char_frac",
+      "dup8gram_char_frac", "dup9gram_char_frac", "dup10gram_char_frac")
+    bind(sig) { f =>
+      struct(names.zipWithIndex.map { case (nm, i) =>
+        element_at(f, i + 1).as(nm) }: _*)
+    }
+  }
+
   /** Gopher quality-rule bundle (Rae et al. 2021, MassiveText §A.1.1) —
     * the published boolean document filters, each surfaced as a flag plus
     * their conjunction:

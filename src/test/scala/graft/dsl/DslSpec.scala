@@ -1015,6 +1015,28 @@ class DslSpec extends AnyFunSuite {
     assert(got == api)
   }
 
+  test("REPETITION: grammar parses and execution matches the TextOps API") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    assert(DslParser.parseExt("REPETITION FROM d ID doc_id TEXT text") ==
+      Seq(ExtRepetition("d", "doc_id", "text")))
+    val docs = Seq(
+      (0L, "a b\na b\nc"),
+      (1L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    val got = Pipeline.runExt(spark,
+      "REPETITION FROM rep_docs ID doc_id TEXT text") match {
+      case Seq(Right(Response.Entries(d))) =>
+        assert(d.columns.length == 14 && d.columns.head == "doc_id")
+        d.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(8)))
+          .sortBy(_._1).toSeq
+      case other => fail(s"$other")
+    }
+    // doc 0: one of three lines duplicated; doc 1: full 5-gram coverage
+    assert(got == Seq((0L, 1.0 / 3.0, 0.0), (1L, 0.0, 1.0)))
+  }
+
   test("HTML EXTRACT: grammar parses and execution matches the Html API") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._
