@@ -144,6 +144,9 @@ object Command {
   /** Gopher repetition-signal suite (text.TextOps.repetitionSignals). */
   final case class ExtRepetition(view: String, id: String, text: String)
       extends Command
+  /** C4 blocklist filter (text.TextOps.blocklistHits). */
+  final case class ExtBlocklist(view: String, id: String, text: String,
+      words: Seq[String]) extends Command
   final case class ExtGopher(view: String, id: String, text: String)
       extends Command
   /** BM25 lexical top-k retrieval (Bm25.bm25TopK). */

@@ -381,6 +381,12 @@ object DslParser extends RegexParsers {
   private val extRepetition: Parser[Command] =
     kw("repetition") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtRepetition(v, i, t) }
+  // C4 blocklist: BLOCKLIST FROM v ID i TEXT t WORDS w1,w2 —
+  // id + hits + blocked
+  private val extBlocklist: Parser[Command] =
+    kw("blocklist") ~> fromView ~ idCol ~ textCol ~
+      (kw("words") ~> rep1sep(name, ",")) ^^ {
+        case v ~ i ~ t ~ ws => ExtBlocklist(v, i, t, ws) }
   private val extBm25: Parser[Command] =
     kw("bm25") ~> nonZero ~ fromView ~ idCol ~ textCol ~
       (inKw ~> name) ~ idCol ~ textCol ^^ {
@@ -499,7 +505,7 @@ object DslParser extends RegexParsers {
     extSample | extBudgetSelect | extPack | extShuffle | extCap | extMix |
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
-    extRepetition |
+    extRepetition | extBlocklist |
     extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
     extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 

@@ -174,6 +174,10 @@ object Pipeline {
         Response.Entries(t(v).select(col(id),
           graft.text.TextOps.repetitionSignals(col(text)).as("r"))
           .select(col(id), col("r.*")))
+      case ExtBlocklist(v, id, text, words) =>
+        Response.Entries(t(v).select(col(id),
+          graft.text.TextOps.blocklistHits(col(text), words).as("hits"))
+          .withColumn("blocked", col("hits") > 0))
       case ExtGopher(v, id, text) =>
         // g.* expansion: the flag list lives only in TextOps.gopherFlags
         Response.Entries(t(v).select(col(id),

@@ -1151,6 +1151,33 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- text analysis: language ID (stopword-marker argmax heuristic) ----
+    // ---- C4 blocklist filter: hits of a word blocklist, \b-bounded and
+    // case-insensitive, one marker-kernel pass. The corpus is clean, so
+    // (gopher idiom) hit payloads — including a case-soup one — are
+    // injected on BOTH sides; the demo list is innocuous by design ----
+    "text_blocklist" -> Q(
+      (s, dir) => {
+        val bl = Seq("casino", "lottery", "winner", "jackpot", "spamco")
+        val aug = TestStores.table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit(" visit casino jackpot now")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" LOTTERY Winner takes all")).otherwise(lit(""))).as("t"))
+        aug.select(col("doc_id"),
+            graft.text.TextOps.blocklistHits(col("t"), bl).as("hits"))
+          .withColumn("blocked", col("hits") > 0)
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0 THEN ' visit casino jackpot now' ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN ' LOTTERY Winner takes all' ELSE '' END) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, len(regexp_extract_all(lower(t),
+        |  '\b(casino|lottery|winner|jackpot|spamco)\b'))::BIGINT AS hits FROM aug)
+        |SELECT doc_id, hits, hits > 0 AS blocked FROM h ORDER BY doc_id""".stripMargin)),
+
     "text_lang_id" -> Q(
       (s, dir) => TestStores.table(s, dir, "documents").select(
         col("doc_id"), graft.text.TextOps.langId(col("text")).as("lang_pred"))

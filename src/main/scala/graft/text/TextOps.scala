@@ -119,6 +119,33 @@ object TextOps {
     }
   }
 
+  /** C4-style blocklist hit count (Raffel et al. 2020 §2.2 drop any page
+    * containing a word from a blocklist; RefinedWeb keeps the same step):
+    * occurrences of any listed word in the document, case-insensitive,
+    * `\b`-word-bounded — the same one-pass byte scan as [[langId]]
+    * ([[org.apache.spark.sql.graftbridge.LangMarkerCounts]] with the
+    * blocklist as the single word set). Callers drop on `> 0` or
+    * threshold on density. Scope: SINGLE-TOKEN ASCII words (the scan
+    * matches maximal `[a-z0-9_]` runs of the lowercased text) — multi-
+    * word phrases belong to the n-gram decontamination machinery
+    * ([[graft.dedup.Dedup.decontaminate]]), not this filter. */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, LangMarkerCounts}
+    val ws = words.map(_.toLowerCase)
+    require(ws.nonEmpty && ws.forall(_.matches("[a-z0-9_]+")),
+      "blocklist words must be single ASCII word tokens ([a-z0-9_]+); " +
+        s"got: ${words.filterNot(_.toLowerCase.matches("[a-z0-9_]+")).take(3).mkString(", ")}")
+    element_at(ColumnBridge.column(LangMarkerCounts(
+      ColumnBridge.expression(text), Seq(ws))), 1)
+  }
+
+  /** The regexp_count formulation of [[blocklistHits]] — the
+    * engine-portable reference the oracle SQL mirrors (same
+    * `\b(w|…)\b` marker-pattern idiom as [[langIdRegex]]). */
+  def blocklistHitsRegex(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text),
+      lit(s"\\b(${words.map(_.toLowerCase).mkString("|")})\\b")).cast("long")
+
   // --------------------------------------------------------- quality signals
 
   /** Quality components: chars, tokens, mean token length, punctuation

@@ -1037,6 +1037,24 @@ class DslSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1.0 / 3.0, 0.0), (1L, 0.0, 1.0)))
   }
 
+  test("BLOCKLIST: grammar parses and execution matches the TextOps API") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    assert(DslParser.parseExt(
+      "BLOCKLIST FROM d ID doc_id TEXT text WORDS casino,lottery") ==
+      Seq(ExtBlocklist("d", "doc_id", "text", Seq("casino", "lottery"))))
+    Seq((0L, "all clean here"), (1L, "visit CASINO and lottery now"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bl_docs")
+    val got = Pipeline.runExt(spark,
+      "BLOCKLIST FROM bl_docs ID doc_id TEXT text WORDS casino,lottery") match {
+      case Seq(Right(Response.Entries(d))) =>
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .sortBy(_._1).toSeq
+      case other => fail(s"$other")
+    }
+    assert(got == Seq((0L, 0L, false), (1L, 2L, true)))
+  }
+
   test("HTML EXTRACT: grammar parses and execution matches the Html API") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._

@@ -268,4 +268,26 @@ class TextOpsSpec extends AnyFunSuite {
         s"id ${r.getInt(0)}: kernel counts ${r.getSeq[Long](3)} vs regex ${r.getSeq[Long](4)}")
     }
   }
+
+  test("blocklistHits kernel is count-pinned to the regex formulation") {
+    val bl = Seq("casino", "Lottery", "x_2")
+    // \b edges (underscore/digit flanks), case soup on both sides,
+    // non-ASCII adjacency, the word as a run substring (no hit)
+    val docs = Seq("casino CASINO Casino!", "lottery5 x_lottery lottery_x",
+      "LOTTERY\tcasino.lottery", "öcasino casinoö 😀casino😀", "x_2 x_2_ _x_2 y x_2",
+      "supercasino casinos", "", "   ").zipWithIndex.map(_.swap).toDF("id", "t")
+    val rows = docs.select(col("id"),
+      TextOps.blocklistHits(col("t"), bl).as("k"),
+      TextOps.blocklistHitsRegex(col("t"), bl).as("r")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id ${r.getInt(0)}: kernel ${r.getLong(1)} vs regex ${r.getLong(2)}"))
+    // spot meanings: bounded hits only
+    assert(rows.find(_.getInt(0) == 0).get.getLong(1) == 3L)
+    assert(rows.find(_.getInt(0) == 1).get.getLong(1) == 0L)
+    assert(rows.find(_.getInt(0) == 5).get.getLong(1) == 0L)
+    // non-word input is rejected loudly
+    intercept[IllegalArgumentException] {
+      TextOps.blocklistHits(col("t"), Seq("two words"))
+    }
+  }
 }
