@@ -89,6 +89,18 @@ class RepetitionSpec extends AnyFunSuite {
     assert(s2(7) == 1.0)        // every token covered by a dup 5-gram
   }
 
+  test("query shape evaluates the kernel ONCE per row despite 13-field expansion") {
+    // the query selects struct.as("r") then r.* — if CollapseProject
+    // re-inlined the kernel per extracted field it would run 13× per row
+    val df = spark.range(4).toDF("id")
+      .select(col("id"), TextOps.repetitionSignals(
+        concat(lit("w "), col("id"))).as("r"))
+      .select(col("id"), col("r.*"))
+    val plan = df.queryExecution.executedPlan.toString
+    val evals = "rep_signals\\(".r.findAllIn(plan).length
+    assert(evals == 1, s"kernel appears $evals times in:\n$plan")
+  }
+
   test("repetitionSignals kernel == reference on the fuzz corpus") {
     val rnd = new scala.util.Random(0x6E9L)
     val atoms = Array("a", "b", "ab", "spam", "the", "wörd", "😀", "𝐀x",
