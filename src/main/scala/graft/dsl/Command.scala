@@ -119,6 +119,10 @@ object Command {
   final case class ExtPack(view: String, id: String, text: String,
       budget: Int, shards: Int) extends Command
   /** Deterministic epoch shuffle (Corpus.epochShuffle). */
+  /** Materialized training-shard sink (pipeline.Corpus.writeShards):
+    * returns the read-back per-shard manifest. */
+  final case class ExtWriteShards(dir: String, view: String, id: String,
+      text: String, epoch: Int, shards: Int) extends Command
   final case class ExtShuffle(view: String, id: String, epoch: Int,
       shards: Int) extends Command
   /** Per-group cap (Corpus.capPerGroup). */

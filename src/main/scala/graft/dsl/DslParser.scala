@@ -353,6 +353,13 @@ object DslParser extends RegexParsers {
     kw("shuffle") ~> fromView ~ idCol ~ (kw("epoch") ~> nonNegInt) ~
       (kw("shards") ~> nonZero) ^^ { case v ~ i ~ ep ~ sh =>
         ExtShuffle(v, i, ep, sh) }
+  // shard sink: WRITE SHARDS 'dir' FROM v ID i TEXT t EPOCH e SHARDS n —
+  // writes the epoch order as one parquet file per shard, returns the
+  // read-back manifest
+  private val extWriteShards: Parser[Command] =
+    kw("write") ~> kw("shards") ~> pathLit ~ fromView ~ idCol ~ textCol ~
+      (kw("epoch") ~> nonNegInt) ~ (kw("shards") ~> nonZero) ^^ {
+        case d ~ v ~ i ~ t ~ ep ~ sh => ExtWriteShards(d, v, i, t, ep, sh) }
   private val extCap: Parser[Command] =
     kw("cap") ~> fromView ~ idCol ~ (kw("groupby") ~> name) ~
       (kw("max") ~> nonZero) ^^ { case v ~ i ~ g ~ m => ExtCap(v, i, g, m) }
@@ -502,7 +509,8 @@ object DslParser extends RegexParsers {
     extDedupSemantic |
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplitSafe | extSplit |
-    extSample | extBudgetSelect | extPack | extShuffle | extCap | extMix |
+    extSample | extBudgetSelect | extPack | extWriteShards | extShuffle |
+    extCap | extMix |
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extRepetition | extBlocklist |

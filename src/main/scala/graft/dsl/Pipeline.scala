@@ -142,6 +142,9 @@ object Pipeline {
           t(v), id, text, budget, shards))
       case ExtShuffle(v, id, ep, sh) =>
         Response.Entries(graft.pipeline.Corpus.epochShuffle(t(v), id, ep, sh))
+      case ExtWriteShards(d, v, id, text, ep, sh) =>
+        Response.Entries(
+          graft.pipeline.Corpus.writeShards(t(v), id, text, d, ep, sh))
       case ExtCap(v, id, g, m) =>
         Response.Entries(graft.pipeline.Corpus.capPerGroup(t(v), id, g, m))
       case ExtMix(v, id, g, target, alpha) =>

@@ -265,15 +265,46 @@ object Corpus {
     * partition fine, but per-shard files are what a training loader
     * consumes anyway). Hash ties break by id, so the order is total. */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
-      shards: Int): DataFrame = {
+      shards: Int, carry: Seq[String] = Nil): DataFrame = {
     require(epoch >= 0, s"invalid epoch $epoch")
     require(shards >= 1, s"invalid shards $shards")
     val h = md5Prefix(concat(col(idCol).cast("string"), lit(s":$epoch")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("_h"), col(idCol))
-    df.select(col(idCol), pmod(h, lit(shards.toLong)).as("shard"), h.as("_h"))
+    df.select(col(idCol) +: pmod(h, lit(shards.toLong)).as("shard") +:
+        h.as("_h") +: carry.map(col): _*)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_h")
+      // pos right after shard, carried payload last — the carry keeps the
+      // (id, shard, pos) contract prefix stable for existing callers
+      .select(col(idCol) +: col("shard") +: col("pos") +: carry.map(col): _*)
+  }
+
+  /** Materialized training-shard sink — the layout a pretraining data
+    * loader consumes: [[epochShuffle]]'s deterministic per-epoch order
+    * written as `shard=N/` parquet dirs, ONE file per shard, rows stored
+    * in shard order (`pos` ascending). Returns a per-shard manifest READ
+    * BACK FROM THE WRITTEN FILES — (shard, n_docs, max_pos, n_chars) —
+    * so a green manifest proves the write round-trips, not merely that
+    * the plan computed.
+    *
+    * Scale shape: one shuffle (repartition on shard = the
+    * [[epochShuffle]] window's own partitioning) + sortWithinPartitions
+    * — no global sort; each task streams exactly one shard to exactly
+    * one file. Size `shards` for ~100-500 MB files at the target scale
+    * (the JSONL interchange twin is
+    * [[graft.sources.CorpusSource.writeJsonl]]). */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      outDir: String, epoch: Int, shards: Int): DataFrame = {
+    val a = epochShuffle(df, idCol, epoch, shards, carry = Seq(textCol))
+    a.repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val spark = df.sparkSession
+    spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("max_pos"),
+        sum(length(col(textCol))).cast("long").as("n_chars"))
   }
 
   /** Concat-then-chunk sequence assignment — the GPT-style pretraining

@@ -1929,6 +1929,26 @@ object Queries {
         |  FROM documents))
         |ORDER BY shard, pos""".stripMargin)),
 
+    // ---- materialized shard sink: epoch-shuffled order written as one
+    // parquet file per shard, manifest READ BACK from the written files
+    // (round-trip proof). Oracle recomputes the per-shard doc counts and
+    // char volumes from the md5-salted assignment directly ----
+    "pipeline_write_shards" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-shards").toString
+        graft.pipeline.Corpus.writeShards(
+          TestStores.table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", out, epoch = 3, shards = 8)
+          .orderBy("shard")
+      },
+      Some("""SELECT h % 8 AS shard, count(*) AS n_docs,
+        |  count(*) AS max_pos, sum(len(text))::BIGINT AS n_chars
+        |FROM (SELECT text,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':3')), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // ---- per-group document cap (C4/RefinedWeb max-pages-per-domain):
     // deterministic md5-rank keep, one shuffle on the group, bounded
     // per-group window ----

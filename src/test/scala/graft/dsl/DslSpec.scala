@@ -1037,6 +1037,25 @@ class DslSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1.0 / 3.0, 0.0), (1L, 0.0, 1.0)))
   }
 
+  test("WRITE SHARDS: grammar parses, writes, and returns the manifest") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("dsl-shards").toString
+    assert(DslParser.parseExt(
+      s"WRITE SHARDS '$out' FROM d ID id TEXT text EPOCH 2 SHARDS 3") ==
+      Seq(ExtWriteShards(out, "d", "id", "text", 2, 3)))
+    (0L until 30L).map(i => (i, s"d$i")).toDF("id", "text")
+      .createOrReplaceTempView("ws_docs")
+    val got = Pipeline.runExt(spark,
+      s"WRITE SHARDS '$out' FROM ws_docs ID id TEXT text EPOCH 2 SHARDS 3") match {
+      case Seq(Right(Response.Entries(d))) =>
+        d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      case other => fail(s"$other")
+    }
+    assert(got.map(_._2).sum == 30L && got.map(_._1).toSet.subsetOf(Set(0L, 1L, 2L)))
+    graft.engine.Persistence.deleteDir(out)
+  }
+
   test("BLOCKLIST: grammar parses and execution matches the TextOps API") {
     val spark = graft.TestFixtures.spark
     import spark.implicits._

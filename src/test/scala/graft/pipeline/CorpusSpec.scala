@@ -217,6 +217,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(moved > 100, s"epoch 2 moved only $moved of 200 docs")
   }
 
+  test("writeShards: round-trip layout — one file per shard, stored in shard order") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"t$i xyz" * (1 + (i % 3).toInt)))
+      .toDF("id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-spec").toString
+    val manifest = Corpus.writeShards(docs, "id", "text", out, epoch = 1, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // manifest: all 4 shards, positions dense 1..n, 200 docs total
+    assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    manifest.foreach { case (_, n, maxPos) => assert(n == maxPos) }
+    assert(manifest.map(_._2).sum == 200L)
+    // layout: exactly ONE data file per shard dir
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName}: expected one parquet file")
+    }
+    // stored order inside a shard file IS pos order (no re-sort needed
+    // by a loader): read one file raw and check monotonic pos
+    val one = spark.read.parquet(shardDirs.head.getPath)
+      .select("pos").collect().map(_.getLong(0)).toSeq
+    assert(one == one.sorted, "rows not stored in pos order")
+    // and the assignment matches epochShuffle's contract
+    val expected = Corpus.epochShuffle(docs, "id", epoch = 1, shards = 4)
+      .groupBy("shard").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(manifest.map(m => (m._1, m._2)).toSeq == expected)
+    graft.engine.Persistence.deleteDir(out)
+  }
+
   test("temperatureMix flattens group shares toward the α exponent") {
     import graft.TestFixtures.spark.implicits._
     // natural shares: A 80%, B 15%, C 5%
