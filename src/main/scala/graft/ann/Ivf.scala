@@ -250,12 +250,15 @@ object IvfIndex {
     * eval: measured 496 s for a 2-iteration Lloyd over 200k × 64-d at 256
     * cells; the single-kernel form is three tight primitive loops over
     * one flat float[] reference. */
-  private def assignCell(centroids: Array[Array[Float]]): Column = {
+  private[graft] def assignCell(vec: Column,
+      centroids: Array[Array[Float]]): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, PqEncode}
     element_at(ColumnBridge.column(PqEncode(
-      ColumnBridge.expression(col("key")),
+      ColumnBridge.expression(vec),
       centroids.flatten, m = 1, ksub = centroids.length)), 1)
   }
+  private def assignCell(centroids: Array[Array[Float]]): Column =
+    assignCell(col("key"), centroids)
 
   /** Build: deterministic init (k smallest-id vectors) + `iters` Lloyd
     * rounds as DataFrame jobs, then the cell-stamped corpus repartitioned

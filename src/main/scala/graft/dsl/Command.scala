@@ -116,6 +116,15 @@ object Command {
       extends Command
   final case class ExtBudgetSelect(view: String, id: String, text: String,
       budget: Long) extends Command
+  /** Seeded k-means cluster assignment (pipeline.Cluster.assign). */
+  final case class ExtClusterAssign(view: String, id: String, vec: String,
+      k: Int) extends Command
+  /** Cluster-balanced sampling (pipeline.Cluster.balancedSample). */
+  final case class ExtClusterSample(view: String, id: String, vec: String,
+      k: Int, per: Int) extends Command
+  /** Corpus-wide n-gram heavy hitters (text.HeavyHitters.ngramTopK). */
+  final case class ExtNgramTopK(view: String, text: String, n: Int,
+      k: Int) extends Command
   final case class ExtPack(view: String, id: String, text: String,
       budget: Int, shards: Int) extends Command
   /** Deterministic epoch shuffle (Corpus.epochShuffle). */

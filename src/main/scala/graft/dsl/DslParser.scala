@@ -345,6 +345,21 @@ object DslParser extends RegexParsers {
     kw("budget") ~> kw("select") ~> fromView ~ idCol ~ textCol ~
       (kw("tokens") ~> "[1-9][0-9]*".r ^^ (_.toLong)) ^^ {
         case v ~ i ~ t ~ b => ExtBudgetSelect(v, i, t, b) }
+  // CLUSTER ASSIGN FROM v ID i VEC e K 8 — seeded k-means assignment;
+  // CLUSTER SAMPLE ... PER 5 — the balanced per-cluster selection on top
+  private val extClusterAssign: Parser[Command] =
+    kw("cluster") ~> kw("assign") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (kw("k") ~> nonZero) ^^ {
+        case v ~ i ~ e ~ k => ExtClusterAssign(v, i, e, k) }
+  private val extClusterSample: Parser[Command] =
+    kw("cluster") ~> kw("sample") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (kw("k") ~> nonZero) ~ (kw("per") ~> nonZero) ^^ {
+        case v ~ i ~ e ~ k ~ p => ExtClusterSample(v, i, e, k, p) }
+  // NGRAM TOPK 20 SIZE 2 FROM docs TEXT text — corpus heavy hitters
+  private val extNgramTopK: Parser[Command] =
+    kw("ngram") ~> kw("topk") ~> nonZero ~ (kw("size") ~> nonZero) ~
+      fromView ~ textCol ^^ {
+        case k ~ n ~ v ~ t => ExtNgramTopK(v, t, n, k) }
   private val extPack: Parser[Command] =
     kw("pack") ~> fromView ~ idCol ~ textCol ~ (kw("budget") ~> nonZero) ~
       opt(kw("shards") ~> nonZero) ^^ { case v ~ i ~ t ~ b ~ sh =>
@@ -509,7 +524,8 @@ object DslParser extends RegexParsers {
     extDedupSemantic |
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplitSafe | extSplit |
-    extSample | extBudgetSelect | extPack | extWriteShards | extShuffle |
+    extSample | extBudgetSelect | extClusterAssign | extClusterSample |
+    extNgramTopK | extPack | extWriteShards | extShuffle |
     extCap | extMix |
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |

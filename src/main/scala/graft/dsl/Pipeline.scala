@@ -137,6 +137,15 @@ object Pipeline {
             graft.text.TextOps.qualityScore(col(text)).as("quality"),
             graft.text.TextOps.tokenCount(col(text)).cast("long").as("toks")),
           id, "quality", "toks", budget))
+      case ExtClusterAssign(v, id, vec, k) =>
+        val cents = graft.pipeline.Cluster.seedCentroids(t(v), id, vec, k)
+        Response.Entries(graft.pipeline.Cluster.assign(t(v), vec, cents))
+      case ExtClusterSample(v, id, vec, k, per) =>
+        val cents = graft.pipeline.Cluster.seedCentroids(t(v), id, vec, k)
+        Response.Entries(graft.pipeline.Cluster.balancedSample(
+          graft.pipeline.Cluster.assign(t(v), vec, cents), "cluster", id, per))
+      case ExtNgramTopK(v, text, n, k) =>
+        Response.Entries(graft.text.HeavyHitters.ngramTopK(t(v), text, n, k))
       case ExtPack(v, id, text, budget, shards) =>
         Response.Entries(graft.pipeline.Corpus.packSequences(
           t(v), id, text, budget, shards))

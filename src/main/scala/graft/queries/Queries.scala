@@ -1225,6 +1225,30 @@ object Queries {
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus-wide n-gram heavy hitters (boilerplate / contamination
+    // profiling): top-20 bigrams by count, gram-ascending on ties. The
+    // engine runs the hash-count-first two-pass (8-byte shuffle rows,
+    // strings resolved only for the ≥ kth-count set — HeavyHitters
+    // scaladoc); the oracle counts strings directly, which is the same
+    // result by the pinned exact-arm equivalence ----
+    "text_ngram_topk" -> Q(
+      (s, dir) => graft.text.HeavyHitters.ngramTopK(
+        TestStores.table(s, dir, "documents"), "text", n = 2, k = 20)
+        .orderBy("rank"),
+      Some(raw"""WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT UNNEST(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS ngram
+        |  FROM toks),
+        |cnt AS (SELECT ngram, COUNT(*) AS n FROM grams GROUP BY ngram),
+        |ranked AS (
+        |  SELECT ngram, n,
+        |    row_number() OVER (ORDER BY n DESC, ngram ASC) AS rank
+        |  FROM cnt)
+        |SELECT ngram, n, CAST(rank AS BIGINT) AS rank FROM ranked
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // ---- text analysis: intra-doc repetition ratio (Gopher-style
     // boilerplate rule) — shuffle-free per-row projection ----
     "text_repetition" -> Q(
@@ -1864,6 +1888,37 @@ object Queries {
         |FROM bk ORDER BY doc_id""".stripMargin)),
 
     // ---- deterministic ~20% sample by the same md5 id-bucketing ----
+    // ---- cluster-balanced sampling: the same seeded assignment as
+    // embed_cluster_assign, then the 5 smallest-md5(id) rows per cluster
+    // (the library-wide deterministic-hash sample order) — no mode of the
+    // embedding space dominates the selected set ----
+    "pipeline_cluster_sample" -> Q(
+      (s, dir) => {
+        val e = TestStores.embKeyed(s, dir)
+        val cents = graft.pipeline.Cluster.seedCentroids(e, "id", "key", 8)
+        val assigned = graft.pipeline.Cluster.assign(e, "key", cents)
+        graft.pipeline.Cluster.balancedSample(assigned, "cluster", "id", 5)
+          .select(col("id").as("vec_id"), col("cluster"))
+          .orderBy("cluster", "vec_id")
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |    embedding AS ce
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |d AS (
+        |  SELECT e.vec_id, c.c,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${sqEuclidSql("e.embedding", "c.ce")} ASC, c.c ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cent c),
+        |a AS (SELECT vec_id, c AS cluster FROM d WHERE rn = 1),
+        |picked AS (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rs
+        |  FROM a)
+        |SELECT vec_id, cluster FROM picked WHERE rs <= 5
+        |ORDER BY cluster, vec_id""".stripMargin)),
+
     "pipeline_sample" -> Q(
       (s, dir) => graft.pipeline.Corpus.deterministicSample(
         TestStores.table(s, dir, "documents").select("doc_id"), "doc_id", 0.2)
@@ -2627,6 +2682,32 @@ object Queries {
     // min/max codes in FIXED-ORDER double math, so DuckDB reproduces them
     // bit-exactly. Summed codes + rounded params pin the full code array
     // through the hash gate; shuffle-free per-row projection ----
+    // ---- embedding k-means cluster assignment (the SemDeDup/DCLM
+    // curation shape): deterministic seed centroids (k smallest-id
+    // vectors — IvfIndex.build's init), ONE native-kernel argmin per row
+    // (strict-< first minimum, lowest index on ties). The oracle replays
+    // the same ascending-dimension double fold per centroid and the same
+    // tie-break via (distance ASC, index ASC) row_number ----
+    "embed_cluster_assign" -> Q(
+      (s, dir) => {
+        val e = TestStores.embKeyed(s, dir)
+        val cents = graft.pipeline.Cluster.seedCentroids(e, "id", "key", 8)
+        graft.pipeline.Cluster.assign(e, "key", cents)
+          .select(col("id").as("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |    embedding AS ce
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |d AS (
+        |  SELECT e.vec_id, c.c,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${sqEuclidSql("e.embedding", "c.ce")} ASC, c.c ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cent c)
+        |SELECT vec_id, c AS cluster FROM d WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)),
+
     "embed_quantize" -> Q(
       (s, dir) => {
         val e = TestStores.table(s, dir, "embeddings")

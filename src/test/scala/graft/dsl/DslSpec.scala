@@ -465,6 +465,13 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "BUDGET SELECT FROM docs ID doc_id TEXT text TOKENS 10000") ==
       Seq(ExtBudgetSelect("docs", "doc_id", "text", 10000L)))
+    assert(DslParser.parseExt("CLUSTER ASSIGN FROM emb ID vec_id VEC embedding K 8") ==
+      Seq(ExtClusterAssign("emb", "vec_id", "embedding", 8)))
+    assert(DslParser.parseExt(
+      "CLUSTER SAMPLE FROM emb ID vec_id VEC embedding K 8 PER 5") ==
+      Seq(ExtClusterSample("emb", "vec_id", "embedding", 8, 5)))
+    assert(DslParser.parseExt("NGRAM TOPK 20 SIZE 2 FROM docs TEXT text") ==
+      Seq(ExtNgramTopK("docs", "text", 2, 20)))
     assert(DslParser.parseExt(
       "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
       "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
@@ -589,6 +596,38 @@ class DslSpec extends AnyFunSuite {
     assert(ref.nonEmpty && ref.map(_._2).max <= 30L)
     assert(bdf.select("doc_id", "cum_toks").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == ref)
+    // NGRAM TOPK: matches the library call exactly
+    val nt = Pipeline.runExt(spark,
+      "NGRAM TOPK 3 SIZE 2 FROM ext_docs TEXT text")
+    val ntDf = nt.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"ngram topk: $other")
+    }
+    assert(ntDf.orderBy("rank").collect().map(_.getString(0)).toSeq ==
+      graft.text.HeavyHitters.ngramTopK(docs, "text", 2, 3)
+        .orderBy("rank").collect().map(_.getString(0)).toSeq)
+    // CLUSTER ASSIGN / SAMPLE: seeded assignment over a vec view
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 1f)),
+      (2L, Array(10f, 10f)), (3L, Array(11f, 11f)))
+      .toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("ext_emb")
+    val ca = Pipeline.runExt(spark,
+      """CLUSTER ASSIGN FROM ext_emb ID vec_id VEC embedding K 2;
+        |CLUSTER SAMPLE FROM ext_emb ID vec_id VEC embedding K 2 PER 1""".stripMargin)
+    val caDf = ca(0) match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"cluster assign: $other")
+    }
+    val assignGot = caDf.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // seeds are vectors of ids 0 and 1: far points join seed 1's cluster
+    assert(assignGot == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 1))
+    val csDf = ca(1) match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"cluster sample: $other")
+    }
+    assert(csDf.count() == 2) // one row per non-empty cluster
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {
