@@ -3148,6 +3148,56 @@ object Queries {
     // ---- IVF index (extension): partition-pruned ANN. nProbe = nCells ⇒
     // exhaustive ⇒ identical to the exact linear scan — the correctness
     // gate; pruned-probe recall is pinned in IvfSpec. ----
+    // ---- FULL iterated k-means (2 Lloyd rounds), oracle-replayed: the
+    // vectors are snapped to an integer grid (×8 — a power of two, so the
+    // scale is exact — then round) which makes every Lloyd mean an exact
+    // integer sum / count: order-independent in IEEE double, so DuckDB can
+    // replay seed → assign → mean → assign → mean → final-assign
+    // bit-for-bit (the float cast per round included). Ties on the integer
+    // grid are common and pin the strict-< lowest-index tie-break for real
+    // (embed_cluster_assign's jittered floats almost never tie) ----
+    "embed_cluster_kmeans" -> Q(
+      (s, dir) => {
+        val e = TestStores.embKeyed(s, dir)
+        val ints = e.select(col("id"),
+          transform(col("key"),
+            x => round(x.cast("double") * 8).cast("float")).as("key"))
+        val (_, assigned) =
+          graft.pipeline.Cluster.kmeans(ints, "id", "key", k = 4, iters = 2)
+        assigned.select(col("id").as("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def argmin(src: String, cents: String) =
+          s"""SELECT vec_id, v, c FROM (
+             |  SELECT b.vec_id, b.v, c.c,
+             |    row_number() OVER (PARTITION BY b.vec_id
+             |      ORDER BY ${sqEuclidSql("b.v", "c.cv")} ASC, c.c ASC) AS rn
+             |  FROM $src b CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+        def mean(src: String, prev: String) =
+          s"""SELECT p.c, COALESCE(m.cv2, p.cv) AS cv FROM $prev p
+             |LEFT JOIN (
+             |  SELECT c, list(m ORDER BY i) AS cv2 FROM (
+             |    SELECT c, i, CAST(avg(CAST(val AS DOUBLE)) AS FLOAT) AS m
+             |    FROM (SELECT c, generate_subscripts(v, 1) AS i,
+             |          UNNEST(v) AS val FROM $src)
+             |    GROUP BY c, i) GROUP BY c) m ON p.c = m.c""".stripMargin
+        s"""WITH base AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 8) AS FLOAT)) AS v
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+           |    v AS cv
+           |  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 4)),
+           |a0 AS (${argmin("base", "c0")}),
+           |c1 AS (${mean("a0", "c0")}),
+           |a1 AS (${argmin("base", "c1")}),
+           |c2 AS (${mean("a1", "c1")}),
+           |af AS (${argmin("base", "c2")})
+           |SELECT vec_id, c AS cluster FROM af ORDER BY vec_id""".stripMargin
+      }),
+
     "ann_ivf_exact" -> Q(
       (s, dir) => {
         val ivf = TestStores.ivfIndex(s, dir) // shared stamped artifact

@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
  * Scale shape (the point): counting STRINGS corpus-wide shuffles the full
  * distinct-gram tail — at web scale that is a vocabulary² long-tail of
  * multi-byte keys. [[ngramTopK]] instead counts 8-byte xxhash64 gram
- * hashes first (explode → hash → map-side partial count; only distinct
+ * hashes first (ONE native pass per row — [[org.apache.spark.sql.graftbridge.NgramHash]]
+ * — then a long-explode and a map-side partial count; only distinct
  * hashes per partition cross the shuffle), collects just the ≥ kth-count
  * hash set (k + ties rows), then resolves strings in a second scan whose
- * explode is filtered to that set BEFORE any shuffle — the string pass
- * shuffles ~k rows total. Two scans + two tiny shuffles beats one scan +
- * a full-tail string shuffle for any corpus that doesn't fit in memory.
+ * membership test runs inside the sibling kernel
+ * ([[org.apache.spark.sql.graftbridge.NgramResolve]] — the gram byte
+ * image is shared, so the passes can never disagree) BEFORE any string
+ * allocation or shuffle — the string pass shuffles ~k rows total. Two
+ * scans + two tiny shuffles beats one scan + a full-tail string shuffle
+ * for any corpus that doesn't fit in memory.
  *
  * Exactness: identical to the direct string count ([[ngramTopKExact]],
  * bit-pinned in TextOpsSpec) unless two distinct grams collide in 64-bit
@@ -35,15 +39,18 @@ object HeavyHitters {
     * the object scaladoc for the scale shape. `maxCandidates` bounds the
     * tie set the driver will collect (a corpus where >maxCandidates grams
     * share the kth count is a degenerate input — fail loudly rather than
-    * ship an unbounded isin list into codegen). */
+    * ship an unbounded membership array into the resolve kernel). */
   def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int,
       maxCandidates: Int = 65536): DataFrame = {
     require(n > 0 && k > 0, s"n and k must be positive, got n=$n k=$k")
-    val grams = TextOps.ngrams(col(textCol), n)
-    // pass 1: 8-byte hash counts; strings never cross this shuffle
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash, NgramResolve}
+    val toks = TextOps.tokens(col(textCol))
+    // pass 1: 8-byte hash counts straight off the token array — ONE
+    // native pass per row (NgramHash), no gram string ever allocated;
+    // the explode carries longs
     val hashCounts = df
-      .select(explode(grams).as("_g"))
-      .select(xxhash64(col("_g")).as("_h"))
+      .select(explode(ColumnBridge.column(
+        NgramHash(ColumnBridge.expression(toks), n))).as("_h"))
       .groupBy("_h").agg(count(lit(1)).as("_hn"))
     val topCounts = hashCounts
       .orderBy(desc("_hn"), asc("_h")).limit(k)
@@ -64,11 +71,13 @@ object HeavyHitters {
     require(cands.length <= maxCandidates,
       s"more than $maxCandidates grams tie at the kth count ($kthCount) — " +
         "degenerate corpus for a top-k; raise maxCandidates or k")
-    // pass 2: resolve candidate strings — the filter runs map-side, so
-    // only ~k rows reach the string groupBy's shuffle
+    // pass 2: resolve candidate strings — the membership test runs
+    // INSIDE the kernel (same gram byte image + hash as pass 1), so gram
+    // strings materialize only for candidate occurrences and only
+    // distinct grams per partition reach the shuffle
     val resolved = df
-      .select(explode(grams).as("ngram"))
-      .where(xxhash64(col("ngram")).isin(cands.toSeq: _*))
+      .select(explode(ColumnBridge.column(
+        NgramResolve(ColumnBridge.expression(toks), n, cands))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
     // final rank over k+ties rows — a global window over a bounded set
     resolved

@@ -76,3 +76,72 @@ case class NgramHash(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * The resolve pass of the heavy-hitter top-k ([[graft.text.HeavyHitters]]):
+ * the word n-grams of a token array WHOSE HASH IS IN `candidates`, as
+ * strings. Same gram byte image and hash as [[NgramHash]] (tokens joined
+ * by 0x20, xxhash64 seed 42 — the two kernels can never disagree about
+ * what a gram hashes to), but the joined string is only materialized for
+ * grams that survive the membership test — on a heavy-hitter resolve pass
+ * that's the candidate set's occurrences, not the corpus's full gram
+ * stream. Membership is binary search over the sorted candidate array
+ * (the set is k + kth-count ties — driver-bounded by construction).
+ */
+case class NgramResolve(child: Expression, n: Int,
+    candidates: Array[Long]) extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+  private val sorted: Array[Long] = {
+    val c = candidates.clone(); java.util.Arrays.sort(c); c
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_resolve"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val tb = new Array[Array[Byte]](m)
+      var i = 0
+      while (i < m) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+      val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+      var p = 0
+      while (p < cnt) {
+        var len = n - 1
+        var j = 0
+        while (j < n) { len += tb(p + j).length; j += 1 }
+        val g = new Array[Byte](len)
+        var off = 0
+        j = 0
+        while (j < n) {
+          val t = tb(p + j)
+          System.arraycopy(t, 0, g, off, t.length)
+          off += t.length
+          if (j < n - 1) { g(off) = ' '; off += 1 }
+          j += 1
+        }
+        val s = UTF8String.fromBytes(g)
+        if (java.util.Arrays.binarySearch(sorted,
+            XxHash64Function.hash(s, StringType, 42L)) >= 0) out += s
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramResolve", this,
+      classOf[NgramResolve].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  ((${classOf[NgramResolve].getName}) $ref).nullSafeEval($c);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -50,7 +50,7 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(rows(HeavyHitters.ngramTopK(empty, "text", n = 2, k = 10)).isEmpty)
   }
 
-  test("degenerate tie storms fail loudly instead of shipping a huge isin") {
+  test("degenerate tie storms fail loudly instead of an unbounded resolve set") {
     // 50 distinct unigrams all with count 1 and k=1 → 50 grams tie at the
     // kth count; maxCandidates=10 must refuse
     val flat = (1 to 50).map(i => s"w$i").toDF("text")
