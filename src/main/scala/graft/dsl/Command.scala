@@ -122,6 +122,9 @@ object Command {
   /** Cluster-balanced sampling (pipeline.Cluster.balancedSample). */
   final case class ExtClusterSample(view: String, id: String, vec: String,
       k: Int, per: Int) extends Command
+  /** Full iterated k-means (pipeline.Cluster.kmeans). */
+  final case class ExtClusterKmeans(view: String, id: String, vec: String,
+      k: Int, iters: Int) extends Command
   /** Corpus-wide n-gram heavy hitters (text.HeavyHitters.ngramTopK). */
   final case class ExtNgramTopK(view: String, text: String, n: Int,
       k: Int) extends Command

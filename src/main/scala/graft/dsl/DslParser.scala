@@ -355,6 +355,11 @@ object DslParser extends RegexParsers {
     kw("cluster") ~> kw("sample") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
       (kw("k") ~> nonZero) ~ (kw("per") ~> nonZero) ^^ {
         case v ~ i ~ e ~ k ~ p => ExtClusterSample(v, i, e, k, p) }
+  // CLUSTER KMEANS FROM v ID i VEC e K 4 ITERS 2 — the full Lloyd loop
+  private val extClusterKmeans: Parser[Command] =
+    kw("cluster") ~> kw("kmeans") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (kw("k") ~> nonZero) ~ (kw("iters") ~> nonZero) ^^ {
+        case v ~ i ~ e ~ k ~ it => ExtClusterKmeans(v, i, e, k, it) }
   // NGRAM TOPK 20 SIZE 2 FROM docs TEXT text — corpus heavy hitters
   private val extNgramTopK: Parser[Command] =
     kw("ngram") ~> kw("topk") ~> nonZero ~ (kw("size") ~> nonZero) ~
@@ -525,7 +530,7 @@ object DslParser extends RegexParsers {
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplitSafe | extSplit |
     extSample | extBudgetSelect | extClusterAssign | extClusterSample |
-    extNgramTopK | extPack | extWriteShards | extShuffle |
+    extClusterKmeans | extNgramTopK | extPack | extWriteShards | extShuffle |
     extCap | extMix |
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |

@@ -144,6 +144,9 @@ object Pipeline {
         val cents = graft.pipeline.Cluster.seedCentroids(t(v), id, vec, k)
         Response.Entries(graft.pipeline.Cluster.balancedSample(
           graft.pipeline.Cluster.assign(t(v), vec, cents), "cluster", id, per))
+      case ExtClusterKmeans(v, id, vec, k, iters) =>
+        Response.Entries(
+          graft.pipeline.Cluster.kmeans(t(v), id, vec, k, iters)._2)
       case ExtNgramTopK(v, text, n, k) =>
         Response.Entries(graft.text.HeavyHitters.ngramTopK(t(v), text, n, k))
       case ExtPack(v, id, text, budget, shards) =>

@@ -312,4 +312,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected corpus shuffle; plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("cluster assign is one narrow kernel projection — no shuffle, no join") {
+    val vecs = spark.range(8).select(col("id"),
+      array(col("id").cast("float"), lit(0f)).as("key"))
+    val cents = Array(Array(0f, 0f), Array(4f, 0f))
+    val p = plan(graft.pipeline.Cluster.assign(vecs, "key", cents))
+    assert("pq_encode".r.findAllIn(p).size == 1,
+      s"assign must run the argmin kernel once; plan:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assign must stay a narrow map; plan:\n$p")
+  }
+
+  test("ngram topK passes: long-explode hash count, kernel-side resolve filter") {
+    val hh = graft.text.HeavyHitters.ngramTopK(docs, "text", 2, 3)
+    val p = plan(hh)
+    // pass 2 (the plan we hold): resolve kernel runs once, explode carries
+    // its output, and no string-side filter reappears above the explode
+    assert("ngram_resolve".r.findAllIn(p).size == 1,
+      s"resolve kernel must run once per row; plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+    // the final rank is a window-group-limit shape, not a global sort of
+    // the full gram tail: Spark plans the rank<=k as a TakeOrderedAndProject
+    // (or WindowGroupLimit) below the window
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"rank must be limit-pushed; plan:\n$p")
+  }
 }

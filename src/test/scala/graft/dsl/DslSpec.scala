@@ -470,6 +470,9 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "CLUSTER SAMPLE FROM emb ID vec_id VEC embedding K 8 PER 5") ==
       Seq(ExtClusterSample("emb", "vec_id", "embedding", 8, 5)))
+    assert(DslParser.parseExt(
+      "CLUSTER KMEANS FROM emb ID vec_id VEC embedding K 4 ITERS 2") ==
+      Seq(ExtClusterKmeans("emb", "vec_id", "embedding", 4, 2)))
     assert(DslParser.parseExt("NGRAM TOPK 20 SIZE 2 FROM docs TEXT text") ==
       Seq(ExtNgramTopK("docs", "text", 2, 20)))
     assert(DslParser.parseExt(
@@ -628,6 +631,17 @@ class DslSpec extends AnyFunSuite {
       case other => fail(s"cluster sample: $other")
     }
     assert(csDf.count() == 2) // one row per non-empty cluster
+    // CLUSTER KMEANS: matches the library call exactly
+    val ck = Pipeline.runExt(spark,
+      "CLUSTER KMEANS FROM ext_emb ID vec_id VEC embedding K 2 ITERS 2")
+    val ckDf = ck.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"cluster kmeans: $other")
+    }
+    val ckRef = graft.pipeline.Cluster
+      .kmeans(emb, "vec_id", "embedding", 2, 2)._2
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ckDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == ckRef)
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {

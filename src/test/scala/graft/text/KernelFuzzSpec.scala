@@ -158,4 +158,30 @@ class KernelFuzzSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getString(1) == r.getString(2),
       s"html diverged on id ${r.getLong(0)}: [${r.getString(1)}] vs [${r.getString(2)}]"))
   }
+
+  test("NgramHash / NgramResolve agree with the HOF formulation on fuzz text") {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash, NgramResolve}
+    val docs = fuzzCorpus(0x96A4L, 400).toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val toks = TextOps.tokens(col("text"))
+      val grams = TextOps.ngrams(col("text"), n)
+      // hash kernel == xxhash64 over the joined gram strings
+      val h = docs.select(col("id"),
+        ColumnBridge.column(NgramHash(ColumnBridge.expression(toks), n)).as("k"),
+        transform(grams, g => xxhash64(g)).as("b")).collect()
+      h.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"ngram hash diverged on id ${r.getLong(0)} n=$n"))
+      // resolve kernel == filter-by-hash over the string formulation,
+      // with a candidate set drawn from the corpus itself (+ a miss)
+      val some = docs.select(explode(grams).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct()
+        .orderBy("h").limit(7).as[Long].collect() :+ 0x12345L
+      val res = docs.select(col("id"),
+        ColumnBridge.column(NgramResolve(
+          ColumnBridge.expression(toks), n, some)).as("k"),
+        filter(grams, g => xxhash64(g).isin(some.toSeq: _*)).as("b")).collect()
+      res.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"ngram resolve diverged on id ${r.getLong(0)} n=$n"))
+    }
+  }
 }
