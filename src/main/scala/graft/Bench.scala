@@ -179,9 +179,15 @@ object Bench {
     // eaten per-query detail (18 queries in round 7, including the round's
     // #1 perf target); the full JSON also lands in a repo file so every
     // per-query median survives regardless of how stdout is captured.
-    // Overridable for side-runs (isolation bisects) so they can't clobber
-    // the round's record.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // A SUBSET run (BENCH_ONLY set, not an orchestrated child) must never
+    // land on the round record by default — one did exactly that and
+    // replaced the committed 103-query artifact with a single-query scratch
+    // line. Side-runs default to a temp file; BENCH_LAST.json now requires
+    // an explicit SPARK_GRAFT_BENCH_OUT (or a full orchestrated run).
+    val defaultOut =
+      if (only.nonEmpty && !isChild) "/tmp/graft-bench-only.json"
+      else "BENCH_LAST.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

@@ -414,6 +414,20 @@ object DslParser extends RegexParsers {
     kw("blocklist") ~> fromView ~ idCol ~ textCol ~
       (kw("words") ~> rep1sep(name, ",")) ^^ {
         case v ~ i ~ t ~ ws => ExtBlocklist(v, i, t, ws) }
+  // NEGATIVES 5 FROM q ID i VEC v LABEL l IN corpus ID i VEC v LABEL l —
+  // hard-negative mining (queries side first, corpus after IN, like BM25)
+  private val extNegatives: Parser[Command] =
+    kw("negatives") ~> nonZero ~ fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (kw("label") ~> name) ~ (inKw ~> name) ~ idCol ~
+      (kw("vec") ~> name) ~ (kw("label") ~> name) ^^ {
+        case k ~ qv ~ qi ~ qe ~ ql ~ cv ~ ci ~ ce ~ cl =>
+          ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl) }
+  // OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2 — cross-source
+  // distinct-n-gram overlap matrix
+  private val extOverlap: Parser[Command] =
+    kw("overlap") ~> fromView ~ (kw("groupby") ~> name) ~ textCol ~
+      (kw("ngram") ~> nonZero) ^^ {
+        case v ~ g ~ t ~ n => ExtOverlap(v, g, t, n) }
   private val extBm25: Parser[Command] =
     kw("bm25") ~> nonZero ~ fromView ~ idCol ~ textCol ~
       (inKw ~> name) ~ idCol ~ textCol ^^ {
@@ -535,7 +549,8 @@ object DslParser extends RegexParsers {
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extRepetition | extBlocklist |
-    extBm25 | extDsir | extClassify | extFuse | extTopK | extDatacard |
+    extBm25 | extDsir | extClassify | extNegatives | extOverlap |
+    extFuse | extTopK | extDatacard |
     extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 
   // any ext statement's result can be registered as a view with a

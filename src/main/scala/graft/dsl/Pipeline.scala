@@ -149,6 +149,11 @@ object Pipeline {
           graft.pipeline.Cluster.kmeans(t(v), id, vec, k, iters)._2)
       case ExtNgramTopK(v, text, n, k) =>
         Response.Entries(graft.text.HeavyHitters.ngramTopK(t(v), text, n, k))
+      case ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl) =>
+        Response.Entries(graft.ann.Negatives.hardNegatives(
+          t(qv), t(cv), qi, qe, ql, ci, ce, cl, k))
+      case ExtOverlap(v, g, text, n) =>
+        Response.Entries(graft.pipeline.Overlap.overlapMatrix(t(v), g, text, n))
       case ExtPack(v, id, text, budget, shards) =>
         Response.Entries(graft.pipeline.Corpus.packSequences(
           t(v), id, text, budget, shards))

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-slice n-gram overlap matrix — the "how much do these sources
+ * share" report run BEFORE mixing corpora: two crawl dumps covering the
+ * same sites, a vendor reselling a scrape, a benchmark leaking into a
+ * source. For every unordered source pair: distinct-n-gram intersection,
+ * Jaccard, and per-side containment (containment is the asymmetric signal
+ * — a small source fully contained in a big one has tiny Jaccard but
+ * containment ≈ 1). An extension beyond the reference's surface (it has
+ * no corpus analytics); the dataset-overlap shape of Lee et al. 2022 §5 /
+ * Dodge et al. 2021 (C4 contamination audit).
+ *
+ * Scale shape: a source's distinct-gram set is vocabulary-sized, so the
+ * matrix is computed on 8-byte xxhash64 gram hashes — ONE native
+ * [[org.apache.spark.sql.graftbridge.NgramHash]] pass per row (no gram
+ * string is ever allocated), then distinct (source, hash) rows are the
+ * only corpus-sized shuffle (8 bytes + a dictionary-coded source). The
+ * pair expansion groups by hash first: a hash's source set is bounded by
+ * G (= #sources, dozens), single-source hashes — the overwhelming
+ * majority — are dropped BEFORE any pair is formed, and the expansion
+ * emits ≤ G(G-1)/2 rows per surviving hash into a map-side-combined
+ * count. Output is the full G(G-1)/2 matrix (zero-overlap pairs included,
+ * via a cross of the G-row size table — G is dozens, the cross is free).
+ * Collision tradeoff: same ~2^-64-per-pair xxhash64 acceptance the
+ * datacard and heavy-hitters ops document.
+ */
+object Overlap {
+
+  /** Pairwise overlap of distinct word n-grams between values of
+    * `groupCol`: (a, b, n_a, n_b, inter_grams, jaccard, containment_a,
+    * containment_b) for every pair a < b of group values. `n_x` is the
+    * side's distinct-gram count; `containment_x` = inter / n_x; ratios are
+    * 0.0 (never NULL/NaN) when a side has no grams. Rows with a NULL
+    * group are excluded — NULL is not a source. */
+  def overlapMatrix(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash}
+    val gh = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(ColumnBridge.column(NgramHash(
+          ColumnBridge.expression(graft.text.TextOps.tokens(col(textCol))),
+          n))).as("h"))
+      .distinct() // the one corpus-sized shuffle: (source, 8-byte hash)
+    // G rows; seeded from the INPUT's distinct groups, not gh — a group
+    // whose every doc is shorter than n contributes no gram row at all,
+    // but the matrix must still report its pairs (as zeros), not drop it
+    val sizes = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g")).distinct()
+      .join(gh.groupBy("g").agg(count(lit(1)).as("cnt")), Seq("g"), "left")
+      .select(col("g"), coalesce(col("cnt"), lit(0L)).as("sz"))
+    // per-hash source sets (≤ G each); single-source hashes — the
+    // overwhelming majority — are dropped before any pair exists
+    val sets = gh.groupBy("h").agg(collect_set(col("g")).as("gs"))
+      .where(size(col("gs")) > 1)
+      .select(array_sort(col("gs")).as("gs"))
+    // ordered-pair expansion inside the row (x before y in the sorted
+    // set), then a map-side-combined count per (a, b)
+    val inter = sets
+      .select(explode(flatten(transform(col("gs"), (x, i) =>
+        transform(slice(col("gs"), i + lit(2), size(col("gs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    // full matrix: cross the G-row size table with itself, attach inter
+    val left = sizes.select(col("g").as("a"), col("sz").as("n_a"))
+    val right = sizes.select(col("g").as("b"), col("sz").as("n_b"))
+    val ratio = (num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =>
+      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 4)
+    left.crossJoin(right).where(col("a") < col("b"))
+      .join(inter, Seq("a", "b"), "left")
+      .withColumn("inter_grams", coalesce(col("inter"), lit(0L)))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("inter_grams"),
+        ratio(col("inter_grams"),
+          col("n_a") + col("n_b") - col("inter_grams")).as("jaccard"),
+        ratio(col("inter_grams"), col("n_a")).as("containment_a"),
+        ratio(col("inter_grams"), col("n_b")).as("containment_b"))
+  }
+}

@@ -2926,6 +2926,67 @@ object Queries {
         |SELECT qid, cid, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- hard-negative mining (contrastive-training data prep): per
+    // query vector, top-5 most-similar DIFFERENT-label corpus vectors +
+    // the query's best same-label cosine as the semi-hard anchor. The
+    // semi_hard flag is decided on the rounded values both engines report.
+    "embed_hard_negatives" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        graft.ann.Negatives.hardNegatives(
+          e.where(col("vec_id") < 15), e,
+          "vec_id", "embedding", "label", "vec_id", "embedding", "label", 5)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH s AS (
+        |  SELECT q.vec_id qid, c.vec_id cid, q.label ql, c.label cl,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 15 AND q.vec_id <> c.vec_id),
+        |pos AS (SELECT qid, max(cos) AS pc FROM s WHERE ql = cl GROUP BY qid),
+        |negs AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM s WHERE ql <> cl)
+        |SELECT n.qid, n.cid, round(n.cos, 4) AS neg_cos, round(p.pc, 4) AS pos_cos,
+        |  CAST(n.rank AS BIGINT) AS rank,
+        |  round(n.cos, 4) < round(p.pc, 4) AS semi_hard
+        |FROM negs n LEFT JOIN pos p USING (qid)
+        |WHERE n.rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // ---- cross-source n-gram overlap matrix (pre-mix contamination
+    // audit): distinct-2-gram intersection / Jaccard / containment per
+    // source pair, zero-overlap pairs included. Hash-counted in Spark
+    // (8-byte shuffle rows); the oracle counts the gram strings. ----
+    "pipeline_overlap_matrix" -> Q(
+      (s, dir) => graft.pipeline.Overlap.overlapMatrix(
+        TestStores.table(s, dir, "documents"), "source", "text", 2)
+        .orderBy("a", "b"),
+      Some(raw"""WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, g FROM toks,
+        |  UNNEST(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS u(g)),
+        |sizes AS (
+        |  SELECT d.source AS g, COUNT(gr.g) AS sz
+        |  FROM (SELECT DISTINCT source FROM documents) d
+        |  LEFT JOIN grams gr ON gr.source = d.source GROUP BY 1),
+        |inter AS (
+        |  SELECT x.source a, y.source b, COUNT(*) c FROM grams x
+        |  JOIN grams y ON x.g = y.g AND x.source < y.source GROUP BY 1, 2)
+        |SELECT sa.g AS a, sb.g AS b, sa.sz AS n_a, sb.sz AS n_b,
+        |  COALESCE(i.c, 0) AS inter_grams,
+        |  round(CASE WHEN sa.sz + sb.sz - COALESCE(i.c, 0) > 0
+        |    THEN CAST(COALESCE(i.c, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.c, 0))
+        |    ELSE 0.0 END, 4) AS jaccard,
+        |  round(CASE WHEN sa.sz > 0
+        |    THEN CAST(COALESCE(i.c, 0) AS DOUBLE) / sa.sz ELSE 0.0 END, 4) AS containment_a,
+        |  round(CASE WHEN sb.sz > 0
+        |    THEN CAST(COALESCE(i.c, 0) AS DOUBLE) / sb.sz ELSE 0.0 END, 4) AS containment_b
+        |FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+        |LEFT JOIN inter i ON i.a = sa.g AND i.b = sb.g
+        |ORDER BY a, b""".stripMargin)),
+
     // ---- AS-OF JOIN (point-in-time enrichment): each purchase matched to
     // the latest view at-or-before it per user — union-and-sweep (one
     // shuffle on user, one per-key window, zero joins), vs DuckDB's native

@@ -475,6 +475,11 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtClusterKmeans("emb", "vec_id", "embedding", 4, 2)))
     assert(DslParser.parseExt("NGRAM TOPK 20 SIZE 2 FROM docs TEXT text") ==
       Seq(ExtNgramTopK("docs", "text", 2, 20)))
+    assert(DslParser.parseExt("NEGATIVES 5 FROM q ID qid VEC emb LABEL lab " +
+      "IN corpus ID cid VEC emb LABEL lab") ==
+      Seq(ExtNegatives(5, "q", "qid", "emb", "lab", "corpus", "cid", "emb", "lab")))
+    assert(DslParser.parseExt("OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2") ==
+      Seq(ExtOverlap("docs", "source", "text", 2)))
     assert(DslParser.parseExt(
       "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
       "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
@@ -642,6 +647,41 @@ class DslSpec extends AnyFunSuite {
       .kmeans(emb, "vec_id", "embedding", 2, 2)._2
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(ckDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == ckRef)
+    // NEGATIVES: matches the library call exactly
+    val lemb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    lemb.createOrReplaceTempView("ext_lemb")
+    val ng = Pipeline.runExt(spark,
+      "NEGATIVES 2 FROM ext_lemb ID vec_id VEC embedding LABEL label " +
+        "IN ext_lemb ID vec_id VEC embedding LABEL label")
+    val ngDf = ng.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"negatives: $other")
+    }
+    val ngRef = graft.ann.Negatives.hardNegatives(lemb, lemb,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(ngDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == ngRef)
+  }
+
+  test("extension pipeline: OVERLAP executes (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    Seq((0L, "a", "x y z w"), (1L, "b", "x y z q"), (2L, "c", "p q r s"))
+      .toDF("doc_id", "source", "text").createOrReplaceTempView("ov_docs")
+    val out = Pipeline.runExt(spark,
+      "OVERLAP FROM ov_docs GROUPBY source TEXT text NGRAM 2")
+    val df = out.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"overlap: $other")
+    }
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // a∩b = {"x y","y z"}; the rest share nothing
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 0L, ("b", "c") -> 0L))
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {

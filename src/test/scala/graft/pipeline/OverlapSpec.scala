@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+
+/** Cross-source overlap matrix vs a driver-side string reference. */
+class OverlapSpec extends AnyFunSuite {
+
+  private def docs: Seq[(Long, String, String)] = Seq(
+    (0L, "a", "the quick brown fox jumps over the lazy dog"),
+    (1L, "a", "spark catalyst rules rewrite the plan"),
+    (2L, "b", "the quick brown fox jumps over the lazy dog"), // = doc 0
+    (3L, "b", "fresh unrelated content entirely its own words"),
+    (4L, "c", "no shared grams here at all"),
+    (5L, "c", "spark catalyst rules rewrite the plan"), // = doc 1
+    (6L, "d", "xx")) // too short for a 2-gram: d has zero grams
+
+  private def df = {
+    import spark.implicits._
+    docs.toDF("doc_id", "source", "text")
+  }
+
+  private def grams(text: String, n: Int): Set[String] = {
+    val t = text.trim.split("\\s+").toSeq
+    if (t.length < n) Set.empty
+    else t.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def r4(x: Double) =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("matches the driver string reference on every pair, zero-overlap pairs included") {
+    val n = 2
+    val byGroup = docs.groupBy(_._2).map { case (g, ds) =>
+      g -> ds.map(d => grams(d._3, n)).reduce(_ ++ _) }
+    val groups = byGroup.keys.toSeq.sorted
+    val expected = (for {
+      i <- groups.indices; j <- (i + 1) until groups.length
+      a = groups(i); b = groups(j)
+      sa = byGroup(a); sb = byGroup(b)
+      inter = (sa & sb).size
+    } yield (a, b) -> (sa.size.toLong, sb.size.toLong, inter.toLong,
+      if (sa.nonEmpty || sb.nonEmpty)
+        r4(inter.toDouble / (sa.size + sb.size - inter)) else 0.0,
+      if (sa.nonEmpty) r4(inter.toDouble / sa.size) else 0.0,
+      if (sb.nonEmpty) r4(inter.toDouble / sb.size) else 0.0)).toMap
+    val out = Overlap.overlapMatrix(df, "source", "text", n)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(out == expected)
+    // the matrix is complete: all G(G-1)/2 pairs present, incl. d's zeros
+    assert(out.size == groups.length * (groups.length - 1) / 2)
+    // the planted identical docs drive real intersections
+    assert(out(("a", "b"))._3 > 0 && out(("a", "c"))._3 > 0)
+    // c and b share nothing
+    assert(out(("b", "c"))._3 == 0L && out(("b", "c"))._4 == 0.0)
+  }
+
+  test("containment is asymmetric: a small source inside a big one") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "big", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "big", "iota kappa lambda mu nu xi omicron pi"),
+      (2L, "small", "alpha beta gamma delta")).toDF("doc_id", "source", "text")
+    val row = Overlap.overlapMatrix(d, "source", "text", 2)
+      .collect().head
+    // small's 3 grams are all inside big → containment_small = 1.0
+    assert(row.getString(0) == "big" && row.getString(1) == "small")
+    assert(row.getDouble(7) == 1.0)
+    assert(row.getDouble(6) < 0.5) // big is far from contained in small
+  }
+
+  test("NULL sources are excluded; single-group corpus yields an empty matrix") {
+    import spark.implicits._
+    val d = Seq((0L, Some("a"), "x y z"), (1L, None, "x y z"))
+      .toDF("doc_id", "source", "text")
+    assert(Overlap.overlapMatrix(d, "source", "text", 2).count() == 0)
+  }
+}
