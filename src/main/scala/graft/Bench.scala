@@ -107,6 +107,8 @@ object Bench {
     if (selectedNames.exists(n => n == "ann_ivf_exact" ||
         (n.startsWith("embed_topk_") && n.endsWith("_ivf"))))
       graft.queries.TestStores.ivfIndex(spark, sfDir)
+    if (selectedNames.contains("embed_hard_negatives_ivf"))
+      graft.queries.TestStores.ivfLabeledIndex(spark, sfDir)
     if (selectedNames.exists(n => n == "embed_topk_pq" || n == "embed_topk_pq_ivf"))
       graft.queries.TestStores.pqCodebook(spark, sfDir)
 

@@ -110,6 +110,56 @@ final class IvfIndex(
         col("rank"))
   }
 
+  /** Label-filtered hard-negative mining inside probed cells — the
+    * both-sides-large arm of [[Negatives.hardNegatives]] (that one
+    * broadcasts a bounded query side; here queries cell-route and
+    * shuffle-join the cell-partitioned corpus, so a million-anchor mining
+    * run needs no broadcast and no all-pairs product). Requires (a) a
+    * cosine index and (b) the label stored as a PAYLOAD COLUMN of the
+    * cells table — at cluster scale labels live beside the vectors in
+    * the cell-partitioned parquet; joining a corpus-sized label table per
+    * mining run would reintroduce the very shuffle this index removes.
+    * Both the negatives and the `pos_cos` anchor see only probed cells:
+    * nProbe = nCells is exactly the broadcast arm (the oracle identity
+    * the embed_hard_negatives_ivf gate pins); smaller nProbe approximates
+    * both, in the usual nProbe/nCells recall-for-scan tradeoff. Output
+    * contract == [[Negatives.hardNegatives]]. */
+  def hardNegatives(queries: DataFrame, qId: String, qVec: String,
+      qLabel: String, cLabel: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(metric == Algorithm.CosineSimilarity,
+      s"hard negatives rank by cosine; this index was built for $metric")
+    require(cells.columns.contains(cLabel),
+      s"index cells carry no '$cLabel' payload column — rebuild the index " +
+        "from a corpus frame that includes the label")
+    require(k > 0, s"k must be positive, got $k")
+    val np = math.max(1, math.min(nProbe, nCells))
+    // qid-dedup with the label carried: same min-vector pick as
+    // dedupedQueries (struct ordering compares qv first), so the two
+    // arms can never select different vectors for a duplicated qid
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qv"),
+        col(qLabel).as("ql"))
+      .groupBy("qid").agg(min(struct(col("qv"), col("ql"))).as("_p"))
+      .select(col("qid"), col("_p.qv").as("qv"), col("_p.ql").as("ql"))
+    val probed = q.withColumn("_p", explode(cellRankExpr(np)))
+      .select(col("qid"), col("qv"), col("ql"), col("_p.c").as("cell"))
+    val scored = probed.join(cells, "cell")
+      .where(col("qid") =!= col("id"))
+      .withColumn("_cos", Similarity.cosineSimilarity(col("qv"), col("key")))
+    val pos = scored.where(col(cLabel) === col("ql"))
+      .groupBy("qid").agg(max(col("_cos")).as("pc"))
+    val w = Window.partitionBy("qid").orderBy(col("_cos").desc, col("id").asc)
+    val negs = scored.where(col(cLabel) =!= col("ql"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+    negs.join(broadcast(pos), Seq("qid"), "left")
+      .select(col("qid"), col("id").as("cid"),
+        round(col("_cos"), 4).as("neg_cos"),
+        round(col("pc"), 4).as("pos_cos"),
+        col("rank"),
+        (round(col("_cos"), 4) < round(col("pc"), 4)).as("semi_hard"))
+  }
+
   /** SQ8 × IVF composition — the 100 TB top-k story stacked the right way:
     * the int8 coarse pass ([[graft.functions.Quantize]]'s byte-per-dim IO
     * cut) runs over the PROBED CELLS ONLY (this index's partition pruning),

@@ -2954,6 +2954,38 @@ object Queries {
         |FROM negs n LEFT JOIN pos p USING (qid)
         |WHERE n.rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- IVF arm of hard-negative mining: queries cell-route and
+    // shuffle-join the LABELED cell-partitioned index (no broadcast — the
+    // million-anchor shape). nProbe = nCells ⇒ identical to the broadcast
+    // arm ⇒ shares its exhaustive oracle; pruned-probe recall is pinned
+    // in NegativesSpec. ----
+    "embed_hard_negatives_ivf" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val ivf = TestStores.ivfLabeledIndex(s, dir) // shared stamped artifact
+        val out = ivf.hardNegatives(
+          e.where(col("vec_id") < 15)
+            .select(col("vec_id"), col("embedding"), col("label")),
+          "vec_id", "embedding", "label", "label", k = 5, nProbe = 8)
+        val rows = out.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some(s"""WITH s AS (
+        |  SELECT q.vec_id qid, c.vec_id cid, q.label ql, c.label cl,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 15 AND q.vec_id <> c.vec_id),
+        |pos AS (SELECT qid, max(cos) AS pc FROM s WHERE ql = cl GROUP BY qid),
+        |negs AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM s WHERE ql <> cl)
+        |SELECT n.qid, n.cid, round(n.cos, 4) AS neg_cos, round(p.pc, 4) AS pos_cos,
+        |  CAST(n.rank AS BIGINT) AS rank,
+        |  round(n.cos, 4) < round(p.pc, 4) AS semi_hard
+        |FROM negs n LEFT JOIN pos p USING (qid)
+        |WHERE n.rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // ---- cross-source n-gram overlap matrix (pre-mix contamination
     // audit): distinct-2-gram intersection / Jaccard / containment per
     // source pair, zero-overlap pairs included. Hash-counted in Spark

@@ -189,6 +189,22 @@ object TestStores {
         dir = artifactDir("ivf", sfDir),
         sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2))
 
+  private val ivfLabeled = TrieMap[String, graft.ann.IvfIndex]()
+
+  /** Shared LABELED cosine IVF (label payload in the cells table — the
+    * hard-negative mining arm needs it beside the vectors), stamped +
+    * persisted under its own artifact dir like [[ivfIndex]]. */
+  def ivfLabeledIndex(spark: SparkSession, sfDir: String): graft.ann.IvfIndex =
+    ivfLabeled.getOrElseUpdate(sfDir,
+      graft.ann.IvfIndex.buildOrLoad(
+        table(spark, sfDir, "embeddings").select(
+          col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<float>").as("key"),
+          col("label")),
+        nCells = 8, dir = artifactDir("ivfl", sfDir),
+        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2,
+        metric = graft.types.Algorithm.CosineSimilarity))
+
   private val pqBooks = TrieMap[String, graft.ann.PqCodebook]()
 
   /** Shared PQ codebook (m = 8, ksub = 64, iters = 2 — the config both

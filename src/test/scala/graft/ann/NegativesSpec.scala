@@ -84,4 +84,67 @@ class NegativesSpec extends AnyFunSuite {
     // query 0 (label 0): 6 rows have a different label
     assert(out.count(_.getLong(0) == 0L) == 6)
   }
+
+  // ---- the IVF arm (label payload in the cells table) ----
+
+  private def labeledIvf(nCells: Int) = {
+    import spark.implicits._
+    // 60 vectors in 3 well-separated clusters, alternating labels inside
+    // each cluster so every query has near positives AND near negatives
+    val data = (0 until 60).map { i =>
+      val base = Array.fill(4)(0f); base(i % 3) = 10f
+      base(3) = (i / 3).toFloat * 0.1f
+      (i.toLong, base, i % 2)
+    }
+    val df = data.toDF("id", "key", "label")
+    (IvfIndex.build(df, nCells, iters = 2,
+      metric = graft.types.Algorithm.CosineSimilarity), df)
+  }
+
+  test("IVF arm at nProbe = nCells is exactly the broadcast arm") {
+    val (ivf, d) = labeledIvf(4)
+    try {
+      val q = d.where(org.apache.spark.sql.functions.col("id") < 9)
+      val viaIvf = ivf.hardNegatives(q, "id", "key", "label", "label",
+          k = 4, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getBoolean(5))).toSet
+      val viaBf = Negatives.hardNegatives(q, d,
+          "id", "key", "label", "id", "key", "label", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(viaIvf == viaBf)
+    } finally ivf.unpersist()
+  }
+
+  test("IVF arm with pruned probes keeps clustered-data recall") {
+    val (ivf, d) = labeledIvf(3) // cells align with the 3 data clusters
+    try {
+      val q = d.where(org.apache.spark.sql.functions.col("id") < 6)
+      val pruned = ivf.hardNegatives(q, "id", "key", "label", "label",
+          k = 3, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Negatives.hardNegatives(q, d,
+          "id", "key", "label", "id", "key", "label", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // each query's nearest different-label rows live in its own cluster
+      // → probing the single nearest cell recovers the exact set
+      assert(pruned == exact)
+    } finally ivf.unpersist()
+  }
+
+  test("IVF arm refuses a non-cosine index and a label-free cells table") {
+    import spark.implicits._
+    val d = (0 until 8).map(i => (i.toLong, Array(i.toFloat, 1f), i % 2))
+      .toDF("id", "key", "label")
+    val eu = IvfIndex.build(d, 2, iters = 1) // EuclideanDistance default
+    try intercept[IllegalArgumentException] {
+      eu.hardNegatives(d, "id", "key", "label", "label", 2, 2)
+    } finally eu.unpersist()
+    val noLabel = IvfIndex.build(d.select("id", "key"), 2, iters = 1,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    try intercept[IllegalArgumentException] {
+      noLabel.hardNegatives(d, "id", "key", "label", "label", 2, 2)
+    } finally noLabel.unpersist()
+  }
 }
