@@ -3092,6 +3092,31 @@ object Queries {
         |round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- streaming n-gram monitor (batch twin — streaming agreement is
+    // pinned in StreamingSpec): windowed counts of a FIXED batch-mined
+    // gram set; docs get a deterministic event time (epoch + doc_id
+    // minutes), windows compare as epoch MICROS (tz-proof). ----
+    "docs_ngram_monitor" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+          .withColumn("ts",
+            timestamp_seconds(lit(1704067200L) + col("doc_id") * 60))
+        graft.streaming.StreamingIngest.ngramMonitor(
+            docs, "ts", "text", 2,
+            Seq("table hash", "customer join", "big order"), "1 hour")
+          .select(unix_micros(col("window_start")).as("window_us"),
+            col("ngram"), col("n"))
+          .orderBy("window_us", "ngram")
+      },
+      Some(raw"""WITH toks AS (
+        |  SELECT (1704067200 + doc_id * 60) AS es,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (SELECT es, UNNEST(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS ngram FROM toks)
+        |SELECT (es // 3600) * 3600 * 1000000 AS window_us, ngram, COUNT(*) AS n
+        |FROM grams WHERE ngram IN ('table hash', 'customer join', 'big order')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- gap-based sessionization, batch twin of the streaming
     // flatMapGroupsWithState operator (StreamingIngest.sessionize; the
     // streaming/batch agreement is pinned in StreamingSpec). Timestamps

@@ -77,6 +77,50 @@ object StreamingIngest {
         col("n_events"), col("sum_value"), col("approx_users"))
   }
 
+  /** Streaming n-gram monitor: windowed event-time counts of a FIXED,
+    * batch-mined gram set over a document stream — the ingest-side "is
+    * this boilerplate/contamination marker surging" probe that pairs with
+    * [[graft.text.HeavyHitters]] (mine candidates in batch, monitor them
+    * continuously). State is bounded by |grams| × windows-in-horizon: the
+    * watermark closes windows, and the membership test runs INSIDE the
+    * [[org.apache.spark.sql.graftbridge.NgramResolve]] kernel, so only
+    * candidate hits ever explode — a streaming top-k over the OPEN
+    * vocabulary would need vocabulary-sized state and is deliberately not
+    * this op. Candidate hashes are derived by running the SAME NgramHash
+    * kernel over the candidate strings (one driver-bounded job over
+    * |grams| rows), so the two passes share one gram byte image and can
+    * never disagree; a candidate that does not tokenize to exactly one
+    * n-gram is a caller error and fails loudly. Works identically on a
+    * batch frame (the oracle twin) and a stream (agreement pinned in
+    * StreamingSpec). Returns (window_start, ngram, n). */
+  def ngramMonitor(docs: DataFrame, tsCol: String, textCol: String,
+      n: Int, grams: Seq[String], windowLength: String,
+      watermark: Option[String] = None): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(grams.nonEmpty, "ngramMonitor needs at least one gram to watch")
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash, NgramResolve}
+    import graft.text.TextOps
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val cand = grams.toDF("g")
+      .select(col("g"), ColumnBridge.column(NgramHash(
+        ColumnBridge.expression(TextOps.tokens(col("g"))), n)).as("hs"))
+      .collect()
+    cand.foreach { r =>
+      require(r.getSeq[Long](1).length == 1,
+        s"'${r.getString(0)}' does not tokenize to exactly one $n-gram")
+    }
+    val hashes = cand.map(_.getSeq[Long](1).head).distinct
+    val src = watermark.fold(docs)(w => docs.withWatermark(tsCol, w))
+    src.select(col(tsCol),
+        explode(ColumnBridge.column(NgramResolve(
+          ColumnBridge.expression(TextOps.tokens(col(textCol))),
+          n, hashes))).as("ngram"))
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("ngram"), col("n"))
+  }
+
   /** Streaming exact dedup — the continuous twin of
     * [[graft.dedup.Dedup.dropExactDuplicates]]: keep the first arrival of
     * each content hash, drop re-arrivals. `dropDuplicatesWithinWatermark`

@@ -138,6 +138,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ngramMonitor: streaming matches batch; only watched grams ever count") {
+    val mem = MemoryStream[(Timestamp, String)]
+    val asDocs = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "text")
+    val data = Seq(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "alpha beta gamma alpha beta"),
+      (Timestamp.valueOf("2026-01-01 10:20:00"), "alpha beta delta"),
+      (Timestamp.valueOf("2026-01-01 11:10:00"), "gamma alpha beta"),
+      (Timestamp.valueOf("2026-01-01 11:15:00"), "unwatched grams only here"))
+    val watched = Seq("alpha beta", "gamma alpha")
+    val stream = StreamingIngest.ngramMonitor(asDocs(mem.toDF()),
+      "ts", "text", 2, watched, "1 hour", watermark = Some("10 minutes"))
+    val q = stream.writeStream.format("memory").queryName("ngram_mon")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data.take(2): _*); q.processAllAvailable()
+      mem.addData(data.drop(2): _*); q.processAllAvailable()
+      val streaming = spark.table("ngram_mon").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingIngest.ngramMonitor(asDocs(data.toDF()),
+          "ts", "text", 2, watched, "1 hour").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streaming == batch)
+      assert(batch == Set(
+        ("2026-01-01 10:00:00.0", "alpha beta", 3L),
+        ("2026-01-01 10:00:00.0", "gamma alpha", 1L),
+        ("2026-01-01 11:00:00.0", "alpha beta", 1L),
+        ("2026-01-01 11:00:00.0", "gamma alpha", 1L)))
+    } finally q.stop()
+  }
+
+  test("ngramMonitor refuses a candidate that is not exactly one n-gram") {
+    import spark.implicits._
+    val docs = Seq((Timestamp.valueOf("2026-01-01 10:00:00"), "a b c"))
+      .toDF("ts", "text")
+    intercept[IllegalArgumentException] {
+      StreamingIngest.ngramMonitor(docs, "ts", "text", 2,
+        Seq("three token gram"), "1 hour")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIngest.ngramMonitor(docs, "ts", "text", 2, Seq.empty, "1 hour")
+    }
+  }
+
   test("sessionization closes sessions on event gaps (flatMapGroupsWithState)") {
     import StreamingIngest.{Event, Session}
     val mem = MemoryStream[Event]
