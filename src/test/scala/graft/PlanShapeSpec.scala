@@ -338,4 +338,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
       s"rank must be limit-pushed; plan:\n$p")
   }
+
+  test("hard negatives: query side broadcasts, anchor side joins back broadcast, no cartesian leak") {
+    val vecs = spark.range(8).select(col("id"),
+      array(col("id").cast("float"), lit(1f)).as("key"),
+      (col("id") % 2).cast("int").as("label"))
+    val p = plan(graft.ann.Negatives.hardNegatives(vecs, vecs,
+      "id", "key", "label", "id", "key", "label", 2))
+    // both corpus passes see the bounded query side as a broadcast nested
+    // loop (the deliberate N×M scoring scan); the anchor max re-attaches
+    // as a broadcast hash join — the only Exchanges are the qid window's
+    // and the anchor aggregation's
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast; plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchor side must re-attach broadcast; plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing may shuffle-join in the broadcast arm; plan:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"per-query rank must be limit-pushed; plan:\n$p")
+  }
+
+  test("overlap matrix: gram strings never materialize; pair expansion after the size(>1) cut") {
+    val d = Seq((0L, "a", "x y z"), (1L, "b", "x y q"))
+      .toDF("doc_id", "source", "text")
+    val p = plan(graft.pipeline.Overlap.overlapMatrix(d, "source", "text", 2))
+    assert(p.contains("ngram_hash"),
+      s"grams must flow as kernel hashes; plan:\n$p")
+    // the resolve kernel (string side) must NOT appear: overlap counts
+    // hashes end-to-end, no gram string is ever allocated
+    assert(!p.contains("ngram_resolve"),
+      s"no gram strings may materialize; plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the G-row size cross must plan as a broadcast loop; plan:\n$p")
+  }
 }
