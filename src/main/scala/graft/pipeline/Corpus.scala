@@ -307,6 +307,39 @@ object Corpus {
         sum(length(col(textCol))).cast("long").as("n_chars"))
   }
 
+  /** Hive-partitioned corpus sink — the lake layout (`lang=en/`,
+    * `source=cc/`, `split=train/`) every downstream reader prunes with a
+    * plain WHERE: one slice predicate touches one directory, not the
+    * corpus. Returns a per-slice manifest READ BACK FROM THE WRITTEN
+    * FILES — (partCol, n_docs, n_chars, n_files) — same round-trip
+    * discipline as [[writeShards]].
+    *
+    * Scale shape: the write is preceded by ONE shuffle on (slice, salt).
+    * Unshuffled `partitionBy` is the classic small-files explosion —
+    * every input task opens a writer for every slice it sees, tasks ×
+    * slices files; shuffled, a slice's rows land on `filesPerSlice`
+    * tasks (md5-salted on the id so skewed slices still spread), so the
+    * file count is bounded by slices × filesPerSlice regardless of input
+    * partitioning. NULL slice values fail loudly BEFORE any write: hive
+    * layouts bury NULLs in a `__HIVE_DEFAULT_PARTITION__` directory that
+    * silently vanishes from equality predicates — refuse, don't bury. */
+  def writePartitioned(df: DataFrame, idCol: String, textCol: String,
+      partCol: String, outDir: String, filesPerSlice: Int = 1): DataFrame = {
+    require(filesPerSlice > 0, s"filesPerSlice must be > 0, got $filesPerSlice")
+    val nNull = df.where(col(partCol).isNull).limit(1).count()
+    require(nNull == 0,
+      s"NULL $partCol rows present — a hive layout would bury them in " +
+        "__HIVE_DEFAULT_PARTITION__; filter or impute them explicitly first")
+    df.repartition(col(partCol),
+        pmod(md5Prefix(col(idCol).cast("string")), lit(filesPerSlice.toLong)))
+      .write.mode("overwrite").partitionBy(partCol).parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        count_distinct(col("_metadata.file_path")).as("n_files"))
+  }
+
   /** Concat-then-chunk sequence assignment — the GPT-style pretraining
     * packing: documents are laid end-to-end in id order and the stream is
     * cut every `budget` tokens; each doc is assigned the training sequence

@@ -2004,6 +2004,23 @@ object Queries {
         |  FROM documents)
         |GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // ---- hive-partitioned lake sink: corpus written partitionBy(lang)
+    // after ONE (slice, salt) shuffle; manifest read back from the files.
+    // n_files is engine-specific (pinned in CorpusSpec), so the oracle
+    // compares the slice populations the layout must preserve. ----
+    "pipeline_write_partitioned" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-lake").toString
+        graft.pipeline.Corpus.writePartitioned(
+          TestStores.table(s, dir, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text", "lang", out, filesPerSlice = 2)
+          .select(col("lang"), col("n_docs"), col("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, sum(len(text))::BIGINT AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- per-group document cap (C4/RefinedWeb max-pages-per-domain):
     // deterministic md5-rank keep, one shuffle on the group, bounded
     // per-group window ----

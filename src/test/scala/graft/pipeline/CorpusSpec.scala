@@ -217,6 +217,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(moved > 100, s"epoch 2 moved only $moved of 200 docs")
   }
 
+  test("writePartitioned: hive layout, bounded files per slice, NULL slices refused") {
+    import spark.implicits._
+    val docs = (0L until 120L).map(i => (i, s"text $i", s"l${i % 3}"))
+      .toDF("id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft-lake-spec").toString
+    val manifest = Corpus.writePartitioned(docs, "id", "text", "lang", out,
+        filesPerSlice = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // every slice present with its full population
+    assert(manifest.keySet == Set("l0", "l1", "l2"))
+    assert(manifest.values.map(_._1).sum == 120L)
+    // file count bounded by filesPerSlice (salting may collide down, never up)
+    manifest.values.foreach { case (_, files) => assert(files <= 2 && files >= 1) }
+    // the layout is hive-partitioned: slice dirs on disk, readable pruned
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=l0", "lang=l1", "lang=l2"))
+    val pruned = spark.read.parquet(out).where(col("lang") === "l1")
+    assert(pruned.count() == 40L)
+    // NULL slice refused before any write
+    val withNull = docs.withColumn("lang",
+      when(col("id") === 7, lit(null: String)).otherwise(col("lang")))
+    intercept[IllegalArgumentException] {
+      Corpus.writePartitioned(withNull, "id", "text", "lang",
+        java.nio.file.Files.createTempDirectory("graft-lake-null").toString)
+    }
+  }
+
   test("writeShards: round-trip layout — one file per shard, stored in shard order") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"t$i xyz" * (1 + (i % 3).toInt)))
