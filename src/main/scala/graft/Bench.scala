@@ -161,21 +161,32 @@ object Bench {
       // per-run GC above pins that cleanup OUTSIDE every timed region)
       // a failing query reports -1, never a tiny fast-fail "time" that
       // would read as a round-over-round win
+      name -> samples
+    }
+    // per-run samples are surfaced for HIGH-SPREAD queries (max/min > 2):
+    // a bimodal query's median alone cannot distinguish "every run slow"
+    // (real regression) from "one run spiked" (session pressure) — the
+    // exact ambiguity that cost three rounds of weak-mark attribution
+    val spread = results.collect {
+      case (k, ss) if ss.length >= 2 && ss.head > 0 && ss.last / ss.head > 2.0 =>
+        "\"" + k + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val medians = results.map { case (name, samples) =>
       name -> (if (samples.isEmpty) -1.0 else samples(samples.length / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // `total` sums PASSING medians only, so it is comparable round-over-round
     // ONLY when `failed` is empty — a failure must never read as a speedup
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = medians.map(_._2).filter(_ >= 0).sum
     // headline keys (`value`, `failed`) go LAST: the driver captures the
     // tail of stdout, so truncation must eat per-query detail, never the
     // round-over-round `total` (BENCH_r06 lost it to a head-side cut)
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","spread":$spread,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
     println(line)
     // truncation-proof copy: the driver's stdout tail capture has twice
     // eaten per-query detail (18 queries in round 7, including the round's
@@ -214,6 +225,7 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-iso")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((fam, qs) <- families) {
       val outFile = tmp.resolve(s"$fam.json")
       val logFile = tmp.resolve(s"$fam.log").toFile
@@ -243,6 +255,12 @@ object Bench {
               k -> v.values.toString }.toMap
             case _ => Map.empty[String, String]
           }
+          (j \ "spread") match {
+            case JObject(fs) => fs.foreach { case (k, v) =>
+              spreads(k) = JsonMethods.compact(JsonMethods.render(
+                v.asInstanceOf[JValue])) }
+            case _ => ()
+          }
           Some((qm, em))
         } catch { case scala.util.control.NonFatal(_) => None }
       parsed match {
@@ -269,7 +287,9 @@ object Bench {
       v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }.mkString("{", ",", "}")
     val famJson = families.map { case (f, qs) =>
       "\"" + f + "\":" + qs.length }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"process-per-family","families":$famJson,"queries":$qsJson,"errors":$errs,"failed":$failed,"value":$total}"""
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"process-per-family","families":$famJson,"spread":$spreadJson,"queries":$qsJson,"errors":$errs,"failed":$failed,"value":$total}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
