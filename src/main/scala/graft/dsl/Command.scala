@@ -241,6 +241,9 @@ object Command {
   /** Per-slice corpus data card (pipeline.Profile.dataCard). */
   final case class ExtDatacard(view: String, text: String,
       groups: Seq[String]) extends Command
+  /** Per-slice embedding data card (pipeline.Profile.embeddingCard). */
+  final case class ExtEmbedCard(view: String, vec: String,
+      groups: Seq[String]) extends Command
   /** Build a persisted MinHash index from a view
     * (dedup.IncrementalDedup.buildIndex). */
   final case class ExtDedupIndex(dir: String, view: String, id: String,

@@ -520,6 +520,11 @@ object DslParser extends RegexParsers {
   private val extHtmlExtract: Parser[Command] =
     kw("html") ~> kw("extract") ~> fromView ~ (kw("col") ~> name) ^^ {
       case v ~ h => ExtHtmlExtract(v, h) }
+  // EMBEDCARD FROM v VEC e GROUPBY label — the embedding-side profile
+  private val extEmbedCard: Parser[Command] =
+    kw("embedcard") ~> fromView ~ (kw("vec") ~> name) ~
+      (kw("groupby") ~> rep1sep(name, ",")) ^^ {
+        case v ~ e ~ gs => ExtEmbedCard(v, e, gs) }
   private val extDatacard: Parser[Command] =
     kw("datacard") ~> fromView ~ textCol ~
       (kw("groupby") ~> rep1sep(name, ",")) ^^ {
@@ -550,7 +555,7 @@ object DslParser extends RegexParsers {
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extRepetition | extBlocklist |
     extBm25 | extDsir | extClassify | extNegatives | extOverlap |
-    extFuse | extTopK | extDatacard |
+    extFuse | extTopK | extDatacard | extEmbedCard |
     extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 
   // any ext statement's result can be registered as a view with a

@@ -277,6 +277,8 @@ object Pipeline {
           .withColumn("clean_text", graft.text.Html.extractText(col(h))))
       case ExtDatacard(v, text, groups) =>
         Response.Entries(graft.pipeline.Profile.dataCard(t(v), text, groups))
+      case ExtEmbedCard(v, vec, groups) =>
+        Response.Entries(graft.pipeline.Profile.embeddingCard(t(v), vec, groups))
       case ExtDedupIndex(dir, v, id, text, n) =>
         graft.dedup.IncrementalDedup.buildIndex(t(v), id, text, dir,
           sourceStamp = v, n = n)

@@ -91,4 +91,57 @@ object Profile {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** The embedding-side data card — the profile a vector corpus ships
+    * before anyone trains an index on it: per-slice counts, exact-dup
+    * rate, dimension range (ragged dims are the #1 silent killer of a
+    * downstream ANN build — a min ≠ max row IS the alarm), zero /
+    * non-finite vector counts (both poison cosine), and L2-norm
+    * min/max/avg (unnormalized corpora show up here). Same contract as
+    * [[dataCard]]: ONE scan + ONE slice-bounded groupBy, every aggregate
+    * algebraic, map-side-combined.
+    *
+    * Determinism discipline: per-row norms are a sequential left fold in
+    * array order (identical double arithmetic on any engine); the AVERAGE
+    * sums rounded-to-6dp norms as DECIMAL(18,6) — exact arithmetic, so
+    * parallel aggregation order can never flip the 4dp rounding the card
+    * reports. Distinct counting pairs xxhash64(vec) with the 6dp norm
+    * (two independent channels, same tradeoff as [[dataCard]]'s
+    * hash+length pair). */
+  def embeddingCard(df: DataFrame, vecCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "embedding card needs at least one slice column")
+    val v = col(vecCol)
+    val normD = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val bad = exists(v, x => isnan(x) ||
+      x.cast("double") === Double.PositiveInfinity ||
+      x.cast("double") === Double.NegativeInfinity)
+    val feats = df.select(
+      groupCols.map(col) ++ Seq(
+        size(v).cast("long").as("_d"),
+        // NULL norm for non-finite vectors: NaN would otherwise cast to
+        // a silent NULL in one engine and an error in another — exclude
+        // them from the norm stats EXPLICITLY (they are counted apart)
+        when(!bad, round(normD, 6).cast("decimal(18,6)")).as("_n6"),
+        bad.as("_bad"),
+        xxhash64(v).as("_xh")): _*)
+      .withColumn("_h", struct(col("_xh"), col("_n6")))
+    feats.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count_distinct(col("_h")).as("n_distinct"),
+        (count(lit(1)) - count_distinct(col("_h"))).as("n_exact_dups"),
+        min(col("_d")).as("dims_min"),
+        max(col("_d")).as("dims_max"),
+        sum(when(col("_n6") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        round(min(col("_n6")).cast("double"), 4).as("norm_min"),
+        round(max(col("_n6")).cast("double"), 4).as("norm_max"),
+        // exact decimal sum → one double division: parallel aggregation
+        // order cannot flip the reported rounding
+        round(sum(col("_n6")).cast("double") / count(col("_n6")), 4)
+          .as("norm_avg"))
+      .orderBy(groupCols.map(col): _*)
+  }
 }

@@ -2153,6 +2153,51 @@ object Queries {
       Some("""SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- embedding data card: per-label vector profile — counts, dup
+    // rate, dimension range, zero / non-finite counts, L2-norm stats.
+    // Deterministic poison payloads injected on BOTH sides (the gopher/PII
+    // idiom): zero vectors (%97), NaN-tailed vectors (%89) — so the
+    // zero/non-finite/norm-exclusion paths all fire. ----
+    "embed_datacard" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "embeddings").select(
+          col("label"),
+          when(pmod(col("vec_id"), lit(97)) === 0,
+            array_repeat(lit(0.0f), 64))
+            .when(pmod(col("vec_id"), lit(89)) === 0,
+              concat(slice(col("embedding"), 1, 63),
+                array(lit(Float.NaN))))
+            .otherwise(col("embedding")).as("vec"))
+        graft.pipeline.Profile.embeddingCard(aug, "vec", Seq("label"))
+      },
+      Some(raw"""WITH aug AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id % 97 = 0
+        |        THEN list_transform(range(64), x -> CAST(0.0 AS FLOAT))
+        |      WHEN vec_id % 89 = 0
+        |        THEN list_concat(embedding[1:63], ['NaN'::FLOAT])
+        |      ELSE embedding END AS vec
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT label, vec, len(vec) AS d,
+        |    list_aggregate(list_transform(vec, x -> isnan(x) OR isinf(x)),
+        |      'bool_or') AS bad,
+        |    CASE WHEN list_aggregate(list_transform(vec,
+        |        x -> isnan(x) OR isinf(x)), 'bool_or') THEN NULL
+        |      ELSE CAST(round(sqrt(list_sum(list_transform(vec,
+        |        x -> CAST(x AS DOUBLE) * x))), 6) AS DECIMAL(18,6)) END AS n6
+        |  FROM aug)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  COUNT(DISTINCT vec) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT vec) AS n_exact_dups,
+        |  MIN(d) AS dims_min, MAX(d) AS dims_max,
+        |  SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |  SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
+        |  round(CAST(MIN(n6) AS DOUBLE), 4) AS norm_min,
+        |  round(CAST(MAX(n6) AS DOUBLE), 4) AS norm_max,
+        |  round(CAST(SUM(n6) AS DOUBLE) / COUNT(n6), 4) AS norm_avg
+        |FROM f GROUP BY label ORDER BY label""".stripMargin)),
+
     // ---- corpus data card (datasheets-for-datasets): per (source, lang)
     // slice — doc counts, exact-dup rate (64-bit content hash), empty-doc
     // count, token/char volumes, fixed-bucket length histogram. One scan,

@@ -480,6 +480,8 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtNegatives(5, "q", "qid", "emb", "lab", "corpus", "cid", "emb", "lab")))
     assert(DslParser.parseExt("OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2") ==
       Seq(ExtOverlap("docs", "source", "text", 2)))
+    assert(DslParser.parseExt("EMBEDCARD FROM emb VEC embedding GROUPBY label") ==
+      Seq(ExtEmbedCard("emb", "embedding", Seq("label"))))
     assert(DslParser.parseExt(
       "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
       "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
@@ -665,6 +667,23 @@ class DslSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(ngDf.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == ngRef)
+  }
+
+  test("extension pipeline: EMBEDCARD executes (API parity)") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    Seq((0L, Array(3f, 4f), 0), (1L, Array(0f, 0f), 0), (2L, Array(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label").createOrReplaceTempView("ec_emb")
+    val out = Pipeline.runExt(spark,
+      "EMBEDCARD FROM ec_emb VEC embedding GROUPBY label")
+    val df = out.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"embedcard: $other")
+    }
+    val got = df.collect().map(r => r.getInt(0) ->
+      (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_zero"),
+        r.getAs[Double]("norm_max"))).toMap
+    assert(got == Map(0 -> ((2L, 1L, 5.0)), 1 -> ((1L, 0L, 1.0))))
   }
 
   test("extension pipeline: OVERLAP executes (API parity)") {

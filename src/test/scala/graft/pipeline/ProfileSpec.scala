@@ -41,6 +41,41 @@ class ProfileSpec extends AnyFunSuite {
     assert(booksEn.getAs[Long]("total_tokens") == 1025)
   }
 
+  test("embedding card: dims range, zero/non-finite counts, norm stats, dup detection") {
+    val vecs = Seq(
+      ("a", Array(3f, 4f)),                       // norm 5
+      ("a", Array(3f, 4f)),                       // exact dup
+      ("a", Array(0f, 0f)),                       // zero vector
+      ("a", Array(1f, Float.NaN)),                // non-finite → excluded from norms
+      ("b", Array(6f, 8f, 0f)),                   // ragged dims vs the next row
+      ("b", Array(1f, 0f)))
+      .toDF("grp", "vec")
+    val card = Profile.embeddingCard(vecs, "vec", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = card("a")
+    assert(a.getAs[Long]("n_vecs") == 4)
+    assert(a.getAs[Long]("n_distinct") == 3 && a.getAs[Long]("n_exact_dups") == 1)
+    assert(a.getAs[Long]("dims_min") == 2 && a.getAs[Long]("dims_max") == 2)
+    assert(a.getAs[Long]("n_zero") == 1 && a.getAs[Long]("n_nonfinite") == 1)
+    // norms over the finite vectors only: {5, 5, 0}
+    assert(a.getAs[Double]("norm_min") == 0.0)
+    assert(a.getAs[Double]("norm_max") == 5.0)
+    assert(a.getAs[Double]("norm_avg") == 3.3333)
+    val b = card("b")
+    assert(b.getAs[Long]("dims_min") == 2 && b.getAs[Long]("dims_max") == 3,
+      "ragged dimensions must surface as a min != max range")
+    assert(b.getAs[Long]("n_zero") == 0 && b.getAs[Long]("n_nonfinite") == 0)
+    assert(b.getAs[Double]("norm_min") == 1.0 && b.getAs[Double]("norm_max") == 10.0)
+  }
+
+  test("embedding card: all-non-finite slice reports NULL norms, never a fabricated number") {
+    val vecs = Seq(("x", Array(Float.NaN, 1f))).toDF("grp", "vec")
+    val r = Profile.embeddingCard(vecs, "vec", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_nonfinite") == 1)
+    assert(r.isNullAt(r.fieldIndex("norm_min")) &&
+      r.isNullAt(r.fieldIndex("norm_avg")))
+  }
+
   test("single scan, single shuffle: the card is one partial-aggregated groupBy") {
     val docs = Seq(("a", "x y z")).toDF("source", "text")
     val p = Profile.dataCard(docs, "text", Seq("source"))
