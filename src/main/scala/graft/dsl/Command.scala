@@ -135,6 +135,9 @@ object Command {
   /** Cross-source n-gram overlap matrix (pipeline.Overlap.overlapMatrix). */
   final case class ExtOverlap(view: String, group: String, text: String,
       n: Int) extends Command
+  /** Token-distribution drift matrix (pipeline.Overlap.tokenDrift). */
+  final case class ExtDrift(view: String, group: String,
+      text: String) extends Command
   final case class ExtPack(view: String, id: String, text: String,
       budget: Int, shards: Int) extends Command
   /** Deterministic epoch shuffle (Corpus.epochShuffle). */

@@ -424,6 +424,10 @@ object DslParser extends RegexParsers {
           ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl) }
   // OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2 — cross-source
   // distinct-n-gram overlap matrix
+  // DRIFT FROM docs GROUPBY source TEXT text — unigram L1 drift matrix
+  private val extDrift: Parser[Command] =
+    kw("drift") ~> fromView ~ (kw("groupby") ~> name) ~ textCol ^^ {
+      case v ~ g ~ t => ExtDrift(v, g, t) }
   private val extOverlap: Parser[Command] =
     kw("overlap") ~> fromView ~ (kw("groupby") ~> name) ~ textCol ~
       (kw("ngram") ~> nonZero) ^^ {
@@ -554,7 +558,7 @@ object DslParser extends RegexParsers {
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extRepetition | extBlocklist |
-    extBm25 | extDsir | extClassify | extNegatives | extOverlap |
+    extBm25 | extDsir | extClassify | extNegatives | extOverlap | extDrift |
     extFuse | extTopK | extDatacard | extEmbedCard |
     extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 

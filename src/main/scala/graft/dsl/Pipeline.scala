@@ -154,6 +154,8 @@ object Pipeline {
           t(qv), t(cv), qi, qe, ql, ci, ce, cl, k))
       case ExtOverlap(v, g, text, n) =>
         Response.Entries(graft.pipeline.Overlap.overlapMatrix(t(v), g, text, n))
+      case ExtDrift(v, g, text) =>
+        Response.Entries(graft.pipeline.Overlap.tokenDrift(t(v), g, text))
       case ExtPack(v, id, text, budget, shards) =>
         Response.Entries(graft.pipeline.Corpus.packSequences(
           t(v), id, text, budget, shards))

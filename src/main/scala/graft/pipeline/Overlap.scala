@@ -30,6 +30,78 @@ import org.apache.spark.sql.functions._
  */
 object Overlap {
 
+  /** Token-distribution drift between slices — the "did this dump shift
+    * under me" monitor run between corpus versions / crawl dumps: for
+    * every slice pair, unigram-distribution L1 distance (= 2× total
+    * variation; 0 identical, 2 disjoint) plus vocabulary sizes and
+    * vocabulary Jaccard. L1 over division-only arithmetic is chosen over
+    * KL/JS deliberately: +,−,×,÷ are exact-rounded IEEE, so both engines
+    * compute bit-identical per-term doubles and the oracle can replay the
+    * sum — log implementations differ in the last ulp across engines and
+    * would make the gate flaky by construction.
+    *
+    * Scale + exactness shape: token counts shuffle once as (slice, 8-byte
+    * hash, count); the pair expansion touches SHARED tokens only (the
+    * one-sided mass folds in algebraically: Σ_only-a c/N = 1 − shared_a/N_a,
+    * so tokens unique to one slice never pair). Per-term |p−q| values are
+    * rounded to 12 dp and summed as DECIMAL — parallel aggregation order
+    * cannot flip the reported 4 dp rounding. Same xxhash64 collision
+    * acceptance as [[overlapMatrix]]. */
+  def tokenDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash}
+    // whitespace-only docs tokenize to [''] (split-of-trim semantics) —
+    // the empty string is not a token; a slice with NO tokens at all has
+    // no distribution and is excluded (L1 against nothing is undefined)
+    // counts feeds BOTH totals and the pair expansion; left lazy ON
+    // PURPOSE — the two consumers share one plan, so ReuseExchange serves
+    // both from a single token-explode shuffle (an eager localCheckpoint
+    // here was measured SLOWER at 500k docs: 27.8 → 33.9 s — it broke the
+    // exchange reuse and paid a materialization for nothing)
+    val counts = df.where(col(groupCol).isNotNull &&
+        trim(col(textCol)) =!= "")
+      .select(col(groupCol).as("g"),
+        explode(ColumnBridge.column(NgramHash(
+          ColumnBridge.expression(graft.text.TextOps.tokens(col(textCol))),
+          1))).as("h"))
+      .groupBy("g", "h").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v")) // token mass, vocab
+    // shared-token pair rows: per hash, ordered pairs of the (g, c) set
+    val sets = counts.groupBy("h")
+      .agg(array_sort(collect_list(struct(col("g"), col("c")))).as("gc"))
+      .where(size(col("gc")) > 1)
+    val pairs = sets
+      .select(explode(flatten(transform(col("gc"), (x, i) =>
+        transform(slice(col("gc"), i + lit(2), size(col("gc"))),
+          y => struct(x.getField("g").as("a"), y.getField("g").as("b"),
+            x.getField("c").as("ca"), y.getField("c").as("cb")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.ca").as("ca"), col("p.cb").as("cb"))
+    val ta = broadcast(totals.select(col("g").as("a"),
+      col("n").as("na"), col("v").as("va")))
+    val tb = broadcast(totals.select(col("g").as("b"),
+      col("n").as("nb"), col("v").as("vb")))
+    val shared = pairs.join(ta, "a").join(tb, "b")
+      .withColumn("_t",
+        round(abs(col("ca").cast("double") / col("na") -
+          col("cb").cast("double") / col("nb")), 12).cast("decimal(24,12)"))
+      .groupBy("a", "b")
+      .agg(sum(col("_t")).as("_l1s"), sum(col("ca")).as("_sa"),
+        sum(col("cb")).as("_sb"), count(lit(1)).as("shared_vocab"))
+    // full matrix incl. disjoint pairs (shared sums 0, l1 = 2)
+    ta.crossJoin(tb).where(col("a") < col("b"))
+      .join(shared, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"),
+        round(coalesce(col("shared_vocab"), lit(0L)).cast("double") /
+          (col("va") + col("vb") - coalesce(col("shared_vocab"), lit(0L))), 4)
+          .as("vocab_jaccard"),
+        round(coalesce(col("_l1s").cast("double"), lit(0.0)) +
+          (lit(1.0) - coalesce(col("_sa"), lit(0L)).cast("double") / col("na")) +
+          (lit(1.0) - coalesce(col("_sb"), lit(0L)).cast("double") / col("nb")), 4)
+          .as("l1_dist"))
+  }
+
   /** Pairwise overlap of distinct word n-grams between values of
     * `groupCol`: (a, b, n_a, n_b, inter_grams, jaccard, containment_a,
     * containment_b) for every pair a < b of group values. `n_x` is the

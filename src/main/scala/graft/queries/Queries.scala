@@ -3081,6 +3081,38 @@ object Queries {
         |LEFT JOIN inter i ON i.a = sa.g AND i.b = sb.g
         |ORDER BY a, b""".stripMargin)),
 
+    // ---- token-distribution drift (corpus-version monitor): per source
+    // pair, unigram L1 distance + vocabulary Jaccard. Division-only
+    // arithmetic (no logs) so both engines compute bit-identical terms;
+    // per-term 12dp decimal summation makes the sum order-proof. ----
+    "pipeline_token_drift" -> Q(
+      (s, dir) => graft.pipeline.Overlap.tokenDrift(
+        TestStores.table(s, dir, "documents"), "source", "text")
+        .orderBy("a", "b"),
+      Some(raw"""WITH toks AS (
+        |  SELECT source AS g, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |cnt AS (SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(c) AS n, COUNT(*) AS v FROM cnt GROUP BY 1),
+        |shared AS (
+        |  SELECT x.g a, y.g b,
+        |    SUM(CAST(round(abs(CAST(x.c AS DOUBLE)/tx.n - CAST(y.c AS DOUBLE)/ty.n), 12)
+        |      AS DECIMAL(24,12))) AS l1s,
+        |    SUM(x.c) AS sa, SUM(y.c) AS sb, COUNT(*) AS sv
+        |  FROM cnt x JOIN cnt y ON x.tok = y.tok AND x.g < y.g
+        |  JOIN tot tx ON tx.g = x.g JOIN tot ty ON ty.g = y.g
+        |  GROUP BY 1, 2)
+        |SELECT ta.g AS a, tb.g AS b, ta.v AS vocab_a, tb.v AS vocab_b,
+        |  COALESCE(s.sv, 0) AS shared_vocab,
+        |  round(CAST(COALESCE(s.sv, 0) AS DOUBLE)
+        |    / (ta.v + tb.v - COALESCE(s.sv, 0)), 4) AS vocab_jaccard,
+        |  round(COALESCE(CAST(s.l1s AS DOUBLE), 0.0)
+        |    + (1.0 - CAST(COALESCE(s.sa, 0) AS DOUBLE)/ta.n)
+        |    + (1.0 - CAST(COALESCE(s.sb, 0) AS DOUBLE)/tb.n), 4) AS l1_dist
+        |FROM tot ta JOIN tot tb ON ta.g < tb.g
+        |LEFT JOIN shared s ON s.a = ta.g AND s.b = tb.g
+        |ORDER BY a, b""".stripMargin)),
+
     // ---- AS-OF JOIN (point-in-time enrichment): each purchase matched to
     // the latest view at-or-before it per user — union-and-sweep (one
     // shuffle on user, one per-key window, zero joins), vs DuckDB's native

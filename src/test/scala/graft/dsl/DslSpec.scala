@@ -482,6 +482,8 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtOverlap("docs", "source", "text", 2)))
     assert(DslParser.parseExt("EMBEDCARD FROM emb VEC embedding GROUPBY label") ==
       Seq(ExtEmbedCard("emb", "embedding", Seq("label"))))
+    assert(DslParser.parseExt("DRIFT FROM docs GROUPBY source TEXT text") ==
+      Seq(ExtDrift("docs", "source", "text")))
     assert(DslParser.parseExt(
       "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
       "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
@@ -701,6 +703,18 @@ class DslSpec extends AnyFunSuite {
       (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
     // a∩b = {"x y","y z"}; the rest share nothing
     assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 0L, ("b", "c") -> 0L))
+    // DRIFT: same library call through the grammar
+    val dr = Pipeline.runExt(spark,
+      "DRIFT FROM ov_docs GROUPBY source TEXT text")
+    val drDf = dr.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"drift: $other")
+    }
+    val drRef = graft.pipeline.Overlap.tokenDrift(
+        spark.table("ov_docs"), "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(6))).toSet
+    assert(drDf.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(6))).toSet == drRef)
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {

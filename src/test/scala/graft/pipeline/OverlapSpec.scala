@@ -72,6 +72,41 @@ class OverlapSpec extends AnyFunSuite {
     assert(row.getDouble(6) < 0.5) // big is far from contained in small
   }
 
+  test("tokenDrift matches a driver reference; identical slices drift 0, disjoint drift 2") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a", "x x y z"), (1L, "b", "x x y z"),   // b identical to a
+      (2L, "c", "x y y q"),                          // partial overlap
+      (3L, "d", "p p r s"))                          // disjoint from a
+      .toDF("doc_id", "source", "text")
+    val out = Overlap.tokenDrift(d, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // driver reference
+    def dist(ts: Seq[String]): Map[String, Double] = {
+      val c = ts.groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+      c.map { case (t, n) => t -> n / ts.size }
+    }
+    val corpora = Map(
+      "a" -> "x x y z", "b" -> "x x y z", "c" -> "x y y q", "d" -> "p p r s")
+      .map { case (g, t) => g -> t.split("\\s+").toSeq }
+    def l1(a: String, b: String): Double = {
+      val (pa, pb) = (dist(corpora(a)), dist(corpora(b)))
+      (pa.keySet ++ pb.keySet).toSeq
+        .map(t => math.abs(pa.getOrElse(t, 0.0) - pb.getOrElse(t, 0.0))).sum
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (((a, b), (_, _, _, _, got)) <- out)
+      assert(math.abs(got - r4(l1(a, b))) < 2e-4, s"l1($a,$b): $got vs ${l1(a, b)}")
+    assert(out(("a", "b"))._5 == 0.0)                   // identical
+    assert(out(("a", "d"))._5 == 2.0)                   // disjoint
+    assert(out(("a", "d"))._3 == 0L)                    // no shared vocab
+    assert(out(("a", "b"))._4 == 1.0)                   // vocab jaccard 1
+    assert(out.size == 6)                               // full 4C2 matrix
+  }
+
   test("NULL sources are excluded; single-group corpus yields an empty matrix") {
     import spark.implicits._
     val d = Seq((0L, Some("a"), "x y z"), (1L, None, "x y z"))
