@@ -128,10 +128,13 @@ object Command {
   /** Corpus-wide n-gram heavy hitters (text.HeavyHitters.ngramTopK). */
   final case class ExtNgramTopK(view: String, text: String, n: Int,
       k: Int) extends Command
-  /** Hard-negative mining (ann.Negatives.hardNegatives). */
+  /** Hard-negative mining (ann.Negatives.hardNegatives); `ivf` routes
+    * through a per-statement labeled cosine IVF build (cells, probe) —
+    * the million-anchor arm (IvfIndex.hardNegatives). */
   final case class ExtNegatives(k: Int, qView: String, qId: String,
       qVec: String, qLabel: String, cView: String, cId: String,
-      cVec: String, cLabel: String) extends Command
+      cVec: String, cLabel: String,
+      ivf: Option[(Int, Int)] = None) extends Command
   /** Cross-source n-gram overlap matrix (pipeline.Overlap.overlapMatrix). */
   final case class ExtOverlap(view: String, group: String, text: String,
       n: Int) extends Command

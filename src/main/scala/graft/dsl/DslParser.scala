@@ -419,9 +419,11 @@ object DslParser extends RegexParsers {
   private val extNegatives: Parser[Command] =
     kw("negatives") ~> nonZero ~ fromView ~ idCol ~ (kw("vec") ~> name) ~
       (kw("label") ~> name) ~ (inKw ~> name) ~ idCol ~
-      (kw("vec") ~> name) ~ (kw("label") ~> name) ^^ {
-        case k ~ qv ~ qi ~ qe ~ ql ~ cv ~ ci ~ ce ~ cl =>
-          ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl) }
+      (kw("vec") ~> name) ~ (kw("label") ~> name) ~
+      opt(kw("ivf") ~> (kw("cells") ~> nonZero) ~ (kw("probe") ~> nonZero)) ^^ {
+        case k ~ qv ~ qi ~ qe ~ ql ~ cv ~ ci ~ ce ~ cl ~ m =>
+          ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl,
+            m.map { case c ~ p => (c, p) }) }
   // OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2 — cross-source
   // distinct-n-gram overlap matrix
   // DRIFT FROM docs GROUPBY source TEXT text — unigram L1 drift matrix

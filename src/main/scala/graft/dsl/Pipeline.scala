@@ -149,9 +149,20 @@ object Pipeline {
           graft.pipeline.Cluster.kmeans(t(v), id, vec, k, iters)._2)
       case ExtNgramTopK(v, text, n, k) =>
         Response.Entries(graft.text.HeavyHitters.ngramTopK(t(v), text, n, k))
-      case ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl) =>
-        Response.Entries(graft.ann.Negatives.hardNegatives(
-          t(qv), t(cv), qi, qe, ql, ci, ce, cl, k))
+      case ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl, ivfMode) =>
+        ivfMode match {
+          case None =>
+            Response.Entries(graft.ann.Negatives.hardNegatives(
+              t(qv), t(cv), qi, qe, ql, ci, ce, cl, k))
+          case Some((cells, probe)) =>
+            // per-statement labeled build, like TOPK IVF; long-lived
+            // deployments use a stamped IvfIndex.buildOrLoad artifact
+            val corpus = t(cv).select(col(ci).cast("long").as("id"),
+              col(ce).cast("array<float>").as("key"), col(cl))
+            val ivf = graft.ann.IvfIndex.build(corpus, nCells = cells,
+              metric = graft.types.Algorithm.CosineSimilarity)
+            Response.Entries(ivf.hardNegatives(t(qv), qi, qe, ql, cl, k, probe))
+        }
       case ExtOverlap(v, g, text, n) =>
         Response.Entries(graft.pipeline.Overlap.overlapMatrix(t(v), g, text, n))
       case ExtDrift(v, g, text) =>

@@ -478,6 +478,10 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt("NEGATIVES 5 FROM q ID qid VEC emb LABEL lab " +
       "IN corpus ID cid VEC emb LABEL lab") ==
       Seq(ExtNegatives(5, "q", "qid", "emb", "lab", "corpus", "cid", "emb", "lab")))
+    assert(DslParser.parseExt("NEGATIVES 5 FROM q ID qid VEC emb LABEL lab " +
+      "IN corpus ID cid VEC emb LABEL lab IVF CELLS 8 PROBE 2") ==
+      Seq(ExtNegatives(5, "q", "qid", "emb", "lab", "corpus", "cid", "emb", "lab",
+        Some((8, 2)))))
     assert(DslParser.parseExt("OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2") ==
       Seq(ExtOverlap("docs", "source", "text", 2)))
     assert(DslParser.parseExt("EMBEDCARD FROM emb VEC embedding GROUPBY label") ==
@@ -668,6 +672,16 @@ class DslSpec extends AnyFunSuite {
         "vec_id", "embedding", "label", "vec_id", "embedding", "label", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(ngDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == ngRef)
+    // IVF arm at nProbe = nCells: identical to the broadcast arm
+    val ngIvf = Pipeline.runExt(spark,
+      "NEGATIVES 2 FROM ext_lemb ID vec_id VEC embedding LABEL label " +
+        "IN ext_lemb ID vec_id VEC embedding LABEL label IVF CELLS 2 PROBE 2")
+    val ngIvfDf = ngIvf.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"negatives ivf: $other")
+    }
+    assert(ngIvfDf.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == ngRef)
   }
 
