@@ -3211,6 +3211,48 @@ object Queries {
         |FROM grams WHERE ngram IN ('table hash', 'customer join', 'big order')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- streaming drift alarm (batch twin — stream agreement pinned in
+    // StreamingSpec): per window, L1 between the window's (K+1)-bucket
+    // token distribution and a reference. Reference probabilities are
+    // DYADIC (1/16, 1/32, 1/64) so 1 − Σ is bit-identical on both
+    // engines — 0.05-style literals differ in the last ulp between a
+    // Scala fold and a SQL literal. ----
+    "docs_drift_stream" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+          .withColumn("ts",
+            timestamp_seconds(lit(1704067200L) + col("doc_id") * 60))
+        val ref = Map("table" -> 0.0625, "filter" -> 0.03125,
+          "join" -> 0.015625)
+        val counts = graft.streaming.StreamingIngest.streamingDriftCounts(
+            docs, "ts", "text", ref.keys.toSeq.sorted, "1 hour")
+          .select(unix_micros(col("window_start")).as("window_start"),
+            col("token"), col("n"))
+        graft.streaming.StreamingIngest.driftFromCounts(counts, ref)
+          .select(col("window_start").as("window_us"), col("n_tokens"),
+            col("l1_vs_ref"))
+          .orderBy("window_us")
+      },
+      Some(raw"""WITH toks AS (
+        |  SELECT (1704067200 + doc_id * 60) AS es,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |cls AS (SELECT (es // 3600) * 3600 * 1000000 AS w,
+        |  CASE WHEN tok IN ('filter', 'join', 'table') THEN tok
+        |    ELSE '__other__' END AS token FROM toks),
+        |cnt AS (SELECT w, token, COUNT(*) AS n FROM cls GROUP BY 1, 2),
+        |wt AS (SELECT w, SUM(n) AS wt FROM cnt GROUP BY 1),
+        |ref(token, rp) AS (VALUES ('table', 0.0625), ('filter', 0.03125),
+        |  ('join', 0.015625), ('__other__', 0.890625)),
+        |grid AS (SELECT wt.w, wt.wt, ref.token, CAST(ref.rp AS DOUBLE) AS rp
+        |  FROM wt CROSS JOIN ref)
+        |SELECT g.w AS window_us, g.wt AS n_tokens,
+        |  round(CAST(SUM(CAST(round(abs(
+        |    CAST(COALESCE(c.n, 0) AS DOUBLE) / g.wt - g.rp), 12)
+        |    AS DECIMAL(24,12))) AS DOUBLE), 4) AS l1_vs_ref
+        |FROM grid g LEFT JOIN cnt c ON c.w = g.w AND c.token = g.token
+        |GROUP BY g.w, g.wt ORDER BY window_us""".stripMargin)),
+
     // ---- gap-based sessionization, batch twin of the streaming
     // flatMapGroupsWithState operator (StreamingIngest.sessionize; the
     // streaming/batch agreement is pinned in StreamingSpec). Timestamps

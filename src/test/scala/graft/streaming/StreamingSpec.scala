@@ -169,6 +169,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDriftCounts: streaming matches batch; remainder bucket carries non-ref mass") {
+    val mem = MemoryStream[(Timestamp, String)]
+    val asDocs = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "text")
+    val data = Seq(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "alpha beta beta noise words"),
+      (Timestamp.valueOf("2026-01-01 10:20:00"), "alpha alpha"), // all-ref doc
+      (Timestamp.valueOf("2026-01-01 11:10:00"), "junk only here"))
+    val ref = Seq("alpha", "beta")
+    val stream = StreamingIngest.streamingDriftCounts(asDocs(mem.toDF()),
+      "ts", "text", ref, "1 hour", watermark = Some("10 minutes"))
+    val q = stream.writeStream.format("memory").queryName("drift_cnt")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data: _*); q.processAllAvailable()
+      val streaming = spark.table("drift_cnt").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingIngest.streamingDriftCounts(asDocs(data.toDF()),
+          "ts", "text", ref, "1 hour").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streaming == batch)
+      assert(batch == Set(
+        ("2026-01-01 10:00:00.0", "alpha", 3L),
+        ("2026-01-01 10:00:00.0", "beta", 2L),
+        ("2026-01-01 10:00:00.0", "__other__", 2L),
+        ("2026-01-01 11:00:00.0", "__other__", 3L)))
+      // finisher: the 11:00 window has zero ref mass → L1 = |0-pa|+|0-pb|
+      // + |1-other| with dyadic ref {alpha: 1/4, beta: 1/4} → 0.5+0.5 = 1.0
+      val drift = StreamingIngest.driftFromCounts(
+          spark.table("drift_cnt"), Map("alpha" -> 0.25, "beta" -> 0.25))
+        .collect().map(r => (r.getTimestamp(0).toString,
+          (r.getLong(1), r.getDouble(2)))).toMap
+      assert(drift("2026-01-01 11:00:00.0") == ((3L, 1.0)))
+      // 10:00 window: dist {alpha 3/7, beta 2/7, other 2/7} vs {.25,.25,.5}
+      val exp = math.abs(3.0/7 - 0.25) + math.abs(2.0/7 - 0.25) + math.abs(2.0/7 - 0.5)
+      assert(math.abs(drift("2026-01-01 10:00:00.0")._2 - exp) < 2e-4)
+    } finally q.stop()
+  }
+
+  test("streamingDriftCounts refuses the reserved bucket and bad references") {
+    import spark.implicits._
+    val docs = Seq((Timestamp.valueOf("2026-01-01 10:00:00"), "a b"))
+      .toDF("ts", "text")
+    intercept[IllegalArgumentException] {
+      StreamingIngest.streamingDriftCounts(docs, "ts", "text",
+        Seq("__other__"), "1 hour")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIngest.driftFromCounts(
+        Seq((Timestamp.valueOf("2026-01-01 10:00:00"), "a", 1L))
+          .toDF("window_start", "token", "n"),
+        Map("a" -> 0.9, "b" -> 0.3)) // sums over 1
+    }
+  }
+
   test("ngramMonitor refuses a candidate that is not exactly one n-gram") {
     import spark.implicits._
     val docs = Seq((Timestamp.valueOf("2026-01-01 10:00:00"), "a b c"))
