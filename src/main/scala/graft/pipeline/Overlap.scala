@@ -102,6 +102,39 @@ object Overlap {
           .as("l1_dist"))
   }
 
+  /** Row-level corpus version diff — the "what exactly changed between
+    * dumps" companion to [[tokenDrift]]'s distribution view: one output
+    * row per added / removed / content-changed document id, unchanged
+    * docs omitted (at 100 TB the diff IS the small output; emitting
+    * unchanged rows would make the diff corpus-sized). Content equality
+    * is the datacard fingerprint pair (xxhash64 + length — two
+    * independent 8-byte channels), so document bodies never cross the
+    * shuffle: ONE co-partitioned full-outer join on the id carries 24
+    * bytes per side. Duplicate ids within a version are caller error and
+    * fail loudly — a diff over an ambiguous id space has no meaning. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, side: String) =
+      df.select(col(idCol).as("id"),
+          struct(xxhash64(col(textCol)), length(col(textCol))).as(s"_h$side"))
+        .groupBy("id")
+        .agg(count(lit(1)).as(s"_c$side"), first(col(s"_h$side")).as(s"_h$side"))
+    // the duplicate-id guard rides the SAME pass as a raise_error branch —
+    // a separate count-based require would add two corpus scans for a
+    // condition that is almost always false
+    val dup = col("_co") > 1 || col("_cn") > 1 // null-safe: outer-join nulls fall through
+    fp(oldDf, "o").join(fp(newDf, "n"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(dup, raise_error(concat(
+            lit(s"duplicate $idCol in corpus diff input: "),
+            col("id").cast("string"))).cast("string"))
+          .when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") =!= col("_hn"), lit("changed"))
+          .as("status"))
+      .where(col("status").isNotNull)
+  }
+
   /** Pairwise overlap of distinct word n-grams between values of
     * `groupCol`: (a, b, n_a, n_b, inter_grams, jaccard, containment_a,
     * containment_b) for every pair a < b of group values. `n_x` is the

@@ -3081,6 +3081,37 @@ object Queries {
         |LEFT JOIN inter i ON i.a = sa.g AND i.b = sb.g
         |ORDER BY a, b""".stripMargin)),
 
+    // ---- row-level corpus version diff: added/removed/changed ids
+    // between two corpus versions (deterministic edits injected on both
+    // sides: %11 removed, %13 changed, <20 re-id'd additions) ----
+    "pipeline_corpus_diff" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents").select("doc_id", "text")
+        val neu = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+          .unionByName(docs.where(col("doc_id") < 20)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.pipeline.Overlap.corpusDiff(docs, neu, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("""WITH o AS (SELECT doc_id AS id, text FROM documents),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+        |d AS (
+        |  SELECT COALESCE(o.id, n.id) AS id,
+        |    CASE WHEN o.id IS NULL THEN 'added'
+        |      WHEN n.id IS NULL THEN 'removed'
+        |      WHEN o.text <> n.text THEN 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id)
+        |SELECT id, status FROM d WHERE status IS NOT NULL
+        |ORDER BY id""".stripMargin)),
+
     // ---- token-distribution drift (corpus-version monitor): per source
     // pair, unigram L1 distance + vocabulary Jaccard. Division-only
     // arithmetic (no logs) so both engines compute bit-identical terms;

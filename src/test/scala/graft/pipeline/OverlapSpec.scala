@@ -107,6 +107,23 @@ class OverlapSpec extends AnyFunSuite {
     assert(out.size == 6)                               // full 4C2 matrix
   }
 
+  test("corpusDiff labels added/removed/changed, omits unchanged, refuses dup ids") {
+    import spark.implicits._
+    val old = Seq((0L, "same"), (1L, "will change"), (2L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((0L, "same"), (1L, "changed!"), (3L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Overlap.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "removed", 3L -> "added"))
+    // duplicate ids fail loudly (raise_error in the same pass)
+    val dup = Seq((0L, "a"), (0L, "b")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Overlap.corpusDiff(dup, neu, "doc_id", "text").collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("duplicate"))
+  }
+
   test("NULL sources are excluded; single-group corpus yields an empty matrix") {
     import spark.implicits._
     val d = Seq((0L, Some("a"), "x y z"), (1L, None, "x y z"))
