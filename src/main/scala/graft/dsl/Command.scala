@@ -141,6 +141,9 @@ object Command {
   /** Token-distribution drift matrix (pipeline.Overlap.tokenDrift). */
   final case class ExtDrift(view: String, group: String,
       text: String) extends Command
+  /** Row-level corpus version diff (pipeline.Overlap.corpusDiff). */
+  final case class ExtDiff(oldView: String, newView: String, id: String,
+      text: String) extends Command
   final case class ExtPack(view: String, id: String, text: String,
       budget: Int, shards: Int) extends Command
   /** Deterministic epoch shuffle (Corpus.epochShuffle). */

@@ -426,6 +426,10 @@ object DslParser extends RegexParsers {
             m.map { case c ~ p => (c, p) }) }
   // OVERLAP FROM docs GROUPBY source TEXT text NGRAM 2 — cross-source
   // distinct-n-gram overlap matrix
+  // DIFF FROM old IN new ID doc_id TEXT text — corpus version diff
+  private val extDiff: Parser[Command] =
+    kw("diff") ~> fromView ~ (inKw ~> name) ~ idCol ~ textCol ^^ {
+      case o ~ n ~ i ~ t => ExtDiff(o, n, i, t) }
   // DRIFT FROM docs GROUPBY source TEXT text — unigram L1 drift matrix
   private val extDrift: Parser[Command] =
     kw("drift") ~> fromView ~ (kw("groupby") ~> name) ~ textCol ^^ {
@@ -560,7 +564,7 @@ object DslParser extends RegexParsers {
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
     extRepetition | extBlocklist |
-    extBm25 | extDsir | extClassify | extNegatives | extOverlap | extDrift |
+    extBm25 | extDsir | extClassify | extNegatives | extOverlap | extDrift | extDiff |
     extFuse | extTopK | extDatacard | extEmbedCard |
     extAsof | extInterval | extUrlCanon | extHtmlExtract | extTrace
 

@@ -167,6 +167,8 @@ object Pipeline {
         Response.Entries(graft.pipeline.Overlap.overlapMatrix(t(v), g, text, n))
       case ExtDrift(v, g, text) =>
         Response.Entries(graft.pipeline.Overlap.tokenDrift(t(v), g, text))
+      case ExtDiff(ov, nv, id, text) =>
+        Response.Entries(graft.pipeline.Overlap.corpusDiff(t(ov), t(nv), id, text))
       case ExtPack(v, id, text, budget, shards) =>
         Response.Entries(graft.pipeline.Corpus.packSequences(
           t(v), id, text, budget, shards))

@@ -488,6 +488,8 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtEmbedCard("emb", "embedding", Seq("label"))))
     assert(DslParser.parseExt("DRIFT FROM docs GROUPBY source TEXT text") ==
       Seq(ExtDrift("docs", "source", "text")))
+    assert(DslParser.parseExt("DIFF FROM oldv IN newv ID doc_id TEXT text") ==
+      Seq(ExtDiff("oldv", "newv", "doc_id", "text")))
     assert(DslParser.parseExt(
       "PACK FROM docs ID doc_id TEXT text BUDGET 2048 SHARDS 8;" +
       "CHUNK FROM docs ID doc_id TEXT text SIZE 32 OVERLAP 8") ==
@@ -729,6 +731,18 @@ class DslSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(6))).toSet
     assert(drDf.collect().map(r =>
       (r.getString(0), r.getString(1), r.getDouble(6))).toSet == drRef)
+    // DIFF: version diff through the grammar
+    Seq((0L, "x y z w"), (1L, "p q r s")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ov_docs_v2")
+    val di = Pipeline.runExt(spark,
+      "DIFF FROM ov_docs IN ov_docs_v2 ID doc_id TEXT text")
+    val diDf = di.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"diff: $other")
+    }
+    // ov_docs has ids 0,1,2; v2 keeps 0 identical, changes 1, drops 2
+    assert(diDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "changed", 2L -> "removed"))
   }
 
   test("extension pipeline: SHUFFLE/CAP/LINES/DECON execute (API parity)") {
