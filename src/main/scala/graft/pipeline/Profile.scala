@@ -92,6 +92,41 @@ object Profile {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Per-row embedding features — shared by the batch card and the
+    * streaming twin. Emits `keepCols` plus (_d, _n6, _bad): dimension,
+    * 6dp-decimal L2 norm (NULL for non-finite vectors — NaN would
+    * otherwise cast to a silent NULL in one engine and an error in
+    * another; they are counted apart), non-finite flag. */
+  private[graft] def embFeatures(df: DataFrame, vecCol: String,
+      keepCols: Seq[Column]): DataFrame = {
+    val v = col(vecCol)
+    val normD = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val bad = exists(v, x => isnan(x) ||
+      x.cast("double") === Double.PositiveInfinity ||
+      x.cast("double") === Double.NegativeInfinity)
+    df.select(keepCols ++ Seq(
+      size(v).cast("long").as("_d"),
+      when(!bad, round(normD, 6).cast("decimal(18,6)")).as("_n6"),
+      bad.as("_bad"),
+      xxhash64(v).as("_xh")): _*)
+  }
+
+  /** The algebraic (streaming-legal) half of the embedding card: every
+    * aggregate map-side-combines, none is distinct-based. */
+  private[graft] def embAlgebraicAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_vecs"),
+    min(col("_d")).as("dims_min"),
+    max(col("_d")).as("dims_max"),
+    sum(when(col("_n6") === 0, 1L).otherwise(0L)).as("n_zero"),
+    sum(when(col("_bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+    round(min(col("_n6")).cast("double"), 4).as("norm_min"),
+    round(max(col("_n6")).cast("double"), 4).as("norm_max"),
+    // exact decimal sum → one double division: parallel aggregation
+    // order cannot flip the reported rounding
+    round(sum(col("_n6")).cast("double") / count(col("_n6")), 4)
+      .as("norm_avg"))
+
   /** The embedding-side data card — the profile a vector corpus ships
     * before anyone trains an index on it: per-slice counts, exact-dup
     * rate, dimension range (ragged dims are the #1 silent killer of a
@@ -111,37 +146,15 @@ object Profile {
   def embeddingCard(df: DataFrame, vecCol: String,
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "embedding card needs at least one slice column")
-    val v = col(vecCol)
-    val normD = sqrt(aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val bad = exists(v, x => isnan(x) ||
-      x.cast("double") === Double.PositiveInfinity ||
-      x.cast("double") === Double.NegativeInfinity)
-    val feats = df.select(
-      groupCols.map(col) ++ Seq(
-        size(v).cast("long").as("_d"),
-        // NULL norm for non-finite vectors: NaN would otherwise cast to
-        // a silent NULL in one engine and an error in another — exclude
-        // them from the norm stats EXPLICITLY (they are counted apart)
-        when(!bad, round(normD, 6).cast("decimal(18,6)")).as("_n6"),
-        bad.as("_bad"),
-        xxhash64(v).as("_xh")): _*)
+    val feats = embFeatures(df, vecCol, groupCols.map(col))
       .withColumn("_h", struct(col("_xh"), col("_n6")))
+    val aggs = Seq(
+      count(lit(1)).as("n_vecs"),
+      count_distinct(col("_h")).as("n_distinct"),
+      (count(lit(1)) - count_distinct(col("_h"))).as("n_exact_dups")) ++
+      embAlgebraicAggs.tail // n_vecs already present
     feats.groupBy(groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_vecs"),
-        count_distinct(col("_h")).as("n_distinct"),
-        (count(lit(1)) - count_distinct(col("_h"))).as("n_exact_dups"),
-        min(col("_d")).as("dims_min"),
-        max(col("_d")).as("dims_max"),
-        sum(when(col("_n6") === 0, 1L).otherwise(0L)).as("n_zero"),
-        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_nonfinite"),
-        round(min(col("_n6")).cast("double"), 4).as("norm_min"),
-        round(max(col("_n6")).cast("double"), 4).as("norm_max"),
-        // exact decimal sum → one double division: parallel aggregation
-        // order cannot flip the reported rounding
-        round(sum(col("_n6")).cast("double") / count(col("_n6")), 4)
-          .as("norm_avg"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(groupCols.map(col): _*)
   }
 }

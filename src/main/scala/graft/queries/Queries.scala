@@ -2198,6 +2198,55 @@ object Queries {
         |  round(CAST(SUM(n6) AS DOUBLE) / COUNT(n6), 4) AS norm_avg
         |FROM f GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ---- streaming embedding card (batch twin — stream agreement pinned
+    // in StreamingSpec): per (hour window, label), the algebraic card —
+    // same poison injection as embed_datacard, windows as epoch micros ----
+    "embed_card_stream" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "embeddings").select(
+          col("label"),
+          timestamp_seconds(lit(1704067200L) + col("vec_id") * 60).as("ts"),
+          when(pmod(col("vec_id"), lit(97)) === 0,
+            array_repeat(lit(0.0f), 64))
+            .when(pmod(col("vec_id"), lit(89)) === 0,
+              concat(slice(col("embedding"), 1, 63),
+                array(lit(Float.NaN))))
+            .otherwise(col("embedding")).as("vec"))
+        graft.streaming.StreamingIngest.streamingEmbeddingCard(
+            aug, "ts", "vec", Seq("label"), "1 hour")
+          .select(unix_micros(col("window_start")).as("window_us"),
+            col("label"), col("n_vecs"), col("dims_min"), col("dims_max"),
+            col("n_zero"), col("n_nonfinite"), col("norm_min"),
+            col("norm_max"), col("norm_avg"))
+          .orderBy("window_us", "label")
+      },
+      Some(raw"""WITH aug AS (
+        |  SELECT label,
+        |    ((1704067200 + vec_id * 60) // 3600) * 3600 * 1000000 AS w,
+        |    CASE WHEN vec_id % 97 = 0
+        |        THEN list_transform(range(64), x -> CAST(0.0 AS FLOAT))
+        |      WHEN vec_id % 89 = 0
+        |        THEN list_concat(embedding[1:63], ['NaN'::FLOAT])
+        |      ELSE embedding END AS vec
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT label, w, len(vec) AS d,
+        |    list_aggregate(list_transform(vec, x -> isnan(x) OR isinf(x)),
+        |      'bool_or') AS bad,
+        |    CASE WHEN list_aggregate(list_transform(vec,
+        |        x -> isnan(x) OR isinf(x)), 'bool_or') THEN NULL
+        |      ELSE CAST(round(sqrt(list_sum(list_transform(vec,
+        |        x -> CAST(x AS DOUBLE) * x))), 6) AS DECIMAL(18,6)) END AS n6
+        |  FROM aug)
+        |SELECT w AS window_us, label, COUNT(*) AS n_vecs,
+        |  MIN(d) AS dims_min, MAX(d) AS dims_max,
+        |  SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |  SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
+        |  round(CAST(MIN(n6) AS DOUBLE), 4) AS norm_min,
+        |  round(CAST(MAX(n6) AS DOUBLE), 4) AS norm_max,
+        |  round(CAST(SUM(n6) AS DOUBLE) / COUNT(n6), 4) AS norm_avg
+        |FROM f GROUP BY w, label ORDER BY window_us, label""".stripMargin)),
+
     // ---- corpus data card (datasheets-for-datasets): per (source, lang)
     // slice — doc counts, exact-dup rate (64-bit content hash), empty-doc
     // count, token/char volumes, fixed-bucket length histogram. One scan,

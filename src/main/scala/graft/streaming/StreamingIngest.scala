@@ -213,6 +213,32 @@ object StreamingIngest {
       .agg(round(sum(col("_t")).cast("double"), 4).as("l1_vs_ref"))
   }
 
+  /** Streaming embedding card — the vector-ingest health alarm: per
+    * (event-time window, slice), the ALGEBRAIC half of
+    * [[graft.pipeline.Profile.embeddingCard]] (counts, dimension range,
+    * zero / non-finite vectors, decimal-exact norm stats). A ragged-dim
+    * or NaN burst from an upstream embedder shows up in the window it
+    * arrives, not at the next batch audit. Distinct/dup counting is
+    * deliberately absent — distinct aggregates aren't streaming-legal and
+    * dup auditing belongs to the batch card; every aggregate here
+    * map-side-combines, so state is one partial row per (window, slice).
+    * Identical semantics on a batch frame (the oracle twin). */
+  def streamingEmbeddingCard(vecs: DataFrame, tsCol: String, vecCol: String,
+      groupCols: Seq[String], windowLength: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(vecs)(w => vecs.withWatermark(tsCol, w))
+    val feats = graft.pipeline.Profile.embFeatures(src, vecCol,
+      col(tsCol) +: groupCols.map(col))
+    val aggs = graft.pipeline.Profile.embAlgebraicAggs
+    feats
+      .groupBy(window(col(tsCol), windowLength).as("w") +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start") +: groupCols.map(col) ++:
+        Seq(col("n_vecs"), col("dims_min"), col("dims_max"), col("n_zero"),
+          col("n_nonfinite"), col("norm_min"), col("norm_max"),
+          col("norm_avg")): _*)
+  }
+
   /** Streaming exact dedup — the continuous twin of
     * [[graft.dedup.Dedup.dropExactDuplicates]]: keep the first arrival of
     * each content hash, drop re-arrivals. `dropDuplicatesWithinWatermark`

@@ -208,6 +208,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingEmbeddingCard: streaming matches batch; poison vectors surface in-window") {
+    val mem = MemoryStream[(Timestamp, Int, Array[Float])]
+    val asVecs = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "label")
+      .withColumnRenamed("_3", "vec")
+    val data = Seq(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 0, Array(3f, 4f)),
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 0, Array(0f, 0f)),      // zero
+      (Timestamp.valueOf("2026-01-01 10:40:00"), 1, Array(1f, Float.NaN)), // poison
+      (Timestamp.valueOf("2026-01-01 11:10:00"), 0, Array(6f, 8f, 0f)))  // ragged later window
+    val stream = StreamingIngest.streamingEmbeddingCard(asVecs(mem.toDF()),
+      "ts", "vec", Seq("label"), "1 hour", watermark = Some("10 minutes"))
+    val q = stream.writeStream.format("memory").queryName("emb_card")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getTimestamp(0).toString, r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      val streaming = rows(spark.table("emb_card"))
+      val batch = rows(StreamingIngest.streamingEmbeddingCard(asVecs(data.toDF()),
+        "ts", "vec", Seq("label"), "1 hour"))
+      assert(streaming == batch)
+      // 10:00 / label 0: two 2-d vecs, one zero; label 1: the NaN vector
+      assert(batch(("2026-01-01 10:00:00.0", 0)) == ((2L, 2L, 2L, 1L, 0L)))
+      assert(batch(("2026-01-01 10:00:00.0", 1)) == ((1L, 2L, 2L, 0L, 1L)))
+      // 11:00 / label 0: the ragged 3-d vector shows dims 3
+      assert(batch(("2026-01-01 11:00:00.0", 0)) == ((1L, 3L, 3L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("streamingDriftCounts refuses the reserved bucket and bad references") {
     import spark.implicits._
     val docs = Seq((Timestamp.valueOf("2026-01-01 10:00:00"), "a b"))
