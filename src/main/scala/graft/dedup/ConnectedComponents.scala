@@ -185,4 +185,43 @@ object ConnectedComponents {
       .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }
+
+  /** Dedup impact report — the DRY RUN every curation decision wants
+    * before paying for [[dropNearDuplicates]]: per slice of `groupCol`,
+    * what min-id keep-one WOULD remove (doc count, whitespace tokens,
+    * chars) next to the slice's totals. Run it on the pair output first;
+    * if a slice loses 40% of its tokens, that is a data-sourcing
+    * conversation, not a dedup parameter.
+    *
+    * Scale shape: the doomed set is bounded by the duplicate population
+    * (the component label table), joined back to the corpus by id —
+    * corpus rows contribute one narrow projection (group, tokens, chars,
+    * doomed flag via the id join), then ONE slice-bounded groupBy. Token
+    * counting follows [[graft.pipeline.Profile.dataCard]]'s convention
+    * (trim = '' → 0). */
+  def impactReport(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val doomed = label(pairs, aCol, bCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol), lit(true).as("_doomed"))
+    val nTok = GraftFunctions.bind(trim(col(textCol))) { t =>
+      when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
+    }.cast("long")
+    df.select(col(idCol), col(groupCol), nTok.as("_nt"),
+        length(col(textCol)).cast("long").as("_nc"))
+      .join(doomed, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_doomed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("_nt")).as("total_tokens"),
+        sum(when(col("_doomed"), col("_nt")).otherwise(0L)).as("tokens_removed"),
+        sum(when(col("_doomed"), col("_nc")).otherwise(0L)).as("chars_removed"),
+        round(sum(when(col("_doomed"), col("_nt")).otherwise(0L))
+          .cast("double") / greatest(sum(col("_nt")), lit(1L)), 4)
+          .as("token_loss_frac"))
+      .orderBy(col(groupCol))
+  }
 }

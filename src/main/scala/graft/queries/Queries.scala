@@ -2677,6 +2677,40 @@ object Queries {
           |  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
           |ORDER BY doc_id""".stripMargin))),
 
+    // ---- dedup impact DRY RUN over the same cluster graph: per source,
+    // what min-id keep-one WOULD remove (docs/tokens/chars + loss
+    // fraction) — the curation decision report before paying for it ----
+    "dedup_impact" -> Q(
+      (s, dir) => {
+        val docs = TestStores.table(s, dir, "documents")
+          .select("doc_id", "text", "source")
+        val corpus = docs.union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("source")))
+        val pairs = graft.dedup.Dedup.minHashLshJoin(
+          corpus, "doc_id", "text", 3, 0.8)
+        graft.dedup.ConnectedComponents.impactReport(
+          corpus, "doc_id", "source", "text", pairs, "a", "b")
+      },
+      Some(clusterOracle(
+        raw"""SELECT x.source, COUNT(*) AS n_docs,
+          |  SUM(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+          |  SUM(x.nt) AS total_tokens,
+          |  SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) AS tokens_removed,
+          |  SUM(CASE WHEN l.node IS NOT NULL THEN x.nc ELSE 0 END) AS chars_removed,
+          |  round(CAST(SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) AS DOUBLE)
+          |    / GREATEST(SUM(x.nt), 1), 4) AS token_loss_frac
+          |FROM (
+          |  SELECT c.doc_id, d.source,
+          |    CASE WHEN trim(c.text) = '' THEN 0
+          |      ELSE len(regexp_split_to_array(trim(c.text), '\s+')) END AS nt,
+          |    len(c.text) AS nc
+          |  FROM corpus c JOIN documents d ON d.doc_id =
+          |    CASE WHEN c.doc_id >= 10000 THEN c.doc_id - 10000 ELSE c.doc_id END) x
+          |LEFT JOIN (SELECT node FROM reach GROUP BY node
+          |  HAVING node <> MIN(label)) l ON l.node = x.doc_id
+          |GROUP BY x.source ORDER BY x.source""".stripMargin))),
+
     // ---- quality-ranked keep-one over the same cluster graph: each
     // component's survivor is its LONGEST member (ties → lowest id) — the
     // keeper policy that preserves the quality signal instead of min-id.

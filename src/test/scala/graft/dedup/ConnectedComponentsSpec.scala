@@ -81,6 +81,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L, 5L, 6L, 8L, 9L))
   }
 
+  test("impactReport: per-slice removal accounting agrees with keep-one") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a", "one two three"),   // comp {0,1}: 1 removed from a
+      (1L, "a", "one two three"),
+      (2L, "a", "unique alpha"),
+      (3L, "b", "x y"),             // comp {3,4,5}: 4,5 removed from b
+      (4L, "b", "x y"),
+      (5L, "b", "x y z"),
+      (6L, "b", ""),                // empty text → 0 tokens, survives
+      (7L, "c", "lonely"))          // untouched slice
+      .toDF("doc_id", "source", "text")
+    val pairs = Seq((0L, 1L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = ConnectedComponents.impactReport(
+        corpus, "doc_id", "source", "text", pairs, "a", "b")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    // a: 3 docs, 1 removed (id 1: 3 tokens, 13 chars), 8 tokens total
+    assert(got("a") == ((3L, 1L, 8L, 3L, 13L, 0.375)))
+    // b: 4 docs, 2 removed (ids 4, 5: 2+3 tokens, 3+5 chars), 7 tokens
+    assert(got("b") == ((4L, 2L, 7L, 5L, 8L, 0.7143)))
+    // c: untouched — zero removals, zero loss
+    assert(got("c") == ((1L, 0L, 1L, 0L, 0L, 0.0)))
+    // accounting identity: n_docs − n_removed == keep-one survivor count
+    val survivors = ConnectedComponents
+      .dropNearDuplicates(corpus, "doc_id", pairs, "a", "b").count()
+    assert(got.values.map(v => v._1 - v._2).sum == survivors)
+  }
+
   test("dropNearDuplicatesKeepBest keeps the highest-ranked member per component") {
     import spark.implicits._
     // ranks: component {0,1,2} → 2 wins (rank 9); {5,7} → tie at 4, lowest
