@@ -196,6 +196,43 @@ object ScaleRecall {
       }
     }
 
+    // ---- hard-negative mining: IVF arm vs the exact broadcast arm ----
+    // labels synthesized as id % 7 (labels orthogonal to geometry — the
+    // measurement is cell-routing recall, not label semantics); k = 5,
+    // 200-anchor sample, 64-cell labeled cosine index
+    if (sys.env.getOrElse("SCALE_RECALL_NEG", "1") == "1") {
+      val kNeg = 5
+      val labeled = emb.withColumn("label", pmod(col("id"), lit(7)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labeled.count()
+      val anchors = labeled.where(pmod(col("id"), lit(math.max(1L, n / 200))) === 0)
+        .limit(200)
+      val exact = graft.ann.Negatives.hardNegatives(anchors, labeled,
+          "id", "key", "label", "id", "key", "label", kNeg)
+        .select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val ivfL = timed("labeled ivf build (64 cells)") {
+        graft.ann.IvfIndex.build(labeled, nCells = 64, iters = 3,
+          metric = Algorithm.CosineSimilarity)
+      }
+      for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+        val rec = timed(s"negatives nProbe=$nProbe") {
+          val got = ivfL.hardNegatives(anchors, "id", "key", "label", "label",
+              kNeg, nProbe)
+            .select("qid", "cid").collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) =>
+              q -> rs.map(_.getLong(1)).toSet }
+          val per = exact.map { case (q, e) =>
+            got.get(q).fold(0.0)(g => (g & e).size.toDouble / e.size) }
+          per.sum / per.size
+        }
+        rows += f"| hard negatives, IVF 64 cells, nProbe=$nProbe | ${nProbe / 64.0}%.3f of corpus scanned | $rec%.4f (negative recall@$kNeg) |"
+        println(rows.last)
+      }
+      ivfL.unpersist()
+      labeled.unpersist(blocking = false)
+    }
+
     println()
     println("| configuration | cost knob | Recall@50 |")
     println("|---|---|---|")
