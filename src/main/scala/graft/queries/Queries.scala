@@ -1249,6 +1249,49 @@ object Queries {
         |SELECT ngram, n, CAST(rank AS BIGINT) AS rank FROM ranked
         |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // ---- line-shape signals (the Gopher/C4 line rules gopherFlags
+    // omits): the single-line corpus gets deterministic multi-line
+    // payloads on BOTH sides (the repetition-suite idiom) — bullet runs
+    // (%6), ellipsis enders (%7), a terminal-punct closer (%5) ----
+    "text_line_signals" -> Q(
+      (s, dir) => {
+        val aug = TestStores.table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              lit("\n- bullet one\n* bullet two")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit("\nto be continued...\ntrails off…")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\nA closing sentence.")).otherwise(lit(""))).as("t"))
+        aug.select(col("doc_id"),
+            graft.text.TextOps.lineSignals(col("t")).as("ls"))
+          .select(col("doc_id"), col("ls.n_lines").as("n_lines"),
+            col("ls.frac_bullet").as("frac_bullet"),
+            col("ls.frac_ellipsis_end").as("frac_ellipsis_end"),
+            col("ls.frac_terminal").as("frac_terminal"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN chr(10) || '- bullet one' || chr(10) || '* bullet two'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'to be continued...' || chr(10) || 'trails off…'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || 'A closing sentence.' ELSE '' END AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  round(CAST(len(list_filter(ls, x ->
+        |    regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(ls), 4) AS frac_bullet,
+        |  round(CAST(len(list_filter(ls, x ->
+        |    regexp_matches(rtrim(x), '(\.\.\.|…)$$'))) AS DOUBLE) / len(ls), 4) AS frac_ellipsis_end,
+        |  round(CAST(len(list_filter(ls, x ->
+        |    regexp_matches(rtrim(x), '[.!?"]$$'))) AS DOUBLE) / len(ls), 4) AS frac_terminal
+        |FROM l ORDER BY doc_id""".stripMargin)),
+
     // ---- text analysis: intra-doc repetition ratio (Gopher-style
     // boilerplate rule) — shuffle-free per-row projection ----
     "text_repetition" -> Q(

@@ -236,6 +236,31 @@ object TextOps {
     * pass + codegen'd array_distinct on longs): distinct/total is
     * identical unless two DISTINCT n-grams of the SAME doc collide in 64
     * bits — P ≈ grams²/2⁶⁵ per doc, far beyond the 4-place rounding. */
+  /** Line-shape signals — the LINE-BASED half of the Gopher/C4 rule set
+    * that [[gopherFlags]] deliberately omits (its scaladoc notes the
+    * omission): per document, (n_lines, frac_bullet, frac_ellipsis_end,
+    * frac_terminal). Gopher drops docs with > 90% bullet lines or > 30%
+    * ellipsis-ending lines (Rae et al. 2021 §A1.1); C4 KEEPS only lines
+    * ending in terminal punctuation (Raffel et al. 2020 §2.2) — so
+    * `frac_terminal` is the keep-signal and the other two are
+    * drop-signals, reported together so one projection serves both
+    * recipes. Shuffle-free per-row expression: one line split, three
+    * filtered counts over the (small) line array; fractions round to 4 dp
+    * for the cross-engine gate. A no-newline doc is one line. */
+  def lineSignals(text: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    bind(split(text, "\n")) { ls =>
+      val n = size(ls)
+      def frac(p: Column => Column): Column =
+        round(size(filter(ls, p)).cast("double") / n, 4)
+      struct(
+        n.cast("long").as("n_lines"),
+        frac(l => trim(l).rlike("^[-*•]")).as("frac_bullet"),
+        frac(l => rtrim(l).rlike("(\\.\\.\\.|…)$")).as("frac_ellipsis_end"),
+        frac(l => rtrim(l).rlike("[.!?\"]$")).as("frac_terminal"))
+    }
+  }
+
   def repetitionRatio(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.bind(
         graft.dedup.Dedup.ngramHashes(text, n)) { g =>

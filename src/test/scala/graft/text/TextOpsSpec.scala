@@ -290,4 +290,26 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.blocklistHits(col("t"), Seq("two words"))
     }
   }
+
+  test("lineSignals: bullet / ellipsis / terminal fractions per document") {
+    val docs = Seq(
+      (0L, "- first bullet\n* second bullet\nplain line"),
+      (1L, "ends properly.\nalso ends!\ntrails off...\nunicode trail…"),
+      (2L, "no newline here"),
+      (3L, "  - indented bullet\nShe said \"quote\"")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextOps.lineSignals(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_lines"), col("s.frac_bullet"),
+        col("s.frac_ellipsis_end"), col("s.frac_terminal"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((3L, 0.6667, 0.0, 0.0)))
+    // '...' and '…' both count as ellipsis; '.', '!', and '...' end in
+    // terminal punctuation ('…' does not)
+    assert(got(1L) == ((4L, 0.0, 0.5, 0.75)))
+    assert(got(2L) == ((1L, 0.0, 0.0, 0.0)))
+    // leading whitespace is trimmed before the bullet test; a closing
+    // double-quote is terminal (the C4 keep rule)
+    assert(got(3L) == ((2L, 0.5, 0.0, 0.5)))
+  }
 }
