@@ -199,6 +199,9 @@ object Command {
       extends Command
   final case class ExtTextStats(view: String, id: String, text: String)
       extends Command
+  /** Line-shape signals (text.TextOps.lineSignals). */
+  final case class ExtLineSignals(view: String, id: String, text: String)
+      extends Command
   /** Acceleration arm for [[ExtTopK]] — mirrors the library's top-k
     * family: exact broadcast scan, SQ8 two-phase, IVF partition pruning,
     * and the SQ8×IVF composition. */

@@ -466,6 +466,10 @@ object DslParser extends RegexParsers {
   private val extTextStats: Parser[Command] =
     kw("textstats") ~> fromView ~ idCol ~ textCol ^^ {
       case v ~ i ~ t => ExtTextStats(v, i, t) }
+  // LINESIGNALS FROM v ID i TEXT t — the Gopher/C4 line-shape bundle
+  private val extLineSignals: Parser[Command] =
+    kw("linesignals") ~> fromView ~ idCol ~ textCol ^^ {
+      case v ~ i ~ t => ExtLineSignals(v, i, t) }
   // TOPK acceleration arms: QUANTIZED SHORTLIST n (SQ8 two-phase),
   // IVF CELLS c PROBE p (partition pruning), and their composition
   // IVF ... QUANTIZED SHORTLIST n (int8 coarse pass over probed cells
@@ -562,7 +566,8 @@ object DslParser extends RegexParsers {
     extClusterKmeans | extNgramTopK | extPack | extWriteShards | extShuffle |
     extCap | extMix |
     extLines | extSpans |
-    extDecon | extChunk | extVocab | extTextStats | extPpl | extGopher |
+    extDecon | extChunk | extVocab | extTextStats | extLineSignals |
+    extPpl | extGopher |
     extRepetition | extBlocklist |
     extBm25 | extDsir | extClassify | extNegatives | extOverlap | extDrift | extDiff |
     extFuse | extTopK | extDatacard | extEmbedCard |

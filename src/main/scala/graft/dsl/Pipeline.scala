@@ -223,6 +223,11 @@ object Pipeline {
           t(v), id, text, size, overlap))
       case ExtVocab(v, id, text) =>
         Response.Entries(graft.pipeline.Corpus.vocabulary(t(v), id, text))
+      case ExtLineSignals(v, id, text) =>
+        Response.Entries(t(v).select(col(id),
+            graft.text.TextOps.lineSignals(col(text)).as("s"))
+          .select(col(id), col("s.n_lines"), col("s.frac_bullet"),
+            col("s.frac_ellipsis_end"), col("s.frac_terminal")))
       case ExtTextStats(v, id, text) =>
         val tc = col(text)
         Response.Entries(t(v).select(col(id),

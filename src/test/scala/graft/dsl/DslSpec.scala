@@ -496,9 +496,11 @@ class DslSpec extends AnyFunSuite {
       Seq(ExtPack("docs", "doc_id", "text", 2048, 8),
         ExtChunk("docs", "doc_id", "text", 32, 8)))
     assert(DslParser.parseExt("VOCAB FROM docs ID doc_id TEXT text;" +
-      "TEXTSTATS FROM docs ID doc_id TEXT text") ==
+      "TEXTSTATS FROM docs ID doc_id TEXT text;" +
+      "LINESIGNALS FROM docs ID doc_id TEXT text") ==
       Seq(ExtVocab("docs", "doc_id", "text"),
-        ExtTextStats("docs", "doc_id", "text")))
+        ExtTextStats("docs", "doc_id", "text"),
+        ExtLineSignals("docs", "doc_id", "text")))
     assert(DslParser.parseExt(
       "TOPK 5 FROM queries ID qid VEC emb IN corpus ID cid VEC emb") ==
       Seq(ExtTopK(5, "queries", "qid", "emb", "corpus", "cid", "emb")))
@@ -731,6 +733,19 @@ class DslSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(6))).toSet
     assert(drDf.collect().map(r =>
       (r.getString(0), r.getString(1), r.getDouble(6))).toSet == drRef)
+    // LINESIGNALS: same library call through the grammar
+    val lsOut = Pipeline.runExt(spark,
+      "LINESIGNALS FROM ov_docs ID doc_id TEXT text")
+    val lsDf = lsOut.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"linesignals: $other")
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val lsRef = spark.table("ov_docs").select(c("doc_id"),
+        graft.text.TextOps.lineSignals(c("text")).as("s"))
+      .select(c("doc_id"), c("s.n_lines")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == lsRef)
     // DIFF: version diff through the grammar
     Seq((0L, "x y z w"), (1L, "p q r s")).toDF("doc_id", "text")
       .createOrReplaceTempView("ov_docs_v2")
