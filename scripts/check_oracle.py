@@ -2,7 +2,9 @@
 """Local replica of the driver's correctness gate: run graft.Verify for a
 query subset, then execute each oracle SQL in DuckDB over the same parquet
 tables and compare rows/schema/values (columns sorted by name, values
-rounded like the driver hashes them).
+compared at FULL precision — no float rounding: the r10 lesson is that a
+9dp-rounded local gate passes queries the driver's stricter hash
+canonicalization fails; a query must fail HERE first).
 
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Run graft.Verify first, e.g.:
@@ -17,10 +19,7 @@ def canon(rows, cols):
     for r in rows:
         vals = []
         for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(repr(v))
+            vals.append(repr(r[i]))
         out.append("|".join(vals))
     return sorted(out), [cols[i] for i in order]
 

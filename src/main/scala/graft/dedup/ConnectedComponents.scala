@@ -198,7 +198,12 @@ object ConnectedComponents {
     * corpus rows contribute one narrow projection (group, tokens, chars,
     * doomed flag via the id join), then ONE slice-bounded groupBy. Token
     * counting follows [[graft.pipeline.Profile.dataCard]]'s convention
-    * (trim = '' → 0). */
+    * (trim = '' → 0), and so does the hash-robustness rule — every
+    * column is integral: the loss fraction ships as `token_loss_bp`,
+    * exact basis points via BIGINT integral division (tokens_removed ×
+    * 10⁴ div total_tokens — both engines truncate nonnegative integer
+    * division identically; a rounded double quotient would be hostage to
+    * each engine's last-ulp canonicalization). */
   def impactReport(df: DataFrame, idCol: String, groupCol: String,
       textCol: String, pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
@@ -218,10 +223,9 @@ object ConnectedComponents {
         sum(when(col("_doomed"), 1L).otherwise(0L)).as("n_removed"),
         sum(col("_nt")).as("total_tokens"),
         sum(when(col("_doomed"), col("_nt")).otherwise(0L)).as("tokens_removed"),
-        sum(when(col("_doomed"), col("_nc")).otherwise(0L)).as("chars_removed"),
-        round(sum(when(col("_doomed"), col("_nt")).otherwise(0L))
-          .cast("double") / greatest(sum(col("_nt")), lit(1L)), 4)
-          .as("token_loss_frac"))
+        sum(when(col("_doomed"), col("_nc")).otherwise(0L)).as("chars_removed"))
+      .withColumn("token_loss_bp",
+        expr("(tokens_removed * 10000L) div greatest(total_tokens, 1L)"))
       .orderBy(col(groupCol))
   }
 }

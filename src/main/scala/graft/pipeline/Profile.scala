@@ -96,15 +96,19 @@ object Profile {
     * streaming twin. Emits `keepCols` plus (_d, _n6, _bad): dimension,
     * 6dp-decimal L2 norm (NULL for non-finite vectors — NaN would
     * otherwise cast to a silent NULL in one engine and an error in
-    * another; they are counted apart), non-finite flag. */
+    * another; they are counted apart), non-finite flag. A NULL vector or
+    * a vector containing NULL elements counts as non-finite too (the
+    * `exists` would return NULL, silently excluding the row from BOTH the
+    * norm stats and the poison count — coalescing to bad closes that
+    * hole). */
   private[graft] def embFeatures(df: DataFrame, vecCol: String,
       keepCols: Seq[Column]): DataFrame = {
     val v = col(vecCol)
     val normD = sqrt(aggregate(v, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val bad = exists(v, x => isnan(x) ||
+    val bad = coalesce(exists(v, x => isnan(x) ||
       x.cast("double") === Double.PositiveInfinity ||
-      x.cast("double") === Double.NegativeInfinity)
+      x.cast("double") === Double.NegativeInfinity), lit(true))
     df.select(keepCols ++ Seq(
       size(v).cast("long").as("_d"),
       when(!bad, round(normD, 6).cast("decimal(18,6)")).as("_n6"),
@@ -113,19 +117,27 @@ object Profile {
   }
 
   /** The algebraic (streaming-legal) half of the embedding card: every
-    * aggregate map-side-combines, none is distinct-based. */
+    * aggregate map-side-combines, none is distinct-based.
+    *
+    * Hash-robustness discipline (the [[dataCard]] rule — "every column
+    * integral so the oracle reproduces it bit-for-bit"): norm stats ship
+    * as ×10⁶ BIGINTs derived from the DECIMAL(18,6) per-row norms —
+    * exact integer arithmetic no engine's double canonicalization can
+    * wobble. The mean ships as numerator + denominator (`norm_sum_e6`,
+    * `n_finite`) rather than a rounded quotient; `norm_sum_e6 /
+    * (n_finite · 10⁶)` is the average. */
   private[graft] def embAlgebraicAggs: Seq[Column] = Seq(
     count(lit(1)).as("n_vecs"),
     min(col("_d")).as("dims_min"),
     max(col("_d")).as("dims_max"),
     sum(when(col("_n6") === 0, 1L).otherwise(0L)).as("n_zero"),
     sum(when(col("_bad"), 1L).otherwise(0L)).as("n_nonfinite"),
-    round(min(col("_n6")).cast("double"), 4).as("norm_min"),
-    round(max(col("_n6")).cast("double"), 4).as("norm_max"),
-    // exact decimal sum → one double division: parallel aggregation
-    // order cannot flip the reported rounding
-    round(sum(col("_n6")).cast("double") / count(col("_n6")), 4)
-      .as("norm_avg"))
+    (min(col("_n6")) * lit(1000000)).cast("long").as("norm_min_e6"),
+    (max(col("_n6")) * lit(1000000)).cast("long").as("norm_max_e6"),
+    // exact decimal sum, scaled to an integral value: parallel
+    // aggregation order cannot change it, and no double ever appears
+    (sum(col("_n6")) * lit(1000000)).cast("long").as("norm_sum_e6"),
+    count(col("_n6")).as("n_finite"))
 
   /** The embedding-side data card — the profile a vector corpus ships
     * before anyone trains an index on it: per-slice counts, exact-dup
@@ -137,10 +149,11 @@ object Profile {
     * algebraic, map-side-combined.
     *
     * Determinism discipline: per-row norms are a sequential left fold in
-    * array order (identical double arithmetic on any engine); the AVERAGE
-    * sums rounded-to-6dp norms as DECIMAL(18,6) — exact arithmetic, so
-    * parallel aggregation order can never flip the 4dp rounding the card
-    * reports. Distinct counting pairs xxhash64(vec) with the 6dp norm
+    * array order (identical double arithmetic on any engine), rounded
+    * once to 6dp and carried as DECIMAL(18,6); everything aggregated from
+    * them ships as exact ×10⁶ BIGINTs ([[embAlgebraicAggs]]), so the
+    * card's bytes are identical on any engine — no rounded double ever
+    * reaches the output. Distinct counting pairs xxhash64(vec) with the 6dp norm
     * (two independent channels, same tradeoff as [[dataCard]]'s
     * hash+length pair). */
   def embeddingCard(df: DataFrame, vecCol: String,

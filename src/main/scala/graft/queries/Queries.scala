@@ -1840,32 +1840,36 @@ object Queries {
     // the token budget is hit. NO global sort (the 100 TB anti-pattern):
     // bounded per-score aggregation + driver prefix-sum + per-score-group
     // window place every doc at its global running total; the oracle IS
-    // the global-sort window the operator refuses to plan ----
+    // the global-sort window the operator refuses to plan. Quality ships
+    // as ×10⁴ BIGINT (quality_e4) — the pipeline_datacard hash-robustness
+    // rule: a 4dp-rounded double is hostage to each engine's last-ulp
+    // canonicalization; the integer is not. ----
     "pipeline_budget_select" -> Q(
       (s, dir) => {
         val d = TestStores.table(s, dir, "documents")
         val scored = d.select(col("doc_id"),
-          graft.text.TextOps.qualityScore(col("text")).as("quality"),
+          round(graft.text.TextOps.qualityScore(col("text")) * 10000, 0)
+            .cast("long").as("quality_e4"),
           graft.text.TextOps.tokenCount(col("text")).cast("long").as("toks"))
         graft.pipeline.Corpus.selectByTokenBudget(
-          scored, "doc_id", "quality", "toks", budget = 10000L)
+          scored, "doc_id", "quality_e4", "toks", budget = 10000L)
           .orderBy("doc_id")
       },
       Some {
         val en = graft.text.TextOps.LangMarkers.head._2
-        raw"""WITH scored AS (SELECT doc_id, round((
+        raw"""WITH scored AS (SELECT doc_id, CAST(round(round((
            |  least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
            |  + (1.0 - least(5.0 * CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
            |      / greatest(length(text), 1), 1.0))
            |  + least(5.0 * CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE)
            |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
-           |) / 3.0, 4) AS quality,
+           |) / 3.0, 4) * 10000, 0) AS BIGINT) AS quality_e4,
            |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
            |  FROM documents),
-           |c AS (SELECT doc_id, quality, toks,
-           |  sum(toks) OVER (ORDER BY quality DESC, doc_id ASC
+           |c AS (SELECT doc_id, quality_e4, toks,
+           |  sum(toks) OVER (ORDER BY quality_e4 DESC, doc_id ASC
            |    ROWS UNBOUNDED PRECEDING) AS cum_toks FROM scored)
-           |SELECT doc_id, quality, toks, cum_toks FROM c
+           |SELECT doc_id, quality_e4, toks, cum_toks FROM c
            |WHERE cum_toks <= 10000 ORDER BY doc_id""".stripMargin
       }),
 
@@ -2236,9 +2240,10 @@ object Queries {
         |  MIN(d) AS dims_min, MAX(d) AS dims_max,
         |  SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS n_zero,
         |  SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
-        |  round(CAST(MIN(n6) AS DOUBLE), 4) AS norm_min,
-        |  round(CAST(MAX(n6) AS DOUBLE), 4) AS norm_max,
-        |  round(CAST(SUM(n6) AS DOUBLE) / COUNT(n6), 4) AS norm_avg
+        |  CAST(MIN(n6) * 1000000 AS BIGINT) AS norm_min_e6,
+        |  CAST(MAX(n6) * 1000000 AS BIGINT) AS norm_max_e6,
+        |  CAST(SUM(n6) * 1000000 AS BIGINT) AS norm_sum_e6,
+        |  COUNT(n6) AS n_finite
         |FROM f GROUP BY label ORDER BY label""".stripMargin)),
 
     // ---- streaming embedding card (batch twin — stream agreement pinned
@@ -2259,8 +2264,8 @@ object Queries {
             aug, "ts", "vec", Seq("label"), "1 hour")
           .select(unix_micros(col("window_start")).as("window_us"),
             col("label"), col("n_vecs"), col("dims_min"), col("dims_max"),
-            col("n_zero"), col("n_nonfinite"), col("norm_min"),
-            col("norm_max"), col("norm_avg"))
+            col("n_zero"), col("n_nonfinite"), col("norm_min_e6"),
+            col("norm_max_e6"), col("norm_sum_e6"), col("n_finite"))
           .orderBy("window_us", "label")
       },
       Some(raw"""WITH aug AS (
@@ -2285,9 +2290,10 @@ object Queries {
         |  MIN(d) AS dims_min, MAX(d) AS dims_max,
         |  SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS n_zero,
         |  SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
-        |  round(CAST(MIN(n6) AS DOUBLE), 4) AS norm_min,
-        |  round(CAST(MAX(n6) AS DOUBLE), 4) AS norm_max,
-        |  round(CAST(SUM(n6) AS DOUBLE) / COUNT(n6), 4) AS norm_avg
+        |  CAST(MIN(n6) * 1000000 AS BIGINT) AS norm_min_e6,
+        |  CAST(MAX(n6) * 1000000 AS BIGINT) AS norm_max_e6,
+        |  CAST(SUM(n6) * 1000000 AS BIGINT) AS norm_sum_e6,
+        |  COUNT(n6) AS n_finite
         |FROM f GROUP BY w, label ORDER BY window_us, label""".stripMargin)),
 
     // ---- corpus data card (datasheets-for-datasets): per (source, lang)
@@ -2741,8 +2747,8 @@ object Queries {
           |  SUM(x.nt) AS total_tokens,
           |  SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) AS tokens_removed,
           |  SUM(CASE WHEN l.node IS NOT NULL THEN x.nc ELSE 0 END) AS chars_removed,
-          |  round(CAST(SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) AS DOUBLE)
-          |    / GREATEST(SUM(x.nt), 1), 4) AS token_loss_frac
+          |  (SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) * 10000)
+          |    // GREATEST(SUM(x.nt), 1) AS token_loss_bp
           |FROM (
           |  SELECT c.doc_id, d.source,
           |    CASE WHEN trim(c.text) = '' THEN 0
@@ -3370,24 +3376,24 @@ object Queries {
 
     // ---- streaming drift alarm (batch twin — stream agreement pinned in
     // StreamingSpec): per window, L1 between the window's (K+1)-bucket
-    // token distribution and a reference. Reference probabilities are
-    // DYADIC (1/16, 1/32, 1/64) so 1 − Σ is bit-identical on both
-    // engines — 0.05-style literals differ in the last ulp between a
-    // Scala fold and a SQL literal. ----
+    // token distribution and a RATIONAL reference (numerators over a
+    // common denominator 64: 4/64, 2/64, 1/64). The alarm ships the
+    // exact integer (l1_num, l1_den) pair — pure BIGINT arithmetic, so
+    // no engine's double canonicalization can touch a byte of it
+    // (l1 = l1_num / l1_den when a float is wanted). ----
     "docs_drift_stream" -> Q(
       (s, dir) => {
         val docs = TestStores.table(s, dir, "documents")
           .withColumn("ts",
             timestamp_seconds(lit(1704067200L) + col("doc_id") * 60))
-        val ref = Map("table" -> 0.0625, "filter" -> 0.03125,
-          "join" -> 0.015625)
+        val refNum = Map("table" -> 4L, "filter" -> 2L, "join" -> 1L)
         val counts = graft.streaming.StreamingIngest.streamingDriftCounts(
-            docs, "ts", "text", ref.keys.toSeq.sorted, "1 hour")
+            docs, "ts", "text", refNum.keys.toSeq.sorted, "1 hour")
           .select(unix_micros(col("window_start")).as("window_start"),
             col("token"), col("n"))
-        graft.streaming.StreamingIngest.driftFromCounts(counts, ref)
+        graft.streaming.StreamingIngest.driftFromCounts(counts, refNum, 64L)
           .select(col("window_start").as("window_us"), col("n_tokens"),
-            col("l1_vs_ref"))
+            col("l1_num"), col("l1_den"))
           .orderBy("window_us")
       },
       Some(raw"""WITH toks AS (
@@ -3399,14 +3405,13 @@ object Queries {
         |    ELSE '__other__' END AS token FROM toks),
         |cnt AS (SELECT w, token, COUNT(*) AS n FROM cls GROUP BY 1, 2),
         |wt AS (SELECT w, SUM(n) AS wt FROM cnt GROUP BY 1),
-        |ref(token, rp) AS (VALUES ('table', 0.0625), ('filter', 0.03125),
-        |  ('join', 0.015625), ('__other__', 0.890625)),
-        |grid AS (SELECT wt.w, wt.wt, ref.token, CAST(ref.rp AS DOUBLE) AS rp
+        |ref(token, rp) AS (VALUES ('table', 4), ('filter', 2),
+        |  ('join', 1), ('__other__', 57)),
+        |grid AS (SELECT wt.w, wt.wt, ref.token, CAST(ref.rp AS BIGINT) AS rp
         |  FROM wt CROSS JOIN ref)
         |SELECT g.w AS window_us, g.wt AS n_tokens,
-        |  round(CAST(SUM(CAST(round(abs(
-        |    CAST(COALESCE(c.n, 0) AS DOUBLE) / g.wt - g.rp), 12)
-        |    AS DECIMAL(24,12))) AS DOUBLE), 4) AS l1_vs_ref
+        |  CAST(SUM(abs(64 * COALESCE(c.n, 0) - g.rp * g.wt)) AS BIGINT) AS l1_num,
+        |  CAST(g.wt * 64 AS BIGINT) AS l1_den
         |FROM grid g LEFT JOIN cnt c ON c.w = g.w AND c.token = g.token
         |GROUP BY g.w, g.wt ORDER BY window_us""".stripMargin)),
 

@@ -175,25 +175,40 @@ object StreamingIngest {
 
   /** Batch finisher for [[streamingDriftCounts]]: per window, the L1
     * distance between the window's (K+1)-bucket distribution and the
-    * reference distribution (`reference` maps token → probability; its
-    * remaining mass, 1 − Σ, is the reference's own `__other__`). Reference
-    * tokens absent from a window contribute their full reference mass —
-    * the window's count is zero, not missing. Division-only arithmetic +
-    * per-term 12 dp decimal summation: the [[graft.pipeline.Overlap
-    * .tokenDrift]] exactness contract, so the oracle replays it. Runs on
-    * the materialized counts table (or inside foreachBatch) — a second
-    * streaming aggregation over an aggregation isn't a thing Structured
-    * Streaming allows, and the finisher input is (K+1) × windows rows,
-    * driver-scale by construction. */
-  def driftFromCounts(counts: DataFrame, reference: Map[String, Double]): DataFrame = {
-    require(reference.nonEmpty, "empty reference distribution")
-    require(reference.values.forall(p => p >= 0 && p <= 1) &&
-      reference.values.sum <= 1.0 + 1e-9,
-      "reference must be a (sub-)probability distribution")
+    * reference distribution. The reference is a RATIONAL distribution —
+    * `refNum` maps token → numerator over the common denominator
+    * `refDen`; the remaining mass, refDen − Σ numerators, is the
+    * reference's own `__other__`. Reference tokens absent from a window
+    * contribute their full reference mass — the window's count is zero,
+    * not missing.
+    *
+    * Hash-robustness discipline (the [[graft.pipeline.Profile.dataCard]]
+    * rule): with integer counts n_t, window total W and rational
+    * reference p_t/refDen, every L1 term is |n_t/W − p_t/refDen| =
+    * |refDen·n_t − p_t·W| / (refDen·W) — so the alarm ships the EXACT
+    * integer numerator `l1_num` = Σ_t |refDen·n_t − p_t·W| and
+    * denominator `l1_den` = refDen·W. Pure BIGINT arithmetic: identical
+    * bytes on any engine, no double rounding anywhere (l1 = l1_num /
+    * l1_den when a float is wanted). Overflow headroom: refDen·W tops
+    * out at refDen × tokens-per-window — 2⁶³ leaves ~10¹⁴ tokens per
+    * window at refDen ≤ 10⁵.
+    *
+    * Runs on the materialized counts table (or inside foreachBatch) — a
+    * second streaming aggregation over an aggregation isn't a thing
+    * Structured Streaming allows, and the finisher input is (K+1) ×
+    * windows rows, driver-scale by construction. */
+  def driftFromCounts(counts: DataFrame, refNum: Map[String, Long],
+      refDen: Long): DataFrame = {
+    require(refNum.nonEmpty, "empty reference distribution")
+    require(refDen > 0, s"refDen must be positive, got $refDen")
+    require(refNum.values.forall(p => p >= 0 && p <= refDen) &&
+      refNum.values.sum <= refDen,
+      "reference must be a (sub-)probability distribution: numerators in " +
+        s"[0, $refDen] summing to at most $refDen")
     val ss = counts.sparkSession
     import ss.implicits._
-    val otherMass = math.max(0.0, 1.0 - reference.values.sum)
-    val ref = (reference.toSeq :+ ("__other__" -> otherMass))
+    val otherNum = refDen - refNum.values.sum
+    val ref = (refNum.toSeq :+ ("__other__" -> otherNum))
       .toDF("token", "rp")
     val wTotals = counts.groupBy("window_start").agg(sum(col("n")).as("wt"))
     // full (window × reference-token) grid so absent tokens count their
@@ -207,10 +222,12 @@ object StreamingIngest {
         col("window_start") === col("_w") && col("token") === col("_k"),
         "left")
       .withColumn("_t",
-        round(abs(coalesce(col("_n"), lit(0L)).cast("double") / col("wt") -
-          col("rp")), 12).cast("decimal(24,12)"))
-      .groupBy(col("window_start"), col("wt").as("n_tokens"))
-      .agg(round(sum(col("_t")).cast("double"), 4).as("l1_vs_ref"))
+        abs(lit(refDen) * coalesce(col("_n"), lit(0L)) -
+          col("rp") * col("wt")))
+      .groupBy(col("window_start"), col("wt"))
+      .agg(sum(col("_t")).cast("long").as("l1_num"))
+      .select(col("window_start"), col("wt").as("n_tokens"),
+        col("l1_num"), (col("wt") * lit(refDen)).cast("long").as("l1_den"))
   }
 
   /** Streaming embedding card — the vector-ingest health alarm: per
@@ -235,8 +252,8 @@ object StreamingIngest {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("w.start").as("window_start") +: groupCols.map(col) ++:
         Seq(col("n_vecs"), col("dims_min"), col("dims_max"), col("n_zero"),
-          col("n_nonfinite"), col("norm_min"), col("norm_max"),
-          col("norm_avg")): _*)
+          col("n_nonfinite"), col("norm_min_e6"), col("norm_max_e6"),
+          col("norm_sum_e6"), col("n_finite")): _*)
   }
 
   /** Streaming exact dedup — the continuous twin of

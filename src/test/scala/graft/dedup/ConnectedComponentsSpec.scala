@@ -98,13 +98,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         corpus, "doc_id", "source", "text", pairs, "a", "b")
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getDouble(6))).toMap
-    // a: 3 docs, 1 removed (id 1: 3 tokens, 13 chars), 8 tokens total
-    assert(got("a") == ((3L, 1L, 8L, 3L, 13L, 0.375)))
-    // b: 4 docs, 2 removed (ids 4, 5: 2+3 tokens, 3+5 chars), 7 tokens
-    assert(got("b") == ((4L, 2L, 7L, 5L, 8L, 0.7143)))
+          r.getLong(5), r.getLong(6))).toMap
+    // a: 3 docs, 1 removed (id 1: 3 tokens, 13 chars), 8 tokens total;
+    // loss = 3·10⁴ div 8 = 3750 bp exactly
+    assert(got("a") == ((3L, 1L, 8L, 3L, 13L, 3750L)))
+    // b: 4 docs, 2 removed (ids 4, 5: 2+3 tokens, 3+5 chars), 7 tokens;
+    // loss = 5·10⁴ div 7 = 7142 bp (truncated — integral division)
+    assert(got("b") == ((4L, 2L, 7L, 5L, 8L, 7142L)))
     // c: untouched — zero removals, zero loss
-    assert(got("c") == ((1L, 0L, 1L, 0L, 0L, 0.0)))
+    assert(got("c") == ((1L, 0L, 1L, 0L, 0L, 0L)))
     // accounting identity: n_docs − n_removed == keep-one survivor count
     val survivors = ConnectedComponents
       .dropNearDuplicates(corpus, "doc_id", pairs, "a", "b").count()

@@ -702,8 +702,8 @@ class DslSpec extends AnyFunSuite {
     }
     val got = df.collect().map(r => r.getInt(0) ->
       (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_zero"),
-        r.getAs[Double]("norm_max"))).toMap
-    assert(got == Map(0 -> ((2L, 1L, 5.0)), 1 -> ((1L, 0L, 1.0))))
+        r.getAs[Long]("norm_max_e6"))).toMap
+    assert(got == Map(0 -> ((2L, 1L, 5000000L)), 1 -> ((1L, 0L, 1000000L))))
   }
 
   test("extension pipeline: OVERLAP executes (API parity)") {

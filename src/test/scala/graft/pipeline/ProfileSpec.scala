@@ -57,23 +57,44 @@ class ProfileSpec extends AnyFunSuite {
     assert(a.getAs[Long]("n_distinct") == 3 && a.getAs[Long]("n_exact_dups") == 1)
     assert(a.getAs[Long]("dims_min") == 2 && a.getAs[Long]("dims_max") == 2)
     assert(a.getAs[Long]("n_zero") == 1 && a.getAs[Long]("n_nonfinite") == 1)
-    // norms over the finite vectors only: {5, 5, 0}
-    assert(a.getAs[Double]("norm_min") == 0.0)
-    assert(a.getAs[Double]("norm_max") == 5.0)
-    assert(a.getAs[Double]("norm_avg") == 3.3333)
+    // norms over the finite vectors only: {5, 5, 0} — exact ×10⁶ BIGINTs;
+    // the mean ships as numerator/denominator (sum_e6 / n_finite)
+    assert(a.getAs[Long]("norm_min_e6") == 0L)
+    assert(a.getAs[Long]("norm_max_e6") == 5000000L)
+    assert(a.getAs[Long]("norm_sum_e6") == 10000000L)
+    assert(a.getAs[Long]("n_finite") == 3L)
     val b = card("b")
     assert(b.getAs[Long]("dims_min") == 2 && b.getAs[Long]("dims_max") == 3,
       "ragged dimensions must surface as a min != max range")
     assert(b.getAs[Long]("n_zero") == 0 && b.getAs[Long]("n_nonfinite") == 0)
-    assert(b.getAs[Double]("norm_min") == 1.0 && b.getAs[Double]("norm_max") == 10.0)
+    assert(b.getAs[Long]("norm_min_e6") == 1000000L &&
+      b.getAs[Long]("norm_max_e6") == 10000000L)
   }
 
   test("embedding card: all-non-finite slice reports NULL norms, never a fabricated number") {
     val vecs = Seq(("x", Array(Float.NaN, 1f))).toDF("grp", "vec")
     val r = Profile.embeddingCard(vecs, "vec", Seq("grp")).collect().head
     assert(r.getAs[Long]("n_nonfinite") == 1)
-    assert(r.isNullAt(r.fieldIndex("norm_min")) &&
-      r.isNullAt(r.fieldIndex("norm_avg")))
+    assert(r.isNullAt(r.fieldIndex("norm_min_e6")) &&
+      r.isNullAt(r.fieldIndex("norm_sum_e6")))
+    assert(r.getAs[Long]("n_finite") == 0L)
+  }
+
+  test("embedding card: NULL elements and NULL vectors count as non-finite, not a silent hole") {
+    // exists(v, isnan || isinf) is NULL for a vector with a NULL element
+    // (and for a NULL vector) — without the coalesce these rows vanished
+    // from BOTH the norm stats and n_nonfinite
+    val vecs = Seq(
+      ("x", Array[java.lang.Float](1f, null)),
+      ("x", null.asInstanceOf[Array[java.lang.Float]]),
+      ("x", Array[java.lang.Float](3f, 4f)))
+      .toDF("grp", "vec")
+    val r = Profile.embeddingCard(vecs, "vec", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("n_nonfinite") == 2L,
+      "NULL-element and NULL vectors must be counted, not dropped")
+    assert(r.getAs[Long]("n_finite") == 1L)
+    assert(r.getAs[Long]("norm_sum_e6") == 5000000L)
   }
 
   test("single scan, single shuffle: the card is one partial-aggregated groupBy") {

@@ -195,16 +195,20 @@ class StreamingSpec extends AnyFunSuite {
         ("2026-01-01 10:00:00.0", "beta", 2L),
         ("2026-01-01 10:00:00.0", "__other__", 2L),
         ("2026-01-01 11:00:00.0", "__other__", 3L)))
-      // finisher: the 11:00 window has zero ref mass → L1 = |0-pa|+|0-pb|
-      // + |1-other| with dyadic ref {alpha: 1/4, beta: 1/4} → 0.5+0.5 = 1.0
+      // finisher (exact rationals, ref {alpha: 1/4, beta: 1/4}): the 11:00
+      // window has zero ref mass → L1 = 1/4 + 1/4 + |1 − 1/2| = 1 exactly;
+      // terms over denominator 4·wt: |4·0−1·3| + |4·0−1·3| + |4·3−2·3| = 12/12
       val drift = StreamingIngest.driftFromCounts(
-          spark.table("drift_cnt"), Map("alpha" -> 0.25, "beta" -> 0.25))
+          spark.table("drift_cnt"), Map("alpha" -> 1L, "beta" -> 1L), 4L)
         .collect().map(r => (r.getTimestamp(0).toString,
-          (r.getLong(1), r.getDouble(2)))).toMap
-      assert(drift("2026-01-01 11:00:00.0") == ((3L, 1.0)))
-      // 10:00 window: dist {alpha 3/7, beta 2/7, other 2/7} vs {.25,.25,.5}
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(drift("2026-01-01 11:00:00.0") == ((3L, 12L, 12L)))
+      // 10:00 window: dist {alpha 3/7, beta 2/7, other 2/7} vs {1/4,1/4,1/2}
+      // → numerators |12−7| + |8−7| + |8−14| = 12 over 4·7 = 28, and the
+      // integer pair IS the exact L1 the double formulation approximated
+      assert(drift("2026-01-01 10:00:00.0") == ((7L, 12L, 28L)))
       val exp = math.abs(3.0/7 - 0.25) + math.abs(2.0/7 - 0.25) + math.abs(2.0/7 - 0.5)
-      assert(math.abs(drift("2026-01-01 10:00:00.0")._2 - exp) < 2e-4)
+      assert(math.abs(12.0 / 28.0 - exp) < 1e-12)
     } finally q.stop()
   }
 
@@ -251,7 +255,7 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.driftFromCounts(
         Seq((Timestamp.valueOf("2026-01-01 10:00:00"), "a", 1L))
           .toDF("window_start", "token", "n"),
-        Map("a" -> 0.9, "b" -> 0.3)) // sums over 1
+        Map("a" -> 9L, "b" -> 3L), 10L) // numerators sum over the denominator
     }
   }
 
