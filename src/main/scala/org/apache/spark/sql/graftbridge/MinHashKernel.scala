@@ -34,6 +34,15 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long],
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an EMPTY shingle array yields NULL even when the input itself can't be
+  // null, so nullability does NOT follow the child. Without this override
+  // two things break when the child is non-nullable: (1) the planner may
+  // fold away IsNotNull guards on the signature, and (2) nullSafeCodeGen
+  // swaps ev.isNull for a constant while doGenCode's template still
+  // assigns it — janino rejects the undeclared name and the WHOLE STAGE
+  // (Generate + its fused parents) silently falls back to interpreted
+  // execution on every signature scan.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(v: Any): Any = {
