@@ -169,7 +169,12 @@ object Bench {
     // exact ambiguity that cost three rounds of weak-mark attribution
     val spread = results.collect {
       case (k, ss) if ss.length >= 2 && ss.head > 0 && ss.last / ss.head > 2.0 =>
-        "\"" + k + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+        // Locale.ROOT: the f"" interpolator is locale-sensitive — under a
+        // comma-decimal default locale it would emit invalid JSON, and the
+        // parent's parse of a child's line would mark the family failed
+        "\"" + k + "\":[" + ss.map(s =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+          .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val medians = results.map { case (name, samples) =>
       name -> (if (samples.isEmpty) -1.0 else samples(samples.length / 2))

@@ -429,11 +429,24 @@ object IvfIndex {
       Some(new IvfIndex(centroids, cells, metric))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Load if fresh, else build and save — the one-call form. */
+  /** Load if fresh, else build and save — the one-call form. A loaded
+    * artifact whose cell count differs from the REQUESTED build config is
+    * stale (a code change to the caller's nCells would otherwise load the
+    * old clustering silently, and any caller deriving nProbe from its own
+    * nCells constant would then probe a different scan fraction than it
+    * believes — surfacing only as a confusing oracle mismatch); treat it
+    * exactly like a sourceStamp mismatch and rebuild. The centroid table
+    * in the manifest IS the cell count — no separate field to drift. */
   def buildOrLoad(dfIn: DataFrame, nCells: Int, dir: String,
       sourceStamp: String, iters: Int = 3,
       metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex =
-    load(dfIn.sparkSession, dir, metric, sourceStamp).getOrElse {
+    load(dfIn.sparkSession, dir, metric, sourceStamp)
+      .filter { idx =>
+        val ok = idx.nCells == nCells
+        if (!ok) idx.cells.unpersist()
+        ok
+      }
+      .getOrElse {
       val built = build(dfIn, nCells, iters, metric)
       save(built, dir, sourceStamp)
       built

@@ -38,15 +38,23 @@ object Negatives {
     * the query's max cosine to a same-label, different-id corpus row
     * (NULL when the query's label has no other member — then `semi_hard`
     * is NULL too, never a fabricated flag). Self-pairs (same id) are
-    * excluded from both arms. */
+    * excluded from both arms.
+    *
+    * NULL labels fail LOUDLY on either side (in-plan raise_error, the
+    * corpusDiff/writePartitioned discipline): both arms filter on label
+    * equality, so a NULL-labeled row would silently vanish from the
+    * output — neither a negative nor a positive — which is row loss, not
+    * semantics. Assign real labels (or filter explicitly) first. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, qLabel: String,
       cId: String, cVec: String, cLabel: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val q = broadcast(queries.select(
-      col(qId).as("qid"), col(qVec).as("qv"), col(qLabel).as("ql")))
+      col(qId).as("qid"), col(qVec).as("qv"),
+      requireLabel(qLabel, "query").as("ql")))
     val c = corpus.select(
-      col(cId).as("cid"), col(cVec).as("cv"), col(cLabel).as("cl"))
+      col(cId).as("cid"), col(cVec).as("cv"),
+      requireLabel(cLabel, "corpus").as("cl"))
     val scored = q.crossJoin(c)
       .where(col("qid") =!= col("cid"))
       .withColumn("cos", graft.dedup.Dedup.cosine(col("qv"), col("cv")))
@@ -65,5 +73,18 @@ object Negatives {
         round(col("pc"), 4).as("pos_cos"),
         col("rank"),
         (round(col("cos"), 4) < round(col("pc"), 4)).as("semi_hard"))
+  }
+
+  /** In-plan NULL-label guard: the label value, or raise_error on NULL.
+    * Riding inside the projected column (not a dropped check column, which
+    * the optimizer would prune away) guarantees the probe runs exactly
+    * where the label is read. Shared by the broadcast arm above and
+    * [[IvfIndex.hardNegatives]]. */
+  private[ann] def requireLabel(labelCol: String, side: String) = {
+    val c = col(labelCol)
+    when(c.isNull, raise_error(lit(
+      s"hardNegatives: NULL $side label ($labelCol) — a NULL-labeled row " +
+        "would silently vanish from both arms; assign or filter first")))
+      .otherwise(c)
   }
 }

@@ -2037,8 +2037,10 @@ object Queries {
     // char volumes from the md5-salted assignment directly ----
     "pipeline_write_shards" -> Q(
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-shards").toString
+        // stable per-sfDir sink overwritten in place (mode("overwrite")):
+        // a fresh createTempDirectory per invocation leaked a corpus-sized
+        // directory every bench run / verify sweep
+        val out = TestStores.artifactDir("shards-sink", dir)
         graft.pipeline.Corpus.writeShards(
           TestStores.table(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", out, epoch = 3, shards = 8)
@@ -2057,8 +2059,9 @@ object Queries {
     // compares the slice populations the layout must preserve. ----
     "pipeline_write_partitioned" -> Q(
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-lake").toString
+        // stable per-sfDir sink overwritten in place — same no-leak rule
+        // as pipeline_write_shards above
+        val out = TestStores.artifactDir("lake-sink", dir)
         graft.pipeline.Corpus.writePartitioned(
           TestStores.table(s, dir, "documents").select("doc_id", "text", "lang"),
           "doc_id", "text", "lang", out, filesPerSlice = 2)

@@ -170,7 +170,7 @@ object TestStores {
     * later JVM (process-isolated bench families, the sf1 stress sessions)
     * LOADS the stamped artifact instead of retraining — the production
     * index-once/probe-per-query split, same policy as [[minHashIndex]]. */
-  private def artifactDir(kind: String, sfDir: String): String =
+  private[queries] def artifactDir(kind: String, sfDir: String): String =
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-$kind-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString

@@ -133,6 +133,34 @@ class NegativesSpec extends AnyFunSuite {
     } finally ivf.unpersist()
   }
 
+  test("NULL labels fail loudly instead of silently vanishing from both arms") {
+    import spark.implicits._
+    val bad = Seq(
+      (0L, Array(1f, 0f), Some("a")),
+      (1L, Array(0f, 1f), None),
+      (2L, Array(1f, 1f), Some("b")))
+      .toDF("id", "vec", "label")
+    val good = bad.where($"label".isNotNull)
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" | ")
+    // NULL on the corpus side
+    val e1 = intercept[Exception] {
+      Negatives.hardNegatives(good, bad,
+        "id", "vec", "label", "id", "vec", "label", 2).collect()
+    }
+    assert(chain(e1).contains("NULL corpus label"), chain(e1))
+    // NULL on the query side
+    val e2 = intercept[Exception] {
+      Negatives.hardNegatives(bad, good,
+        "id", "vec", "label", "id", "vec", "label", 2).collect()
+    }
+    assert(chain(e2).contains("NULL query label"), chain(e2))
+    // all-labeled frames are unaffected by the guard
+    assert(Negatives.hardNegatives(good, good,
+      "id", "vec", "label", "id", "vec", "label", 2).count() > 0)
+  }
+
   test("IVF arm refuses a non-cosine index and a label-free cells table") {
     import spark.implicits._
     val d = (0 until 8).map(i => (i.toLong, Array(i.toFloat, 1f), i % 2))
