@@ -244,10 +244,36 @@ object TextOps {
     * ending in terminal punctuation (Raffel et al. 2020 §2.2) — so
     * `frac_terminal` is the keep-signal and the other two are
     * drop-signals, reported together so one projection serves both
-    * recipes. Shuffle-free per-row expression: one line split, three
-    * filtered counts over the (small) line array; fractions round to 4 dp
-    * for the cross-engine gate. A no-newline doc is one line. */
+    * recipes. Shuffle-free per-row projection; fractions round to 4 dp
+    * for the cross-engine gate. A no-newline doc is one line.
+    *
+    * Counters come from ONE native byte scan
+    * ([[org.apache.spark.sql.graftbridge.LineSignals]] — the line split
+    * plus three interpreted `filter(..., rlike)` passes of
+    * [[lineSignalsRegex]] measured 7.0 s at 500k sf1 docs, the last
+    * self-documented interpreted hot path in the text family; the kernel
+    * is count-pinned to the regex formulation in TextOpsSpec, including
+    * the `$`-before-final-\r Java regex edge). */
   def lineSignals(text: Column): Column = {
+    import graft.functions.GraftFunctions.bind
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, LineSignals}
+    val k = ColumnBridge.column(LineSignals(ColumnBridge.expression(text)))
+    bind(k) { a =>
+      val n = element_at(a, 1)
+      def frac(i: Int): Column =
+        round(element_at(a, i).cast("double") / n, 4)
+      struct(
+        n.as("n_lines"),
+        frac(2).as("frac_bullet"),
+        frac(3).as("frac_ellipsis_end"),
+        frac(4).as("frac_terminal"))
+    }
+  }
+
+  /** The all-builtins formulation of [[lineSignals]] — the
+    * engine-portable reference (mirrors the oracle SQL; three regex
+    * passes per line, so prefer the kernel on hot paths). */
+  def lineSignalsRegex(text: Column): Column = {
     import graft.functions.GraftFunctions.bind
     bind(split(text, "\n")) { ls =>
       val n = size(ls)

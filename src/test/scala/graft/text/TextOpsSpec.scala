@@ -144,6 +144,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 1)
   }
 
+  test("native line-signals kernel is value-pinned to the regex formulation") {
+    // adversarial line shapes: bullets with/without leading spaces (and a
+    // TAB, which Spark trim does NOT strip), -/*/• markers, "..."/"…"
+    // (and a 4-dot run), terminal [.!?"] with trailing spaces, CRLF lines
+    // (the $-before-final-\r Java regex edge), DOUBLE \r (where $ must
+    // NOT match), U+0085/U+2028/U+2029 terminators, empty lines, a
+    // trailing newline, empty and whitespace-only docs
+    val docs = (Seq(
+      "plain line\n- bullet\n  * spaced bullet\n\t- tab bullet stays unmatched",
+      "• dot bullet\n•\n -leading space dash",
+      "ends with dots...\nends with ellipsis…\nfour dots....\ndots... not at end",
+      "terminal.\nbang!   \nquestion?\nquote\"\nnone",
+      "crlf terminal.\r\ncrlf dots...\r\ncrlf none\r\nend",
+      "double cr.\r\r\nsingle cr.\r",
+      "nel terminal.\nls dots... \nps bang! ",
+      "", "   ", "\n", "a\n\nb\n",
+      "...", "…", ".", "-", "*", "•", " - x. ") ++
+      (0 until 120).map { i =>
+        (0 to i % 5).map { j =>
+          val k = (i * 7 + j * 3) % 9
+          Seq("- item", "* item", "• item", "text.", "text...", "text…",
+            "plain", "  - pad. ", "x\r")(k)
+        }.mkString("\n")
+      }).zipWithIndex.map(_.swap).toDF("id", "text")
+    def rows(c: org.apache.spark.sql.Column) =
+      docs.select(col("id"), c.as("s")).select(col("id"), col("s.*"))
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).sortBy(_._1)
+    val kern = rows(TextOps.lineSignals(col("text")))
+    val ref = rows(TextOps.lineSignalsRegex(col("text")))
+    assert(kern.length == 138)
+    kern.zip(ref).foreach { case ((ki, kv), (ri, rv)) =>
+      assert(ki == ri && kv == rv, s"id $ki: kernel $kv vs regex $rv")
+    }
+    // the sweep must actually exercise every counter
+    val nonzero = kern.map(_._2.toSeq).toSeq.transpose.map(_.count(v =>
+      v != 0L && v != 0.0))
+    assert(nonzero.forall(_ > 0), s"a counter never fired: $nonzero")
+  }
+
   test("native gopher kernel is flag-pinned to the HOF formulation") {
     // generated corpus sweeping every rule boundary: word counts straddling
     // 50, symbol/alpha ratios around their cutoffs, mixed-case stopwords,
