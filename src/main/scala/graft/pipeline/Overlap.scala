@@ -48,22 +48,27 @@ object Overlap {
     * cannot flip the reported 4 dp rounding. Same xxhash64 collision
     * acceptance as [[overlapMatrix]]. */
   def tokenDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash}
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHashCounts}
     // whitespace-only docs tokenize to [''] (split-of-trim semantics) —
     // the empty string is not a token; a slice with NO tokens at all has
     // no distribution and is excluded (L1 against nothing is undefined)
     // counts feeds BOTH totals and the pair expansion; left lazy ON
     // PURPOSE — the two consumers share one plan, so ReuseExchange serves
-    // both from a single token-explode shuffle (an eager localCheckpoint
-    // here was measured SLOWER at 500k docs: 27.8 → 33.9 s — it broke the
-    // exchange reuse and paid a materialization for nothing)
+    // both from a single shuffle (an eager localCheckpoint here was
+    // measured SLOWER at 500k docs: 27.8 → 33.9 s — it broke the exchange
+    // reuse and paid a materialization for nothing).
+    // The explode emits PER-DOC (hash, count) pairs (NgramHashCounts —
+    // the per-doc aggregation folded into the kernel), not raw
+    // occurrences: the row stream into the partial aggregation shrinks by
+    // the per-document token duplication factor; Σc per (g, h) is
+    // value-identical to counting occurrence rows.
     val counts = df.where(col(groupCol).isNotNull &&
         trim(col(textCol)) =!= "")
       .select(col(groupCol).as("g"),
-        explode(ColumnBridge.column(NgramHash(
+        explode(ColumnBridge.column(NgramHashCounts(
           ColumnBridge.expression(graft.text.TextOps.tokens(col(textCol))),
-          1))).as("h"))
-      .groupBy("g", "h").agg(count(lit(1)).as("c"))
+          1))).as("p"))
+      .groupBy(col("g"), col("p.h").as("h")).agg(sum(col("p.c")).as("c"))
     val totals = counts.groupBy("g")
       .agg(sum(col("c")).as("n"), count(lit(1)).as("v")) // token mass, vocab
     // shared-token pair rows: per hash, ordered pairs of the (g, c) set
@@ -144,12 +149,17 @@ object Overlap {
   def overlapMatrix(df: DataFrame, groupCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash}
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHashCounts}
+    // per-doc-DISTINCT hashes from the RLE kernel (counts dropped): the
+    // explode feeding the corpus-sized (source, 8-byte hash) distinct
+    // shrinks by the per-document gram duplication factor — the same
+    // rework as tokenDrift's counts, pinned by the same differential
     val gh = df.where(col(groupCol).isNotNull)
       .select(col(groupCol).as("g"),
-        explode(ColumnBridge.column(NgramHash(
+        explode(ColumnBridge.column(NgramHashCounts(
           ColumnBridge.expression(graft.text.TextOps.tokens(col(textCol))),
-          n))).as("h"))
+          n))).as("p"))
+      .select(col("g"), col("p.h").as("h"))
       .distinct() // the one corpus-sized shuffle: (source, 8-byte hash)
     // G rows; seeded from the INPUT's distinct groups, not gh — a group
     // whose every doc is shorter than n contributes no gram row at all,

@@ -25,20 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
  * seed 42, pinned against the Column formulation in DedupSpec. Fewer
  * than n tokens → empty array (the `ngrams` contract).
  */
-case class NgramHash(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes {
-
-  require(n >= 1, s"n must be >= 1, got $n")
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "ngram_hash"
-
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+object NgramHashImpl {
+  /** The shared hashing pass: the doc's n-gram xxhash64 values in
+    * position order (empty for fewer than n tokens). Both [[NgramHash]]
+    * and [[NgramHashCounts]] route through here, so they can never
+    * disagree about what a gram hashes to. */
+  def hashes(toks: ArrayData, n: Int): Array[Long] = {
     val m = toks.numElements()
     val cnt = m - n + 1
-    if (cnt <= 0) new GenericArrayData(Array.emptyLongArray)
+    if (cnt <= 0) Array.emptyLongArray
     else {
       val tb = new Array[Array[Byte]](m)
       var i = 0
@@ -62,15 +57,90 @@ case class NgramHash(child: Expression, n: Int)
         out(p) = XxHash64Function.hash(UTF8String.fromBytes(g), StringType, 42L)
         p += 1
       }
-      new GenericArrayData(out)
+      out
     }
   }
+}
+
+case class NgramHash(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(NgramHashImpl.hashes(v.asInstanceOf[ArrayData], n))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ngramHash", this, classOf[NgramHash].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
          |  ((${classOf[NgramHash].getName}) $ref).nullSafeEval($c);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Per-document n-gram hash COUNTS — [[NgramHash]] with the per-doc
+ * aggregation folded into the kernel: the doc's gram hashes, sorted and
+ * run-length encoded into (hash, count) pairs. The explode that follows
+ * then emits one row per DISTINCT gram per document instead of one per
+ * OCCURRENCE — on corpus-distribution jobs
+ * ([[graft.pipeline.Overlap.tokenDrift]]) that shrinks the exploded row
+ * stream (and the partial-aggregation hash-map traffic feeding the
+ * (slice, hash) shuffle) by the per-document token duplication factor,
+ * while downstream per-slice sums of `c` are value-identical to counting
+ * occurrence rows (pinned in OverlapSpec's differential).
+ *
+ * Same gram byte image and hash as [[NgramHash]] (tokens joined by 0x20,
+ * xxhash64 seed 42) — the kernels can never disagree about what a gram
+ * hashes to. Fewer than n tokens → empty array. The per-doc sort is
+ * native long[] sorting, O(L log L) on the document's own grams — cheap
+ * next to the hash-map updates it replaces.
+ */
+case class NgramHashCounts(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_hash_counts"
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = NgramHashImpl.hashes(v.asInstanceOf[ArrayData], n)
+    val cnt = hs.length
+    if (cnt == 0) new GenericArrayData(Array.empty[Any])
+    else {
+      java.util.Arrays.sort(hs)
+      val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(cnt, 16))
+      var i = 0
+      while (i < cnt) {
+        var j = i + 1
+        while (j < cnt && hs(j) == hs(i)) j += 1
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](hs(i), (j - i).toLong))
+        i = j
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramHashCounts", this,
+      classOf[NgramHashCounts].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  ((${classOf[NgramHashCounts].getName}) $ref).nullSafeEval($c);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

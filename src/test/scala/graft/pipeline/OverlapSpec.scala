@@ -107,6 +107,34 @@ class OverlapSpec extends AnyFunSuite {
     assert(out.size == 6)                               // full 4C2 matrix
   }
 
+  test("NgramHashCounts pre-aggregation is count-pinned to the occurrence explode") {
+    // the tokenDrift rework: per-doc RLE (hash, count) pairs summed per
+    // (g, h) must equal counting raw occurrence rows — over docs with
+    // heavy in-doc repetition, unicode tokens, single tokens, and the
+    // multi-gram (n=3) path the drift op doesn't use
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, NgramHash, NgramHashCounts}
+    import spark.implicits._
+    val rep = (0 until 60).map { i =>
+      (i.toLong, (0 to i % 7).map(j =>
+        Seq("the", "the", "wörd", "a", "b", "the the", "-")(
+          (i + j) % 7)).mkString(" "))
+    }.toDF("id", "text")
+    for (n <- Seq(1, 3)) {
+      val toks = graft.text.TextOps.tokens(col("text"))
+      val viaCounts = rep.select(explode(ColumnBridge.column(
+          NgramHashCounts(ColumnBridge.expression(toks), n))).as("p"))
+        .groupBy(col("p.h").as("h")).agg(sum(col("p.c")).as("c"))
+      val viaOcc = rep.select(explode(ColumnBridge.column(
+          NgramHash(ColumnBridge.expression(toks), n))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      val a = viaCounts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = viaOcc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"n=$n: RLE sums diverge from occurrence counts")
+      assert(a.values.exists(_ > 1), s"n=$n: sweep never produced a repeat")
+    }
+  }
+
   test("corpusDiff labels added/removed/changed, omits unchanged, refuses dup ids") {
     import spark.implicits._
     val old = Seq((0L, "same"), (1L, "will change"), (2L, "will vanish"))
