@@ -162,6 +162,38 @@ object ScaleRecall {
       println(rows.last)
     }
 
+    // ---- coarse-ROUTED sharded HNSW: probes sweep at 64 shards ----
+    // the r10 verdict's one open GetSimN scale story: hash-sharded search
+    // is linear in shard count; content routing must hold recall at
+    // p << shards (r11 #3). Single-query path — per-query wall includes
+    // the pruned-partition job launch.
+    if (sys.env.getOrElse("SCALE_RECALL_ROUTED", "1") == "1") {
+      val nShards = 64
+      val cfg = NonLinearConfig.HNSWConfig(efConstruction = 100,
+        maximumConnections = 40, maximumConnectionsZero = 80,
+        efSearch = 16, metric = Algorithm.CosineSimilarity)
+      val routed = timed(s"routed hnsw build ($nShards shards)") {
+        graft.ann.RoutedAnnIndex.build(emb, 64, cfg, numShards = nShards, iters = 3)
+      }
+      val qvecs = queries.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      for (probes <- Seq(2, 4, 8, 16, nShards)) {
+        var wall = 0.0
+        val rec = timed(s"routed probes=$probes") {
+          val per = qvecs.map { case (q, v) =>
+            val t = System.nanoTime()
+            val got = routed.search(v, K, probes).map(_._1).toSet
+            wall += (System.nanoTime() - t) / 1e9
+            (gtByQ(q) & got).size.toDouble / gtByQ(q).size }
+          per.sum / per.length
+        }
+        val frac = probes.toDouble / nShards
+        rows += f"| routed HNSW $nShards shards, probes=$probes | $frac%.3f of shards searched, ${wall / qvecs.length * 1000}%.0f ms/query | $rec%.4f |"
+        println(rows.last)
+      }
+      routed.unpersist()
+    }
+
     // ---- IVF nProbe sweep ----
     if (sys.env.getOrElse("SCALE_RECALL_IVF", "1") == "1") {
       val nCells = 256

@@ -28,6 +28,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *     ([[graft.streaming.StreamingIngest.streamingDedupAgainstIndex]]);
  *     engine state lives in the index artifact, not the state store.
  *
+ * Plus (r11 #7) the three round-10 stream ops, previously measured only
+ * on MemoryStream replays at sf0.1:
+ *  4. drift counts — windowed (K+1)-bucket token distribution over the
+ *     100k-doc stream ([[graft.streaming.StreamingIngest
+ *     .streamingDriftCounts]]); state is (K+1) × open windows, bounded
+ *     regardless of stream vocabulary (the exact integer L1 finisher
+ *     [[graft.streaming.StreamingIngest.driftFromCounts]] runs on the
+ *     collected counts after the drain — driver-scale by construction).
+ *  5. n-gram monitor — windowed counts of a fixed 3-gram watchlist over
+ *     the same doc stream ([[graft.streaming.StreamingIngest
+ *     .ngramMonitor]]); state is watchlist × open windows.
+ *  6. streaming embedding card — per (window, label) algebraic vector
+ *     profile over the 200k-vector stream ([[graft.streaming
+ *     .StreamingIngest.streamingEmbeddingCard]]); state is one partial
+ *     row per (window, label).
+ *
  * Usage: SPARK_GRAFT_SF_DIR=<scale dir> runMain graft.ScaleStream
  */
 object ScaleStream {
@@ -181,6 +197,79 @@ object ScaleStream {
         acc.addAndGet(pairs.count()); ()
       }
       stats += drain("dedup-vs-index thr=0.8", q, () => acc.get())
+      println(stats.last)
+    }
+
+    // ---------------- 4. drift counts (K+1 bucket distribution) -----------
+    // doc event times are doc_id ms apart (≈ 8 min span at sf1), so windows
+    // are 1 MINUTE: ~9 open windows × 4 buckets of state, and the watermark
+    // actually closes windows mid-run
+    {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val counts = scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, String, Long)]()
+      val src = fileStream(docsDir, docSchema, 2)
+      val agg = graft.streaming.StreamingIngest.streamingDriftCounts(
+        src, "ts", "text", Seq("filter", "join", "table"), "1 minute",
+        watermark = Some("2 minutes"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", dir("ck_drift"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect() // (K+1) × closed windows — tiny
+          acc.addAndGet(rows.length)
+          counts.synchronized {
+            counts ++= rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+          }
+          () }
+        .start()
+      stats += drain("drift counts K=3 w=1min", q, () => acc.get())
+      println(stats.last)
+      // the exact-integer L1 finisher over the emitted counts (driver-scale)
+      val drift = graft.streaming.StreamingIngest.driftFromCounts(
+        counts.toSeq.toDF("window_start", "token", "n"),
+        Map("table" -> 4L, "filter" -> 2L, "join" -> 1L), 64L)
+        .orderBy("window_start").collect()
+      println(s"  (finisher: ${drift.length} windows, l1_num/l1_den head = " +
+        drift.headOption.map(r => s"${r.getLong(2)}/${r.getLong(3)}").getOrElse("-") + ")")
+    }
+
+    // ---------------- 5. n-gram monitor (fixed watchlist) ------------------
+    {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val src = fileStream(docsDir, docSchema, 2)
+      val agg = graft.streaming.StreamingIngest.ngramMonitor(
+        src, "ts", "text", 2, Seq("table hash", "customer join", "big order"),
+        "1 minute", watermark = Some("2 minutes"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", dir("ck_ngram_mon"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          acc.addAndGet(b.count()); () }
+        .start()
+      stats += drain("ngram monitor 3 grams w=1min", q, () => acc.get())
+      println(stats.last)
+    }
+
+    // ---------------- 6. streaming embedding card -------------------------
+    {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<float>").as("vec"))
+        .withColumn("ts", timestamp_micros(col("vec_id") * 1000L))
+      val embDir = dir("emb_landing")
+      writeChunks(emb.withColumn("ts_us", unix_micros(col("ts"))),
+        "ts_us", chunks = 20, dir = embDir)
+      val embSchema = spark.read.parquet(embDir).schema
+      val nVecs = spark.read.parquet(embDir).count()
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val src = fileStream(embDir, embSchema, 2)
+      val agg = graft.streaming.StreamingIngest.streamingEmbeddingCard(
+        src, "ts", "vec", Seq("label"), "1 minute",
+        watermark = Some("2 minutes"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", dir("ck_emb_card"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          acc.addAndGet(b.count()); () }
+        .start()
+      stats += drain(s"embedding card $nVecs vecs w=1min", q, () => acc.get())
       println(stats.last)
     }
 

@@ -310,13 +310,13 @@ object IvfIndex {
   private def assignCell(centroids: Array[Array[Float]]): Column =
     assignCell(col("key"), centroids)
 
-  /** Build: deterministic init (k smallest-id vectors) + `iters` Lloyd
-    * rounds as DataFrame jobs, then the cell-stamped corpus repartitioned
-    * by cell. `df` must have (id LONG, key ARRAY<FLOAT>). */
-  def build(dfIn: DataFrame, nCells: Int, iters: Int = 3,
-      metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex = {
+  /** The Lloyd loop alone: deterministic init (k smallest-id vectors) +
+    * `iters` rounds as DataFrame jobs over an ALREADY-CACHED (id, key)
+    * frame. Shared by [[build]] and the routed-HNSW coarse layer
+    * ([[RoutedAnnIndex]]) so their routing geometry is one code path. */
+  private[ann] def trainCentroids(df: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Float]] = {
     require(nCells > 0)
-    val df = dfIn.persist(StorageLevel.MEMORY_AND_DISK) // scanned per iteration
     var centroids: Array[Array[Float]] = df
       .orderBy("id").limit(nCells)
       .select("key").collect().map(_.getSeq[Float](0).toArray)
@@ -335,6 +335,17 @@ object IvfIndex {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
       it += 1
     }
+    centroids
+  }
+
+  /** Build: deterministic init (k smallest-id vectors) + `iters` Lloyd
+    * rounds as DataFrame jobs, then the cell-stamped corpus repartitioned
+    * by cell. `df` must have (id LONG, key ARRAY<FLOAT>). */
+  def build(dfIn: DataFrame, nCells: Int, iters: Int = 3,
+      metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex = {
+    require(nCells > 0)
+    val df = dfIn.persist(StorageLevel.MEMORY_AND_DISK) // scanned per iteration
+    val centroids = trainCentroids(df, nCells, iters)
     val cells = df.withColumn("cell", assignCell(centroids))
       .repartition(col("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -3628,6 +3628,44 @@ object Queries {
       },
       Some(simOracle(euclidSql("e.embedding", "q.qe"), desc = false))),
 
+    // ---- coarse-ROUTED sharded HNSW (the 100 TB GetSimN read path —
+    // content-based shard assignment, partition-pruned probe): exhaustive
+    // probes (= numShards) is the all-shard merge, and at this corpus
+    // size every per-shard graph is denser than efSearch, so the top-10
+    // SET is exact — the identity the oracle pins; the probes << shards
+    // recall curve is ScaleRecall's job (SCALE.md). Output is integral
+    // (qid, cid) pairs — the hash-robustness rule. ----
+    "embed_topk_hnsw_routed" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"), col("embedding").as("key"))
+        val cfg = graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = 128,
+          metric = Algorithm.CosineSimilarity)
+        val idx = graft.ann.RoutedAnnIndex.build(e, 64, cfg,
+          numShards = 8, iters = 2)
+        try {
+          val qids = Seq(0L, 7L, 42L)
+          val qs = e.where(col("id").isin(qids: _*))
+            .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+          import s.implicits._
+          qs.toSeq.flatMap { case (qid, v) =>
+            idx.search(v, 10, probes = idx.numShards)
+              .map { case (cid, _) => (qid, cid) }
+          }.toDF("qid", "cid").orderBy("qid", "cid")
+        } finally idx.unpersist()
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (0, 7, 42)),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 10
+        |ORDER BY qid, cid""".stripMargin)),
+
     // ---- multimodal: binary payloads + typed metadata; decode kernel is a
     // documented deterministic stub (no codecs in this environment), the
     // partition-iterator plumbing and batch shape are real. ----

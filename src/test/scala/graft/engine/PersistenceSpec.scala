@@ -115,6 +115,36 @@ class PersistenceSpec extends AnyFunSuite {
     e.purgeStores()
   }
 
+  test("DelKey and Upsert rewrite only the mutated buckets (the ScaleMutate invariant)") {
+    val root = tmpRoot()
+    val e = new GraftEngine(spark, Some(root))
+    e.createStore("m", 1)
+    e.setSeq("m", (0 until 200).map(i => (Array(i.toFloat), meta("i" -> i.toString))))
+    def buckets() = Persistence.readCatalog(root).find(_.meta.name == "m").get.bucketPaths
+    def untouched(before: Map[Int, String]) = {
+      val after = buckets()
+      before.count { case (b, p) => after.get(b).contains(p) }
+    }
+    // DelKey of one key → at most 1 bucket rewritten
+    val b1 = buckets()
+    val victim = e.storeDf("m").limit(1).select("key")
+      .collect().head.getSeq[Float](0).toArray
+    assert(e.delKey("m", Seq(victim)) == 1L)
+    assert(untouched(b1) >= GraftEngine.NumBuckets - 1,
+      s"DelKey of one key rewrote more than one bucket")
+    // Upsert of one entry → at most 2 buckets (old id's and new id's)
+    val b2 = buckets()
+    val (_, updated) = e.upsert("m",
+      graft.types.PredicateCondition.Equals("i",
+        graft.types.MetadataValue.RawString("7")),
+      newValue = Some(meta("i" -> "7", "touched" -> "1")))
+    assert(updated == 1L)
+    assert(untouched(b2) >= GraftEngine.NumBuckets - 2,
+      s"Upsert of one entry rewrote more than two buckets")
+    assert(e.storeDf("m").count() == 199)
+    e.purgeStores(); Persistence.deleteDir(root)
+  }
+
   test("a bulk set writes one parquet file per touched bucket, not per task") {
     val root = tmpRoot()
     val e = new GraftEngine(spark, Some(root))
