@@ -88,6 +88,134 @@ object RoutedAnnIndex {
     override def hashCode: Int = n
   }
 
+  // ------------------------------------------------------ artifact IO
+  //
+  // Same family policy as IvfIndex: the routing layer (centroids) is tiny
+  // and driver-side, the shards are serialized per partition (the
+  // AnnIndex layout). No delta patch — maintenance is periodic
+  // reclustering, so staleness is all-or-nothing: any mismatch (config,
+  // source stamp, centroid count) rebuilds WHOLE. Layout:
+  //
+  //   <dir>/routed_manifest.json  # config identity, sourceStamp,
+  //                               # centroids as float INT BITS (exact)
+  //   <dir>/s<i>.bin              # java-serialized AnnShard (absent = empty)
+
+  def save(index: RoutedAnnIndex, dir: String, sourceStamp: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val present = index.shards.mapPartitionsWithIndex { (i, it) =>
+      val target = java.nio.file.Paths.get(dir, s"s$i.bin")
+      val shards = it.toArray
+      if (shards.isEmpty) {
+        java.nio.file.Files.deleteIfExists(target)
+        Iterator.single(i -> false)
+      } else {
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .fold(0L)(_.taskAttemptId())
+        val tmp = target.resolveSibling(s"s$i.bin.tmp.$attempt")
+        val os = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp)))
+        try os.writeObject(shards.head) finally os.close()
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single(i -> true)
+      }
+    }.collect().toMap
+    val json = JObject(
+      "kind" -> JString("routed-hnsw"),
+      "config" -> JString(index.config.toString),
+      "sourceStamp" -> JString(sourceStamp),
+      "present" -> JArray((0 until index.numShards).toList.map(i =>
+        JBool(present.getOrElse(i, false)))),
+      "centroids" -> JArray(index.centroids.toList.map(c =>
+        JArray(c.toList.map(f => JInt(BigInt(java.lang.Float.floatToRawIntBits(f))))))))
+    val target = java.nio.file.Paths.get(dir, "routed_manifest.json")
+    val tmp = target.resolveSibling("routed_manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(json)))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Restore from artifacts: bit-identical centroids (int-bits round
+    * trip) + per-partition shard deserialization, zero Lloyd rounds and
+    * zero graph builds. None — caller rebuilds — on any mismatch or read
+    * failure (derived state, never an error). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      config: NonLinearConfig.HNSWConfig,
+      sourceStamp: String): Option[RoutedAnnIndex] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "routed_manifest.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      if ((j \ "kind") != JString("routed-hnsw")) return None
+      if ((j \ "config") != JString(config.toString)) return None
+      if ((j \ "sourceStamp") != JString(sourceStamp)) return None
+      val centroids: Array[Array[Float]] = (j \ "centroids") match {
+        case JArray(cs) => cs.map {
+          case JArray(vs) => vs.map {
+            case JInt(b) => java.lang.Float.intBitsToFloat(b.toInt)
+            case _ => return None
+          }.toArray
+          case _ => return None
+        }.toArray
+        case _ => return None
+      }
+      if (centroids.isEmpty) return None
+      val present: Set[Int] = (j \ "present") match {
+        case JArray(bs) => bs.zipWithIndex.collect {
+          case (JBool(true), i) => i }.toSet
+        case _ => return None
+      }
+      val parts = centroids.length
+      if (present.exists(i => i >= parts)) return None
+      if (present.exists(i =>
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"s$i.bin"))))
+        return None
+      val loaded = spark.sparkContext
+        .parallelize(0 until parts, parts)
+        .mapPartitionsWithIndex { (i, _) =>
+          if (!present.contains(i)) Iterator.empty
+          else {
+            val is = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+              java.nio.file.Files.newInputStream(
+                java.nio.file.Paths.get(dir, s"s$i.bin"))))
+            try Iterator.single(is.readObject().asInstanceOf[AnnShard])
+            finally is.close()
+          }
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      loaded.count()
+      Some(new RoutedAnnIndex(centroids, config, loaded))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"RoutedAnnIndex.load($dir) failed — falling back to rebuild", e)
+        None
+    }
+
+  /** Load if fresh, else build and save — the one-call form. A loaded
+    * artifact whose shard count differs from the requested build config
+    * is stale ([[IvfIndex.buildOrLoad]]'s rule). */
+  def buildOrLoad(dfIn: DataFrame, dim: Int,
+      config: NonLinearConfig.HNSWConfig, numShards: Int, dir: String,
+      sourceStamp: String, iters: Int = 2): RoutedAnnIndex =
+    load(dfIn.sparkSession, dir, config, sourceStamp)
+      .filter { idx =>
+        val ok = idx.numShards == numShards
+        if (!ok) idx.unpersist()
+        ok
+      }
+      .getOrElse {
+        val built = build(dfIn, dim, config, numShards, iters)
+        save(built, dir, sourceStamp)
+        built
+      }
+
   /** Build over an (id LONG, key ARRAY<FLOAT>) frame: train `numShards`
     * routing centroids (`iters` Lloyd rounds — the [[IvfIndex]] loop),
     * assign every row to its nearest centroid's shard with the SAME

@@ -3639,22 +3639,15 @@ object Queries {
       (s, dir) => {
         val e = TestStores.table(s, dir, "embeddings")
           .select(col("vec_id").cast("long").as("id"), col("embedding").as("key"))
-        val cfg = graft.types.NonLinearConfig.HNSWConfig(
-          efConstruction = 100, maximumConnections = 40,
-          maximumConnectionsZero = 80, efSearch = 128,
-          metric = Algorithm.CosineSimilarity)
-        val idx = graft.ann.RoutedAnnIndex.build(e, 64, cfg,
-          numShards = 8, iters = 2)
-        try {
-          val qids = Seq(0L, 7L, 42L)
-          val qs = e.where(col("id").isin(qids: _*))
-            .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-          import s.implicits._
-          qs.toSeq.flatMap { case (qid, v) =>
-            idx.search(v, 10, probes = idx.numShards)
-              .map { case (cid, _) => (qid, cid) }
-          }.toDF("qid", "cid").orderBy("qid", "cid")
-        } finally idx.unpersist()
+        val idx = TestStores.routedIndex(s, dir) // shared stamped artifact
+        val qids = Seq(0L, 7L, 42L)
+        val qs = e.where(col("id").isin(qids: _*))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        import s.implicits._
+        qs.toSeq.flatMap { case (qid, v) =>
+          idx.search(v, 10, probes = idx.numShards)
+            .map { case (cid, _) => (qid, cid) }
+        }.toDF("qid", "cid").orderBy("qid", "cid")
       },
       Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
         |  WHERE vec_id IN (0, 7, 42)),

@@ -205,6 +205,24 @@ object TestStores {
         sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2,
         metric = graft.types.Algorithm.CosineSimilarity))
 
+  private val routedIndexes = TrieMap[String, graft.ann.RoutedAnnIndex]()
+
+  /** Shared coarse-ROUTED HNSW index over the embeddings table (8 shards,
+    * the reference's cosine build params, efSearch 128 so the tiny
+    * per-shard graphs answer exactly), stamped + persisted like
+    * [[ivfIndex]]: first process per data version trains the routing
+    * centroids and serializes the shard graphs; later ones deserialize —
+    * zero Lloyd rounds, zero graph builds. */
+  def routedIndex(spark: SparkSession, sfDir: String): graft.ann.RoutedAnnIndex =
+    routedIndexes.getOrElseUpdate(sfDir,
+      graft.ann.RoutedAnnIndex.buildOrLoad(embKeyed(spark, sfDir), 64,
+        graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = 128,
+          metric = graft.types.Algorithm.CosineSimilarity),
+        numShards = 8, dir = artifactDir("routed", sfDir),
+        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2))
+
   private val pqBooks = TrieMap[String, graft.ann.PqCodebook]()
 
   /** Shared PQ codebook (m = 8, ksub = 64, iters = 2 — the config both

@@ -76,6 +76,32 @@ class RoutedAnnSpec extends AnyFunSuite {
     assert(r1 < 1.0, "probes=1 scored perfect recall — routing isn't pruning anything")
   }
 
+  test("save/load round trip: restored index answers identically; any mismatch rebuilds") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed-artifacts").toString
+    RoutedAnnIndex.save(index, dir, sourceStamp = "v1")
+    val loaded = RoutedAnnIndex.load(s, dir, cfg, "v1")
+    assert(loaded.isDefined, "artifacts failed to load")
+    try {
+      assert(loaded.get.centroids.map(_.toSeq).toSeq ==
+        index.centroids.map(_.toSeq).toSeq, "centroids not bit-identical")
+      queries.take(10).foreach { q =>
+        assert(loaded.get.search(q, K, 8) == index.search(q, K, 8),
+          "restored routed index diverges from the built one")
+      }
+    } finally loaded.get.unpersist()
+    // staleness: wrong stamp, wrong config, wrong shard count all rebuild
+    assert(RoutedAnnIndex.load(s, dir, cfg, "v2").isEmpty)
+    assert(RoutedAnnIndex.load(s, dir, cfg.copy(efSearch = 99), "v1").isEmpty)
+    val df = ids.indices.take(500).map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
+    val rebuilt = RoutedAnnIndex.buildOrLoad(df, Dim, cfg, numShards = 4,
+      dir = dir, sourceStamp = "v1")
+    try assert(rebuilt.numShards == 4,
+      "shard-count mismatch must rebuild, not load the stale artifact")
+    finally rebuilt.unpersist()
+  }
+
   test("routing and search are deterministic; probe ranking prefers the query's own shard") {
     val q = queries.head
     assert(index.probeShards(q, 8) == index.probeShards(q, 8))
