@@ -168,13 +168,19 @@ object ScaleRecall {
     // p << shards (r11 #3). Single-query path — per-query wall includes
     // the pruned-partition job launch.
     if (sys.env.getOrElse("SCALE_RECALL_ROUTED", "1") == "1") {
-      val nShards = 64
+      val nShards = sys.env.getOrElse("SCALE_RECALL_ROUTED_SHARDS", "64").toInt
+      val repEps = sys.env.getOrElse("SCALE_RECALL_ROUTED_EPS", "0.0").toDouble
       val cfg = NonLinearConfig.HNSWConfig(efConstruction = 100,
         maximumConnections = 40, maximumConnectionsZero = 80,
         efSearch = 16, metric = Algorithm.CosineSimilarity)
-      val routed = timed(s"routed hnsw build ($nShards shards)") {
-        graft.ann.RoutedAnnIndex.build(emb, 64, cfg, numShards = nShards, iters = 3)
+      val tag = if (repEps > 0) f" eps=$repEps%.2f" else ""
+      val routed = timed(s"routed hnsw build ($nShards shards$tag)") {
+        graft.ann.RoutedAnnIndex.build(emb, 64, cfg, numShards = nShards,
+          iters = 3, replicationEps = repEps)
       }
+      if (repEps > 0)
+        println(f"  replication factor: ${routed.storedRows.toDouble / n}%.3fx " +
+          s"(${routed.storedRows} stored for $n input)")
       val qvecs = queries.collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       for (probes <- Seq(2, 4, 8, 16, nShards)) {
@@ -188,7 +194,7 @@ object ScaleRecall {
           per.sum / per.length
         }
         val frac = probes.toDouble / nShards
-        rows += f"| routed HNSW $nShards shards, probes=$probes | $frac%.3f of shards searched, ${wall / qvecs.length * 1000}%.0f ms/query | $rec%.4f |"
+        rows += f"| routed HNSW $nShards shards$tag, probes=$probes | $frac%.3f of shards searched, ${wall / qvecs.length * 1000}%.0f ms/query | $rec%.4f |"
         println(rows.last)
       }
       routed.unpersist()

@@ -43,9 +43,17 @@ import graft.types.NonLinearConfig
 final class RoutedAnnIndex(
     val centroids: Array[Array[Float]],
     val config: NonLinearConfig.HNSWConfig,
-    val shards: RDD[AnnShard]) extends Serializable {
+    val shards: RDD[AnnShard],
+    val replicationEps: Double = 0.0) extends Serializable {
 
   def numShards: Int = centroids.length
+
+  /** Total rows stored across shard graphs — input rows × the boundary
+    * replication factor (= input count exactly when replicationEps = 0). */
+  def storedRows: Long = shards.map {
+    case h: HnswShard => h.index.size.toLong
+    case _ => 0L
+  }.sum().toLong
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
@@ -61,7 +69,10 @@ final class RoutedAnnIndex(
 
   /** Merged top-k over the `probes` nearest shards only: one job on the
     * pruned partition set (never a full fan-out), then the same bounded
-    * driver merge as [[AnnIndex.search]]. probes ≥ numShards ⇒ exhaustive. */
+    * driver merge as [[AnnIndex.search]]. probes ≥ numShards ⇒ exhaustive.
+    * With boundary replication a row can surface from several probed
+    * shards (identical closeness — same stored vector); the merge
+    * dedupes by id so replicas never occupy two result slots. */
   def search(q: Array[Float], k: Int, probes: Int,
       filter: IdFilter = null): Seq[(Long, Double)] = {
     val probe = probeShards(q, probes)
@@ -70,7 +81,9 @@ final class RoutedAnnIndex(
       val accept: Long => Boolean = if (filter == null) null else filter.accept _
       it.toSeq.flatMap(_.topK(q, k, accept))
     }, probe)
-    local.flatten.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+    local.flatten.groupBy(_._1)
+      .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(k)
   }
 }
 
@@ -126,6 +139,7 @@ object RoutedAnnIndex {
     val json = JObject(
       "kind" -> JString("routed-hnsw"),
       "config" -> JString(index.config.toString),
+      "replicationEps" -> JString(index.replicationEps.toString),
       "sourceStamp" -> JString(sourceStamp),
       "present" -> JArray((0 until index.numShards).toList.map(i =>
         JBool(present.getOrElse(i, false)))),
@@ -144,8 +158,8 @@ object RoutedAnnIndex {
     * zero graph builds. None — caller rebuilds — on any mismatch or read
     * failure (derived state, never an error). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
-      config: NonLinearConfig.HNSWConfig,
-      sourceStamp: String): Option[RoutedAnnIndex] =
+      config: NonLinearConfig.HNSWConfig, sourceStamp: String,
+      replicationEps: Double = 0.0): Option[RoutedAnnIndex] =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -154,6 +168,7 @@ object RoutedAnnIndex {
       val j = JsonMethods.parse(java.nio.file.Files.readString(p))
       if ((j \ "kind") != JString("routed-hnsw")) return None
       if ((j \ "config") != JString(config.toString)) return None
+      if ((j \ "replicationEps") != JString(replicationEps.toString)) return None
       if ((j \ "sourceStamp") != JString(sourceStamp)) return None
       val centroids: Array[Array[Float]] = (j \ "centroids") match {
         case JArray(cs) => cs.map {
@@ -190,7 +205,7 @@ object RoutedAnnIndex {
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       loaded.count()
-      Some(new RoutedAnnIndex(centroids, config, loaded))
+      Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -203,15 +218,17 @@ object RoutedAnnIndex {
     * is stale ([[IvfIndex.buildOrLoad]]'s rule). */
   def buildOrLoad(dfIn: DataFrame, dim: Int,
       config: NonLinearConfig.HNSWConfig, numShards: Int, dir: String,
-      sourceStamp: String, iters: Int = 2): RoutedAnnIndex =
-    load(dfIn.sparkSession, dir, config, sourceStamp)
+      sourceStamp: String, iters: Int = 2, replicationEps: Double = 0.0,
+      maxReplicas: Int = 2): RoutedAnnIndex =
+    load(dfIn.sparkSession, dir, config, sourceStamp, replicationEps)
       .filter { idx =>
         val ok = idx.numShards == numShards
         if (!ok) idx.unpersist()
         ok
       }
       .getOrElse {
-        val built = build(dfIn, dim, config, numShards, iters)
+        val built = build(dfIn, dim, config, numShards, iters,
+          replicationEps, maxReplicas)
         save(built, dir, sourceStamp)
         built
       }
@@ -221,16 +238,51 @@ object RoutedAnnIndex {
     * assign every row to its nearest centroid's shard with the SAME
     * kernel the training used (assignments can't diverge from the
     * geometry), then one HNSW graph per shard, rows inserted in id order
-    * (deterministic graphs, the [[AnnIndex]] discipline). */
+    * (deterministic graphs, the [[AnnIndex]] discipline).
+    *
+    * `replicationEps` > 0 turns on BOUNDARY REPLICATION (the SPANN
+    * closure rule, Chen et al. 2021 §4.2): a row is copied into every
+    * shard (up to `maxReplicas`, nearest first) whose centroid is within
+    * (1+eps) of its nearest centroid's distance — boundary rows, the
+    * ones a small probe set misses, become reachable from BOTH their
+    * adjacent shards. Storage grows by the measured replication factor
+    * (logged at build; bounded by maxReplicas); search cost per probe is
+    * unchanged and the merge dedupes by id. eps = 0 is exact
+    * single-assignment (the [[IvfIndex.assignCell]] kernel, bit-identical
+    * to the training geometry). */
   def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
-      numShards: Int, iters: Int = 2): RoutedAnnIndex = {
+      numShards: Int, iters: Int = 2, replicationEps: Double = 0.0,
+      maxReplicas: Int = 2): RoutedAnnIndex = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(replicationEps >= 0.0, s"replicationEps must be >= 0, got $replicationEps")
+    require(maxReplicas >= 1, s"maxReplicas must be >= 1, got $maxReplicas")
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
     val centroids = IvfIndex.trainCentroids(df, numShards, iters)
-    val shards = df
-      .select(IvfIndex.assignCell(col("key"), centroids).cast("int").as("_s"),
-        col("id"), col("key"))
+    val assigned =
+      if (replicationEps <= 0.0)
+        df.select(IvfIndex.assignCell(col("key"), centroids).cast("int").as("_s"),
+          col("id"), col("key"))
+      else {
+        // rank every centroid per row (one native CentroidDists pass —
+        // the cellRankExpr shape), keep the nearest maxReplicas whose
+        // SQUARED distance is within (1+eps)² of the nearest's
+        import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+        import graft.functions.GraftFunctions.bind
+        val f = (1.0 + replicationEps) * (1.0 + replicationEps)
+        val dists = ColumnBridge.column(CentroidDists(
+          ColumnBridge.expression(col("key")), centroids.flatten, numShards))
+        val ranked = slice(array_sort(zip_with(dists,
+          sequence(lit(0), lit(numShards - 1)),
+          (d, c) => struct(d.as("d"), c.as("c")))), 1, maxReplicas)
+        val kept = bind(ranked) { r =>
+          filter(r, x =>
+            x.getField("d") <= element_at(r, 1).getField("d") * lit(f))
+        }
+        df.select(explode(kept).as("_p"), col("id"), col("key"))
+          .select(col("_p.c").cast("int").as("_s"), col("id"), col("key"))
+      }
+    val shards = assigned
       .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
       .partitionBy(new ShardPartitioner(numShards))
       .mapPartitions({ it =>
@@ -242,7 +294,14 @@ object RoutedAnnIndex {
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     shards.count()
+    if (replicationEps > 0.0) {
+      val n = df.count()
+      val stored = assigned.count()
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        f"RoutedAnnIndex boundary replication eps=$replicationEps%.2f: " +
+          f"$stored rows stored for $n input (${stored.toDouble / math.max(1, n)}%.3fx)")
+    }
     df.unpersist(blocking = false)
-    new RoutedAnnIndex(centroids, config, shards)
+    new RoutedAnnIndex(centroids, config, shards, replicationEps)
   }
 }

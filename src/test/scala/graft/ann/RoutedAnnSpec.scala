@@ -76,6 +76,37 @@ class RoutedAnnSpec extends AnyFunSuite {
     assert(r1 < 1.0, "probes=1 scored perfect recall — routing isn't pruning anything")
   }
 
+  test("boundary replication (SPANN closure) lifts small-probe recall; merge dedupes replicas") {
+    val s = spark
+    import s.implicits._
+    val df = ids.indices.map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
+    val rep = RoutedAnnIndex.build(df, Dim, cfg, numShards = Shards,
+      iters = 3, replicationEps = 0.15, maxReplicas = 2)
+    try {
+      def recall(idx: RoutedAnnIndex, probes: Int): Double = {
+        val rs = queries.map { q =>
+          val got = idx.search(q, K, probes).map(_._1)
+          // a replicated id must never occupy two result slots
+          assert(got.distinct.length == got.length, "duplicate id in merged top-k")
+          recallAtK(bruteTopK(cfg.metric, ids, vecs, q, K).map(_._1), got)
+        }
+        rs.sum / rs.length
+      }
+      val base4 = meanRecall(4) // the eps=0 index from the shared fixture
+      val rep4 = recall(rep, 4)
+      info(f"probes=4/64 recall@$K: eps=0 -> $base4%.4f, eps=0.15 -> $rep4%.4f")
+      assert(rep4 > base4 + 0.01,
+        f"replication should lift small-probe recall: $base4%.4f -> $rep4%.4f")
+      // exhaustive stays exact-equivalent: same id set as the unreplicated
+      // exhaustive search (replicas dedupe away)
+      queries.take(10).foreach { q =>
+        assert(rep.search(q, K, Shards).map(_._1).toSet ==
+          index.search(q, K, Shards).map(_._1).toSet,
+          "replication changed the exhaustive result set")
+      }
+    } finally rep.unpersist()
+  }
+
   test("save/load round trip: restored index answers identically; any mismatch rebuilds") {
     val s = spark
     import s.implicits._
