@@ -125,6 +125,9 @@ object Command {
   /** Full iterated k-means (pipeline.Cluster.kmeans). */
   final case class ExtClusterKmeans(view: String, id: String, vec: String,
       k: Int, iters: Int) extends Command
+  /** Embedding-space outlier report (pipeline.Cluster.embeddingOutliers). */
+  final case class ExtClusterOutliers(view: String, id: String, vec: String,
+      k: Int, factor: Int) extends Command
   /** Corpus-wide n-gram heavy hitters (text.HeavyHitters.ngramTopK). */
   final case class ExtNgramTopK(view: String, text: String, n: Int,
       k: Int) extends Command

@@ -360,6 +360,12 @@ object DslParser extends RegexParsers {
     kw("cluster") ~> kw("kmeans") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
       (kw("k") ~> nonZero) ~ (kw("iters") ~> nonZero) ^^ {
         case v ~ i ~ e ~ k ~ it => ExtClusterKmeans(v, i, e, k, it) }
+  // CLUSTER OUTLIERS FROM v ID i VEC e K 8 [FACTOR 4] — the per-vector
+  // dist²-vs-cluster-mean hygiene report (default factor 4)
+  private val extClusterOutliers: Parser[Command] =
+    kw("cluster") ~> kw("outliers") ~> fromView ~ idCol ~ (kw("vec") ~> name) ~
+      (kw("k") ~> nonZero) ~ opt(kw("factor") ~> nonZero) ^^ {
+        case v ~ i ~ e ~ k ~ f => ExtClusterOutliers(v, i, e, k, f.getOrElse(4)) }
   // NGRAM TOPK 20 SIZE 2 FROM docs TEXT text — corpus heavy hitters
   private val extNgramTopK: Parser[Command] =
     kw("ngram") ~> kw("topk") ~> nonZero ~ (kw("size") ~> nonZero) ~
@@ -563,7 +569,8 @@ object DslParser extends RegexParsers {
     extDedupExact | extDedupIndex | extDedupAppend | extDedupIncremental |
     extSplitSafe | extSplit |
     extSample | extBudgetSelect | extClusterAssign | extClusterSample |
-    extClusterKmeans | extNgramTopK | extPack | extWriteShards | extShuffle |
+    extClusterKmeans | extClusterOutliers | extNgramTopK | extPack |
+    extWriteShards | extShuffle |
     extCap | extMix |
     extLines | extSpans |
     extDecon | extChunk | extVocab | extTextStats | extLineSignals |

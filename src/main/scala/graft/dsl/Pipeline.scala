@@ -147,6 +147,10 @@ object Pipeline {
       case ExtClusterKmeans(v, id, vec, k, iters) =>
         Response.Entries(
           graft.pipeline.Cluster.kmeans(t(v), id, vec, k, iters)._2)
+      case ExtClusterOutliers(v, id, vec, k, factor) =>
+        val cents = graft.pipeline.Cluster.seedCentroids(t(v), id, vec, k)
+        Response.Entries(graft.pipeline.Cluster.embeddingOutliers(
+          t(v), id, vec, cents, factorNum = factor.toLong))
       case ExtNgramTopK(v, text, n, k) =>
         Response.Entries(graft.text.HeavyHitters.ngramTopK(t(v), text, n, k))
       case ExtNegatives(k, qv, qi, qe, ql, cv, ci, ce, cl, ivfMode) =>

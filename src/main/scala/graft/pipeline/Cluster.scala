@@ -60,6 +60,56 @@ object Cluster {
     (index.centroids, assigned)
   }
 
+  /** Embedding-space OUTLIER report — the vector-corpus hygiene filter
+    * (the SemDeDup-adjacent "far from every mode" rule): per vector, its
+    * assigned cluster, its squared distance to that cluster's centroid,
+    * and an outlier flag raised when the squared distance exceeds
+    * `factorNum/factorDen` × the CLUSTER's mean squared distance —
+    * mislabeled points, embedding-model failures, and genuine
+    * out-of-distribution documents all surface here before they poison a
+    * training mix or an ANN build. Output: (idCol, cluster, dist2_e6,
+    * n_cluster, is_outlier).
+    *
+    * Hash-robustness discipline (the datacard rule): the squared distance
+    * ships as a ×10⁶ BIGINT from one 6dp rounding of the
+    * deterministically-accumulated double (the same ascending-index fold
+    * the assignment kernel uses, so any engine replays it); the flag is
+    * an exact INTEGER cross-multiplication — dist2_e6 · n · factorDen >
+    * factorNum · Σdist2_e6, evaluated in DECIMAL so no product can
+    * overflow — never a floating mean. The mean itself is derivable
+    * (sum/n) but deliberately not emitted as a double.
+    *
+    * Scale shape: ONE kernel projection per row (distances + argmin),
+    * ONE cluster-bounded groupBy (map-side combined, k rows out), one
+    * broadcast join back. No corpus-sized shuffle. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], factorNum: Long = 4L,
+      factorDen: Long = 1L): DataFrame = {
+    require(centroids.nonEmpty, "embeddingOutliers needs centroids")
+    require(factorNum > 0 && factorDen > 0,
+      s"factor must be positive, got $factorNum/$factorDen")
+    import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+    import graft.functions.GraftFunctions.bind
+    val dists = ColumnBridge.column(CentroidDists(
+      ColumnBridge.expression(col(vecCol)), centroids.flatten, centroids.length))
+    val feats = df.select(
+      col(idCol),
+      IvfIndex.assignCell(col(vecCol), centroids).as("cluster"),
+      bind(dists) { d =>
+        // the Profile.embFeatures exactness pattern: one 6dp rounding
+        // into DECIMAL, then an exact ×10⁶ to the integral value
+        (round(element_at(d,
+          IvfIndex.assignCell(col(vecCol), centroids) + 1), 6)
+          .cast("decimal(18,6)") * lit(1000000)).cast("long")
+      }.as("dist2_e6"))
+    val stats = feats.groupBy("cluster")
+      .agg(count(lit(1)).as("n_cluster"), sum(col("dist2_e6")).as("_sum_e6"))
+    feats.join(broadcast(stats), Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("dist2_e6"), col("n_cluster"),
+        (col("dist2_e6").cast("decimal(38,0)") * col("n_cluster") * factorDen >
+          col("_sum_e6").cast("decimal(38,0)") * factorNum).as("is_outlier"))
+  }
+
   /** Cluster-balanced selection: the `perCluster` rows with the smallest
     * md5(id) per cluster — the same deterministic-hash order every other
     * sampling op in this library uses ([[Corpus.deterministicSample]]), so

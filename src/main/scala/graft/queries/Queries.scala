@@ -2905,6 +2905,48 @@ object Queries {
         |SELECT vec_id, c AS cluster FROM d WHERE rn = 1
         |ORDER BY vec_id""".stripMargin)),
 
+    // ---- embedding-space outlier report: per vector, assigned cluster,
+    // exact x10^6 squared distance to its centroid, and an integer
+    // cross-multiplied flag (dist2 > 4x the cluster mean). Poison payload:
+    // vec_id % 61 == 0 rescaled x5 — far from every seed centroid, so the
+    // outlier arm provably fires. All-integral output (hash-robust). ----
+    "embed_outliers" -> Q(
+      (s, dir) => {
+        val e = TestStores.embKeyed(s, dir)
+        val aug = e.select(col("id"),
+          when(pmod(col("id"), lit(61)) === 0,
+            transform(col("key"), x => (x * lit(5.0f)).cast("float")))
+            .otherwise(col("key")).as("key"))
+        val cents = graft.pipeline.Cluster.seedCentroids(aug, "id", "key", 8)
+        graft.pipeline.Cluster.embeddingOutliers(aug, "id", "key", cents)
+          .select(col("id").as("vec_id"), col("cluster"), col("dist2_e6"),
+            col("n_cluster"), col("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT vec_id, CASE WHEN vec_id % 61 = 0
+        |      THEN list_transform(embedding, x -> CAST(x * CAST(5.0 AS FLOAT) AS FLOAT))
+        |    ELSE embedding END AS key
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |    key AS ce
+        |  FROM (SELECT * FROM aug ORDER BY vec_id LIMIT 8)),
+        |d AS (
+        |  SELECT a.vec_id, c.c, ${sqEuclidSql("a.key", "c.ce")} AS d2,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${sqEuclidSql("a.key", "c.ce")} ASC, c.c ASC) AS rn
+        |  FROM aug a CROSS JOIN cent c),
+        |f AS (
+        |  SELECT vec_id, c AS cluster,
+        |    CAST(CAST(round(d2, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS dist2_e6
+        |  FROM d WHERE rn = 1),
+        |st AS (SELECT cluster, COUNT(*) AS n_cluster,
+        |  CAST(SUM(dist2_e6) AS BIGINT) AS s6 FROM f GROUP BY cluster)
+        |SELECT f.vec_id, f.cluster, f.dist2_e6, st.n_cluster,
+        |  f.dist2_e6 * st.n_cluster > 4 * st.s6 AS is_outlier
+        |FROM f JOIN st USING (cluster) ORDER BY f.vec_id""".stripMargin)),
+
     "embed_quantize" -> Q(
       (s, dir) => {
         val e = TestStores.table(s, dir, "embeddings")

@@ -350,6 +350,37 @@ class DedupSpec extends AnyFunSuite {
     assert(both.find(_.getLong(0) == 901L).get.isNullAt(2))
   }
 
+  test("MinHashSig declares itself nullable even over a non-nullable child (the r11 codegen bug)") {
+    // the expression returns NULL for an EMPTY shingle array regardless of
+    // child nullability. Without the nullable=true override, (a) the
+    // planner may fold IsNotNull guards on signatures that CAN be null,
+    // and (b) nullSafeCodeGen swaps ev.isNull for a constant while the
+    // codegen template still assigns the variable — janino rejects the
+    // undeclared name and whole-stage codegen silently falls back to
+    // interpreted on every Generate-over-signature stage (the r10 sf0.1
+    // dedup_simhash regression).
+    import org.apache.spark.sql.graftbridge.MinHashSig
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val nonNullableChild = Literal.create(Seq(1L, 2L),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    assert(!nonNullableChild.nullable)
+    assert(MinHashSig(nonNullableChild, Array(3L), Array(5L), 97L).nullable,
+      "MinHashSig must stay nullable: empty arrays yield NULL")
+    // and the exact shape that failed janino — posexplode of the kernel
+    // over a NON-NULLABLE aggregation output — executes with results
+    // (collect_set output is non-nullable; this is minHashLshJoin's
+    // bands projection)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sets = Dedup.docShingleSets(
+      Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("id", "text"),
+      "id", "text", 3)
+    val bands = sets.select(col("id"),
+      posexplode(Dedup.minHashKernel(col("hs"), 4)).as(Seq("band", "value")))
+    assert(bands.count() == 8, "2 docs x 4 bands")
+  }
+
   test("NgramHash kernel is bit-pinned to the xxhash64(array_join) formulation") {
     import spark.implicits._
     val docs = spark.range(0, 150).selectExpr("id",

@@ -473,6 +473,12 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "CLUSTER KMEANS FROM emb ID vec_id VEC embedding K 4 ITERS 2") ==
       Seq(ExtClusterKmeans("emb", "vec_id", "embedding", 4, 2)))
+    assert(DslParser.parseExt(
+      "CLUSTER OUTLIERS FROM emb ID vec_id VEC embedding K 8") ==
+      Seq(ExtClusterOutliers("emb", "vec_id", "embedding", 8, 4)))
+    assert(DslParser.parseExt(
+      "CLUSTER OUTLIERS FROM emb ID vec_id VEC embedding K 8 FACTOR 3") ==
+      Seq(ExtClusterOutliers("emb", "vec_id", "embedding", 8, 3)))
     assert(DslParser.parseExt("NGRAM TOPK 20 SIZE 2 FROM docs TEXT text") ==
       Seq(ExtNgramTopK("docs", "text", 2, 20)))
     assert(DslParser.parseExt("NEGATIVES 5 FROM q ID qid VEC emb LABEL lab " +
@@ -659,6 +665,19 @@ class DslSpec extends AnyFunSuite {
       .kmeans(emb, "vec_id", "embedding", 2, 2)._2
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(ckDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == ckRef)
+    // CLUSTER OUTLIERS: same library call through the grammar
+    val co = Pipeline.runExt(spark,
+      "CLUSTER OUTLIERS FROM ext_emb ID vec_id VEC embedding K 2 FACTOR 3")
+    val coDf = co.head match {
+      case Right(Response.Entries(d)) => d
+      case other => fail(s"cluster outliers: $other")
+    }
+    val coRef = graft.pipeline.Cluster.embeddingOutliers(emb, "vec_id",
+        "embedding", graft.pipeline.Cluster
+          .seedCentroids(emb, "vec_id", "embedding", 2), factorNum = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(coDf.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap == coRef)
     // NEGATIVES: matches the library call exactly
     val lemb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),

@@ -91,6 +91,43 @@ class ClusterSpec extends AnyFunSuite {
     assert(gotAssign(0L) != gotAssign(3L))
   }
 
+  test("embeddingOutliers flags dist2 > factor x cluster mean via exact integers") {
+    // two tight blobs + one far point per blob. Blob A at centroid (0,0):
+    // members at d2 {0, 4, 4} and an outlier at (10,0) -> d2 100;
+    // mean = 108/4 = 27, 100 > 4*27? No (108). Use factor 3: 100*4 > 3*108
+    // (400 > 324) -> outlier; the d2=4 members: 16 > 324? no.
+    val cents = Array(vec(0, 0), vec(21, 21))
+    val data = Seq(
+      (0L, vec(0, 0)), (1L, vec(2, 0)), (2L, vec(0, 2)), (3L, vec(10, 0)),
+      (4L, vec(21, 21)), (5L, vec(21, 23)), (6L, vec(19, 21)), (7L, vec(21, 5))
+    ).toDF("id", "key")
+    val got = Cluster.embeddingOutliers(data, "id", "key", cents,
+        factorNum = 3L, factorDen = 1L)
+      .select("id", "cluster", "dist2_e6", "n_cluster", "is_outlier")
+      .as[(Long, Int, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // exact integral distances (integer coordinates -> exact doubles)
+    assert(got(0L) == ((0L, 0, 0L, 4L, false)))
+    assert(got(1L) == ((1L, 0, 4000000L, 4L, false)))
+    assert(got(3L) == ((3L, 0, 100000000L, 4L, true)),
+      "the far point must be flagged: 100*4 > 3*108")
+    // blob B: d2 {0, 4, 4, 256}; 256*4 > 3*264 -> outlier
+    assert(got(7L)._5 && !got(4L)._5 && !got(5L)._5)
+    // driver replay of the integer rule over every row
+    val byCluster = got.values.groupBy(_._2)
+    got.values.foreach { case (id, c, d6, n, flag) =>
+      val sum = byCluster(c).map(_._3).sum
+      assert(flag == (BigInt(d6) * n > BigInt(3) * sum),
+        s"flag mismatch for id $id")
+    }
+    // degenerate inputs refused loudly
+    intercept[IllegalArgumentException] {
+      Cluster.embeddingOutliers(data, "id", "key", Array.empty[Array[Float]])
+    }
+    intercept[IllegalArgumentException] {
+      Cluster.embeddingOutliers(data, "id", "key", cents, factorNum = 0L)
+    }
+  }
+
   test("balancedSample caps each cluster at perCluster in md5(id) order") {
     val df = (0L until 40L).map(i => (i, (i % 3).toInt)).toDF("id", "cluster")
     val got = Cluster.balancedSample(df, "cluster", "id", 4)
