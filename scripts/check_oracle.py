@@ -6,12 +6,25 @@ compared at FULL precision — no float rounding: the r10 lesson is that a
 9dp-rounded local gate passes queries the driver's stricter hash
 canonicalization fails; a query must fail HERE first).
 
+r11 lesson: the gate must also be TYPE-faithful. DuckDB types any un-CAST
+SUM(...) as HUGEINT (int128 → Arrow decimal128(38,0)) while Spark writes
+int64; values fetch identically through Python (Decimal('3') reprs as
+Decimal but compares equal... actually repr differs — the real blindness
+was that repr(3) == repr(3) because duckdb fetches HUGEINT as Python int).
+The driver's hash canonicalization is type-sensitive, so we now DESCRIBE
+both sides and fail on any column-type mismatch BEFORE comparing values.
+
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Run graft.Verify first, e.g.:
   SPARK_GRAFT_VERIFY_ONLY=embed_topk_pq sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v01"
 """
 import json, sys, glob, os
 import duckdb
+
+def described_types(con, query_sql):
+    """column_name -> DuckDB type string for the query's result schema."""
+    rows = con.execute(f"DESCRIBE {query_sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -59,9 +72,24 @@ def main():
             print(f"{name}: ORACLE SQL ERROR: {e}")
             failures += 1
             continue
+        try:
+            s_types = described_types(
+                con, f"SELECT * FROM read_parquet({files})")
+            o_types = described_types(con, f"({sql})")
+        except Exception as e:
+            print(f"{name}: DESCRIBE ERROR: {e}")
+            failures += 1
+            continue
+        type_mismatch = {
+            c: (s_types.get(c), o_types.get(c))
+            for c in sorted(set(s_types) | set(o_types))
+            if s_types.get(c) != o_types.get(c)}
         sc, scols = canon(s_rows, s_cols)
         oc, ocols = canon(o_rows, o_cols)
-        if scols != ocols:
+        if type_mismatch:
+            print(f"{name}: TYPE MISMATCH (spark, oracle): {type_mismatch}")
+            failures += 1
+        elif scols != ocols:
             print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
             failures += 1
         elif len(sc) != len(oc):

@@ -103,7 +103,7 @@ final class IvfIndex(
     val scored = probed.join(cells, "cell")
       .withColumn("_closeness", Similarity.closeness(metric, col("key"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("_closeness").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
       .select(col("qid"), col("id").as("cid"),
         round(Similarity.similarityValue(metric, col("key"), col("qv"))
           .cast("float").cast("double"), 4).as("sim"),
@@ -212,7 +212,7 @@ final class IvfIndex(
       .join(broadcast(q0), "qid")
       .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("key")))
     val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
-    exact.withColumn("rank", row_number().over(wExact)).where(col("rank") <= k)
+    exact.withColumn("rank", row_number().over(wExact).cast("long")).where(col("rank") <= k)
       .select(col("qid"), col("id").as("cid"),
         round(col("cos"), 4).as("cos"), col("rank"))
   }
@@ -263,7 +263,7 @@ final class IvfIndex(
       .withColumn("cos",
         graft.functions.Similarity.cosineSimilarity(col("qv"), col("key")))
     val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
-    exact.withColumn("rank", row_number().over(wExact)).where(col("rank") <= k)
+    exact.withColumn("rank", row_number().over(wExact).cast("long")).where(col("rank") <= k)
       .select(col("qid"), col("id").as("cid"),
         round(col("cos"), 4).as("cos"), col("rank"))
   }

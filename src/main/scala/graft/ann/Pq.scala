@@ -199,7 +199,7 @@ final class PqCodebook(
       .join(broadcast(q), "qid")
       .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("cv")))
     val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    exact.withColumn("rank", row_number().over(wExact)).where(col("rank") <= k)
+    exact.withColumn("rank", row_number().over(wExact).cast("long")).where(col("rank") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 

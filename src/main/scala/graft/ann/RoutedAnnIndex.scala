@@ -44,7 +44,9 @@ final class RoutedAnnIndex(
     val centroids: Array[Array[Float]],
     val config: NonLinearConfig.HNSWConfig,
     val shards: RDD[AnnShard],
-    val replicationEps: Double = 0.0) extends Serializable {
+    val replicationEps: Double = 0.0,
+    val iters: Int = 2,
+    val maxReplicas: Int = 2) extends Serializable {
 
   def numShards: Int = centroids.length
 
@@ -140,6 +142,8 @@ object RoutedAnnIndex {
       "kind" -> JString("routed-hnsw"),
       "config" -> JString(index.config.toString),
       "replicationEps" -> JString(index.replicationEps.toString),
+      "iters" -> JInt(index.iters),
+      "maxReplicas" -> JInt(index.maxReplicas),
       "sourceStamp" -> JString(sourceStamp),
       "present" -> JArray((0 until index.numShards).toList.map(i =>
         JBool(present.getOrElse(i, false)))),
@@ -159,7 +163,8 @@ object RoutedAnnIndex {
     * failure (derived state, never an error). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
       config: NonLinearConfig.HNSWConfig, sourceStamp: String,
-      replicationEps: Double = 0.0): Option[RoutedAnnIndex] =
+      replicationEps: Double = 0.0, iters: Int = 2,
+      maxReplicas: Int = 2): Option[RoutedAnnIndex] =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -169,6 +174,12 @@ object RoutedAnnIndex {
       if ((j \ "kind") != JString("routed-hnsw")) return None
       if ((j \ "config") != JString(config.toString)) return None
       if ((j \ "replicationEps") != JString(replicationEps.toString)) return None
+      // every build parameter participates in artifact identity — an
+      // artifact built under a different Lloyd-round count or replica cap
+      // is a DIFFERENT index even at identical eps (same "any mismatch
+      // rebuilds WHOLE" policy as config/sourceStamp/centroid count)
+      if ((j \ "iters") != JInt(iters)) return None
+      if ((j \ "maxReplicas") != JInt(maxReplicas)) return None
       if ((j \ "sourceStamp") != JString(sourceStamp)) return None
       val centroids: Array[Array[Float]] = (j \ "centroids") match {
         case JArray(cs) => cs.map {
@@ -205,7 +216,8 @@ object RoutedAnnIndex {
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       loaded.count()
-      Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps))
+      Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
+        iters, maxReplicas))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -220,7 +232,8 @@ object RoutedAnnIndex {
       config: NonLinearConfig.HNSWConfig, numShards: Int, dir: String,
       sourceStamp: String, iters: Int = 2, replicationEps: Double = 0.0,
       maxReplicas: Int = 2): RoutedAnnIndex =
-    load(dfIn.sparkSession, dir, config, sourceStamp, replicationEps)
+    load(dfIn.sparkSession, dir, config, sourceStamp, replicationEps,
+        iters, maxReplicas)
       .filter { idx =>
         val ok = idx.numShards == numShards
         if (!ok) idx.unpersist()
@@ -302,6 +315,7 @@ object RoutedAnnIndex {
           f"$stored rows stored for $n input (${stored.toDouble / math.max(1, n)}%.3fx)")
     }
     df.unpersist(blocking = false)
-    new RoutedAnnIndex(centroids, config, shards, replicationEps)
+    new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
+      maxReplicas)
   }
 }

@@ -897,6 +897,6 @@ object Dedup {
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("_rn").as("rank"))
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("_rn").cast("long").as("rank"))
   }
 }

@@ -112,7 +112,7 @@ object Quantize {
     coarse.withColumn("_rs", row_number().over(wCoarse))
       .where(col("_rs") <= shortlist)
       .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(wExact))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rank"))
   }

@@ -678,7 +678,8 @@ object Queries {
            |  FROM lineitem WHERE l_returnflag <> 'R'
            |  ORDER BY s ASC, l_orderkey, l_partkey, l_suppkey, l_linenumber
            |  LIMIT 10)
-           |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           |SELECT l_orderkey, l_partkey, l_suppkey,
+           |CAST(l_linenumber AS BIGINT) AS l_linenumber,
            |round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sim FROM scored""".stripMargin
       }),
 
@@ -1867,8 +1868,8 @@ object Queries {
            |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
            |  FROM documents),
            |c AS (SELECT doc_id, quality_e4, toks,
-           |  sum(toks) OVER (ORDER BY quality_e4 DESC, doc_id ASC
-           |    ROWS UNBOUNDED PRECEDING) AS cum_toks FROM scored)
+           |  CAST(sum(toks) OVER (ORDER BY quality_e4 DESC, doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks FROM scored)
            |SELECT doc_id, quality_e4, toks, cum_toks FROM c
            |WHERE cum_toks <= 10000 ORDER BY doc_id""".stripMargin
       }),
@@ -2241,8 +2242,8 @@ object Queries {
         |  COUNT(DISTINCT vec) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT vec) AS n_exact_dups,
         |  MIN(d) AS dims_min, MAX(d) AS dims_max,
-        |  SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS n_zero,
-        |  SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
         |  CAST(MIN(n6) * 1000000 AS BIGINT) AS norm_min_e6,
         |  CAST(MAX(n6) * 1000000 AS BIGINT) AS norm_max_e6,
         |  CAST(SUM(n6) * 1000000 AS BIGINT) AS norm_sum_e6,
@@ -2291,8 +2292,8 @@ object Queries {
         |  FROM aug)
         |SELECT w AS window_us, label, COUNT(*) AS n_vecs,
         |  MIN(d) AS dims_min, MAX(d) AS dims_max,
-        |  SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS n_zero,
-        |  SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
         |  CAST(MIN(n6) * 1000000 AS BIGINT) AS norm_min_e6,
         |  CAST(MAX(n6) * 1000000 AS BIGINT) AS norm_max_e6,
         |  CAST(SUM(n6) * 1000000 AS BIGINT) AS norm_sum_e6,
@@ -2746,12 +2747,12 @@ object Queries {
       },
       Some(clusterOracle(
         raw"""SELECT x.source, COUNT(*) AS n_docs,
-          |  SUM(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
-          |  SUM(x.nt) AS total_tokens,
-          |  SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) AS tokens_removed,
-          |  SUM(CASE WHEN l.node IS NOT NULL THEN x.nc ELSE 0 END) AS chars_removed,
-          |  (SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) * 10000)
-          |    // GREATEST(SUM(x.nt), 1) AS token_loss_bp
+          |  CAST(SUM(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |  CAST(SUM(x.nt) AS BIGINT) AS total_tokens,
+          |  CAST(SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) AS BIGINT) AS tokens_removed,
+          |  CAST(SUM(CASE WHEN l.node IS NOT NULL THEN x.nc ELSE 0 END) AS BIGINT) AS chars_removed,
+          |  CAST((SUM(CASE WHEN l.node IS NOT NULL THEN x.nt ELSE 0 END) * 10000)
+          |    // GREATEST(SUM(x.nt), 1) AS BIGINT) AS token_loss_bp
           |FROM (
           |  SELECT c.doc_id, d.source,
           |    CASE WHEN trim(c.text) = '' THEN 0
@@ -3454,7 +3455,7 @@ object Queries {
         |  ('join', 1), ('__other__', 57)),
         |grid AS (SELECT wt.w, wt.wt, ref.token, CAST(ref.rp AS BIGINT) AS rp
         |  FROM wt CROSS JOIN ref)
-        |SELECT g.w AS window_us, g.wt AS n_tokens,
+        |SELECT g.w AS window_us, CAST(g.wt AS BIGINT) AS n_tokens,
         |  CAST(SUM(abs(64 * COALESCE(c.n, 0) - g.rp * g.wt)) AS BIGINT) AS l1_num,
         |  CAST(g.wt * 64 AS BIGINT) AS l1_den
         |FROM grid g LEFT JOIN cnt c ON c.w = g.w AND c.token = g.token

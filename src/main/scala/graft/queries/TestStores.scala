@@ -208,20 +208,38 @@ object TestStores {
   private val routedIndexes = TrieMap[String, graft.ann.RoutedAnnIndex]()
 
   /** Shared coarse-ROUTED HNSW index over the embeddings table (8 shards,
-    * the reference's cosine build params, efSearch 128 so the tiny
-    * per-shard graphs answer exactly), stamped + persisted like
+    * the reference's cosine build params), stamped + persisted like
     * [[ivfIndex]]: first process per data version trains the routing
     * centroids and serializes the shard graphs; later ones deserialize —
-    * zero Lloyd rounds, zero graph builds. */
+    * zero Lloyd rounds, zero graph builds.
+    *
+    * The `embed_topk_hnsw_routed` oracle pins this APPROXIMATE index to
+    * the exact brute-force top-k, which is only sound when every shard
+    * graph fits inside the search beam. That precondition is ENFORCED,
+    * not assumed: efSearch is derived from the table size (>= total rows,
+    * so no k-means imbalance can overflow any one shard's beam) and the
+    * built index is re-checked shard-by-shard — a larger embeddings table
+    * widens the beam instead of silently flaking the exact-set gate. */
   def routedIndex(spark: SparkSession, sfDir: String): graft.ann.RoutedAnnIndex =
-    routedIndexes.getOrElseUpdate(sfDir,
-      graft.ann.RoutedAnnIndex.buildOrLoad(embKeyed(spark, sfDir), 64,
+    routedIndexes.getOrElseUpdate(sfDir, {
+      val keyed = embKeyed(spark, sfDir)
+      val ef = math.max(128L, keyed.count()).toInt
+      val idx = graft.ann.RoutedAnnIndex.buildOrLoad(keyed, 64,
         graft.types.NonLinearConfig.HNSWConfig(
           efConstruction = 100, maximumConnections = 40,
-          maximumConnectionsZero = 80, efSearch = 128,
+          maximumConnectionsZero = 80, efSearch = ef,
           metric = graft.types.Algorithm.CosineSimilarity),
         numShards = 8, dir = artifactDir("routed", sfDir),
-        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2))
+        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2)
+      val maxShard = idx.shards.map {
+        case h: graft.ann.HnswShard => h.index.size.toLong
+        case _ => 0L
+      }.fold(0L)(math.max)
+      require(maxShard <= ef,
+        s"routed test fixture: largest shard ($maxShard rows) exceeds " +
+          s"efSearch=$ef — the exact-set oracle precondition is violated")
+      idx
+    })
 
   private val pqBooks = TrieMap[String, graft.ann.PqCodebook]()
 

@@ -112,7 +112,7 @@ class RoutedAnnSpec extends AnyFunSuite {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-routed-artifacts").toString
     RoutedAnnIndex.save(index, dir, sourceStamp = "v1")
-    val loaded = RoutedAnnIndex.load(s, dir, cfg, "v1")
+    val loaded = RoutedAnnIndex.load(s, dir, cfg, "v1", iters = 3)
     assert(loaded.isDefined, "artifacts failed to load")
     try {
       assert(loaded.get.centroids.map(_.toSeq).toSeq ==
@@ -122,9 +122,18 @@ class RoutedAnnSpec extends AnyFunSuite {
           "restored routed index diverges from the built one")
       }
     } finally loaded.get.unpersist()
-    // staleness: wrong stamp, wrong config, wrong shard count all rebuild
-    assert(RoutedAnnIndex.load(s, dir, cfg, "v2").isEmpty)
-    assert(RoutedAnnIndex.load(s, dir, cfg.copy(efSearch = 99), "v1").isEmpty)
+    // staleness: wrong stamp, wrong config, wrong shard count — and wrong
+    // BUILD PARAMS (iters, maxReplicas): an artifact built under a
+    // different Lloyd-round count or replica cap is a different index
+    // even at identical eps — all rebuild
+    assert(RoutedAnnIndex.load(s, dir, cfg, "v2", iters = 3).isEmpty)
+    assert(RoutedAnnIndex.load(s, dir, cfg.copy(efSearch = 99), "v1",
+      iters = 3).isEmpty)
+    assert(RoutedAnnIndex.load(s, dir, cfg, "v1", iters = 2).isEmpty,
+      "iters mismatch must invalidate the artifact")
+    assert(RoutedAnnIndex.load(s, dir, cfg, "v1", iters = 3,
+      maxReplicas = 5).isEmpty,
+      "maxReplicas mismatch must invalidate the artifact")
     val df = ids.indices.take(500).map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
     val rebuilt = RoutedAnnIndex.buildOrLoad(df, Dim, cfg, numShards = 4,
       dir = dir, sourceStamp = "v1")
