@@ -98,6 +98,8 @@ object Bench {
       graft.queries.TestStores.aiEngine(spark, sfDir)
     if (selectedNames.contains("vdb_sim_kdtree_filtered_large"))
       graft.queries.TestStores.li4Engine(spark, sfDir)
+    if (selectedNames.contains("vdb_sim_hnsw_routed"))
+      graft.queries.TestStores.routedEngine(spark, sfDir)
     if (selectedNames.exists(n => n == "dedup_incremental" ||
         n == "docs_dedup_incr_stream"))
       graft.queries.TestStores.minHashIndex(spark, sfDir)

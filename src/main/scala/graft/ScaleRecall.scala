@@ -42,7 +42,7 @@ object ScaleRecall {
     * meaningful on. Used by the ORGANIC mode below because the SCALED
     * corpus is replica-structured (each query's true top-K are its own
     * near-replicas — every bucketed method reads 1.0 there). */
-  private final class SiftGen(seed: Long, dim: Int,
+  private[graft] final class SiftGen(seed: Long, dim: Int,
       intrinsic: Int) extends Serializable {
     private def mix(s: Long): Long = {
       var z = s + 0x9e3779b97f4a7c15L

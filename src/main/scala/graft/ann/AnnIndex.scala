@@ -122,6 +122,11 @@ object AnnIndex {
         t.build(rows.map(_._1), rows.map(_._2))
         Iterator(new KdShard(t): AnnShard)
       }
+    case r: NonLinearConfig.RoutedHNSWConfig =>
+      // routed shards are content-assigned, not id-hashed — they can never
+      // be built through the hash-sharded path (see RoutedAnnIndex.build)
+      throw GraftException(
+        s"${r.kind} cannot be built as a hash-sharded index")
   }
 
   /** Batch index-build job (CreateNonLinearAlgorithmIndex,
@@ -382,20 +387,44 @@ object AnnSearch {
   def getSimN(engine: GraftEngine, st: GraftEngine#StoreState,
       q: Array[Float], n: Int, algorithm: Algorithm,
       condition: Option[PredicateCondition]): DataFrame = {
+    // HNSW resolves to the hash-sharded graph when one was created, else
+    // to the coarse-ROUTED sharded index ("hnsw_routed" extension kind) —
+    // so the reference-parity GetSimN call reaches the 100 TB read path
+    // the moment the store's index is the routed one, with no API change
     val kind = algorithm match {
       case Algorithm.KDTree => "kdtree"
+      case Algorithm.HNSW
+          if !st.meta.nonLinearIndexes.contains("hnsw") &&
+            st.meta.nonLinearIndexes.contains("hnsw_routed") => "hnsw_routed"
       case Algorithm.HNSW   => "hnsw"
       case other => throw GraftException(s"$other is not a non-linear algorithm")
     }
-    // ensureAnnIndex: post-restart the index structure is built lazily here,
-    // on the first query that needs it (GraftEngine.load attaches configs only)
-    val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
-      throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))
-    // the metric the index orders by → the algorithm used for scoring output
-    val scoringAlgo = index.config match {
-      case _: NonLinearConfig.KDTreeConfig => Algorithm.KDTree
-      case h: NonLinearConfig.HNSWConfig   => h.metric
-    }
+    // empty store: nothing to search — short-circuit AFTER the kind is
+    // known but BEFORE any lazy structure build (the routed builder's
+    // k-means needs >= 1 row; the result is empty either way). The
+    // index-not-found error still fires first for a store that never
+    // created one (config check inside ensure*Index below).
+    if (st.meta.nonLinearIndexes.contains(kind) && st.len == 0)
+      return emptyResult(engine)
+    // ensure*Index: post-restart the index structure is built lazily here,
+    // on the first query that needs it (GraftEngine.load attaches configs
+    // only); (search closure, the metric the index orders by)
+    val (search, scoringAlgo): ((Array[Float], Int, IdFilter) => Seq[(Long, Double)], Algorithm) =
+      if (kind == "hnsw_routed") {
+        val (idx, cfg) = engine.ensureRoutedIndex(st.meta.name, st.meta.schema)
+          .getOrElse(throw GraftException(
+            s"Non linear algorithm index $kind not found in store, create one"))
+        ((q2, k2, f) => idx.search(q2, k2, cfg.probes, f), cfg.hnsw.metric)
+      } else {
+        val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
+          throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))
+        val sa = index.config match {
+          case _: NonLinearConfig.KDTreeConfig => Algorithm.KDTree
+          case h: NonLinearConfig.HNSWConfig   => h.metric
+          case c => throw GraftException(s"unexpected hash-sharded index config $c")
+        }
+        ((q2, k2, f) => index.search(q2, k2, f), sa)
+      }
 
     condition match {
       case Some(cond) =>
@@ -419,7 +448,7 @@ object AnnSearch {
             // post-verify the merged candidates against the exact predicate
             // during hydration.
             val bloom = acceptedIds.stat.bloomFilter("id", cnt, 0.001)
-            val hits = index.search(q, n + FalsePositiveSlack, IdFilter.Bloom(bloom))
+            val hits = search(q, n + FalsePositiveSlack, IdFilter.Bloom(bloom))
             hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
           }
           // safe to release in all arms: the Bloom/empty results are already
@@ -427,7 +456,7 @@ object AnnSearch {
           // st.df.where(predCol), not the cached ids
         } finally acceptedIds.unpersist(blocking = false)
       case None =>
-        hydrate(engine, st, index.search(q, n), q, n, scoringAlgo, None)
+        hydrate(engine, st, search(q, n, null), q, n, scoringAlgo, None)
     }
   }
 

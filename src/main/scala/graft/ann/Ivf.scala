@@ -314,7 +314,7 @@ object IvfIndex {
     * `iters` rounds as DataFrame jobs over an ALREADY-CACHED (id, key)
     * frame. Shared by [[build]] and the routed-HNSW coarse layer
     * ([[RoutedAnnIndex]]) so their routing geometry is one code path. */
-  private[ann] def trainCentroids(df: DataFrame, nCells: Int,
+  private[graft] def trainCentroids(df: DataFrame, nCells: Int,
       iters: Int): Array[Array[Float]] = {
     require(nCells > 0)
     var centroids: Array[Array[Float]] = df

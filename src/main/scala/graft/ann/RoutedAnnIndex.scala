@@ -242,7 +242,15 @@ object RoutedAnnIndex {
       .getOrElse {
         val built = build(dfIn, dim, config, numShards, iters,
           replicationEps, maxReplicas)
-        save(built, dir, sourceStamp)
+        // best-effort: artifacts are derived state — an IO failure here
+        // degrades the next restart to a rebuild, it never fails the
+        // operation that built the index (GraftEngine's artifact policy)
+        try save(built, dir, sourceStamp)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"RoutedAnnIndex artifact save to $dir failed", e)
+        }
         built
       }
 
@@ -265,13 +273,29 @@ object RoutedAnnIndex {
     * to the training geometry). */
   def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
       numShards: Int, iters: Int = 2, replicationEps: Double = 0.0,
-      maxReplicas: Int = 2): RoutedAnnIndex = {
+      maxReplicas: Int = 2): RoutedAnnIndex =
+    build(dfIn, dim, config, numShards, iters, replicationEps, maxReplicas,
+      frozenCentroids = None)
+
+  /** Build variant taking PRE-TRAINED routing centroids (no Lloyd rounds):
+    * the primitive behind the maintenance story — "append without
+    * reclustering" is a shard rebuild of (old ∪ new) rows against the OLD
+    * index's frozen centroids, and the recall decay of exactly that
+    * configuration vs a full recluster is what [[graft.ScaleStaleness]]
+    * measures to derive the recluster cadence. */
+  def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
+      numShards: Int, iters: Int, replicationEps: Double,
+      maxReplicas: Int,
+      frozenCentroids: Option[Array[Array[Float]]]): RoutedAnnIndex = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     require(replicationEps >= 0.0, s"replicationEps must be >= 0, got $replicationEps")
     require(maxReplicas >= 1, s"maxReplicas must be >= 1, got $maxReplicas")
+    frozenCentroids.foreach(c => require(c.length == numShards,
+      s"frozen centroid count ${c.length} != numShards $numShards"))
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
-    val centroids = IvfIndex.trainCentroids(df, numShards, iters)
+    val centroids = frozenCentroids.getOrElse(
+      IvfIndex.trainCentroids(df, numShards, iters))
     val assigned =
       if (replicationEps <= 0.0)
         df.select(IvfIndex.assignCell(col("key"), centroids).cast("int").as("_s"),

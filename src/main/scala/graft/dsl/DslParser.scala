@@ -126,11 +126,19 @@ object DslParser extends RegexParsers {
 
   private val nonLinearAlgorithm: Parser[NonLinearConfig] =
     (kw("kdtree") ^^^ NonLinearConfig.KDTreeConfig()) |
+    // EXTENSION kind (longest-match first: "hnsw" is its prefix) — the
+    // coarse-routed sharded HNSW, optional (shards, probes) sizing
+    (kw("hnsw_routed") ~> opt("(" ~> (nonZero <~ ",") ~ nonZero <~ ")") ^^ {
+      case Some(sh ~ pr) => NonLinearConfig.RoutedHNSWConfig(
+        numShards = sh, probes = pr)
+      case None => NonLinearConfig.RoutedHNSWConfig()
+    }) |
     (kw("hnsw") ^^^ NonLinearConfig.HNSWConfig())
   private val nonLinearAlgorithms: Parser[Seq[NonLinearConfig]] =
     rep1sep(nonLinearAlgorithm, ",")
   private val nonLinearKinds: Parser[Seq[String]] =
-    rep1sep((kw("kdtree") ^^^ "kdtree") | (kw("hnsw") ^^^ "hnsw"), ",")
+    rep1sep((kw("kdtree") ^^^ "kdtree") |
+      (kw("hnsw_routed") ^^^ "hnsw_routed") | (kw("hnsw") ^^^ "hnsw"), ",")
 
   private val algorithm: Parser[Algorithm] =
     (kw("kdtree") ^^^ (Algorithm.KDTree: Algorithm)) |

@@ -50,7 +50,12 @@ class GraftEngine(val spark: SparkSession,
       len: Long = 0L,
       annIndexes: Map[String, graft.ann.AnnIndex] = Map.empty,
       version: Long = 0L,
-      bucketPaths: Map[Int, String] = Map.empty)
+      bucketPaths: Map[Int, String] = Map.empty,
+      // the coarse-ROUTED sharded HNSW ("hnsw_routed" extension kind) lives
+      // beside the hash-sharded annIndexes: it has no delta patch (content
+      // routing can't align with id-hash buckets), so mutations clear it
+      // whole and the next search reclusters — see mutateStore
+      routedIndex: Option[graft.ann.RoutedAnnIndex] = None)
 
   private val catalog = TrieMap[(String, String), StoreState]()
   val DefaultSchema = "public"
@@ -323,8 +328,15 @@ class GraftEngine(val spark: SparkSession,
     // reference's guard-held reads have the same one-generation scope).
     st.df.unpersist(blocking = false)
     st.annIndexes.values.foreach(_.unpersist())
+    // the routed index has no patch path: content-routed shards can't be
+    // pruned by the mutation's touched id-hash buckets, and patching
+    // against frozen centroids silently degrades recall — invalidate whole;
+    // the next routed search reclusters lazily (ensureRoutedIndex), so
+    // mutations on routed-indexed stores never pay an eager recluster
+    st.routedIndex.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
-      annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths)
+      annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths,
+      routedIndex = None)
     flushStore(schema, name)
     // keep on-disk index artifacts current: patched indexes rewrite ONLY
     // their touched shards (write cost rides the batch size, like the
@@ -398,6 +410,7 @@ class GraftEngine(val spark: SparkSession,
       case Some(st) =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
+        st.routedIndex.foreach(_.unpersist())
         dropRecord(schema, name)
         persistRoot.foreach { r =>
           Persistence.deleteDir(s"$r/data/$schema/$name")
@@ -419,6 +432,7 @@ class GraftEngine(val spark: SparkSession,
       storeLock(k._1, k._2).synchronized { catalog.remove(k) }.foreach { st =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
+        st.routedIndex.foreach(_.unpersist())
       }
       dropRecord(k._1, k._2)
     }
@@ -437,6 +451,7 @@ class GraftEngine(val spark: SparkSession,
       storeLock(k._1, k._2).synchronized { catalog.remove(k) }.foreach { st =>
         st.df.unpersist(blocking = false)
         st.annIndexes.values.foreach(_.unpersist())
+        st.routedIndex.foreach(_.unpersist())
       }
       dropRecord(k._1, k._2)
     }
@@ -480,6 +495,9 @@ class GraftEngine(val spark: SparkSession,
     case h: NonLinearConfig.HNSWConfig =>
       s"hnsw(efC=${h.efConstruction},m=${h.maximumConnections}," +
         s"m0=${h.maximumConnectionsZero},ef=${h.efSearch},metric=${h.metric})"
+    case r: NonLinearConfig.RoutedHNSWConfig =>
+      s"hnsw_routed(shards=${r.numShards},probes=${r.probes}," +
+        s"eps=${r.replicationEps},base=${describeConfig(r.hnsw)})"
   }
 
   /** Catalog-only metadata update (AI session config recording etc.) —
@@ -849,13 +867,20 @@ class GraftEngine(val spark: SparkSession,
     storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))
-    val built = fresh.map { c =>
+    val (routedCfgs, hashCfgs) = fresh.partition(
+      _.isInstanceOf[NonLinearConfig.RoutedHNSWConfig])
+    val built = hashCfgs.map { c =>
       c.kind -> graft.ann.AnnIndex.build(st.df, st.meta.dimension, c)
     }.toMap
+    val routedBuilt = routedCfgs.lastOption.map { c =>
+      buildRoutedIndex(st, c.asInstanceOf[NonLinearConfig.RoutedHNSWConfig],
+        schema, name)
+    }
     catalog((schema, name)) = st.copy(
       meta = st.meta.copy(nonLinearIndexes =
         st.meta.nonLinearIndexes ++ fresh.map(c => c.kind -> c)),
-      annIndexes = st.annIndexes ++ built)
+      annIndexes = st.annIndexes ++ built,
+      routedIndex = routedBuilt.orElse(st.routedIndex))
     flushStore(schema, name)
     built.foreach { case (kind, idx) =>
       saveIndexArtifacts(schema, name, kind, idx, st.bucketPaths)
@@ -873,9 +898,12 @@ class GraftEngine(val spark: SparkSession,
     if (present.size != kinds.size && errorIfNotExists)
       throw GraftException(s"Non linear algorithm index not found in store")
     present.foreach(k => st.annIndexes.get(k).foreach(_.unpersist()))
+    if (present.contains("hnsw_routed")) st.routedIndex.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(
       meta = st.meta.copy(nonLinearIndexes = st.meta.nonLinearIndexes -- present),
-      annIndexes = st.annIndexes -- present)
+      annIndexes = st.annIndexes -- present,
+      routedIndex =
+        if (present.contains("hnsw_routed")) None else st.routedIndex)
     flushStore(schema, name)
     persistRoot.foreach(root => present.foreach(k =>
       Persistence.deleteDir(Persistence.indexDir(root, schema, name, k))))
@@ -917,6 +945,55 @@ class GraftEngine(val spark: SparkSession,
         built
       }
     }
+    }
+  }
+
+  /** Build (or restore) the routed index for one store generation. The
+    * artifact source stamp is the store VERSION: any mutation bumps it, so
+    * a restart after mutations rebuilds instead of loading stale shards —
+    * the same all-or-nothing freshness rule as the routed manifest itself. */
+  private def buildRoutedIndex(st: StoreState,
+      cfg: NonLinearConfig.RoutedHNSWConfig, schema: String,
+      name: String): graft.ann.RoutedAnnIndex = {
+    val src = st.df.select(col("id"), col("key"))
+    val stamp = s"$schema/$name@v${st.version}"
+    persistRoot match {
+      case Some(root) =>
+        graft.ann.RoutedAnnIndex.buildOrLoad(src, st.meta.dimension,
+          cfg.hnsw, cfg.numShards,
+          Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,
+          cfg.iters, cfg.replicationEps, cfg.maxReplicas)
+      case None =>
+        graft.ann.RoutedAnnIndex.build(src, st.meta.dimension, cfg.hnsw,
+          cfg.numShards, cfg.iters, cfg.replicationEps, cfg.maxReplicas)
+    }
+  }
+
+  /** The store's routed index, attached on first use when only the config
+    * survived (post-restart or post-mutation): same lazy contract as
+    * [[ensureAnnIndex]] — a mutated or restored routed store pays the
+    * recluster on its first routed SEARCH, never on the mutation. */
+  private[graft] def ensureRoutedIndex(name: String,
+      schema: String = DefaultSchema):
+      Option[(graft.ann.RoutedAnnIndex, NonLinearConfig.RoutedHNSWConfig)] = {
+    val st0 = state(schema, name)
+    val cfg0 = st0.meta.nonLinearIndexes.get("hnsw_routed")
+      .collect { case c: NonLinearConfig.RoutedHNSWConfig => c }
+    cfg0 match {
+      case None => None
+      case Some(cfg) =>
+        st0.routedIndex match {
+          case Some(idx) => Some((idx, cfg)) // lock-free fast path
+          case None => storeLock(schema, name).synchronized {
+            val st = state(schema, name)
+            val idx = st.routedIndex.getOrElse {
+              val built = buildRoutedIndex(st, cfg, schema, name)
+              catalog((schema, name)) = st.copy(routedIndex = Some(built))
+              built
+            }
+            Some((idx, cfg))
+          }
+        }
     }
   }
 

@@ -73,6 +73,17 @@ object Persistence {
 
   // ------------------------------------------------------------- catalog IO
 
+  private def hnswJson(kind: String, h: NonLinearConfig.HNSWConfig): JObject =
+    JObject(
+      "kind" -> JString(kind),
+      "efConstruction" -> JInt(h.efConstruction),
+      "maximumConnections" -> JInt(h.maximumConnections),
+      "maximumConnectionsZero" -> JInt(h.maximumConnectionsZero),
+      "efSearch" -> JInt(h.efSearch),
+      "metric" -> JString(h.metric.toString),
+      "extendCandidates" -> JBool(h.extendCandidates),
+      "keepPrunedConnections" -> JBool(h.keepPrunedConnections))
+
   private def metaToJson(r: StoreRecord): JValue = {
     val m = r.meta
     JObject(
@@ -85,15 +96,16 @@ object Persistence {
       "predicateIndexes" -> JArray(m.predicateIndexes.toList.sorted.map(JString(_))),
       "nonLinearIndexes" -> JArray(m.nonLinearIndexes.values.toList.sortBy(_.kind).map {
         case NonLinearConfig.KDTreeConfig() => JObject("kind" -> JString("kdtree"))
-        case h: NonLinearConfig.HNSWConfig => JObject(
-          "kind" -> JString("hnsw"),
-          "efConstruction" -> JInt(h.efConstruction),
-          "maximumConnections" -> JInt(h.maximumConnections),
-          "maximumConnectionsZero" -> JInt(h.maximumConnectionsZero),
-          "efSearch" -> JInt(h.efSearch),
-          "metric" -> JString(h.metric.toString),
-          "extendCandidates" -> JBool(h.extendCandidates),
-          "keepPrunedConnections" -> JBool(h.keepPrunedConnections))
+        case h: NonLinearConfig.HNSWConfig => hnswJson("hnsw", h)
+        case r: NonLinearConfig.RoutedHNSWConfig => JObject(
+          ("kind" -> (JString("hnsw_routed"): JValue)) ::
+            hnswJson("hnsw", r.hnsw).obj.tail :::
+            List[(String, JValue)](
+              "numShards" -> JInt(r.numShards),
+              "probes" -> JInt(r.probes),
+              "iters" -> JInt(r.iters),
+              "replicationEps" -> JString(r.replicationEps.toString),
+              "maxReplicas" -> JInt(r.maxReplicas)))
       }),
       "storeOriginal" -> JBool(m.storeOriginal),
       "queryModel" -> m.queryModel.map(JString(_)).getOrElse(JNull),
@@ -120,23 +132,34 @@ object Persistence {
     def bool(k: String): Boolean = (j \ k) match { case JBool(b) => b; case _ => false }
     val nl = (j \ "nonLinearIndexes") match {
       case JArray(items) => items.map { it =>
+        def iint(k: String, d: Int) = (it \ k) match { case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => d }
+        def hnswOf: NonLinearConfig.HNSWConfig = {
+          val metric = (it \ "metric") match {
+            case JString("EuclideanDistance") => Algorithm.EuclideanDistance
+            case JString("DotProductSimilarity") => Algorithm.DotProductSimilarity
+            case _ => Algorithm.CosineSimilarity
+          }
+          NonLinearConfig.HNSWConfig(
+            efConstruction = iint("efConstruction", 100),
+            maximumConnections = iint("maximumConnections", 16),
+            maximumConnectionsZero = iint("maximumConnectionsZero", 32),
+            efSearch = iint("efSearch", 16),
+            metric = metric,
+            extendCandidates = (it \ "extendCandidates") == JBool(true),
+            keepPrunedConnections = (it \ "keepPrunedConnections") == JBool(true))
+        }
         (it \ "kind") match {
           case JString("kdtree") => NonLinearConfig.KDTreeConfig(): NonLinearConfig
-          case JString("hnsw") =>
-            def iint(k: String, d: Int) = (it \ k) match { case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => d }
-            val metric = (it \ "metric") match {
-              case JString("EuclideanDistance") => Algorithm.EuclideanDistance
-              case JString("DotProductSimilarity") => Algorithm.DotProductSimilarity
-              case _ => Algorithm.CosineSimilarity
-            }
-            NonLinearConfig.HNSWConfig(
-              efConstruction = iint("efConstruction", 100),
-              maximumConnections = iint("maximumConnections", 16),
-              maximumConnectionsZero = iint("maximumConnectionsZero", 32),
-              efSearch = iint("efSearch", 16),
-              metric = metric,
-              extendCandidates = (it \ "extendCandidates") == JBool(true),
-              keepPrunedConnections = (it \ "keepPrunedConnections") == JBool(true)): NonLinearConfig
+          case JString("hnsw") => hnswOf: NonLinearConfig
+          case JString("hnsw_routed") =>
+            NonLinearConfig.RoutedHNSWConfig(
+              hnsw = hnswOf,
+              numShards = iint("numShards", 16),
+              probes = iint("probes", 4),
+              iters = iint("iters", 2),
+              replicationEps = (it \ "replicationEps") match {
+                case JString(s) => s.toDouble; case _ => 0.0 },
+              maxReplicas = iint("maxReplicas", 2)): NonLinearConfig
           case other => sys.error(s"unknown index kind $other")
         }
       }

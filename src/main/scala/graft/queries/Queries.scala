@@ -516,6 +516,21 @@ object Queries {
       },
       Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true))),
 
+    // ---- GetSimN via the coarse-ROUTED sharded HNSW, through the
+    // reference-parity API: the store's only index is the "hnsw_routed"
+    // extension kind, so Algorithm.HNSW dispatches to the content-routed
+    // 100 TB read path (GraftEngine.ensureRoutedIndex). Exhaustive probes
+    // + a beam wider than any shard ⇒ exact cosine top-k, same oracle as
+    // vdb_sim_hnsw; pruned-probe recall curves live in RoutedAnnSpec /
+    // SCALE.md. ----
+    "vdb_sim_hnsw_routed" -> Q(
+      (s, dir) => {
+        val e = TestStores.routedEngine(s, dir)
+        TestStores.simResult(e.getSimN("embr", TestStores.queryVec(s, dir), 10,
+          Algorithm.HNSW))
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true))),
+
     // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
     "vdb_set_counts" -> Q(
       (s, dir) => {

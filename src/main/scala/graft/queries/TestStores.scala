@@ -252,6 +252,29 @@ object TestStores {
         ksub = 64, dir = artifactDir("pq", sfDir),
         sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2))
 
+  private val routedEngines = TrieMap[String, GraftEngine]()
+
+  /** Shared READ-ONLY engine whose "embr" store carries ONLY the
+    * "hnsw_routed" extension index, so `getSimN(..., Algorithm.HNSW)`
+    * dispatches to the coarse-routed sharded index through the
+    * reference-parity API (no extension DSL involved). probes = numShards
+    * (exhaustive) + a beam wider than any shard at the test scale factors
+    * ⇒ the result EQUALS exact cosine top-k and earns the full oracle;
+    * pruned-probe recall is RoutedAnnSpec / ScaleRecall territory. */
+  def routedEngine(spark: SparkSession, sfDir: String): GraftEngine =
+    routedEngines.getOrElseUpdate(sfDir, {
+      val e = new GraftEngine(spark)
+      e.createStore("embr", 64)
+      e.set("embr", embEntries(spark, sfDir))
+      e.createNonLinearIndex("embr", Seq(
+        graft.types.NonLinearConfig.RoutedHNSWConfig(
+          hnsw = graft.types.NonLinearConfig.HNSWConfig(
+            efConstruction = 100, maximumConnections = 40,
+            maximumConnectionsZero = 80, efSearch = 4096),
+          numShards = 8, probes = 8)))
+      e
+    })
+
   /** Raw text of one document (the AI-layer query probe). */
   def docText(spark: SparkSession, sfDir: String, docId: Long): String =
     table(spark, sfDir, "documents").where(col("doc_id") === docId)

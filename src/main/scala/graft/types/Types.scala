@@ -90,6 +90,24 @@ object NonLinearConfig {
       metric: Algorithm = Algorithm.CosineSimilarity,
       extendCandidates: Boolean = false,
       keepPrunedConnections: Boolean = false) extends NonLinearConfig { def kind = "hnsw" }
+
+  /** EXTENSION (no reference analog): coarse-ROUTED sharded HNSW — the
+    * 100 TB read path ([[graft.ann.RoutedAnnIndex]]). k-means routing
+    * centroids assign rows to content-based shards, one HNSW graph per
+    * shard; a query searches only the `probes` nearest shards, so
+    * per-query work scales with `probes`, not shard count. probes >=
+    * numShards is exhaustive (identical result set to one hash-sharded
+    * HNSW fan-out); smaller probes trades recall exactly like IVF nProbe.
+    * No delta patch: mutations invalidate the structure whole and the
+    * next search reclusters (content routing can't align with the
+    * persistence layer's id-hash buckets). */
+  final case class RoutedHNSWConfig(
+      hnsw: HNSWConfig = HNSWConfig(),
+      numShards: Int = 16,
+      probes: Int = 4,
+      iters: Int = 2,
+      replicationEps: Double = 0.0,
+      maxReplicas: Int = 2) extends NonLinearConfig { def kind = "hnsw_routed" }
 }
 
 /** Per-store catalog record, mirroring StoreInfo

@@ -51,7 +51,7 @@ class IvfSpec extends AnyFunSuite {
     // exact arm
     val exact = ivf.topKJoin(qDf, "qid", "qv", k = 10, nProbe = 16)
       .collect().groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
     queries.foreach { case (qid, qv) =>
       val exp = bruteTopK(Algorithm.EuclideanDistance, ids, vecs, qv, 10).map(_._1)
       assert(exact(qid) == exp, s"exact join mismatch for query $qid")

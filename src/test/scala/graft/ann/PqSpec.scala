@@ -56,7 +56,7 @@ class PqSpec extends AnyFunSuite {
     val out = cb.topKJoin(queries.toDF("qid", "qv"), df,
         "qid", "qv", "id", "key", k = 10, shortlist = 1000)
       .collect().groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
     queries.foreach { case (qid, qv) =>
       val exp = bruteTopK(Algorithm.CosineSimilarity, ids, vecs, qv, 10).map(_._1)
       assert(out(qid) == exp, s"query $qid")
@@ -86,7 +86,7 @@ class PqSpec extends AnyFunSuite {
       val queries = (0 until 10).map(qi => ((8000 + qi).toLong, gen((8000 + qi).toLong)))
       val qDf = queries.toDF("qid", "qv")
       def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       val exhaustive = rows(ivf.pqTopKJoin(qDf, "qid", "qv",
         k = 10, nProbe = 8, shortlist = 80, cb))
       val brute = rows(cb.topKJoin(qDf, df, "qid", "qv", "id", "key",

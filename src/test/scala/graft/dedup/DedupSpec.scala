@@ -156,7 +156,7 @@ class DedupSpec extends AnyFunSuite {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))).toDF("id", "vec")
     val out = Dedup.topKJoin(vecs.where(col("id") < 3), vecs, "id", "vec", "id", "vec", 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     // brute force
     val all = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toDouble)))
     def cos(a: Seq[Double], b: Seq[Double]): Double = {

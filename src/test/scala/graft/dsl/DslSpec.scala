@@ -935,7 +935,7 @@ class DslSpec extends AnyFunSuite {
     assert(results.size == 3 && results.forall(_.isRight), results)
     def ranked(i: Int) = results(i) match {
       case Right(Response.Entries(d)) => d.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._3).toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3).toSeq
       case other => fail(s"step $i: $other")
     }
     // shortlist = corpus ⇒ the PQ arms rescan everything exactly

@@ -1,0 +1,176 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestFixtures.spark
+import graft.types._
+import graft.types.MetadataValue.RawString
+import graft.types.PredicateCondition._
+
+/**
+ * The coarse-ROUTED sharded HNSW ("hnsw_routed" extension kind) through
+ * the reference-parity engine surface: CreateNonLinearAlgorithmIndex /
+ * GetSimN / DropNonLinearAlgorithmIndex / persistence restart — so the
+ * 100 TB read path ([[graft.ann.RoutedAnnIndex]]) is reachable from the
+ * same API the reference's clients hold, not only the extension DSL.
+ * Recall-vs-probes curves live in RoutedAnnSpec / ScaleRecall; this spec
+ * pins DISPATCH and LIFECYCLE semantics.
+ */
+class RoutedEngineSpec extends AnyFunSuite {
+
+  private val Dim = 16
+  private val N = 400
+
+  private def meta(kvs: (String, String)*): Map[String, MetadataValue] =
+    kvs.map { case (k, v) => k -> (RawString(v): MetadataValue) }.toMap
+
+  private def vecs(seed: Long, n: Int): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(Dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  // exhaustive probes + beam >> rows/shard => exact (the oracle identity)
+  private val exactCfg = NonLinearConfig.RoutedHNSWConfig(
+    hnsw = NonLinearConfig.HNSWConfig(efSearch = 4096),
+    numShards = 8, probes = 8)
+
+  private def freshRouted(name: String,
+      cfg: NonLinearConfig.RoutedHNSWConfig = exactCfg): GraftEngine = {
+    val e = new GraftEngine(spark)
+    e.createStore(name, Dim, predicates = Set("tag"))
+    e.setSeq(name, vecs(7L, N).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString, "tag" -> (if (i % 3 == 0) "odd" else "even")))
+    })
+    e.createNonLinearIndex(name, Seq(cfg))
+    e
+  }
+
+  test("Algorithm.HNSW dispatches to the routed index and, exhaustive, equals linear cosine") {
+    val e = freshRouted("r1")
+    val q = vecs(99L, 1).head
+    val routed = e.getSimN("r1", q, 10, Algorithm.HNSW)
+      .select("key", "similarity").collect().toSeq
+    val linear = e.getSimN("r1", q, 10, Algorithm.CosineSimilarity)
+      .select("key", "similarity").collect().toSeq
+    assert(routed == linear,
+      "exhaustive routed GetSimN must equal the linear cosine top-k")
+    e.dropStore("r1")
+  }
+
+  test("GetStore lists the routed index kind with its config description") {
+    val e = freshRouted("r2")
+    val info = e.getStore("r2")
+    assert(info.nonLinearIndexes == Seq("hnsw_routed"))
+    assert(info.nonLinearConfigs.exists(_.startsWith("hnsw_routed(shards=8,probes=8")))
+    e.dropStore("r2")
+  }
+
+  test("predicate-filtered GetSimN works through the routed dispatch (both arms)") {
+    val e = freshRouted("r3")
+    val q = vecs(99L, 1).head
+    // small accept set -> brute-force cutover arm (<= 4096 rows): exact
+    val filtered = e.getSimN("r3", q, 5, Algorithm.HNSW,
+      Some(Equals("tag", RawString("odd")))).collect()
+    assert(filtered.length == 5)
+    filtered.foreach { r =>
+      val tag = r.getAs[Map[String, org.apache.spark.sql.Row]]("value")("tag")
+      assert(tag.getString(1) == "odd")
+    }
+    // empty accept set short-circuits, never touches the index
+    assert(e.getSimN("r3", q, 5, Algorithm.HNSW,
+      Some(Equals("tag", RawString("nope")))).count() == 0)
+    e.dropStore("r3")
+  }
+
+  test("mutation invalidates the routed structure; the next search sees new rows") {
+    val e = freshRouted("r4")
+    val probe = Array.fill(Dim)(0.9f)
+    val before = e.getSimN("r4", probe, 1, Algorithm.HNSW)
+      .collect().head.getAs[Float]("similarity")
+    // insert an exact-match vector: if the routed index were stale, the
+    // new row could not surface (content-routed shards are frozen at build)
+    e.setSeq("r4", Seq((probe, meta("i" -> "new"))))
+    val after = e.getSimN("r4", probe, 1, Algorithm.HNSW).collect().head
+    assert(after.getAs[Float]("similarity") > before,
+      "post-mutation routed search must include the inserted row")
+    val tag = after.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
+    assert(tag.getString(1) == "new")
+    e.dropStore("r4")
+  }
+
+  test("drop lifecycle: dropping hnsw_routed makes Algorithm.HNSW fail; idempotency counts") {
+    val e = freshRouted("r5")
+    assert(e.dropNonLinearIndex("r5", Set("hnsw_routed")) == 1)
+    intercept[GraftException](
+      e.getSimN("r5", vecs(1L, 1).head, 3, Algorithm.HNSW))
+    assert(e.dropNonLinearIndex("r5", Set("hnsw_routed"),
+      errorIfNotExists = false) == 0)
+    // re-create after drop works
+    assert(e.createNonLinearIndex("r5", Seq(exactCfg)) == 1)
+    assert(e.getSimN("r5", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e.dropStore("r5")
+  }
+
+  test("persistence: config + artifacts survive restart; post-mutation restart rebuilds fresh") {
+    val root = Files.createTempDirectory("graft-routed-persist").toString
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("rp", Dim)
+    e1.setSeq("rp", vecs(7L, N).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    e1.createNonLinearIndex("rp", Seq(exactCfg))
+    val q = vecs(99L, 1).head
+    val expect = e1.getSimN("rp", q, 10, Algorithm.HNSW)
+      .select("key", "similarity").collect().toSeq
+
+    // restart: config restored from the catalog, structure lazily attached
+    // from the stamped artifacts on first search
+    val e2 = GraftEngine.load(spark, root)
+    assert(e2.getStore("rp").nonLinearIndexes == Seq("hnsw_routed"))
+    val got = e2.getSimN("rp", q, 10, Algorithm.HNSW)
+      .select("key", "similarity").collect().toSeq
+    assert(got == expect, "restored routed index diverges")
+
+    // mutate THEN restart: the version-stamped artifact is stale, the next
+    // search must rebuild over the new generation and see the new row
+    e2.setSeq("rp", Seq((q, meta("i" -> "new"))))
+    val e3 = GraftEngine.load(spark, root)
+    val top = e3.getSimN("rp", q, 1, Algorithm.HNSW).collect().head
+    val tag = top.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
+    assert(tag.getString(1) == "new",
+      "post-mutation restart must not serve the stale routed artifact")
+    e3.purgeStores()
+  }
+
+  test("routed config declared AT CREATE time builds lazily on the first HNSW search") {
+    val e = new GraftEngine(spark)
+    e.createStore("rc", Dim, nonLinearIndexes = Seq(exactCfg))
+    assert(e.getStore("rc").nonLinearIndexes == Seq("hnsw_routed"))
+    // EMPTY indexed store: search returns empty, never tries to train
+    // k-means over zero rows
+    assert(e.getSimN("rc", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 0)
+    e.setSeq("rc", vecs(7L, 64).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    // no structure was built at create/set time; the search attaches it
+    assert(e.getSimN("rc", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e.dropStore("rc")
+  }
+
+  test("DSL: CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, 8)) round-trips") {
+    val e = new GraftEngine(spark)
+    e.createStore("rd", Dim)
+    e.setSeq("rd", vecs(7L, 64).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    val res = graft.dsl.Pipeline.runDb(e,
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, 8)) IN rd")
+    assert(res.forall(_.isRight), s"DSL create failed: $res")
+    assert(e.getStore("rd").nonLinearIndexes == Seq("hnsw_routed"))
+    assert(e.getSimN("rd", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    val res2 = graft.dsl.Pipeline.runDb(e,
+      "DROPNONLINEARALGORITHMINDEX (hnsw_routed) IN rd")
+    assert(res2.forall(_.isRight), s"DSL drop failed: $res2")
+    assert(e.getStore("rd").nonLinearIndexes.isEmpty)
+    e.dropStore("rd")
+  }
+}

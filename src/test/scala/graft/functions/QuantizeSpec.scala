@@ -94,11 +94,11 @@ class QuantizeSpec extends AnyFunSuite {
       .toDF("id", "v")
     val q = df.where(col("id") < 6)
     val exact = graft.dedup.Dedup.topKJoin(q, df, "id", "v", "id", "v", 4)
-      .select("qid", "cid", "cos", "rank").as[(Long, Long, Double, Int)]
+      .select("qid", "cid", "cos", "rank").as[(Long, Long, Double, Long)]
       .collect().toSet
     val quant = Quantize.quantizedTopKJoin(q, df, "id", "v", "id", "v",
         k = 4, shortlist = 120)
-      .select("qid", "cid", "cos", "rank").as[(Long, Long, Double, Int)]
+      .select("qid", "cid", "cos", "rank").as[(Long, Long, Double, Long)]
       .collect().toSet
     assert(quant == exact)
   }
