@@ -28,10 +28,12 @@ import graft.types.{Algorithm, NonLinearConfig}
  * the drifted regime (the new domain's queries are exactly the ones a
  * stale quantizer fails); ground truth = exact cosine top-K over the
  * union ([[graft.dedup.Dedup.topKJoin]], independent code path); compare
- * Recall@50 at fixed probes of (a) shards built against the BASE-trained
- * frozen centroids — the append-without-recluster configuration — and
- * (b) a fully reclustered index (control). Prints one markdown table;
- * numbers land in SCALE.md.
+ * Recall@50 at fixed probes of (a) shards REBUILT against the
+ * BASE-trained frozen centroids — the append-without-recluster shape,
+ * (b) the SHIPPED overlay-append path ([[graft.ann.RoutedAnnIndex.append]]
+ * with guards widened — this arm measures exactly the configurations the
+ * production guards exist to refuse), and (c) a fully reclustered index
+ * (control). Prints one markdown table; numbers land in SCALE.md.
  *
  * Usage: SPARK_GRAFT_STALE_N=200000 runMain graft.ScaleStaleness
  */
@@ -97,8 +99,9 @@ object ScaleStaleness {
     }
 
     val rows = scala.collection.mutable.ArrayBuffer[String]()
-    rows += "| regime | appended | frozen centroids (stale) | reclustered (control) |"
-    rows += "|---|---|---|---|"
+    rows += ("| regime | appended | frozen shard-rebuild (stale) | " +
+      "overlay append (shipped path) | reclustered (control) |")
+    rows += "|---|---|---|---|---|"
 
     for (regime <- Seq("in-dist", "drifted");
          frac <- Seq(0.0, 0.1, 0.25, 0.5)) {
@@ -133,6 +136,23 @@ object ScaleStaleness {
         }
         val rStale = recallOf(stale)
         stale.unpersist()
+        // the SHIPPED append path: exact brute-force overlay tails on the
+        // frozen-centroid base (guards widened — this arm MEASURES the
+        // configurations the production guards exist to refuse)
+        val rOverlay = if (appended == 0) rStale else {
+          val baseIdx = graft.ann.RoutedAnnIndex.build(base, Dim, cfg,
+            nShards, iters = 3, replicationEps = 0.0, maxReplicas = 2,
+            frozenCentroids = Some(frozen))
+          val t0 = System.nanoTime()
+          val ov = baseIdx.append(
+            corpus(gen, 1_000_000L, appended)
+              .select((col("id") + lit(1_000_000L)).as("id"), col("key")),
+            driftLimit = Double.MaxValue, patchLimit = Double.MaxValue).get
+          println(f"  [$regime f=$frac overlay append took ${(System.nanoTime() - t0) / 1e9}%.1f s]")
+          val r = recallOf(ov)
+          ov.unpersist()
+          r
+        }
         val rFresh = if (frac == 0.0) rStale else {
           val fresh = timed(s"$regime f=$frac recluster build") {
             graft.ann.RoutedAnnIndex.build(union, Dim, cfg, nShards, iters = 3)
@@ -141,7 +161,7 @@ object ScaleStaleness {
           fresh.unpersist()
           r
         }
-        rows += f"| $regime | ${(frac * 100).toInt}%% | $rStale%.4f | $rFresh%.4f |"
+        rows += f"| $regime | ${(frac * 100).toInt}%% | $rStale%.4f | $rOverlay%.4f | $rFresh%.4f |"
         println(rows.last)
         if (union ne base) union.unpersist(blocking = false)
       }

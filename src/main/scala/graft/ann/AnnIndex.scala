@@ -46,6 +46,40 @@ final class KdShard(val tree: KdTree) extends AnnShard {
     tree.nNearest(q, k, accept).map { case (id, d) => (id, -d) }
 }
 
+/** Immutable append OVERLAY: the base graph stays frozen, appended rows
+  * live in a flat tail searched exactly (brute force) and merged with the
+  * graph's candidates — the memtable-beside-immutable-index pattern, used
+  * by [[RoutedAnnIndex.append]] so insert-only growth never rebuilds a
+  * shard. Scoring mirrors [[HnswIndex]]'s closeness exactly (same
+  * [[graft.functions.Similarity.jvm]] kernels, closeness = -distance), so
+  * a merged ordering is indistinguishable from one grown graph; appended
+  * rows are scored EXACTLY, which can only help recall. Overlays nest
+  * (append-on-append); compaction is the caller's rebuild guard. */
+final class PatchedShard(val base: AnnShard, extraIds: Array[Long],
+    extraVecs: Array[Array[Float]], metric: Algorithm) extends AnnShard {
+  private def closeness(q: Array[Float], v: Array[Float]): Double = {
+    val jvm = Similarity.jvm
+    metric match {
+      case Algorithm.EuclideanDistance | Algorithm.KDTree => -jvm.sqEuclidean(q, v)
+      case Algorithm.DotProductSimilarity => jvm.dot(q, v)
+      case _ => jvm.cosine(q, v)
+    }
+  }
+  def extraRows: Int = extraIds.length
+  def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)] = {
+    val fromBase = base.topK(q, k, accept)
+    val fromExtra = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    var i = 0
+    while (i < extraIds.length) {
+      if (accept == null || accept(extraIds(i)))
+        fromExtra += ((extraIds(i), closeness(q, extraVecs(i))))
+      i += 1
+    }
+    (fromBase ++ fromExtra)
+      .sortBy { case (id, c) => (-c, id) }.take(k)
+  }
+}
+
 /** Broadcastable id-membership filter for predicate-filtered ANN search —
   * a Bloom sketch (bounded memory at any scale; the rare false positives
   * are removed by exact post-verification at hydration). Accept sets small

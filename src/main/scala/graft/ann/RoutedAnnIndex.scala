@@ -46,16 +46,106 @@ final class RoutedAnnIndex(
     val shards: RDD[AnnShard],
     val replicationEps: Double = 0.0,
     val iters: Int = 2,
-    val maxReplicas: Int = 2) extends Serializable {
+    val maxReplicas: Int = 2,
+    /** Build-time assignment objective: mean squared distance of build
+      * rows to their assigned centroid — the drift baseline appends are
+      * checked against (0 = unknown, every guard passes). */
+    val meanAssignDist: Double = 0.0,
+    /** Rows living in append overlays ([[PatchedShard]] tails) rather
+      * than graphs — the compaction pressure gauge. */
+    val patchedRows: Long = 0L) extends Serializable {
 
   def numShards: Int = centroids.length
 
+  /** Append rows WITHOUT reclustering: assign to the FROZEN centroids
+    * (the training kernel), overlay each touched shard with an exact
+    * brute-force tail ([[PatchedShard]]) — work ∝ batch size, the old
+    * index stays valid until the new one is materialized, and appended
+    * rows are scored exactly (never an approximation downgrade).
+    *
+    * Returns None — caller should RECLUSTER instead — when the batch
+    * fails either freshness guard, both derived from the measured
+    * ScaleStaleness curve (SCALE.md):
+    *  - DRIFT: the batch's mean assignment distance exceeds
+    *    `driftLimit` × the build-time objective (distribution shift is
+    *    what decays frozen-centroid recall; volume alone does not);
+    *  - PATCH FRACTION: overlay rows would exceed `patchLimit` of the
+    *    graph rows (brute-force tails grow linear scan cost).
+    * Rows already present (same id) are overlaid anyway — callers feed
+    * genuinely-new ids (the engine's insert-only Set path does). */
+  def append(dfIn: DataFrame,
+      driftLimit: Double = RoutedAnnIndex.DefaultDriftLimit,
+      patchLimit: Double = RoutedAnnIndex.DefaultPatchLimit): Option[RoutedAnnIndex] = {
+    import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+    val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
+    val dists = ColumnBridge.column(CentroidDists(
+      ColumnBridge.expression(col("key")), centroids.flatten, numShards))
+    // one pass: per-row (nearest shard, min distance); agg gives the
+    // batch objective and count, rows stay for the shard shuffle
+    val assigned = df.select(
+        IvfIndex.assignCell(col("key"), centroids).cast("int").as("_s"),
+        array_min(dists).as("_d"), col("id"), col("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = assigned.agg(count(lit(1)), avg(col("_d"))).head()
+      val nNew = agg.getLong(0)
+      if (nNew == 0) return Some(this)
+      val batchObj = agg.getDouble(1)
+      if (meanAssignDist > 0.0 && batchObj > driftLimit * meanAssignDist) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          f"RoutedAnnIndex.append: drift guard tripped " +
+            f"(batch objective $batchObj%.4f > $driftLimit%.1fx build " +
+            f"$meanAssignDist%.4f) — recluster")
+        return None
+      }
+      val graphRows = storedRows
+      if (graphRows > 0 && patchedRows + nNew > patchLimit * graphRows) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"RoutedAnnIndex.append: patch-fraction guard tripped " +
+            s"(${patchedRows + nNew} overlay rows > $patchLimit of " +
+            s"$graphRows graph rows) — recluster")
+        return None
+      }
+      val metric = config.metric
+      val byShard = assigned
+        .select(col("_s"), col("id"), col("key"))
+        .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
+        .partitionBy(new RoutedAnnIndex.ShardPartitioner(numShards))
+        .mapPartitions(it => Iterator.single(it.map(_._2).toArray.sortBy(_._1)),
+          preservesPartitioning = true)
+      val newShards = shards.zipPartitions(byShard, preservesPartitioning = true) {
+        (sIt, aIt) =>
+          val extra = aIt.next()
+          val base = sIt.toSeq.headOption
+          if (extra.isEmpty) base.iterator
+          else base match {
+            case Some(b) => Iterator(new PatchedShard(b, extra.map(_._1),
+              extra.map(_._2), metric): AnnShard)
+            case None =>
+              // previously-empty shard: grow a real graph (tiny)
+              val idx = HnswIndex(centroids.head.length, config)
+              extra.foreach { case (id, v) => idx.insert(id, v) }
+              Iterator(new HnswShard(idx, config.efSearch): AnnShard)
+          }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      newShards.count() // materialize before releasing the predecessor
+      shards.unpersist(blocking = false)
+      Some(new RoutedAnnIndex(centroids, config, newShards, replicationEps,
+        iters, maxReplicas, meanAssignDist, patchedRows + nNew))
+    } finally assigned.unpersist(blocking = false)
+  }
+
   /** Total rows stored across shard graphs — input rows × the boundary
-    * replication factor (= input count exactly when replicationEps = 0). */
-  def storedRows: Long = shards.map {
-    case h: HnswShard => h.index.size.toLong
-    case _ => 0L
-  }.sum().toLong
+    * replication factor (= input count exactly when replicationEps = 0).
+    * Append overlays count their tails plus the wrapped graph. */
+  def storedRows: Long = {
+    def rows(s: AnnShard): Long = s match {
+      case h: HnswShard => h.index.size.toLong
+      case p: PatchedShard => p.extraRows.toLong + rows(p.base)
+      case _ => 0L
+    }
+    shards.map(rows).sum().toLong
+  }
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
@@ -90,6 +180,18 @@ final class RoutedAnnIndex(
 }
 
 object RoutedAnnIndex {
+
+  /** Append drift guard: recluster when an appended batch's mean
+    * assignment distance exceeds this multiple of the build objective.
+    * ScaleStaleness (SCALE.md): in-distribution batches sit at ~1.0x and
+    * cost zero recall; the measured drifted regime (-4.4pt recall at 10%)
+    * trips well above this. */
+  val DefaultDriftLimit = 1.5
+
+  /** Append patch-fraction guard: recluster when overlay tails would
+    * exceed this fraction of graph rows (tails are exact brute force, so
+    * recall only improves — this bounds their linear scan cost). */
+  val DefaultPatchLimit = 0.25
 
   /** Identity partitioner on the routed shard id (same shape as
     * AnnIndex's bucket partitioner, keyed by centroid assignment). */
@@ -144,6 +246,10 @@ object RoutedAnnIndex {
       "replicationEps" -> JString(index.replicationEps.toString),
       "iters" -> JInt(index.iters),
       "maxReplicas" -> JInt(index.maxReplicas),
+      // derived state (restored, not compared): exact double via long bits
+      "meanAssignDist" -> JInt(BigInt(
+        java.lang.Double.doubleToRawLongBits(index.meanAssignDist))),
+      "patchedRows" -> JInt(BigInt(index.patchedRows)),
       "sourceStamp" -> JString(sourceStamp),
       "present" -> JArray((0 until index.numShards).toList.map(i =>
         JBool(present.getOrElse(i, false)))),
@@ -216,8 +322,16 @@ object RoutedAnnIndex {
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       loaded.count()
+      val meanDist = (j \ "meanAssignDist") match {
+        case JInt(b) => java.lang.Double.longBitsToDouble(b.toLong)
+        case _ => 0.0
+      }
+      val patched = (j \ "patchedRows") match {
+        case JInt(b) => b.toLong
+        case _ => 0L
+      }
       Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
-        iters, maxReplicas))
+        iters, maxReplicas, meanDist, patched))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -296,6 +410,15 @@ object RoutedAnnIndex {
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
     val centroids = frozenCentroids.getOrElse(
       IvfIndex.trainCentroids(df, numShards, iters))
+    // assignment objective (mean squared distance to assigned centroid):
+    // the drift baseline future appends are checked against
+    val meanDist = {
+      import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+      val dists = ColumnBridge.column(CentroidDists(
+        ColumnBridge.expression(col("key")), centroids.flatten, numShards))
+      val r = df.agg(avg(array_min(dists))).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
     val assigned =
       if (replicationEps <= 0.0)
         df.select(IvfIndex.assignCell(col("key"), centroids).cast("int").as("_s"),
@@ -340,6 +463,6 @@ object RoutedAnnIndex {
     }
     df.unpersist(blocking = false)
     new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-      maxReplicas)
+      maxReplicas, meanDist, patchedRows = 0L)
   }
 }

@@ -270,7 +270,13 @@ class GraftEngine(val spark: SparkSession,
     * predecessor; every [[GraftEngine.LineageCheckpointEvery]]-th version is
     * local-checkpointed so plan depth stays bounded across mutation chains. */
   private def swap(schema: String, name: String, rewrite: DataFrame => DataFrame,
-      touch: Touch, lenDelta: Long): Unit = storeLock(schema, name).synchronized {
+      touch: Touch, lenDelta: Long,
+      // insert-only mutations pass the genuinely-new (id, key) rows so a
+      // live routed index can be APPENDED (overlay patch, work ∝ batch)
+      // instead of thrown away; None (deletes, upserts, fused set) keeps
+      // the invalidate-whole semantics
+      routedAppend: Option[DataFrame] = None): Unit =
+      storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val newVersion = st.version + 1
     val (cached, newPaths, patchSrc): (DataFrame, Map[Int, String], DataFrame) =
@@ -326,17 +332,31 @@ class GraftEngine(val spark: SparkSession,
     // before the next mutation, or it may fail instead of recomputing —
     // readers hold a snapshot CONTRACT per generation, not forever (the
     // reference's guard-held reads have the same one-generation scope).
+    // routed-index maintenance — BEFORE the predecessor df is released
+    // (the append's new-row frame reads the pre-mutation generation):
+    // content-routed shards can't be pruned by the mutation's touched
+    // id-hash buckets, so there is no delta patch — but INSERT-ONLY
+    // batches append as exact overlay tails against the frozen centroids
+    // (RoutedAnnIndex.append; ScaleStaleness pins that in-distribution
+    // appends cost zero recall, and append's drift / patch-fraction
+    // guards recluster when they wouldn't). Anything else (deletes,
+    // upserts, guard trips) invalidates whole; the next routed search
+    // reclusters lazily (ensureRoutedIndex), so mutations never pay an
+    // eager recluster
+    val newRouted = (st.routedIndex, routedAppend) match {
+      case (Some(old), Some(rows)) =>
+        val appended = old.append(rows) // materializes the new overlay RDD
+        if (appended.isEmpty) old.unpersist() // guard tripped -> recluster
+        appended
+      case (maybeOld, _) =>
+        maybeOld.foreach(_.unpersist())
+        None
+    }
     st.df.unpersist(blocking = false)
     st.annIndexes.values.foreach(_.unpersist())
-    // the routed index has no patch path: content-routed shards can't be
-    // pruned by the mutation's touched id-hash buckets, and patching
-    // against frozen centroids silently degrades recall — invalidate whole;
-    // the next routed search reclusters lazily (ensureRoutedIndex), so
-    // mutations on routed-indexed stores never pay an eager recluster
-    st.routedIndex.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
       annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths,
-      routedIndex = None)
+      routedIndex = newRouted)
     flushStore(schema, name)
     // keep on-disk index artifacts current: patched indexes rewrite ONLY
     // their touched shards (write cost rides the batch size, like the
@@ -643,11 +663,25 @@ class GraftEngine(val spark: SparkSession,
           else minusStale(mutationView(st, touch))
             .join(batchIds, col("id") === col("_nid"), "left_semi").count()
         val inserted = batchDistinct - updated
+        // plain Set is INSERT-ONLY from the routed index's view: an
+        // "updated" row has the same content id = the same key VECTOR
+        // (only metadata changes — the graphs store (id, vector)), so the
+        // genuinely-new rows are the batch ids absent from the
+        // pre-mutation store. The fused stale-delete path removes rows,
+        // which the overlay can't express — it keeps invalidate-whole.
+        val routedAppend =
+          if (staleIdsOfOpt.isDefined || st.routedIndex.isEmpty) None
+          else Some(
+            if (st.len == 0) dedupedCached.select("id", "key")
+            else dedupedCached.select("id", "key").join(
+              mutationView(st, touch).select(col("id").as("_oid")),
+              col("id") === col("_oid"), "left_anti")
+              .select("id", "key"))
         swap(schema, name,
           src => minusStale(src.select("id", "key", "value"))
             .join(batchIds, col("id") === col("_nid"), "left_anti")
             .union(dedupedCached.select("id", "key", "value")),
-          touch, lenDelta = inserted - deleted)
+          touch, lenDelta = inserted - deleted, routedAppend = routedAppend)
         (inserted, updated)
       } finally {
         dedupedCached.unpersist(blocking = false)

@@ -142,6 +142,75 @@ class RoutedAnnSpec extends AnyFunSuite {
     finally rebuilt.unpersist()
   }
 
+  test("append (overlay patch): appended rows are found exactly; counts and guards behave") {
+    val s = spark
+    import s.implicits._
+    val base = ids.indices.take(9000).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val idx = RoutedAnnIndex.build(base, Dim, cfg, numShards = Shards, iters = 3)
+    try {
+      assert(idx.meanAssignDist > 0.0, "build must record the assignment objective")
+      // guards FIRST (refusals leave the index untouched; a successful
+      // append releases the predecessor's shard cache):
+      // DRIFT — a far-away manifold (constant offset) must refuse
+      val drifted = (0 until 500)
+        .map(i => (100000L + i, Array.fill(Dim)(10.0f).toSeq)).toDF("id", "key")
+      assert(idx.append(drifted).isEmpty, "drift guard must trip on a shifted batch")
+      // PATCH FRACTION — > 25% of graph rows in one overlay must refuse
+      val huge = ids.indices.take(9000).map(i =>
+        (1000000L + i, vecs(i).toSeq)).toDF("id", "key")
+      assert(idx.append(huge).isEmpty, "patch-fraction guard must trip")
+      // in-distribution tail: the held-back 1000 rows of the same manifold
+      val tail = ids.indices.drop(9000).map(i => (ids(i), vecs(i).toSeq))
+        .toDF("id", "key")
+      val appended = idx.append(tail)
+      assert(appended.isDefined, "in-distribution append must pass the drift guard")
+      val a = appended.get
+      try {
+        assert(a.patchedRows == 1000L)
+        assert(a.storedRows == 10000L, "overlay rows must count in storedRows")
+        // every appended vector finds ITSELF at top-1 (overlay is exact
+        // brute force, probes=1 routes to its own shard)
+        (9000 until 9100).foreach { i =>
+          val top = a.search(vecs(i), 1, 1)
+          assert(top.headOption.exists(_._1 == ids(i)),
+            s"appended row ${ids(i)} not found in its own shard")
+        }
+        // pre-append rows still answer through the wrapped graphs
+        val q = queries.head
+        assert(a.search(q, K, Shards).nonEmpty)
+        // determinism
+        assert(a.search(q, K, 8) == a.search(q, K, 8))
+        // empty append is the same index, not a new overlay
+        assert(a.append(tail.limit(0)).exists(_ eq a))
+      } finally a.unpersist()
+    } finally idx.unpersist()
+  }
+
+  test("append survives the artifact round trip (overlay shards serialize)") {
+    val s = spark
+    import s.implicits._
+    val base = ids.indices.take(5000).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val idx = RoutedAnnIndex.build(base, Dim, cfg, numShards = 16, iters = 2)
+    val tail = ids.indices.slice(5000, 5500).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val a = idx.append(tail).get
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed-patched").toString
+    RoutedAnnIndex.save(a, dir, sourceStamp = "p1")
+    val loaded = RoutedAnnIndex.load(s, dir, cfg, "p1", iters = 2)
+    assert(loaded.isDefined)
+    try {
+      assert(loaded.get.patchedRows == 500L)
+      assert(loaded.get.meanAssignDist == a.meanAssignDist,
+        "drift baseline must survive the round trip bit-exactly")
+      queries.take(10).foreach { q =>
+        assert(loaded.get.search(q, K, 8) == a.search(q, K, 8),
+          "restored patched index diverges")
+      }
+    } finally { loaded.get.unpersist(); a.unpersist(); idx.unpersist() }
+  }
+
   test("routing and search are deterministic; probe ranking prefers the query's own shard") {
     val q = queries.head
     assert(index.probeShards(q, 8) == index.probeShards(q, 8))

@@ -84,13 +84,49 @@ class RoutedEngineSpec extends AnyFunSuite {
     e.dropStore("r3")
   }
 
-  test("mutation invalidates the routed structure; the next search sees new rows") {
+  test("insert-only Set APPENDS to the live routed index (overlay, not rebuild)") {
+    val e = freshRouted("ra")
+    // force the lazy structure to attach, then count its overlay rows
+    e.getSimN("ra", vecs(99L, 1).head, 1, Algorithm.HNSW).count()
+    val before = e.ensureRoutedIndex("ra").get._1
+    assert(before.patchedRows == 0L)
+    // brand-new vectors: insert-only batch
+    val fresh = vecs(555L, 20)
+    e.setSeq("ra", fresh.zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> s"new$i")) })
+    val after = e.ensureRoutedIndex("ra").get._1
+    assert(after.patchedRows == 20L,
+      s"insert-only Set should overlay 20 rows, got ${after.patchedRows}")
+    // the appended rows answer exactly (overlay tails are brute force)
+    val top = e.getSimN("ra", fresh.head, 1, Algorithm.HNSW).collect().head
+    assert(top.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
+      .getString(1) == "new0")
+    // metadata-only re-Set (same vectors): index stays live, zero new rows
+    e.setSeq("ra", Seq((fresh.head, meta("i" -> "renamed"))))
+    val after2 = e.ensureRoutedIndex("ra").get._1
+    assert(after2.patchedRows == 20L, "metadata-only Set must not grow the overlay")
+    val top2 = e.getSimN("ra", fresh.head, 1, Algorithm.HNSW).collect().head
+    assert(top2.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
+      .getString(1) == "renamed", "hydration must serve the updated metadata")
+    // a DELETE cannot be expressed as an overlay: it must invalidate, and
+    // the reclustered index must not serve the deleted row
+    e.delKey("ra", Seq(fresh.head))
+    val top3 = e.getSimN("ra", fresh.head, 1, Algorithm.HNSW).collect().head
+    assert(top3.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
+      .getString(1) != "renamed", "deleted row served from a stale routed index")
+    assert(e.ensureRoutedIndex("ra").get._1.patchedRows == 0L,
+      "post-delete recluster should carry no overlay")
+    e.dropStore("ra")
+  }
+
+  test("mutation keeps the routed index FRESH; the next search sees new rows") {
     val e = freshRouted("r4")
     val probe = Array.fill(Dim)(0.9f)
     val before = e.getSimN("r4", probe, 1, Algorithm.HNSW)
       .collect().head.getAs[Float]("similarity")
-    // insert an exact-match vector: if the routed index were stale, the
-    // new row could not surface (content-routed shards are frozen at build)
+    // insert an exact-match vector: whichever maintenance path fires
+    // (overlay append for this insert-only batch, or invalidate+recluster
+    // when a guard trips), a stale index could not surface the new row
     e.setSeq("r4", Seq((probe, meta("i" -> "new"))))
     val after = e.getSimN("r4", probe, 1, Algorithm.HNSW).collect().head
     assert(after.getAs[Float]("similarity") > before,
