@@ -46,6 +46,13 @@ final class HnswIndex(
 
   def size: Int = ids.length
 
+  /** Stored (id, vector) rows in insertion order — the extraction path
+    * compaction uses to rebuild a graph that absorbed overlay tails
+    * ([[RoutedAnnIndex.append]]). Vectors are the stored arrays (callers
+    * must not mutate). */
+  def entries: Iterator[(Long, Array[Float])] =
+    ids.iterator.zip(vecs.iterator)
+
   @inline private def dist(a: Array[Float], b: Array[Float]): Double = metric match {
     case Algorithm.EuclideanDistance => jvm.sqEuclidean(a, b)
     case Algorithm.DotProductSimilarity => -jvm.dot(a, b)

@@ -63,16 +63,26 @@ final class RoutedAnnIndex(
     * index stays valid until the new one is materialized, and appended
     * rows are scored exactly (never an approximation downgrade).
     *
-    * Returns None — caller should RECLUSTER instead — when the batch
-    * fails either freshness guard, both derived from the measured
-    * ScaleStaleness curve (SCALE.md):
+    * Guards, both derived from the measured ScaleStaleness curve
+    * (SCALE.md):
     *  - DRIFT: the batch's mean assignment distance exceeds
-    *    `driftLimit` × the build-time objective (distribution shift is
-    *    what decays frozen-centroid recall; volume alone does not);
+    *    `driftLimit` × the build-time objective — distribution shift is
+    *    what decays frozen-centroid recall, so this returns None and the
+    *    caller RECLUSTERS (fresh Lloyd over everything);
     *  - PATCH FRACTION: overlay rows would exceed `patchLimit` of the
-    *    graph rows (brute-force tails grow linear scan cost).
+    *    graph rows. Volume alone costs no recall (the measured in-dist
+    *    rows), so this COMPACTS instead of refusing: each shard's graph
+    *    is rebuilt locally from its own rows ∪ tails ∪ batch — no Lloyd,
+    *    and NO shuffle of existing rows (assignments are frozen, rows
+    *    never change shards) — the LSM memtable-flush analog. The
+    *    compacted graph is bit-identical to one built over the union
+    *    (id-ascending insertion both ways).
     * Rows already present (same id) are overlaid anyway — callers feed
-    * genuinely-new ids (the engine's insert-only Set path does). */
+    * genuinely-new ids (the engine's insert-only Set path does).
+    * Under boundary replication (replicationEps > 0) appended rows are
+    * SINGLE-assigned — they regain replica copies at the next recluster;
+    * compaction rebuilds each shard locally, so existing replicas stay
+    * where they are. */
   def append(dfIn: DataFrame,
       driftLimit: Double = RoutedAnnIndex.DefaultDriftLimit,
       patchLimit: Double = RoutedAnnIndex.DefaultPatchLimit): Option[RoutedAnnIndex] = {
@@ -99,14 +109,17 @@ final class RoutedAnnIndex(
         return None
       }
       val graphRows = storedRows
-      if (graphRows > 0 && patchedRows + nNew > patchLimit * graphRows) {
+      val compacting =
+        graphRows > 0 && patchedRows + nNew > patchLimit * graphRows
+      if (compacting)
         org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"RoutedAnnIndex.append: patch-fraction guard tripped " +
-            s"(${patchedRows + nNew} overlay rows > $patchLimit of " +
-            s"$graphRows graph rows) — recluster")
-        return None
-      }
+          s"RoutedAnnIndex.append: patch fraction ${patchedRows + nNew} " +
+            s"overlay rows > $patchLimit of $graphRows graph rows — " +
+            s"compacting (local per-shard graph rebuilds, no shuffle of " +
+            s"existing rows, centroids frozen)")
       val metric = config.metric
+      val cfg = config
+      val dim = centroids.head.length
       val byShard = assigned
         .select(col("_s"), col("id"), col("key"))
         .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
@@ -117,21 +130,27 @@ final class RoutedAnnIndex(
         (sIt, aIt) =>
           val extra = aIt.next()
           val base = sIt.toSeq.headOption
-          if (extra.isEmpty) base.iterator
+          def rebuilt(rows: Iterator[(Long, Array[Float])]): AnnShard = {
+            val idx = HnswIndex(dim, cfg)
+            rows.toArray.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
+            new HnswShard(idx, cfg.efSearch)
+          }
+          if (compacting) {
+            val all = base.map(RoutedAnnIndex.rowsOf).getOrElse(Iterator.empty) ++
+              extra.iterator
+            if (all.isEmpty) Iterator.empty else Iterator(rebuilt(all))
+          } else if (extra.isEmpty) base.iterator
           else base match {
             case Some(b) => Iterator(new PatchedShard(b, extra.map(_._1),
               extra.map(_._2), metric): AnnShard)
-            case None =>
-              // previously-empty shard: grow a real graph (tiny)
-              val idx = HnswIndex(centroids.head.length, config)
-              extra.foreach { case (id, v) => idx.insert(id, v) }
-              Iterator(new HnswShard(idx, config.efSearch): AnnShard)
+            case None => Iterator(rebuilt(extra.iterator)) // first rows here
           }
       }.persist(StorageLevel.MEMORY_AND_DISK)
       newShards.count() // materialize before releasing the predecessor
       shards.unpersist(blocking = false)
       Some(new RoutedAnnIndex(centroids, config, newShards, replicationEps,
-        iters, maxReplicas, meanAssignDist, patchedRows + nNew))
+        iters, maxReplicas, meanAssignDist,
+        if (compacting) 0L else patchedRows + nNew))
     } finally assigned.unpersist(blocking = false)
   }
 
@@ -192,6 +211,16 @@ object RoutedAnnIndex {
     * exceed this fraction of graph rows (tails are exact brute force, so
     * recall only improves — this bounds their linear scan cost). */
   val DefaultPatchLimit = 0.25
+
+  /** Stored (id, vector) rows of a routed shard — graphs and overlay
+    * tails alike (the compaction extraction path). KD shards never occur
+    * in a routed index (the build only grows HNSW graphs). */
+  private def rowsOf(s: AnnShard): Iterator[(Long, Array[Float])] = s match {
+    case h: HnswShard => h.index.entries
+    case p: PatchedShard => rowsOf(p.base) ++ p.extraEntries
+    case other => throw new IllegalStateException(
+      s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
+  }
 
   /** Identity partitioner on the routed shard id (same shape as
     * AnnIndex's bucket partitioner, keyed by centroid assignment). */

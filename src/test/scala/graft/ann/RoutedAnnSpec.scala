@@ -156,10 +156,6 @@ class RoutedAnnSpec extends AnyFunSuite {
       val drifted = (0 until 500)
         .map(i => (100000L + i, Array.fill(Dim)(10.0f).toSeq)).toDF("id", "key")
       assert(idx.append(drifted).isEmpty, "drift guard must trip on a shifted batch")
-      // PATCH FRACTION — > 25% of graph rows in one overlay must refuse
-      val huge = ids.indices.take(9000).map(i =>
-        (1000000L + i, vecs(i).toSeq)).toDF("id", "key")
-      assert(idx.append(huge).isEmpty, "patch-fraction guard must trip")
       // in-distribution tail: the held-back 1000 rows of the same manifold
       val tail = ids.indices.drop(9000).map(i => (ids(i), vecs(i).toSeq))
         .toDF("id", "key")
@@ -183,6 +179,26 @@ class RoutedAnnSpec extends AnyFunSuite {
         assert(a.search(q, K, 8) == a.search(q, K, 8))
         // empty append is the same index, not a new overlay
         assert(a.append(tail.limit(0)).exists(_ eq a))
+        // PATCH FRACTION — a batch pushing overlays past 25% COMPACTS:
+        // per-shard local graph rebuilds absorb the tails, and the result
+        // is IDENTICAL to a frozen-centroid build over the union
+        // (id-ascending insertion both ways)
+        val huge = ids.indices.take(9000).map(i =>
+          (1000000L + i, vecs(i).toSeq)).toDF("id", "key")
+        val compacted = a.append(huge).get
+        try {
+          assert(compacted.patchedRows == 0L, "compaction must absorb all tails")
+          assert(compacted.storedRows == 19000L)
+          val all = ids.indices.map(i => (ids(i), vecs(i).toSeq))
+            .toDF("id", "key").union(huge)
+          val twin = RoutedAnnIndex.build(all, Dim, cfg, Shards, iters = 3,
+            replicationEps = 0.0, maxReplicas = 2,
+            frozenCentroids = Some(a.centroids))
+          try queries.take(20).foreach { q =>
+            assert(compacted.search(q, K, 8) == twin.search(q, K, 8),
+              "compacted graphs diverge from the frozen-centroid union build")
+          } finally twin.unpersist()
+        } finally compacted.unpersist()
       } finally a.unpersist()
     } finally idx.unpersist()
   }
