@@ -168,6 +168,13 @@ final class RoutedAnnIndex(
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
+  /** Every stored (id, vector) row — graphs and overlay tails, deduped by
+    * id (boundary replication stores copies). The extraction path for a
+    * full recluster that has no other source of truth (e.g. streaming
+    * ingest handles, [[graft.streaming.StreamingIngest.streamingRoutedAppend]]). */
+  def rows: RDD[(Long, Array[Float])] =
+    shards.flatMap(RoutedAnnIndex.rowsOf).reduceByKey((a, _) => a)
+
   /** The `probes` nearest shards for a query, by squared-Euclidean
     * distance to the routing centroids (the k-means assignment geometry,
     * ties toward the lower shard index — [[IvfIndex.probeCells]]'s rule). */

@@ -3717,6 +3717,69 @@ object Queries {
         |SELECT qid, cid FROM ranked WHERE rk <= 10
         |ORDER BY qid, cid""".stripMargin)),
 
+    // ---- streaming twin: CONTINUOUS ingest into the routed index — the
+    // index starts over the first half of the table, the second half
+    // arrives as a two-micro-batch stream (foreachBatch →
+    // RoutedAnnIndex.append: exact overlay tails, compaction past the
+    // patch fraction, recluster on drift — the measured LSM tiers), then
+    // the final index answers the SAME exhaustive top-10 as the batch
+    // build. Overlay tails are exact and probes = shards is the all-shard
+    // merge, so the result is independent of how the stream was batched —
+    // shares the batch query's oracle shape. ----
+    "embed_topk_routed_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"), col("embedding").as("key"))
+        val half = e.agg(max(col("id"))).head().getLong(0) / 2
+        val cfg = graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = 4096,
+          metric = graft.types.Algorithm.CosineSimilarity)
+        val initial = graft.ann.RoutedAnnIndex.build(
+          e.where(col("id") <= half), 64, cfg, numShards = 8, iters = 2)
+        val late = e.where(col("id") > half)
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val src = mem.toDF()
+          .select(col("_1").as("id"), col("_2").cast("array<float>").as("key"))
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val (handle, q) =
+          try graft.streaming.StreamingIngest.streamingRoutedAppend(
+            initial, src, "id", "key")
+          finally s.conf.set(
+            "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        try {
+          val (a, b) = late.splitAt(late.size / 2)
+          mem.addData(a: _*); q.processAllAvailable()
+          mem.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        val idx = handle.current
+        val qids = Seq(0L, 7L, 42L)
+        val qs = e.where(col("id").isin(qids: _*))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        val out = qs.toSeq.flatMap { case (qid, v) =>
+          idx.search(v, 10, probes = idx.numShards)
+            .map { case (cid, _) => (qid, cid) }
+        }.toDF("qid", "cid").orderBy("qid", "cid")
+        val rows = out.collect()
+        idx.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (0, 7, 42)),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 10
+        |ORDER BY qid, cid""".stripMargin)),
+
     // ---- multimodal: binary payloads + typed metadata; decode kernel is a
     // documented deterministic stub (no codecs in this environment), the
     // partition-iterator plumbing and batch shape are real. ----

@@ -394,6 +394,67 @@ object StreamingIngest {
       .start()
   }
 
+  /** Live handle to a routed ANN index under continuous ingest
+    * ([[streamingRoutedAppend]]): `current` is always a complete,
+    * searchable index (readers never see a half-applied batch — each
+    * micro-batch's append materializes before the reference swings), and
+    * the maintenance counters say which LSM tier each batch took. */
+  final class StreamingRoutedIndex(initial: graft.ann.RoutedAnnIndex) {
+    @volatile private var idx: graft.ann.RoutedAnnIndex = initial
+    @volatile private var nReclusters: Long = 0L
+    @volatile private var nAppends: Long = 0L
+    def current: graft.ann.RoutedAnnIndex = idx
+    def reclusterCount: Long = nReclusters
+    def appendCount: Long = nAppends
+    private[streaming] def ingest(batch: DataFrame): Unit = this.synchronized {
+      val old = idx
+      old.append(batch) match {
+        case Some(next) =>
+          idx = next // append/compact absorbed it; predecessor released inside
+          nAppends += 1
+        case None => // drift guard: recluster over everything + the batch
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val all = old.rows.toDF("id", "key")
+            .select(col("id"), col("key").cast("array<float>").as("key"))
+            .union(batch.select(col("id").cast("long"), col("key")))
+          val rebuilt = graft.ann.RoutedAnnIndex.build(all,
+            old.centroids.head.length, old.config, old.numShards, old.iters,
+            old.replicationEps, old.maxReplicas)
+          idx = rebuilt
+          old.unpersist()
+          nReclusters += 1
+      }
+    }
+  }
+
+  /** Continuous embedding ingest into a coarse-routed ANN index — the
+    * streaming twin of [[graft.ann.RoutedAnnIndex.append]] and the ANN
+    * analog of [[streamingDedupAgainstIndex]]: the index is the history,
+    * the embedding stream is the crawl, and each micro-batch takes the
+    * measured LSM maintenance tier (exact overlay append; local
+    * compaction past the patch fraction; full recluster only when the
+    * batch's assignment objective says the routing centroids went stale —
+    * the ScaleStaleness trigger rule). `handle.current` serves queries
+    * between batches with zero read/ingest contention beyond a reference
+    * swap. Search results at exhaustive probes are independent of how
+    * the stream was batched (overlay tails are exact — pinned in
+    * StreamingSpec). */
+  def streamingRoutedAppend(index: graft.ann.RoutedAnnIndex,
+      vecs: DataFrame, idCol: String, keyCol: String,
+      checkpointDir: Option[String] = None): (StreamingRoutedIndex, StreamingQuery) = {
+    val handle = new StreamingRoutedIndex(index)
+    val w = vecs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    val q = w.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          handle.ingest(batch.select(
+            col(idCol).cast("long").as("id"), col(keyCol).as("key")))
+      }
+      .start()
+    (handle, q)
+  }
+
   /** Stream-STREAM interval join — the continuous twin of
     * [[graft.events.EventOps.intervalJoin]]: both streams watermark their
     * event-time column, the join keys on `key` with the interval as the

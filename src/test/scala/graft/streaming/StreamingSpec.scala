@@ -41,6 +41,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); e.dropStore("stream_store") }
   }
 
+  test("streamingRoutedAppend: final index answers like the batch build; tiers counted") {
+    val dim = 16
+    val rnd = new scala.util.Random(31L)
+    val all = (0 until 800).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efSearch = 4096,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val initial = graft.ann.RoutedAnnIndex.build(
+      all.take(400).map { case (i, v) => (i, v.toSeq) }.toDF("id", "key"),
+      dim, cfg, numShards = 8, iters = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val src = mem.toDF()
+      .select(col("_1").as("id"), col("_2").cast("array<float>").as("key"))
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    val (handle, q) = StreamingIngest.streamingRoutedAppend(
+      initial, src, "id", "key")
+    try {
+      // three micro-batches of in-distribution rows
+      val late = all.drop(400).map { case (i, v) => (i, v.toSeq) }
+      late.grouped(134).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = handle.current
+    assert(handle.appendCount + handle.reclusterCount >= 3,
+      "every micro-batch must take a maintenance tier")
+    assert(handle.reclusterCount == 0,
+      "in-distribution batches must never trip the drift guard")
+    assert(streamed.storedRows == 800L)
+    // exhaustive search over the streamed index equals the one-shot batch
+    // build over the full corpus (both are the exact top-k at this beam)
+    val batch = graft.ann.RoutedAnnIndex.build(
+      all.map { case (i, v) => (i, v.toSeq) }.toDF("id", "key"),
+      dim, cfg, numShards = 8, iters = 2)
+    try (0 until 20).foreach { i =>
+      val qv = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      assert(streamed.search(qv, 10, 8).map(_._1) ==
+        batch.search(qv, 10, 8).map(_._1),
+        "streamed index diverges from the batch build at exhaustive probes")
+    } finally { batch.unpersist(); streamed.unpersist() }
+  }
+
+  test("streamingRoutedAppend: a drifted stream reclusters and stays searchable") {
+    val dim = 16
+    val rnd = new scala.util.Random(77L)
+    val base = (0 until 400).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efSearch = 4096,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val initial = graft.ann.RoutedAnnIndex.build(
+      base.map { case (i, v) => (i, v.toSeq) }.toDF("id", "key"),
+      dim, cfg, numShards = 8, iters = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val src = mem.toDF()
+      .select(col("_1").as("id"), col("_2").cast("array<float>").as("key"))
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    val (handle, q) = StreamingIngest.streamingRoutedAppend(
+      initial, src, "id", "key")
+    try {
+      // a far-away manifold: the drift guard must route to recluster
+      val shifted = (0 until 100).map(i =>
+        (10000L + i, Seq.fill(dim)(9.0f + rnd.nextFloat())))
+      mem.addData(shifted: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(handle.reclusterCount == 1, "drifted batch must recluster")
+    val idx = handle.current
+    try {
+      assert(idx.storedRows == 500L)
+      // post-recluster the new domain is routable: a shifted query's
+      // nearest row is in the shifted region even at probes = 1
+      val top = idx.search(Array.fill(dim)(9.5f), 1, 1)
+      assert(top.headOption.exists(_._1 >= 10000L),
+        "post-recluster routing must reach the new domain's shard")
+    } finally idx.unpersist()
+  }
+
   test("streamingNearDupCandidates emits the banded candidate pairs") {
     // the DedupSpec corpus: 0/1 near-dup, 2 exact dup of 0, 3 unrelated,
     // 4/5 near-dup — the batch minHashLshJoin verifies {0-1, 0-2, 1-2, 4-5}
