@@ -57,6 +57,62 @@ final class RoutedAnnIndex(
 
   def numShards: Int = centroids.length
 
+  /** Batch k-NN JOIN through the routed shards — the both-sides-large
+    * twin of the single-query [[search]] (and the graph-speed sibling of
+    * [[IvfIndex.topKJoin]]'s cell scan): each query row is ranked against
+    * the routing centroids ONCE (one native CentroidDists pass, the
+    * assignment geometry), exploded to its `probes` nearest shards, and
+    * the query rows — the SMALL side — are shuffled to the shard
+    * partitions where the graphs already live; per partition each query
+    * runs the shard's HNSW search. The corpus never moves, matched work
+    * is |queries| × probes graph searches, and probes = numShards is the
+    * exhaustive all-shard merge (the correctness identity; pruned probes
+    * trade recall exactly like [[search]]). Returns (qid, cid, sim, rank)
+    * ranked by closeness under the index metric, ties on cid — the
+    * [[IvfIndex.topKJoin]] contract. */
+  def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
+      probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+    val spark = queries.sparkSession
+    val p = math.max(1, math.min(probes, numShards))
+    val q = queries.select(col(qId).cast("long").as("qid"),
+        col(qVec).cast("array<float>").as("qv"))
+      .groupBy("qid").agg(min(col("qv")).as("qv"))
+    val dists = ColumnBridge.column(CentroidDists(
+      ColumnBridge.expression(col("qv")), centroids.flatten, numShards))
+    val ranked = slice(array_sort(zip_with(dists,
+      sequence(lit(0), lit(numShards - 1)),
+      (d, c) => struct(d.as("d"), c.as("c")))), 1, p)
+    val routed = q.select(explode(ranked).as("_p"), col("qid"), col("qv"))
+      .select(col("_p.c").cast("int").as("_s"), col("qid"), col("qv"))
+    val byShard = routed
+      .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
+      .partitionBy(new RoutedAnnIndex.ShardPartitioner(numShards))
+      .mapPartitions(it => Iterator.single(it.map(_._2).toArray),
+        preservesPartitioning = true)
+    val hits = shards.zipPartitions(byShard, preservesPartitioning = false) {
+      (sIt, qIt) =>
+        val qs = qIt.next()
+        sIt.toSeq.headOption match {
+          case None => Iterator.empty
+          case Some(shard) => qs.iterator.flatMap { case (qid, v) =>
+            shard.topK(v, k, null).map { case (cid, c) => (qid, cid, c) }
+          }
+        }
+    }
+    import spark.implicits._
+    val scored = hits.toDF("qid", "cid", "_closeness")
+      // replicas can surface from several probed shards — keep one
+      .groupBy("qid", "cid").agg(max(col("_closeness")).as("_closeness"))
+    val w = Window.partitionBy("qid").orderBy(col("_closeness").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"),
+        round(col("_closeness").cast("float").cast("double"), 4).as("sim"),
+        col("rank"))
+  }
+
   /** Append rows WITHOUT reclustering: assign to the FROZEN centroids
     * (the training kernel), overlay each touched shard with an exact
     * brute-force tail ([[PatchedShard]]) — work ∝ batch size, the old

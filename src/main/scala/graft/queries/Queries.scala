@@ -3717,6 +3717,32 @@ object Queries {
         |SELECT qid, cid FROM ranked WHERE rk <= 10
         |ORDER BY qid, cid""".stripMargin)),
 
+    // ---- batch kNN JOIN through the routed shards (RoutedAnnIndex
+    // .topKJoin): queries — the SMALL side — shuffle to the shard
+    // partitions where the graphs already live; the corpus never moves.
+    // Exhaustive probes + the fixture's wide beam ⇒ exact per-query
+    // top-k ⇒ the brute-force oracle; the probes << shards curve is
+    // RoutedAnnSpec / ScaleRecall territory. Integral output. ----
+    "embed_topk_join_routed" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val idx = TestStores.routedIndex(s, dir) // shared stamped artifact
+        idx.topKJoin(
+            e.where(col("vec_id") < 20)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 3, probes = idx.numShards)
+          .select("qid", "cid").orderBy("qid", "cid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 3
+        |ORDER BY qid, cid""".stripMargin)),
+
     // ---- streaming twin: CONTINUOUS ingest into the routed index — the
     // index starts over the first half of the table, the second half
     // arrives as a two-micro-batch stream (foreachBatch →

@@ -142,6 +142,24 @@ class RoutedAnnSpec extends AnyFunSuite {
     finally rebuilt.unpersist()
   }
 
+  test("topKJoin (batch kNN through routed shards) equals the single-query path at every probe count") {
+    val s = spark
+    import s.implicits._
+    val qdf = queries.take(20).zipWithIndex
+      .map { case (v, i) => (100000L + i, v.toSeq) }.toSeq.toDF("qid", "qv")
+    for (probes <- Seq(2, 8, Shards)) {
+      val got = index.topKJoin(qdf, "qid", "qv", K, probes)
+        .select("qid", "cid", "rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+      queries.take(20).zipWithIndex.foreach { case (v, i) =>
+        val single = index.search(v, K, probes).map(_._1)
+        assert(got(100000L + i) == single,
+          s"batch join diverges from single-query search at probes=$probes")
+      }
+    }
+  }
+
   test("append (overlay patch): appended rows are found exactly; counts and guards behave") {
     val s = spark
     import s.implicits._
