@@ -219,6 +219,9 @@ object Command {
     /** IVF-ADC composition (ann.IvfIndex.pqTopKJoin). */
     final case class IvfPq(cells: Int, probe: Int, m: Int, ksub: Int,
         shortlist: Int) extends TopKMode
+    /** Coarse-routed sharded HNSW batch join
+      * (ann.RoutedAnnIndex.topKJoin — graph-speed partition pruning). */
+    final case class Routed(shards: Int, probe: Int) extends TopKMode
   }
   final case class ExtTopK(k: Int, queriesView: String, qId: String,
       qVec: String, corpusView: String, cId: String, cVec: String,

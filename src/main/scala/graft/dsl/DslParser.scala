@@ -507,7 +507,11 @@ object DslParser extends RegexParsers {
     val ivfPq = kw("ivf") ~> (kw("cells") ~> nonZero) ~
       (kw("probe") ~> nonZero) ~ (kw("pq") ~> pqParams) ^^ {
         case c ~ p ~ (m ~ ks ~ sl) => Command.TopKMode.IvfPq(c, p, m, ks, sl) }
-    ivfPq | ivf | pq | quant
+    // ROUTED SHARDS s PROBE p — the graph-speed batch-join arm
+    val routed = kw("routed") ~> (kw("shards") ~> nonZero) ~
+      (kw("probe") ~> nonZero) ^^ {
+        case s ~ p => Command.TopKMode.Routed(s, p) }
+    ivfPq | ivf | pq | quant | routed
   }
   private val extTopK: Parser[Command] =
     kw("topk") ~> nonZero ~ fromView ~ idCol ~ (kw("vec") ~> name) ~

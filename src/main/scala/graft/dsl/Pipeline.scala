@@ -85,7 +85,7 @@ object Pipeline {
   private def executeExtImpl(spark: org.apache.spark.sql.SparkSession,
       cmd: Command): Response = {
     import Command._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, size}
     def t(view: String): DataFrame = spark.table(view)
     def nearPairs(v: String, id: String, text: String, method: String,
         n: Int, th: Double): DataFrame = method match {
@@ -264,6 +264,21 @@ object Pipeline {
             metric = graft.types.Algorithm.CosineSimilarity)
           Response.Entries(ivf.pqTopKJoin(t(qv), qi, qc, k, probe,
             shortlist, cb))
+        case Command.TopKMode.Routed(shards, probe) =>
+          // per-statement build like the IVF arm (reference cosine build
+          // params); long-lived deployments use RoutedAnnIndex.buildOrLoad
+          // artifacts. probe >= shards is the exhaustive all-shard merge.
+          val corpus = t(cv).select(
+            col(ci).cast("long").as("id"),
+            col(cc).cast("array<float>").as("key"))
+          val dim = corpus.select(size(col("key"))).head().getInt(0)
+          val idx = graft.ann.RoutedAnnIndex.build(corpus, dim,
+            graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+              maximumConnections = 40, maximumConnectionsZero = 80,
+              efSearch = 128,
+              metric = graft.types.Algorithm.CosineSimilarity),
+            numShards = shards)
+          Response.Entries(idx.topKJoin(t(qv), qi, qc, k, probe))
         case Command.TopKMode.Ivf(cells, probe, quantized) =>
           // cosine metric to match the exact arm's ranking contract; the
           // built index's cached cells stay pinned for the session (the

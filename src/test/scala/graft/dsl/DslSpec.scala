@@ -942,6 +942,18 @@ class DslSpec extends AnyFunSuite {
     assert(ranked(1) == ranked(0), "PQ arm diverged at exhaustive shortlist")
     assert(ranked(2) == ranked(0), "IVF-PQ arm diverged at exhaustive settings")
 
+    // ROUTED arm: probe = shards (exhaustive all-shard merge) + a beam
+    // wider than this corpus ⇒ exact, so it must match the exact arm
+    val routedRes = Pipeline.runExt(spark,
+      "TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 PROBE 2")
+    assert(routedRes.forall(_.isRight), routedRes)
+    val routedRanked = routedRes.head match {
+      case Right(Response.Entries(d)) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3).toSeq
+      case other => fail(s"routed arm: $other")
+    }
+    assert(routedRanked == ranked(0), "ROUTED arm diverged at exhaustive probes")
+
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
       (1L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
