@@ -502,6 +502,9 @@ object RoutedAnnIndex {
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
     val centroids = frozenCentroids.getOrElse(
       IvfIndex.trainCentroids(df, numShards, iters))
+    require(centroids.nonEmpty,
+      "cannot build a routed index over an empty corpus (no routing " +
+        "centroids can be trained — callers defer the build until data exists)")
     // assignment objective (mean squared distance to assigned centroid):
     // the drift baseline future appends are checked against
     val meanDist = {

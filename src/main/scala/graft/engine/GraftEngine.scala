@@ -906,9 +906,13 @@ class GraftEngine(val spark: SparkSession,
     val built = hashCfgs.map { c =>
       c.kind -> graft.ann.AnnIndex.build(st.df, st.meta.dimension, c)
     }.toMap
-    val routedBuilt = routedCfgs.lastOption.map { c =>
-      buildRoutedIndex(st, c.asInstanceOf[NonLinearConfig.RoutedHNSWConfig],
-        schema, name)
+    // an EMPTY store defers the routed build (k-means needs >= 1 row):
+    // the config is recorded now, the structure attaches lazily on the
+    // first routed search after data arrives (ensureRoutedIndex) — same
+    // lazy contract as the post-restart attach
+    val routedBuilt = routedCfgs.lastOption.collect {
+      case c: NonLinearConfig.RoutedHNSWConfig if st.len > 0 =>
+        buildRoutedIndex(st, c, schema, name)
     }
     catalog((schema, name)) = st.copy(
       meta = st.meta.copy(nonLinearIndexes =

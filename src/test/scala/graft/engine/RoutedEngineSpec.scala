@@ -183,6 +183,17 @@ class RoutedEngineSpec extends AnyFunSuite {
     val e = new GraftEngine(spark)
     e.createStore("rc", Dim, nonLinearIndexes = Seq(exactCfg))
     assert(e.getStore("rc").nonLinearIndexes == Seq("hnsw_routed"))
+    // explicit CreateNonLinearAlgorithmIndex on an EMPTY store records the
+    // config and defers the build too (k-means needs >= 1 row)
+    val e2 = new GraftEngine(spark)
+    e2.createStore("rc2", Dim)
+    assert(e2.createNonLinearIndex("rc2", Seq(exactCfg)) == 1)
+    assert(e2.getStore("rc2").nonLinearIndexes == Seq("hnsw_routed"))
+    assert(e2.getSimN("rc2", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 0)
+    e2.setSeq("rc2", vecs(8L, 32).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    assert(e2.getSimN("rc2", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e2.dropStore("rc2")
     // EMPTY indexed store: search returns empty, never tries to train
     // k-means over zero rows
     assert(e.getSimN("rc", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 0)
