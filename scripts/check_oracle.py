@@ -8,11 +8,11 @@ canonicalization fails; a query must fail HERE first).
 
 r11 lesson: the gate must also be TYPE-faithful. DuckDB types any un-CAST
 SUM(...) as HUGEINT (int128 → Arrow decimal128(38,0)) while Spark writes
-int64; values fetch identically through Python (Decimal('3') reprs as
-Decimal but compares equal... actually repr differs — the real blindness
-was that repr(3) == repr(3) because duckdb fetches HUGEINT as Python int).
-The driver's hash canonicalization is type-sensitive, so we now DESCRIBE
-both sides and fail on any column-type mismatch BEFORE comparing values.
+int64. Values fetch identically through the Python client (HUGEINT comes
+back as a plain int, so repr-level comparison sees no difference), which
+made this gate say OK for three rounds while the driver's TYPE-SENSITIVE
+hash failed the same five queries. We now DESCRIBE both sides and fail on
+any column-type mismatch BEFORE comparing values.
 
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Run graft.Verify first, e.g.:
