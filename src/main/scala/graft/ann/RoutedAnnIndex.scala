@@ -1,12 +1,14 @@
 package graft.ann
 
+import java.util.Arrays
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Similarity
-import graft.types.NonLinearConfig
+import graft.types.{Algorithm, NonLinearConfig}
 
 /**
  * Coarse-ROUTED sharded HNSW — the 100 TB read path for GetSimN-shaped
@@ -32,13 +34,26 @@ import graft.types.NonLinearConfig
  * nProbe — the recall curve at 200k × 64 shards is measured in
  * ScaleRecall and recorded in SCALE.md.
  *
- * Mutation story — deliberately DIFFERENT from [[AnnIndex]]: content
- * routing cannot align with the persistence layer's id-hash buckets, so
- * this index has no delta-patch; like [[IvfIndex]] its maintenance is
- * periodic reclustering (centroids drift with the data — patching shards
- * against frozen centroids silently degrades recall). The hash-sharded
- * [[AnnIndex]] remains the engine's mutation-aligned index; build THIS
- * one over large, read-mostly corpora.
+ * Mutation story — LSM tiers against frozen routing centroids (the
+ * memtable-beside-immutable-index pattern; the reference mutates its one
+ * graph in place via back-links, `similarity/src/hnsw/index.rs`, which a
+ * distributed frozen-shard layout can't do row-by-row):
+ *  - INSERTS [[append]]: new rows overlay their assigned shard as exact
+ *    brute-force tails ([[PatchedShard]]) — work ∝ batch; past the
+ *    patch-fraction guard the touched shards COMPACT locally (graph
+ *    rebuild from own rows, no Lloyd, no shuffle); a drifted batch
+ *    (assignment objective beyond the build baseline) refuses and the
+ *    caller RECLUSTERS — the ScaleStaleness-derived trigger.
+ *  - DELETES [[delete]]: deleted ids join a TOMBSTONE set filtered out of
+ *    every search/join/extraction (ids are content hashes, so a
+ *    re-inserted id is the same vector — [[append]] clears its tombstone
+ *    and any stale graph copy becomes valid again). Past the
+ *    tombstone-fraction guard (or the absolute cap that bounds the
+ *    filter's task-closure size) the shards that actually hold deleted
+ *    rows compact locally — same no-Lloyd, no-shuffle rebuild as the
+ *    insert side.
+ *  - Only a centroid-invalidating event (drift guard, or a caller that
+ *    can't name the touched ids) pays the full recluster.
  */
 final class RoutedAnnIndex(
     val centroids: Array[Array[Float]],
@@ -53,9 +68,25 @@ final class RoutedAnnIndex(
     val meanAssignDist: Double = 0.0,
     /** Rows living in append overlays ([[PatchedShard]] tails) rather
       * than graphs — the compaction pressure gauge. */
-    val patchedRows: Long = 0L) extends Serializable {
+    val patchedRows: Long = 0L,
+    /** Deleted content ids, sorted ascending — filtered out of every
+      * search / join / row extraction until a compaction physically
+      * removes them. Bounded by the [[delete]] guards. */
+    val tombstones: Array[Long] = Array.emptyLongArray) extends Serializable {
 
   def numShards: Int = centroids.length
+
+  /** Tombstone-aware accept function composed with an optional caller
+    * filter; null when nothing filters (the no-overhead fast path). */
+  private def acceptOf(filter: IdFilter): Long => Boolean = {
+    val ts = tombstones
+    if (ts.isEmpty) { if (filter == null) null else filter.accept _ }
+    else if (filter == null) (id: Long) => Arrays.binarySearch(ts, id) < 0
+    else {
+      val f = filter
+      (id: Long) => Arrays.binarySearch(ts, id) < 0 && f.accept(id)
+    }
+  }
 
   /** Batch k-NN JOIN through the routed shards — the both-sides-large
     * twin of the single-query [[search]] (and the graph-speed sibling of
@@ -69,7 +100,10 @@ final class RoutedAnnIndex(
     * exhaustive all-shard merge (the correctness identity; pruned probes
     * trade recall exactly like [[search]]). Returns (qid, cid, sim, rank)
     * ranked by closeness under the index metric, ties on cid — the
-    * [[IvfIndex.topKJoin]] contract. */
+    * [[IvfIndex.topKJoin]] contract, including its `sim` convention:
+    * similarity for cosine/dot, positive euclidean DISTANCE for
+    * EuclideanDistance-metric indexes (ranking is by closeness either
+    * way, so the rank column is metric-faithful). */
   def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
       probes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -91,13 +125,16 @@ final class RoutedAnnIndex(
       .partitionBy(new RoutedAnnIndex.ShardPartitioner(numShards))
       .mapPartitions(it => Iterator.single(it.map(_._2).toArray),
         preservesPartitioning = true)
+    val ts = tombstones
     val hits = shards.zipPartitions(byShard, preservesPartitioning = false) {
       (sIt, qIt) =>
         val qs = qIt.next()
+        val accept: Long => Boolean =
+          if (ts.isEmpty) null else (id: Long) => Arrays.binarySearch(ts, id) < 0
         sIt.toSeq.headOption match {
           case None => Iterator.empty
           case Some(shard) => qs.iterator.flatMap { case (qid, v) =>
-            shard.topK(v, k, null).map { case (cid, c) => (qid, cid, c) }
+            shard.topK(v, k, accept).map { case (cid, c) => (qid, cid, c) }
           }
         }
     }
@@ -106,18 +143,29 @@ final class RoutedAnnIndex(
       // replicas can surface from several probed shards — keep one
       .groupBy("qid", "cid").agg(max(col("_closeness")).as("_closeness"))
     val w = Window.partitionBy("qid").orderBy(col("_closeness").desc, col("cid").asc)
+    // closeness is the shard ordering (-sqEuclidean under the euclidean
+    // metric); `sim` reports the IvfIndex convention — positive distance
+    val simExpr = config.metric match {
+      case Algorithm.EuclideanDistance => sqrt(-col("_closeness"))
+      case _ => col("_closeness")
+    }
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("cid"),
-        round(col("_closeness").cast("float").cast("double"), 4).as("sim"),
+        round(simExpr.cast("float").cast("double"), 4).as("sim"),
         col("rank"))
   }
+
+  import RoutedAnnIndex.Maintained
 
   /** Append rows WITHOUT reclustering: assign to the FROZEN centroids
     * (the training kernel), overlay each touched shard with an exact
     * brute-force tail ([[PatchedShard]]) — work ∝ batch size, the old
     * index stays valid until the new one is materialized, and appended
     * rows are scored exactly (never an approximation downgrade).
+    * Re-appended TOMBSTONED ids come back to life: their tombstone is
+    * cleared (a content id names one immutable vector, so any stale graph
+    * copy carries identical data and the merge dedupes by id).
     *
     * Guards, both derived from the measured ScaleStaleness curve
     * (SCALE.md):
@@ -126,22 +174,24 @@ final class RoutedAnnIndex(
     *    what decays frozen-centroid recall, so this returns None and the
     *    caller RECLUSTERS (fresh Lloyd over everything);
     *  - PATCH FRACTION: overlay rows would exceed `patchLimit` of the
-    *    graph rows. Volume alone costs no recall (the measured in-dist
-    *    rows), so this COMPACTS instead of refusing: each shard's graph
-    *    is rebuilt locally from its own rows ∪ tails ∪ batch — no Lloyd,
+    *    pure GRAPH rows (stored rows minus existing tails). Volume alone
+    *    costs no recall (the measured in-dist rows), so this COMPACTS
+    *    instead of refusing: each shard holding tails or new rows is
+    *    rebuilt locally from its own rows ∪ tails ∪ batch — no Lloyd,
     *    and NO shuffle of existing rows (assignments are frozen, rows
-    *    never change shards) — the LSM memtable-flush analog. The
-    *    compacted graph is bit-identical to one built over the union
-    *    (id-ascending insertion both ways).
-    * Rows already present (same id) are overlaid anyway — callers feed
-    * genuinely-new ids (the engine's insert-only Set path does).
+    *    never change shards); untouched tail-free shards are reused
+    *    as-is — the LSM memtable-flush analog. The compacted graph is
+    *    bit-identical to one built over the union (id-ascending insertion
+    *    both ways). Tombstoned rows stay in the rebuilt graphs (the
+    *    tombstone filter still hides them); physical removal is
+    *    [[delete]]-side compaction's job.
     * Under boundary replication (replicationEps > 0) appended rows are
     * SINGLE-assigned — they regain replica copies at the next recluster;
     * compaction rebuilds each shard locally, so existing replicas stay
     * where they are. */
-  def append(dfIn: DataFrame,
+  def appendOutcome(dfIn: DataFrame,
       driftLimit: Double = RoutedAnnIndex.DefaultDriftLimit,
-      patchLimit: Double = RoutedAnnIndex.DefaultPatchLimit): Option[RoutedAnnIndex] = {
+      patchLimit: Double = RoutedAnnIndex.DefaultPatchLimit): Option[Maintained] = {
     import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
     val dists = ColumnBridge.column(CentroidDists(
@@ -155,7 +205,7 @@ final class RoutedAnnIndex(
     try {
       val agg = assigned.agg(count(lit(1)), avg(col("_d"))).head()
       val nNew = agg.getLong(0)
-      if (nNew == 0) return Some(this)
+      if (nNew == 0) return Some(Maintained(this, "append", Set.empty))
       val batchObj = agg.getDouble(1)
       if (meanAssignDist > 0.0 && batchObj > driftLimit * meanAssignDist) {
         org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -164,15 +214,39 @@ final class RoutedAnnIndex(
             f"$meanAssignDist%.4f) — recluster")
         return None
       }
-      val graphRows = storedRows
+      // one tiny job: the batch's distinct target shards (bounded by
+      // numShards) — the artifact-refresh set the caller writes back
+      val touched = assigned.select("_s").distinct()
+        .collect().map(_.getInt(0)).toSet
+      // a re-appended tombstoned id is live again (same content id = the
+      // same vector); the scan is bounded by the tombstone cap
+      val newTombstones: Array[Long] =
+        if (tombstones.isEmpty) tombstones
+        else {
+          val ts = tombstones
+          val cleared = assigned.select("id").rdd
+            .map(_.getLong(0))
+            .filter(id => Arrays.binarySearch(ts, id) >= 0)
+            .distinct().collect().toSet
+          if (cleared.isEmpty) tombstones else ts.filterNot(cleared)
+        }
+      // pure graph rows: stored minus the rows already living in overlay
+      // tails — the guard bounds the TAIL scan cost as a fraction of the
+      // graph structures it rides beside
+      val graphRows = storedRows - patchedRows
       val compacting =
         graphRows > 0 && patchedRows + nNew > patchLimit * graphRows
       if (compacting)
         org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"RoutedAnnIndex.append: patch fraction ${patchedRows + nNew} " +
-            s"overlay rows > $patchLimit of $graphRows graph rows — " +
-            s"compacting (local per-shard graph rebuilds, no shuffle of " +
-            s"existing rows, centroids frozen)")
+          s"RoutedAnnIndex.append: ${patchedRows + nNew} overlay rows > " +
+            s"$patchLimit of $graphRows graph rows — compacting (local " +
+            s"per-shard graph rebuilds, no shuffle of existing rows, " +
+            s"centroids frozen)")
+      // compaction also rebuilds the shards whose tails predate this batch
+      val tailShards: Set[Int] =
+        if (!compacting) Set.empty
+        else shards.mapPartitionsWithIndex((i, it) =>
+          it.collect { case _: PatchedShard => i }).collect().toSet
       val metric = config.metric
       val cfg = config
       val dim = centroids.head.length
@@ -191,11 +265,16 @@ final class RoutedAnnIndex(
             rows.toArray.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
             new HnswShard(idx, cfg.efSearch)
           }
-          if (compacting) {
-            val all = base.map(RoutedAnnIndex.rowsOf).getOrElse(Iterator.empty) ++
-              extra.iterator
-            if (all.isEmpty) Iterator.empty else Iterator(rebuilt(all))
-          } else if (extra.isEmpty) base.iterator
+          if (compacting) base match {
+            // tail-free shard with nothing to absorb: reuse the graph
+            case Some(b) if extra.isEmpty && !b.isInstanceOf[PatchedShard] =>
+              Iterator(b)
+            case _ =>
+              val all = base.map(RoutedAnnIndex.rowsOf).getOrElse(Iterator.empty) ++
+                extra.iterator
+              if (all.isEmpty) Iterator.empty else Iterator(rebuilt(all))
+          }
+          else if (extra.isEmpty) base.iterator
           else base match {
             case Some(b) => Iterator(new PatchedShard(b, extra.map(_._1),
               extra.map(_._2), metric): AnnShard)
@@ -204,15 +283,102 @@ final class RoutedAnnIndex(
       }.persist(StorageLevel.MEMORY_AND_DISK)
       newShards.count() // materialize before releasing the predecessor
       shards.unpersist(blocking = false)
-      Some(new RoutedAnnIndex(centroids, config, newShards, replicationEps,
-        iters, maxReplicas, meanAssignDist,
-        if (compacting) 0L else patchedRows + nNew))
+      val next = new RoutedAnnIndex(centroids, config, newShards,
+        replicationEps, iters, maxReplicas, meanAssignDist,
+        if (compacting) 0L else patchedRows + nNew, newTombstones)
+      Some(Maintained(next, if (compacting) "compact" else "append",
+        if (compacting) touched ++ tailShards else touched))
     } finally assigned.unpersist(blocking = false)
   }
 
-  /** Total rows stored across shard graphs — input rows × the boundary
-    * replication factor (= input count exactly when replicationEps = 0).
-    * Append overlays count their tails plus the wrapped graph. */
+  /** [[appendOutcome]] without the maintenance metadata — the
+    * spec/measurement-harness form. */
+  def append(dfIn: DataFrame,
+      driftLimit: Double = RoutedAnnIndex.DefaultDriftLimit,
+      patchLimit: Double = RoutedAnnIndex.DefaultPatchLimit): Option[RoutedAnnIndex] =
+    appendOutcome(dfIn, driftLimit, patchLimit).map(_.index)
+
+  /** Delete rows WITHOUT reclustering: the ids join the tombstone set and
+    * every search / join / extraction filters them (work ≈ 0; recall of
+    * the survivors is untouched — the graphs still route through
+    * tombstoned nodes, they just can't be results). Routing geometry
+    * never changes on delete (centroids describe where rows LIVE, and
+    * survivors don't move), so there is no drift guard — only cost
+    * guards:
+    *  - FRACTION: tombstones beyond `tombstoneLimit` of stored rows mean
+    *    a growing slice of graph traversal is wasted on dead nodes;
+    *  - ABSOLUTE: `maxTombstones` bounds the sorted-array filter shipped
+    *    in every search task closure (8 B/id) and the manifest entry.
+    * Either guard routes to LOCAL COMPACTION: one bounded scan finds the
+    * shards physically holding deleted rows, only those rebuild (own rows
+    * minus tombstones — no Lloyd, no shuffle; their overlay tails fold in
+    * and [[patchedRows]] drops accordingly), and the tombstone set
+    * resets. A tombstone-only delete SHARES the predecessor's shard RDD —
+    * do not unpersist the old handle separately. */
+  def delete(idsIn: Seq[Long],
+      tombstoneLimit: Double = RoutedAnnIndex.DefaultTombstoneLimit,
+      maxTombstones: Int = RoutedAnnIndex.DefaultMaxTombstones): Maintained = {
+    val merged = (tombstones ++ idsIn).distinct.sorted
+    if (merged.length == tombstones.length)
+      return Maintained(this, "tombstone", Set.empty) // nothing new to hide
+    val total = storedRows
+    if (merged.length <= maxTombstones &&
+        (total == 0 || merged.length <= tombstoneLimit * total))
+      return Maintained(
+        new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
+          maxReplicas, meanAssignDist, patchedRows, merged),
+        "tombstone", Set.empty)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"RoutedAnnIndex.delete: ${merged.length} tombstones vs $total stored " +
+        s"rows exceeds limit=$tombstoneLimit/cap=$maxTombstones — " +
+        s"compacting the shards holding deleted rows (local rebuilds, " +
+        s"no Lloyd, no shuffle)")
+    val ts = merged
+    // pass 1 (bounded scan): which shards physically hold deleted rows,
+    // and how many overlay-tail rows each carries (for patchedRows)
+    val affected: Map[Int, Long] = shards.mapPartitionsWithIndex { (i, it) =>
+      it.flatMap { s =>
+        if (RoutedAnnIndex.rowsOf(s).exists(r =>
+            Arrays.binarySearch(ts, r._1) >= 0))
+          Iterator((i, RoutedAnnIndex.tailRowsOf(s)))
+        else Iterator.empty
+      }
+    }.collect().toMap
+    if (affected.isEmpty) // every id was already absent: drop the set
+      return Maintained(
+        new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
+          maxReplicas, meanAssignDist, patchedRows, Array.emptyLongArray),
+        "tombstone", Set.empty)
+    val cfg = config
+    val dim = centroids.head.length
+    val hit = affected.keySet
+    val newShards = shards.mapPartitionsWithIndex({ (i, it) =>
+      if (!hit.contains(i)) it
+      else it.flatMap { s =>
+        val live = RoutedAnnIndex.rowsOf(s)
+          .filter(r => Arrays.binarySearch(ts, r._1) < 0)
+          .toArray.sortBy(_._1)
+        if (live.isEmpty) Iterator.empty
+        else {
+          val idx = HnswIndex(dim, cfg)
+          live.foreach { case (id, v) => idx.insert(id, v) }
+          Iterator(new HnswShard(idx, cfg.efSearch): AnnShard)
+        }
+      }
+    }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+    newShards.count() // materialize before releasing the predecessor
+    shards.unpersist(blocking = false)
+    Maintained(
+      new RoutedAnnIndex(centroids, config, newShards, replicationEps, iters,
+        maxReplicas, meanAssignDist,
+        math.max(0L, patchedRows - affected.values.sum), Array.emptyLongArray),
+      "compact", hit)
+  }
+
+  /** Total rows PHYSICALLY stored across shard structures — input rows ×
+    * the boundary replication factor, graphs plus overlay tails,
+    * INCLUDING tombstoned rows (they occupy graph nodes until a
+    * compaction removes them). */
   def storedRows: Long = {
     def rows(s: AnnShard): Long = s match {
       case h: HnswShard => h.index.size.toLong
@@ -224,12 +390,19 @@ final class RoutedAnnIndex(
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
-  /** Every stored (id, vector) row — graphs and overlay tails, deduped by
-    * id (boundary replication stores copies). The extraction path for a
-    * full recluster that has no other source of truth (e.g. streaming
-    * ingest handles, [[graft.streaming.StreamingIngest.streamingRoutedAppend]]). */
-  def rows: RDD[(Long, Array[Float])] =
-    shards.flatMap(RoutedAnnIndex.rowsOf).reduceByKey((a, _) => a)
+  /** Every LIVE stored (id, vector) row — graphs and overlay tails,
+    * minus tombstones, deduped by id (boundary replication stores
+    * copies). The extraction path for a full recluster that has no other
+    * source of truth (e.g. streaming ingest handles,
+    * [[graft.streaming.StreamingIngest.streamingRoutedAppend]]). */
+  def rows: RDD[(Long, Array[Float])] = {
+    val ts = tombstones
+    val all = shards.flatMap(RoutedAnnIndex.rowsOf)
+    val live =
+      if (ts.isEmpty) all
+      else all.filter(r => Arrays.binarySearch(ts, r._1) < 0)
+    live.reduceByKey((a, _) => a)
+  }
 
   /** The `probes` nearest shards for a query, by squared-Euclidean
     * distance to the routing centroids (the k-means assignment geometry,
@@ -246,15 +419,15 @@ final class RoutedAnnIndex(
     * driver merge as [[AnnIndex.search]]. probes ≥ numShards ⇒ exhaustive.
     * With boundary replication a row can surface from several probed
     * shards (identical closeness — same stored vector); the merge
-    * dedupes by id so replicas never occupy two result slots. */
+    * dedupes by id so replicas never occupy two result slots. Tombstoned
+    * ids never surface. */
   def search(q: Array[Float], k: Int, probes: Int,
       filter: IdFilter = null): Seq[(Long, Double)] = {
     val probe = probeShards(q, probes)
     val sc = shards.sparkContext
-    val local = sc.runJob(shards, (it: Iterator[AnnShard]) => {
-      val accept: Long => Boolean = if (filter == null) null else filter.accept _
-      it.toSeq.flatMap(_.topK(q, k, accept))
-    }, probe)
+    val accept = acceptOf(filter)
+    val local = sc.runJob(shards, (it: Iterator[AnnShard]) =>
+      it.toSeq.flatMap(_.topK(q, k, accept)), probe)
     local.flatten.groupBy(_._1)
       .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
       .sortBy { case (id, c) => (-c, id) }.take(k)
@@ -263,6 +436,13 @@ final class RoutedAnnIndex(
 
 object RoutedAnnIndex {
 
+  /** What one maintenance call did: the new index handle, which LSM tier
+    * absorbed the batch ("append" | "compact" | "tombstone"), and the
+    * shard indices whose on-disk artifacts are now stale (empty for a
+    * tombstone-only delete — that is a manifest-only change). */
+  final case class Maintained(index: RoutedAnnIndex, tier: String,
+      touchedShards: Set[Int])
+
   /** Append drift guard: recluster when an appended batch's mean
     * assignment distance exceeds this multiple of the build objective.
     * ScaleStaleness (SCALE.md): in-distribution batches sit at ~1.0x and
@@ -270,19 +450,55 @@ object RoutedAnnIndex {
     * trips well above this. */
   val DefaultDriftLimit = 1.5
 
-  /** Append patch-fraction guard: recluster when overlay tails would
+  /** Append patch-fraction guard: compact when overlay tails would
     * exceed this fraction of graph rows (tails are exact brute force, so
     * recall only improves — this bounds their linear scan cost). */
   val DefaultPatchLimit = 0.25
 
+  /** Delete tombstone-fraction guard: compact when tombstones exceed
+    * this fraction of stored rows (dead graph nodes waste traversal;
+    * the survivors' recall is unaffected below this). */
+  val DefaultTombstoneLimit = 0.10
+
+  /** Delete absolute guard: compact past this many tombstones regardless
+    * of fraction — bounds the sorted-id filter shipped in every search
+    * task closure (8 B/id ⇒ ≤ 2 MiB) and the manifest entry. */
+  val DefaultMaxTombstones = 1 << 18
+
+  /** Lloyd-training build invocations — the "did it load or build?"
+    * observability hook the USING INDEX DSL spec asserts on. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Stored (id, vector) rows of a routed shard — graphs and overlay
     * tails alike (the compaction extraction path). KD shards never occur
     * in a routed index (the build only grows HNSW graphs). */
-  private def rowsOf(s: AnnShard): Iterator[(Long, Array[Float])] = s match {
+  private[ann] def rowsOf(s: AnnShard): Iterator[(Long, Array[Float])] = s match {
     case h: HnswShard => h.index.entries
     case p: PatchedShard => rowsOf(p.base) ++ p.extraEntries
     case other => throw new IllegalStateException(
       s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
+  }
+
+  /** Rows living in overlay tails (all [[PatchedShard]] layers). */
+  private[ann] def tailRowsOf(s: AnnShard): Long = s match {
+    case p: PatchedShard => p.extraRows.toLong + tailRowsOf(p.base)
+    case _ => 0L
+  }
+
+  /** The frozen graph under any overlay layers. */
+  private def baseOf(s: AnnShard): AnnShard = s match {
+    case p: PatchedShard => baseOf(p.base)
+    case b => b
+  }
+
+  /** Flattened overlay tails, innermost layer first (order is irrelevant
+    * to scoring — tails are exact — but kept deterministic). */
+  private def tailsOf(s: AnnShard): (Array[Long], Array[Array[Float]]) = s match {
+    case p: PatchedShard =>
+      val (ids0, vecs0) = tailsOf(p.base)
+      val layer = p.extraEntries.toArray
+      (ids0 ++ layer.map(_._1), vecs0 ++ layer.map(_._2))
+    case _ => (Array.emptyLongArray, Array.empty[Array[Float]])
   }
 
   /** Identity partitioner on the routed shard id (same shape as
@@ -299,39 +515,82 @@ object RoutedAnnIndex {
 
   // ------------------------------------------------------ artifact IO
   //
-  // Same family policy as IvfIndex: the routing layer (centroids) is tiny
-  // and driver-side, the shards are serialized per partition (the
-  // AnnIndex layout). No delta patch — maintenance is periodic
-  // reclustering, so staleness is all-or-nothing: any mismatch (config,
-  // source stamp, centroid count) rebuilds WHOLE. Layout:
+  // Same family policy as IvfIndex (routing layer tiny and driver-side,
+  // shards serialized per partition), but LAYERED like the in-memory LSM
+  // tiers, so maintenance writes cost what the maintenance did:
   //
   //   <dir>/routed_manifest.json  # config identity, sourceStamp,
-  //                               # centroids as float INT BITS (exact)
-  //   <dir>/s<i>.bin              # java-serialized AnnShard (absent = empty)
+  //                               # centroids as float INT BITS (exact),
+  //                               # tombstones, per-shard tail row counts
+  //   <dir>/s<i>.bin              # the shard's FROZEN graph (absent = empty)
+  //   <dir>/p<i>.bin              # its overlay tail rows (absent = none)
+  //
+  // A full [[save]] writes everything. An incremental save (touchedOnly)
+  // rewrites only the touched shards — and of those, a shard that merely
+  // grew its overlay writes p<i>.bin alone (∝ the appended rows; the
+  // graph is frozen), while a rebuilt shard (compaction / first rows)
+  // rewrites s<i>.bin and drops its tail file. A tombstone-only delete is
+  // a manifest-only rewrite. The manifest flips last (tmp+rename): a
+  // crash mid-save leaves a stale-stamped manifest that simply rebuilds.
 
-  def save(index: RoutedAnnIndex, dir: String, sourceStamp: String): Unit = {
+  def save(index: RoutedAnnIndex, dir: String, sourceStamp: String,
+      touchedOnly: Option[Set[Int]] = None,
+      // shards whose graph file must rewrite even though the in-memory
+      // shard is an overlay (a same-batch compaction rebuilt the graph
+      // UNDER the overlay, so the on-disk s<i>.bin is stale)
+      forceGraph: Set[Int] = Set.empty): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val present = index.shards.mapPartitionsWithIndex { (i, it) =>
-      val target = java.nio.file.Paths.get(dir, s"s$i.bin")
-      val shards = it.toArray
-      if (shards.isEmpty) {
-        java.nio.file.Files.deleteIfExists(target)
-        Iterator.single(i -> false)
-      } else {
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .fold(0L)(_.taskAttemptId())
-        val tmp = target.resolveSibling(s"s$i.bin.tmp.$attempt")
-        val os = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(tmp)))
-        try os.writeObject(shards.head) finally os.close()
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Iterator.single(i -> true)
+    // incremental saves carry the untouched shards' entries forward; with
+    // no prior manifest there is nothing to carry — write everything
+    val previous: Map[Int, (Boolean, Long)] = touchedOnly match {
+      case Some(_) => readShardState(dir).getOrElse {
+        save(index, dir, sourceStamp, None); return
       }
-    }.collect().toMap
+      case None => Map.empty
+    }
+    val touched = touchedOnly // capture for the task closure
+    val written = index.shards.mapPartitionsWithIndex { (i, it) =>
+      if (touched.exists(!_.contains(i))) Iterator.empty
+      else {
+        def target(prefix: String) =
+          java.nio.file.Paths.get(dir, s"$prefix$i.bin")
+        def writeObj(p: java.nio.file.Path, o: AnyRef): Unit = {
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .fold(0L)(_.taskAttemptId())
+          val tmp = p.resolveSibling(s"${p.getFileName}.tmp.$attempt")
+          val os = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(tmp)))
+          try os.writeObject(o) finally os.close()
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val shards = it.toArray
+        if (shards.isEmpty) {
+          java.nio.file.Files.deleteIfExists(target("s"))
+          java.nio.file.Files.deleteIfExists(target("p"))
+          Iterator.single((i, false, 0L))
+        } else {
+          val shard = shards.head
+          val (tids, tvecs) = tailsOf(shard)
+          // an overlay-only change keeps the frozen graph file; a bare
+          // shard on an incremental save IS a rebuild (or first rows), a
+          // forceGraph shard rebuilt beneath its overlay — and a missing
+          // graph file always writes (self-heal)
+          if (touched.isEmpty || !shard.isInstanceOf[PatchedShard] ||
+              forceGraph.contains(i) ||
+              !java.nio.file.Files.exists(target("s")))
+            writeObj(target("s"), baseOf(shard))
+          if (tids.isEmpty) java.nio.file.Files.deleteIfExists(target("p"))
+          else writeObj(target("p"), (tids, tvecs))
+          Iterator.single((i, true, tids.length.toLong))
+        }
+      }
+    }.collect().map { case (i, p, t) => i -> (p, t) }.toMap
+    val state = (0 until index.numShards).map(i =>
+      i -> written.getOrElse(i, previous.getOrElse(i, (false, 0L))))
     val json = JObject(
       "kind" -> JString("routed-hnsw"),
       "config" -> JString(index.config.toString),
@@ -342,9 +601,10 @@ object RoutedAnnIndex {
       "meanAssignDist" -> JInt(BigInt(
         java.lang.Double.doubleToRawLongBits(index.meanAssignDist))),
       "patchedRows" -> JInt(BigInt(index.patchedRows)),
+      "tombstones" -> JArray(index.tombstones.toList.map(id => JInt(BigInt(id)))),
       "sourceStamp" -> JString(sourceStamp),
-      "present" -> JArray((0 until index.numShards).toList.map(i =>
-        JBool(present.getOrElse(i, false)))),
+      "present" -> JArray(state.toList.map { case (_, (p, _)) => JBool(p) }),
+      "tails" -> JArray(state.toList.map { case (_, (_, t)) => JInt(BigInt(t)) }),
       "centroids" -> JArray(index.centroids.toList.map(c =>
         JArray(c.toList.map(f => JInt(BigInt(java.lang.Float.floatToRawIntBits(f))))))))
     val target = java.nio.file.Paths.get(dir, "routed_manifest.json")
@@ -355,10 +615,34 @@ object RoutedAnnIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Per-shard (present, tailRows) from an existing manifest — the
+    * carry-forward source for incremental saves. Manifests without a
+    * "tails" field (pre-layered format) read as tail-free. */
+  private def readShardState(dir: String): Option[Map[Int, (Boolean, Long)]] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "routed_manifest.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      val present = (j \ "present") match {
+        case JArray(bs) => bs.map { case JBool(b) => b; case _ => return None }
+        case _ => return None
+      }
+      val tails = (j \ "tails") match {
+        case JArray(ts) => ts.map { case JInt(t) => t.toLong; case _ => return None }
+        case _ => List.fill(present.length)(0L)
+      }
+      Some(present.zip(tails).zipWithIndex.map { case ((pr, t), i) =>
+        i -> (pr, t) }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Restore from artifacts: bit-identical centroids (int-bits round
-    * trip) + per-partition shard deserialization, zero Lloyd rounds and
-    * zero graph builds. None — caller rebuilds — on any mismatch or read
-    * failure (derived state, never an error). */
+    * trip) + per-partition shard deserialization — graph files composed
+    * with their overlay tail files into the same [[PatchedShard]] layout
+    * the live index had — zero Lloyd rounds and zero graph builds. None —
+    * caller rebuilds — on any mismatch or read failure (derived state,
+    * never an error). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
       config: NonLinearConfig.HNSWConfig, sourceStamp: String,
       replicationEps: Double = 0.0, iters: Int = 2,
@@ -390,26 +674,39 @@ object RoutedAnnIndex {
         case _ => return None
       }
       if (centroids.isEmpty) return None
-      val present: Set[Int] = (j \ "present") match {
-        case JArray(bs) => bs.zipWithIndex.collect {
-          case (JBool(true), i) => i }.toSet
-        case _ => return None
-      }
+      val state = readShardState(dir).getOrElse(return None)
       val parts = centroids.length
-      if (present.exists(i => i >= parts)) return None
-      if (present.exists(i =>
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"s$i.bin"))))
-        return None
+      if (state.size != parts) return None
+      if (state.exists { case (i, (present, tails)) =>
+          (present && !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, s"s$i.bin"))) ||
+          (tails > 0 && !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, s"p$i.bin")))
+        }) return None
+      val metric = config.metric
       val loaded = spark.sparkContext
         .parallelize(0 until parts, parts)
         .mapPartitionsWithIndex { (i, _) =>
-          if (!present.contains(i)) Iterator.empty
-          else {
+          def readObj(prefix: String): AnyRef = {
             val is = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
               java.nio.file.Files.newInputStream(
-                java.nio.file.Paths.get(dir, s"s$i.bin"))))
-            try Iterator.single(is.readObject().asInstanceOf[AnnShard])
-            finally is.close()
+                java.nio.file.Paths.get(dir, s"$prefix$i.bin"))))
+            try is.readObject() finally is.close()
+          }
+          val (present, tails) = state(i)
+          if (!present) Iterator.empty
+          else {
+            val base = readObj("s").asInstanceOf[AnnShard]
+            if (tails == 0L) Iterator.single(base)
+            else {
+              val (tids, tvecs) =
+                readObj("p").asInstanceOf[(Array[Long], Array[Array[Float]])]
+              if (tids.length.toLong != tails)
+                throw new java.io.IOException(
+                  s"tail file p$i.bin has ${tids.length} rows, manifest says $tails")
+              Iterator.single(
+                new PatchedShard(base, tids, tvecs, metric): AnnShard)
+            }
           }
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -422,8 +719,15 @@ object RoutedAnnIndex {
         case JInt(b) => b.toLong
         case _ => 0L
       }
+      val tombstones: Array[Long] = (j \ "tombstones") match {
+        case JArray(ts) => ts.map {
+          case JInt(id) => id.toLong
+          case _ => return None
+        }.toArray
+        case _ => Array.emptyLongArray
+      }
       Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
-        iters, maxReplicas, meanDist, patched))
+        iters, maxReplicas, meanDist, patched, tombstones))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -498,6 +802,7 @@ object RoutedAnnIndex {
     require(maxReplicas >= 1, s"maxReplicas must be >= 1, got $maxReplicas")
     frozenCentroids.foreach(c => require(c.length == numShards,
       s"frozen centroid count ${c.length} != numShards $numShards"))
+    buildCount.incrementAndGet()
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
     val centroids = frozenCentroids.getOrElse(

@@ -212,16 +212,25 @@ object Command {
   object TopKMode {
     case object Exact extends TopKMode
     final case class Quantized(shortlist: Int) extends TopKMode
+    /** `indexDir`: USING INDEX <path> — load the stamped IVF artifact at
+      * the path if present and shape-compatible, else build AND save
+      * there, so a scripted pipeline pays the Lloyd training once across
+      * invocations. The caller owns freshness (a pinned artifact dir is a
+      * deployment decision, like ann.IvfIndex.buildOrLoad's sourceStamp). */
     final case class Ivf(cells: Int, probe: Int,
-        quantizedShortlist: Option[Int]) extends TopKMode
+        quantizedShortlist: Option[Int],
+        indexDir: Option[String] = None) extends TopKMode
     /** Product-quantized ADC arm (ann.PqCodebook.topKJoin). */
     final case class Pq(m: Int, ksub: Int, shortlist: Int) extends TopKMode
     /** IVF-ADC composition (ann.IvfIndex.pqTopKJoin). */
     final case class IvfPq(cells: Int, probe: Int, m: Int, ksub: Int,
         shortlist: Int) extends TopKMode
     /** Coarse-routed sharded HNSW batch join
-      * (ann.RoutedAnnIndex.topKJoin — graph-speed partition pruning). */
-    final case class Routed(shards: Int, probe: Int) extends TopKMode
+      * (ann.RoutedAnnIndex.topKJoin — graph-speed partition pruning).
+      * `indexDir`: USING INDEX <path> — same load-or-build-and-save
+      * contract as [[Ivf.indexDir]], via RoutedAnnIndex.buildOrLoad. */
+    final case class Routed(shards: Int, probe: Int,
+        indexDir: Option[String] = None) extends TopKMode
   }
   final case class ExtTopK(k: Int, queriesView: String, qId: String,
       qVec: String, corpusView: String, cId: String, cVec: String,

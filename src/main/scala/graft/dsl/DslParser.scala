@@ -491,10 +491,15 @@ object DslParser extends RegexParsers {
   // time (it depends on k, which the grammar has already consumed).
   private val topKQuant: Parser[Int] =
     kw("quantized") ~> kw("shortlist") ~> nonZero
+  // USING INDEX <path> — pin the arm to a stamped artifact directory:
+  // the statement loads a compatible index from the path (zero training)
+  // or builds once and saves there; the caller owns the dir's freshness
+  private val usingIndex: Parser[String] =
+    kw("using") ~> kw("index") ~> pathLit
   private val topKMode: Parser[Command.TopKMode] = {
     val ivf = kw("ivf") ~> (kw("cells") ~> nonZero) ~
-      (kw("probe") ~> nonZero) ~ opt(topKQuant) ^^ {
-        case c ~ p ~ q => Command.TopKMode.Ivf(c, p, q) }
+      (kw("probe") ~> nonZero) ~ opt(topKQuant) ~ opt(usingIndex) ^^ {
+        case c ~ p ~ q ~ d => Command.TopKMode.Ivf(c, p, q, d) }
     val quant = topKQuant ^^ { s => Command.TopKMode.Quantized(s) }
     // PQ M m KSUB k SHORTLIST s — the product-quantized ADC arm
     val pqParams = (kw("m") ~> nonZero) ~ (kw("ksub") ~> nonZero) ~
@@ -507,10 +512,11 @@ object DslParser extends RegexParsers {
     val ivfPq = kw("ivf") ~> (kw("cells") ~> nonZero) ~
       (kw("probe") ~> nonZero) ~ (kw("pq") ~> pqParams) ^^ {
         case c ~ p ~ (m ~ ks ~ sl) => Command.TopKMode.IvfPq(c, p, m, ks, sl) }
-    // ROUTED SHARDS s PROBE p — the graph-speed batch-join arm
+    // ROUTED SHARDS s PROBE p [USING INDEX <dir>] — the graph-speed
+    // batch-join arm, optionally pinned to persisted artifacts
     val routed = kw("routed") ~> (kw("shards") ~> nonZero) ~
-      (kw("probe") ~> nonZero) ^^ {
-        case s ~ p => Command.TopKMode.Routed(s, p) }
+      (kw("probe") ~> nonZero) ~ opt(usingIndex) ^^ {
+        case s ~ p ~ d => Command.TopKMode.Routed(s, p, d) }
     ivfPq | ivf | pq | quant | routed
   }
   private val extTopK: Parser[Command] =

@@ -273,9 +273,15 @@ class GraftEngine(val spark: SparkSession,
       touch: Touch, lenDelta: Long,
       // insert-only mutations pass the genuinely-new (id, key) rows so a
       // live routed index can be APPENDED (overlay patch, work ∝ batch)
-      // instead of thrown away; None (deletes, upserts, fused set) keeps
-      // the invalidate-whole semantics
-      routedAppend: Option[DataFrame] = None): Unit =
+      // instead of thrown away
+      routedAppend: Option[DataFrame] = None,
+      // delete-shaped mutations pass the removed content ids so a live
+      // routed index can TOMBSTONE them (work ≈ 0, compaction guarded)
+      // instead of being invalidated whole; None on BOTH means the
+      // mutation's effect on the index can't be named — invalidate, the
+      // next routed search reclusters lazily. Some(Nil) = "this mutation
+      // provably didn't change any indexed (id, vector) row — keep".
+      routedDelete: Option[Seq[Long]] = None): Unit =
       storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val newVersion = st.version + 1
@@ -335,23 +341,71 @@ class GraftEngine(val spark: SparkSession,
     // routed-index maintenance — BEFORE the predecessor df is released
     // (the append's new-row frame reads the pre-mutation generation):
     // content-routed shards can't be pruned by the mutation's touched
-    // id-hash buckets, so there is no delta patch — but INSERT-ONLY
-    // batches append as exact overlay tails against the frozen centroids
-    // (RoutedAnnIndex.append; ScaleStaleness pins that in-distribution
-    // appends cost zero recall, and append's drift / patch-fraction
-    // guards recluster when they wouldn't). Anything else (deletes,
-    // upserts, guard trips) invalidates whole; the next routed search
-    // reclusters lazily (ensureRoutedIndex), so mutations never pay an
-    // eager recluster
-    val newRouted = (st.routedIndex, routedAppend) match {
-      case (Some(old), Some(rows)) =>
-        val appended = old.append(rows) // materializes the new overlay RDD
-        if (appended.isEmpty) old.unpersist() // guard tripped -> recluster
-        appended
-      case (maybeOld, _) =>
-        maybeOld.foreach(_.unpersist())
-        None
-    }
+    // id-hash buckets, so there is no delta patch — the LSM tiers stand
+    // in: removed ids TOMBSTONE (RoutedAnnIndex.delete — work ≈ 0,
+    // guard-routed local compaction), genuinely-new rows APPEND as exact
+    // overlay tails against the frozen centroids (RoutedAnnIndex
+    // .appendOutcome; ScaleStaleness pins that in-distribution appends
+    // cost zero recall). Only a drift-guard trip — or a mutation whose
+    // effect on the index can't be named (both args None) — invalidates
+    // whole; the next routed search reclusters lazily (ensureRoutedIndex),
+    // so mutations never pay an eager recluster.
+    val newRouted: Option[graft.ann.RoutedAnnIndex] =
+      st.routedIndex match {
+        case None => None
+        case Some(old) if routedAppend.isEmpty && routedDelete.isEmpty =>
+          old.unpersist(); None
+        case Some(old) =>
+          def tierEvent(tier: String): Unit =
+            graft.obs.Trace.event(spark, s"routed:$tier", s"$schema.$name")
+          // keep the on-disk routed artifact current under the NEW version
+          // stamp — ONE save of the swap's FINAL index (an artifact
+          // stamped vN must contain exactly the store's rows at vN, so
+          // intermediate states never persist; a guard-tripped append
+          // leaves the old stamp, which mismatches and rebuilds).
+          // Best-effort, like every artifact write. A tombstone-only
+          // delete rewrites the manifest alone, an overlay append only
+          // its touched shards' tail files; delete-compacted shards are
+          // forced through a graph rewrite even when a same-swap append
+          // overlaid them (their on-disk graph predates the compaction).
+          def refresh(idx: graft.ann.RoutedAnnIndex, touched: Set[Int],
+              forceGraph: Set[Int]): Unit =
+            persistRoot.foreach { root =>
+              try graft.ann.RoutedAnnIndex.save(idx,
+                Persistence.indexDir(root, schema, name, "hnsw_routed"),
+                s"$schema/$name@v$newVersion", Some(touched), forceGraph)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"routed artifact refresh for $schema.$name failed", e)
+              }
+            }
+          val afterDel = routedDelete match {
+            case Some(ids) if ids.nonEmpty =>
+              val d = old.delete(ids)
+              tierEvent(s"delete-${d.tier}")
+              d
+            case _ => graft.ann.RoutedAnnIndex.Maintained(
+              old, "keep", Set.empty)
+          }
+          routedAppend match {
+            case Some(rows) => afterDel.index.appendOutcome(rows) match {
+              case Some(a) =>
+                tierEvent(a.tier)
+                refresh(a.index, afterDel.touchedShards ++ a.touchedShards,
+                  forceGraph = afterDel.touchedShards)
+                Some(a.index)
+              case None => // drift guard tripped -> recluster lazily
+                afterDel.index.unpersist()
+                graft.obs.Trace.event(spark, "routed:recluster-pending",
+                  s"$schema.$name")
+                None
+            }
+            case None =>
+              refresh(afterDel.index, afterDel.touchedShards, Set.empty)
+              Some(afterDel.index)
+          }
+      }
     st.df.unpersist(blocking = false)
     st.annIndexes.values.foreach(_.unpersist())
     catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
@@ -663,25 +717,43 @@ class GraftEngine(val spark: SparkSession,
           else minusStale(mutationView(st, touch))
             .join(batchIds, col("id") === col("_nid"), "left_semi").count()
         val inserted = batchDistinct - updated
-        // plain Set is INSERT-ONLY from the routed index's view: an
-        // "updated" row has the same content id = the same key VECTOR
-        // (only metadata changes — the graphs store (id, vector)), so the
-        // genuinely-new rows are the batch ids absent from the
-        // pre-mutation store. The fused stale-delete path removes rows,
-        // which the overlay can't express — it keeps invalidate-whole.
-        val routedAppend =
-          if (staleIdsOfOpt.isDefined || st.routedIndex.isEmpty) None
-          else Some(
-            if (st.len == 0) dedupedCached.select("id", "key")
-            else dedupedCached.select("id", "key").join(
-              mutationView(st, touch).select(col("id").as("_oid")),
-              col("id") === col("_oid"), "left_anti")
-              .select("id", "key"))
+        // routed maintenance inputs. Plain Set is INSERT-ONLY from the
+        // index's view: an "updated" row has the same content id = the
+        // same key VECTOR (only metadata changes — the graphs store
+        // (id, vector)), so the genuinely-new rows are the batch ids
+        // absent from the (post-stale-delete) store. The fused
+        // stale-delete path NAMES its removed ids, so it tombstones them
+        // (RoutedAnnIndex.delete) instead of invalidating the index
+        // whole — as long as the stale set is small enough to collect
+        // (RoutedDeleteCap; past it a recluster amortizes anyway).
+        val (routedDelete, routedAppend) =
+          if (st.routedIndex.isEmpty) (None, None)
+          else {
+            val delIds: Option[Seq[Long]] = staleCached match {
+              case None => Some(Nil)
+              case Some(sc) if deleted <= GraftEngine.RoutedDeleteCap =>
+                Some(sc.collect().map(_.getLong(0)).toSeq)
+              case Some(_) => None
+            }
+            delIds match {
+              case None => (None, None) // unnameably large stale set
+              case Some(ids) =>
+                val newRows =
+                  if (st.len == 0) dedupedCached.select("id", "key")
+                  else dedupedCached.select("id", "key").join(
+                    minusStale(mutationView(st, touch))
+                      .select(col("id").as("_oid")),
+                    col("id") === col("_oid"), "left_anti")
+                    .select("id", "key")
+                (Some(ids), Some(newRows))
+            }
+          }
         swap(schema, name,
           src => minusStale(src.select("id", "key", "value"))
             .join(batchIds, col("id") === col("_nid"), "left_anti")
             .union(dedupedCached.select("id", "key", "value")),
-          touch, lenDelta = inserted - deleted, routedAppend = routedAppend)
+          touch, lenDelta = inserted - deleted,
+          routedAppend = routedAppend, routedDelete = routedDelete)
         (inserted, updated)
       } finally {
         dedupedCached.unpersist(blocking = false)
@@ -754,9 +826,11 @@ class GraftEngine(val spark: SparkSession,
     val deleted = mutationView(st, touch)
       .join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
     if (deleted > 0)
+      // the probe ids NAME the removed rows exactly (user-bounded), so a
+      // live routed index tombstones them instead of invalidating whole
       swap(schema, name,
         src => src.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
-        touch, lenDelta = -deleted)
+        touch, lenDelta = -deleted, routedDelete = Some(pids))
     deleted
   }}
 
@@ -774,8 +848,17 @@ class GraftEngine(val spark: SparkSession,
       // one job resolves the deleted count AND the touched buckets (store
       // rows are unique by id, so the distinct-id count IS the row count)
       val (touch, deleted) = touchAndCount(st, matched)
-      if (deleted > 0)
-        swap(schema, name, src => src.where(!c), touch, lenDelta = -deleted)
+      if (deleted > 0) {
+        // a bounded match set names its ids for the routed tombstone tier
+        // (one collect off the already-persisted id frame); past the cap
+        // the index invalidates whole — recluster amortizes at that scale
+        val delIds =
+          if (st.routedIndex.isEmpty || deleted > GraftEngine.RoutedDeleteCap)
+            None
+          else Some(matched.collect().map(_.getLong(0)).toSeq)
+        swap(schema, name, src => src.where(!c), touch, lenDelta = -deleted,
+          routedDelete = delIds)
+      }
       deleted
     } finally matched.unpersist(blocking = false)
   }}
@@ -828,12 +911,21 @@ class GraftEngine(val spark: SparkSession,
     val collided =
       if (newId == oldId) 0L
       else mutationView(st, touch).where(col("id") === lit(newId)).limit(1).count()
+    // routed maintenance: a metadata-only upsert (newId == oldId) keeps
+    // the index untouched (the indexed (id, vector) row didn't change); a
+    // key change tombstones the old id and overlays the new row — unless
+    // the new key COLLIDED with an existing entry, whose (id, vector) is
+    // already indexed (the collision only rewrote its metadata)
     swap(schema, name,
       src => src.where(!c)
         .join(replacement.select(col("id").as("_nid")),
           col("id") === col("_nid"), "left_anti")
         .union(replacement),
-      touch, lenDelta = -collided)
+      touch, lenDelta = -collided,
+      routedDelete = Some(if (newId == oldId) Nil else Seq(oldId)),
+      routedAppend =
+        if (newId == oldId || collided > 0) None
+        else Some(replacement.select("id", "key")))
     (0L, 1L)
     }
   }
@@ -1066,6 +1158,14 @@ object GraftEngine {
     * Persistent stores don't need this — each version's plan is rooted in
     * the parquet it just wrote. */
   val LineageCheckpointEvery = 8
+
+  /** Delete-shaped mutations that remove at most this many rows collect
+    * the removed content ids and route them to the routed index's
+    * tombstone tier ([[graft.ann.RoutedAnnIndex.delete]] — work ≈ 0,
+    * guarded local compaction). Above it the index invalidates whole: the
+    * driver-side id collect stays bounded, and a recluster amortizes over
+    * a delete of that size anyway. */
+  val RoutedDeleteCap = 65536
 
   /** Restore an engine from a persisted root: read the catalog and attach
     * each store's current bucket set LAZILY. Non-linear indexes are derived

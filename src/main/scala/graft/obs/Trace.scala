@@ -145,6 +145,25 @@ object Trace {
       }
     }
 
+  /** Record a zero-duration MARKER span — the "what just happened" event
+    * for decisions with no dynamic extent of their own, e.g. which LSM
+    * maintenance tier a routed-index batch took (append / compact /
+    * recluster). Parented under the currently open span, so an operator
+    * reading the trace of a slow Set / micro-batch sees WHY it was slow
+    * (it reclustered) without opening the Spark UI. No-op when tracing
+    * is disabled (one volatile read). */
+  def event(spark: SparkSession, op: String, store: String): Unit =
+    if (enabled) {
+      ensureListener(spark)
+      val seq = seqGen.getAndIncrement()
+      spans.synchronized {
+        spans += Rec(seq, current.get(), op, store,
+          System.currentTimeMillis(), 0L, ok = true, error = "",
+          group = s"graft-$seq")
+        if (spans.length > MaxSpans) spans.remove(0, spans.length - MaxSpans)
+      }
+    }
+
   /** Recorded spans as a DataFrame (the queryable surface — filter,
     * aggregate, join against catalog frames like any other table).
     * Job/task tallies are read here, after the listener bus has had time

@@ -403,17 +403,24 @@ object StreamingIngest {
     @volatile private var idx: graft.ann.RoutedAnnIndex = initial
     @volatile private var nReclusters: Long = 0L
     @volatile private var nAppends: Long = 0L
+    @volatile private var nCompacts: Long = 0L
     def current: graft.ann.RoutedAnnIndex = idx
     def reclusterCount: Long = nReclusters
     def appendCount: Long = nAppends
+    def compactCount: Long = nCompacts
     private[streaming] def ingest(batch: DataFrame): Unit = this.synchronized {
       val old = idx
-      old.append(batch) match {
-        case Some(next) =>
-          idx = next // append/compact absorbed it; predecessor released inside
-          nAppends += 1
+      val spark = batch.sparkSession
+      // each micro-batch lands in exactly one LSM tier; the tier is both
+      // counted here and emitted as a Trace marker event, so an operator
+      // reading the trace of a slow micro-batch sees WHY (it reclustered)
+      // without opening the Spark UI
+      old.appendOutcome(batch) match {
+        case Some(out) =>
+          idx = out.index // predecessor released inside appendOutcome
+          if (out.tier == "compact") nCompacts += 1 else nAppends += 1
+          graft.obs.Trace.event(spark, s"routed:${out.tier}", "stream-ingest")
         case None => // drift guard: recluster over everything + the batch
-          val spark = batch.sparkSession
           import spark.implicits._
           val all = old.rows.toDF("id", "key")
             .select(col("id"), col("key").cast("array<float>").as("key"))
@@ -424,6 +431,7 @@ object StreamingIngest {
           idx = rebuilt
           old.unpersist()
           nReclusters += 1
+          graft.obs.Trace.event(spark, "routed:recluster", "stream-ingest")
       }
     }
   }

@@ -245,6 +245,149 @@ class RoutedAnnSpec extends AnyFunSuite {
     } finally { loaded.get.unpersist(); a.unpersist(); idx.unpersist() }
   }
 
+  test("delete (tombstone tier): hidden everywhere, zero structural work, resurrect on re-append") {
+    val s = spark
+    import s.implicits._
+    val victims = (0 until 200).map(ids(_)).toSet
+    val out = index.delete(victims.toSeq)
+    assert(out.tier == "tombstone", "a 2% delete must tombstone, not compact")
+    assert(out.touchedShards.isEmpty, "tombstoning is a manifest-only change")
+    val del = out.index
+    assert(del.shards eq index.shards,
+      "tombstone-only delete must share the predecessor's shard RDD")
+    assert(del.tombstones.length == 200)
+    // hidden from every read path: single-query, batch join, extraction
+    (0 until 20).foreach { i =>
+      val top = del.search(vecs(i), 1, 1)
+      assert(top.headOption.forall(_._1 != ids(i)),
+        s"tombstoned id ${ids(i)} surfaced from search")
+    }
+    val qdf = (0 until 10).map(i => (100000L + i, vecs(i).toSeq)).toDF("qid", "qv")
+    val joined = del.topKJoin(qdf, "qid", "qv", K, Shards)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(joined.intersect(victims).isEmpty,
+      "tombstoned id surfaced from topKJoin")
+    assert(del.rows.map(_._1).filter(victims.contains).count() == 0,
+      "tombstoned id surfaced from rows extraction")
+    // survivors: exhaustive search equals brute force over the live set
+    val liveIds = ids.filterNot(victims.contains)
+    val liveVecs = ids.indices.collect {
+      case i if !victims.contains(ids(i)) => vecs(i) }.toArray
+    queries.take(10).foreach { q =>
+      val got = del.search(q, K, Shards).map(_._1)
+      val exp = bruteTopK(cfg.metric, liveIds, liveVecs, q, K).map(_._1)
+      assert(recallAtK(exp, got) >= 0.90,
+        "survivor recall collapsed under tombstones")
+    }
+    // deleting already-tombstoned ids is a no-op on the set
+    val again = del.delete(victims.take(10).toSeq)
+    assert(again.tier == "tombstone" && (again.index eq del),
+      "re-deleting tombstoned ids must return the same index")
+    // re-appending a tombstoned id clears its tombstone (same content id
+    // = the same vector) and it serves again
+    val back = (0 until 5).map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
+    val rev = del.append(back).get
+    assert(rev.tombstones.length == 195, "re-appended ids must leave the tombstone set")
+    (0 until 5).foreach { i =>
+      assert(rev.search(vecs(i), 1, 1).headOption.exists(_._1 == ids(i)),
+        s"resurrected id ${ids(i)} not found")
+    }
+    // do NOT unpersist del/rev here: they share the suite-wide fixture's
+    // shard RDD (tombstone-only wrappers; rev's overlay RDD leaks a few
+    // tail arrays for the session — the suite pattern)
+  }
+
+  test("delete (compaction tier): guard trips route to local rebuilds identical to a filtered build") {
+    val s = spark
+    import s.implicits._
+    val base = ids.indices.take(4000).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val idx = RoutedAnnIndex.build(base, Dim, cfg, numShards = 16, iters = 2)
+    try {
+      // 30% deleted > DefaultTombstoneLimit (10%) -> compaction
+      val victims = (0 until 1200).map(ids(_))
+      val out = idx.delete(victims)
+      assert(out.tier == "compact", "a 30% delete must compact")
+      assert(out.touchedShards.nonEmpty)
+      val del = out.index
+      try {
+        assert(del.tombstones.isEmpty, "compaction must clear the tombstone set")
+        assert(del.storedRows == 2800L, "compaction must physically remove rows")
+        // identical to a frozen-centroid build over the survivors
+        val survivors = ids.indices.slice(1200, 4000)
+          .map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
+        val twin = RoutedAnnIndex.build(survivors, Dim, cfg, 16, iters = 2,
+          replicationEps = 0.0, maxReplicas = 2,
+          frozenCentroids = Some(idx.centroids))
+        try queries.take(20).foreach { q =>
+          assert(del.search(q, K, 8) == twin.search(q, K, 8),
+            "compacted shards diverge from the frozen-centroid filtered build")
+        } finally twin.unpersist()
+        // the absolute cap also routes to compaction, fraction regardless
+        val capped = del.delete(Seq(del.rows.first()._1),
+          tombstoneLimit = 1.0, maxTombstones = 0)
+        assert(capped.tier == "compact",
+          "maxTombstones cap must force compaction")
+        capped.index.unpersist()
+      } finally del.unpersist()
+    } finally idx.unpersist()
+  }
+
+  test("tombstones and overlays survive the artifact round trip; incremental saves cost what changed") {
+    val s = spark
+    import s.implicits._
+    val base = ids.indices.take(3000).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val idx = RoutedAnnIndex.build(base, Dim, cfg, numShards = 8, iters = 2)
+    val tail = ids.indices.slice(3000, 3300).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val out = idx.appendOutcome(tail).get
+    val a = out.index
+    val del = a.delete((0 until 50).map(ids(_))).index
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed-lsm").toString
+    // full save, then verify the LAYERED layout: frozen graphs in s<i>.bin,
+    // overlay tails in p<i>.bin — so an incremental append-save can write
+    // tails alone (∝ batch) while the graph files stay untouched
+    RoutedAnnIndex.save(del, dir, sourceStamp = "lsm1")
+    val pFiles = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("p")).toSet
+    assert(pFiles.nonEmpty, "overlay tails must persist in their own p<i>.bin files")
+    val loaded = RoutedAnnIndex.load(s, dir, cfg, "lsm1", iters = 2)
+    assert(loaded.isDefined)
+    try {
+      assert(loaded.get.patchedRows == 300L)
+      assert(loaded.get.tombstones.toSeq == del.tombstones.toSeq,
+        "tombstones must survive the round trip")
+      queries.take(10).foreach { q =>
+        assert(loaded.get.search(q, K, 8) == del.search(q, K, 8),
+          "restored LSM state diverges")
+      }
+    } finally loaded.get.unpersist()
+    // INCREMENTAL save: append more, rewrite only the touched shards'
+    // tail files under a new stamp — graph files must not be rewritten
+    val sMtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("s")).map(f => f.getName -> f.lastModified).toMap
+    val tail2 = ids.indices.slice(3300, 3400).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val out2 = del.appendOutcome(tail2).get
+    RoutedAnnIndex.save(out2.index, dir, "lsm2", Some(out2.touchedShards))
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("s")).foreach { f =>
+      assert(f.lastModified == sMtimes(f.getName),
+        s"incremental overlay save rewrote graph file ${f.getName}")
+    }
+    val loaded2 = RoutedAnnIndex.load(s, dir, cfg, "lsm2", iters = 2)
+    assert(loaded2.isDefined, "incrementally saved artifact must load")
+    try {
+      assert(loaded2.get.patchedRows == 400L)
+      queries.take(10).foreach { q =>
+        assert(loaded2.get.search(q, K, 8) == out2.index.search(q, K, 8),
+          "incrementally saved LSM state diverges")
+      }
+    } finally {
+      loaded2.get.unpersist(); out2.index.unpersist(); idx.unpersist()
+    }
+  }
+
   test("routing and search are deterministic; probe ranking prefers the query's own shard") {
     val q = queries.head
     assert(index.probeShards(q, 8) == index.probeShards(q, 8))

@@ -108,15 +108,78 @@ class RoutedEngineSpec extends AnyFunSuite {
     val top2 = e.getSimN("ra", fresh.head, 1, Algorithm.HNSW).collect().head
     assert(top2.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
       .getString(1) == "renamed", "hydration must serve the updated metadata")
-    // a DELETE cannot be expressed as an overlay: it must invalidate, and
-    // the reclustered index must not serve the deleted row
+    // a DELETE TOMBSTONES (round 13): the structure stays live — same
+    // overlay, same centroids, one hidden id — and never serves the row
+    val preDelete = e.ensureRoutedIndex("ra").get._1
     e.delKey("ra", Seq(fresh.head))
+    val after3 = e.ensureRoutedIndex("ra").get._1
+    assert(after3.centroids eq preDelete.centroids,
+      "DelKey must tombstone, not recluster (centroids must be reused)")
+    assert(after3.patchedRows == 20L,
+      "tombstone delete must keep the overlay intact")
+    assert(after3.tombstones.length == 1, "one deleted id = one tombstone")
     val top3 = e.getSimN("ra", fresh.head, 1, Algorithm.HNSW).collect().head
     assert(top3.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
-      .getString(1) != "renamed", "deleted row served from a stale routed index")
-    assert(e.ensureRoutedIndex("ra").get._1.patchedRows == 0L,
-      "post-delete recluster should carry no overlay")
+      .getString(1) != "renamed", "deleted row served from the routed index")
+    // re-Setting the same vector resurrects the id: the append clears its
+    // tombstone (same content id = same vector) and the row serves again
+    e.setSeq("ra", Seq((fresh.head, meta("i" -> "reborn"))))
+    val after4 = e.ensureRoutedIndex("ra").get._1
+    assert(after4.tombstones.isEmpty, "re-inserted id must clear its tombstone")
+    val top4 = e.getSimN("ra", fresh.head, 1, Algorithm.HNSW).collect().head
+    assert(top4.getAs[Map[String, org.apache.spark.sql.Row]]("value")("i")
+      .getString(1) == "reborn", "re-inserted row must serve again")
     e.dropStore("ra")
+  }
+
+  test("DelPred tombstones; Upsert tombstones old + overlays new; exhaustive = linear throughout") {
+    val e = freshRouted("rdel")
+    def routedEqualsLinear(q: Array[Float], clue: String): Unit = {
+      val routed = e.getSimN("rdel", q, 10, Algorithm.HNSW)
+        .select("key", "similarity").collect().toSeq
+      val linear = e.getSimN("rdel", q, 10, Algorithm.CosineSimilarity)
+        .select("key", "similarity").collect().toSeq
+      assert(routed == linear, s"routed != linear after $clue")
+    }
+    val q = vecs(99L, 1).head
+    e.getSimN("rdel", q, 1, Algorithm.HNSW).count() // attach the structure
+    val before = e.ensureRoutedIndex("rdel").get._1
+    // DelPred: matched ids are collected (bounded) and handed to the
+    // delete tier — a third of the store exceeds the tombstone-fraction
+    // guard, so this lands in LOCAL COMPACTION: rows physically removed,
+    // tombstone set clear, centroids untouched (never a recluster)
+    val nDeleted = e.delPred("rdel", Equals("tag", RawString("odd")))
+    assert(nDeleted > 0)
+    val afterPred = e.ensureRoutedIndex("rdel").get._1
+    assert(afterPred.centroids eq before.centroids,
+      "bounded DelPred must tombstone/compact, not recluster")
+    assert(afterPred.tombstones.isEmpty && afterPred.storedRows == N - nDeleted,
+      "a guard-tripping delete must compact: rows removed, tombstones clear")
+    routedEqualsLinear(q, "DelPred")
+    // Upsert with a new key: old id tombstoned, new row overlaid — the
+    // index is maintained in O(1), never invalidated
+    val victim = e.getSimN("rdel", q, 1, Algorithm.HNSW).collect().head
+      .getAs[scala.collection.Seq[Float]]("key").toArray
+    val replacementKey = vecs(777L, 1).head
+    e.upsert("rdel", Equals("i", RawString(
+      e.getKey("rdel", Seq(victim)).collect().head
+        .getAs[Map[String, org.apache.spark.sql.Row]]("value")("i").getString(1))),
+      newKey = Some(replacementKey))
+    val afterUp = e.ensureRoutedIndex("rdel").get._1
+    assert(afterUp.centroids eq before.centroids,
+      "Upsert must maintain (tombstone + overlay), not recluster")
+    routedEqualsLinear(q, "Upsert(newKey)")
+    routedEqualsLinear(replacementKey, "Upsert(newKey) at the new key")
+    // metadata-only Upsert: the indexed (id, vector) rows are unchanged —
+    // the index instance is KEPT as-is
+    val keepBefore = e.ensureRoutedIndex("rdel").get._1
+    e.upsert("rdel", Equals("i", RawString("1")),
+      newValue = Some(meta("i" -> "1", "tag" -> "retagged")),
+      mergeMetadata = true)
+    assert(e.ensureRoutedIndex("rdel").get._1 eq keepBefore,
+      "metadata-only Upsert must keep the routed index untouched")
+    routedEqualsLinear(q, "Upsert(metadata-only)")
+    e.dropStore("rdel")
   }
 
   test("mutation keeps the routed index FRESH; the next search sees new rows") {
