@@ -55,6 +55,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "process")
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    // SPARK_GRAFT_BENCH_AB=<other classes dir>: the INTERLEAVED A/B
+    // protocol (SCALE.md) as a standing Bench mode — the only sound way
+    // to compare two binaries on a machine with co-tenant load
+    val ab = sys.env.get("SPARK_GRAFT_BENCH_AB").map(_.trim).filter(_.nonEmpty)
+    if (!isChild && ab.isDefined) {
+      abOrchestrate(sfDir, runs, ab.get)
+      return
+    }
     if (!isChild && isolate != "off" &&
         !sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)) {
       orchestrate(sfDir, runs)
@@ -100,6 +108,8 @@ object Bench {
       graft.queries.TestStores.li4Engine(spark, sfDir)
     if (selectedNames.contains("vdb_sim_hnsw_routed"))
       graft.queries.TestStores.routedEngine(spark, sfDir)
+    if (selectedNames.contains("vdb_sim_hnsw_routed_filtered"))
+      graft.queries.TestStores.li4RoutedEngine(spark, sfDir)
     if (selectedNames.exists(n => n == "dedup_incremental" ||
         n == "docs_dedup_incr_stream"))
       graft.queries.TestStores.minHashIndex(spark, sfDir)
@@ -213,6 +223,94 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outFile: $e") }
     spark.stop()
+  }
+
+  /** INTERLEAVED A/B of this binary (arm "a") against another build's
+    * classes dir (arm "b"): the cross-round comparison protocol SCALE.md
+    * established manually, promoted to a standing Bench mode. Sequential
+    * re-measures on a co-tenant machine are not evidence — load drifts on
+    * the scale of minutes, so arm runs must ALTERNATE (a,b,a,b,…) and be
+    * compared as per-arm medians, letting load variation average out
+    * (the ai_upsert and dedup_incremental attributions were settled
+    * exactly this way). Each invocation is one fresh JVM running the
+    * selected queries once (SPARK_GRAFT_BENCH_ONLY filters; default =
+    * every query both binaries know). Arm "b"'s classpath is this
+    * process's with the repo classes entry swapped for `abClasses` — the
+    * unmanaged Spark jars are identical by construction. Queries missing
+    * from one binary's registry report only in the other's medians.
+    * Output: one `"metric":"ab"` JSON line with per-query
+    * {a, b, ratio = a/b} (ratio > 1 ⇒ this binary is slower), written to
+    * SPARK_GRAFT_BENCH_OUT (default BENCH_AB.json). */
+  private def abOrchestrate(sfDir: String, runs: Int, abClasses: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    def selected(name: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    val cpA = System.getProperty("java.class.path")
+    val sep = java.io.File.pathSeparator
+    val cpB = cpA.split(sep).map(e =>
+      if (e.endsWith(s"target${java.io.File.separator}scala-2.13${java.io.File.separator}classes"))
+        abClasses
+      else e).mkString(sep)
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ab")
+    val samples = scala.collection.mutable.LinkedHashMap[(String, String), List[Double]]()
+    for (r <- 0 until runs; (arm, cp) <- Seq(("a", cpA), ("b", cpB))) {
+      val outFile = tmp.resolve(s"$arm$r.json")
+      val logFile = tmp.resolve(s"$arm$r.log").toFile
+      val pb = new ProcessBuilder(
+        (Seq("java") ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_AB")
+      pb.redirectOutput(logFile)
+      pb.redirectErrorStream(true)
+      System.err.println(s"bench-ab: round ${r + 1}/$runs arm $arm " +
+        s"(${names.length} queries) in fresh JVM")
+      val rc = pb.start().waitFor()
+      if (!java.nio.file.Files.exists(outFile))
+        System.err.println(s"bench-ab: arm $arm round $r produced no JSON " +
+          s"(rc=$rc, log $logFile)")
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        (JsonMethods.parse(java.nio.file.Files.readString(outFile)) \ "queries") match {
+          case JObject(fs) => fs.foreach { case (k, v) =>
+            val t = v.asInstanceOf[JValue].values.toString.toDouble
+            if (t >= 0) // a failing query must not pollute the arm median
+              samples((k, arm)) = samples.getOrElse((k, arm), Nil) :+ t
+          }
+          case _ => ()
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench-ab: arm $arm round $r unparseable: $e") }
+    }
+    def medianOf(q: String, arm: String): Option[Double] =
+      samples.get((q, arm)).filter(_.nonEmpty)
+        .map { xs => val s = xs.sorted; s(s.length / 2) }
+    val perQuery = names.map { q =>
+      val (ma, mb) = (medianOf(q, "a"), medianOf(q, "b"))
+      val ratio = for (a <- ma; b <- mb if b > 0) yield a / b
+      def n(v: Option[Double]) = v.fold("null")(_.toString)
+      "\"" + q + "\":{\"a\":" + n(ma) + ",\"b\":" + n(mb) +
+        ",\"ratio\":" + n(ratio) + "}"
+    }.mkString("{", ",", "}")
+    val failed = names.filter(q => medianOf(q, "a").isEmpty)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalA = names.flatMap(medianOf(_, "a")).sum
+    val line = s"""{"metric":"ab","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"interleaved-ab","armB":"$abClasses","queries":$perQuery,"failed":$failed,"value":$totalA}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_AB.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench-ab: could not write $outFile: $e") }
   }
 
   /** Fork one fresh JVM per query family, merge the per-family JSONs into

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Routed batch-kNN-join QUERY-SIDE scaling (VERDICT r12 #4): the round-12
+ * datapoint for [[graft.ann.RoutedAnnIndex.topKJoin]] was 1 000 queries ×
+ * 200k corpus; each shard task materializes its routed query slice as an
+ * in-memory array (`RoutedAnnIndex.topKJoin`'s zipPartitions), so the
+ * open question is whether the query side scales to 10k and 100k rows —
+ * and what the per-task memory envelope actually is.
+ *
+ * Measures, on the organic SIFT-shaped 200k × 64-d corpus
+ * ([[ScaleRecall.SiftGen]], the same geometry as the round-12 table):
+ *  - routed topKJoin wall at probes = 16/64 (the ~0.99-recall operating
+ *    point from SCALE.md) for 1k / 10k / 100k query rows;
+ *  - the per-shard routed query load (max and mean rows landing on one
+ *    shard partition, computed from the same centroid ranking the join
+ *    uses) → bytes of the per-task query array (8 B id + 64×4 B vector);
+ *  - IVF topKJoin at nProbe = 32/256 (its matched-recall point) on the
+ *    same query frames;
+ *  - the exact broadcast join ([[graft.dedup.Dedup.topKJoin]]) where it
+ *    is affordable (1k / 10k; at 100k × 200k the broadcast arm is the
+ *    documented wrong tool — included once for the record).
+ *
+ * Prints one markdown table; numbers land in SCALE.md.
+ * Usage: runMain graft.ScaleJoin [nCorpus] (default 200000)
+ */
+object ScaleJoin {
+
+  private val K = 50
+  private val Dim = 64
+  private val Shards = 64
+  private val Probes = 16
+  private val Cells = 256
+  private val NProbe = 32
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    val corpus = spark.range(n).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${corpus.count()} x $Dim (organic SIFT-shaped)")
+
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $s%.1f s")
+      (r, s)
+    }
+
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val (routed, _) = timed(s"routed build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    }
+    val (ivf, _) = timed(s"ivf build ($Cells cells)") {
+      graft.ann.IvfIndex.build(corpus, nCells = Cells, iters = 2,
+        metric = graft.types.Algorithm.CosineSimilarity)
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    for (nq <- Seq(1000L, 10000L, 100000L)) {
+      println(s"---- $nq queries ----")
+      val queries = spark.range(nq)
+        .map(i => (10000000L + i, gen(20000000L + i).toSeq)).toDF("qid", "qv")
+        .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+
+      // per-task query-array envelope: the same centroid ranking the join
+      // runs, aggregated per target shard (driver-side — nq × Shards
+      // distance evals, trivial)
+      val qvecs = queries.select("qv").as[Seq[Float]].collect().map(_.toArray)
+      val perShard = new Array[Long](Shards)
+      qvecs.foreach(q => routed.probeShards(q, Probes).foreach(s => perShard(s) += 1))
+      val maxRows = perShard.max
+      val meanRows = perShard.sum.toDouble / Shards
+      val bytesPerRow = 8 + Dim * 4
+      println(f"  routed query slices: mean $meanRows%.0f rows/shard, max " +
+        f"$maxRows rows/shard (${maxRows * bytesPerRow / 1024.0 / 1024.0}%.1f MiB/task)")
+
+      val (_, wRouted) = timed(s"routed topKJoin probes=$Probes/$Shards") {
+        routed.topKJoin(queries, "qid", "qv", K, Probes)
+          .queryExecution.toRdd.count()
+      }
+      val (_, wIvf) = timed(s"ivf topKJoin nProbe=$NProbe/$Cells") {
+        ivf.topKJoin(queries, "qid", "qv", K, NProbe)
+          .queryExecution.toRdd.count()
+      }
+      val wExact =
+        timed("exact broadcast join") {
+          graft.dedup.Dedup.topKJoin(queries, corpus, "qid", "qv", "id",
+            "key", K).queryExecution.toRdd.count()
+        }._2
+      rows += f"| ${nq}%,d | $wRouted%.1f s (max $maxRows rows = " +
+        f"${maxRows * bytesPerRow / 1024.0 / 1024.0}%.1f MiB/task) | $wIvf%.1f s | $wExact%.1f s |"
+      println(rows.last)
+      queries.unpersist(blocking = false)
+    }
+
+    println()
+    println(s"| queries x ${n / 1000}k corpus | routed topKJoin p=$Probes/$Shards (per-task query array) | IVF nProbe=$NProbe/$Cells | exact broadcast |")
+    println("|---|---|---|---|")
+    rows.foreach(println)
+    spark.stop()
+  }
+}

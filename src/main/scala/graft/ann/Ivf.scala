@@ -284,10 +284,6 @@ final class IvfIndex(
 
 object IvfIndex {
 
-  /** Lloyd-training build invocations — the "did it load or build?"
-    * observability hook the USING INDEX DSL spec asserts on. */
-  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
-
   /** Deterministic k-means cell assignment: distances to every centroid as
     * one array expression, argmin via array_position(min) — first match
     * breaks ties toward the lowest cell index. (A when-chain fold would
@@ -348,7 +344,6 @@ object IvfIndex {
   def build(dfIn: DataFrame, nCells: Int, iters: Int = 3,
       metric: Algorithm = Algorithm.EuclideanDistance): IvfIndex = {
     require(nCells > 0)
-    buildCount.incrementAndGet()
     val df = dfIn.persist(StorageLevel.MEMORY_AND_DISK) // scanned per iteration
     val centroids = trainCentroids(df, nCells, iters)
     val cells = df.withColumn("cell", assignCell(centroids))

@@ -465,10 +465,6 @@ object RoutedAnnIndex {
     * task closure (8 B/id ⇒ ≤ 2 MiB) and the manifest entry. */
   val DefaultMaxTombstones = 1 << 18
 
-  /** Lloyd-training build invocations — the "did it load or build?"
-    * observability hook the USING INDEX DSL spec asserts on. */
-  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
-
   /** Stored (id, vector) rows of a routed shard — graphs and overlay
     * tails alike (the compaction extraction path). KD shards never occur
     * in a routed index (the build only grows HNSW graphs). */
@@ -802,7 +798,6 @@ object RoutedAnnIndex {
     require(maxReplicas >= 1, s"maxReplicas must be >= 1, got $maxReplicas")
     frozenCentroids.foreach(c => require(c.length == numShards,
       s"frozen centroid count ${c.length} != numShards $numShards"))
-    buildCount.incrementAndGet()
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
     val centroids = frozenCentroids.getOrElse(

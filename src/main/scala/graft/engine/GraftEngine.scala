@@ -357,7 +357,8 @@ class GraftEngine(val spark: SparkSession,
           old.unpersist(); None
         case Some(old) =>
           def tierEvent(tier: String): Unit =
-            graft.obs.Trace.event(spark, s"routed:$tier", s"$schema.$name")
+            graft.obs.Trace.event(spark, s"routed:$tier",
+              if (schema == DefaultSchema) name else s"$schema.$name")
           // keep the on-disk routed artifact current under the NEW version
           // stamp — ONE save of the swap's FINAL index (an artifact
           // stamped vN must contain exactly the store's rows at vN, so
@@ -397,8 +398,7 @@ class GraftEngine(val spark: SparkSession,
                 Some(a.index)
               case None => // drift guard tripped -> recluster lazily
                 afterDel.index.unpersist()
-                graft.obs.Trace.event(spark, "routed:recluster-pending",
-                  s"$schema.$name")
+                tierEvent("recluster-pending")
                 None
             }
             case None =>

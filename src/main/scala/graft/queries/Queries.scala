@@ -531,6 +531,77 @@ object Queries {
       },
       Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true))),
 
+    // ---- routed index under MUTATION: DelKey tombstones the deleted ids
+    // on the LIVE index (no recluster — RoutedAnnIndex.delete's tombstone
+    // tier, round 13) and the next exhaustive search must equal exact
+    // cosine over the SURVIVORS. The query vector itself is among the
+    // deleted rows — the strictest case for the tombstone filter. ----
+    "vdb_sim_hnsw_routed_mutated" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("embrm", 64)
+        e.set("embrm", TestStores.embEntries(s, dir))
+        e.createNonLinearIndex("embrm", Seq(
+          graft.types.NonLinearConfig.RoutedHNSWConfig(
+            hnsw = graft.types.NonLinearConfig.HNSWConfig(
+              efConstruction = 100, maximumConnections = 40,
+              maximumConnectionsZero = 80, efSearch = 4096),
+            numShards = 8, probes = 8)))
+        // force the structure live BEFORE deleting, so the DelKey below
+        // exercises the tombstone tier on a built index (not a lazy
+        // post-mutation rebuild that would never see the tombstones)
+        e.getSimN("embrm", TestStores.queryVec(s, dir), 1, Algorithm.HNSW).count()
+        val victims = TestStores.table(s, dir, "embeddings")
+          .where(col("vec_id") < 5).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        e.delKey("embrm", victims)
+        // materialize while the store generation is live, then release
+        val rows = TestStores.simResult(e.getSimN("embrm",
+            TestStores.queryVec(s, dir), 10, Algorithm.HNSW))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        e.dropStore("embrm")
+        import s.implicits._
+        rows.toDF("vec_id", "sim")
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
+        where = "WHERE e.vec_id >= 5"))),
+
+    // ---- routed dispatch × large accept set: the predicate accepts ~5.3k
+    // rows (> the 4096 brute-force cutover), so GetSimN pushes a Bloom
+    // sketch of the accepted ids INTO the routed graph search
+    // (AnnSearch's in-filter arm) and re-verifies exactly at hydration —
+    // the oracle is exact cosine over the filtered slice. ----
+    "vdb_sim_hnsw_routed_filtered" -> Q(
+      (s, dir) => {
+        val e = TestStores.li4RoutedEngine(s, dir)
+        e.getSimN("li4r", Array(1000f, 5000f, 50f, 2f), 10,
+          Algorithm.HNSW, Some(NotEquals("flag", RawString("R"))))
+          .select(
+            element_at(col("key"), 1).cast("bigint").as("l_orderkey"),
+            element_at(col("key"), 2).cast("bigint").as("l_partkey"),
+            element_at(col("key"), 3).cast("bigint").as("l_suppkey"),
+            element_at(col("key"), 4).cast("bigint").as("l_linenumber"),
+            round(col("similarity").cast("double"), 4).as("sim"))
+      },
+      Some {
+        def f(c: String) = s"CAST(CAST($c AS FLOAT) AS DOUBLE)"
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val q = Seq("1000", "5000", "50", "2")
+        val dot = cols.zip(q).map { case (c, v) => s"${f(c)} * ${f(v)}" }
+          .mkString(" + ")
+        val nc = s"sqrt(${cols.map(c => s"${f(c)} * ${f(c)}").mkString(" + ")})"
+        val nq = s"sqrt(${q.map(v => s"${f(v)} * ${f(v)}").mkString(" + ")})"
+        s"""WITH scored AS (
+           |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           |    ($dot) / ($nc * $nq) AS s
+           |  FROM lineitem WHERE l_orderkey <= 2000 AND l_returnflag <> 'R'
+           |  ORDER BY s DESC, l_orderkey, l_partkey, l_suppkey, l_linenumber
+           |  LIMIT 10)
+           |SELECT l_orderkey, l_partkey, l_suppkey,
+           |CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sim FROM scored""".stripMargin
+      }),
+
     // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
     "vdb_set_counts" -> Q(
       (s, dir) => {

@@ -113,6 +113,37 @@ object TestStores {
       e
     })
 
+  private val li4RoutedEngines = TrieMap[String, GraftEngine]()
+
+  /** Shared READ-ONLY 4-dim lineitem store whose ONLY index is the
+    * coarse-routed HNSW — the >4096-accept-set filtered probe through the
+    * ROUTED dispatch's Bloom arm (the kdtree twin is [[li4Engine]]). The
+    * corpus is the l_orderkey ≤ 2000 slice (~8k rows; `flag != R` accepts
+    * ~5.3k > the 4096 brute-force cutover at every test sf), so the query
+    * exercises Bloom-sketch in-filtering THROUGH the routed graphs.
+    * Exactness by construction: probes = shards (exhaustive) and the beam
+    * (efSearch 8192) exceeds any shard's row count, so the accept-aware
+    * graph traversal — which walks THROUGH rejected nodes — degenerates
+    * to an exact scan of each connected component. */
+  def li4RoutedEngine(spark: SparkSession, sfDir: String): GraftEngine =
+    li4RoutedEngines.getOrElseUpdate(sfDir, {
+      val e = new GraftEngine(spark)
+      e.createStore("li4r", 4)
+      val li = table(spark, sfDir, "lineitem").where(col("l_orderkey") <= 2000)
+      e.set("li4r", li.select(
+        array(col("l_orderkey").cast("float"), col("l_partkey").cast("float"),
+          col("l_suppkey").cast("float"), col("l_linenumber").cast("float")).as("key"),
+        map(lit("flag"), metaStr(col("l_returnflag"))).as("value")))
+      e.createNonLinearIndex("li4r", Seq(
+        graft.types.NonLinearConfig.RoutedHNSWConfig(
+          hnsw = graft.types.NonLinearConfig.HNSWConfig(
+            efConstruction = 128, maximumConnections = 32,
+            maximumConnectionsZero = 64, efSearch = 8192,
+            metric = graft.types.Algorithm.CosineSimilarity),
+          numShards = 16, probes = 16)))
+      e
+    })
+
   private val aiEngines = TrieMap[String, graft.ai.AiEngine]()
 
   /** Shared AI engine: store "ai_docs" = documents.text embedded with the

@@ -1295,4 +1295,64 @@ class DslSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(got == api)
   }
+
+  test("TOPK ... USING INDEX: second invocation LOADS the pinned artifacts (zero rebuilds); empty corpus short-circuits") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    // grammar: both arms accept the clause
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 PROBE 2 USING INDEX '/tmp/x'") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(2, 2, Some("/tmp/x")))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 USING INDEX '/tmp/y'") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Ivf(8, 2, None, Some("/tmp/y")))))
+    val rnd = new scala.util.Random(11L)
+    val vecs = (0 until 64)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vid", "emb")
+    vecs.createOrReplaceTempView("ui_vecs")
+    vecs.where($"vid" < 4).select($"vid".as("qid"), $"emb")
+      .createOrReplaceTempView("ui_q")
+    val rDir = java.nio.file.Files.createTempDirectory("dsl-routed-ui").toString
+    val iDir = java.nio.file.Files.createTempDirectory("dsl-ivf-ui").toString
+    val script =
+      s"""TOPK 3 FROM ui_q ID qid VEC emb IN ui_vecs ID vid VEC emb ROUTED SHARDS 2 PROBE 2 USING INDEX '$rDir';
+         |TOPK 3 FROM ui_q ID qid VEC emb IN ui_vecs ID vid VEC emb IVF CELLS 2 PROBE 2 USING INDEX '$iDir'""".stripMargin
+    def run(): Seq[Seq[(Long, Long, Long)]] = Pipeline.runExt(spark, script).map {
+      case Right(Response.Entries(d)) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+      case other => fail(s"USING INDEX arm failed: $other")
+    }
+    val first = run()
+    // a rebuild would SAVE over the artifacts — unchanged mtimes prove the
+    // second invocation deserialized (zero Lloyd rounds, zero graph builds)
+    def mtimes(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap
+    val (rM, iM) = (mtimes(rDir), mtimes(iDir))
+    assert(rM.nonEmpty && iM.nonEmpty, "first invocation must build AND save")
+    val second = run()
+    assert(second == first, "pinned-artifact arms must answer identically")
+    assert(mtimes(rDir) == rM,
+      "second ROUTED invocation rewrote artifacts — it rebuilt instead of loading")
+    assert(mtimes(iDir) == iM,
+      "second IVF invocation rewrote artifacts — it rebuilt instead of loading")
+    // a SHAPE change is a different index: artifacts rewrite (stale by identity)
+    val reshaped = Pipeline.runExt(spark,
+      s"TOPK 3 FROM ui_q ID qid VEC emb IN ui_vecs ID vid VEC emb ROUTED SHARDS 4 PROBE 4 USING INDEX '$rDir'")
+    assert(reshaped.forall(_.isRight), reshaped)
+    assert(mtimes(rDir) != rM, "a shard-count change must rebuild the pinned artifact")
+    // empty corpus: the routed arm short-circuits to an empty result
+    // instead of failing to derive a dimension / train centroids
+    vecs.where($"vid" < 0).createOrReplaceTempView("ui_empty")
+    Pipeline.runExt(spark,
+      "TOPK 3 FROM ui_q ID qid VEC emb IN ui_empty ID vid VEC emb ROUTED SHARDS 2 PROBE 2") match {
+      case Seq(Right(Response.Entries(d))) =>
+        assert(d.count() == 0)
+        assert(d.columns.toSeq == Seq("qid", "cid", "sim", "rank"))
+      case other => fail(s"empty-corpus routed arm: $other")
+    }
+  }
 }

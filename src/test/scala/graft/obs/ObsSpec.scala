@@ -80,6 +80,64 @@ class ObsSpec extends AnyFunSuite {
     assert(spans.exists(s => s._3 == "CreateStore" && s._2 == aiCreate.head._1))
   }
 
+  test("routed maintenance tiers surface as trace events (streaming ingest + engine mutations)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dim = 8
+    val rnd = new scala.util.Random(5L)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efSearch = 4096,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val initial = graft.ann.RoutedAnnIndex.build(
+      base.toDF("id", "key").select(col("id"),
+        col("key").cast("array<float>").as("key")),
+      dim, cfg, numShards = 4, iters = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val src = mem.toDF()
+      .select(col("_1").as("id"), col("_2").cast("array<float>").as("key"))
+    s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    Trace.enabled = true
+    try {
+      val (handle, q) = graft.streaming.StreamingIngest
+        .streamingRoutedAppend(initial, src, "id", "key")
+      try {
+        // batch 1: in-distribution -> append tier
+        mem.addData((1000L, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+        q.processAllAvailable()
+        // batch 2: far-away manifold -> drift guard -> recluster tier
+        mem.addData((2000L, Seq.fill(dim)(9.5f)))
+        q.processAllAvailable()
+      } finally { q.stop(); handle.current.unpersist() }
+    } finally Trace.enabled = false
+    val tiers = spansFor("stream-ingest").map(_._1)
+    assert(tiers.contains("routed:append"),
+      s"append tier event missing from trace: $tiers")
+    assert(tiers.contains("routed:recluster"),
+      s"recluster tier event missing from trace: $tiers")
+
+    // engine mutations emit the same markers under the op span: a DelKey
+    // on a routed store records its delete tier
+    val e = new graft.engine.GraftEngine(spark)
+    e.createStore("obs_routed", dim)
+    val keys = (0 until 64).map(_ =>
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    e.setSeq("obs_routed", keys.map(k =>
+      (k, Map("t" -> (MetadataValue.RawString("x"): MetadataValue)))))
+    e.createNonLinearIndex("obs_routed", Seq(
+      graft.types.NonLinearConfig.RoutedHNSWConfig(hnsw = cfg,
+        numShards = 4, probes = 4)))
+    Trace.enabled = true
+    try e.delKey("obs_routed", Seq(keys.head))
+    finally Trace.enabled = false
+    val engTiers = spansFor("obs_routed").map(_._1)
+    assert(engTiers.contains("routed:delete-tombstone"),
+      s"DelKey tombstone tier event missing: $engTiers")
+    e.dropStore("obs_routed")
+  }
+
   test("disabled tracing records nothing and job groups are restored") {
     val e = new graft.engine.GraftEngine(spark)
     Trace.enabled = false

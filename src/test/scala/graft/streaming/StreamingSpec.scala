@@ -63,7 +63,7 @@ class StreamingSpec extends AnyFunSuite {
       late.grouped(134).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
     } finally q.stop()
     val streamed = handle.current
-    assert(handle.appendCount + handle.reclusterCount >= 3,
+    assert(handle.appendCount + handle.compactCount + handle.reclusterCount >= 3,
       "every micro-batch must take a maintenance tier")
     assert(handle.reclusterCount == 0,
       "in-distribution batches must never trip the drift guard")
