@@ -93,21 +93,29 @@ final class IvfIndex(
     * metric, ties on cid. */
   def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
       nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val np = math.max(1, math.min(nProbe, nCells))
     val probed = dedupedQueries(queries, qId, qVec)
       .withColumn("_p", explode(cellRankExpr(np)))
       .select(col("qid"), col("qv"), col("_p.c").as("cell"))
     // a corpus row lives in exactly one cell and (qid, cell) probes are
-    // distinct, so no match can appear twice
+    // distinct, so no match can appear twice. Ranking goes through the
+    // bounded per-task fold ([[BoundedTopK]]), NEVER a window sort of the
+    // exploded match table — that shape cost 22x wall at 10x queries and
+    // is the measured query-side cliff (ScaleJoin, SCALE.md round 13).
     val scored = probed.join(cells, "cell")
-      .withColumn("_closeness", Similarity.closeness(metric, col("key"), col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("_closeness").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
-      .select(col("qid"), col("id").as("cid"),
-        round(Similarity.similarityValue(metric, col("key"), col("qv"))
-          .cast("float").cast("double"), 4).as("sim"),
-        col("rank"))
+      .select(col("qid"), col("id"),
+        Similarity.closeness(metric, col("key"), col("qv")).as("_c"))
+    val top = BoundedTopK.topK(scored, "qid", "id", "_c", k)
+    // similarityValue == closeness for the similarity metrics and its
+    // exact negation for the distance ones (closeness = -distance, the
+    // same kernel) — no winner re-scoring needed
+    val sim = metric match {
+      case Algorithm.CosineSimilarity | Algorithm.DotProductSimilarity |
+           Algorithm.HNSW => col("score")
+      case _ => -col("score")
+    }
+    top.select(col("qid"), col("cid"),
+      round(sim.cast("float").cast("double"), 4).as("sim"), col("rank"))
   }
 
   /** Label-filtered hard-negative mining inside probed cells — the
@@ -126,7 +134,6 @@ final class IvfIndex(
     * contract == [[Negatives.hardNegatives]]. */
   def hardNegatives(queries: DataFrame, qId: String, qVec: String,
       qLabel: String, cLabel: String, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(metric == Algorithm.CosineSimilarity,
       s"hard negatives rank by cosine; this index was built for $metric")
     require(cells.columns.contains(cLabel),
@@ -148,16 +155,20 @@ final class IvfIndex(
       .withColumn("_cos", Similarity.cosineSimilarity(col("qv"), col("key")))
     val pos = scored.where(col(cLabel) === col("ql"))
       .groupBy("qid").agg(max(col("_cos")).as("pc"))
-    val w = Window.partitionBy("qid").orderBy(col("_cos").desc, col("id").asc)
-    val negs = scored.where(col(cLabel) =!= col("ql"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    // bounded per-task fold over the probed match table — at the
+    // million-anchor scale this arm exists for, a window sort of
+    // |anchors|·nProbe·cellRows rows is the measured query-side cliff
+    // (ScaleJoin, SCALE.md round 13)
+    val negs = BoundedTopK.topK(
+      scored.where(col(cLabel) =!= col("ql"))
+        .select(col("qid"), col("id"), col("_cos")),
+      "qid", "id", "_cos", k)
     negs.join(broadcast(pos), Seq("qid"), "left")
-      .select(col("qid"), col("id").as("cid"),
-        round(col("_cos"), 4).as("neg_cos"),
+      .select(col("qid"), col("cid"),
+        round(col("score"), 4).as("neg_cos"),
         round(col("pc"), 4).as("pos_cos"),
         col("rank"),
-        (round(col("_cos"), 4) < round(col("pc"), 4)).as("semi_hard"))
+        (round(col("score"), 4) < round(col("pc"), 4)).as("semi_hard"))
   }
 
   /** SQ8 × IVF composition — the 100 TB top-k story stacked the right way:
@@ -196,25 +207,25 @@ final class IvfIndex(
     val (cmn, cmx) = Quantize.quantParams(col("key"))
     val codes = cells.select(col("cell"), col("id"),
       Quantize.int8Codes(col("key")).as("ccodes"), cmn.as("cmn"), cmx.as("cmx"))
+    // both rankings go through the bounded fold ([[BoundedTopK]]) — the
+    // coarse stage is the widest table this operator ever builds
+    // (|q|·nProbe·cellRows rows) and must never be window-sorted
     val coarse = probed.join(codes, "cell")
-      .withColumn("s_coarse", Quantize.coarseCosine(
+      .select(col("qid"), col("id"), Quantize.coarseCosine(
         col("qcodes"), col("qmn"), col("qmx"),
-        col("ccodes"), col("cmn"), col("cmx")))
-    val wCoarse = Window.partitionBy("qid")
-      .orderBy(col("s_coarse").desc, col("id").asc)
-    val short = coarse.withColumn("_rs", row_number().over(wCoarse))
-      .where(col("_rs") <= shortlist)
-      .select("qid", "id")
+        col("ccodes"), col("cmn"), col("cmx")).as("s_coarse"))
+    val short = BoundedTopK.topK(coarse, "qid", "id", "s_coarse", shortlist)
+      .select(col("qid"), col("cid").as("id"))
     // rescore the shortlist only: float vectors by id (shortlist-bounded),
     // query vectors by qid (broadcast-sized)
     val exact = short
       .join(cells.select(col("id"), col("key")), "id")
       .join(broadcast(q0), "qid")
-      .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("key")))
-    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
-    exact.withColumn("rank", row_number().over(wExact).cast("long")).where(col("rank") <= k)
-      .select(col("qid"), col("id").as("cid"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("qid"), col("id"),
+        Similarity.cosineSimilarity(col("qv"), col("key")).as("cos"))
+    BoundedTopK.topK(exact, "qid", "id", "cos", k)
+      .select(col("qid"), col("cid"),
+        round(col("score"), 4).as("cos"), col("rank"))
   }
 
   /** PQ × IVF composition (IVF-ADC, the layout of Jégou 2011 §IV): the
@@ -249,23 +260,20 @@ final class IvfIndex(
       .select(col("qid"), col("luts"), col("qn"), col("_p.c").as("cell"))
     val codes = cells.select(col("cell"), col("id"),
       cb.encodeExpr(col("key")).as("codes"))
+    // bounded fold for both rankings — see quantizedTopKJoin's note
     val coarse = probed.join(codes, "cell")
-      .withColumn("s_coarse",
-        cb.adcCosine(col("luts"), col("qn"), col("codes")))
-    val wCoarse = Window.partitionBy("qid")
-      .orderBy(col("s_coarse").desc, col("id").asc)
-    val short = coarse.withColumn("_rs", row_number().over(wCoarse))
-      .where(col("_rs") <= shortlist)
-      .select("qid", "id")
+      .select(col("qid"), col("id"),
+        cb.adcCosine(col("luts"), col("qn"), col("codes")).as("s_coarse"))
+    val short = BoundedTopK.topK(coarse, "qid", "id", "s_coarse", shortlist)
+      .select(col("qid"), col("cid").as("id"))
     val exact = short
       .join(cells.select(col("id"), col("key")), "id")
       .join(broadcast(q0), "qid")
-      .withColumn("cos",
-        graft.functions.Similarity.cosineSimilarity(col("qv"), col("key")))
-    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
-    exact.withColumn("rank", row_number().over(wExact).cast("long")).where(col("rank") <= k)
-      .select(col("qid"), col("id").as("cid"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("qid"), col("id"), graft.functions.Similarity
+        .cosineSimilarity(col("qv"), col("key")).as("cos"))
+    BoundedTopK.topK(exact, "qid", "id", "cos", k)
+      .select(col("qid"), col("cid"),
+        round(col("score"), 4).as("cos"), col("rank"))
   }
 
   /** Top-n over the probed cells only: `cell IN probes` prunes partitions,

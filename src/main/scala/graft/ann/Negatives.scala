@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,10 +17,10 @@ import org.apache.spark.sql.functions._
  * Scale shape: the query side is the bounded one (a training batch / a
  * sampled anchor set) — it broadcasts; the corpus STREAMS through two
  * scans (negatives, positive anchors), never materializing the N×M score
- * matrix. The negatives arm shuffles scored pairs once, keyed by qid, into
- * a per-query window top-k (the [[graft.dedup.Dedup.topKJoin]] baseline
- * shape); the positives arm is a map-side-combined max per qid (G rows
- * out). Both-sides-large: route the negatives arm through the IVF index
+ * matrix. The negatives arm folds scored pairs into bounded per-task
+ * heaps ([[BoundedTopK]] — shuffle carries ≤ tasks × queries × k rows,
+ * never the product); the positives arm is a map-side-combined max per
+ * qid (G rows out). Both-sides-large: route the negatives arm through the IVF index
  * ([[Ivf.topKJoin]]) with the label filter applied inside probed cells and
  * k widened to survive the filter — same composition as the quantized
  * arms; the anchor max is unchanged (it is an aggregation, not a top-k).
@@ -62,17 +61,19 @@ object Negatives {
     // shuffle carries one row per query
     val pos = scored.where(col("cl") === col("ql"))
       .groupBy("qid").agg(max(col("cos")).as("pc"))
-    // hard negatives: per-query top-k over different-label rows
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    val negs = scored.where(col("cl") =!= col("ql"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    // hard negatives: per-query top-k over different-label rows, through
+    // the bounded per-task fold — never a window sort of the broadcast
+    // product (graft.ann.BoundedTopK; the measured cliff is in SCALE.md)
+    val negs = BoundedTopK.topK(
+      scored.where(col("cl") =!= col("ql"))
+        .select(col("qid"), col("cid"), col("cos")),
+      "qid", "cid", "cos", k)
     negs.join(broadcast(pos), Seq("qid"), "left")
       .select(col("qid"), col("cid"),
-        round(col("cos"), 4).as("neg_cos"),
+        round(col("score"), 4).as("neg_cos"),
         round(col("pc"), 4).as("pos_cos"),
         col("rank"),
-        (round(col("cos"), 4) < round(col("pc"), 4)).as("semi_hard"))
+        (round(col("score"), 4) < round(col("pc"), 4)).as("semi_hard"))
   }
 
   /** In-plan NULL-label guard: the label value, or raise_error on NULL.

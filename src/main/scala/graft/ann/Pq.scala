@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, Similarity}
@@ -187,20 +186,21 @@ final class PqCodebook(
     // the coarse side carries (cid, codes) ONLY — no float vectors
     val codes = corpus.select(col(cId).as("cid"),
       encodeExpr(col(cVec)).as("codes"))
+    // rankings go through the bounded per-task fold ([[BoundedTopK]]):
+    // the coarse table is |q|·|corpus| rows — the widest stage any join
+    // in this family builds — and must never be window-sorted
     val coarse = broadcast(qPrepped).crossJoin(codes)
-      .withColumn("s_coarse", adcCosine(col("luts"), col("qn"), col("codes")))
-    val wCoarse = Window.partitionBy("qid")
-      .orderBy(col("s_coarse").desc, col("cid").asc)
-    val short = coarse.withColumn("_rs", row_number().over(wCoarse))
-      .where(col("_rs") <= shortlist)
+      .select(col("qid"), col("cid"),
+        adcCosine(col("luts"), col("qn"), col("codes")).as("s_coarse"))
+    val short = BoundedTopK.topK(coarse, "qid", "cid", "s_coarse", shortlist)
       .select("qid", "cid")
     val exact = short
       .join(corpus.select(col(cId).as("cid"), col(cVec).as("cv")), "cid")
       .join(broadcast(q), "qid")
-      .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("cv")))
-    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    exact.withColumn("rank", row_number().over(wExact).cast("long")).where(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("qid"), col("cid"),
+        Similarity.cosineSimilarity(col("qv"), col("cv")).as("cos"))
+    BoundedTopK.topK(exact, "qid", "cid", "cos", k)
+      .select(col("qid"), col("cid"), round(col("score"), 4).as("cos"), col("rank"))
   }
 
   /** JVM-side reference encode (tests pin the expression against this). */

@@ -106,7 +106,7 @@ final class RoutedAnnIndex(
     * way, so the rank column is metric-faithful). */
   def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
       probes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+
     import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
     val spark = queries.sparkSession
     val p = math.max(1, math.min(probes, numShards))
@@ -140,20 +140,23 @@ final class RoutedAnnIndex(
     }
     import spark.implicits._
     val scored = hits.toDF("qid", "cid", "_closeness")
-      // replicas can surface from several probed shards — keep one
+      // replicas can surface from several probed shards — keep one (hash
+      // aggregate with map-side combine; cheap, and it guarantees the
+      // bounded fold below never sees a duplicate cid)
       .groupBy("qid", "cid").agg(max(col("_closeness")).as("_closeness"))
-    val w = Window.partitionBy("qid").orderBy(col("_closeness").desc, col("cid").asc)
+    // bounded per-task fold for the final rank — the candidate table is
+    // |q|·probes·k rows (80M at 100k queries), and window-sorting it was
+    // most of the super-linear growth ScaleJoin measured (SCALE.md r13)
+    val top = BoundedTopK.topK(scored, "qid", "cid", "_closeness", k)
     // closeness is the shard ordering (-sqEuclidean under the euclidean
     // metric); `sim` reports the IvfIndex convention — positive distance
     val simExpr = config.metric match {
-      case Algorithm.EuclideanDistance => sqrt(-col("_closeness"))
-      case _ => col("_closeness")
+      case Algorithm.EuclideanDistance => sqrt(-col("score"))
+      case _ => col("score")
     }
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"),
-        round(simExpr.cast("float").cast("double"), 4).as("sim"),
-        col("rank"))
+    top.select(col("qid"), col("cid"),
+      round(simExpr.cast("float").cast("double"), 4).as("sim"),
+      col("rank"))
   }
 
   import RoutedAnnIndex.Maintained

@@ -894,9 +894,12 @@ object Dedup {
       cId: String, cVec: String, k: Int): DataFrame = {
     val scored = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv")))
       .crossJoin(corpus.select(col(cId).as("cid"), col(cVec).as("cv")))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("_rn").cast("long").as("rank"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+    // bounded per-task fold, never a window sort of the |q|·|corpus|
+    // product: the window formulation SPILLED A 65 GB DISK at 10k × 200k
+    // (graft.ScaleJoin, round 13) — sorting 2B rows to keep 500k
+    graft.ann.BoundedTopK.topK(scored, "qid", "cid", "cos", k)
+      .select(col("qid"), col("cid"), round(col("score"), 4).as("cos"),
+        col("rank"))
   }
 }

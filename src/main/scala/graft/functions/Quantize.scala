@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -101,19 +100,25 @@ object Quantize {
     }
     val q = quantized(queries, qId, qVec, "q")
     val c = quantized(corpus, cId, cVec, "c")
-    val coarse = broadcast(q).crossJoin(c)
-      .withColumn("s_coarse", coarseCosine(
+    // the coarse pass carries CODES ONLY across the |q|·|corpus| cross
+    // product (float vectors re-attach for the shortlist rescore — they
+    // used to ride the widest stage), and both rankings go through the
+    // bounded per-task fold ([[graft.ann.BoundedTopK]]) instead of a
+    // window sort of the full cross product
+    val coarse = broadcast(q.drop("qv")).crossJoin(c.drop("cv"))
+      .select(col("qid"), col("cid"), coarseCosine(
         col("qcodes"), col("qmn"), col("qmx"),
-        col("ccodes"), col("cmn"), col("cmx")))
-    val wCoarse = Window.partitionBy("qid")
-      .orderBy(col("s_coarse").desc, col("cid").asc)
-    val wExact = Window.partitionBy("qid")
-      .orderBy(col("cos").desc, col("cid").asc)
-    coarse.withColumn("_rs", row_number().over(wCoarse))
-      .where(col("_rs") <= shortlist)
-      .withColumn("cos", Similarity.cosineSimilarity(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(wExact).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rank"))
+        col("ccodes"), col("cmn"), col("cmx")).as("s_coarse"))
+    val short = graft.ann.BoundedTopK.topK(coarse, "qid", "cid", "s_coarse",
+        shortlist)
+      .select("qid", "cid")
+    val exact = short
+      .join(corpus.select(col(cId).as("cid"), col(cVec).as("cv")), "cid")
+      .join(broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv"))),
+        "qid")
+      .select(col("qid"), col("cid"),
+        Similarity.cosineSimilarity(col("qv"), col("cv")).as("cos"))
+    graft.ann.BoundedTopK.topK(exact, "qid", "cid", "cos", k)
+      .select(col("qid"), col("cid"), round(col("score"), 4).as("cos"), col("rank"))
   }
 }

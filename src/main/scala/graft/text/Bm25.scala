@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval — the classic inverted-index ranking function
@@ -78,10 +77,12 @@ object Bm25 {
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("did"), (idf * tfn).as("s"))
       .groupBy("qid", "did").agg(round(sum(col("s")), 4).as("score"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("score").desc, col("did").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("did"), col("score"),
-        col("rank").cast("long").as("rank"))
+    // bounded per-task fold: the candidate set per query is every doc
+    // sharing a term — corpus-sized for common terms — and must never be
+    // window-sorted (graft.ann.BoundedTopK; the cliff table is in
+    // SCALE.md round 13). Ranking is over the ROUNDED score, same as the
+    // window it replaces and the oracle's replay.
+    graft.ann.BoundedTopK.topK(scored, "qid", "did", "score", k)
+      .select(col("qid"), col("cid").as("did"), col("score"), col("rank"))
   }
 }

@@ -20,6 +20,18 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Build a frame while capturing the physical plan of every scoring
+    * stage that flows into [[graft.ann.BoundedTopK.topK]] (the fold
+    * compiles its input to an RDD, so those stages are invisible in the
+    * final frame's executedPlan). Returns (stage plans in invocation
+    * order, the final frame's plan). */
+  private def stagePlans(f: => DataFrame): (Seq[String], String) = {
+    val probe = scala.collection.mutable.ArrayBuffer[String]()
+    graft.ann.BoundedTopK.planProbe.set(probe)
+    try { val df = f; (probe.toSeq, plan(df)) }
+    finally graft.ann.BoundedTopK.planProbe.remove()
+  }
+
   private lazy val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog again and again"),
     (1L, "the quick brown fox jumps over the lazy dog again and again today"),
@@ -57,12 +69,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val spark = graft.TestFixtures.spark
     import spark.implicits._
     val qs = Seq((1L, "alpha beta")).toDF("qid", "qtext")
-    val p = plan(graft.text.Bm25.bm25TopK(
+    val (stages, _) = stagePlans(graft.text.Bm25.bm25TopK(
       docs, "doc_id", "text", qs, "qid", "qtext", 5))
+    val p = stages.mkString
     assert(!p.contains("CartesianProduct"))
     // postings are FILTERED by the broadcast query-term set — the corpus
     // postings never shuffle to meet the queries
     assert(p.contains("BroadcastHashJoin"))
+    // ranking is the bounded fold, not a sort of the candidate table: the
+    // scoring stage must end at the per-(qid,did) hash aggregate with no
+    // Sort and no WindowGroupLimit above it
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      s"ranking must be the bounded fold, not a window; plan:\n$p")
   }
 
   test("dsir scoring: one codegen'd narrow map — no shuffle, no join") {
@@ -149,18 +167,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected broadcast anti-join in:\n$p")
   }
 
-  test("broadcast top-k join: query side broadcasts, corpus streams") {
+  test("broadcast top-k join: query side broadcasts, corpus streams into the bounded fold") {
     val vecs = (0 until 8).map(i => (i.toLong, Array(i.toFloat, 1f))).toDF("id", "vec")
-    val p = plan(graft.dedup.Dedup.topKJoin(
+    val (stages, _) = stagePlans(graft.dedup.Dedup.topKJoin(
       vecs.where(col("id") < 2), vecs, "id", "vec", "id", "vec", 2))
+    val p = stages.mkString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast; plan:\n$p")
-    // the rank<=k filter must push a PARTIAL WindowGroupLimit below the
-    // qid exchange: the shuffle then carries k rows per map partition per
-    // query, not the full N×M scored product — the property that keeps
-    // the window formulation viable at corpus scale
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"rank filter must become a pre-shuffle group limit; plan:\n$p")
+    // the N×M scored product flows STRAIGHT into the bounded per-task
+    // fold: no exchange, no sort, no window — the round-12 formulation's
+    // partial WindowGroupLimit still SORTED each task's slice of the
+    // product, which is what filled a 65 GB disk at 10k × 200k
+    // (graft.ScaleJoin round 13; BoundedTopK's k-heaps replace it)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).isEmpty,
+      s"the scored product must not shuffle; plan:\n$p")
+    assert(!p.contains("Sort [") && !p.contains("WindowGroupLimit"),
+      s"the scored product must not sort; plan:\n$p")
   }
 
   test("relational join pushes filters to the parquet scan and broadcasts the dim") {
@@ -225,21 +247,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
-  test("quantized top-k: query side broadcasts, both windows share one qid exchange") {
+  test("quantized top-k: codes-only broadcast coarse pass; both rankings are bounded folds") {
     val vecs = (0 until 16).map(i => (i.toLong, Seq(i.toFloat, 1f, 2f))).toDF("id", "v")
-    val p = plan(graft.functions.Quantize.quantizedTopKJoin(
+    val (stages, _) = stagePlans(graft.functions.Quantize.quantizedTopKJoin(
       vecs.where(col("id") < 2), vecs, "id", "v", "id", "v", k = 2, shortlist = 4))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"query side must broadcast; plan:\n$p")
-    // coarse rank and exact rerank both partition by qid — the second
-    // window must REUSE the first's exchange, not add its own
-    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
-      s"the two windows must share one qid shuffle; plan:\n$p")
-    // the shortlist cut must push a PARTIAL group limit below that
-    // exchange (see the broadcast top-k pin)
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"shortlist cut must become a pre-shuffle group limit; plan:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    assert(stages.length == 2, s"coarse + exact rescore stages expected: $stages")
+    val (coarse, exact) = (stages.head, stages(1))
+    assert(coarse.contains("BroadcastNestedLoopJoin") ||
+      coarse.contains("BroadcastHashJoin"),
+      s"query side must broadcast in the coarse pass; plan:\n$coarse")
+    assert(!coarse.contains("CartesianProduct"))
+    // the widest stage ranks over CODES and never sorts or shuffles: the
+    // float vectors must not ride it (they re-attach for the rescore)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(coarse).isEmpty &&
+      !coarse.contains("Sort [") && !coarse.contains("WindowGroupLimit"),
+      s"coarse product must flow into the fold unsorted; plan:\n$coarse")
+    assert(coarse.contains("codes"), s"coarse must rank codes; plan:\n$coarse")
+    assert(!coarse.contains("qv#") && !coarse.contains("cv#"),
+      s"float vectors must not ride the coarse stage; plan:\n$coarse")
+    // the rescore re-attaches vectors by id and queries as a broadcast
+    assert(exact.contains("BroadcastHashJoin"),
+      s"rescore joins must broadcast; plan:\n$exact")
   }
 
   test("SQ8-in-IVF top-k: cell equi-join coarse pass, no all-pairs product") {
@@ -247,17 +275,25 @@ class PlanShapeSpec extends AnyFunSuite {
       (i.toLong, Seq(i.toFloat, (i % 3).toFloat, 2f))).toDF("id", "key")
     val ivf = graft.ann.IvfIndex.build(vecs, nCells = 4, iters = 1)
     try {
-      val p = plan(ivf.quantizedTopKJoin(
+      val (stages, _) = stagePlans(ivf.quantizedTopKJoin(
         vecs.where(col("id") < 2).select(col("id"), col("key").as("v")),
         "id", "v", k = 2, nProbe = 4, shortlist = 8))
+      assert(stages.length == 2, s"coarse + exact stages expected: $stages")
+      val (coarse, exact) = (stages.head, stages(1))
       // the coarse pass must reach the corpus through the (cell, cell)
       // equi-join — never a cross/nested-loop product of queries x corpus
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
-        s"coarse pass must be the cell equi-join; plan:\n$p")
+      assert(!coarse.contains("CartesianProduct") &&
+        !coarse.contains("BroadcastNestedLoopJoin"),
+        s"coarse pass must be the cell equi-join; plan:\n$coarse")
+      // and the scored PRODUCT flows into the bounded fold unsorted: no
+      // Sort node above the cell join (the query-side dedup's min-agg
+      // sorts ITS OWN bounded frame inside the broadcast subtree — fine)
+      val spine = coarse.substring(0, coarse.indexOf("Join"))
+      assert(!spine.contains("Sort [") && !coarse.contains("WindowGroupLimit"),
+        s"coarse product must not sort above the cell join; plan:\n$coarse")
       // the float rescore re-attaches queries by qid as a broadcast
-      assert(p.contains("BroadcastHashJoin"),
-        s"query rescore side must broadcast; plan:\n$p")
+      assert(exact.contains("BroadcastHashJoin"),
+        s"query rescore side must broadcast; plan:\n$exact")
     } finally ivf.unpersist()
   }
 
@@ -265,25 +301,26 @@ class PlanShapeSpec extends AnyFunSuite {
     val vecs = (0 until 32).map(i =>
       (i.toLong, Seq(i.toFloat, (i % 3).toFloat, 2f, 1f))).toDF("id", "key")
     val cb = graft.ann.PqCodebook.train(vecs, m = 2, ksub = 4, iters = 1)
-    val p = plan(cb.topKJoin(
+    val (stages, _) = stagePlans(cb.topKJoin(
       vecs.where(col("id") < 2), vecs, "id", "key", "id", "key",
       k = 2, shortlist = 4))
+    assert(stages.length == 2, s"coarse + exact stages expected: $stages")
+    val (coarse, exact) = (stages.head, stages(1))
     // the coarse side must be the broadcast-queries x codes product — the
     // codebook itself is a plan literal (no join/exchange of its own)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"query side must broadcast; plan:\n$p")
-    assert(!p.contains("CartesianProduct"))
-    // coarse rank and exact rerank both partition by qid — one shared
-    // exchange, with the shortlist cut pushed down as a partial group limit
-    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
-      s"the two windows must share one qid shuffle; plan:\n$p")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"shortlist cut must become a pre-shuffle group limit; plan:\n$p")
-    // the float corpus vectors must NOT ride the coarse stage: `key` may
-    // only be read below the rescore join, which sits ABOVE the window cut
-    val coarseRegion = p.substring(p.indexOf("WindowGroupLimit"))
-    assert(coarseRegion.contains("codes") || p.contains("codes"),
-      s"coarse stage must rank over the code column; plan:\n$p")
+    assert(coarse.contains("BroadcastNestedLoopJoin") ||
+      coarse.contains("BroadcastHashJoin"),
+      s"query side must broadcast; plan:\n$coarse")
+    assert(!coarse.contains("CartesianProduct"))
+    // codes-only coarse scan flowing into the bounded fold unsorted: the
+    // float corpus vectors must NOT ride the widest stage
+    assert(coarse.contains("codes"),
+      s"coarse stage must rank over the code column; plan:\n$coarse")
+    assert(!coarse.contains("Sort [") && !coarse.contains("WindowGroupLimit") &&
+      "(?<!Broadcast)Exchange".r.findAllIn(coarse).isEmpty,
+      s"coarse product must not sort or shuffle; plan:\n$coarse")
+    assert(exact.contains("BroadcastHashJoin"),
+      s"rescore joins must broadcast; plan:\n$exact")
   }
 
   test("asofJoin is union-and-sweep: zero joins, windows share one key shuffle") {
@@ -343,20 +380,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val vecs = spark.range(8).select(col("id"),
       array(col("id").cast("float"), lit(1f)).as("key"),
       (col("id") % 2).cast("int").as("label"))
-    val p = plan(graft.ann.Negatives.hardNegatives(vecs, vecs,
-      "id", "key", "label", "id", "key", "label", 2))
-    // both corpus passes see the bounded query side as a broadcast nested
-    // loop (the deliberate N×M scoring scan); the anchor max re-attaches
-    // as a broadcast hash join — the only Exchanges are the qid window's
-    // and the anchor aggregation's
+    val (stages, finalPlan) = stagePlans(graft.ann.Negatives.hardNegatives(
+      vecs, vecs, "id", "key", "label", "id", "key", "label", 2))
+    // the negatives scan sees the bounded query side as a broadcast nested
+    // loop (the deliberate N×M scoring scan) flowing into the bounded fold
+    val p = stages.mkString
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast; plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"anchor side must re-attach broadcast; plan:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"nothing may shuffle-join in the broadcast arm; plan:\n$p")
-    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
-      s"per-query rank must be limit-pushed; plan:\n$p")
+    assert(!p.contains("Sort [") && !p.contains("WindowGroupLimit") &&
+      "(?<!Broadcast)Exchange".r.findAllIn(p).isEmpty,
+      s"the scored product must flow into the fold unsorted; plan:\n$p")
+    // the anchor max re-attaches as a broadcast hash join on the output
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"anchor side must re-attach broadcast; plan:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"nothing may shuffle-join in the broadcast arm; plan:\n$finalPlan")
   }
 
   test("overlap matrix: gram strings never materialize; pair expansion after the size(>1) cut") {

@@ -333,6 +333,47 @@ class RoutedAnnSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("delete under boundary replication: every replica of a deleted id is hidden, then physically removed") {
+    val s = spark
+    import s.implicits._
+    val base = ids.indices.take(4000).map(i => (ids(i), vecs(i).toSeq))
+      .toDF("id", "key")
+    val rep = RoutedAnnIndex.build(base, Dim, cfg, numShards = 16,
+      iters = 2, replicationEps = 0.15, maxReplicas = 2)
+    try {
+      val physical = rep.storedRows
+      assert(physical > 4000L, "replication fixture must actually replicate")
+      val victims = (0 until 100).map(ids(_)).toSet
+      // tombstone tier: the filter is BY ID, so every replica copy is
+      // hidden at once — no per-shard bookkeeping can miss one
+      val t = rep.delete(victims.toSeq)
+      assert(t.tier == "tombstone")
+      queries.take(10).foreach { q =>
+        assert(t.index.search(q, K, 16).map(_._1).toSet
+          .intersect(victims).isEmpty, "a replica of a tombstoned id surfaced")
+      }
+      // compaction: pass 1 finds EVERY shard holding a victim (replicas
+      // included), pass 2 removes all copies — extraction sees none and
+      // the physical row count drops by at least the replica count
+      val extraVictim = ids(200)
+      val allDead = victims + extraVictim // local: the RDD closure must not capture the suite
+      val c = t.index.delete(Seq(extraVictim), maxTombstones = 0)
+      assert(c.tier == "compact")
+      try {
+        assert(c.index.tombstones.isEmpty)
+        assert(c.index.storedRows < physical)
+        assert(c.index.rows.map(_._1).filter(allDead.contains).count() == 0,
+          "a deleted id's replica survived compaction")
+        queries.take(10).foreach { q =>
+          val got = c.index.search(q, K, 16).map(_._1)
+          assert(got.distinct.length == got.length,
+            "duplicate id in post-compaction merged top-k")
+          assert(!got.exists(allDead.contains))
+        }
+      } finally c.index.unpersist()
+    } finally rep.unpersist()
+  }
+
   test("tombstones and overlays survive the artifact round trip; incremental saves cost what changed") {
     val s = spark
     import s.implicits._
