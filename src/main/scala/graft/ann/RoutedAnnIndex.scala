@@ -72,7 +72,13 @@ final class RoutedAnnIndex(
     /** Deleted content ids, sorted ascending — filtered out of every
       * search / join / row extraction until a compaction physically
       * removes them. Bounded by the [[delete]] guards. */
-    val tombstones: Array[Long] = Array.emptyLongArray) extends Serializable {
+    val tombstones: Array[Long] = Array.emptyLongArray,
+    /** Measured recall-vs-probes curve from [[calibrate]], ascending by
+      * probes — empty until calibrated. Carried through append/compact/
+      * delete (tails are exact and survivor recall is delete-invariant —
+      * the measured SCALE.md facts); a RECLUSTER starts empty (new
+      * centroids = a new operating curve). */
+    val recallCurve: Array[(Int, Double)] = Array.empty) extends Serializable {
 
   def numShards: Int = centroids.length
 
@@ -288,7 +294,7 @@ final class RoutedAnnIndex(
       shards.unpersist(blocking = false)
       val next = new RoutedAnnIndex(centroids, config, newShards,
         replicationEps, iters, maxReplicas, meanAssignDist,
-        if (compacting) 0L else patchedRows + nNew, newTombstones)
+        if (compacting) 0L else patchedRows + nNew, newTombstones, recallCurve)
       Some(Maintained(next, if (compacting) "compact" else "append",
         if (compacting) touched ++ tailShards else touched))
     } finally assigned.unpersist(blocking = false)
@@ -329,7 +335,7 @@ final class RoutedAnnIndex(
         (total == 0 || merged.length <= tombstoneLimit * total))
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-          maxReplicas, meanAssignDist, patchedRows, merged),
+          maxReplicas, meanAssignDist, patchedRows, merged, recallCurve),
         "tombstone", Set.empty)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"RoutedAnnIndex.delete: ${merged.length} tombstones vs $total stored " +
@@ -350,7 +356,8 @@ final class RoutedAnnIndex(
     if (affected.isEmpty) // every id was already absent: drop the set
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-          maxReplicas, meanAssignDist, patchedRows, Array.emptyLongArray),
+          maxReplicas, meanAssignDist, patchedRows, Array.emptyLongArray,
+          recallCurve),
         "tombstone", Set.empty)
     val cfg = config
     val dim = centroids.head.length
@@ -374,7 +381,8 @@ final class RoutedAnnIndex(
     Maintained(
       new RoutedAnnIndex(centroids, config, newShards, replicationEps, iters,
         maxReplicas, meanAssignDist,
-        math.max(0L, patchedRows - affected.values.sum), Array.emptyLongArray),
+        math.max(0L, patchedRows - affected.values.sum), Array.emptyLongArray,
+        recallCurve),
       "compact", hit)
   }
 
@@ -435,6 +443,104 @@ final class RoutedAnnIndex(
       .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
       .sortBy { case (id, c) => (-c, id) }.take(k)
   }
+
+  /** Probes for a target recall, read off the measured [[recallCurve]]:
+    * the SMALLEST calibrated probe count whose measured recall@k meets
+    * `target`. Uncalibrated indexes — and targets above every measured
+    * point — fall back to EXHAUSTIVE (numShards): the safe direction, a
+    * recall target is a floor, never a budget. */
+  def probesFor(target: Double): Int = {
+    require(target > 0.0 && target <= 1.0,
+      s"recall target must be in (0, 1], got $target")
+    recallCurve.sortBy(_._1).find(_._2 >= target).map(_._1)
+      .getOrElse(numShards)
+  }
+
+  /** Measure the recall-vs-probes operating curve of THIS index and
+    * return a handle carrying it (shards shared — do not unpersist the
+    * old handle separately): the probes knob is only usable in production
+    * if someone turned it into a recall number first, and doing that by
+    * hand per deployment is the FAISS-autotune chore this automates.
+    *
+    * Protocol (the ScaleRecall measurement, formalized):
+    *  - sample `nQueries` LIVE stored rows as the query set (self-sample —
+    *    the standard stand-in when no external query log exists; pass a
+    *    production sample through [[topKJoin]] + your own comparison when
+    *    you have one);
+    *  - ground truth per query: EXACT brute-force top-k over every live
+    *    row under the index metric (one pass over [[rows]], per-partition
+    *    bounded heaps — never the graph, which would measure probe
+    *    routing against graph error);
+    *  - one [[topKJoin]] per ladder point (a distributed job each, the
+    *    batch search path production uses), recall@k averaged over the
+    *    sample.
+    * Cost: one corpus pass + |ladder| batch joins over `nQueries` rows —
+    * run it once per (re)build; [[save]] persists the curve and every
+    * maintenance tier carries it forward. The default ladder is powers of
+    * two up to numShards (always measuring exhaustive as the top point). */
+  def calibrate(nQueries: Int = 64, k: Int = 10, ladderIn: Seq[Int] = Nil,
+      seed: Long = 7L): RoutedAnnIndex = {
+    require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val live = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = live.takeSample(withReplacement = false, nQueries, seed)
+      if (sample.isEmpty) return this // empty index: nothing to measure
+      val metric = config.metric
+      val bq = shards.sparkContext.broadcast(sample.map(_._2))
+      // exact ground truth: per-partition bounded heaps (k entries per
+      // query), merged on the driver — partials are ≤ partitions × |q| × k
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (c, id) => (-c, id) // max of this ordering = worst kept entry
+      }
+      val partials = live.mapPartitions { it =>
+        val qs = bq.value
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (id, v) =>
+          var i = 0
+          while (i < qs.length) {
+            val c = RoutedAnnIndex.closenessOf(metric, qs(i), v)
+            val h = heaps(i)
+            if (h.size < k) h.enqueue((c, id))
+            else if (ord.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.map { case (h, i) => (i, h.toArray) }
+      }.collect()
+      val truth: Map[Int, Set[Long]] = partials.groupBy(_._1).map {
+        case (qi, parts) =>
+          qi -> parts.flatMap(_._2).sortBy { case (c, id) => (-c, id) }
+            .take(k).map(_._2).toSet
+      }
+      val ladder = (if (ladderIn.nonEmpty) ladderIn
+        else Iterator.iterate(1)(_ * 2).takeWhile(_ < numShards).toSeq)
+        .filter(p => p >= 1 && p <= numShards).distinct.sorted :+ numShards
+      import spark.implicits._
+      val qdf = sample.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v.toSeq) }.toSeq
+        .toDF("qid", "qv")
+        .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+      val curve = ladder.distinct.map { p =>
+        val got = topKJoin(qdf, "qid", "qv", k, p)
+          .select("qid", "cid").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q.toInt -> rs.map(_.getLong(1)).toSet }
+        val recall = truth.toSeq.map { case (qi, ts) =>
+          if (ts.isEmpty) 1.0
+          else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
+        }.sum / truth.size
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = $recall%.4f " +
+            f"(${truth.size}%d sample queries)")
+        (p, recall)
+      }.toArray
+      new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
+        maxReplicas, meanAssignDist, patchedRows, tombstones, curve)
+    } finally live.unpersist(blocking = false)
+  }
 }
 
 object RoutedAnnIndex {
@@ -467,6 +573,19 @@ object RoutedAnnIndex {
     * of fraction — bounds the sorted-id filter shipped in every search
     * task closure (8 B/id ⇒ ≤ 2 MiB) and the manifest entry. */
   val DefaultMaxTombstones = 1 << 18
+
+  /** Closeness (DESC-better) under an index metric — the [[PatchedShard]]
+    * / HnswIndex scoring contract, shared so [[RoutedAnnIndex.calibrate]]'s
+    * exact ground truth ranks by the SAME order the shards do. */
+  private[ann] def closenessOf(metric: Algorithm, q: Array[Float],
+      v: Array[Float]): Double = {
+    val jvm = Similarity.jvm
+    metric match {
+      case Algorithm.EuclideanDistance | Algorithm.KDTree => -jvm.sqEuclidean(q, v)
+      case Algorithm.DotProductSimilarity => jvm.dot(q, v)
+      case _ => jvm.cosine(q, v)
+    }
+  }
 
   /** Stored (id, vector) rows of a routed shard — graphs and overlay
     * tails alike (the compaction extraction path). KD shards never occur
@@ -601,6 +720,11 @@ object RoutedAnnIndex {
         java.lang.Double.doubleToRawLongBits(index.meanAssignDist))),
       "patchedRows" -> JInt(BigInt(index.patchedRows)),
       "tombstones" -> JArray(index.tombstones.toList.map(id => JInt(BigInt(id)))),
+      // measured operating curve (derived state; exact doubles via bits)
+      "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r) =>
+        JArray(List(JInt(p), JInt(BigInt(
+          java.lang.Double.doubleToRawLongBits(r)))))
+      }),
       "sourceStamp" -> JString(sourceStamp),
       "present" -> JArray(state.toList.map { case (_, (p, _)) => JBool(p) }),
       "tails" -> JArray(state.toList.map { case (_, (_, t)) => JInt(BigInt(t)) }),
@@ -725,8 +849,16 @@ object RoutedAnnIndex {
         }.toArray
         case _ => Array.emptyLongArray
       }
+      val curve: Array[(Int, Double)] = (j \ "recallCurve") match {
+        case JArray(pts) => pts.map {
+          case JArray(List(JInt(p), JInt(bits))) =>
+            (p.toInt, java.lang.Double.longBitsToDouble(bits.toLong))
+          case _ => return None
+        }.toArray
+        case _ => Array.empty // pre-calibration manifests load uncalibrated
+      }
       Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
-        iters, maxReplicas, meanDist, patched, tombstones))
+        iters, maxReplicas, meanDist, patched, tombstones, curve))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -227,9 +227,16 @@ object Command {
         shortlist: Int) extends TopKMode
     /** Coarse-routed sharded HNSW batch join
       * (ann.RoutedAnnIndex.topKJoin — graph-speed partition pruning).
+      * Exactly one of `probe` (PROBE p — the raw knob) and `recall`
+      * (RECALL r — a measured target: the statement calibrates the index
+      * once if needed and picks the cheapest probes whose measured
+      * recall@k meets r, ann.RoutedAnnIndex.probesFor) is set.
       * `indexDir`: USING INDEX <path> — same load-or-build-and-save
-      * contract as [[Ivf.indexDir]], via RoutedAnnIndex.buildOrLoad. */
-    final case class Routed(shards: Int, probe: Int,
+      * contract as [[Ivf.indexDir]], via RoutedAnnIndex.buildOrLoad; a
+      * RECALL statement also persists the calibration curve there, so
+      * later invocations skip the measurement. */
+    final case class Routed(shards: Int, probe: Option[Int],
+        recall: Option[Double] = None,
         indexDir: Option[String] = None) extends TopKMode
   }
   final case class ExtTopK(k: Int, queriesView: String, qId: String,

@@ -512,11 +512,19 @@ object DslParser extends RegexParsers {
     val ivfPq = kw("ivf") ~> (kw("cells") ~> nonZero) ~
       (kw("probe") ~> nonZero) ~ (kw("pq") ~> pqParams) ^^ {
         case c ~ p ~ (m ~ ks ~ sl) => Command.TopKMode.IvfPq(c, p, m, ks, sl) }
-    // ROUTED SHARDS s PROBE p [USING INDEX <dir>] — the graph-speed
-    // batch-join arm, optionally pinned to persisted artifacts
+    // ROUTED SHARDS s (PROBE p | RECALL r) [USING INDEX <dir>] — the
+    // graph-speed batch-join arm, optionally pinned to persisted
+    // artifacts. RECALL names the probe knob by what it buys: the
+    // statement calibrates once (or loads a persisted curve) and picks
+    // the cheapest probes whose MEASURED recall@k meets r.
+    val recallLit: Parser[Double] =
+      """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r ^^ (_.toDouble)
     val routed = kw("routed") ~> (kw("shards") ~> nonZero) ~
-      (kw("probe") ~> nonZero) ~ opt(usingIndex) ^^ {
-        case s ~ p ~ d => Command.TopKMode.Routed(s, p, d) }
+      ((kw("probe") ~> nonZero ^^ (p => Left(p): Either[Int, Double])) |
+        (kw("recall") ~> recallLit ^^ (r => Right(r): Either[Int, Double]))) ~
+      opt(usingIndex) ^^ {
+        case s ~ Left(p) ~ d => Command.TopKMode.Routed(s, Some(p), None, d)
+        case s ~ Right(r) ~ d => Command.TopKMode.Routed(s, None, Some(r), d) }
     ivfPq | ivf | pq | quant | routed
   }
   private val extTopK: Parser[Command] =

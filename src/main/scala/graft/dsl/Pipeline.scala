@@ -284,7 +284,7 @@ object Pipeline {
             metric = graft.types.Algorithm.CosineSimilarity)
           Response.Entries(ivf.pqTopKJoin(t(qv), qi, qc, k, probe,
             shortlist, cb))
-        case Command.TopKMode.Routed(shards, probe, indexDir) =>
+        case Command.TopKMode.Routed(shards, probe, recall, indexDir) =>
           // without USING INDEX: per-statement build like the IVF arm
           // (reference cosine build params). With it: load-or-build-and-
           // save against the pinned artifact dir — a scripted pipeline
@@ -308,7 +308,30 @@ object Pipeline {
               case None =>
                 graft.ann.RoutedAnnIndex.build(corpus, dim, cfg, shards)
             }
-            Response.Entries(idx.topKJoin(t(qv), qi, qc, k, probe))
+            val probes = (probe, recall) match {
+              case (Some(p), _) => p
+              case (None, Some(r)) =>
+                // RECALL arm: a persisted curve answers directly; an
+                // uncalibrated index measures its curve ONCE at this
+                // statement's k (so the target means recall@k) and — when
+                // pinned — persists it beside the artifacts (manifest-only
+                // rewrite; later invocations load curve and all)
+                val cal = if (idx.recallCurve.nonEmpty) idx
+                  else {
+                    val c = idx.calibrate(k = k)
+                    indexDir.foreach { dir =>
+                      try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
+                        touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
+                      catch { case scala.util.control.NonFatal(e) =>
+                        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                          s"persisting calibration curve to $dir failed", e) }
+                    }
+                    c
+                  }
+                cal.probesFor(r)
+              case (None, None) => shards // unreachable by grammar: exhaustive
+            }
+            Response.Entries(idx.topKJoin(t(qv), qi, qc, k, probes))
           }
         case Command.TopKMode.Ivf(cells, probe, quantized, indexDir) =>
           // cosine metric to match the exact arm's ranking contract; the

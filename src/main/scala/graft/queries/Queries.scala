@@ -3877,6 +3877,82 @@ object Queries {
         |SELECT qid, cid FROM ranked WHERE rk <= 10
         |ORDER BY qid, cid""".stripMargin)),
 
+    // ---- CDC twin: the stream carries DELETES beside inserts (a
+    // Debezium-shaped log). Index starts over the first half; batch 1
+    // inserts the third quarter and deletes the low ids; batch 2 inserts
+    // the rest and RESURRECTS one deleted id (re-insert clears its
+    // tombstone — content ids name immutable vectors). The final
+    // exhaustive search must equal exact cosine over the NET survivor
+    // set — the oracle never sees the mutation order, only the net. ----
+    "embed_topk_routed_cdc_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val e = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"), col("embedding").as("key"))
+        val maxId = e.agg(max(col("id"))).head().getLong(0)
+        val half = maxId / 2
+        val q3 = half + (maxId - half) / 2
+        val cfg = graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = 4096,
+          metric = graft.types.Algorithm.CosineSimilarity)
+        val initial = graft.ann.RoutedAnnIndex.build(
+          e.where(col("id") <= half), 64, cfg, numShards = 8, iters = 2)
+        val byId = e.where(col("id") > half)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+        def ins(id: Long, seq: Long) = (id, Some(byId(id)), "insert", seq)
+        def del(id: Long, seq: Long) =
+          (id, None: Option[Seq[Float]], "delete", seq)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Option[Seq[Float]], String, Long)]
+        val src = mem.toDF().select(col("_1").as("id"), col("_2").as("key"),
+          col("_3").as("op"), col("_4").as("seq"))
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val (handle, q) =
+          try graft.streaming.StreamingIngest.streamingRoutedCdc(
+            initial, src, "id", "key", "op", seqCol = Some("seq"))
+          finally s.conf.set(
+            "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        try {
+          mem.addData((half + 1 to q3).map(ins(_, 1L)) ++
+            (0L until 20L).map(del(_, 1L)): _*)
+          q.processAllAvailable()
+          // batch 2: resurrect id 10 via the initial build's own vector
+          val v10 = e.where(col("id") === 10L)
+            .head().getSeq[Float](1).toSeq
+          mem.addData((q3 + 1 to maxId).map(ins(_, 1L)) ++
+            Seq((10L, Some(v10), "insert", 1L), del(30L, 1L)): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        val idx = handle.current
+        val qids = Seq(0L, 7L, 42L) // 0 and 7 are DELETED — still valid queries
+        val qs = e.where(col("id").isin(qids: _*))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        val out = qs.toSeq.flatMap { case (qid, v) =>
+          idx.search(v, 10, probes = idx.numShards)
+            .map { case (cid, _) => (qid, cid) }
+        }.toDF("qid", "cid").orderBy("qid", "cid")
+        val rows = out.collect()
+        idx.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      // net survivors: everything except deleted {0..19, 30} plus the
+      // resurrected 10 — the oracle ranks exact cosine over that set
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (0, 7, 42)),
+        |live AS (SELECT * FROM embeddings
+        |  WHERE vec_id NOT IN (0,1,2,3,4,5,6,7,8,9,11,12,13,14,15,16,17,18,19,30)),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM live e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 10
+        |ORDER BY qid, cid""".stripMargin)),
+
     // ---- multimodal: binary payloads + typed metadata; decode kernel is a
     // documented deterministic stub (no codecs in this environment), the
     // partition-iterator plumbing and batch shape are real. ----

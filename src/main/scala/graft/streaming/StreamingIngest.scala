@@ -404,10 +404,12 @@ object StreamingIngest {
     @volatile private var nReclusters: Long = 0L
     @volatile private var nAppends: Long = 0L
     @volatile private var nCompacts: Long = 0L
+    @volatile private var nTombstones: Long = 0L
     def current: graft.ann.RoutedAnnIndex = idx
     def reclusterCount: Long = nReclusters
     def appendCount: Long = nAppends
     def compactCount: Long = nCompacts
+    def tombstoneCount: Long = nTombstones
     private[streaming] def ingest(batch: DataFrame): Unit = this.synchronized {
       val old = idx
       val spark = batch.sparkSession
@@ -434,6 +436,94 @@ object StreamingIngest {
           graft.obs.Trace.event(spark, "routed:recluster", "stream-ingest")
       }
     }
+
+    /** CDC variant of [[ingest]]: the micro-batch carries an op column
+      * beside the vector — inserts AND deletes in one change stream. The
+      * batch is first COMPACTED to the last op per id (max sequence; at
+      * equal sequence delete wins, so replayed ties stay deterministic),
+      * then net deletes take the tombstone tier
+      * ([[graft.ann.RoutedAnnIndex.delete]] — work ≈ 0, guard-routed local
+      * compaction) and net inserts the append tier, in that order. After
+      * compaction no id is in both sets, and a cross-batch delete→insert
+      * resurrects (append clears the tombstone — a content id names one
+      * immutable vector). Net delete ids collect driver-side, bounded by
+      * [[graft.ann.RoutedAnnIndex.DefaultMaxTombstones]] per batch; a
+      * bigger delete batch RECLUSTERS over the net survivor set via a
+      * distributed anti-join (at that churn the rebuild amortizes — the
+      * same cutover rule as GraftEngine.RoutedDeleteCap), so no driver
+      * structure ever scales with delete cardinality. One CDC batch can
+      * take up to TWO maintenance tiers (its delete tier + its insert
+      * tier); the counters and Trace markers record each. */
+    private[streaming] def ingestCdc(batch: DataFrame,
+        maxDeleteCollect: Int =
+          graft.ann.RoutedAnnIndex.DefaultMaxTombstones): Unit = this.synchronized {
+      val spark = batch.sparkSession
+      import org.apache.spark.storage.StorageLevel
+      // compact to the LAST op per id: max_by over (seq, opRank) — the
+      // delete rank breaks equal-seq ties toward the conservative op
+      val last = batch.groupBy("id")
+        .agg(max_by(struct(col("op"), col("key")),
+          struct(col("seq"), (col("op") === "delete").cast("int"))).as("_l"))
+        .select(col("id"), col("_l.op").as("op"), col("_l.key").as("key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDel = last.where(col("op") === "delete").count()
+        val old = idx
+        if (nDel > maxDeleteCollect) {
+          // churn past the tombstone guards: one recluster over the net
+          // survivor set amortizes (the measured 20%-churn datapoint) and
+          // the delete ids never materialize on the driver
+          import spark.implicits._
+          val dels = last.where(col("op") === "delete").select("id")
+          val survivors = old.rows.toDF("id", "key")
+            .join(dels, Seq("id"), "left_anti")
+          val net = survivors
+            .select(col("id"), col("key").cast("array<float>").as("key"))
+            .union(last.where(col("op") === "insert")
+              .select(col("id").cast("long"), col("key").cast("array<float>")))
+          val rebuilt = graft.ann.RoutedAnnIndex.build(net,
+            old.centroids.head.length, old.config, old.numShards, old.iters,
+            old.replicationEps, old.maxReplicas)
+          idx = rebuilt
+          old.unpersist()
+          nReclusters += 1
+          graft.obs.Trace.event(spark, "routed:recluster", "stream-ingest")
+          return
+        }
+        val afterDel =
+          if (nDel == 0L) old
+          else {
+            val ids = last.where(col("op") === "delete").select("id")
+              .collect().map(_.getLong(0)).toSeq
+            val out = old.delete(ids)
+            if (out.tier == "compact") nCompacts += 1 else nTombstones += 1
+            graft.obs.Trace.event(spark, s"routed:${out.tier}", "stream-ingest")
+            out.index
+          }
+        val inserts = last.where(col("op") === "insert")
+          .select(col("id"), col("key").cast("array<float>").as("key"))
+        if (inserts.isEmpty) { idx = afterDel; return }
+        afterDel.appendOutcome(inserts) match {
+          case Some(out) =>
+            idx = out.index // predecessor released inside appendOutcome
+            if (out.tier == "compact") nCompacts += 1 else nAppends += 1
+            graft.obs.Trace.event(spark, s"routed:${out.tier}", "stream-ingest")
+          case None => // drift guard: recluster over survivors + the batch
+            import spark.implicits._
+            val all = afterDel.rows.toDF("id", "key")
+              .select(col("id"), col("key").cast("array<float>").as("key"))
+              .union(inserts)
+            val rebuilt = graft.ann.RoutedAnnIndex.build(all,
+              afterDel.centroids.head.length, afterDel.config,
+              afterDel.numShards, afterDel.iters, afterDel.replicationEps,
+              afterDel.maxReplicas)
+            idx = rebuilt
+            afterDel.unpersist()
+            nReclusters += 1
+            graft.obs.Trace.event(spark, "routed:recluster", "stream-ingest")
+        }
+      } finally last.unpersist(blocking = false)
+    }
   }
 
   /** Continuous embedding ingest into a coarse-routed ANN index — the
@@ -458,6 +548,52 @@ object StreamingIngest {
         if (!batch.isEmpty)
           handle.ingest(batch.select(
             col(idCol).cast("long").as("id"), col(keyCol).as("key")))
+      }
+      .start()
+    (handle, q)
+  }
+
+  /** CDC ingest into a coarse-routed ANN index: the change-data-capture
+    * twin of [[streamingRoutedAppend]] for streams that carry DELETES
+    * beside inserts (a Debezium-shaped log of an upstream vector table).
+    * `opCol` values: `insert`/`upsert`/`set` (one tier — a content id
+    * names one immutable vector, so upsert IS re-insert, and re-inserting
+    * a deleted id resurrects it), `delete` (key may be null); anything
+    * else fails the batch loudly. `seqCol` orders ops WITHIN a micro-batch
+    * (per id, the max-sequence op wins; delete wins equal-sequence ties) —
+    * without it a batch must not carry both ops for one id or the delete
+    * wins. Each micro-batch's net deletes take the tombstone tier and its
+    * net inserts the append tier ([[StreamingRoutedIndex.ingestCdc]] —
+    * guards route to local compaction / recluster exactly as in batch),
+    * so the final index equals applying the same net mutations through
+    * [[graft.ann.RoutedAnnIndex.delete]]/`append` in batch — pinned in
+    * StreamingSpec, oracle-gated by `embed_topk_routed_cdc_stream`. */
+  def streamingRoutedCdc(index: graft.ann.RoutedAnnIndex, cdc: DataFrame,
+      idCol: String, keyCol: String, opCol: String,
+      seqCol: Option[String] = None,
+      checkpointDir: Option[String] = None): (StreamingRoutedIndex, StreamingQuery) = {
+    val handle = new StreamingRoutedIndex(index)
+    val w = cdc.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    val q = w.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val op = lower(trim(col(opCol)))
+          val opNorm = when(op.isin("insert", "upsert", "set"), lit("insert"))
+            .when(op === "delete", lit("delete"))
+            .otherwise(raise_error(concat(
+              lit("streamingRoutedCdc: unknown op '"), col(opCol).cast("string"),
+              lit("' (expected insert/upsert/set/delete)"))))
+          val key = col(keyCol).cast("array<float>")
+          // an insert with no vector is a malformed CDC row, not a no-op
+          val keyChecked = when(opNorm === "insert" && key.isNull,
+            raise_error(concat(lit("streamingRoutedCdc: null "), lit(keyCol),
+              lit(" on insert op for id "), col(idCol).cast("string"))))
+            .otherwise(key)
+          handle.ingestCdc(batch.select(
+            col(idCol).cast("long").as("id"), keyChecked.as("key"),
+            opNorm.as("op"),
+            seqCol.fold(lit(0L))(c => col(c).cast("long")).as("seq")))
+        }
       }
       .start()
     (handle, q)

@@ -429,6 +429,64 @@ class RoutedAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrate: measured curve is sane and probesFor picks the cheapest point meeting the target") {
+    val cal = index.calibrate(nQueries = 64, k = K, seed = 99L)
+    val curve = cal.recallCurve.toSeq
+    assert(curve.nonEmpty, "calibration must produce a curve")
+    assert(curve.map(_._1) == curve.map(_._1).sorted, "ladder must ascend")
+    assert(curve.last._1 == Shards, "the top ladder point is exhaustive")
+    // exhaustive probes measure the graph's own recall ceiling vs EXACT
+    // brute-force ground truth — the spec corpus clears 0.90 by a margin
+    assert(curve.last._2 >= 0.90,
+      f"exhaustive calibrated recall ${curve.last._2}%.4f < 0.90")
+    // ~monotone in probes (nested probe-set prefixes; allow sample noise)
+    curve.sliding(2).foreach {
+      case Seq((pa, a), (pb, b)) =>
+        assert(b >= a - 0.02, f"recall fell $a%.4f -> $b%.4f at $pa -> $pb probes")
+      case _ => ()
+    }
+    // probesFor = the SMALLEST measured point meeting the target
+    val p90 = cal.probesFor(0.90)
+    assert(curve.find(_._2 >= 0.90).map(_._1).contains(p90))
+    assert(p90 < Shards,
+      "a 0.90 target on this corpus must prune (ScaleRecall measures " +
+        "0.90+ well below exhaustive probes)")
+    // a target above every measured point falls back to exhaustive
+    if (curve.forall(_._2 < 1.0)) assert(cal.probesFor(1.0) == Shards)
+    // an UNCALIBRATED handle is exhaustive-safe (a floor, never a budget)
+    assert(index.probesFor(0.5) == Shards)
+    intercept[IllegalArgumentException] { cal.probesFor(0.0) }
+    intercept[IllegalArgumentException] { cal.probesFor(1.5) }
+  }
+
+  test("calibration curve survives the artifact round trip and rides maintenance tiers") {
+    val s = spark
+    import s.implicits._
+    // a private small index: the append tier below releases its
+    // predecessor's shards, which must never be the shared fixture's
+    val df = (0 until 500).map(i => (i.toLong, gen((3L * N + i).toLong).toSeq))
+      .toDF("id", "key")
+    val small = RoutedAnnIndex.build(df, Dim, cfg, numShards = 8, iters = 2)
+    val cal = small.calibrate(nQueries = 16, k = 10, seed = 5L)
+    assert(cal.recallCurve.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("routed-cal").toString
+    RoutedAnnIndex.save(cal, dir, "cal-stamp")
+    val loaded = RoutedAnnIndex.load(spark, dir, cfg, "cal-stamp")
+    assert(loaded.isDefined)
+    assert(loaded.get.recallCurve.toSeq == cal.recallCurve.toSeq,
+      "curve must round-trip bit-exactly through the manifest")
+    loaded.get.unpersist()
+    // tombstone delete and overlay append both CARRY the curve (survivor
+    // recall is delete-invariant, tails are exact — the measured facts)
+    val afterDel = cal.delete(Seq(0L, 1L)).index
+    assert(afterDel.recallCurve.toSeq == cal.recallCurve.toSeq)
+    val extra = Seq((10000L, gen((4L * N).toLong).toSeq)).toDF("id", "key")
+    val appended = afterDel.append(extra)
+    assert(appended.isDefined)
+    assert(appended.get.recallCurve.toSeq == cal.recallCurve.toSeq)
+    appended.get.unpersist()
+  }
+
   test("routing and search are deterministic; probe ranking prefers the query's own shard") {
     val q = queries.head
     assert(index.probeShards(q, 8) == index.probeShards(q, 8))

@@ -1303,7 +1303,7 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 PROBE 2 USING INDEX '/tmp/x'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(2, 2, Some("/tmp/x")))))
+        Command.TopKMode.Routed(2, Some(2), None, Some("/tmp/x")))))
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 USING INDEX '/tmp/y'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
@@ -1354,5 +1354,58 @@ class DslSpec extends AnyFunSuite {
         assert(d.columns.toSeq == Seq("qid", "cid", "sim", "rank"))
       case other => fail(s"empty-corpus routed arm: $other")
     }
+  }
+
+  test("TOPK ... ROUTED ... RECALL r: calibrates once, persists the curve, picks probes by measured recall") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 RECALL 0.9 USING INDEX '/tmp/x'") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(2, None, Some(0.9), Some("/tmp/x")))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 RECALL 1.0") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(4, None, Some(1.0), None))))
+    val rnd = new scala.util.Random(23L)
+    val vecs = (0 until 128)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vid", "emb")
+    vecs.createOrReplaceTempView("rc_vecs")
+    vecs.where($"vid" < 4).select($"vid".as("qid"), $"emb")
+      .createOrReplaceTempView("rc_q")
+    val dir = java.nio.file.Files.createTempDirectory("dsl-routed-recall").toString
+    val stmt = s"TOPK 3 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb " +
+      s"ROUTED SHARDS 4 RECALL 0.95 USING INDEX '$dir'"
+    def run(): Seq[(Long, Long, Long)] = Pipeline.runExt(spark, stmt) match {
+      case Seq(Right(Response.Entries(d))) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+      case other => fail(s"RECALL arm failed: $other")
+    }
+    val first = run()
+    assert(first.nonEmpty && first.map(_._1).distinct.size == 4)
+    // the calibration curve landed in the persisted manifest
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "routed_manifest.json"))
+    assert(manifest.contains("recallCurve") && manifest.contains("["),
+      "RECALL statement must persist its measured curve")
+    val loaded = graft.ann.RoutedAnnIndex.load(spark, dir,
+      graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+        maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+        metric = graft.types.Algorithm.CosineSimilarity),
+      Pipeline.TopKIndexStamp)
+    assert(loaded.exists(_.recallCurve.nonEmpty),
+      "persisted artifact must carry the curve")
+    loaded.foreach(_.unpersist())
+    // second invocation: loads curve and all — zero rebuilds, zero
+    // re-calibration (unchanged artifact mtimes), identical answers
+    def mtimes: Map[String, Long] = new java.io.File(dir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    val m1 = mtimes
+    val second = run()
+    assert(second == first, "RECALL arm must be deterministic across invocations")
+    assert(mtimes == m1,
+      "second RECALL invocation must load the persisted curve, not re-calibrate")
   }
 }

@@ -115,6 +115,117 @@ class StreamingSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("streamingRoutedCdc: inserts+deletes net to the batch application; tiers counted") {
+    val dim = 16
+    val rnd = new scala.util.Random(53L)
+    val vecs = (0 until 800).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toMap
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efSearch = 4096,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val initial = graft.ann.RoutedAnnIndex.build(
+      (0 until 400).map(i => (i.toLong, vecs(i.toLong).toSeq)).toDF("id", "key"),
+      dim, cfg, numShards = 8, iters = 2)
+    val mem = MemoryStream[(Long, Option[Seq[Float]], String, Long)]
+    val src = mem.toDF().select(col("_1").as("id"), col("_2").as("key"),
+      col("_3").as("op"), col("_4").as("seq"))
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    val (handle, q) = StreamingIngest.streamingRoutedCdc(
+      initial, src, "id", "key", "op", seqCol = Some("seq"))
+    def ins(id: Long, seq: Long) = (id, Some(vecs(id).toSeq), "insert", seq)
+    def del(id: Long, seq: Long) =
+      (id, None: Option[Seq[Float]], "delete", seq)
+    try {
+      // batch 1: 150 new rows + 50 deletes
+      mem.addData((400 until 550).map(i => ins(i.toLong, 1L)) ++
+        (0 until 50).map(i => del(i.toLong, 1L)): _*)
+      q.processAllAvailable()
+      // batch 2: the rest of the corpus, 50 more deletes, one RESURRECT
+      // (id 10 was tombstoned in batch 1 — re-inserting brings it back),
+      // and an in-batch sequenced pair (id 120: delete@1 then insert@2
+      // nets to LIVE — the last op per id wins)
+      mem.addData((550 until 800).map(i => ins(i.toLong, 1L)) ++
+        (100 until 120).map(i => del(i.toLong, 1L)) ++
+        Seq(ins(10L, 2L), del(120L, 1L), ins(120L, 2L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = handle.current
+    assert(handle.tombstoneCount >= 1, "deletes must take the tombstone tier")
+    // each insert set is ~37% of the graph rows it lands on, so the
+    // patch-fraction guard routes both to LOCAL compaction — still an
+    // insert-side tier, never a recluster
+    assert(handle.appendCount + handle.compactCount >= 2,
+      "inserts must take an insert-side tier (append or compact)")
+    assert(handle.reclusterCount == 0,
+      "in-distribution CDC batches must never recluster")
+    // net-live set: 0..799 minus deletes {0..49, 100..119} plus resurrect 10
+    val live = (0 until 800).map(_.toLong).toSet -- (0 until 50).map(_.toLong) --
+      (100 until 120).map(_.toLong) + 10L
+    val batch = graft.ann.RoutedAnnIndex.build(
+      live.toSeq.sorted.map(i => (i, vecs(i).toSeq)).toDF("id", "key"),
+      dim, cfg, numShards = 8, iters = 2)
+    try (0 until 20).foreach { _ =>
+      val qv = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      assert(streamed.search(qv, 10, 8).map(_._1) ==
+        batch.search(qv, 10, 8).map(_._1),
+        "CDC-streamed index diverges from the batch build over the net-live set")
+    } finally { batch.unpersist(); streamed.unpersist() }
+  }
+
+  test("streamingRoutedCdc: unknown op fails the batch loudly") {
+    val dim = 8
+    val rnd = new scala.util.Random(11L)
+    val initial = graft.ann.RoutedAnnIndex.build(
+      (0 until 64).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat()))).toDF("id", "key"),
+      dim, graft.types.NonLinearConfig.HNSWConfig(
+        metric = graft.types.Algorithm.CosineSimilarity),
+      numShards = 4, iters = 1)
+    val mem = MemoryStream[(Long, Option[Seq[Float]], String, Long)]
+    val src = mem.toDF().select(col("_1").as("id"), col("_2").as("key"),
+      col("_3").as("op"), col("_4").as("seq"))
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    val (_, q) = StreamingIngest.streamingRoutedCdc(
+      initial, src, "id", "key", "op", seqCol = Some("seq"))
+    try {
+      mem.addData((100L, Some(Seq.fill(dim)(0.5f)), "truncate", 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("unknown op") ||
+        Option(e.getCause).exists(_.getMessage.contains("unknown op")))
+    } finally { q.stop(); initial.unpersist() }
+  }
+
+  test("streamingRoutedCdc: a delete batch past the collect cap reclusters over survivors") {
+    val dim = 8
+    val rnd = new scala.util.Random(19L)
+    val vecs = (0 until 256).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toMap
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efSearch = 4096,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val initial = graft.ann.RoutedAnnIndex.build(
+      (0 until 256).map(i => (i.toLong, vecs(i.toLong).toSeq)).toDF("id", "key"),
+      dim, cfg, numShards = 4, iters = 2)
+    val handle = new StreamingIngest.StreamingRoutedIndex(initial)
+    // 64 deletes + 16 inserts through a tiny collect cap: the net survivor
+    // set must rebuild via the distributed anti-join (no driver id list)
+    val batch = ((0 until 64).map(i =>
+        (i.toLong, null.asInstanceOf[Seq[Float]], "delete", 1L)) ++
+      (256 until 272).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat()), "insert", 1L)))
+      .toDF("id", "key", "op", "seq")
+      .select(col("id"), col("key").cast("array<float>").as("key"),
+        col("op"), col("seq"))
+    handle.ingestCdc(batch, maxDeleteCollect = 10)
+    assert(handle.reclusterCount == 1, "past the cap the batch must recluster")
+    val idx = handle.current
+    try {
+      assert(idx.storedRows == 256L - 64L + 16L)
+      assert(idx.tombstones.isEmpty, "a recluster leaves no tombstones")
+      val qv = vecs(5L) // a deleted row's own vector must not surface
+      assert(!idx.search(qv, 5, idx.numShards).exists(_._1 < 64L),
+        "deleted ids must be physically absent after the recluster")
+    } finally idx.unpersist()
+  }
+
   test("streamingNearDupCandidates emits the banded candidate pairs") {
     // the DedupSpec corpus: 0/1 near-dup, 2 exact dup of 0, 3 unrelated,
     // 4/5 near-dup — the batch minHashLshJoin verifies {0-1, 0-2, 1-2, 4-5}
