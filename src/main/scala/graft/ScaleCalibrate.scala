@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Recall-calibration transfer at the 200k × 64-shard scale point
+ * (round 13): [[graft.ann.RoutedAnnIndex.calibrate]] measures the
+ * recall-vs-probes operating curve on a SELF-sample of stored rows — the
+ * only query distribution an index can see without a production query
+ * log. The open question a deployment cares about is TRANSFER: does a
+ * probes count chosen from the self-measured curve deliver the promised
+ * recall on queries the index has never stored?
+ *
+ * This main builds the organic corpus ([[ScaleRecall.SiftGen]] — the
+ * same geometry as every other routed scale harness), times the
+ * calibration itself (the one-off cost a deployment pays per rebuild),
+ * prints the measured curve, then for a ladder of recall targets picks
+ * `probesFor(target)` and re-measures TRUE Recall@50 on 100 EXTERNAL
+ * queries (drawn from the manifold far outside any stored id) against
+ * exact brute-force ground truth ([[graft.dedup.Dedup.topKJoin]] — an
+ * independent code path). Numbers land in SCALE.md.
+ *
+ * Usage: runMain graft.ScaleCalibrate [nCorpus] (default 200000)
+ */
+object ScaleCalibrate {
+
+  private val K = 50
+  private val NQueries = 100
+  private val Dim = 64
+  private val Shards = 64
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    val corpus = spark.range(n).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${corpus.count()} x $Dim (organic SIFT-shaped)")
+
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $s%.1f s")
+      (r, s)
+    }
+
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val (index, buildWall) = timed(s"routed build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    }
+
+    val (cal, calWall) = timed(s"calibrate ($NQueries self-sample queries, " +
+      s"k=$K, power-of-two ladder)") {
+      index.calibrate(nQueries = NQueries, k = K, seed = 99L)
+    }
+    println(f"calibration cost: $calWall%.1f s vs build $buildWall%.1f s " +
+      f"(${calWall / buildWall}%.2fx of a build)")
+    println("self-measured curve: " + cal.recallCurve
+      .map { case (p, r, se) => f"$p%d->$r%.4f(+-$se%.4f)" }.mkString(", "))
+
+    // EXTERNAL queries: same manifold, ids far beyond any stored row —
+    // the query distribution the self-sample has never seen
+    val queries = (0 until NQueries).map(i => gen(10000000L + i))
+    val qdf = queries.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val gt = graft.dedup.Dedup.topKJoin(qdf, corpus, "qid", "qv", "id", "key", K)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    def externalRecall(probes: Int): Double = {
+      val per = queries.zipWithIndex.map { case (v, i) =>
+        val got = cal.search(v, K, probes).map(_._1).toSet
+        (gt(i.toLong) & got).size.toDouble / gt(i.toLong).size
+      }
+      per.sum / per.length
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    for (target <- Seq(0.80, 0.90, 0.95, 0.99)) {
+      val p = cal.probesFor(target)
+      val selfR = cal.recallCurve.find(_._1 == p).map(_._2).getOrElse(Double.NaN)
+      val ext = externalRecall(p)
+      rows += f"| $target%.2f | $p%d / $Shards%d | $selfR%.4f | $ext%.4f | " +
+        (if (ext >= target) "met" else f"MISSED by ${target - ext}%.4f") + " |"
+      println(rows.last)
+    }
+
+    // WORKLOAD mode: calibrate on a sample drawn from the query
+    // DISTRIBUTION (manifold points far outside stored ids, DISJOINT
+    // from the held-out eval queries) — the DSL RECALL arm's protocol.
+    // The curve should now transfer without the self-sample optimism.
+    val workloadSample = (0 until NQueries)
+      .map(i => (i.toLong, gen(20000000L + i).toSeq)).toDF("wid", "wv")
+      .select(col("wv").cast("array<float>").as("wv"))
+    val (calW, calWWall) = timed("calibrate on a WORKLOAD sample " +
+      "(disjoint from the eval queries)") {
+      index.calibrate(nQueries = NQueries, k = K, seed = 99L,
+        queries = Some(workloadSample), qVecCol = "wv")
+    }
+    println("workload-measured curve: " + calW.recallCurve
+      .map { case (p, r, se) => f"$p%d->$r%.4f(+-$se%.4f)" }.mkString(", "))
+    val rowsW = scala.collection.mutable.ArrayBuffer[String]()
+    for (target <- Seq(0.80, 0.90, 0.95, 0.99)) {
+      val p = calW.probesFor(target)
+      val wR = calW.recallCurve.find(_._1 == p).map(_._2).getOrElse(Double.NaN)
+      val ext = externalRecall(p)
+      rowsW += f"| $target%.2f | $p%d / $Shards%d | $wR%.4f | $ext%.4f | " +
+        (if (ext >= target) "met" else f"MISSED by ${target - ext}%.4f") + " |"
+      println(rowsW.last)
+    }
+
+    println()
+    println(f"calibrate wall: self $calWall%.1f s / workload $calWWall%.1f s " +
+      f"(build $buildWall%.1f s)")
+    println("| target | probesFor | self-curve recall | external Recall@50 | target |")
+    println("|---|---|---|---|---|")
+    rows.foreach(println)
+    println()
+    println("| target | probesFor | workload-curve recall | external Recall@50 | target |")
+    println("|---|---|---|---|---|")
+    rowsW.foreach(println)
+    spark.stop()
+  }
+}

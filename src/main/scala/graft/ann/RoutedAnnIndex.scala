@@ -73,12 +73,18 @@ final class RoutedAnnIndex(
       * search / join / row extraction until a compaction physically
       * removes them. Bounded by the [[delete]] guards. */
     val tombstones: Array[Long] = Array.emptyLongArray,
-    /** Measured recall-vs-probes curve from [[calibrate]], ascending by
-      * probes — empty until calibrated. Carried through append/compact/
-      * delete (tails are exact and survivor recall is delete-invariant —
-      * the measured SCALE.md facts); a RECLUSTER starts empty (new
-      * centroids = a new operating curve). */
-    val recallCurve: Array[(Int, Double)] = Array.empty) extends Serializable {
+    /** Measured recall-vs-probes curve from [[calibrate]] — (probes,
+      * mean recall@k, standard error of the mean), ascending by probes;
+      * empty until calibrated. The stderr is what makes the curve an
+      * honest instrument: a 100-query sample estimates the steep part to
+      * ~±1pt (measured at 200k — two disjoint same-distribution samples
+      * differed by 1.1pt at the 8/64 point, ScaleCalibrate/SCALE.md), so
+      * [[probesFor]]'s default conservative mode selects by the one-sided
+      * lower confidence bound instead of the point estimate. Carried
+      * through append/compact/delete (tails are exact and survivor recall
+      * is delete-invariant — the measured SCALE.md facts); a RECLUSTER
+      * starts empty (new centroids = a new operating curve). */
+    val recallCurve: Array[(Int, Double, Double)] = Array.empty) extends Serializable {
 
   def numShards: Int = centroids.length
 
@@ -446,14 +452,22 @@ final class RoutedAnnIndex(
 
   /** Probes for a target recall, read off the measured [[recallCurve]]:
     * the SMALLEST calibrated probe count whose measured recall@k meets
-    * `target`. Uncalibrated indexes — and targets above every measured
-    * point — fall back to EXHAUSTIVE (numShards): the safe direction, a
-    * recall target is a floor, never a budget. */
-  def probesFor(target: Double): Int = {
+    * `target`. A recall target is a FLOOR, so the default is
+    * `conservative = true`: meet the target at the one-sided 95% lower
+    * confidence bound (mean − 1.645·stderr) — the point estimate alone
+    * under-delivers whenever the target lands within sampling noise of a
+    * ladder point (the measured failure mode: a 0.95 target chose the
+    * 0.953±0.006 point and delivered 0.9416 — ScaleCalibrate, SCALE.md).
+    * `conservative = false` selects on the raw mean. Uncalibrated
+    * indexes — and targets above every qualifying point — fall back to
+    * EXHAUSTIVE (numShards): the safe direction. */
+  def probesFor(target: Double, conservative: Boolean = true): Int = {
     require(target > 0.0 && target <= 1.0,
       s"recall target must be in (0, 1], got $target")
-    recallCurve.sortBy(_._1).find(_._2 >= target).map(_._1)
-      .getOrElse(numShards)
+    recallCurve.sortBy(_._1)
+      .find { case (_, mean, se) =>
+        (if (conservative) mean - 1.645 * se else mean) >= target }
+      .map(_._1).getOrElse(numShards)
   }
 
   /** Measure the recall-vs-probes operating curve of THIS index and
@@ -463,10 +477,17 @@ final class RoutedAnnIndex(
     * hand per deployment is the FAISS-autotune chore this automates.
     *
     * Protocol (the ScaleRecall measurement, formalized):
-    *  - sample `nQueries` LIVE stored rows as the query set (self-sample —
-    *    the standard stand-in when no external query log exists; pass a
-    *    production sample through [[topKJoin]] + your own comparison when
-    *    you have one);
+    *  - query sample: `queries` (a production sample — a frame with a
+    *    float-array column, the HIGH-FIDELITY mode: the curve then
+    *    measures the distribution actually served), else `nQueries` LIVE
+    *    stored rows (self-sample — the stand-in when no query log
+    *    exists). Self-sampling is LEAVE-ONE-OUT (a stored query's own
+    *    node is a guaranteed home-shard hit) and still reads ~1–2pt
+    *    OPTIMISTIC at the curve's steep part: stored rows sit deeper
+    *    inside their shards than boundary-ish external queries (measured
+    *    at 200k — ScaleCalibrate, SCALE.md: self 0.9564 vs external
+    *    0.9416 at 8/64). Leave a margin on self-calibrated targets, or
+    *    pass `queries`;
     *  - ground truth per query: EXACT brute-force top-k over every live
     *    row under the index metric (one pass over [[rows]], per-partition
     *    bounded heaps — never the graph, which would measure probe
@@ -479,18 +500,32 @@ final class RoutedAnnIndex(
     * maintenance tier carries it forward. The default ladder is powers of
     * two up to numShards (always measuring exhaustive as the top point). */
   def calibrate(nQueries: Int = 64, k: Int = 10, ladderIn: Seq[Int] = Nil,
-      seed: Long = 7L): RoutedAnnIndex = {
+      seed: Long = 7L,
+      queries: Option[DataFrame] = None,
+      qVecCol: String = "qv"): RoutedAnnIndex = {
     require(nQueries > 0, s"nQueries must be positive, got $nQueries")
     require(k > 0, s"k must be positive, got $k")
     val spark = org.apache.spark.sql.SparkSession.active
     val live = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sample = live.takeSample(withReplacement = false, nQueries, seed)
-      if (sample.isEmpty) return this // empty index: nothing to measure
+      // (Option[ownId], vector): ownId present only for self-samples — it
+      // drives the leave-one-out exclusions below
+      val sample: Array[(Option[Long], Array[Float])] = queries match {
+        case Some(qdf) => qdf
+          .select(col(qVecCol).cast("array<float>"))
+          .rdd.map(r => (None: Option[Long], r.getSeq[Float](0).toArray))
+          .takeSample(withReplacement = false, nQueries, seed)
+        case None => live
+          .takeSample(withReplacement = false, nQueries, seed)
+          .map { case (id, v) => (Some(id), v) }
+      }
+      if (sample.isEmpty) return this // nothing to measure
       val metric = config.metric
-      val bq = shards.sparkContext.broadcast(sample.map(_._2))
+      val ownIds: Array[Option[Long]] = sample.map(_._1)
+      val bq = shards.sparkContext.broadcast(sample)
       // exact ground truth: per-partition bounded heaps (k entries per
-      // query), merged on the driver — partials are ≤ partitions × |q| × k
+      // query), merged on the driver — partials are ≤ partitions × |q| × k;
+      // LEAVE-ONE-OUT: a query's own row never enters its truth set
       val ord = Ordering.by[(Double, Long), (Double, Long)] {
         case (c, id) => (-c, id) // max of this ordering = worst kept entry
       }
@@ -501,10 +536,12 @@ final class RoutedAnnIndex(
         it.foreach { case (id, v) =>
           var i = 0
           while (i < qs.length) {
-            val c = RoutedAnnIndex.closenessOf(metric, qs(i), v)
-            val h = heaps(i)
-            if (h.size < k) h.enqueue((c, id))
-            else if (ord.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+            if (!qs(i)._1.contains(id)) { // LOO for self-samples only
+              val c = RoutedAnnIndex.closenessOf(metric, qs(i)._2, v)
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((c, id))
+              else if (ord.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+            }
             i += 1
           }
         }
@@ -524,18 +561,26 @@ final class RoutedAnnIndex(
         .toDF("qid", "qv")
         .select(col("qid"), col("qv").cast("array<float>").as("qv"))
       val curve = ladder.distinct.map { p =>
-        val got = topKJoin(qdf, "qid", "qv", k, p)
-          .select("qid", "cid").collect()
+        // LOO on the result side too: ask for k+1, drop the query's own
+        // id (rank-ordered, so the remaining prefix is the top-k the
+        // index would return to a non-stored query at this probe count)
+        val got = topKJoin(qdf, "qid", "qv", k + 1, p)
+          .select("qid", "cid", "rank").collect()
           .groupBy(_.getLong(0)).map { case (q, rs) =>
-            q.toInt -> rs.map(_.getLong(1)).toSet }
-        val recall = truth.toSeq.map { case (qi, ts) =>
+            q.toInt -> rs.sortBy(_.getLong(2)).map(_.getLong(1))
+              .filter(id => !ownIds(q.toInt).contains(id)).take(k).toSet }
+        val per = truth.toSeq.map { case (qi, ts) =>
           if (ts.isEmpty) 1.0
           else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
-        }.sum / truth.size
+        }
+        val mean = per.sum / per.size
+        val sd = math.sqrt(per.map(x => (x - mean) * (x - mean)).sum /
+          math.max(1, per.size - 1))
+        val se = sd / math.sqrt(per.size.toDouble)
         org.slf4j.LoggerFactory.getLogger(getClass).info(
-          f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = $recall%.4f " +
-            f"(${truth.size}%d sample queries)")
-        (p, recall)
+          f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = " +
+            f"$mean%.4f +- $se%.4f se (${truth.size}%d sample queries)")
+        (p, mean, se)
       }.toArray
       new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
         maxReplicas, meanAssignDist, patchedRows, tombstones, curve)
@@ -721,9 +766,10 @@ object RoutedAnnIndex {
       "patchedRows" -> JInt(BigInt(index.patchedRows)),
       "tombstones" -> JArray(index.tombstones.toList.map(id => JInt(BigInt(id)))),
       // measured operating curve (derived state; exact doubles via bits)
-      "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r) =>
-        JArray(List(JInt(p), JInt(BigInt(
-          java.lang.Double.doubleToRawLongBits(r)))))
+      "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r, se) =>
+        JArray(List(JInt(p),
+          JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
+          JInt(BigInt(java.lang.Double.doubleToRawLongBits(se)))))
       }),
       "sourceStamp" -> JString(sourceStamp),
       "present" -> JArray(state.toList.map { case (_, (p, _)) => JBool(p) }),
@@ -849,10 +895,11 @@ object RoutedAnnIndex {
         }.toArray
         case _ => Array.emptyLongArray
       }
-      val curve: Array[(Int, Double)] = (j \ "recallCurve") match {
+      val curve: Array[(Int, Double, Double)] = (j \ "recallCurve") match {
         case JArray(pts) => pts.map {
-          case JArray(List(JInt(p), JInt(bits))) =>
-            (p.toInt, java.lang.Double.longBitsToDouble(bits.toLong))
+          case JArray(List(JInt(p), JInt(bits), JInt(seBits))) =>
+            (p.toInt, java.lang.Double.longBitsToDouble(bits.toLong),
+              java.lang.Double.longBitsToDouble(seBits.toLong))
           case _ => return None
         }.toArray
         case _ => Array.empty // pre-calibration manifests load uncalibrated

@@ -313,12 +313,17 @@ object Pipeline {
               case (None, Some(r)) =>
                 // RECALL arm: a persisted curve answers directly; an
                 // uncalibrated index measures its curve ONCE at this
-                // statement's k (so the target means recall@k) and — when
-                // pinned — persists it beside the artifacts (manifest-only
-                // rewrite; later invocations load curve and all)
+                // statement's k (so the target means recall@k) against a
+                // sample of the statement's OWN query view — the true
+                // workload distribution, which a stored-row self-sample
+                // reads ~1-2pt optimistic for (RoutedAnnIndex.calibrate
+                // doc) — and, when pinned, persists it beside the
+                // artifacts (manifest-only rewrite; later invocations
+                // load curve and all)
                 val cal = if (idx.recallCurve.nonEmpty) idx
                   else {
-                    val c = idx.calibrate(k = k)
+                    val c = idx.calibrate(k = k,
+                      queries = Some(t(qv).select(col(qc).as("qv"))))
                     indexDir.foreach { dir =>
                       try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
                         touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))

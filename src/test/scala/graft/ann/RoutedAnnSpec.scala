@@ -441,22 +441,52 @@ class RoutedAnnSpec extends AnyFunSuite {
       f"exhaustive calibrated recall ${curve.last._2}%.4f < 0.90")
     // ~monotone in probes (nested probe-set prefixes; allow sample noise)
     curve.sliding(2).foreach {
-      case Seq((pa, a), (pb, b)) =>
+      case Seq((pa, a, _), (pb, b, _)) =>
         assert(b >= a - 0.02, f"recall fell $a%.4f -> $b%.4f at $pa -> $pb probes")
       case _ => ()
     }
-    // probesFor = the SMALLEST measured point meeting the target
-    val p90 = cal.probesFor(0.90)
+    // stderr is a real number: positive below saturation, tiny vs mean
+    curve.foreach { case (_, r, se) =>
+      assert(se >= 0.0 && se <= 0.1, f"implausible stderr $se%.4f at $r%.4f")
+    }
+    // probesFor (raw mean mode) = the SMALLEST point meeting the target
+    val p90 = cal.probesFor(0.90, conservative = false)
     assert(curve.find(_._2 >= 0.90).map(_._1).contains(p90))
     assert(p90 < Shards,
       "a 0.90 target on this corpus must prune (ScaleRecall measures " +
         "0.90+ well below exhaustive probes)")
+    // conservative (default) selects by the lower confidence bound —
+    // never FEWER probes than the point estimate allows
+    val p90c = cal.probesFor(0.90)
+    assert(p90c >= p90)
+    assert(curve.find { case (_, r, se) => r - 1.645 * se >= 0.90 }
+      .map(_._1).contains(p90c))
     // a target above every measured point falls back to exhaustive
-    if (curve.forall(_._2 < 1.0)) assert(cal.probesFor(1.0) == Shards)
+    if (curve.forall(_._2 < 1.0))
+      assert(cal.probesFor(1.0, conservative = false) == Shards)
     // an UNCALIBRATED handle is exhaustive-safe (a floor, never a budget)
     assert(index.probesFor(0.5) == Shards)
     intercept[IllegalArgumentException] { cal.probesFor(0.0) }
     intercept[IllegalArgumentException] { cal.probesFor(1.5) }
+  }
+
+  test("calibrate on a caller-supplied query sample measures THAT workload (the DSL RECALL protocol)") {
+    val s = spark
+    import s.implicits._
+    // workload = external queries off the same manifold (never stored)
+    val wdf = (0 until 32).map(i => (i.toLong, gen((5L * N + i).toLong).toSeq))
+      .toDF("wid", "wv")
+    val cal = index.calibrate(nQueries = 32, k = 10, seed = 3L,
+      queries = Some(wdf), qVecCol = "wv")
+    val curve = cal.recallCurve.toSeq
+    assert(curve.nonEmpty && curve.last._1 == Shards)
+    assert(curve.last._2 >= 0.90,
+      f"exhaustive workload-calibrated recall ${curve.last._2}%.4f < 0.90")
+    curve.sliding(2).foreach {
+      case Seq((pa, a, _), (pb, b, _)) =>
+        assert(b >= a - 0.05, f"recall fell $a%.4f -> $b%.4f at $pa -> $pb probes")
+      case _ => ()
+    }
   }
 
   test("calibration curve survives the artifact round trip and rides maintenance tiers") {
