@@ -450,7 +450,11 @@ object AnnSearch {
         val (idx, cfg) = engine.ensureRoutedIndex(st.meta.name, st.meta.schema)
           .getOrElse(throw GraftException(
             s"Non linear algorithm index $kind not found in store, create one"))
-        ((q2, k2, f) => idx.search(q2, k2, cfg.probes, f), cfg.hnsw.metric)
+        // a recall-targeted config reads probes off the calibrated curve
+        // (LCB selection; exhaustive when uncalibrated or target = 1.0 —
+        // RoutedAnnIndex.probesFor); raw `probes` otherwise
+        val probes = cfg.recallTarget.map(idx.probesFor(_)).getOrElse(cfg.probes)
+        ((q2, k2, f) => idx.search(q2, k2, probes, f), cfg.hnsw.metric)
       } else {
         val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
           throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))

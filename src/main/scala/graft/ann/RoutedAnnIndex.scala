@@ -460,10 +460,14 @@ final class RoutedAnnIndex(
     * 0.953±0.006 point and delivered 0.9416 — ScaleCalibrate, SCALE.md).
     * `conservative = false` selects on the raw mean. Uncalibrated
     * indexes — and targets above every qualifying point — fall back to
-    * EXHAUSTIVE (numShards): the safe direction. */
+    * EXHAUSTIVE (numShards): the safe direction. A target of exactly 1.0
+    * is ALWAYS exhaustive, in both modes: a finite sample can certify an
+    * estimate, never perfection — a measured 1.000 ± 0.000 on 100
+    * queries says nothing about query 101. */
   def probesFor(target: Double, conservative: Boolean = true): Int = {
     require(target > 0.0 && target <= 1.0,
       s"recall target must be in (0, 1], got $target")
+    if (target >= 1.0) return numShards
     recallCurve.sortBy(_._1)
       .find { case (_, mean, se) =>
         (if (conservative) mean - 1.645 * se else mean) >= target }

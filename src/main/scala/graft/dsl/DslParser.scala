@@ -127,10 +127,17 @@ object DslParser extends RegexParsers {
   private val nonLinearAlgorithm: Parser[NonLinearConfig] =
     (kw("kdtree") ^^^ NonLinearConfig.KDTreeConfig()) |
     // EXTENSION kind (longest-match first: "hnsw" is its prefix) — the
-    // coarse-routed sharded HNSW, optional (shards, probes) sizing
-    (kw("hnsw_routed") ~> opt("(" ~> (nonZero <~ ",") ~ nonZero <~ ")") ^^ {
-      case Some(sh ~ pr) => NonLinearConfig.RoutedHNSWConfig(
+    // coarse-routed sharded HNSW: (shards, probes) sizing, or
+    // (shards, recall=r) to have the engine calibrate at build and pick
+    // probes by measured recall (RoutedHNSWConfig.recallTarget)
+    (kw("hnsw_routed") ~> opt("(" ~> (nonZero <~ ",") ~
+      ((kw("recall") ~> "=" ~> """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r
+          ^^ (s => Right(s.toDouble): Either[Int, Double])) |
+        (nonZero ^^ (p => Left(p): Either[Int, Double]))) <~ ")") ^^ {
+      case Some(sh ~ Left(pr)) => NonLinearConfig.RoutedHNSWConfig(
         numShards = sh, probes = pr)
+      case Some(sh ~ Right(r)) => NonLinearConfig.RoutedHNSWConfig(
+        numShards = sh, recallTarget = Some(r))
       case None => NonLinearConfig.RoutedHNSWConfig()
     }) |
     (kw("hnsw") ^^^ NonLinearConfig.HNSWConfig())

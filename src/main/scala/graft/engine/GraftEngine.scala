@@ -571,6 +571,7 @@ class GraftEngine(val spark: SparkSession,
         s"m0=${h.maximumConnectionsZero},ef=${h.efSearch},metric=${h.metric})"
     case r: NonLinearConfig.RoutedHNSWConfig =>
       s"hnsw_routed(shards=${r.numShards},probes=${r.probes}," +
+        r.recallTarget.fold("")(t => s"recall=$t,") +
         s"eps=${r.replicationEps},base=${describeConfig(r.hnsw)})"
   }
 
@@ -1087,7 +1088,7 @@ class GraftEngine(val spark: SparkSession,
       name: String): graft.ann.RoutedAnnIndex = {
     val src = st.df.select(col("id"), col("key"))
     val stamp = s"$schema/$name@v${st.version}"
-    persistRoot match {
+    val built = persistRoot match {
       case Some(root) =>
         graft.ann.RoutedAnnIndex.buildOrLoad(src, st.meta.dimension,
           cfg.hnsw, cfg.numShards,
@@ -1096,6 +1097,26 @@ class GraftEngine(val spark: SparkSession,
       case None =>
         graft.ann.RoutedAnnIndex.build(src, st.meta.dimension, cfg.hnsw,
           cfg.numShards, cfg.iters, cfg.replicationEps, cfg.maxReplicas)
+    }
+    // a recall-targeted index calibrates at build (self-sample, k = 10 —
+    // the GetSimN-scale operating point) so every search can read probes
+    // off the measured curve; a loaded artifact carries its curve already
+    // (restart pays nothing), and the curve persists manifest-only
+    if (cfg.recallTarget.isEmpty || built.recallCurve.nonEmpty) built
+    else {
+      val cal = built.calibrate(k = 10)
+      graft.obs.Trace.event(spark, "routed:calibrate",
+        s"$schema.$name curve=" + cal.recallCurve
+          .map { case (p, r, se) => f"$p%d:$r%.4f±$se%.4f" }.mkString(","))
+      persistRoot.foreach { root =>
+        try graft.ann.RoutedAnnIndex.save(cal,
+          Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,
+          touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
+        catch { case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"persisting calibration curve for $schema.$name failed", e) }
+      }
+      cal
     }
   }
 

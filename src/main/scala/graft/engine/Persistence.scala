@@ -105,7 +105,9 @@ object Persistence {
               "probes" -> JInt(r.probes),
               "iters" -> JInt(r.iters),
               "replicationEps" -> JString(r.replicationEps.toString),
-              "maxReplicas" -> JInt(r.maxReplicas)))
+              "maxReplicas" -> JInt(r.maxReplicas),
+              "recallTarget" -> r.recallTarget
+                .map(t => JString(t.toString): JValue).getOrElse(JNull)))
       }),
       "storeOriginal" -> JBool(m.storeOriginal),
       "queryModel" -> m.queryModel.map(JString(_)).getOrElse(JNull),
@@ -159,7 +161,9 @@ object Persistence {
               iters = iint("iters", 2),
               replicationEps = (it \ "replicationEps") match {
                 case JString(s) => s.toDouble; case _ => 0.0 },
-              maxReplicas = iint("maxReplicas", 2)): NonLinearConfig
+              maxReplicas = iint("maxReplicas", 2),
+              recallTarget = (it \ "recallTarget") match {
+                case JString(s) => Some(s.toDouble); case _ => None }): NonLinearConfig
           case other => sys.error(s"unknown index kind $other")
         }
       }

@@ -566,6 +566,36 @@ object Queries {
       Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
         where = "WHERE e.vec_id >= 5"))),
 
+    // ---- recall-TARGETED routed index through the parity API: the
+    // config names the probes knob by what it buys (hnsw_routed(8,
+    // recall=1.0)); the engine CALIBRATES at build (measured
+    // recall-vs-probes curve, persisted in the manifest) and GetSimN
+    // reads probes off it. recall=1.0 is the certification target —
+    // probesFor always answers exhaustive (a sample can't certify
+    // perfection), so with the wide beam the result set is exactly the
+    // linear top-k: deterministic, hash-gateable end to end. Sub-1.0
+    // targets (statistical floors) are RoutedEngineSpec territory. ----
+    "vdb_sim_hnsw_routed_recall" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("embrr", 64)
+        e.set("embrr", TestStores.embEntries(s, dir))
+        e.createNonLinearIndex("embrr", Seq(
+          graft.types.NonLinearConfig.RoutedHNSWConfig(
+            hnsw = graft.types.NonLinearConfig.HNSWConfig(
+              efConstruction = 100, maximumConnections = 40,
+              maximumConnectionsZero = 80, efSearch = 4096),
+            numShards = 8, probes = 1, // the raw knob says ONE shard —
+            recallTarget = Some(1.0)))) // — the target overrides it
+        val rows = TestStores.simResult(e.getSimN("embrr",
+            TestStores.queryVec(s, dir), 10, Algorithm.HNSW))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        e.dropStore("embrr")
+        import s.implicits._
+        rows.toDF("vec_id", "sim")
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true))),
+
     // ---- routed dispatch × large accept set: the predicate accepts ~5.3k
     // rows (> the 4096 brute-force cutover), so GetSimN pushes a Bloom
     // sketch of the accepted ids INTO the routed graph search

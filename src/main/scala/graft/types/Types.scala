@@ -98,16 +98,26 @@ object NonLinearConfig {
     * per-query work scales with `probes`, not shard count. probes >=
     * numShards is exhaustive (identical result set to one hash-sharded
     * HNSW fan-out); smaller probes trades recall exactly like IVF nProbe.
-    * No delta patch: mutations invalidate the structure whole and the
-    * next search reclusters (content routing can't align with the
-    * persistence layer's id-hash buckets). */
+    * Mutations are absorbed LSM-style (exact overlay tails on insert,
+    * tombstones on delete, guard-routed local compaction — see
+    * [[graft.ann.RoutedAnnIndex]]); only a drift-guard trip or an
+    * unbounded DelPred invalidates whole and reclusters lazily.
+    *
+    * `recallTarget`: name the probes knob by what it buys — when set,
+    * the engine CALIBRATES the index at build (measured recall-vs-probes
+    * curve vs exact ground truth, [[graft.ann.RoutedAnnIndex.calibrate]])
+    * and every GetSimN searches at `probesFor(recallTarget)` (one-sided
+    * 95% lower-confidence-bound selection) instead of the raw `probes`.
+    * A 1.0 target always searches exhaustively — a sample can certify
+    * an estimate, never perfection. */
   final case class RoutedHNSWConfig(
       hnsw: HNSWConfig = HNSWConfig(),
       numShards: Int = 16,
       probes: Int = 4,
       iters: Int = 2,
       replicationEps: Double = 0.0,
-      maxReplicas: Int = 2) extends NonLinearConfig { def kind = "hnsw_routed" }
+      maxReplicas: Int = 2,
+      recallTarget: Option[Double] = None) extends NonLinearConfig { def kind = "hnsw_routed" }
 }
 
 /** Per-store catalog record, mirroring StoreInfo

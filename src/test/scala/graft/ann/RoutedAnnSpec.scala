@@ -461,9 +461,10 @@ class RoutedAnnSpec extends AnyFunSuite {
     assert(p90c >= p90)
     assert(curve.find { case (_, r, se) => r - 1.645 * se >= 0.90 }
       .map(_._1).contains(p90c))
-    // a target above every measured point falls back to exhaustive
-    if (curve.forall(_._2 < 1.0))
-      assert(cal.probesFor(1.0, conservative = false) == Shards)
+    // a 1.0 target is ALWAYS exhaustive — a sample certifies estimates,
+    // never perfection (even if some ladder point measured 1.000)
+    assert(cal.probesFor(1.0) == Shards)
+    assert(cal.probesFor(1.0, conservative = false) == Shards)
     // an UNCALIBRATED handle is exhaustive-safe (a floor, never a budget)
     assert(index.probesFor(0.5) == Shards)
     intercept[IllegalArgumentException] { cal.probesFor(0.0) }

@@ -283,4 +283,97 @@ class RoutedEngineSpec extends AnyFunSuite {
     assert(e.getStore("rd").nonLinearIndexes.isEmpty)
     e.dropStore("rd")
   }
+
+  test("recall-targeted routed index: engine calibrates at build; GetSimN reads probes off the curve") {
+    // recall=1.0 is the CERTIFICATION target: probesFor always answers
+    // exhaustive (a sample can't certify perfection), so with the wide
+    // beam the results are exactly the linear top-k — deterministic,
+    // which is what lets the oracle pin this end to end
+    val cfg = NonLinearConfig.RoutedHNSWConfig(
+      hnsw = NonLinearConfig.HNSWConfig(efSearch = 4096),
+      numShards = 8, probes = 1, recallTarget = Some(1.0))
+    val e = freshRouted("rc1", cfg)
+    // the build calibrated: the live index carries a measured curve
+    val (idx, c) = e.ensureRoutedIndex("rc1").get
+    assert(c.recallTarget.contains(1.0))
+    assert(idx.recallCurve.nonEmpty, "recall-targeted build must calibrate")
+    assert(idx.probesFor(1.0) == idx.numShards)
+    val q = vecs(42L, 1).head
+    val routed = e.getSimN("rc1", q, 10, Algorithm.HNSW)
+      .select("key", "similarity").collect().toSeq
+    val linear = e.getSimN("rc1", q, 10, Algorithm.CosineSimilarity)
+      .select("key", "similarity").collect().toSeq
+    assert(routed == linear,
+      "recall=1.0 GetSimN must equal the linear top-k (exhaustive dispatch — " +
+        "the raw probes=1 knob would have searched one shard)")
+    assert(e.getStore("rc1").nonLinearConfigs
+      .exists(_.contains("recall=1.0")), "GetStore must describe the target")
+    e.dropStore("rc1")
+  }
+
+  test("recall-targeted routed index: sub-1.0 targets search the calibrated LCB operating point") {
+    val cfg = NonLinearConfig.RoutedHNSWConfig(
+      hnsw = NonLinearConfig.HNSWConfig(efSearch = 4096),
+      numShards = 8, probes = 1, recallTarget = Some(0.9))
+    val e = freshRouted("rc2", cfg)
+    val (idx, _) = e.ensureRoutedIndex("rc2").get
+    val chosen = idx.probesFor(0.9)
+    // mechanics: the chosen point's LCB meets the target (or exhaustive)
+    assert(chosen == idx.numShards || idx.recallCurve
+      .find(_._1 == chosen).exists { case (_, m, se) => m - 1.645 * se >= 0.9 })
+    // measured recall of the engine surface at the chosen operating point
+    // vs the linear scan, averaged over 20 queries: the target is a
+    // statistical floor, so assert with a small sampling-noise slack
+    val rs = vecs(123L, 20).map { q =>
+      val got = e.getSimN("rc2", q, 10, Algorithm.HNSW)
+        .select("key").collect().map(_.getSeq[Float](0)).toSet
+      val exp = e.getSimN("rc2", q, 10, Algorithm.CosineSimilarity)
+        .select("key").collect().map(_.getSeq[Float](0)).toSet
+      (got & exp).size.toDouble / exp.size
+    }
+    val mean = rs.sum / rs.length
+    assert(mean >= 0.85, f"recall-targeted GetSimN measured $mean%.4f << 0.9 target")
+    e.dropStore("rc2")
+  }
+
+  test("DSL: hnsw_routed(8, recall=0.95) parses to a recall-targeted config and round-trips") {
+    val e = new GraftEngine(spark)
+    e.createStore("rr", Dim)
+    e.setSeq("rr", vecs(7L, 64).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    val res = graft.dsl.Pipeline.runDb(e,
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=0.95)) IN rr")
+    assert(res.forall(_.isRight), s"DSL create failed: $res")
+    val cfg = e.ensureRoutedIndex("rr").map(_._2)
+    assert(cfg.exists(_.recallTarget.contains(0.95)), s"got $cfg")
+    assert(e.getSimN("rr", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e.dropStore("rr")
+  }
+
+  test("persistence: the recall target and its calibration curve survive restart") {
+    val root = Files.createTempDirectory("graft-routed-recall").toString
+    val cfg = NonLinearConfig.RoutedHNSWConfig(
+      hnsw = NonLinearConfig.HNSWConfig(efSearch = 4096),
+      numShards = 8, probes = 1, recallTarget = Some(1.0))
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("pr", Dim)
+    e1.setSeq("pr", vecs(7L, N).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    e1.createNonLinearIndex("pr", Seq(cfg))
+    val curve1 = e1.ensureRoutedIndex("pr").get._1.recallCurve.toSeq
+    assert(curve1.nonEmpty)
+    val e2 = GraftEngine.load(spark, root)
+    val (idx2, cfg2) = e2.ensureRoutedIndex("pr").get
+    assert(cfg2.recallTarget.contains(1.0), "target must survive the catalog")
+    assert(idx2.recallCurve.toSeq == curve1,
+      "the persisted curve must load — a restart re-calibrating would " +
+        "mean the manifest-only save never happened")
+    val q = vecs(42L, 1).head
+    assert(e2.getSimN("pr", q, 5, Algorithm.HNSW)
+      .select("key").collect().toSeq ==
+      e2.getSimN("pr", q, 5, Algorithm.CosineSimilarity)
+        .select("key").collect().toSeq)
+    e1.dropStore("pr"); // shared root: one drop clears disk
+    ()
+  }
 }
