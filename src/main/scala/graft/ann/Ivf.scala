@@ -32,11 +32,82 @@ import graft.types.Algorithm
 final class IvfIndex(
     val centroids: Array[Array[Float]],
     val cells: DataFrame, // (cell INT, id LONG, key ARRAY<FLOAT>) + payload cols
-    val metric: Algorithm) {
+    val metric: Algorithm,
+    /** Measured recall-vs-nProbe operating curve from [[calibrate]] —
+      * (nProbe, mean recall@k, stderr), ascending; empty until
+      * calibrated. Persisted in the manifest ([[IvfIndex.save]]). Unlike
+      * the routed index's graph curve, an IVF curve is PURE ROUTING
+      * error: probed cells are scanned exactly, so exhaustive is 1.0 by
+      * construction. */
+    val recallCurve: Array[(Int, Double, Double)] = Array.empty) {
 
   def nCells: Int = centroids.length
 
   def unpersist(): Unit = cells.unpersist(blocking = false)
+
+  /** nProbe for a target recall off the measured [[recallCurve]] — the
+    * [[RoutedAnnIndex.probesFor]] contract: smallest qualifying point,
+    * one-sided 95% LCB selection by default, exhaustive when
+    * uncalibrated / nothing qualifies / target = 1.0 (for IVF the
+    * exhaustive fallback is not merely safe — it is EXACT). */
+  def nProbeFor(target: Double, conservative: Boolean = true): Int =
+    Calibration.select(recallCurve.toSeq, target, conservative, nCells)
+
+  /** Measure the recall-vs-nProbe curve of THIS index and return a
+    * handle carrying it (the `cells` frame is shared). The
+    * [[RoutedAnnIndex.calibrate]] protocol with one simplification: IVF
+    * scans probed cells exactly, so the index's own exhaustive join IS
+    * the ground truth — no independent scoring pass needed. Query
+    * sample: `queries` (a production sample — high fidelity) or a
+    * leave-one-out self-sample of stored rows (~1–2pt optimistic at the
+    * steep part; leave a margin — see the routed doc). Cost: |ladder|+1
+    * batch joins over `nQueries` rows. */
+  def calibrate(nQueries: Int = 64, k: Int = 10, ladderIn: Seq[Int] = Nil,
+      seed: Long = 7L, queries: Option[DataFrame] = None,
+      qVecCol: String = "qv"): IvfIndex = {
+    require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = cells.sparkSession
+    val sample: Array[(Option[Long], Array[Float])] = queries match {
+      case Some(qdf) => qdf
+        .select(col(qVecCol).cast("array<float>"))
+        .rdd.map(r => (None: Option[Long], r.getSeq[Float](0).toArray))
+        .takeSample(withReplacement = false, nQueries, seed)
+      case None => cells.select(col("id").cast("long"), col("key"))
+        .rdd.map(r => (Some(r.getLong(0)): Option[Long],
+          r.getSeq[Float](1).toArray))
+        .takeSample(withReplacement = false, nQueries, seed)
+    }
+    if (sample.isEmpty) return this // empty index: nothing to measure
+    val ownIds: Array[Option[Long]] = sample.map(_._1)
+    import spark.implicits._
+    val qdf = sample.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    // one ranked collect per nProbe point, LOO-filtered (ask k+1, drop
+    // the query's own id, keep the top-k prefix)
+    def rankedSets(nProbe: Int): Map[Int, Set[Long]] =
+      topKJoin(qdf, "qid", "qv", k + 1, nProbe)
+        .select("qid", "cid", "rank").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q.toInt -> rs.sortBy(_.getLong(2)).map(_.getLong(1))
+            .filter(id => !ownIds(q.toInt).contains(id)).take(k).toSet }
+    val truth = rankedSets(nCells) // exhaustive == exact for IVF
+    val curve = Calibration.ladder(ladderIn, nCells).map { p =>
+      val got = if (p == nCells) truth else rankedSets(p)
+      val per = truth.toSeq.map { case (qi, ts) =>
+        if (ts.isEmpty) 1.0
+        else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
+      }
+      val (mean, se) = Calibration.meanSe(per)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        f"IvfIndex.calibrate: nProbe=$p%d recall@$k%d = $mean%.4f +- " +
+          f"$se%.4f se (${truth.size}%d sample queries)")
+      (p, mean, se)
+    }.toArray
+    new IvfIndex(centroids, cells, metric, curve)
+  }
 
   /** The nProbe nearest cells for a query (driver-side: k centroids). */
   def probeCells(q: Array[Float], nProbe: Int): Seq[Int] =
@@ -388,17 +459,30 @@ object IvfIndex {
   // build that wrote the artifact.
 
   def save(index: IvfIndex, dir: String, sourceStamp: String): Unit = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     index.cells.write
       .mode("overwrite")
       .partitionBy("cell")
       .parquet(java.nio.file.Paths.get(dir, "cells").toString)
+    saveManifest(index, dir, sourceStamp)
+  }
+
+  /** Manifest-only rewrite — what persisting a freshly-measured
+    * calibration curve costs (the cell parquet is untouched; a curve is
+    * derived state exactly like the routed index's). */
+  def saveManifest(index: IvfIndex, dir: String, sourceStamp: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val json = JObject(
       "kind" -> JString("ivf"),
       "metric" -> JString(index.metric.toString),
       "sourceStamp" -> JString(sourceStamp),
+      "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r, se) =>
+        JArray(List(JInt(p),
+          JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
+          JInt(BigInt(java.lang.Double.doubleToRawLongBits(se)))))
+      }),
       "centroids" -> JArray(index.centroids.toList.map(c =>
         JArray(c.toList.map(f => JInt(BigInt(java.lang.Float.floatToRawIntBits(f))))))))
     val target = java.nio.file.Paths.get(dir, "ivf_manifest.json")
@@ -437,6 +521,15 @@ object IvfIndex {
         case _ => return None
       }
       if (centroids.isEmpty) return None
+      val curve: Array[(Int, Double, Double)] = (j \ "recallCurve") match {
+        case JArray(pts) => pts.map {
+          case JArray(List(JInt(p), JInt(bits), JInt(seBits))) =>
+            (p.toInt, java.lang.Double.longBitsToDouble(bits.toLong),
+              java.lang.Double.longBitsToDouble(seBits.toLong))
+          case _ => return None
+        }.toArray
+        case _ => Array.empty // pre-calibration manifests load uncalibrated
+      }
       val cellsPath = java.nio.file.Paths.get(dir, "cells")
       if (!java.nio.file.Files.exists(cellsPath)) return None
       val raw = spark.read.parquet(cellsPath.toString)
@@ -445,7 +538,7 @@ object IvfIndex {
       val others = raw.columns.filterNot(_ == "cell")
       val cells = raw.select(others.map(col) :+ col("cell").cast("int"): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Some(new IvfIndex(centroids, cells, metric))
+      Some(new IvfIndex(centroids, cells, metric, curve))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Load if fresh, else build and save — the one-call form. A loaded

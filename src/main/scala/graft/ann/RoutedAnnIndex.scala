@@ -464,15 +464,8 @@ final class RoutedAnnIndex(
     * is ALWAYS exhaustive, in both modes: a finite sample can certify an
     * estimate, never perfection — a measured 1.000 ± 0.000 on 100
     * queries says nothing about query 101. */
-  def probesFor(target: Double, conservative: Boolean = true): Int = {
-    require(target > 0.0 && target <= 1.0,
-      s"recall target must be in (0, 1], got $target")
-    if (target >= 1.0) return numShards
-    recallCurve.sortBy(_._1)
-      .find { case (_, mean, se) =>
-        (if (conservative) mean - 1.645 * se else mean) >= target }
-      .map(_._1).getOrElse(numShards)
-  }
+  def probesFor(target: Double, conservative: Boolean = true): Int =
+    Calibration.select(recallCurve.toSeq, target, conservative, numShards)
 
   /** Measure the recall-vs-probes operating curve of THIS index and
     * return a handle carrying it (shards shared — do not unpersist the
@@ -556,9 +549,7 @@ final class RoutedAnnIndex(
           qi -> parts.flatMap(_._2).sortBy { case (c, id) => (-c, id) }
             .take(k).map(_._2).toSet
       }
-      val ladder = (if (ladderIn.nonEmpty) ladderIn
-        else Iterator.iterate(1)(_ * 2).takeWhile(_ < numShards).toSeq)
-        .filter(p => p >= 1 && p <= numShards).distinct.sorted :+ numShards
+      val ladder = Calibration.ladder(ladderIn, numShards)
       import spark.implicits._
       val qdf = sample.zipWithIndex
         .map { case ((_, v), i) => (i.toLong, v.toSeq) }.toSeq
@@ -577,10 +568,7 @@ final class RoutedAnnIndex(
           if (ts.isEmpty) 1.0
           else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
         }
-        val mean = per.sum / per.size
-        val sd = math.sqrt(per.map(x => (x - mean) * (x - mean)).sum /
-          math.max(1, per.size - 1))
-        val se = sd / math.sqrt(per.size.toDouble)
+        val (mean, se) = Calibration.meanSe(per)
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = " +
             f"$mean%.4f +- $se%.4f se (${truth.size}%d sample queries)")

@@ -212,13 +212,18 @@ object Command {
   object TopKMode {
     case object Exact extends TopKMode
     final case class Quantized(shortlist: Int) extends TopKMode
-    /** `indexDir`: USING INDEX <path> — load the stamped IVF artifact at
+    /** Exactly one of `probe` (PROBE p) and `recall` (RECALL r — the
+      * [[Routed]] contract: calibrate once against the statement's query
+      * view, pick the cheapest nProbe whose measured recall@k meets r at
+      * the LCB, persist the curve when pinned) is set.
+      * `indexDir`: USING INDEX <path> — load the stamped IVF artifact at
       * the path if present and shape-compatible, else build AND save
       * there, so a scripted pipeline pays the Lloyd training once across
       * invocations. The caller owns freshness (a pinned artifact dir is a
       * deployment decision, like ann.IvfIndex.buildOrLoad's sourceStamp). */
-    final case class Ivf(cells: Int, probe: Int,
-        quantizedShortlist: Option[Int],
+    final case class Ivf(cells: Int, probe: Option[Int],
+        recall: Option[Double] = None,
+        quantizedShortlist: Option[Int] = None,
         indexDir: Option[String] = None) extends TopKMode
     /** Product-quantized ADC arm (ann.PqCodebook.topKJoin). */
     final case class Pq(m: Int, ksub: Int, shortlist: Int) extends TopKMode

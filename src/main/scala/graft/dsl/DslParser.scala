@@ -504,9 +504,16 @@ object DslParser extends RegexParsers {
   private val usingIndex: Parser[String] =
     kw("using") ~> kw("index") ~> pathLit
   private val topKMode: Parser[Command.TopKMode] = {
+    // PROBE p | RECALL r — r picked off the statement-calibrated curve
+    val recallLit0: Parser[Double] =
+      """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r ^^ (_.toDouble)
+    val probeOrRecall: Parser[Either[Int, Double]] =
+      (kw("probe") ~> nonZero ^^ (p => Left(p): Either[Int, Double])) |
+        (kw("recall") ~> recallLit0 ^^ (r => Right(r): Either[Int, Double]))
     val ivf = kw("ivf") ~> (kw("cells") ~> nonZero) ~
-      (kw("probe") ~> nonZero) ~ opt(topKQuant) ~ opt(usingIndex) ^^ {
-        case c ~ p ~ q ~ d => Command.TopKMode.Ivf(c, p, q, d) }
+      probeOrRecall ~ opt(topKQuant) ~ opt(usingIndex) ^^ {
+        case c ~ Left(p) ~ q ~ d => Command.TopKMode.Ivf(c, Some(p), None, q, d)
+        case c ~ Right(r) ~ q ~ d => Command.TopKMode.Ivf(c, None, Some(r), q, d) }
     val quant = topKQuant ^^ { s => Command.TopKMode.Quantized(s) }
     // PQ M m KSUB k SHORTLIST s — the product-quantized ADC arm
     val pqParams = (kw("m") ~> nonZero) ~ (kw("ksub") ~> nonZero) ~
@@ -524,12 +531,8 @@ object DslParser extends RegexParsers {
     // artifacts. RECALL names the probe knob by what it buys: the
     // statement calibrates once (or loads a persisted curve) and picks
     // the cheapest probes whose MEASURED recall@k meets r.
-    val recallLit: Parser[Double] =
-      """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r ^^ (_.toDouble)
     val routed = kw("routed") ~> (kw("shards") ~> nonZero) ~
-      ((kw("probe") ~> nonZero ^^ (p => Left(p): Either[Int, Double])) |
-        (kw("recall") ~> recallLit ^^ (r => Right(r): Either[Int, Double]))) ~
-      opt(usingIndex) ^^ {
+      probeOrRecall ~ opt(usingIndex) ^^ {
         case s ~ Left(p) ~ d => Command.TopKMode.Routed(s, Some(p), None, d)
         case s ~ Right(r) ~ d => Command.TopKMode.Routed(s, None, Some(r), d) }
     ivfPq | ivf | pq | quant | routed

@@ -338,7 +338,7 @@ object Pipeline {
             }
             Response.Entries(idx.topKJoin(t(qv), qi, qc, k, probes))
           }
-        case Command.TopKMode.Ivf(cells, probe, quantized, indexDir) =>
+        case Command.TopKMode.Ivf(cells, probe, recall, quantized, indexDir) =>
           // cosine metric to match the exact arm's ranking contract; the
           // built index's cached cells stay pinned for the session (the
           // returned frame reads through them). USING INDEX pins the arm
@@ -354,10 +354,28 @@ object Pipeline {
             case None => graft.ann.IvfIndex.build(corpus, nCells = cells,
               metric = graft.types.Algorithm.CosineSimilarity)
           }
+          val nProbe = (probe, recall) match {
+            case (Some(p), _) => p
+            case (None, Some(r)) => // the Routed RECALL contract, IVF twin
+              val cal = if (ivf.recallCurve.nonEmpty) ivf
+                else {
+                  val c = ivf.calibrate(k = k,
+                    queries = Some(t(qv).select(col(qc).as("qv"))))
+                  indexDir.foreach { dir =>
+                    try graft.ann.IvfIndex.saveManifest(c, dir, TopKIndexStamp)
+                    catch { case scala.util.control.NonFatal(e) =>
+                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                        s"persisting IVF calibration curve to $dir failed", e) }
+                  }
+                  c
+                }
+              cal.nProbeFor(r)
+            case (None, None) => cells // unreachable by grammar: exhaustive
+          }
           Response.Entries(quantized match {
             case Some(shortlist) =>
-              ivf.quantizedTopKJoin(t(qv), qi, qc, k, probe, shortlist)
-            case None => ivf.topKJoin(t(qv), qi, qc, k, probe)
+              ivf.quantizedTopKJoin(t(qv), qi, qc, k, nProbe, shortlist)
+            case None => ivf.topKJoin(t(qv), qi, qc, k, nProbe)
           })
       }
       case ExtFuse(k, va, aDid, vb, bDid, c) =>

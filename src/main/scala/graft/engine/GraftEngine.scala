@@ -52,9 +52,12 @@ class GraftEngine(val spark: SparkSession,
       version: Long = 0L,
       bucketPaths: Map[Int, String] = Map.empty,
       // the coarse-ROUTED sharded HNSW ("hnsw_routed" extension kind) lives
-      // beside the hash-sharded annIndexes: it has no delta patch (content
-      // routing can't align with id-hash buckets), so mutations clear it
-      // whole and the next search reclusters — see mutateStore
+      // beside the hash-sharded annIndexes. Content routing can't align
+      // with the id-hash buckets, so instead of a bucket-aligned delta
+      // patch it maintains itself LSM-style through mutateStore: inserts
+      // APPEND (exact overlay tails), deletes TOMBSTONE, guard trips
+      // compact locally; only an unbounded DelPred (RoutedDeleteCap) or a
+      // drift-guard trip clears it whole for a lazy recluster
       routedIndex: Option[graft.ann.RoutedAnnIndex] = None)
 
   private val catalog = TrieMap[(String, String), StoreState]()

@@ -3225,6 +3225,34 @@ object Queries {
         |SELECT qid, cid, ${r4("dist")} AS sim, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- recall-TARGETED IVF: nProbe read off the measured calibration
+    // curve (IvfIndex.calibrate — self-sample LOO vs the index's own
+    // exhaustive join, which is EXACT for IVF). recall=1.0 is the
+    // certification target: nProbeFor always answers exhaustive (a
+    // sample can't certify perfection), so the join is the exact linear
+    // ranking — deterministic, hash-gateable end to end; sub-1.0 floors
+    // are IvfSpec territory. Same contract as vdb_sim_hnsw_routed_recall
+    // on the routed side. ----
+    "embed_topk_ivf_recall" -> Q(
+      (s, dir) => {
+        val e = TestStores.embKeyed(s, dir)
+        val ivf = TestStores.ivfIndex(s, dir) // shared stamped artifact
+        val cal = ivf.calibrate(nQueries = 32, k = 3, seed = 7L)
+        val out = cal.topKJoin(
+          e.where(col("id") < 20).select(col("id").as("vec_id"), col("key").as("embedding")),
+          "vec_id", "embedding", k = 3, nProbe = cal.nProbeFor(1.0))
+        val rows = out.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |    ${euclidSql("q.embedding", "c.embedding")} AS dist,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${euclidSql("q.embedding", "c.embedding")} ASC, c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 20)
+        |SELECT qid, cid, ${r4("dist")} AS sim, CAST(rank AS BIGINT) AS rank
+        |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
     // ---- PQ (product quantization, Jégou 2011) two-phase top-k: the
     // byte-budget arm beyond SQ8 — m=8 trained sub-codebooks, coarse ADC
     // pass over an 8-int CODE column (vs 64 floats), 100-deep shortlist,

@@ -79,4 +79,39 @@ class IvfSpec extends AnyFunSuite {
       b.search(q, 5, 2).select("id").collect().toSeq)
     a.unpersist(); b.unpersist()
   }
+
+  test("calibrate: measured nProbe curve with LCB floor selection; curve rides the manifest") {
+    val ivf = IvfIndex.build(df, nCells = 16, iters = 3)
+    val cal = ivf.calibrate(nQueries = 32, k = 10, seed = 9L)
+    val curve = cal.recallCurve.toSeq
+    assert(curve.nonEmpty && curve.map(_._1) == curve.map(_._1).sorted)
+    // IVF exhaustive is EXACT by construction — the top point is 1.0 ± 0
+    assert(curve.last._1 == 16 && curve.last._2 == 1.0 && curve.last._3 == 0.0)
+    curve.sliding(2).foreach {
+      case Seq((pa, a, _), (pb, b, _)) =>
+        assert(b >= a - 0.05, f"recall fell $a%.4f -> $b%.4f at $pa -> $pb")
+      case _ => ()
+    }
+    // floor semantics: conservative never picks fewer probes than raw
+    val raw = cal.nProbeFor(0.9, conservative = false)
+    assert(cal.nProbeFor(0.9) >= raw)
+    assert(curve.find(_._2 >= 0.9).map(_._1).contains(raw))
+    // certification target and the uncalibrated fallback are exhaustive
+    assert(cal.nProbeFor(1.0) == 16)
+    assert(ivf.nProbeFor(0.5) == 16)
+    // external-sample mode measures the supplied workload
+    val wdf = (0 until 16).map(i => ((9000 + i).toLong, gen((9000 + i).toLong)))
+      .toDF("wid", "wv")
+    val calW = ivf.calibrate(nQueries = 16, k = 10, seed = 9L,
+      queries = Some(wdf), qVecCol = "wv")
+    assert(calW.recallCurve.nonEmpty && calW.recallCurve.last._2 == 1.0)
+    // curve persists: manifest-only save, loaded index carries it
+    val dir = java.nio.file.Files.createTempDirectory("ivf-cal").toString
+    IvfIndex.save(cal, dir, "cal-stamp")
+    val loaded = IvfIndex.load(spark, dir, cal.metric, "cal-stamp")
+    assert(loaded.exists(_.recallCurve.toSeq == curve),
+      "curve must round-trip bit-exactly through the IVF manifest")
+    loaded.foreach(_.unpersist())
+    ivf.unpersist()
+  }
 }

@@ -518,11 +518,11 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Ivf(8, 2, None))))
+        Command.TopKMode.Ivf(8, Some(2), None, None))))
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 QUANTIZED SHORTLIST 40") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Ivf(8, 2, Some(40)))))
+        Command.TopKMode.Ivf(8, Some(2), None, Some(40)))))
     assert(DslParser.parseExt("FUSE 5 FROM lex ID did IN vec ID cid") ==
       Seq(ExtFuse(5, "lex", "did", "vec", "cid", 60)))
     assert(DslParser.parseExt("FUSE 5 FROM lex ID did IN vec ID cid C 10") ==
@@ -1307,7 +1307,7 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 USING INDEX '/tmp/y'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Ivf(8, 2, None, Some("/tmp/y")))))
+        Command.TopKMode.Ivf(8, Some(2), None, None, Some("/tmp/y")))))
     val rnd = new scala.util.Random(11L)
     val vecs = (0 until 64)
       .map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
@@ -1367,6 +1367,11 @@ class DslSpec extends AnyFunSuite {
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 RECALL 1.0") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
         Command.TopKMode.Routed(4, None, Some(1.0), None))))
+    // the IVF arm takes the same contract
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 RECALL 0.9") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Ivf(8, None, Some(0.9), None, None))))
     val rnd = new scala.util.Random(23L)
     val vecs = (0 until 128)
       .map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
@@ -1407,5 +1412,28 @@ class DslSpec extends AnyFunSuite {
     assert(second == first, "RECALL arm must be deterministic across invocations")
     assert(mtimes == m1,
       "second RECALL invocation must load the persisted curve, not re-calibrate")
+    // IVF twin: RECALL 1.0 is certification (always exhaustive), so the
+    // answers equal the exact arm; the curve persists in the manifest
+    val iDir = java.nio.file.Files.createTempDirectory("dsl-ivf-recall").toString
+    val ivfStmt = s"TOPK 3 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb " +
+      s"IVF CELLS 4 RECALL 1.0 USING INDEX '$iDir'"
+    val ivfGot = Pipeline.runExt(spark, ivfStmt) match {
+      case Seq(Right(Response.Entries(d))) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+      case other => fail(s"IVF RECALL arm failed: $other")
+    }
+    val exact = Pipeline.runExt(spark,
+      "TOPK 3 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb") match {
+      case Seq(Right(Response.Entries(d))) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+      case other => fail(s"exact arm failed: $other")
+    }
+    assert(ivfGot == exact,
+      "IVF RECALL 1.0 must equal the exact arm (certification = exhaustive)")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(iDir, "ivf_manifest.json")).contains("recallCurve"),
+      "IVF RECALL statement must persist its measured curve")
   }
 }
