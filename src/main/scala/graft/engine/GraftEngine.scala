@@ -1107,10 +1107,9 @@ class GraftEngine(val spark: SparkSession,
     // (restart pays nothing), and the curve persists manifest-only
     if (cfg.recallTarget.isEmpty || built.recallCurve.nonEmpty) built
     else {
-      val cal = built.calibrate(k = 10)
+      val cal = built.calibrate(k = 10) // per-point results land in the log
       graft.obs.Trace.event(spark, "routed:calibrate",
-        s"$schema.$name curve=" + cal.recallCurve
-          .map { case (p, r, se) => f"$p%d:$r%.4f±$se%.4f" }.mkString(","))
+        if (schema == DefaultSchema) name else s"$schema.$name")
       persistRoot.foreach { root =>
         try graft.ann.RoutedAnnIndex.save(cal,
           Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,

@@ -566,6 +566,67 @@ object Queries {
       Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
         where = "WHERE e.vec_id >= 5"))),
 
+    // ---- CDC into an engine STORE (StreamingIngest.ingestCdcEntries):
+    // a change stream of entries + op column replayed per micro-batch
+    // through the SAME delKey/set paths as batch mutations — bucket-
+    // incremental parquet, predicate indexes, ANN maintenance all
+    // compose. The stream deletes vec_ids {0..9, 12}, then RESURRECTS 3
+    // (delete→insert across batches; content identity = the vector);
+    // the oracle is exact cosine over the net survivors. The query
+    // vector is deleted row 0's own embedding — a deleted vector stays
+    // a valid probe, its row just can't be a result. ----
+    "vdb_cdc_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val e = TestStores.freshEngine(s)
+        e.createStore("cdcs", 64)
+        val emb = TestStores.table(s, dir, "embeddings")
+          .select(col("vec_id").cast("long"), col("embedding"),
+            col("label").cast("string"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2)))
+        val half = emb.map(_._1).max / 2
+        def entriesDf(rows: Seq[(Long, Seq[Float], String)]) =
+          rows.toDF("vid", "key", "label").select(
+            col("key").cast("array<float>").as("key"),
+            map(lit("vec_id"), TestStores.metaStr(col("vid")),
+              lit("label"), TestStores.metaStr(col("label"))).as("value"))
+        e.set("cdcs", entriesDf(emb.filter(_._1 <= half).toSeq))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float], String, String, Long)]
+        val src = mem.toDF().select(
+          col("_2").cast("array<float>").as("key"),
+          map(lit("vec_id"), TestStores.metaStr(col("_1")),
+            lit("label"), TestStores.metaStr(col("_3"))).as("value"),
+          col("_4").as("op"), col("_5").as("seq"))
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val q = try graft.streaming.StreamingIngest.ingestCdcEntries(
+            e, "cdcs", src, "key", "value", "op", seqCol = Some("seq"))
+          finally s.conf.set(
+            "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        def ins(r: (Long, Seq[Float], String), seq: Long) =
+          (r._1, r._2, r._3, "insert", seq)
+        def del(r: (Long, Seq[Float], String), seq: Long) =
+          (r._1, r._2, r._3, "delete", seq)
+        val byId = emb.map(r => r._1 -> r).toMap
+        try {
+          mem.addData(emb.filter(_._1 > half).map(ins(_, 1L)).toSeq ++
+            (0L until 10L).map(i => del(byId(i), 1L)): _*)
+          q.processAllAvailable()
+          mem.addData(Seq(ins(byId(3L), 1L), del(byId(12L), 1L)): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = TestStores.simResult(e.getSimN("cdcs",
+            TestStores.queryVec(s, dir), 10, Algorithm.CosineSimilarity))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        e.dropStore("cdcs")
+        rows.toDF("vec_id", "sim")
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
+        where = "WHERE e.vec_id NOT IN (0,1,2,4,5,6,7,8,9,12)"))),
+
     // ---- recall-TARGETED routed index through the parity API: the
     // config names the probes knob by what it buys (hnsw_routed(8,
     // recall=1.0)); the engine CALIBRATES at build (measured

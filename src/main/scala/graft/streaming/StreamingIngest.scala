@@ -36,6 +36,70 @@ object StreamingIngest {
       }
       .start()
 
+  /** CDC ingest into an engine STORE — the store-level twin of
+    * [[streamingRoutedCdc]]: a change stream whose rows carry the entry
+    * (key vector + value map) PLUS an op column (`insert`/`upsert`/`set`
+    * — one tier, Set IS upsert-by-content — vs `delete`, value ignored)
+    * and an optional sequence column. Each micro-batch compacts to the
+    * last op per KEY VECTOR (the store's content identity; delete wins
+    * equal-sequence ties), then net deletes go through
+    * [[GraftEngine.delKey]] and net inserts through [[GraftEngine.set]] —
+    * so every downstream maintenance path (bucket-incremental parquet,
+    * predicate indexes, hash-sharded delta patches, the routed index's
+    * tombstone/append tiers) composes exactly as in batch, and the final
+    * store equals applying the net mutations directly (pinned in
+    * StreamingSpec; oracle-gated by `vdb_cdc_stream`).
+    *
+    * Delete keys collect driver-side per micro-batch (delKey is
+    * probe-shaped — the reference's DelKey takes an explicit key list);
+    * `maxDeletesPerBatch` fails loudly past the bound rather than
+    * accumulating an unbounded driver list — a corpus-sized delete is a
+    * DelPred, not a CDC replay. */
+  def ingestCdcEntries(engine: GraftEngine, store: String, cdc: DataFrame,
+      keyCol: String, valueCol: String, opCol: String,
+      seqCol: Option[String] = None, checkpointDir: Option[String] = None,
+      schema: String = "public",
+      maxDeletesPerBatch: Int = 1 << 18): StreamingQuery = {
+    val w = cdc.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val op = lower(trim(col(opCol)))
+          val opNorm = when(op.isin("insert", "upsert", "set"), lit("insert"))
+            .when(op === "delete", lit("delete"))
+            .otherwise(raise_error(concat(
+              lit("ingestCdcEntries: unknown op '"), col(opCol).cast("string"),
+              lit("' (expected insert/upsert/set/delete)"))))
+          val compacted = batch.select(
+              col(keyCol).cast("array<float>").as("key"),
+              col(valueCol).as("value"), opNorm.as("op"),
+              seqCol.fold(lit(0L))(c => col(c).cast("long")).as("seq"))
+            .groupBy("key")
+            .agg(max_by(struct(col("op"), col("value")),
+              struct(col("seq"), (col("op") === "delete").cast("int"))).as("_l"))
+            .select(col("key"), col("_l.op").as("op"), col("_l.value").as("value"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val delRows = compacted.where(col("op") === "delete")
+              .select("key").limit(maxDeletesPerBatch + 1).collect()
+            if (delRows.length > maxDeletesPerBatch)
+              throw graft.types.GraftException(
+                s"ingestCdcEntries: a micro-batch carries more than " +
+                  s"$maxDeletesPerBatch deletes — use delPred for " +
+                  s"corpus-scale deletion, not a CDC replay")
+            if (delRows.nonEmpty)
+              engine.delKey(store,
+                delRows.map(_.getSeq[Float](0).toArray).toSeq, schema)
+            val ins = compacted.where(col("op") === "insert")
+              .select(col("key"), col("value"))
+            if (!ins.isEmpty) engine.set(store, ins, schema)
+            ()
+          } finally compacted.unpersist(blocking = false)
+        }
+      }
+      .start()
+  }
+
   /** Stream-side perplexity scoring: each micro-batch of documents is
     * scored against a BATCH-trained bigram model — the CCNet production
     * shape (the reference LM is static, the crawl is the stream). Pure

@@ -136,6 +136,24 @@ class ObsSpec extends AnyFunSuite {
     assert(engTiers.contains("routed:delete-tombstone"),
       s"DelKey tombstone tier event missing: $engTiers")
     e.dropStore("obs_routed")
+
+    // a recall-targeted build records its calibration as a trace event —
+    // an operator reading the trace of a slow index build sees WHY (it
+    // measured the curve) without opening logs
+    e.createStore("obs_cal", dim)
+    e.setSeq("obs_cal", keys.take(32).map(k =>
+      (k, Map("t" -> (MetadataValue.RawString("x"): MetadataValue)))))
+    Trace.enabled = true
+    try {
+      e.createNonLinearIndex("obs_cal", Seq(
+        graft.types.NonLinearConfig.RoutedHNSWConfig(hnsw = cfg,
+          numShards = 4, probes = 1, recallTarget = Some(0.9))))
+      ()
+    } finally Trace.enabled = false
+    val calTiers = spansFor("obs_cal").map(_._1)
+    assert(calTiers.contains("routed:calibrate"),
+      s"calibration event missing from trace: $calTiers")
+    e.dropStore("obs_cal")
   }
 
   test("disabled tracing records nothing and job groups are restored") {

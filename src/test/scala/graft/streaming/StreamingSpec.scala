@@ -115,6 +115,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("ingestCdcEntries: store CDC nets to the batch mutations; in-batch sequencing; delete cap fails loudly") {
+    val e = new GraftEngine(spark)
+    e.createStore("cdc_store", 2)
+    val mem = MemoryStream[(Float, Float, String, String, Long)]
+    val src = mem.toDF().select(
+      array(col("_1"), col("_2")).as("key"),
+      map(lit("tag"), struct(lit("raw_string").as("kind"),
+        col("_3").as("str"), lit(null).cast("binary").as("bin"))).as("value"),
+      col("_4").as("op"), col("_5").as("seq"))
+    val q = StreamingIngest.ingestCdcEntries(
+      e, "cdc_store", src, "key", "value", "op", seqCol = Some("seq"))
+    try {
+      mem.addData((1f, 2f, "a", "insert", 1L), (3f, 4f, "b", "insert", 1L),
+        (5f, 6f, "c", "insert", 1L))
+      q.processAllAvailable()
+      assert(e.storeDf("cdc_store").count() == 3)
+      // batch 2: delete (3,4); in-batch sequenced pair on (5,6):
+      // delete@1 then insert@2 nets to LIVE with the new tag; and (1,2)
+      // insert@1 then delete@2 nets to DEAD
+      mem.addData((3f, 4f, "b", "delete", 1L),
+        (5f, 6f, "x", "delete", 1L), (5f, 6f, "c2", "insert", 2L),
+        (1f, 2f, "a2", "insert", 1L), (1f, 2f, "a2", "delete", 2L))
+      q.processAllAvailable()
+      val left = e.storeDf("cdc_store").count()
+      assert(left == 1, s"net survivors: expected 1, got $left")
+      val m = e.getKey("cdc_store", Seq(Array(5f, 6f))).collect()
+        .head.getMap[String, Row](1)
+      assert(m("tag").getString(1) == "c2",
+        "delete->insert within one batch must net to the LAST op's value")
+      // batch 3: resurrect (1,2) across batches
+      mem.addData((1f, 2f, "back", "insert", 1L))
+      q.processAllAvailable()
+      assert(e.storeDf("cdc_store").count() == 2)
+    } finally q.stop()
+    // delete cap: a batch past maxDeletesPerBatch fails the query loudly
+    val mem2 = MemoryStream[(Float, Float, String, String, Long)]
+    val src2 = mem2.toDF().select(
+      array(col("_1"), col("_2")).as("key"),
+      map(lit("tag"), struct(lit("raw_string").as("kind"),
+        col("_3").as("str"), lit(null).cast("binary").as("bin"))).as("value"),
+      col("_4").as("op"), col("_5").as("seq"))
+    val q2 = StreamingIngest.ingestCdcEntries(
+      e, "cdc_store", src2, "key", "value", "op", seqCol = Some("seq"),
+      maxDeletesPerBatch = 1)
+    try {
+      mem2.addData((9f, 9f, "", "delete", 1L), (8f, 8f, "", "delete", 1L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("more than 1 deletes")),
+        s"expected the delete-cap message, got: ${msgs(ex)}")
+    } finally { q2.stop(); e.dropStore("cdc_store") }
+  }
+
   test("streamingRoutedCdc: inserts+deletes net to the batch application; tiers counted") {
     val dim = 16
     val rnd = new scala.util.Random(53L)
