@@ -4011,16 +4011,19 @@ object Queries {
           .select(col("vec_id").cast("long").as("id"), col("embedding").as("key"))
         val maxId = e.agg(max(col("id"))).head().getLong(0)
         val half = maxId / 2
-        val q3 = half + (maxId - half) / 2
         val cfg = graft.types.NonLinearConfig.HNSWConfig(
           efConstruction = 100, maximumConnections = 40,
           maximumConnectionsZero = 80, efSearch = 4096,
           metric = graft.types.Algorithm.CosineSimilarity)
         val initial = graft.ann.RoutedAnnIndex.build(
           e.where(col("id") <= half), 64, cfg, numShards = 8, iters = 2)
-        val byId = e.where(col("id") > half)
-          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
-        def ins(id: Long, seq: Long) = (id, Some(byId(id)), "insert", seq)
+        // the late half's ACTUAL rows — never a synthesized id range (ids
+        // are not contiguous at the stride-replicated scale dirs; the sf1
+        // stress run caught exactly that assumption)
+        val late = e.where(col("id") > half)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+        def ins(r: (Long, Seq[Float]), seq: Long) =
+          (r._1, Some(r._2), "insert", seq)
         def del(id: Long, seq: Long) =
           (id, None: Option[Seq[Float]], "delete", seq)
         val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -4036,13 +4039,14 @@ object Queries {
           finally s.conf.set(
             "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
         try {
-          mem.addData((half + 1 to q3).map(ins(_, 1L)) ++
+          val (b1, b2) = late.sortBy(_._1).splitAt(late.length / 2)
+          mem.addData(b1.map(ins(_, 1L)).toSeq ++
             (0L until 20L).map(del(_, 1L)): _*)
           q.processAllAvailable()
           // batch 2: resurrect id 10 via the initial build's own vector
           val v10 = e.where(col("id") === 10L)
             .head().getSeq[Float](1).toSeq
-          mem.addData((q3 + 1 to maxId).map(ins(_, 1L)) ++
+          mem.addData(b2.map(ins(_, 1L)).toSeq ++
             Seq((10L, Some(v10), "insert", 1L), del(30L, 1L)): _*)
           q.processAllAvailable()
         } finally q.stop()
