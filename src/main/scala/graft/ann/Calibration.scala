@@ -37,11 +37,30 @@ private[ann] object Calibration {
       .map(_._1).getOrElse(exhaustive)
   }
 
-  /** Measurement ladder: the caller's points (clamped to [1, max]) or
-    * powers of two below `max` — either way topped with `max` itself, so
-    * the exhaustive point is always measured. */
+  /** Measurement ladder: the caller's points (those outside [1, max] are
+    * DROPPED) or powers of two below `max` — either way topped with `max`
+    * itself, so the exhaustive point is always measured. Returns a
+    * distinct ascending sequence. */
   def ladder(explicit: Seq[Int], max: Int): Seq[Int] =
     ((if (explicit.nonEmpty) explicit
       else Iterator.iterate(1)(_ * 2).takeWhile(_ < max).toSeq)
       .filter(p => p >= 1 && p <= max).distinct.sorted :+ max).distinct
+
+  /** Draw up to `n` query vectors from a caller-supplied frame — the
+    * external-sample arm shared by both calibrators (`None` own-ids:
+    * leave-one-out never applies to external queries). */
+  def externalSample(qdf: org.apache.spark.sql.DataFrame, qVecCol: String,
+      n: Int, seed: Long): Array[(Option[Long], Array[Float])] =
+    qdf.select(org.apache.spark.sql.functions.col(qVecCol).cast("array<float>"))
+      .rdd.map(r => (None: Option[Long], r.getSeq[Float](0).toArray))
+      .takeSample(withReplacement = false, n, seed)
+
+  /** Collected (qid, cid, rank) rows → per-query LOO-filtered top-k sets:
+    * rank-sorted, the query's own id dropped (self-samples), the top-k
+    * prefix kept — the result-side protocol shared by both calibrators. */
+  def rankedSets(rows: Array[org.apache.spark.sql.Row], k: Int,
+      ownIds: Array[Option[Long]]): Map[Int, Set[Long]] =
+    rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q.toInt -> rs.sortBy(_.getLong(2)).map(_.getLong(1))
+        .filter(id => !ownIds(q.toInt).contains(id)).take(k).toSet }
 }

@@ -38,8 +38,14 @@ final class IvfIndex(
       * calibrated. Persisted in the manifest ([[IvfIndex.save]]). Unlike
       * the routed index's graph curve, an IVF curve is PURE ROUTING
       * error: probed cells are scanned exactly, so exhaustive is 1.0 by
-      * construction. */
-    val recallCurve: Array[(Int, Double, Double)] = Array.empty) {
+      * construction — EXCEPT when measured through the quantized arm
+      * ([[calibrate]]'s quantizedShortlist), where SQ8 + shortlist error
+      * is part of the curve, exactly as it is part of the served path. */
+    val recallCurve: Array[(Int, Double, Double)] = Array.empty,
+    /** The k the curve was measured at (0 = uncalibrated) — recall@k is
+      * k-dependent; consumers answering for a different k re-calibrate
+      * (dsl.Pipeline's RECALL arm checks this). */
+    val recallK: Int = 0) {
 
   def nCells: Int = centroids.length
 
@@ -64,15 +70,19 @@ final class IvfIndex(
     * batch joins over `nQueries` rows. */
   def calibrate(nQueries: Int = 64, k: Int = 10, ladderIn: Seq[Int] = Nil,
       seed: Long = 7L, queries: Option[DataFrame] = None,
-      qVecCol: String = "qv"): IvfIndex = {
+      qVecCol: String = "qv",
+      // measure THROUGH the SQ8 two-phase arm: the curve then includes
+      // quantization + shortlist error — calibrate the path you serve
+      // (ground truth stays the EXACT exhaustive join either way)
+      quantizedShortlist: Option[Int] = None): IvfIndex = {
     require(nQueries > 0, s"nQueries must be positive, got $nQueries")
     require(k > 0, s"k must be positive, got $k")
+    quantizedShortlist.foreach(sl => require(sl >= k + 1,
+      s"quantized shortlist $sl must be >= k+1 = ${k + 1} (the LOO probe depth)"))
     val spark = cells.sparkSession
     val sample: Array[(Option[Long], Array[Float])] = queries match {
-      case Some(qdf) => qdf
-        .select(col(qVecCol).cast("array<float>"))
-        .rdd.map(r => (None: Option[Long], r.getSeq[Float](0).toArray))
-        .takeSample(withReplacement = false, nQueries, seed)
+      case Some(qdf) =>
+        Calibration.externalSample(qdf, qVecCol, nQueries, seed)
       case None => cells.select(col("id").cast("long"), col("key"))
         .rdd.map(r => (Some(r.getLong(0)): Option[Long],
           r.getSeq[Float](1).toArray))
@@ -87,15 +97,21 @@ final class IvfIndex(
       .select(col("qid"), col("qv").cast("array<float>").as("qv"))
     // one ranked collect per nProbe point, LOO-filtered (ask k+1, drop
     // the query's own id, keep the top-k prefix)
-    def rankedSets(nProbe: Int): Map[Int, Set[Long]] =
-      topKJoin(qdf, "qid", "qv", k + 1, nProbe)
-        .select("qid", "cid", "rank").collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) =>
-          q.toInt -> rs.sortBy(_.getLong(2)).map(_.getLong(1))
-            .filter(id => !ownIds(q.toInt).contains(id)).take(k).toSet }
-    val truth = rankedSets(nCells) // exhaustive == exact for IVF
+    def servedJoin(nProbe: Int): DataFrame = quantizedShortlist match {
+      case Some(sl) => quantizedTopKJoin(qdf, "qid", "qv", k + 1, nProbe, sl)
+      case None => topKJoin(qdf, "qid", "qv", k + 1, nProbe)
+    }
+    def rankedSets(nProbe: Int, exact: Boolean = false): Map[Int, Set[Long]] =
+      Calibration.rankedSets(
+        (if (exact) topKJoin(qdf, "qid", "qv", k + 1, nProbe)
+         else servedJoin(nProbe))
+          .select("qid", "cid", "rank").collect(), k, ownIds)
+    // ground truth: the EXACT exhaustive join (== brute force for IVF),
+    // regardless of which arm the ladder measures
+    val truth = rankedSets(nCells, exact = true)
     val curve = Calibration.ladder(ladderIn, nCells).map { p =>
-      val got = if (p == nCells) truth else rankedSets(p)
+      val got = if (p == nCells && quantizedShortlist.isEmpty) truth
+        else rankedSets(p)
       val per = truth.toSeq.map { case (qi, ts) =>
         if (ts.isEmpty) 1.0
         else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
@@ -106,7 +122,7 @@ final class IvfIndex(
           f"$se%.4f se (${truth.size}%d sample queries)")
       (p, mean, se)
     }.toArray
-    new IvfIndex(centroids, cells, metric, curve)
+    new IvfIndex(centroids, cells, metric, curve, k)
   }
 
   /** The nProbe nearest cells for a query (driver-side: k centroids). */
@@ -478,6 +494,7 @@ object IvfIndex {
       "kind" -> JString("ivf"),
       "metric" -> JString(index.metric.toString),
       "sourceStamp" -> JString(sourceStamp),
+      "recallK" -> JInt(index.recallK),
       "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r, se) =>
         JArray(List(JInt(p),
           JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
@@ -521,6 +538,10 @@ object IvfIndex {
         case _ => return None
       }
       if (centroids.isEmpty) return None
+      val recallK: Int = (j \ "recallK") match {
+        case JInt(i) => i.toInt
+        case _ => 0
+      }
       val curve: Array[(Int, Double, Double)] = (j \ "recallCurve") match {
         case JArray(pts) => pts.map {
           case JArray(List(JInt(p), JInt(bits), JInt(seBits))) =>
@@ -538,7 +559,7 @@ object IvfIndex {
       val others = raw.columns.filterNot(_ == "cell")
       val cells = raw.select(others.map(col) :+ col("cell").cast("int"): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Some(new IvfIndex(centroids, cells, metric, curve))
+      Some(new IvfIndex(centroids, cells, metric, curve, recallK))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Load if fresh, else build and save — the one-call form. A loaded

@@ -84,7 +84,13 @@ final class RoutedAnnIndex(
       * through append/compact/delete (tails are exact and survivor recall
       * is delete-invariant — the measured SCALE.md facts); a RECLUSTER
       * starts empty (new centroids = a new operating curve). */
-    val recallCurve: Array[(Int, Double, Double)] = Array.empty) extends Serializable {
+    val recallCurve: Array[(Int, Double, Double)] = Array.empty,
+    /** The k the curve was measured at (0 = uncalibrated). Recall@k is
+      * k-dependent — at fixed probes, recall@100 < recall@3 (more of a
+      * deeper true top-k lives in unprobed shards) — so consumers
+      * answering for a DIFFERENT k must re-calibrate, not reuse
+      * (dsl.Pipeline's RECALL arms check this). */
+    val recallK: Int = 0) extends Serializable {
 
   def numShards: Int = centroids.length
 
@@ -300,7 +306,8 @@ final class RoutedAnnIndex(
       shards.unpersist(blocking = false)
       val next = new RoutedAnnIndex(centroids, config, newShards,
         replicationEps, iters, maxReplicas, meanAssignDist,
-        if (compacting) 0L else patchedRows + nNew, newTombstones, recallCurve)
+        if (compacting) 0L else patchedRows + nNew, newTombstones, recallCurve,
+        recallK)
       Some(Maintained(next, if (compacting) "compact" else "append",
         if (compacting) touched ++ tailShards else touched))
     } finally assigned.unpersist(blocking = false)
@@ -341,7 +348,7 @@ final class RoutedAnnIndex(
         (total == 0 || merged.length <= tombstoneLimit * total))
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-          maxReplicas, meanAssignDist, patchedRows, merged, recallCurve),
+          maxReplicas, meanAssignDist, patchedRows, merged, recallCurve, recallK),
         "tombstone", Set.empty)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"RoutedAnnIndex.delete: ${merged.length} tombstones vs $total stored " +
@@ -363,7 +370,7 @@ final class RoutedAnnIndex(
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
           maxReplicas, meanAssignDist, patchedRows, Array.emptyLongArray,
-          recallCurve),
+          recallCurve, recallK),
         "tombstone", Set.empty)
     val cfg = config
     val dim = centroids.head.length
@@ -388,7 +395,7 @@ final class RoutedAnnIndex(
       new RoutedAnnIndex(centroids, config, newShards, replicationEps, iters,
         maxReplicas, meanAssignDist,
         math.max(0L, patchedRows - affected.values.sum), Array.emptyLongArray,
-        recallCurve),
+        recallCurve, recallK),
       "compact", hit)
   }
 
@@ -508,10 +515,8 @@ final class RoutedAnnIndex(
       // (Option[ownId], vector): ownId present only for self-samples — it
       // drives the leave-one-out exclusions below
       val sample: Array[(Option[Long], Array[Float])] = queries match {
-        case Some(qdf) => qdf
-          .select(col(qVecCol).cast("array<float>"))
-          .rdd.map(r => (None: Option[Long], r.getSeq[Float](0).toArray))
-          .takeSample(withReplacement = false, nQueries, seed)
+        case Some(qdf) =>
+          Calibration.externalSample(qdf, qVecCol, nQueries, seed)
         case None => live
           .takeSample(withReplacement = false, nQueries, seed)
           .map { case (id, v) => (Some(id), v) }
@@ -555,15 +560,12 @@ final class RoutedAnnIndex(
         .map { case ((_, v), i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("qid", "qv")
         .select(col("qid"), col("qv").cast("array<float>").as("qv"))
-      val curve = ladder.distinct.map { p =>
+      val curve = ladder.map { p =>
         // LOO on the result side too: ask for k+1, drop the query's own
         // id (rank-ordered, so the remaining prefix is the top-k the
         // index would return to a non-stored query at this probe count)
-        val got = topKJoin(qdf, "qid", "qv", k + 1, p)
-          .select("qid", "cid", "rank").collect()
-          .groupBy(_.getLong(0)).map { case (q, rs) =>
-            q.toInt -> rs.sortBy(_.getLong(2)).map(_.getLong(1))
-              .filter(id => !ownIds(q.toInt).contains(id)).take(k).toSet }
+        val got = Calibration.rankedSets(topKJoin(qdf, "qid", "qv", k + 1, p)
+          .select("qid", "cid", "rank").collect(), k, ownIds)
         val per = truth.toSeq.map { case (qi, ts) =>
           if (ts.isEmpty) 1.0
           else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
@@ -575,7 +577,7 @@ final class RoutedAnnIndex(
         (p, mean, se)
       }.toArray
       new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-        maxReplicas, meanAssignDist, patchedRows, tombstones, curve)
+        maxReplicas, meanAssignDist, patchedRows, tombstones, curve, k)
     } finally live.unpersist(blocking = false)
   }
 }
@@ -758,6 +760,7 @@ object RoutedAnnIndex {
       "patchedRows" -> JInt(BigInt(index.patchedRows)),
       "tombstones" -> JArray(index.tombstones.toList.map(id => JInt(BigInt(id)))),
       // measured operating curve (derived state; exact doubles via bits)
+      "recallK" -> JInt(index.recallK),
       "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r, se) =>
         JArray(List(JInt(p),
           JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
@@ -887,6 +890,10 @@ object RoutedAnnIndex {
         }.toArray
         case _ => Array.emptyLongArray
       }
+      val recallK: Int = (j \ "recallK") match {
+        case JInt(i) => i.toInt
+        case _ => 0
+      }
       val curve: Array[(Int, Double, Double)] = (j \ "recallCurve") match {
         case JArray(pts) => pts.map {
           case JArray(List(JInt(p), JInt(bits), JInt(seBits))) =>
@@ -897,7 +904,7 @@ object RoutedAnnIndex {
         case _ => Array.empty // pre-calibration manifests load uncalibrated
       }
       Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
-        iters, maxReplicas, meanDist, patched, tombstones, curve))
+        iters, maxReplicas, meanDist, patched, tombstones, curve, recallK))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -124,6 +124,14 @@ object DslParser extends RegexParsers {
   private val ifNotExists: Parser[Boolean] =
     opt(kw("if") ~ kw("not") ~ kw("exists")) ^^ (_.isDefined)
 
+  // a recall target in (0, 1]: 0.0 is rejected AT PARSE TIME — accepted,
+  // it would only fail at query time, after a full index build and
+  // calibration (Calibration.select's own require)
+  private val recallTargetLit: Parser[Double] =
+    """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r ^? (
+      { case s if s.toDouble > 0.0 => s.toDouble },
+      s => s"recall target must be in (0, 1], got $s")
+
   private val nonLinearAlgorithm: Parser[NonLinearConfig] =
     (kw("kdtree") ^^^ NonLinearConfig.KDTreeConfig()) |
     // EXTENSION kind (longest-match first: "hnsw" is its prefix) — the
@@ -131,8 +139,8 @@ object DslParser extends RegexParsers {
     // (shards, recall=r) to have the engine calibrate at build and pick
     // probes by measured recall (RoutedHNSWConfig.recallTarget)
     (kw("hnsw_routed") ~> opt("(" ~> (nonZero <~ ",") ~
-      ((kw("recall") ~> "=" ~> """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r
-          ^^ (s => Right(s.toDouble): Either[Int, Double])) |
+      ((kw("recall") ~> "=" ~> recallTargetLit
+          ^^ (r => Right(r): Either[Int, Double])) |
         (nonZero ^^ (p => Left(p): Either[Int, Double]))) <~ ")") ^^ {
       case Some(sh ~ Left(pr)) => NonLinearConfig.RoutedHNSWConfig(
         numShards = sh, probes = pr)
@@ -505,11 +513,9 @@ object DslParser extends RegexParsers {
     kw("using") ~> kw("index") ~> pathLit
   private val topKMode: Parser[Command.TopKMode] = {
     // PROBE p | RECALL r — r picked off the statement-calibrated curve
-    val recallLit0: Parser[Double] =
-      """(?:0?\.[0-9]{1,6}|1(?:\.0{1,6})?)""".r ^^ (_.toDouble)
     val probeOrRecall: Parser[Either[Int, Double]] =
       (kw("probe") ~> nonZero ^^ (p => Left(p): Either[Int, Double])) |
-        (kw("recall") ~> recallLit0 ^^ (r => Right(r): Either[Int, Double]))
+        (kw("recall") ~> recallTargetLit ^^ (r => Right(r): Either[Int, Double]))
     val ivf = kw("ivf") ~> (kw("cells") ~> nonZero) ~
       probeOrRecall ~ opt(topKQuant) ~ opt(usingIndex) ^^ {
         case c ~ Left(p) ~ q ~ d => Command.TopKMode.Ivf(c, Some(p), None, q, d)

@@ -90,6 +90,25 @@ object Pipeline {
     * shape parameters, which are part of artifact identity). */
   private[dsl] val TopKIndexStamp = "dsl:user-managed"
 
+  /** Resolve a RECALL target to a probe count — the calibrate-or-reuse
+    * protocol shared by the ROUTED and IVF arms. A carried curve is
+    * reused only when `reuse` says it answers THIS statement's question:
+    * same k (recall@k is k-dependent — at fixed probes recall@100 <
+    * recall@3, so a k=3 curve silently over-promises a k=100 floor) and,
+    * for IVF, the same ARM (a quantized statement reports reuse=false so
+    * it never reads an exact-arm curve, and vice versa). Otherwise
+    * calibrate against the statement's own query view and best-effort
+    * persist — the caller decides what is persistable. */
+  private def recallProbes[I](idx: I, target: Double, k: Int,
+      reuse: I => (Boolean, Int),
+      calibrate: I => I, persist: I => Unit,
+      probesFor: (I, Double) => Int): Int = {
+    val (reusable, curveK) = reuse(idx)
+    val cal = if (reusable && curveK == k) idx
+      else { val c = calibrate(idx); persist(c); c }
+    probesFor(cal, target)
+  }
+
   /** The (qid, cid, sim, rank) frame every TOPK arm returns, empty — the
     * short-circuit for an empty corpus view (no index can be trained
     * over zero rows, and the join result is empty either way). */
@@ -311,29 +330,18 @@ object Pipeline {
             val probes = (probe, recall) match {
               case (Some(p), _) => p
               case (None, Some(r)) =>
-                // RECALL arm: a persisted curve answers directly; an
-                // uncalibrated index measures its curve ONCE at this
-                // statement's k (so the target means recall@k) against a
-                // sample of the statement's OWN query view — the true
-                // workload distribution, which a stored-row self-sample
-                // reads ~1-2pt optimistic for (RoutedAnnIndex.calibrate
-                // doc) — and, when pinned, persists it beside the
-                // artifacts (manifest-only rewrite; later invocations
-                // load curve and all)
-                val cal = if (idx.recallCurve.nonEmpty) idx
-                  else {
-                    val c = idx.calibrate(k = k,
-                      queries = Some(t(qv).select(col(qc).as("qv"))))
-                    indexDir.foreach { dir =>
-                      try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
-                        touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
-                      catch { case scala.util.control.NonFatal(e) =>
-                        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                          s"persisting calibration curve to $dir failed", e) }
-                    }
-                    c
-                  }
-                cal.probesFor(r)
+                recallProbes[graft.ann.RoutedAnnIndex](idx, r, k,
+                  i => (i.recallCurve.nonEmpty, i.recallK),
+                  i => i.calibrate(k = k,
+                    queries = Some(t(qv).select(col(qc).as("qv")))),
+                  c => indexDir.foreach { dir =>
+                    try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
+                      touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
+                    catch { case scala.util.control.NonFatal(e) =>
+                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                        s"persisting calibration curve to $dir failed", e) }
+                  },
+                  (i, tgt) => i.probesFor(tgt))
               case (None, None) => shards // unreachable by grammar: exhaustive
             }
             Response.Entries(idx.topKJoin(t(qv), qi, qc, k, probes))
@@ -357,19 +365,30 @@ object Pipeline {
           val nProbe = (probe, recall) match {
             case (Some(p), _) => p
             case (None, Some(r)) => // the Routed RECALL contract, IVF twin
-              val cal = if (ivf.recallCurve.nonEmpty) ivf
-                else {
-                  val c = ivf.calibrate(k = k,
-                    queries = Some(t(qv).select(col(qc).as("qv"))))
-                  indexDir.foreach { dir =>
-                    try graft.ann.IvfIndex.saveManifest(c, dir, TopKIndexStamp)
-                    catch { case scala.util.control.NonFatal(e) =>
-                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                        s"persisting IVF calibration curve to $dir failed", e) }
-                  }
-                  c
-                }
-              cal.nProbeFor(r)
+              // a RECALL target on the QUANTIZED composition calibrates
+              // THROUGH the quantized arm, so the curve carries SQ8 +
+              // shortlist error exactly as the served path does — and a
+              // 1.0 target is impossible to certify there (the shortlist
+              // is approximate at EVERY nProbe, including exhaustive)
+              if (r >= 1.0 && quantized.isDefined)
+                throw graft.types.GraftException(
+                  "RECALL 1.0 cannot be certified through the QUANTIZED " +
+                    "arm (the SQ8 shortlist is approximate at every " +
+                    "probe count) — use PROBE, or drop QUANTIZED")
+              recallProbes[graft.ann.IvfIndex](ivf, r, k,
+                // a quantized statement never reuses (or persists) a
+                // curve: persisted curves are exact-arm, shortlist-free
+                i => (i.recallCurve.nonEmpty && quantized.isEmpty, i.recallK),
+                i => i.calibrate(k = k,
+                  queries = Some(t(qv).select(col(qc).as("qv"))),
+                  quantizedShortlist = quantized),
+                c => if (quantized.isEmpty) indexDir.foreach { dir =>
+                  try graft.ann.IvfIndex.saveManifest(c, dir, TopKIndexStamp)
+                  catch { case scala.util.control.NonFatal(e) =>
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"persisting IVF calibration curve to $dir failed", e) }
+                },
+                (i, tgt) => i.nProbeFor(tgt))
             case (None, None) => cells // unreachable by grammar: exhaustive
           }
           Response.Entries(quantized match {

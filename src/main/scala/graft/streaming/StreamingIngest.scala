@@ -531,9 +531,14 @@ object StreamingIngest {
         .select(col("id"), col("_l.op").as("op"), col("_l.key").as("key"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val nDel = last.where(col("op") === "delete").count()
+        // ONE bounded job answers both questions — are we past the
+        // recluster cutover, and (if not) which ids — instead of a
+        // count() followed by a second collect() (the ingestCdcEntries
+        // pattern; per-micro-batch scheduling latency matters here)
+        val delRows = last.where(col("op") === "delete").select("id")
+          .limit(maxDeleteCollect + 1).collect()
         val old = idx
-        if (nDel > maxDeleteCollect) {
+        if (delRows.length > maxDeleteCollect) {
           // churn past the tombstone guards: one recluster over the net
           // survivor set amortizes (the measured 20%-churn datapoint) and
           // the delete ids never materialize on the driver
@@ -555,11 +560,9 @@ object StreamingIngest {
           return
         }
         val afterDel =
-          if (nDel == 0L) old
+          if (delRows.isEmpty) old
           else {
-            val ids = last.where(col("op") === "delete").select("id")
-              .collect().map(_.getLong(0)).toSeq
-            val out = old.delete(ids)
+            val out = old.delete(delRows.map(_.getLong(0)).toSeq)
             if (out.tier == "compact") nCompacts += 1 else nTombstones += 1
             graft.obs.Trace.event(spark, s"routed:${out.tier}", "stream-ingest")
             out.index

@@ -506,15 +506,18 @@ class RoutedAnnSpec extends AnyFunSuite {
     assert(loaded.isDefined)
     assert(loaded.get.recallCurve.toSeq == cal.recallCurve.toSeq,
       "curve must round-trip bit-exactly through the manifest")
+    assert(loaded.get.recallK == 10, "recallK must round-trip")
     loaded.get.unpersist()
-    // tombstone delete and overlay append both CARRY the curve (survivor
-    // recall is delete-invariant, tails are exact — the measured facts)
+    // tombstone delete and overlay append both CARRY the curve AND its k
+    // (survivor recall is delete-invariant, tails are exact)
     val afterDel = cal.delete(Seq(0L, 1L)).index
     assert(afterDel.recallCurve.toSeq == cal.recallCurve.toSeq)
+    assert(afterDel.recallK == 10)
     val extra = Seq((10000L, gen((4L * N).toLong).toSeq)).toDF("id", "key")
     val appended = afterDel.append(extra)
     assert(appended.isDefined)
     assert(appended.get.recallCurve.toSeq == cal.recallCurve.toSeq)
+    assert(appended.get.recallK == 10)
     appended.get.unpersist()
   }
 

@@ -1412,6 +1412,29 @@ class DslSpec extends AnyFunSuite {
     assert(second == first, "RECALL arm must be deterministic across invocations")
     assert(mtimes == m1,
       "second RECALL invocation must load the persisted curve, not re-calibrate")
+    // a recall target of 0.0 is rejected AT PARSE time, in both grammars
+    // — accepted, it would only throw at query time after a full build +
+    // calibration
+    intercept[DslParseError](DslParser.parseExt(
+      "TOPK 3 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb ROUTED SHARDS 4 RECALL 0.0"))
+    intercept[DslParseError](DslParser.parseDb(
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=0.0)) IN s"))
+    // a DIFFERENT k must NOT reuse the persisted k=3 curve — recall@k is
+    // k-dependent, so the k=5 statement recalibrates (manifest rewrites)
+    val stmtK5 = s"TOPK 5 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb " +
+      s"ROUTED SHARDS 4 RECALL 0.95 USING INDEX '$dir'"
+    val mBefore = mtimes
+    Pipeline.runExt(spark, stmtK5) match {
+      case Seq(Right(_)) => ()
+      case other => fail(s"k=5 RECALL arm failed: $other")
+    }
+    assert(mtimes != mBefore,
+      "a k-changed RECALL statement must re-calibrate, not reuse the k=3 curve")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "routed_manifest.json"))
+      .contains("\"recallK\" : 5"),
+      "the re-measured curve must persist its own k")
+
     // IVF twin: RECALL 1.0 is certification (always exhaustive), so the
     // answers equal the exact arm; the curve persists in the manifest
     val iDir = java.nio.file.Files.createTempDirectory("dsl-ivf-recall").toString
@@ -1435,5 +1458,22 @@ class DslSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(iDir, "ivf_manifest.json")).contains("recallCurve"),
       "IVF RECALL statement must persist its measured curve")
+    // QUANTIZED × RECALL: the curve is measured THROUGH the SQ8 arm (so
+    // shortlist error is priced in); a 1.0 target there is impossible to
+    // certify and fails loudly
+    Pipeline.runExt(spark,
+      "TOPK 3 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb " +
+        "IVF CELLS 4 RECALL 0.8 QUANTIZED SHORTLIST 10") match {
+      case Seq(Right(Response.Entries(d))) =>
+        assert(d.select("qid").distinct().count() == 4)
+      case other => fail(s"quantized RECALL arm failed: $other")
+    }
+    Pipeline.runExt(spark,
+      "TOPK 3 FROM rc_q ID qid VEC emb IN rc_vecs ID vid VEC emb " +
+        "IVF CELLS 4 RECALL 1.0 QUANTIZED SHORTLIST 10") match {
+      case Seq(Left(err)) =>
+        assert(err.toString.contains("cannot be certified"), err.toString)
+      case other => fail(s"RECALL 1.0 + QUANTIZED must fail loudly: $other")
+    }
   }
 }
