@@ -124,6 +124,31 @@ object ScaleCalibrate {
       println(rowsW.last)
     }
 
+    // IVF arm-provenance datapoint: the exact-arm curve vs the curve
+    // measured THROUGH the SQ8 quantized shortlist, same index, same
+    // sample — how much the served path's quantization error would have
+    // been over-promised by an exact-arm calibration at this scale
+    val ivf = graft.ann.IvfIndex.build(corpus, nCells = 256,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val (ivfExact, ivfExactWall) = timed("IVF calibrate (exact arm, 256 cells)") {
+      ivf.calibrate(nQueries = NQueries, k = K, seed = 99L,
+        ladderIn = Seq(4, 16, 64))
+    }
+    val (ivfQuant, ivfQuantWall) = timed("IVF calibrate (SQ8 arm, shortlist=500)") {
+      ivf.calibrate(nQueries = NQueries, k = K, seed = 99L,
+        ladderIn = Seq(4, 16, 64), quantizedShortlist = Some(500))
+    }
+    println(f"IVF curves (exact-arm $ivfExactWall%.1f s / quantized-arm " +
+      f"$ivfQuantWall%.1f s):")
+    println("| nProbe | exact-arm recall | SQ8-arm recall (shortlist=500) | over-promise |")
+    println("|---|---|---|---|")
+    val qByP = ivfQuant.recallCurve.map(c => c._1 -> c._2).toMap
+    ivfExact.recallCurve.foreach { case (p, er, _) =>
+      qByP.get(p).foreach(qr =>
+        println(f"| $p%d / 256 | $er%.4f | $qr%.4f | ${er - qr}%.4f |"))
+    }
+    ivf.unpersist()
+
     println()
     println(f"calibrate wall: self $calWall%.1f s / workload $calWWall%.1f s " +
       f"(build $buildWall%.1f s)")
