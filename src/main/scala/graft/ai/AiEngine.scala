@@ -394,8 +394,10 @@ class AiEngine(val db: GraftEngine) {
 
 object AiEngine {
   /** Executor-side struct → MetadataValue (must live outside the class so
-    * mapPartitions closures don't capture the engine). */
-  private[ai] def rowToMeta(r: Row): MetadataValue = r.getString(0) match {
+    * mapPartitions closures don't capture the engine; also the
+    * streaming CDC ingest's delete-key decode —
+    * [[graft.streaming.StreamingIngest.ingestAiCdcEntries]]). */
+  private[graft] def rowToMeta(r: Row): MetadataValue = r.getString(0) match {
     case "raw_string" => MetadataValue.RawString(r.getString(1))
     case "image"      => MetadataValue.Image(r.getAs[Array[Byte]](2))
     case "audio"      => MetadataValue.Audio(r.getAs[Array[Byte]](2))

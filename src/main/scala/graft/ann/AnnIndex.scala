@@ -452,9 +452,32 @@ object AnnSearch {
             s"Non linear algorithm index $kind not found in store, create one"))
         // a recall-targeted config reads probes off the calibrated curve
         // (LCB selection; exhaustive when uncalibrated or target = 1.0 —
-        // RoutedAnnIndex.probesFor); raw `probes` otherwise
-        val probes = cfg.recallTarget.map(idx.probesFor(_)).getOrElse(cfg.probes)
-        ((q2, k2, f) => idx.search(q2, k2, probes, f), cfg.hnsw.metric)
+        // RoutedAnnIndex.probesFor); raw `probes` otherwise. The curve
+        // only answers for requests ON its operating point: it was
+        // measured at k = recallK (the engine calibrates at 10) over
+        // UNFILTERED queries, and recall@n at fixed probes FALLS as n
+        // grows (more of a deeper true top-n lives in unprobed shards)
+        // while a selective predicate can concentrate its accepted rows
+        // in unprobed shards — so a request with n > recallK or a
+        // predicate filter widens to EXHAUSTIVE probes instead of
+        // serving a floor the curve never measured (round-13 advice;
+        // the dsl RECALL arm's recallK check is the same rule).
+        // SQ8 shards rank on quantized scores: over-fetch RescoreSlack
+        // extra candidates so the exact hydration rescore below can
+        // restore true final ranking (a quantization-flipped ordering
+        // inside the slack window never displaces a true top-n hit)
+        val slack =
+          if (cfg.storage == "sq8") RoutedAnnIndex.RescoreSlack else 0
+        ((q2, k2, f) => {
+          val probes = cfg.recallTarget match {
+            case None => cfg.probes
+            case Some(t) =>
+              if (f != null || (idx.recallK > 0 && k2 > idx.recallK))
+                idx.numShards
+              else idx.probesFor(t)
+          }
+          idx.search(q2, k2 + slack, probes, f)
+        }, cfg.hnsw.metric)
       } else {
         val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
           throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))

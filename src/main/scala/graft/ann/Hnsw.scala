@@ -3,7 +3,6 @@ package graft.ann
 import scala.collection.mutable
 
 import graft.types.{Algorithm, NonLinearConfig}
-import graft.functions.Similarity.jvm
 
 /**
  * Hierarchical Navigable Small World graph — a from-scratch Scala
@@ -20,8 +19,13 @@ import graft.functions.Similarity.jvm
  *    are still traversed as stepping stones (candidate set C) but only
  *    accepted nodes join the result set W; early-stop requires |W| = ef.
  *
- * Internal distances are smaller-is-closer per metric: cosine → −cos,
- * dot → −dot, euclidean → squared euclidean (same ordering, cheaper).
+ * Node vectors live behind a [[VecStore]]: full-precision float32 (the
+ * default — bit-identical to the pre-seam implementation) or SQ8 int8
+ * codes (`quantized = true` — the 100 TB memory lever; ~1/4 the vector
+ * bytes, graph built AND traversed on the quantized values, exact
+ * ranking restored by the downstream shortlist rescore). Internal
+ * distances are smaller-is-closer per metric: cosine → −cos, dot → −dot,
+ * euclidean → squared euclidean (same ordering, cheaper).
  */
 final class HnswIndex(
     val dim: Int,
@@ -30,13 +34,15 @@ final class HnswIndex(
     val efConstruction: Int,
     val metric: Algorithm,
     val extendCandidates: Boolean = false,
-    val keepPrunedConnections: Boolean = false) extends Serializable {
+    val keepPrunedConnections: Boolean = false,
+    val quantized: Boolean = false) extends Serializable {
 
   private val mL: Double = 1.0 / math.log(m.toDouble)
 
   // node storage (index-aligned arrays; graph as per-level neighbor lists)
   private val ids = mutable.ArrayBuffer[Long]()
-  private val vecs = mutable.ArrayBuffer[Array[Float]]()
+  private val store: VecStore =
+    if (quantized) new Sq8VecStore(metric) else new FloatVecStore(metric)
   private val levels = mutable.ArrayBuffer[Int]()
   // neighbors(node)(level) = ArrayBuffer[nodeIdx]
   private val neighbors = mutable.ArrayBuffer[Array[mutable.ArrayBuffer[Int]]]()
@@ -46,18 +52,18 @@ final class HnswIndex(
 
   def size: Int = ids.length
 
-  /** Stored (id, vector) rows in insertion order — the extraction path
-    * compaction uses to rebuild a graph that absorbed overlay tails
-    * ([[RoutedAnnIndex.append]]). Vectors are the stored arrays (callers
-    * must not mutate). */
+  /** Stored (id, vector) rows in insertion order, as floats (EXACT for
+    * float storage, dequantized for SQ8 — rebuild paths that must not
+    * re-quantize use [[entriesPayload]]). Callers must not mutate. */
   def entries: Iterator[(Long, Array[Float])] =
-    ids.iterator.zip(vecs.iterator)
+    ids.indices.iterator.map(i => (ids(i), store.export(i)))
 
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double = metric match {
-    case Algorithm.EuclideanDistance => jvm.sqEuclidean(a, b)
-    case Algorithm.DotProductSimilarity => -jvm.dot(a, b)
-    case _ => -jvm.cosine(a, b)
-  }
+  /** Stored rows in their EXACT stored form — the lossless extraction
+    * path compaction uses to rebuild a graph without re-encoding
+    * ([[RoutedAnnIndex.append]]): under SQ8 the codes carry, so N
+    * compactions cost zero quantization drift. */
+  def entriesPayload: Iterator[(Long, VecPayload)] =
+    ids.indices.iterator.map(i => (ids(i), store.payload(i)))
 
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -73,10 +79,12 @@ final class HnswIndex(
     math.floor(-math.log(uu) * mL).toInt
   }
 
-  /** Algorithm 2: greedy beam search on one layer. Returns (nodeIdx, dist)
-    * max-heap contents of the ef closest. `accept` implements in-filtering:
-    * null means accept-all. */
-  private def searchLayer(q: Array[Float], eps: Seq[(Int, Double)], ef: Int,
+  /** Algorithm 2: greedy beam search on one layer. `distTo` scores a
+    * stored node against the probe (a stored node during build, a float
+    * query during search — the [[VecStore]] seam). Returns (nodeIdx,
+    * dist) max-heap contents of the ef closest. `accept` implements
+    * in-filtering: null means accept-all. */
+  private def searchLayer(distTo: Int => Double, eps: Seq[(Int, Double)], ef: Int,
       level: Int, accept: Int => Boolean = null): mutable.PriorityQueue[(Int, Double)] = {
     val visited = mutable.HashSet[Int]()
     // candidates: min-heap by dist; results: max-heap by dist. Max element =
@@ -104,7 +112,7 @@ final class HnswIndex(
         while (i < nbrs.length) {
           val e = nbrs(i)
           if (visited.add(e)) {
-            val de = dist(q, vecs(e))
+            val de = distTo(e)
             // admit equal-distance candidates with smaller idx too, so the
             // candidate-set membership is deterministic across ties
             if (results.size < ef || de < results.head._2 ||
@@ -124,7 +132,9 @@ final class HnswIndex(
   }
 
   /** Algorithm 4: heuristic neighbor selection, ALL branches
-    * (hnsw.md:139-649; similarity/src/hnsw/index.rs:67-117):
+    * (hnsw.md:139-649; similarity/src/hnsw/index.rs:67-117), around a
+    * STORED node `qIdx` (build-path only, so every distance is
+    * node-node):
     *  - `extendCandidates`: widen the working set with the candidates'
     *    own layer-`level` neighborhoods before selecting (helps clustered
     *    data where the beam's candidates are mutually close);
@@ -133,7 +143,7 @@ final class HnswIndex(
     * Determinism: the working set is sorted by (distance, idx) and the
     * extension iterates candidates in that order, so ties resolve
     * identically across rebuilds. */
-  private def selectNeighbors(q: Array[Float], cands: Seq[(Int, Double)],
+  private def selectNeighbors(qIdx: Int, cands: Seq[(Int, Double)],
       mMax: Int, level: Int): mutable.ArrayBuffer[Int] = {
     var work = cands
     if (extendCandidates) {
@@ -145,7 +155,7 @@ final class HnswIndex(
         var i = 0
         while (i < nbrs.length) {
           val e = nbrs(i)
-          if (seen.add(e)) extra += ((e, dist(q, vecs(e))))
+          if (seen.add(e)) extra += ((e, store.distNodes(qIdx, e)))
           i += 1
         }
       }
@@ -160,7 +170,7 @@ final class HnswIndex(
       var closerToSelected = false
       var i = 0
       while (i < out.length && !closerToSelected) {
-        if (dist(vecs(e), vecs(out(i))) < de) closerToSelected = true
+        if (store.distNodes(e, out(i)) < de) closerToSelected = true
         i += 1
       }
       if (!closerToSelected) out += e
@@ -176,33 +186,42 @@ final class HnswIndex(
 
   /** Algorithm 1: insert. Duplicate ids are skipped (content-hash identity
     * means same vector — kdtree.rs:317-319 analog). */
-  def insert(id: Long, vec: Array[Float]): Unit = {
+  def insert(id: Long, vec: Array[Float]): Unit =
+    insertPayload(id, VecPayload.F32(vec))
+
+  /** Insert a row in its stored form — float rows encode (once, under
+    * SQ8), already-encoded rows carry verbatim (the compaction rebuild
+    * path; a float store refuses SQ8 payloads). The graph build runs
+    * entirely on stored-form distances, so a graph rebuilt from
+    * [[entriesPayload]] is bit-identical to the one that produced them. */
+  def insertPayload(id: Long, p: VecPayload): Unit = {
     if (idToIdx.contains(id)) return
     val idx = ids.length
     val l = levelFor(id)
-    ids += id; vecs += vec; levels += l
+    ids += id; store.addPayload(p); levels += l
     neighbors += Array.fill(l + 1)(mutable.ArrayBuffer[Int]())
     idToIdx(id) = idx
     if (entryPoint < 0) { entryPoint = idx; maxLevel = l; return }
 
-    var ep = Seq((entryPoint, dist(vec, vecs(entryPoint))))
+    val distTo: Int => Double = e => store.distNodes(idx, e)
+    var ep = Seq((entryPoint, distTo(entryPoint)))
     var lc = maxLevel
     while (lc > l) { // greedy descent above the node's level
-      ep = Seq(searchLayer(vec, ep, 1, lc).toSeq.minBy(t => (t._2, t._1)))
+      ep = Seq(searchLayer(distTo, ep, 1, lc).toSeq.minBy(t => (t._2, t._1)))
       lc -= 1
     }
     lc = math.min(l, maxLevel)
     while (lc >= 0) {
-      val w = searchLayer(vec, ep, efConstruction, lc).toSeq
+      val w = searchLayer(distTo, ep, efConstruction, lc).toSeq
       val mMax = if (lc == 0) m0 else m
-      val selected = selectNeighbors(vec, w, m, lc)
+      val selected = selectNeighbors(idx, w, m, lc)
       neighbors(idx)(lc) = selected.clone()
       selected.foreach { e =>
         val en = neighbors(e)(lc)
         en += idx
         if (en.length > mMax) {
-          val pruned = selectNeighbors(vecs(e),
-            en.map(x => (x, dist(vecs(e), vecs(x)))).toSeq, mMax, lc)
+          val pruned = selectNeighbors(e,
+            en.map(x => (x, store.distNodes(e, x))).toSeq, mMax, lc)
           neighbors(e)(lc) = pruned
         }
       }
@@ -216,32 +235,39 @@ final class HnswIndex(
    * k-NN search → (id, closeness) larger-is-closer, for driver-side merge.
    * `accept`: optional id-level filter (in-filtering). The ≤4096
    * brute-force cutover happens OUTSIDE, in [[AnnSearch]], matching
-   * hnsw/index.rs:24,233-235.
+   * hnsw/index.rs:24,233-235. Under SQ8 the closeness is the QUANTIZED
+   * score (asymmetric: exact float query vs dequantized nodes) — callers
+   * that need exact ranking rescore the returned candidates (engine
+   * hydration / [[RoutedAnnIndex.topKJoinRescored]]).
    */
   def search(q: Array[Float], k: Int, efSearch: Int,
       accept: Long => Boolean = null): Seq[(Long, Double)] = {
     if (entryPoint < 0) return Nil
     val nodeAccept: Int => Boolean =
       if (accept == null) null else (n: Int) => accept(ids(n))
-    var ep = Seq((entryPoint, dist(q, vecs(entryPoint))))
+    val distTo: Int => Double = e => store.distQuery(q, e)
+    var ep = Seq((entryPoint, distTo(entryPoint)))
     var lc = maxLevel
     while (lc > 0) {
-      ep = Seq(searchLayer(q, ep, 1, lc).toSeq.minBy(t => (t._2, t._1)))
+      ep = Seq(searchLayer(distTo, ep, 1, lc).toSeq.minBy(t => (t._2, t._1)))
       lc -= 1
     }
     val ef = math.max(efSearch, k)
-    val w = searchLayer(q, ep, ef, 0, nodeAccept)
+    val w = searchLayer(distTo, ep, ef, 0, nodeAccept)
     w.toSeq.sortBy(t => (t._2, ids(t._1)))
       .take(k)
       .map { case (n, d) => (ids(n), -d) } // closeness = -distance
   }
 
-  def vectorOf(id: Long): Option[Array[Float]] = idToIdx.get(id).map(vecs(_))
+  def vectorOf(id: Long): Option[Array[Float]] = idToIdx.get(id).map(store.export)
 }
 
 object HnswIndex {
   def apply(dim: Int, cfg: NonLinearConfig.HNSWConfig): HnswIndex =
+    apply(dim, cfg, quantized = false)
+  def apply(dim: Int, cfg: NonLinearConfig.HNSWConfig,
+      quantized: Boolean): HnswIndex =
     new HnswIndex(dim, cfg.maximumConnections, cfg.maximumConnectionsZero,
       cfg.efConstruction, cfg.metric, cfg.extendCandidates,
-      cfg.keepPrunedConnections)
+      cfg.keepPrunedConnections, quantized)
 }

@@ -73,6 +73,18 @@ final class RoutedAnnIndex(
       * search / join / row extraction until a compaction physically
       * removes them. Bounded by the [[delete]] guards. */
     val tombstones: Array[Long] = Array.emptyLongArray,
+    /** Total rows PHYSICALLY stored across shard structures — input rows
+      * × the boundary replication factor, graphs plus overlay tails,
+      * INCLUDING tombstoned rows (they occupy graph nodes until a
+      * compaction removes them). Carried incrementally like
+      * [[patchedRows]] (append: +batch; tombstone delete: unchanged) and
+      * re-derived from the shards only where a compaction physically
+      * rewrote them — the steady-state CDC maintenance path pays zero
+      * extra jobs for the guard checks that read it (round-13 verdict
+      * item: the per-call distributed count was one scheduler round-trip
+      * per micro-batch). −1 = unknown (legacy manifests), re-measured
+      * lazily on first use. */
+    private val storedRowsIn: Long = -1L,
     /** Measured recall-vs-probes curve from [[calibrate]] — (probes,
       * mean recall@k, standard error of the mean), ascending by probes;
       * empty until calibrated. The stderr is what makes the curve an
@@ -90,7 +102,19 @@ final class RoutedAnnIndex(
       * deeper true top-k lives in unprobed shards) — so consumers
       * answering for a DIFFERENT k must re-calibrate, not reuse
       * (dsl.Pipeline's RECALL arms check this). */
-    val recallK: Int = 0) extends Serializable {
+    val recallK: Int = 0,
+    /** SQ8 node storage in the shard graphs ([[Sq8VecStore]]) — the
+      * 100 TB memory lever: ~1/4 the vector bytes per stored row, graphs
+      * built and traversed on the int8 codes, exact ranking restored by
+      * the downstream shortlist rescore ([[topKJoinRescored]] / engine
+      * hydration). Part of artifact identity (a float artifact never
+      * loads into a quantized config or vice versa), and [[calibrate]]
+      * answers for the quantized path (ground truth from the EXACT
+      * corpus — the IvfSpec SQ8-arm provenance rule). Overlay tails stay
+      * float (exact, bounded by the patch guard — the LSM memtable
+      * analog: memtables uncompressed, SSTables compressed); they encode
+      * when compaction folds them into a graph. */
+    val quantized: Boolean = false) extends Serializable {
 
   def numShards: Int = centroids.length
 
@@ -121,9 +145,18 @@ final class RoutedAnnIndex(
     * [[IvfIndex.topKJoin]] contract, including its `sim` convention:
     * similarity for cosine/dot, positive euclidean DISTANCE for
     * EuclideanDistance-metric indexes (ranking is by closeness either
-    * way, so the rank column is metric-faithful). */
+    * way, so the rank column is metric-faithful).
+    *
+    * `filter` (round-14): an optional broadcast-safe [[IdFilter]] composed
+    * with the tombstone set inside every shard search — the batch twin of
+    * [[search]]'s accept filter, so a decontaminate / hard-negatives
+    * composition over a predicate slice can use the graph-speed arm
+    * instead of falling back to a filtered brute-force join. The filter
+    * runs IN-graph (rejected nodes stay stepping stones — the HNSW
+    * in-filtering rule), so callers with a sketch-backed filter (Bloom)
+    * post-verify matches exactly, as AnnSearch's hydration does. */
   def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
-      probes: Int): DataFrame = {
+      probes: Int, filter: IdFilter = null): DataFrame = {
 
     import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
     val spark = queries.sparkSession
@@ -144,11 +177,14 @@ final class RoutedAnnIndex(
       .mapPartitions(it => Iterator.single(it.map(_._2).toArray),
         preservesPartitioning = true)
     val ts = tombstones
+    val f = filter // serializable; ships once per task like the tombstones
     val hits = shards.zipPartitions(byShard, preservesPartitioning = false) {
       (sIt, qIt) =>
         val qs = qIt.next()
         val accept: Long => Boolean =
-          if (ts.isEmpty) null else (id: Long) => Arrays.binarySearch(ts, id) < 0
+          if (ts.isEmpty) { if (f == null) null else f.accept _ }
+          else if (f == null) (id: Long) => Arrays.binarySearch(ts, id) < 0
+          else (id: Long) => Arrays.binarySearch(ts, id) < 0 && f.accept(id)
         sIt.toSeq.headOption match {
           case None => Iterator.empty
           case Some(shard) => qs.iterator.flatMap { case (qid, v) =>
@@ -175,6 +211,48 @@ final class RoutedAnnIndex(
     top.select(col("qid"), col("cid"),
       round(simExpr.cast("float").cast("double"), 4).as("sim"),
       col("rank"))
+  }
+
+  /** [[topKJoin]] with an EXACT float rescore of a `shortlist`-deep
+    * candidate cut — the two-phase pattern quantized shards require for
+    * exact final ranking ([[graft.functions.Quantize.quantizedTopKJoin]]'s
+    * shape, stacked on the graph search instead of a corpus scan): the
+    * graph pass ranks on stored-form scores (quantized under SQ8),
+    * `shortlist` candidates per query survive, and only those re-attach
+    * their float vectors from `exact` (an (id, key) frame — at cluster
+    * scale the store's parquet, here the engine's cached df; the join is
+    * shortlist-bounded, ids-only discipline). Works on float indexes too
+    * (the rescore is then a no-op re-ranking of identical scores). Output
+    * contract == [[topKJoin]]; `sim` is the EXACT score. shortlist ≤ 0
+    * defaults to k + [[RoutedAnnIndex.RescoreSlack]] — the engine
+    * hydration slack, so the calibrated curve answers for the served
+    * path. */
+  def topKJoinRescored(queries: DataFrame, qId: String, qVec: String,
+      k: Int, probes: Int, exact: DataFrame,
+      shortlist: Int = 0, filter: IdFilter = null): DataFrame = {
+    val sl = if (shortlist > 0) shortlist
+      else k + RoutedAnnIndex.RescoreSlack
+    require(sl >= k, s"shortlist ($sl) must be >= k ($k)")
+    val short = topKJoin(queries, qId, qVec, sl, probes, filter)
+      .select("qid", "cid")
+    val q = queries.select(col(qId).cast("long").as("qid"),
+        col(qVec).cast("array<float>").as("qv"))
+      .groupBy("qid").agg(min(col("qv")).as("qv"))
+    val metric = config.metric
+    val scored = short
+      .join(exact.select(col("id").cast("long").as("cid"),
+        col("key").cast("array<float>").as("cv")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        Similarity.closeness(metric, col("cv"), col("qv")).as("_c"))
+    val top = BoundedTopK.topK(scored, "qid", "cid", "_c", k)
+    val sim = metric match {
+      case Algorithm.CosineSimilarity | Algorithm.DotProductSimilarity |
+           Algorithm.HNSW => col("score")
+      case _ => -col("score")
+    }
+    top.select(col("qid"), col("cid"),
+      round(sim.cast("float").cast("double"), 4).as("sim"), col("rank"))
   }
 
   import RoutedAnnIndex.Maintained
@@ -270,6 +348,7 @@ final class RoutedAnnIndex(
           it.collect { case _: PatchedShard => i }).collect().toSet
       val metric = config.metric
       val cfg = config
+      val qz = quantized
       val dim = centroids.head.length
       val byShard = assigned
         .select(col("_s"), col("id"), col("key"))
@@ -281,9 +360,13 @@ final class RoutedAnnIndex(
         (sIt, aIt) =>
           val extra = aIt.next()
           val base = sIt.toSeq.headOption
-          def rebuilt(rows: Iterator[(Long, Array[Float])]): AnnShard = {
-            val idx = HnswIndex(dim, cfg)
-            rows.toArray.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
+          // rows rebuild in STORED form (VecPayload): existing quantized
+          // nodes carry their codes verbatim — zero re-encode drift —
+          // while the batch's float rows encode exactly once
+          def rebuilt(rows: Iterator[(Long, VecPayload)]): AnnShard = {
+            val idx = HnswIndex(dim, cfg, qz)
+            rows.toArray.sortBy(_._1).foreach { case (id, p) =>
+              idx.insertPayload(id, p) }
             new HnswShard(idx, cfg.efSearch)
           }
           if (compacting) base match {
@@ -291,23 +374,30 @@ final class RoutedAnnIndex(
             case Some(b) if extra.isEmpty && !b.isInstanceOf[PatchedShard] =>
               Iterator(b)
             case _ =>
-              val all = base.map(RoutedAnnIndex.rowsOf).getOrElse(Iterator.empty) ++
-                extra.iterator
+              val all = base.map(RoutedAnnIndex.payloadsOf).getOrElse(Iterator.empty) ++
+                extra.iterator.map { case (id, v) => (id, VecPayload.F32(v)) }
               if (all.isEmpty) Iterator.empty else Iterator(rebuilt(all))
           }
           else if (extra.isEmpty) base.iterator
           else base match {
             case Some(b) => Iterator(new PatchedShard(b, extra.map(_._1),
               extra.map(_._2), metric): AnnShard)
-            case None => Iterator(rebuilt(extra.iterator)) // first rows here
+            case None => Iterator(rebuilt( // first rows here
+              extra.iterator.map { case (id, v) => (id, VecPayload.F32(v)) }))
           }
       }.persist(StorageLevel.MEMORY_AND_DISK)
       newShards.count() // materialize before releasing the predecessor
       shards.unpersist(blocking = false)
+      // compaction may shrink physical rows (a tailed duplicate of a graph
+      // id folds to one node), so only that branch re-derives the count —
+      // the metadata job is noise beside the rebuild it rides; the
+      // steady-state overlay append carries +nNew for free
       val next = new RoutedAnnIndex(centroids, config, newShards,
         replicationEps, iters, maxReplicas, meanAssignDist,
-        if (compacting) 0L else patchedRows + nNew, newTombstones, recallCurve,
-        recallK)
+        if (compacting) 0L else patchedRows + nNew, newTombstones,
+        if (compacting) RoutedAnnIndex.countStoredRows(newShards)
+        else storedRows + nNew,
+        recallCurve, recallK, quantized)
       Some(Maintained(next, if (compacting) "compact" else "append",
         if (compacting) touched ++ tailShards else touched))
     } finally assigned.unpersist(blocking = false)
@@ -348,7 +438,8 @@ final class RoutedAnnIndex(
         (total == 0 || merged.length <= tombstoneLimit * total))
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-          maxReplicas, meanAssignDist, patchedRows, merged, recallCurve, recallK),
+          maxReplicas, meanAssignDist, patchedRows, merged, storedRows,
+          recallCurve, recallK, quantized),
         "tombstone", Set.empty)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"RoutedAnnIndex.delete: ${merged.length} tombstones vs $total stored " +
@@ -370,21 +461,24 @@ final class RoutedAnnIndex(
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
           maxReplicas, meanAssignDist, patchedRows, Array.emptyLongArray,
-          recallCurve, recallK),
+          storedRows, recallCurve, recallK, quantized),
         "tombstone", Set.empty)
     val cfg = config
+    val qz = quantized
     val dim = centroids.head.length
     val hit = affected.keySet
     val newShards = shards.mapPartitionsWithIndex({ (i, it) =>
       if (!hit.contains(i)) it
       else it.flatMap { s =>
-        val live = RoutedAnnIndex.rowsOf(s)
+        // survivors rebuild in STORED form — quantized nodes keep their
+        // codes, no re-encode drift (the appendOutcome compaction rule)
+        val live = RoutedAnnIndex.payloadsOf(s)
           .filter(r => Arrays.binarySearch(ts, r._1) < 0)
           .toArray.sortBy(_._1)
         if (live.isEmpty) Iterator.empty
         else {
-          val idx = HnswIndex(dim, cfg)
-          live.foreach { case (id, v) => idx.insert(id, v) }
+          val idx = HnswIndex(dim, cfg, qz)
+          live.foreach { case (id, p) => idx.insertPayload(id, p) }
           Iterator(new HnswShard(idx, cfg.efSearch): AnnShard)
         }
       }
@@ -395,7 +489,8 @@ final class RoutedAnnIndex(
       new RoutedAnnIndex(centroids, config, newShards, replicationEps, iters,
         maxReplicas, meanAssignDist,
         math.max(0L, patchedRows - affected.values.sum), Array.emptyLongArray,
-        recallCurve, recallK),
+        RoutedAnnIndex.countStoredRows(newShards), recallCurve, recallK,
+        quantized),
       "compact", hit)
   }
 
@@ -403,14 +498,19 @@ final class RoutedAnnIndex(
     * the boundary replication factor, graphs plus overlay tails,
     * INCLUDING tombstoned rows (they occupy graph nodes until a
     * compaction removes them). */
-  def storedRows: Long = {
-    def rows(s: AnnShard): Long = s match {
-      case h: HnswShard => h.index.size.toLong
-      case p: PatchedShard => p.extraRows.toLong + rows(p.base)
-      case _ => 0L
-    }
-    shards.map(rows).sum().toLong
-  }
+  def storedRows: Long = storedRowsLazy
+
+  /** The carried count when known, else (legacy manifests only) derived
+    * once from the shards. */
+  @transient private lazy val storedRowsLazy: Long =
+    if (storedRowsIn >= 0L) storedRowsIn
+    else RoutedAnnIndex.countStoredRows(shards)
+
+  /** The shard-derived count, always measured — the spec's equivalence
+    * probe for the carried field (RoutedAnnSpec asserts they agree after
+    * every maintenance tier). */
+  private[ann] def measuredStoredRows: Long =
+    RoutedAnnIndex.countStoredRows(shards)
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
@@ -506,11 +606,33 @@ final class RoutedAnnIndex(
   def calibrate(nQueries: Int = 64, k: Int = 10, ladderIn: Seq[Int] = Nil,
       seed: Long = 7L,
       queries: Option[DataFrame] = None,
-      qVecCol: String = "qv"): RoutedAnnIndex = {
+      qVecCol: String = "qv",
+      // EXACT live corpus as an (id, key) frame. REQUIRED for a quantized
+      // index: [[rows]] exports dequantized vectors there, and a curve
+      // whose ground truth is the quantized corpus would answer for the
+      // wrong question (the IvfSpec lesson: the quantized arm read 0.62
+      // where the exact arm read 1.00 at an adversarial geometry — the
+      // exact-arm curve must never answer for the quantized path, and
+      // vice versa). The served side then measures THROUGH the rescored
+      // join ([[topKJoinRescored]] at the engine-hydration slack), so the
+      // curve carries quantization + shortlist error exactly as serving
+      // does. Optional for float indexes ([[rows]] is already exact).
+      exact: Option[DataFrame] = None): RoutedAnnIndex = {
     require(nQueries > 0, s"nQueries must be positive, got $nQueries")
     require(k > 0, s"k must be positive, got $k")
+    require(!quantized || exact.nonEmpty,
+      "a quantized routed index calibrates against the exact corpus — " +
+        "pass exact = Some((id, key) frame); dequantized self-truth would " +
+        "hide the quantization error the curve exists to measure")
     val spark = org.apache.spark.sql.SparkSession.active
-    val live = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val live = exact match {
+      case Some(df) => df
+        .select(col("id").cast("long"), col("key").cast("array<float>"))
+        .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None =>
+        rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       // (Option[ownId], vector): ownId present only for self-samples — it
       // drives the leave-one-out exclusions below
@@ -563,9 +685,14 @@ final class RoutedAnnIndex(
       val curve = ladder.map { p =>
         // LOO on the result side too: ask for k+1, drop the query's own
         // id (rank-ordered, so the remaining prefix is the top-k the
-        // index would return to a non-stored query at this probe count)
-        val got = Calibration.rankedSets(topKJoin(qdf, "qid", "qv", k + 1, p)
-          .select("qid", "cid", "rank").collect(), k, ownIds)
+        // index would return to a non-stored query at this probe count).
+        // A quantized index measures THROUGH the exact-rescored join —
+        // the path serving rides — never the raw quantized ranking
+        val served =
+          if (quantized) topKJoinRescored(qdf, "qid", "qv", k + 1, p, exact.get)
+          else topKJoin(qdf, "qid", "qv", k + 1, p)
+        val got = Calibration.rankedSets(
+          served.select("qid", "cid", "rank").collect(), k, ownIds)
         val per = truth.toSeq.map { case (qi, ts) =>
           if (ts.isEmpty) 1.0
           else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
@@ -577,7 +704,8 @@ final class RoutedAnnIndex(
         (p, mean, se)
       }.toArray
       new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-        maxReplicas, meanAssignDist, patchedRows, tombstones, curve, k)
+        maxReplicas, meanAssignDist, patchedRows, tombstones, storedRows,
+        curve, k, quantized)
     } finally live.unpersist(blocking = false)
   }
 }
@@ -613,6 +741,14 @@ object RoutedAnnIndex {
     * task closure (8 B/id ⇒ ≤ 2 MiB) and the manifest entry. */
   val DefaultMaxTombstones = 1 << 18
 
+  /** Exact-rescore candidate slack for quantized shards: serving asks the
+    * graph for n + slack candidates and rescores them with exact floats
+    * (engine hydration; [[RoutedAnnIndex.topKJoinRescored]]'s default
+    * shortlist is k + this) — a quantization-flipped ordering inside the
+    * slack window cannot displace a true top-n hit. The
+    * [[AnnSearch.FalsePositiveSlack]] sizing rationale. */
+  val RescoreSlack = 32
+
   /** Closeness (DESC-better) under an index metric — the [[PatchedShard]]
     * / HnswIndex scoring contract, shared so [[RoutedAnnIndex.calibrate]]'s
     * exact ground truth ranks by the SAME order the shards do. */
@@ -626,12 +762,39 @@ object RoutedAnnIndex {
     }
   }
 
+  /** Physical row count across shard structures, measured (one
+    * metadata-only job over the cached shards — each partition reports
+    * its graph size + tail lengths). The build/compaction-time source of
+    * the carried `storedRows` field. */
+  private[ann] def countStoredRows(shards: RDD[AnnShard]): Long = {
+    def rows(s: AnnShard): Long = s match {
+      case h: HnswShard => h.index.size.toLong
+      case p: PatchedShard => p.extraRows.toLong + rows(p.base)
+      case _ => 0L
+    }
+    shards.map(rows).sum().toLong
+  }
+
   /** Stored (id, vector) rows of a routed shard — graphs and overlay
     * tails alike (the compaction extraction path). KD shards never occur
     * in a routed index (the build only grows HNSW graphs). */
   private[ann] def rowsOf(s: AnnShard): Iterator[(Long, Array[Float])] = s match {
     case h: HnswShard => h.index.entries
     case p: PatchedShard => rowsOf(p.base) ++ p.extraEntries
+    case other => throw new IllegalStateException(
+      s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
+  }
+
+  /** Stored rows of a routed shard in their EXACT stored form — graph
+    * nodes as the graph holds them (codes under SQ8, floats otherwise),
+    * overlay tails as floats (tails are always exact). The compaction
+    * extraction path: rebuilding from payloads costs zero quantization
+    * drift, where [[rowsOf]]'s float export would re-encode dequantized
+    * values every compaction. */
+  private[ann] def payloadsOf(s: AnnShard): Iterator[(Long, VecPayload)] = s match {
+    case h: HnswShard => h.index.entriesPayload
+    case p: PatchedShard => payloadsOf(p.base) ++
+      p.extraEntries.map { case (id, v) => (id, VecPayload.F32(v)) }
     case other => throw new IllegalStateException(
       s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
   }
@@ -751,6 +914,10 @@ object RoutedAnnIndex {
     val json = JObject(
       "kind" -> JString("routed-hnsw"),
       "config" -> JString(index.config.toString),
+      // node storage is artifact IDENTITY (the shard .bins hold codes or
+      // floats): a float artifact must never load into a quantized
+      // config or vice versa — same rule as config/eps/iters
+      "storage" -> JString(if (index.quantized) "sq8" else "f32"),
       "replicationEps" -> JString(index.replicationEps.toString),
       "iters" -> JInt(index.iters),
       "maxReplicas" -> JInt(index.maxReplicas),
@@ -758,6 +925,7 @@ object RoutedAnnIndex {
       "meanAssignDist" -> JInt(BigInt(
         java.lang.Double.doubleToRawLongBits(index.meanAssignDist))),
       "patchedRows" -> JInt(BigInt(index.patchedRows)),
+      "storedRows" -> JInt(BigInt(index.storedRows)),
       "tombstones" -> JArray(index.tombstones.toList.map(id => JInt(BigInt(id)))),
       // measured operating curve (derived state; exact doubles via bits)
       "recallK" -> JInt(index.recallK),
@@ -810,7 +978,7 @@ object RoutedAnnIndex {
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
       config: NonLinearConfig.HNSWConfig, sourceStamp: String,
       replicationEps: Double = 0.0, iters: Int = 2,
-      maxReplicas: Int = 2): Option[RoutedAnnIndex] =
+      maxReplicas: Int = 2, quantized: Boolean = false): Option[RoutedAnnIndex] =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -819,6 +987,12 @@ object RoutedAnnIndex {
       val j = JsonMethods.parse(java.nio.file.Files.readString(p))
       if ((j \ "kind") != JString("routed-hnsw")) return None
       if ((j \ "config") != JString(config.toString)) return None
+      // pre-SQ8 manifests carry no storage field: they are float artifacts
+      val storage = (j \ "storage") match {
+        case JString(s) => s
+        case _ => "f32"
+      }
+      if (storage != (if (quantized) "sq8" else "f32")) return None
       if ((j \ "replicationEps") != JString(replicationEps.toString)) return None
       // every build parameter participates in artifact identity — an
       // artifact built under a different Lloyd-round count or replica cap
@@ -883,6 +1057,12 @@ object RoutedAnnIndex {
         case JInt(b) => b.toLong
         case _ => 0L
       }
+      // pre-field manifests carry no count: −1 re-measures lazily on the
+      // first guard check that needs it (one metadata job, once)
+      val stored = (j \ "storedRows") match {
+        case JInt(b) => b.toLong
+        case _ => -1L
+      }
       val tombstones: Array[Long] = (j \ "tombstones") match {
         case JArray(ts) => ts.map {
           case JInt(id) => id.toLong
@@ -904,7 +1084,8 @@ object RoutedAnnIndex {
         case _ => Array.empty // pre-calibration manifests load uncalibrated
       }
       Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
-        iters, maxReplicas, meanDist, patched, tombstones, curve, recallK))
+        iters, maxReplicas, meanDist, patched, tombstones, stored, curve,
+        recallK, quantized))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -918,9 +1099,9 @@ object RoutedAnnIndex {
   def buildOrLoad(dfIn: DataFrame, dim: Int,
       config: NonLinearConfig.HNSWConfig, numShards: Int, dir: String,
       sourceStamp: String, iters: Int = 2, replicationEps: Double = 0.0,
-      maxReplicas: Int = 2): RoutedAnnIndex =
+      maxReplicas: Int = 2, quantized: Boolean = false): RoutedAnnIndex =
     load(dfIn.sparkSession, dir, config, sourceStamp, replicationEps,
-        iters, maxReplicas)
+        iters, maxReplicas, quantized)
       .filter { idx =>
         val ok = idx.numShards == numShards
         if (!ok) idx.unpersist()
@@ -928,7 +1109,7 @@ object RoutedAnnIndex {
       }
       .getOrElse {
         val built = build(dfIn, dim, config, numShards, iters,
-          replicationEps, maxReplicas)
+          replicationEps, maxReplicas, quantized = quantized)
         // best-effort: artifacts are derived state — an IO failure here
         // degrades the next restart to a rebuild, it never fails the
         // operation that built the index (GraftEngine's artifact policy)
@@ -960,9 +1141,9 @@ object RoutedAnnIndex {
     * to the training geometry). */
   def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
       numShards: Int, iters: Int = 2, replicationEps: Double = 0.0,
-      maxReplicas: Int = 2): RoutedAnnIndex =
+      maxReplicas: Int = 2, quantized: Boolean = false): RoutedAnnIndex =
     build(dfIn, dim, config, numShards, iters, replicationEps, maxReplicas,
-      frozenCentroids = None)
+      quantized, frozenCentroids = None)
 
   /** Build variant taking PRE-TRAINED routing centroids (no Lloyd rounds):
     * the primitive behind the maintenance story — "append without
@@ -972,7 +1153,7 @@ object RoutedAnnIndex {
     * measures to derive the recluster cadence. */
   def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
       numShards: Int, iters: Int, replicationEps: Double,
-      maxReplicas: Int,
+      maxReplicas: Int, quantized: Boolean,
       frozenCentroids: Option[Array[Array[Float]]]): RoutedAnnIndex = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     require(replicationEps >= 0.0, s"replicationEps must be >= 0, got $replicationEps")
@@ -1023,7 +1204,7 @@ object RoutedAnnIndex {
       .partitionBy(new ShardPartitioner(numShards))
       .mapPartitions({ it =>
         val rows = it.map(_._2).toArray.sortBy(_._1)
-        val idx = HnswIndex(dim, config)
+        val idx = HnswIndex(dim, config, quantized)
         rows.foreach { case (id, v) => idx.insert(id, v) }
         if (idx.size == 0) Iterator.empty
         else Iterator(new HnswShard(idx, config.efSearch): AnnShard)
@@ -1039,6 +1220,7 @@ object RoutedAnnIndex {
     }
     df.unpersist(blocking = false)
     new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
-      maxReplicas, meanDist, patchedRows = 0L)
+      maxReplicas, meanDist, patchedRows = 0L,
+      storedRowsIn = countStoredRows(shards), quantized = quantized)
   }
 }

@@ -138,14 +138,19 @@ object DslParser extends RegexParsers {
     // coarse-routed sharded HNSW: (shards, probes) sizing, or
     // (shards, recall=r) to have the engine calibrate at build and pick
     // probes by measured recall (RoutedHNSWConfig.recallTarget)
+    // an optional trailing ", sq8" selects int8 node storage in the shard
+    // graphs (RoutedHNSWConfig.storage — the memory-lever extension)
     (kw("hnsw_routed") ~> opt("(" ~> (nonZero <~ ",") ~
       ((kw("recall") ~> "=" ~> recallTargetLit
           ^^ (r => Right(r): Either[Int, Double])) |
-        (nonZero ^^ (p => Left(p): Either[Int, Double]))) <~ ")") ^^ {
-      case Some(sh ~ Left(pr)) => NonLinearConfig.RoutedHNSWConfig(
-        numShards = sh, probes = pr)
-      case Some(sh ~ Right(r)) => NonLinearConfig.RoutedHNSWConfig(
-        numShards = sh, recallTarget = Some(r))
+        (nonZero ^^ (p => Left(p): Either[Int, Double]))) ~
+      opt("," ~> kw("sq8")) <~ ")") ^^ {
+      case Some(sh ~ Left(pr) ~ q) => NonLinearConfig.RoutedHNSWConfig(
+        numShards = sh, probes = pr,
+        storage = if (q.isDefined) "sq8" else "f32")
+      case Some(sh ~ Right(r) ~ q) => NonLinearConfig.RoutedHNSWConfig(
+        numShards = sh, recallTarget = Some(r),
+        storage = if (q.isDefined) "sq8" else "f32")
       case None => NonLinearConfig.RoutedHNSWConfig()
     }) |
     (kw("hnsw") ^^^ NonLinearConfig.HNSWConfig())

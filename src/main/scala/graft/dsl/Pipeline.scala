@@ -98,7 +98,18 @@ object Pipeline {
     * for IVF, the same ARM (a quantized statement reports reuse=false so
     * it never reads an exact-arm curve, and vice versa). Otherwise
     * calibrate against the statement's own query view and best-effort
-    * persist — the caller decides what is persistable. */
+    * persist — the caller decides what is persistable.
+    *
+    * Two honesty caveats a RECALL-arm user must hold (round-13 advice):
+    * the curve is calibrated on a sample of THIS statement's query view
+    * and then serves those same queries, so the measured floor is
+    * IN-SAMPLE (LCB selection absorbs sampling noise, not distribution
+    * optimism — an external holdout read ~1.5pt under the self-measured
+    * point at the steep part, SCALE.md); and a curve persisted via USING
+    * INDEX is reused by any later statement that merely matches k —
+    * point a statement whose query distribution differs at a different
+    * dir (or delete the manifest) rather than trusting a curve measured
+    * on someone else's workload. */
   private def recallProbes[I](idx: I, target: Double, k: Int,
       reuse: I => (Boolean, Int),
       calibrate: I => I, persist: I => Unit,

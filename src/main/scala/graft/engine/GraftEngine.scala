@@ -575,6 +575,7 @@ class GraftEngine(val spark: SparkSession,
     case r: NonLinearConfig.RoutedHNSWConfig =>
       s"hnsw_routed(shards=${r.numShards},probes=${r.probes}," +
         r.recallTarget.fold("")(t => s"recall=$t,") +
+        (if (r.storage == "sq8") "storage=sq8," else "") +
         s"eps=${r.replicationEps},base=${describeConfig(r.hnsw)})"
   }
 
@@ -996,6 +997,13 @@ class GraftEngine(val spark: SparkSession,
       schema: String = DefaultSchema): Int = traced("CreateNonLinearIndex", name, schema) {
     storeLock(schema, name).synchronized {
     val st = state(schema, name)
+    configs.foreach {
+      case r: NonLinearConfig.RoutedHNSWConfig
+          if r.storage != "f32" && r.storage != "sq8" =>
+        throw GraftException(
+          s"Unknown hnsw_routed storage '${r.storage}' (expected f32 or sq8)")
+      case _ => ()
+    }
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))
     val (routedCfgs, hashCfgs) = fresh.partition(
       _.isInstanceOf[NonLinearConfig.RoutedHNSWConfig])
@@ -1091,23 +1099,29 @@ class GraftEngine(val spark: SparkSession,
       name: String): graft.ann.RoutedAnnIndex = {
     val src = st.df.select(col("id"), col("key"))
     val stamp = s"$schema/$name@v${st.version}"
+    val quantized = cfg.storage == "sq8"
     val built = persistRoot match {
       case Some(root) =>
         graft.ann.RoutedAnnIndex.buildOrLoad(src, st.meta.dimension,
           cfg.hnsw, cfg.numShards,
           Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,
-          cfg.iters, cfg.replicationEps, cfg.maxReplicas)
+          cfg.iters, cfg.replicationEps, cfg.maxReplicas, quantized)
       case None =>
         graft.ann.RoutedAnnIndex.build(src, st.meta.dimension, cfg.hnsw,
-          cfg.numShards, cfg.iters, cfg.replicationEps, cfg.maxReplicas)
+          cfg.numShards, cfg.iters, cfg.replicationEps, cfg.maxReplicas,
+          quantized)
     }
     // a recall-targeted index calibrates at build (self-sample, k = 10 —
     // the GetSimN-scale operating point) so every search can read probes
     // off the measured curve; a loaded artifact carries its curve already
-    // (restart pays nothing), and the curve persists manifest-only
+    // (restart pays nothing), and the curve persists manifest-only. A
+    // QUANTIZED index calibrates against the exact store frame (ground
+    // truth must be the true vectors) and through the rescored join — the
+    // curve answers for the quantized serving path, never the exact arm
     if (cfg.recallTarget.isEmpty || built.recallCurve.nonEmpty) built
     else {
-      val cal = built.calibrate(k = 10) // per-point results land in the log
+      val cal = built.calibrate(k = 10, // per-point results land in the log
+        exact = if (quantized) Some(src) else None)
       graft.obs.Trace.event(spark, "routed:calibrate",
         if (schema == DefaultSchema) name else s"$schema.$name")
       persistRoot.foreach { root =>

@@ -693,6 +693,42 @@ object Queries {
            |round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sim FROM scored""".stripMargin
       }),
 
+    // ---- SQ8-quantized routed index through the parity API (round 14):
+    // the store's hnsw_routed index stores int8 codes per graph node
+    // (storage = "sq8" — ~1/4 the vector bytes, the 100 TB memory lever);
+    // search traverses the quantized graphs, over-fetches RescoreSlack
+    // candidates, and hydration rescores them EXACTLY against the store
+    // table — so at exhaustive probes the result equals the linear
+    // oracle. A DelKey mid-query also gates the tombstone tier on
+    // quantized shards (deleted ids filtered from the code graphs; the
+    // survivors' exact top-k is what hashes). ----
+    "vdb_sim_hnsw_routed_sq8" -> Q(
+      (s, dir) => {
+        val e = TestStores.freshEngine(s)
+        e.createStore("embrq", 64)
+        e.set("embrq", TestStores.embEntries(s, dir))
+        e.createNonLinearIndex("embrq", Seq(
+          graft.types.NonLinearConfig.RoutedHNSWConfig(
+            hnsw = graft.types.NonLinearConfig.HNSWConfig(
+              efConstruction = 100, maximumConnections = 40,
+              maximumConnectionsZero = 80, efSearch = 4096),
+            numShards = 8, probes = 8, storage = "sq8")))
+        // force the quantized structure live, then tombstone 3 rows on it
+        e.getSimN("embrq", TestStores.queryVec(s, dir), 1, Algorithm.HNSW).count()
+        val victims = TestStores.table(s, dir, "embeddings")
+          .where(col("vec_id").isin(1, 2, 3)).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        e.delKey("embrq", victims)
+        val rows = TestStores.simResult(e.getSimN("embrq",
+            TestStores.queryVec(s, dir), 10, Algorithm.HNSW))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        e.dropStore("embrq")
+        import s.implicits._
+        rows.toDF("vec_id", "sim")
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
+        where = "WHERE e.vec_id NOT IN (1,2,3)"))),
+
     // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
     "vdb_set_counts" -> Q(
       (s, dir) => {
@@ -1188,6 +1224,78 @@ object Queries {
       },
       Some("""SELECT doc_id, CAST(2 AS BIGINT) AS deleted FROM documents
         |WHERE doc_id < 50 AND doc_id NOT IN (3, 9) ORDER BY doc_id""".stripMargin)),
+
+    // ---- AI-layer CDC (round 14, StreamingIngest.ingestAiCdcEntries):
+    // a Debezium-shaped change stream of RAW TEXT inputs (not vectors)
+    // replayed into an AI store — each micro-batch embeds through the
+    // store's index model inside setDf (reserved-key stash, composite
+    // stale-delete+Set) and deletes by raw input via delKey, so the
+    // crawl-shaped pipeline needs zero hand-written glue. In-batch
+    // sequencing (doc 5: delete@1 then insert@2 nets LIVE with the new
+    // mark), cross-batch resurrection (doc 2: deleted in batch 1,
+    // re-inserted in batch 2), and the oracle is the net survivor set
+    // with last-writer marks. ----
+    "ai_cdc_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val aiE = new graft.ai.AiEngine(TestStores.freshEngine(s))
+        aiE.createStore("cdc_ai", "all-minilm-l6-v2", "all-minilm-l6-v2",
+          storeOriginal = true)
+        val docs = TestStores.table(s, dir, "documents")
+          .where(col("doc_id") < 50)
+          .select(col("doc_id").cast("long"), col("text"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        def entryDf(ids: Seq[Long], mark: String) =
+          ids.map(id => (docs(id), id)).toDF("text", "doc_id").select(
+            struct(lit("raw_string").as("kind"), col("text").as("str"),
+              lit(null).cast(org.apache.spark.sql.types.BinaryType).as("bin"))
+              .as("input"),
+            map(lit("doc_id"), TestStores.metaStr(col("doc_id")),
+              lit("mark"), TestStores.metaStr(lit(mark))).as("value"))
+        aiE.setDf("cdc_ai", entryDf((0L until 25L).toSeq, "v1"))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String, Long)]
+        val src = mem.toDF().select(
+          struct(lit("raw_string").as("kind"), col("_2").as("str"),
+            lit(null).cast(org.apache.spark.sql.types.BinaryType).as("bin"))
+            .as("input"),
+          map(lit("doc_id"), TestStores.metaStr(col("_1")),
+            lit("mark"), TestStores.metaStr(col("_3"))).as("value"),
+          when(col("_4") >= 0, lit("insert")).otherwise(lit("delete")).as("op"),
+          abs(col("_4")).as("seq"))
+        val prevForce = s.conf.get(
+          "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        val q = try graft.streaming.StreamingIngest.ingestAiCdcEntries(
+            aiE, "cdc_ai", src, "input", "value", "op", seqCol = Some("seq"))
+          finally s.conf.set(
+            "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        // seq encoding for the tuple stream: _4 >= 0 → insert@_4, < 0 →
+        // delete@|_4| (MemoryStream wants a flat product type)
+        def ins(id: Long, mark: String, seq: Long) = (id, docs(id), mark, seq)
+        def del(id: Long, seq: Long) = (id, docs(id), "x", -seq)
+        try {
+          mem.addData((25L until 50L).map(ins(_, "v1", 1L)) ++
+            Seq(0L, 1L, 2L, 3L, 4L, 7L).map(del(_, 1L)) ++
+            Seq(del(5L, 1L), ins(5L, "v2", 2L)): _*)
+          q.processAllAvailable()
+          mem.addData(ins(2L, "v2", 1L), del(9L, 1L))
+          q.processAllAvailable()
+        } finally q.stop()
+        val out = aiE.db.storeDf("cdc_ai")
+          .select(element_at(col("value"), "doc_id").getField("str")
+              .cast("bigint").as("doc_id"),
+            element_at(col("value"), "mark").getField("str").as("mark"))
+          .orderBy("doc_id")
+        val rows = out.collect()
+        aiE.dropStore("cdc_ai")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+      },
+      Some("""SELECT doc_id,
+        |CASE WHEN doc_id IN (2, 5) THEN 'v2' ELSE 'v1' END AS mark
+        |FROM documents WHERE doc_id < 50 AND doc_id NOT IN (0,1,3,4,7,9)
+        |ORDER BY doc_id""".stripMargin)),
 
     // Binary (image) metadata end-to-end: image-valued PREDICATES
     // (protos/predicate.proto:20-38) and the hash-keyed stale-entry cleanup
@@ -3930,6 +4038,51 @@ object Queries {
         |    PARTITION BY q.qid
         |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
         |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 3
+        |ORDER BY qid, cid""".stripMargin)),
+
+    // ---- FILTERED routed batch join (round 14): the accept filter —
+    // here a Bloom sketch of a label-predicate slice, the AnnSearch arm's
+    // sketch — threads INTO each shard's graph search (in-filtering:
+    // rejected nodes stay stepping stones), so a decontaminate /
+    // hard-negatives composition over a predicate slice rides the
+    // graph-speed arm instead of a filtered brute-force join. The join
+    // over-fetches FalsePositiveSlack candidates, post-verifies against
+    // the exact accepted set (a sketch hit is never trusted into the
+    // result — the hydration discipline), and re-ranks the survivors; at
+    // exhaustive probes the result equals the filtered brute-force
+    // oracle. ----
+    "embed_topk_join_routed_filtered" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val idx = TestStores.routedIndex(s, dir) // shared stamped artifact
+        val accepted = e.where(col("label").cast("string").isin("1", "2", "3"))
+          .select(col("vec_id").cast("long").as("cid"))
+        val bloom = accepted.stat.bloomFilter("cid", accepted.count(), 0.001)
+        val k = 3
+        val joined = idx.topKJoin(
+            e.where(col("vec_id") < 20)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k + graft.ann.AnnSearch.FalsePositiveSlack,
+            probes = idx.numShards,
+            filter = graft.ann.IdFilter.Bloom(bloom))
+        // exact post-verification + re-rank: the pre-verify rank order IS
+        // the exact closeness order (float index), so the survivors'
+        // top-k re-ranks by it — BoundedTopK on the negated rank avoids
+        // re-ranking on the ROUNDED sim column
+        val verified = joined.join(accepted, Seq("cid"), "left_semi")
+          .select(col("qid"), col("cid"), (-col("rank")).cast("double").as("_s"))
+        graft.ann.BoundedTopK.topK(verified, "qid", "cid", "_s", k)
+          .select("qid", "cid").orderBy("qid", "cid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE CAST(e.label AS VARCHAR) IN ('1','2','3'))
         |SELECT qid, cid FROM ranked WHERE rk <= 3
         |ORDER BY qid, cid""".stripMargin)),
 

@@ -80,20 +80,95 @@ object StreamingIngest {
             .select(col("key"), col("_l.op").as("op"), col("_l.value").as("value"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val delRows = compacted.where(col("op") === "delete")
-              .select("key").limit(maxDeletesPerBatch + 1).collect()
-            if (delRows.length > maxDeletesPerBatch)
+            // count FIRST, collect after the batch is known under the cap:
+            // the delete payload is full key VECTORS (dim × 4 B each, plus
+            // Row overhead — 1-2 GB at embedding dims near the cap), so a
+            // limit(cap+1).collect() probe would OOM the driver before the
+            // loud GraftException it exists to raise (round-13 advice).
+            // The count scans the already-cached compacted frame.
+            val dels = compacted.where(col("op") === "delete").select("key")
+            val nDel = dels.count()
+            if (nDel > maxDeletesPerBatch)
               throw graft.types.GraftException(
-                s"ingestCdcEntries: a micro-batch carries more than " +
-                  s"$maxDeletesPerBatch deletes — use delPred for " +
+                s"ingestCdcEntries: a micro-batch carries $nDel deletes " +
+                  s"(cap $maxDeletesPerBatch) — use delPred for " +
                   s"corpus-scale deletion, not a CDC replay")
-            if (delRows.nonEmpty)
+            if (nDel > 0)
               engine.delKey(store,
-                delRows.map(_.getSeq[Float](0).toArray).toSeq, schema)
+                dels.collect().map(_.getSeq[Float](0).toArray).toSeq, schema)
             val ins = compacted.where(col("op") === "insert")
               .select(col("key"), col("value"))
             if (!ins.isEmpty) engine.set(store, ins, schema)
             ()
+          } finally compacted.unpersist(blocking = false)
+        }
+      }
+      .start()
+  }
+
+  /** CDC ingest into an AI store — the AI-layer twin of
+    * [[ingestCdcEntries]] (round-14): the change stream carries RAW
+    * inputs (text/image/audio as the MetadataValue struct), not vectors,
+    * so each micro-batch runs the FULL AI write machinery — embed with
+    * the store's index model inside [[graft.ai.AiEngine.setDf]]
+    * (mapPartitions, broadcast embedder), reserved `_ahnlich_input_key`
+    * stashing, one-to-many expansion, and the composite stale-delete+Set
+    * swap — while net deletes go through [[graft.ai.AiEngine.delKey]]
+    * (delete by raw input via the reserved key). Downstream, everything
+    * composes exactly as in batch: bucket-incremental parquet, predicate
+    * indexes, hash-sharded delta patches, the routed index's
+    * tombstone/append tiers (the crawl-shaped production pipeline:
+    * Debezium log of a document table in front, vector store maintenance
+    * behind, zero hand-written glue).
+    *
+    * The batch compacts to the last op per INPUT (delete wins
+    * equal-sequence ties) — the raw input IS the AI identity (one input
+    * embeds to one deterministic vector, the store's content id).
+    * Requires a STOREORIGINAL store (delete-by-input needs the reserved
+    * key — [[graft.ai.AiEngine.delKey]]'s own precondition, surfaced
+    * loudly on the first delete). Delete inputs collect driver-side
+    * per micro-batch, COUNT-checked before the collect (an input can be
+    * megabytes of image/audio bytes — the [[ingestCdcEntries]] cap
+    * discipline); a corpus-scale delete is a DelPred, not a CDC replay. */
+  def ingestAiCdcEntries(ai: graft.ai.AiEngine, store: String, cdc: DataFrame,
+      inputCol: String, valueCol: String, opCol: String,
+      seqCol: Option[String] = None, checkpointDir: Option[String] = None,
+      schema: String = "public",
+      maxDeletesPerBatch: Int = 1 << 18): StreamingQuery = {
+    val w = cdc.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val op = lower(trim(col(opCol)))
+          val opNorm = when(op.isin("insert", "upsert", "set"), lit("insert"))
+            .when(op === "delete", lit("delete"))
+            .otherwise(raise_error(concat(
+              lit("ingestAiCdcEntries: unknown op '"), col(opCol).cast("string"),
+              lit("' (expected insert/upsert/set/delete)"))))
+          val compacted = batch.select(
+              col(inputCol).as("input"), col(valueCol).as("value"),
+              opNorm.as("op"),
+              seqCol.fold(lit(0L))(c => col(c).cast("long")).as("seq"))
+            .groupBy("input")
+            .agg(max_by(struct(col("op"), col("value")),
+              struct(col("seq"), (col("op") === "delete").cast("int"))).as("_l"))
+            .select(col("input"), col("_l.op").as("op"), col("_l.value").as("value"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val dels = compacted.where(col("op") === "delete").select("input")
+            val nDel = dels.count()
+            if (nDel > maxDeletesPerBatch)
+              throw graft.types.GraftException(
+                s"ingestAiCdcEntries: a micro-batch carries $nDel deletes " +
+                  s"(cap $maxDeletesPerBatch) — use delPred for " +
+                  s"corpus-scale deletion, not a CDC replay")
+            if (nDel > 0)
+              ai.delKey(store, dels.collect()
+                .map(r => graft.ai.AiEngine.rowToMeta(r.getStruct(0))).toSeq,
+                schema)
+            val ins = compacted.where(col("op") === "insert")
+              .select(col("input"), col("value"))
+            if (!ins.isEmpty) { ai.setDf(store, ins, schema); () }
           } finally compacted.unpersist(blocking = false)
         }
       }
@@ -493,7 +568,7 @@ object StreamingIngest {
             .union(batch.select(col("id").cast("long"), col("key")))
           val rebuilt = graft.ann.RoutedAnnIndex.build(all,
             old.centroids.head.length, old.config, old.numShards, old.iters,
-            old.replicationEps, old.maxReplicas)
+            old.replicationEps, old.maxReplicas, old.quantized)
           idx = rebuilt
           old.unpersist()
           nReclusters += 1
@@ -552,7 +627,7 @@ object StreamingIngest {
               .select(col("id").cast("long"), col("key").cast("array<float>")))
           val rebuilt = graft.ann.RoutedAnnIndex.build(net,
             old.centroids.head.length, old.config, old.numShards, old.iters,
-            old.replicationEps, old.maxReplicas)
+            old.replicationEps, old.maxReplicas, old.quantized)
           idx = rebuilt
           old.unpersist()
           nReclusters += 1
@@ -583,7 +658,7 @@ object StreamingIngest {
             val rebuilt = graft.ann.RoutedAnnIndex.build(all,
               afterDel.centroids.head.length, afterDel.config,
               afterDel.numShards, afterDel.iters, afterDel.replicationEps,
-              afterDel.maxReplicas)
+              afterDel.maxReplicas, afterDel.quantized)
             idx = rebuilt
             afterDel.unpersist()
             nReclusters += 1

@@ -109,7 +109,11 @@ object NonLinearConfig {
     * and every GetSimN searches at `probesFor(recallTarget)` (one-sided
     * 95% lower-confidence-bound selection) instead of the raw `probes`.
     * A 1.0 target always searches exhaustively — a sample can certify
-    * an estimate, never perfection. */
+    * an estimate, never perfection. The curve's operating point is
+    * k = 10, unfiltered: a GetSimN with n > 10 or with a predicate
+    * condition widens to exhaustive probes (the measured floor does not
+    * transfer — recall@n falls with n at fixed probes, and a selective
+    * filter can concentrate accepted rows in unprobed shards). */
   final case class RoutedHNSWConfig(
       hnsw: HNSWConfig = HNSWConfig(),
       numShards: Int = 16,
@@ -117,7 +121,17 @@ object NonLinearConfig {
       iters: Int = 2,
       replicationEps: Double = 0.0,
       maxReplicas: Int = 2,
-      recallTarget: Option[Double] = None) extends NonLinearConfig { def kind = "hnsw_routed" }
+      recallTarget: Option[Double] = None,
+      /** Node storage in the shard graphs: "f32" (full-precision floats,
+        * the default) or "sq8" (per-vector min/max int8 codes — ~1/4 the
+        * vector bytes per stored row, the 100 TB memory lever; graphs
+        * build and traverse on the codes, and the engine restores exact
+        * final ranking by over-fetching [[graft.ann.RoutedAnnIndex
+        * .RescoreSlack]] candidates and rescoring them against the store
+        * table at hydration). With `recallTarget`, calibration runs
+        * THROUGH the quantized path against the exact store — the curve
+        * prices quantization error in. */
+      storage: String = "f32") extends NonLinearConfig { def kind = "hnsw_routed" }
 }
 
 /** Per-store catalog record, mirroring StoreInfo

@@ -160,6 +160,36 @@ class RoutedAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("topKJoin with an accept filter equals the filtered single-query path (round 14)") {
+    val s = spark
+    import s.implicits._
+    // Bloom over the even ids — the same sketch-backed IdFilter the
+    // engine's predicate arm ships; both paths see the IDENTICAL accept
+    // function, so batch and single-query must agree bit-for-bit at every
+    // probe count (false positives included — post-verification is the
+    // CALLER's contract, pinned by the embed_topk_join_routed_filtered
+    // oracle, not this equivalence)
+    val evens = ids.filter(_ % 2 == 0)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(evens.length, 0.001)
+    evens.foreach(bf.putLong)
+    val filter = IdFilter.Bloom(bf)
+    val qdf = queries.take(10).zipWithIndex
+      .map { case (v, i) => (100000L + i, v.toSeq) }.toSeq.toDF("qid", "qv")
+    for (probes <- Seq(4, Shards)) {
+      val got = index.topKJoin(qdf, "qid", "qv", K, probes, filter)
+        .select("qid", "cid", "rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+      queries.take(10).zipWithIndex.foreach { case (v, i) =>
+        val single = index.search(v, K, probes, filter).map(_._1)
+        assert(got(100000L + i) == single,
+          s"filtered batch join diverges from filtered single-query search at probes=$probes")
+        assert(single.nonEmpty && single.forall(bf.mightContainLong),
+          "a rejected id surfaced through the in-graph filter")
+      }
+    }
+  }
+
   test("append (overlay patch): appended rows are found exactly; counts and guards behave") {
     val s = spark
     import s.implicits._
@@ -183,6 +213,10 @@ class RoutedAnnSpec extends AnyFunSuite {
       try {
         assert(a.patchedRows == 1000L)
         assert(a.storedRows == 10000L, "overlay rows must count in storedRows")
+        // storedRows is CARRIED through maintenance (no per-call job) —
+        // the carried field must agree with the shard-derived measurement
+        assert(a.storedRows == a.measuredStoredRows,
+          "carried storedRows diverges from the measured count after append")
         // every appended vector finds ITSELF at top-1 (overlay is exact
         // brute force, probes=1 routes to its own shard)
         (9000 until 9100).foreach { i =>
@@ -207,11 +241,13 @@ class RoutedAnnSpec extends AnyFunSuite {
         try {
           assert(compacted.patchedRows == 0L, "compaction must absorb all tails")
           assert(compacted.storedRows == 19000L)
+          assert(compacted.storedRows == compacted.measuredStoredRows,
+            "carried storedRows diverges from the measured count after compaction")
           val all = ids.indices.map(i => (ids(i), vecs(i).toSeq))
             .toDF("id", "key").union(huge)
           val twin = RoutedAnnIndex.build(all, Dim, cfg, Shards, iters = 3,
             replicationEps = 0.0, maxReplicas = 2,
-            frozenCentroids = Some(a.centroids))
+            quantized = false, frozenCentroids = Some(a.centroids))
           try queries.take(20).foreach { q =>
             assert(compacted.search(q, K, 8) == twin.search(q, K, 8),
               "compacted graphs diverge from the frozen-centroid union build")
@@ -313,12 +349,14 @@ class RoutedAnnSpec extends AnyFunSuite {
       try {
         assert(del.tombstones.isEmpty, "compaction must clear the tombstone set")
         assert(del.storedRows == 2800L, "compaction must physically remove rows")
+        assert(del.storedRows == del.measuredStoredRows,
+          "carried storedRows diverges from the measured count after delete compaction")
         // identical to a frozen-centroid build over the survivors
         val survivors = ids.indices.slice(1200, 4000)
           .map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
         val twin = RoutedAnnIndex.build(survivors, Dim, cfg, 16, iters = 2,
           replicationEps = 0.0, maxReplicas = 2,
-          frozenCentroids = Some(idx.centroids))
+          quantized = false, frozenCentroids = Some(idx.centroids))
         try queries.take(20).foreach { q =>
           assert(del.search(q, K, 8) == twin.search(q, K, 8),
             "compacted shards diverge from the frozen-centroid filtered build")

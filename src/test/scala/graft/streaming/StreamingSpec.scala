@@ -166,7 +166,7 @@ class StreamingSpec extends AnyFunSuite {
       }
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(ex).exists(_.contains("more than 1 deletes")),
+      assert(msgs(ex).exists(_.contains("carries 2 deletes (cap 1)")),
         s"expected the delete-cap message, got: ${msgs(ex)}")
     } finally { q2.stop(); e.dropStore("cdc_store") }
   }
