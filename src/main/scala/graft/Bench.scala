@@ -152,6 +152,7 @@ object Bench {
         // without this GC, 2.4/1.9/1.8 s with it. The spike lands in the
         // MEDIAN (run 2 of 3), which is exactly the number we report.
         System.gc()
+        graft.obs.Trace.drainFixtureNs() // clear any carried accumulation
         val t0 = System.nanoTime()
         // full-materialization sink: toRdd.count() consumes every output
         // UnsafeRow, so ALL result columns are computed. A df.count() sink
@@ -164,8 +165,14 @@ object Bench {
               s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
                 .replaceAll("[\"\\\\\n\r\t]", " "))
             false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.sorted
+        val wall = (System.nanoTime() - t0) / 1e9
+        // fixture split (Trace.fixture blocks inside the query body):
+        // private store population / stream scaffolding vs the operator
+        // exercise — kept per-sample so the reported pair comes from the
+        // SAME run the median selects
+        val fx = graft.obs.Trace.drainFixtureNs() / 1e9
+        if (ok) Some((wall, fx)) else None
+      }.sortBy(_._1)
       // (the near-dup joins return eager localCheckpoints whose blocks are
       // only freed when the ContextCleaner sees the RDD garbage-collected —
       // left to chance, the accumulated blocks trigger one giant GC+evict
@@ -180,17 +187,28 @@ object Bench {
     // (real regression) from "one run spiked" (session pressure) — the
     // exact ambiguity that cost three rounds of weak-mark attribution
     val spread = results.collect {
-      case (k, ss) if ss.length >= 2 && ss.head > 0 && ss.last / ss.head > 2.0 =>
+      case (k, ss) if ss.length >= 2 && ss.head._1 > 0 &&
+          ss.last._1 / ss.head._1 > 2.0 =>
         // Locale.ROOT: the f"" interpolator is locale-sensitive — under a
         // comma-decimal default locale it would emit invalid JSON, and the
         // parent's parse of a child's line would mark the family failed
         "\"" + k + "\":[" + ss.map(s =>
-          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s._1)))
           .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val medians = results.map { case (name, samples) =>
-      name -> (if (samples.isEmpty) -1.0 else samples(samples.length / 2))
+      name -> (if (samples.isEmpty) -1.0 else samples(samples.length / 2)._1)
     }
+    // per-query fixture seconds of the MEDIAN run, for queries that
+    // declared a fixture phase: `exercise = median - fixture` is the
+    // round-over-round comparable component (the total otherwise grows
+    // with mutation-coverage volume, not operator speed)
+    val fixtures = results.collect {
+      case (name, samples) if samples.nonEmpty &&
+          samples(samples.length / 2)._2 > 0.005 =>
+        "\"" + name + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(samples(samples.length / 2)._2))
+    }.mkString("{", ",", "}")
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -203,7 +221,7 @@ object Bench {
     // round-over-round `total` (BENCH_r06 lost it to a head-side cut)
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","spread":$spread,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","spread":$spread,"fixture":$fixtures,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
     println(line)
     // truncation-proof copy: the driver's stdout tail capture has twice
     // eaten per-query detail (18 queries in round 7, including the round's
@@ -331,6 +349,7 @@ object Bench {
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, String]()
+    val fixtures = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((fam, qs) <- families) {
       val outFile = tmp.resolve(s"$fam.json")
       val logFile = tmp.resolve(s"$fam.log").toFile
@@ -366,6 +385,12 @@ object Bench {
                 v.asInstanceOf[JValue])) }
             case _ => ()
           }
+          (j \ "fixture") match {
+            case JObject(fs) => fs.foreach { case (k, v) =>
+              fixtures(k) = JsonMethods.compact(JsonMethods.render(
+                v.asInstanceOf[JValue])) }
+            case _ => ()
+          }
           Some((qm, em))
         } catch { case scala.util.control.NonFatal(_) => None }
       parsed match {
@@ -394,7 +419,9 @@ object Bench {
       "\"" + f + "\":" + qs.length }.mkString("{", ",", "}")
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"process-per-family","families":$famJson,"spread":$spreadJson,"queries":$qsJson,"errors":$errs,"failed":$failed,"value":$total}"""
+    val fixtureJson = fixtures.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"process-per-family","families":$famJson,"spread":$spreadJson,"fixture":$fixtureJson,"queries":$qsJson,"errors":$errs,"failed":$failed,"value":$total}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

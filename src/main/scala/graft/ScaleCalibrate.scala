@@ -31,7 +31,9 @@ object ScaleCalibrate {
   private val Shards = 64
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val mixed = args.headOption.contains("mixed")
+    val n = (if (mixed) args.drop(1) else args).headOption
+      .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,6 +42,7 @@ object ScaleCalibrate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mixed) { mixedHistory(spark, n); spark.stop(); return }
     import spark.implicits._
 
     val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
@@ -160,5 +163,134 @@ object ScaleCalibrate {
     println("|---|---|---|---|---|")
     rowsW.foreach(println)
     spark.stop()
+  }
+
+  /** MIXED-history arm (VERDICT r13 #2): the calibration curve is carried
+    * through append / compact / tombstone-delete on single-tier arguments
+    * (tails exact; survivor recall measured delete-invariant; compaction
+    * bit-identical to a frozen-centroid rebuild) — but no measurement had
+    * replayed a LONG mixed history and re-calibrated to check the carried
+    * curve still sits within its own error bars. The round-13 LCB lesson
+    * (a point-estimate curve measurably MISSED a 0.95 target) is exactly
+    * why this wants a datapoint, not an argument.
+    *
+    * Protocol: build + calibrate at 200k × 64 shards, then replay 8
+    * maintenance batches spanning every tier (overlay appends, stride
+    * tombstone waves, a forced delete-compaction, a forced
+    * insert-compaction), assert the curve CARRIED (same object content),
+    * re-run the identical calibration protocol on the mutated index, and
+    * compare per ladder point against the combined two-sample noise bound
+    * |Δ| vs 1.96·√(se₀² + se₁²). A staleness guard gets added ONLY if
+    * this says the curve drifts (the trigger-from-measurement rule that
+    * produced the drift and tombstone guards).
+    *
+    * Usage: runMain graft.ScaleCalibrate mixed [nCorpus] */
+  private def mixedHistory(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    def rangeDf(a: Long, b: Long) =
+      spark.range(a, b).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+        .select(col("id"), col("key").cast("array<float>").as("key"))
+    val base = rangeDf(0, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${base.count()} x $Dim (organic SIFT-shaped)")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    var idx = timed(s"build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(base, Dim, cfg, Shards, iters = 3)
+    }
+    idx = timed("calibrate (before history)") {
+      idx.calibrate(nQueries = NQueries, k = K, seed = 99L)
+    }
+    val c0 = idx.recallCurve
+    println("carried curve C0: " + c0
+      .map { case (p, r, se) => f"$p%d->$r%.4f(+-$se%.4f)" }.mkString(", "))
+
+    val tiers = scala.collection.mutable.ArrayBuffer[String]()
+    def append(a: Long, b: Long, label: String): Unit = {
+      val out = idx.appendOutcome(rangeDf(a, b)).getOrElse(
+        sys.error(s"$label unexpectedly tripped the drift guard"))
+      tiers += s"$label -> ${out.tier}"
+      println(s"  ${tiers.last} (stored=${out.index.storedRows}, " +
+        s"patched=${out.index.patchedRows}, tombstones=${out.index.tombstones.length})")
+      idx = out.index
+    }
+    def delete(ids: Seq[Long], label: String): Unit = {
+      val out = idx.delete(ids)
+      tiers += s"$label -> ${out.tier}"
+      println(s"  ${tiers.last} (stored=${out.index.storedRows}, " +
+        s"patched=${out.index.patchedRows}, tombstones=${out.index.tombstones.length})")
+      idx = out.index
+    }
+    // 8 batches, every tier: overlay appends (1, 3, 5, 8), tombstone
+    // waves (2, 7), a delete-compaction (4: cumulative tombstones past
+    // the 10% fraction), an insert-compaction (6: overlay rows past the
+    // 25% patch fraction)
+    append(n, n + 10000, "b1 append 10k")
+    delete((0 until 8000).map(_ * 25L), "b2 delete 8k (stride 25)")
+    append(n + 10000, n + 20000, "b3 append 10k")
+    delete((0 until 22000).map(7L + _ * 9L), "b4 delete 22k (stride 9)")
+    append(n + 20000, n + 30000, "b5 append 10k")
+    append(n + 30000, n + 90000, "b6 append 60k (past patch fraction)")
+    delete((0 until 5000).map(n + _), "b7 delete 5k of the b1 appends")
+    append(n + 90000, n + 95000, "b8 append 5k")
+    require(idx.recallCurve.toSeq == c0.toSeq,
+      "maintenance tiers must CARRY the calibration curve unchanged")
+    println(s"history: ${tiers.size} batches " +
+      s"(final stored=${idx.storedRows}, tombstones=${idx.tombstones.length})")
+
+    val c1 = timed("re-calibrate (after history, same protocol)") {
+      idx.calibrate(nQueries = NQueries, k = K, seed = 99L)
+    }.recallCurve.map(c => c._1 -> (c._2, c._3)).toMap
+    println()
+    println("| probes | carried C0 | re-measured C1 | |delta| | 1.96*se_comb | within noise? |")
+    println("|---|---|---|---|---|---|")
+    var drifted = 0
+    c0.foreach { case (p, r0, se0) =>
+      c1.get(p).foreach { case (r1, se1) =>
+        val d = math.abs(r1 - r0)
+        val bound = 1.96 * math.sqrt(se0 * se0 + se1 * se1)
+        val ok = d <= bound
+        if (!ok) drifted += 1
+        println(f"| $p%d / $Shards%d | $r0%.4f (+-$se0%.4f) | $r1%.4f (+-$se1%.4f) " +
+          f"| $d%.4f | $bound%.4f | ${if (ok) "yes" else "DRIFTED"} |")
+      }
+    }
+    // the operational check: does a probes count chosen off the CARRIED
+    // curve still deliver its target on external queries post-history?
+    val queries = (0 until NQueries).map(i => gen(10000000L + i))
+    val qdf = queries.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val live = idx.rows.toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = graft.dedup.Dedup.topKJoin(qdf, live, "qid", "qv", "id", "key", K)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    println()
+    println("| target | probesFor (carried C0) | external Recall@50 post-history | target |")
+    println("|---|---|---|---|")
+    for (target <- Seq(0.80, 0.90, 0.95)) {
+      val p = idx.probesFor(target)
+      val per = queries.zipWithIndex.map { case (v, i) =>
+        val got = idx.search(v, K, p).map(_._1).toSet
+        (gt(i.toLong) & got).size.toDouble / gt(i.toLong).size
+      }
+      val ext = per.sum / per.length
+      println(f"| $target%.2f | $p%d / $Shards%d | $ext%.4f | " +
+        (if (ext >= target) "met" else f"MISSED by ${target - ext}%.4f") + " |")
+    }
+    println(s"\nladder points outside the combined noise bound: $drifted" +
+      (if (drifted == 0) " — carried-curve validity holds under mixed maintenance"
+       else " — ADD a curve-staleness guard (see verdict item)"))
+    live.unpersist(); base.unpersist(); idx.unpersist()
   }
 }

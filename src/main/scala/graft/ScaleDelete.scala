@@ -34,7 +34,9 @@ object ScaleDelete {
   private val Probes = 8
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val cliff = args.headOption.contains("cliff")
+    val n = (if (cliff) args.drop(1) else args).headOption
+      .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,6 +45,7 @@ object ScaleDelete {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (cliff) { delPredCliff(spark, n); spark.stop(); return }
     import spark.implicits._
 
     val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
@@ -123,5 +126,77 @@ object ScaleDelete {
     println("|---|---|---|---|---|---|")
     rows.foreach(println)
     spark.stop()
+  }
+
+  /** ENGINE-level DelPred past [[graft.engine.GraftEngine.RoutedDeleteCap]]
+    * (VERDICT r13 #8): a predicate delete matching more rows than the cap
+    * can't name its ids for the tombstone tier — the routed index
+    * invalidates WHOLE and the NEXT routed search pays a lazy recluster
+    * (GraftEngine.ensureRoutedIndex). This arm measures that first-search
+    * latency cliff against the steady-state search, and against the
+    * in-cap tombstone path, so the tradeoff (eager recluster under the
+    * mutation lock vs lazy on first read) is a number, not folklore.
+    * Correctness of the path is pinned in RoutedEngineSpec (cap
+    * overridden via spark.graft.routedDeleteCap).
+    *
+    * Usage: runMain graft.ScaleDelete cliff [nCorpus] */
+  private def delPredCliff(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $s%.1f s")
+      (r, s)
+    }
+    val e = new graft.engine.GraftEngine(spark)
+    e.createStore("cliff", Dim, predicates = Set("bucket", "rare"))
+    // bucket: thirds (one bucket ≈ n/3 >> the 65536 cap at n = 200k);
+    // rare: ~0.5% (safely inside the cap — the tombstone-tier control)
+    val entries = spark.range(n).map { i =>
+      (gen(i).toSeq, i % 3, if (i % 200 == 0) "y" else "n")
+    }.toDF("key", "b", "r").select(
+      col("key").cast("array<float>").as("key"),
+      map(
+        lit("bucket"), struct(lit("raw_string").as("kind"),
+          col("b").cast("string").as("str"), lit(null).cast("binary").as("bin")),
+        lit("rare"), struct(lit("raw_string").as("kind"),
+          col("r").as("str"), lit(null).cast("binary").as("bin"))).as("value"))
+    val (_, setWall) = timed(s"engine Set ($n rows)") {
+      e.set("cliff", entries, "public")
+    }
+    e.createNonLinearIndex("cliff", Seq(
+      graft.types.NonLinearConfig.RoutedHNSWConfig(
+        hnsw = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+          maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+          metric = graft.types.Algorithm.CosineSimilarity),
+        numShards = Shards, probes = Probes)))
+    val q = gen(10000000L)
+    def search(label: String): Double =
+      timed(label) { e.getSimN("cliff", q, K, graft.types.Algorithm.HNSW).count() }._2
+    val firstBuild = search("first search (initial lazy index build)")
+    val steady = search("steady-state search")
+    // the CONTROL: an in-cap delete (≈ n/200 rows) keeps the index live
+    import graft.types.PredicateCondition.Equals
+    import graft.types.MetadataValue.RawString
+    val (nRare, rareWall) = timed("DelPred (rare = y, in-cap)") {
+      e.delPred("cliff", Equals("rare", RawString("y")))
+    }
+    val afterTombstone = search("search after in-cap DelPred (tombstone tier)")
+    // the CLIFF: a third of the store — far past the cap
+    val (nBig, bigWall) = timed("DelPred (bucket = 1, past-cap)") {
+      e.delPred("cliff", Equals("bucket", RawString("1")))
+    }
+    val cliffSearch = search("FIRST search after past-cap DelPred (lazy recluster)")
+    val after = search("second search (steady again)")
+    println()
+    println(f"engine Set wall: $setWall%.1f s; initial lazy build (first search): $firstBuild%.1f s")
+    println("| event | rows | wall | following search |")
+    println("|---|---|---|---|")
+    println(f"| steady-state search | — | — | $steady%.2f s |")
+    println(f"| in-cap DelPred (tombstone tier) | $nRare%,d | $rareWall%.2f s | $afterTombstone%.2f s |")
+    println(f"| past-cap DelPred (whole invalidate) | $nBig%,d | $bigWall%.2f s | $cliffSearch%.1f s (THE CLIFF) |")
+    println(f"| post-recluster search | — | — | $after%.2f s |")
   }
 }

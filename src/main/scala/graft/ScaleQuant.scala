@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * SQ8 node storage inside the routed shard graphs (VERDICT r13 #1): shard
+ * graphs used to hold full float32 vectors per node — at 100 TB the
+ * vector payload, not the graph overhead the reference budgets
+ * (~60-450 B/element, docs/specs/hnsw.md:117-127), is the memory wall.
+ * `RoutedAnnIndex(quantized = true)` stores per-vector min/max int8
+ * codes (~1/4 the vector bytes), builds and traverses the graphs on the
+ * codes, and restores exact final ranking by rescoring an over-fetched
+ * candidate beam against exact floats (engine hydration /
+ * topKJoinRescored).
+ *
+ * This main measures, at the 200k × 64-shard scale point every routed
+ * harness shares:
+ *  - build wall f32 vs sq8;
+ *  - serialized ARTIFACT bytes per row, both storages (the measurable
+ *    twin of resident bytes: the shard .bins are java-serialized shard
+ *    objects, so their size IS codes-vs-floats plus a shared graph term);
+ *  - external-query Recall@50 at a probes ladder: f32, sq8 RAW
+ *    (quantized ranking, no rescore — the dishonest number a naive
+ *    integration would report), sq8 + exact rescore (the served path);
+ *  - single-query search wall at probes=8, both storages;
+ *  - calibrate THROUGH the quantized path (exact ground truth from the
+ *    true corpus) vs the f32 curve — what the curve must price in.
+ *
+ * Prints markdown tables; numbers land in SCALE.md.
+ * Usage: runMain graft.ScaleQuant [nCorpus] (default 200000)
+ */
+object ScaleQuant {
+
+  private val K = 50
+  private val NQueries = 100
+  private val Dim = 64
+  private val Shards = 64
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    val corpus = spark.range(n).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${corpus.count()} x $Dim (organic SIFT-shaped)")
+
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $s%.1f s")
+      (r, s)
+    }
+
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+
+    val (f32, f32Build) = timed(s"f32 build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    }
+    val (sq8, sq8Build) = timed(s"sq8 build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
+        quantized = true)
+    }
+
+    // serialized artifact bytes: sum of the shard .bins (graph + node
+    // payloads), manifest excluded — the apples-to-apples storage term
+    def artifactBytes(idx: graft.ann.RoutedAnnIndex, tag: String): Long = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-quant-$tag")
+      graft.ann.RoutedAnnIndex.save(idx, dir.toString, sourceStamp = "bench")
+      val bytes = java.nio.file.Files.list(dir).toArray.map(_.toString)
+        .filter(_.endsWith(".bin"))
+        .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      bytes
+    }
+    val bf = artifactBytes(f32, "f32")
+    val bq = artifactBytes(sq8, "sq8")
+    println(f"artifact bytes: f32 ${bf / 1e6}%.1f MB (${bf.toDouble / n}%.1f B/row) " +
+      f"vs sq8 ${bq / 1e6}%.1f MB (${bq.toDouble / n}%.1f B/row) — " +
+      f"${bf.toDouble / bq}%.2fx smaller; raw vector payload alone: " +
+      f"${Dim * 4}%d B/row f32 vs ${Dim + 8}%d B/row sq8 " +
+      f"(${(Dim * 4.0) / (Dim + 8)}%.2fx; at 768 dims: ${768 * 4}%d vs " +
+      f"${768 + 8}%d = ${768 * 4.0 / (768 + 8)}%.2fx)")
+
+    // external queries + exact ground truth (independent code path)
+    val queries = (0 until NQueries).map(i => gen(10000000L + i))
+    val qdf = queries.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val gt = graft.dedup.Dedup.topKJoin(qdf, corpus, "qid", "qv", "id", "key", K)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    def recallOf(got: Map[Int, Seq[Long]]): Double = {
+      val per = (0 until NQueries).map { i =>
+        (gt(i.toLong) & got(i).take(K).toSet).size.toDouble / gt(i.toLong).size
+      }
+      per.sum / per.length
+    }
+    val slack = graft.ann.RoutedAnnIndex.RescoreSlack
+    def arm(idx: graft.ann.RoutedAnnIndex, probes: Int,
+        rescore: Boolean): Double = recallOf(
+      queries.zipWithIndex.map { case (v, i) =>
+        val raw = idx.search(v, K + (if (rescore) slack else 0), probes)
+        val ids =
+          if (!rescore) raw.map(_._1)
+          else raw.map { case (id, _) =>
+            (id, graft.functions.Similarity.jvm.cosine(v, gen(id)))
+          }.sortBy { case (id, c) => (-c, id) }.map(_._1)
+        i -> ids
+      }.toMap)
+
+    println()
+    println("| probes | f32 Recall@50 | sq8 RAW | sq8 + exact rescore | rescored delta vs f32 |")
+    println("|---|---|---|---|---|")
+    for (p <- Seq(4, 8, 16, Shards)) {
+      val rf = arm(f32, p, rescore = false)
+      val rq = arm(sq8, p, rescore = false)
+      val rr = arm(sq8, p, rescore = true)
+      println(f"| $p%d / $Shards%d | $rf%.4f | $rq%.4f | $rr%.4f | ${rr - rf}%+.4f |")
+    }
+
+    // single-query wall at the operating probes (mean over the sample,
+    // measured after one warmup pass)
+    def searchWall(idx: graft.ann.RoutedAnnIndex): Double = {
+      queries.take(10).foreach(idx.search(_, K, 8))
+      val t0 = System.nanoTime()
+      queries.foreach(idx.search(_, K, 8))
+      (System.nanoTime() - t0) / 1e9 / NQueries
+    }
+    val wf = searchWall(f32)
+    val wq = searchWall(sq8)
+    println(f"search wall probes=8: f32 ${wf * 1000}%.1f ms/query vs " +
+      f"sq8 ${wq * 1000}%.1f ms/query (${wq / wf}%.2fx)")
+
+    // calibration: the f32 curve vs the curve measured THROUGH the
+    // quantized rescored path (exact ground truth from the true corpus)
+    val (calF, calFWall) = timed("f32 calibrate (self-sample)") {
+      f32.calibrate(nQueries = NQueries, k = K, seed = 99L)
+    }
+    val (calQ, calQWall) = timed("sq8 calibrate (exact corpus, rescored path)") {
+      sq8.calibrate(nQueries = NQueries, k = K, seed = 99L,
+        exact = Some(corpus))
+    }
+    println(f"calibrate wall: f32 $calFWall%.1f s vs sq8 $calQWall%.1f s")
+    println("| probes | f32 curve | sq8 curve (served path) | delta |")
+    println("|---|---|---|---|")
+    val fByP = calF.recallCurve.map(c => c._1 -> c._2).toMap
+    calQ.recallCurve.foreach { case (p, qr, _) =>
+      fByP.get(p).foreach(fr =>
+        println(f"| $p%d / $Shards%d | $fr%.4f | $qr%.4f | ${qr - fr}%+.4f |"))
+    }
+
+    f32.unpersist(); sq8.unpersist()
+
+    // high-dim arm: 64 dims understates the lever (the graph term is
+    // comparable to a 256 B payload); at 768 dims — the BGE/MiniLM-class
+    // reality — the payload dominates and SQ8 pays off in full
+    val n2 = 30000L
+    val dim2 = 768
+    val gen2 = new ScaleRecall.SiftGen(seed = 515L, dim = dim2, intrinsic = 16)
+    val corpus2 = spark.range(n2).map(i => (i, gen2(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"\nhigh-dim arm: ${corpus2.count()} x $dim2, 16 shards")
+    val (f2, f2Build) = timed("f32 build (768-d)") {
+      graft.ann.RoutedAnnIndex.build(corpus2, dim2, cfg, 16, iters = 2)
+    }
+    val (q2, q2Build) = timed("sq8 build (768-d)") {
+      graft.ann.RoutedAnnIndex.build(corpus2, dim2, cfg, 16, iters = 2,
+        quantized = true)
+    }
+    val b2f = artifactBytes(f2, "f32d768")
+    val b2q = artifactBytes(q2, "sq8d768")
+    println(f"768-d artifact bytes: f32 ${b2f / 1e6}%.1f MB " +
+      f"(${b2f.toDouble / n2}%.1f B/row) vs sq8 ${b2q / 1e6}%.1f MB " +
+      f"(${b2q.toDouble / n2}%.1f B/row) — ${b2f.toDouble / b2q}%.2fx smaller")
+    val qs2 = (0 until 30).map(i => gen2(20000000L + i))
+    val qdf2 = qs2.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val gt2 = graft.dedup.Dedup.topKJoin(qdf2, corpus2, "qid", "qv", "id", "key", K)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def rec768(idx: graft.ann.RoutedAnnIndex, probes: Int,
+        rescore: Boolean): Double = {
+      val per = qs2.zipWithIndex.map { case (v, i) =>
+        val raw = idx.search(v, K + (if (rescore) slack else 0), probes)
+        val ids =
+          if (!rescore) raw.map(_._1)
+          else raw.map { case (id, _) =>
+            (id, graft.functions.Similarity.jvm.cosine(v, gen2(id)))
+          }.sortBy { case (id, c) => (-c, id) }.map(_._1)
+        (gt2(i.toLong) & ids.take(K).toSet).size.toDouble / gt2(i.toLong).size
+      }
+      per.sum / per.length
+    }
+    for (p <- Seq(4, 16))
+      println(f"768-d probes=$p%d Recall@50: f32 ${rec768(f2, p, false)}%.4f " +
+        f"vs sq8+rescore ${rec768(q2, p, true)}%.4f")
+    f2.unpersist(); q2.unpersist()
+    spark.stop()
+  }
+}

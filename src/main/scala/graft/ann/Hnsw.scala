@@ -39,16 +39,19 @@ final class HnswIndex(
 
   private val mL: Double = 1.0 / math.log(m.toDouble)
 
-  // node storage (index-aligned arrays; graph as per-level neighbor lists)
-  private val ids = mutable.ArrayBuffer[Long]()
+  // node storage (index-aligned arrays; graph as per-level neighbor
+  // lists). Primitive buffers throughout ([[IntBuf]]/[[LongBuf]]): the
+  // boxed-ArrayBuffer layout cost ~290 B/row of serialized graph at the
+  // 200k × 64-shard scale point — as much as the float payload itself
+  private val ids = new LongBuf()
   private val store: VecStore =
     if (quantized) new Sq8VecStore(metric) else new FloatVecStore(metric)
-  private val levels = mutable.ArrayBuffer[Int]()
-  // neighbors(node)(level) = ArrayBuffer[nodeIdx]
-  private val neighbors = mutable.ArrayBuffer[Array[mutable.ArrayBuffer[Int]]]()
+  private val levels = new IntBuf()
+  // neighbors(node)(level) = IntBuf of nodeIdx
+  private val neighbors = mutable.ArrayBuffer[Array[IntBuf]]()
   private var entryPoint: Int = -1
   private var maxLevel: Int = -1
-  private val idToIdx = mutable.HashMap[Long, Int]()
+  private val idToIdx = new LongIntMap()
 
   def size: Int = ids.length
 
@@ -56,14 +59,14 @@ final class HnswIndex(
     * float storage, dequantized for SQ8 — rebuild paths that must not
     * re-quantize use [[entriesPayload]]). Callers must not mutate. */
   def entries: Iterator[(Long, Array[Float])] =
-    ids.indices.iterator.map(i => (ids(i), store.export(i)))
+    (0 until size).iterator.map(i => (ids(i), store.export(i)))
 
   /** Stored rows in their EXACT stored form — the lossless extraction
     * path compaction uses to rebuild a graph without re-encoding
     * ([[RoutedAnnIndex.append]]): under SQ8 the codes carry, so N
     * compactions cost zero quantization drift. */
   def entriesPayload: Iterator[(Long, VecPayload)] =
-    ids.indices.iterator.map(i => (ids(i), store.payload(i)))
+    (0 until size).iterator.map(i => (ids(i), store.payload(i)))
 
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -144,7 +147,7 @@ final class HnswIndex(
     * extension iterates candidates in that order, so ties resolve
     * identically across rebuilds. */
   private def selectNeighbors(qIdx: Int, cands: Seq[(Int, Double)],
-      mMax: Int, level: Int): mutable.ArrayBuffer[Int] = {
+      mMax: Int, level: Int): IntBuf = {
     var work = cands
     if (extendCandidates) {
       val seen = mutable.HashSet.empty[Int]
@@ -162,8 +165,8 @@ final class HnswIndex(
       work = cands ++ extra
     }
     val sorted = work.sortBy(t => (t._2, t._1))
-    val out = mutable.ArrayBuffer[Int]()
-    val discarded = mutable.ArrayBuffer[Int]()
+    val out = new IntBuf()
+    val discarded = new IntBuf()
     val it = sorted.iterator
     while (it.hasNext && out.length < mMax) {
       val (e, de) = it.next()
@@ -178,8 +181,10 @@ final class HnswIndex(
     }
     if (keepPrunedConnections) {
       // discarded is already (distance, idx)-ordered — a subsequence of sorted
-      val dIt = discarded.iterator
-      while (dIt.hasNext && out.length < mMax) out += dIt.next()
+      var di = 0
+      while (di < discarded.length && out.length < mMax) {
+        out += discarded(di); di += 1
+      }
     }
     out
   }
@@ -199,8 +204,8 @@ final class HnswIndex(
     val idx = ids.length
     val l = levelFor(id)
     ids += id; store.addPayload(p); levels += l
-    neighbors += Array.fill(l + 1)(mutable.ArrayBuffer[Int]())
-    idToIdx(id) = idx
+    neighbors += Array.fill(l + 1)(new IntBuf())
+    idToIdx.put(id, idx)
     if (entryPoint < 0) { entryPoint = idx; maxLevel = l; return }
 
     val distTo: Int => Double = e => store.distNodes(idx, e)
@@ -215,15 +220,19 @@ final class HnswIndex(
       val w = searchLayer(distTo, ep, efConstruction, lc).toSeq
       val mMax = if (lc == 0) m0 else m
       val selected = selectNeighbors(idx, w, m, lc)
-      neighbors(idx)(lc) = selected.clone()
-      selected.foreach { e =>
+      neighbors(idx)(lc) = selected.copy()
+      var si = 0
+      while (si < selected.length) {
+        val e = selected(si)
         val en = neighbors(e)(lc)
         en += idx
         if (en.length > mMax) {
-          val pruned = selectNeighbors(e,
-            en.map(x => (x, store.distNodes(e, x))).toSeq, mMax, lc)
-          neighbors(e)(lc) = pruned
+          // candidates in en order (ascending slot), as the boxed layout
+          // iterated — tie resolution is unchanged
+          val cands = (0 until en.length).map(x => (en(x), store.distNodes(e, en(x))))
+          neighbors(e)(lc) = selectNeighbors(e, cands, mMax, lc)
         }
+        si += 1
       }
       ep = w
       lc -= 1
@@ -259,7 +268,10 @@ final class HnswIndex(
       .map { case (n, d) => (ids(n), -d) } // closeness = -distance
   }
 
-  def vectorOf(id: Long): Option[Array[Float]] = idToIdx.get(id).map(store.export)
+  def vectorOf(id: Long): Option[Array[Float]] = {
+    val i = idToIdx.get(id)
+    if (i < 0) None else Some(store.export(i))
+  }
 }
 
 object HnswIndex {

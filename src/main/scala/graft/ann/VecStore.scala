@@ -86,8 +86,8 @@ private[ann] final class FloatVecStore(metric: Algorithm) extends VecStore {
   * .topKJoinRescored]]), never claimed here. */
 private[ann] final class Sq8VecStore(metric: Algorithm) extends VecStore {
   private val codes = mutable.ArrayBuffer[Array[Byte]]()
-  private val mns = mutable.ArrayBuffer[Float]()
-  private val mxs = mutable.ArrayBuffer[Float]()
+  private val mns = new FloatBuf()
+  private val mxs = new FloatBuf()
   def size: Int = codes.length
 
   def add(v: Array[Float]): Unit = {

@@ -736,7 +736,7 @@ class GraftEngine(val spark: SparkSession,
           else {
             val delIds: Option[Seq[Long]] = staleCached match {
               case None => Some(Nil)
-              case Some(sc) if deleted <= GraftEngine.RoutedDeleteCap =>
+              case Some(sc) if deleted <= routedDeleteCap =>
                 Some(sc.collect().map(_.getLong(0)).toSeq)
               case Some(_) => None
             }
@@ -858,7 +858,7 @@ class GraftEngine(val spark: SparkSession,
         // (one collect off the already-persisted id frame); past the cap
         // the index invalidates whole — recluster amortizes at that scale
         val delIds =
-          if (st.routedIndex.isEmpty || deleted > GraftEngine.RoutedDeleteCap)
+          if (st.routedIndex.isEmpty || deleted > routedDeleteCap)
             None
           else Some(matched.collect().map(_.getLong(0)).toSeq)
         swap(schema, name, src => src.where(!c), touch, lenDelta = -deleted,
@@ -1164,6 +1164,13 @@ class GraftEngine(val spark: SparkSession,
     }
   }
 
+  /** Session's routed-delete cap — [[GraftEngine.RoutedDeleteCap]] unless
+    * `spark.graft.routedDeleteCap` overrides it (testability + a
+    * deployment lever for driver-memory-constrained sessions). */
+  private[graft] def routedDeleteCap: Long =
+    spark.conf.get("spark.graft.routedDeleteCap",
+      GraftEngine.RoutedDeleteCap.toString).toLong
+
   /** Ping / InfoServer (db/src/server/handler.rs:119-125, 425). */
   def ping(): String = "PONG"
   def infoServer(): Map[String, String] = Map(
@@ -1201,7 +1208,11 @@ object GraftEngine {
     * tombstone tier ([[graft.ann.RoutedAnnIndex.delete]] — work ≈ 0,
     * guarded local compaction). Above it the index invalidates whole: the
     * driver-side id collect stays bounded, and a recluster amortizes over
-    * a delete of that size anyway. */
+    * a delete of that size anyway. Overridable per session via
+    * `spark.graft.routedDeleteCap` (specs exercise the past-cap
+    * whole-invalidate path without building 65k-row fixtures; the
+    * measured first-search cliff behind it is the ScaleDelete `cliff`
+    * arm / SCALE.md). */
   val RoutedDeleteCap = 65536
 
   /** Restore an engine from a persisted root: read the catalog and attach

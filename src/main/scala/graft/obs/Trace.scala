@@ -164,6 +164,38 @@ object Trace {
       }
     }
 
+  // ------------------------------------------------- fixture accounting
+  //
+  // Mutation/certification-shaped bench queries build private stores,
+  // replay streams, or run calibration ladders INSIDE their timed body —
+  // that cost grows with coverage, not operator speed, and it is what
+  // moved the round-13 bench total (+17.5 s of fixture volume read as
+  // regression until decomposed by hand). Queries wrap their fixture
+  // phases in [[fixture]]; the bench drains the per-thread counter around
+  // each timed run and reports a per-query {fixture, exercise} split, so
+  // cross-round totals can be compared on the exercise component.
+  // Always-on and Spark-free: two nanoTime reads per wrapped block.
+
+  private val fixtureNs = new ThreadLocal[Long] {
+    override def initialValue(): Long = 0L
+  }
+
+  /** Wrap a fixture phase (store population, stream scaffolding, input
+    * collection) of a bench query body. Nested calls just add. */
+  def fixture[T](f: => T): T = {
+    val t0 = System.nanoTime()
+    try f
+    finally fixtureNs.set(fixtureNs.get() + (System.nanoTime() - t0))
+  }
+
+  /** Read-and-reset this thread's accumulated fixture nanoseconds (the
+    * bench calls this once per timed run). */
+  def drainFixtureNs(): Long = {
+    val v = fixtureNs.get()
+    fixtureNs.set(0L)
+    v
+  }
+
   /** Recorded spans as a DataFrame (the queryable surface — filter,
     * aggregate, join against catalog frames like any other table).
     * Job/task tallies are read here, after the listener bus has had time

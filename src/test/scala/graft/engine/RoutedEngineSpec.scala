@@ -182,6 +182,59 @@ class RoutedEngineSpec extends AnyFunSuite {
     e.dropStore("rdel")
   }
 
+  test("DelPred PAST the routed delete cap invalidates whole; the next search reclusters lazily over survivors") {
+    // the cap is session-overridable (spark.graft.routedDeleteCap) so the
+    // whole-invalidate arm is testable without a 65k-row fixture; the
+    // measured first-search latency cliff behind this path is the
+    // ScaleDelete `cliff` arm (SCALE.md round 14)
+    spark.conf.set("spark.graft.routedDeleteCap", "8")
+    try {
+      val e = freshRouted("rcap")
+      e.getSimN("rcap", vecs(99L, 1).head, 1, Algorithm.HNSW).count()
+      val before = e.ensureRoutedIndex("rcap").get._1
+      // tag=odd matches ~N/3 (~133) rows >> cap=8 → whole invalidate
+      val deleted = e.delPred("rcap", Equals("tag", RawString("odd")))
+      assert(deleted > 8, s"fixture must delete past the cap, got $deleted")
+      val q = vecs(99L, 1).head
+      // FIRST search after: pays the lazy recluster, serves exactly the
+      // linear top-k over the survivors (never a stale or partial index)
+      val routed = e.getSimN("rcap", q, 10, Algorithm.HNSW)
+        .select("key", "similarity").collect().toSeq
+      val linear = e.getSimN("rcap", q, 10, Algorithm.CosineSimilarity)
+        .select("key", "similarity").collect().toSeq
+      assert(routed == linear,
+        "post-invalidate first search must equal linear over survivors")
+      val rebuilt = e.ensureRoutedIndex("rcap").get._1
+      assert(!(rebuilt eq before),
+        "a past-cap DelPred must invalidate the structure (fresh rebuild), " +
+          "not maintain the old one")
+      assert(rebuilt.tombstones.isEmpty && rebuilt.patchedRows == 0L,
+        "the lazy recluster starts clean — no carried tombstones/overlays")
+      e.dropStore("rcap")
+    } finally spark.conf.unset("spark.graft.routedDeleteCap")
+  }
+
+  test("sq8 storage through the engine: dispatch exact after rescore; GetStore describes it") {
+    val e = freshRouted("rq8", exactCfg.copy(storage = "sq8"))
+    val q = vecs(99L, 1).head
+    // quantized graphs + slack over-fetch + exact hydration rescore ==
+    // linear cosine at exhaustive probes (the vdb_sim_hnsw_routed_sq8
+    // oracle identity, pinned here at unit scale)
+    val routed = e.getSimN("rq8", q, 10, Algorithm.HNSW)
+      .select("key", "similarity").collect().toSeq
+    val linear = e.getSimN("rq8", q, 10, Algorithm.CosineSimilarity)
+      .select("key", "similarity").collect().toSeq
+    assert(routed == linear,
+      "sq8 routed GetSimN (rescored) must equal the linear cosine top-k")
+    assert(e.ensureRoutedIndex("rq8").get._1.quantized)
+    assert(e.getStore("rq8").nonLinearConfigs.exists(_.contains("storage=sq8")))
+    // unknown storage strings fail loudly at create
+    intercept[GraftException] {
+      e.createNonLinearIndex("rq8", Seq(exactCfg.copy(storage = "pq4")))
+    }
+    e.dropStore("rq8")
+  }
+
   test("mutation keeps the routed index FRESH; the next search sees new rows") {
     val e = freshRouted("r4")
     val probe = Array.fill(Dim)(0.9f)
