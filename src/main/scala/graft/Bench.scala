@@ -119,6 +119,8 @@ object Bench {
     if (selectedNames.exists(n => n == "ann_ivf_exact" ||
         (n.startsWith("embed_topk_") && n.endsWith("_ivf"))))
       graft.queries.TestStores.ivfIndex(spark, sfDir)
+    if (selectedNames.contains("embed_topk_join_routed_sq8"))
+      graft.queries.TestStores.routedSq8Index(spark, sfDir)
     if (selectedNames.contains("embed_hard_negatives_ivf"))
       graft.queries.TestStores.ivfLabeledIndex(spark, sfDir)
     if (selectedNames.exists(n => n == "embed_topk_pq" || n == "embed_topk_pq_ivf"))
@@ -221,7 +223,14 @@ object Bench {
     // round-over-round `total` (BENCH_r06 lost it to a head-side cut)
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","spread":$spread,"fixture":$fixtures,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
+    // which binary produced this line: the code-source location of this
+    // class — the A/B orchestrator verifies its two arms differ (a
+    // classpath-swap miss once ran a silent a-vs-a and read as
+    // "no regression"; see abOrchestrate)
+    val binary = scala.util.Try(Bench.getClass.getProtectionDomain
+      .getCodeSource.getLocation.toString).getOrElse("unknown")
+      .replaceAll("[\"\\\\\n\r\t]", " ")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","binary":"$binary","spread":$spread,"fixture":$fixtures,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
     println(line)
     // truncation-proof copy: the driver's stdout tail capture has twice
     // eaten per-query detail (18 queries in round 7, including the round's
@@ -269,14 +278,32 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
     val cpA = System.getProperty("java.class.path")
     val sep = java.io.File.pathSeparator
-    val cpB = cpA.split(sep).map(e =>
-      if (e.endsWith(s"target${java.io.File.separator}scala-2.13${java.io.File.separator}classes"))
-        abClasses
-      else e).mkString(sep)
+    // the repo's code travels either as .../target/scala-2.13/classes
+    // (direct java -cp) or packaged as ahnlichspark_*.jar (sbt's forked
+    // run) — match BOTH, and fail LOUDLY if neither matched: a missed
+    // swap silently measures a-vs-a and reads as "no regression" (the
+    // round-14 incident this guard encodes; the per-arm "binary" stamps
+    // in the output make it independently checkable)
+    def isRepoEntry(e: String): Boolean =
+      e.endsWith(s"target${java.io.File.separator}scala-2.13${java.io.File.separator}classes") ||
+        new java.io.File(e).getName.startsWith("ahnlichspark")
+    val cpB = cpA.split(sep).map(e => if (isRepoEntry(e)) abClasses else e)
+      .mkString(sep)
+    if (cpB == cpA) {
+      System.err.println("bench-ab: could not locate this binary's repo " +
+        "classpath entry to swap (looked for target/scala-2.13/classes " +
+        s"or an ahnlichspark jar in: $cpA) — arm b would silently rerun " +
+        "arm a. Aborting.")
+      sys.exit(2)
+    }
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ab")
     val samples = scala.collection.mutable.LinkedHashMap[(String, String), List[Double]]()
+    // per-arm binary stamps from the children's own JSON — the
+    // independent proof the two arms ran DIFFERENT code ("pre-stamp"
+    // for binaries older than the stamp field, which is itself evidence)
+    val binaries = scala.collection.mutable.LinkedHashMap[String, String]()
     for (r <- 0 until runs; (arm, cp) <- Seq(("a", cpA), ("b", cpB))) {
       val outFile = tmp.resolve(s"$arm$r.json")
       val logFile = tmp.resolve(s"$arm$r.log").toFile
@@ -298,7 +325,12 @@ object Bench {
       else try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        (JsonMethods.parse(java.nio.file.Files.readString(outFile)) \ "queries") match {
+        val j = JsonMethods.parse(java.nio.file.Files.readString(outFile))
+        (j \ "binary") match {
+          case JString(b) => binaries(arm) = b
+          case _ => binaries.getOrElseUpdate(arm, "pre-stamp binary")
+        }
+        (j \ "queries") match {
           case JObject(fs) => fs.foreach { case (k, v) =>
             val t = v.asInstanceOf[JValue].values.toString.toDouble
             if (t >= 0) // a failing query must not pollute the arm median
@@ -322,7 +354,13 @@ object Bench {
     val failed = names.filter(q => medianOf(q, "a").isEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalA = names.flatMap(medianOf(_, "a")).sum
-    val line = s"""{"metric":"ab","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"interleaved-ab","armB":"$abClasses","queries":$perQuery,"failed":$failed,"value":$totalA}"""
+    def bin(arm: String) = binaries.getOrElse(arm, "no JSON")
+      .replaceAll("[\"\\\\\n\r\t]", " ")
+    if (bin("a") == bin("b"))
+      System.err.println("bench-ab: WARNING — both arms report the SAME " +
+        s"binary stamp (${bin("a")}); the comparison below is a-vs-a noise, " +
+        "not an A/B")
+    val line = s"""{"metric":"ab","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"interleaved-ab","armABinary":"${bin("a")}","armBBinary":"${bin("b")}","armB":"$abClasses","queries":$perQuery,"failed":$failed,"value":$totalA}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_AB.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -37,7 +37,9 @@ object ScaleJoin {
   private val NProbe = 32
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val filtered = args.headOption.contains("filtered")
+    val n = (if (filtered) args.drop(1) else args).headOption
+      .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +48,7 @@ object ScaleJoin {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (filtered) { filteredJoin(spark, n); spark.stop(); return }
     import spark.implicits._
 
     val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
@@ -132,5 +135,105 @@ object ScaleJoin {
     println("|---|---|---|---|")
     rows.foreach(println)
     spark.stop()
+  }
+
+  /** FILTERED routed batch join (VERDICT r13 #4's selectivity datapoint):
+    * the accept filter — a Bloom sketch of a predicate slice, the engine
+    * arm's sketch — threads into every shard's graph search. Measures,
+    * per selectivity f ∈ {50%, 10%, 1%} at 200k × 64 and 1k queries:
+    * the filtered routed join wall (exhaustive probes + slack +
+    * driver-free exact post-verify via an ids anti-join), recall@10 of
+    * the verified result vs exact filtered ground truth, and the
+    * filtered BRUTE-FORCE control (exact join over the pre-filtered
+    * corpus — the path a filtered composition had to take before the
+    * filter threaded through).
+    *
+    * The expected shape: in-graph filtering prunes RESULTS, not
+    * traversal, so the join wall is ~flat in f while the brute-force
+    * control shrinks with f — the crossover (very selective filters
+    * favor scanning the tiny slice) is exactly AnnSearch's ≤4096
+    * brute-force cutover, which the engine already takes driver-side.
+    *
+    * Usage: runMain graft.ScaleJoin filtered [nCorpus] */
+  private def filteredJoin(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val k = 10
+    val nq = 1000
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    val corpus = spark.range(n).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${corpus.count()} x $Dim (organic SIFT-shaped), $nq queries")
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $s%.1f s")
+      (r, s)
+    }
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val (idx, _) = timed(s"routed build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    }
+    val queries = spark.range(nq)
+      .map(i => (i, gen(10000000L + i).toSeq)).toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    for (den <- Seq(2L, 10L, 100L)) {
+      // the slice: id % den == 0 (spread across shards — selectivity
+      // without locality, the hard case for probe routing)
+      val accepted = corpus.where(col("id") % den === 0).select("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = accepted.count()
+      val bloom = accepted.stat.bloomFilter("id", cnt, 0.001)
+      val slack = graft.ann.AnnSearch.FalsePositiveSlack
+      def joinAt(probes: Int) = {
+        val joined = idx.topKJoin(queries, "qid", "qv", k + slack,
+          probes = probes, filter = graft.ann.IdFilter.Bloom(bloom))
+        // exact post-verify + re-rank by the pre-verify order
+        val v = joined
+          .join(accepted.withColumnRenamed("id", "cid"), Seq("cid"), "left_semi")
+          .select(col("qid"), col("cid"), (-col("rank")).cast("double").as("_s"))
+        graft.ann.BoundedTopK.topK(v, "qid", "cid", "_s", k)
+          .select("qid", "cid", "rank").collect()
+      }
+      val (verified, wJoin) = timed(f"filtered routed join p=$Shards (1/$den)") {
+        joinAt(Shards)
+      }
+      val (verified8, wJoin8) = timed(f"filtered routed join p=8 (1/$den)") {
+        joinAt(8)
+      }
+      // exact filtered ground truth — and the brute-force CONTROL wall
+      val slice = corpus.join(accepted.withColumnRenamed("id", "_a"),
+        col("id") === col("_a"), "left_semi")
+      val (gtRows, wBrute) = timed(f"brute-force filtered control (1/$den)") {
+        graft.dedup.Dedup.topKJoin(queries, slice, "qid", "qv", "id", "key", k)
+          .select("qid", "cid").collect()
+      }
+      val gt = gtRows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def recallOf(res: Array[org.apache.spark.sql.Row]): Double = {
+        val got = res.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        (0 until nq).map { i =>
+          val t = gt.getOrElse(i.toLong, Set.empty)
+          if (t.isEmpty) 1.0
+          else (t & got.getOrElse(i.toLong, Set.empty)).size.toDouble / t.size
+        }.sum / nq
+      }
+      rows += f"| 1/$den (${cnt}%,d rows) | $wJoin%.1f s / ${recallOf(verified)}%.4f " +
+        f"| $wJoin8%.1f s / ${recallOf(verified8)}%.4f | $wBrute%.1f s |"
+      println(rows.last)
+      accepted.unpersist(blocking = false)
+    }
+    println()
+    println(s"| selectivity | routed p=$Shards (wall / recall@$k) | routed p=8 (wall / recall@$k) | brute-force filtered control |")
+    println("|---|---|---|---|")
+    rows.foreach(println)
+    idx.unpersist(); queries.unpersist(); corpus.unpersist()
   }
 }

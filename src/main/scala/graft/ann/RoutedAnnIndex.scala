@@ -154,7 +154,16 @@ final class RoutedAnnIndex(
     * instead of falling back to a filtered brute-force join. The filter
     * runs IN-graph (rejected nodes stay stepping stones — the HNSW
     * in-filtering rule), so callers with a sketch-backed filter (Bloom)
-    * post-verify matches exactly, as AnnSearch's hydration does. */
+    * post-verify matches exactly, as AnnSearch's hydration does.
+    * Measured guidance (ScaleJoin filtered, SCALE.md round 14): recall
+    * at pruned probes DEGRADES as the filter sharpens (a sparse accept
+    * set starves the beam — 0.96 at 1/2 selectivity vs 0.83 at 1/100,
+    * p=8/64 at 200k), and below the point where the accepted slice is
+    * small enough to scan, a brute-force join over the slice wins
+    * outright — sharp filters should scan the slice (the engine's
+    * single-query ≤4096 cutover does) or search exhaustively; this arm
+    * is for BROAD filters over corpora whose slice is itself too large
+    * to scan per query batch. */
   def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
       probes: Int, filter: IdFilter = null): DataFrame = {
 

@@ -542,10 +542,14 @@ object DslParser extends RegexParsers {
     // artifacts. RECALL names the probe knob by what it buys: the
     // statement calibrates once (or loads a persisted curve) and picks
     // the cheapest probes whose MEASURED recall@k meets r.
+    // optional SQ8 keyword: int8 node storage in the shard graphs, the
+    // exact-rescored serving path (RoutedHNSWConfig storage analog)
     val routed = kw("routed") ~> (kw("shards") ~> nonZero) ~
-      probeOrRecall ~ opt(usingIndex) ^^ {
-        case s ~ Left(p) ~ d => Command.TopKMode.Routed(s, Some(p), None, d)
-        case s ~ Right(r) ~ d => Command.TopKMode.Routed(s, None, Some(r), d) }
+      probeOrRecall ~ opt(kw("sq8")) ~ opt(usingIndex) ^^ {
+        case s ~ Left(p) ~ q ~ d =>
+          Command.TopKMode.Routed(s, Some(p), None, q.isDefined, d)
+        case s ~ Right(r) ~ q ~ d =>
+          Command.TopKMode.Routed(s, None, Some(r), q.isDefined, d) }
     ivfPq | ivf | pq | quant | routed
   }
   private val extTopK: Parser[Command] =

@@ -314,13 +314,24 @@ object Pipeline {
             metric = graft.types.Algorithm.CosineSimilarity)
           Response.Entries(ivf.pqTopKJoin(t(qv), qi, qc, k, probe,
             shortlist, cb))
-        case Command.TopKMode.Routed(shards, probe, recall, indexDir) =>
+        case Command.TopKMode.Routed(shards, probe, recall, sq8, indexDir) =>
           // without USING INDEX: per-statement build like the IVF arm
           // (reference cosine build params). With it: load-or-build-and-
           // save against the pinned artifact dir — a scripted pipeline
           // pays the Lloyd + graph builds once across invocations; the
           // caller owns the dir's freshness (Pipeline.TopKIndexStamp).
-          // probe >= shards is the exhaustive all-shard merge.
+          // probe >= shards is the exhaustive all-shard merge. SQ8 builds
+          // the quantized index (storage is artifact identity — a pinned
+          // dir never crosses storages) and serves through the
+          // exact-rescored join; RECALL then calibrates through that same
+          // path against the exact corpus — and a 1.0 target is refused,
+          // exactly like the IVF QUANTIZED arm (the rescore shortlist is
+          // approximate at every probe count).
+          if (sq8 && recall.exists(_ >= 1.0))
+            throw graft.types.GraftException(
+              "RECALL 1.0 cannot be certified through the SQ8 arm (the " +
+                "rescore shortlist is approximate at every probe count) " +
+                "— use PROBE, or drop SQ8")
           val corpus = t(cv).select(
             col(ci).cast("long").as("id"),
             col(cc).cast("array<float>").as("key"))
@@ -334,9 +345,11 @@ object Pipeline {
               metric = graft.types.Algorithm.CosineSimilarity)
             val idx = indexDir match {
               case Some(dir) => graft.ann.RoutedAnnIndex.buildOrLoad(
-                corpus, dim, cfg, shards, dir, TopKIndexStamp)
+                corpus, dim, cfg, shards, dir, TopKIndexStamp,
+                quantized = sq8)
               case None =>
-                graft.ann.RoutedAnnIndex.build(corpus, dim, cfg, shards)
+                graft.ann.RoutedAnnIndex.build(corpus, dim, cfg, shards,
+                  quantized = sq8)
             }
             val probes = (probe, recall) match {
               case (Some(p), _) => p
@@ -344,7 +357,8 @@ object Pipeline {
                 recallProbes[graft.ann.RoutedAnnIndex](idx, r, k,
                   i => (i.recallCurve.nonEmpty, i.recallK),
                   i => i.calibrate(k = k,
-                    queries = Some(t(qv).select(col(qc).as("qv")))),
+                    queries = Some(t(qv).select(col(qc).as("qv"))),
+                    exact = if (sq8) Some(corpus) else None),
                   c => indexDir.foreach { dir =>
                     try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
                       touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
@@ -355,7 +369,9 @@ object Pipeline {
                   (i, tgt) => i.probesFor(tgt))
               case (None, None) => shards // unreachable by grammar: exhaustive
             }
-            Response.Entries(idx.topKJoin(t(qv), qi, qc, k, probes))
+            Response.Entries(
+              if (sq8) idx.topKJoinRescored(t(qv), qi, qc, k, probes, corpus)
+              else idx.topKJoin(t(qv), qi, qc, k, probes))
           }
         case Command.TopKMode.Ivf(cells, probe, recall, quantized, indexDir) =>
           // cosine metric to match the exact arm's ranking contract; the

@@ -4073,6 +4073,34 @@ object Queries {
         |SELECT qid, cid FROM ranked WHERE rk <= 3
         |ORDER BY qid, cid""".stripMargin)),
 
+    // ---- SQ8 routed batch join (round 14): the quantized graphs rank a
+    // (k + RescoreSlack)-deep candidate cut, the exact float vectors
+    // re-attach from the corpus frame for the rescore
+    // (RoutedAnnIndex.topKJoinRescored — the served path, the one the
+    // quantized calibration measures), and at exhaustive probes the
+    // result equals the brute-force oracle. DSL twin:
+    // `TOPK … ROUTED SHARDS s PROBE p SQ8` (DslSpec). ----
+    "embed_topk_join_routed_sq8" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val idx = TestStores.routedSq8Index(s, dir) // shared stamped artifact
+        idx.topKJoinRescored(
+            e.where(col("vec_id") < 20)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 3, probes = idx.numShards,
+            exact = TestStores.embKeyed(s, dir))
+          .select("qid", "cid").orderBy("qid", "cid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 3
+        |ORDER BY qid, cid""".stripMargin)),
+
     // ---- FILTERED routed batch join (round 14): the accept filter —
     // here a Bloom sketch of a label-predicate slice, the AnnSearch arm's
     // sketch — threads INTO each shard's graph search (in-filtering:

@@ -272,6 +272,27 @@ object TestStores {
       idx
     })
 
+  private val routedSq8Indexes = TrieMap[String, graft.ann.RoutedAnnIndex]()
+
+  /** Shared SQ8-quantized routed index over embeddings (round 14) — the
+    * [[routedIndex]] fixture's quantized twin, own artifact dir (storage
+    * is artifact identity, the dirs never cross). Beam covers every
+    * shard, so the rescored join at exhaustive probes is the exact-set
+    * oracle precondition, same as the float fixture. */
+  def routedSq8Index(spark: SparkSession, sfDir: String): graft.ann.RoutedAnnIndex =
+    routedSq8Indexes.getOrElseUpdate(sfDir, {
+      val keyed = embKeyed(spark, sfDir)
+      val ef = math.max(128L, keyed.count()).toInt
+      graft.ann.RoutedAnnIndex.buildOrLoad(keyed, 64,
+        graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = ef,
+          metric = graft.types.Algorithm.CosineSimilarity),
+        numShards = 8, dir = artifactDir("routed-sq8", sfDir),
+        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2,
+        quantized = true)
+    })
+
   private val pqBooks = TrieMap[String, graft.ann.PqCodebook]()
 
   /** Shared PQ codebook (m = 8, ksub = 64, iters = 2 — the config both

@@ -537,7 +537,16 @@ object StreamingIngest {
     * ([[streamingRoutedAppend]]): `current` is always a complete,
     * searchable index (readers never see a half-applied batch — each
     * micro-batch's append materializes before the reference swings), and
-    * the maintenance counters say which LSM tier each batch took. */
+    * the maintenance counters say which LSM tier each batch took.
+    *
+    * SQ8 handles (a quantized initial index): appends/compactions/
+    * deletes carry codes losslessly ([[graft.ann.VecPayload]]), but a
+    * RECLUSTER here extracts via [[graft.ann.RoutedAnnIndex.rows]] —
+    * dequantized floats — and re-encodes, costing ≤ one quantization
+    * step per recluster (reclusters are drift-guard-rare by design).
+    * A pipeline that must recluster losslessly keeps the exact vectors
+    * in a table and rebuilds from it, as the ENGINE's routed maintenance
+    * does (its recluster reads the store frame, never the index). */
   final class StreamingRoutedIndex(initial: graft.ann.RoutedAnnIndex) {
     @volatile private var idx: graft.ann.RoutedAnnIndex = initial
     @volatile private var nReclusters: Long = 0L

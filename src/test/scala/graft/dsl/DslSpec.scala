@@ -954,6 +954,23 @@ class DslSpec extends AnyFunSuite {
     }
     assert(routedRanked == ranked(0), "ROUTED arm diverged at exhaustive probes")
 
+    // SQ8 arm: quantized graphs + exact rescore — at exhaustive probes
+    // with the slack window covering this corpus, identical to the exact
+    // arm; RECALL 1.0 through it is refused (approximate shortlist)
+    val sq8Res = Pipeline.runExt(spark,
+      """TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 PROBE 2 SQ8;
+        |TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 RECALL 1.0 SQ8""".stripMargin)
+    val sq8Ranked = sq8Res.head match {
+      case Right(Response.Entries(d)) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3).toSeq
+      case other => fail(s"sq8 routed arm: $other")
+    }
+    assert(sq8Ranked == ranked(0), "SQ8 ROUTED arm diverged at exhaustive probes")
+    sq8Res(1) match {
+      case Left(msg) => assert(msg.contains("RECALL 1.0"), msg)
+      case other => fail(s"RECALL 1.0 SQ8 must be refused, got $other")
+    }
+
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
       (1L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
@@ -1303,7 +1320,7 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 PROBE 2 USING INDEX '/tmp/x'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(2, Some(2), None, Some("/tmp/x")))))
+        Command.TopKMode.Routed(2, Some(2), None, sq8 = false, Some("/tmp/x")))))
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 USING INDEX '/tmp/y'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
@@ -1362,11 +1379,11 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 RECALL 0.9 USING INDEX '/tmp/x'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(2, None, Some(0.9), Some("/tmp/x")))))
+        Command.TopKMode.Routed(2, None, Some(0.9), sq8 = false, Some("/tmp/x")))))
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 RECALL 1.0") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(4, None, Some(1.0), None))))
+        Command.TopKMode.Routed(4, None, Some(1.0), sq8 = false, None))))
     // the IVF arm takes the same contract
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 RECALL 0.9") ==
