@@ -68,6 +68,7 @@ final class PatchedShard(val base: AnnShard, extraIds: Array[Long],
   def extraRows: Int = extraIds.length
   def extraEntries: Iterator[(Long, Array[Float])] =
     extraIds.iterator.zip(extraVecs.iterator)
+  def extraIdsIterator: Iterator[Long] = extraIds.iterator
   def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)] = {
     val fromBase = base.topK(q, k, accept)
     val fromExtra = scala.collection.mutable.ArrayBuffer[(Long, Double)]()

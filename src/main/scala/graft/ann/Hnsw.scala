@@ -68,6 +68,12 @@ final class HnswIndex(
   def entriesPayload: Iterator[(Long, VecPayload)] =
     (0 until size).iterator.map(i => (ids(i), store.payload(i)))
 
+  /** Stored content ids only — membership scans (e.g. the delete tier's
+    * which-shards-hold-victims pass) must not pay a per-row vector
+    * export (under SQ8 that is a dequantize + allocation per row). */
+  def idsIterator: Iterator[Long] =
+    (0 until size).iterator.map(ids(_))
+
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -185,15 +185,13 @@ final class RoutedAnnIndex(
       .partitionBy(new RoutedAnnIndex.ShardPartitioner(numShards))
       .mapPartitions(it => Iterator.single(it.map(_._2).toArray),
         preservesPartitioning = true)
-    val ts = tombstones
-    val f = filter // serializable; ships once per task like the tombstones
+    // acceptOf closes over the tombstone array + filter only (both
+    // serializable), so the composed function ships once per task —
+    // ONE composition site with the single-query path
+    val accept = acceptOf(filter)
     val hits = shards.zipPartitions(byShard, preservesPartitioning = false) {
       (sIt, qIt) =>
         val qs = qIt.next()
-        val accept: Long => Boolean =
-          if (ts.isEmpty) { if (f == null) null else f.accept _ }
-          else if (f == null) (id: Long) => Arrays.binarySearch(ts, id) < 0
-          else (id: Long) => Arrays.binarySearch(ts, id) < 0 && f.accept(id)
         sIt.toSeq.headOption match {
           case None => Iterator.empty
           case Some(shard) => qs.iterator.flatMap { case (qid, v) =>
@@ -248,10 +246,15 @@ final class RoutedAnnIndex(
         col(qVec).cast("array<float>").as("qv"))
       .groupBy("qid").agg(min(col("qv")).as("qv"))
     val metric = config.metric
+    // no broadcast HINT on the query side: calibration passes ~100 rows
+    // (AQE broadcasts those on its own) but a production batch join can
+    // carry millions of query vectors — a forced broadcast would be the
+    // scale hazard this arm exists to avoid; the join keys on qid, so
+    // the shuffle is shortlist-bounded on the left and |q| on the right
     val scored = short
       .join(exact.select(col("id").cast("long").as("cid"),
         col("key").cast("array<float>").as("cv")), "cid")
-      .join(broadcast(q), "qid")
+      .join(q, "qid")
       .select(col("qid"), col("cid"),
         Similarity.closeness(metric, col("cv"), col("qv")).as("_c"))
     val top = BoundedTopK.topK(scored, "qid", "cid", "_c", k)
@@ -301,7 +304,13 @@ final class RoutedAnnIndex(
       driftLimit: Double = RoutedAnnIndex.DefaultDriftLimit,
       patchLimit: Double = RoutedAnnIndex.DefaultPatchLimit): Option[Maintained] = {
     import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
+    // one row per id: a duplicated id in the batch would store twice in
+    // an overlay tail (wasteful; the merges dedupe) but once in a
+    // fresh-shard graph rebuild (insertPayload skips dupes), so the
+    // carried storedRows could diverge from the physical count — dedup
+    // up front and both branches agree with +nNew (review round 14)
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
+      .dropDuplicates("id")
     val dists = ColumnBridge.column(CentroidDists(
       ColumnBridge.expression(col("key")), centroids.flatten, numShards))
     // one pass: per-row (nearest shard, min distance); agg gives the
@@ -460,8 +469,10 @@ final class RoutedAnnIndex(
     // and how many overlay-tail rows each carries (for patchedRows)
     val affected: Map[Int, Long] = shards.mapPartitionsWithIndex { (i, it) =>
       it.flatMap { s =>
-        if (RoutedAnnIndex.rowsOf(s).exists(r =>
-            Arrays.binarySearch(ts, r._1) >= 0))
+        // ids-only membership scan: the float export would dequantize +
+        // allocate a vector per row on SQ8 shards just to read the id
+        if (RoutedAnnIndex.idsOf(s).exists(id =>
+            Arrays.binarySearch(ts, id) >= 0))
           Iterator((i, RoutedAnnIndex.tailRowsOf(s)))
         else Iterator.empty
       }
@@ -634,9 +645,15 @@ final class RoutedAnnIndex(
         "pass exact = Some((id, key) frame); dequantized self-truth would " +
         "hide the quantization error the curve exists to measure")
     val spark = org.apache.spark.sql.SparkSession.active
-    val live = exact match {
+    // pin the exact frame ONCE: the ground-truth pass reads it and the
+    // rescored join re-reads it per ladder point — without the cache a
+    // quantized calibration re-scans an uncached corpus view ~|ladder|
+    // times (review round 14)
+    val exactCached = exact.map(_.select(col("id").cast("long").as("id"),
+        col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val live = exactCached match {
       case Some(df) => df
-        .select(col("id").cast("long"), col("key").cast("array<float>"))
         .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None =>
@@ -698,7 +715,8 @@ final class RoutedAnnIndex(
         // A quantized index measures THROUGH the exact-rescored join —
         // the path serving rides — never the raw quantized ranking
         val served =
-          if (quantized) topKJoinRescored(qdf, "qid", "qv", k + 1, p, exact.get)
+          if (quantized)
+            topKJoinRescored(qdf, "qid", "qv", k + 1, p, exactCached.get)
           else topKJoin(qdf, "qid", "qv", k + 1, p)
         val got = Calibration.rankedSets(
           served.select("qid", "cid", "rank").collect(), k, ownIds)
@@ -715,7 +733,10 @@ final class RoutedAnnIndex(
       new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
         maxReplicas, meanAssignDist, patchedRows, tombstones, storedRows,
         curve, k, quantized)
-    } finally live.unpersist(blocking = false)
+    } finally {
+      live.unpersist(blocking = false)
+      exactCached.foreach(_.unpersist(blocking = false))
+    }
   }
 }
 
@@ -804,6 +825,15 @@ object RoutedAnnIndex {
     case h: HnswShard => h.index.entriesPayload
     case p: PatchedShard => payloadsOf(p.base) ++
       p.extraEntries.map { case (id, v) => (id, VecPayload.F32(v)) }
+    case other => throw new IllegalStateException(
+      s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
+  }
+
+  /** Stored content ids of a routed shard — graphs and tails, no vector
+    * materialization (the membership-scan currency). */
+  private[ann] def idsOf(s: AnnShard): Iterator[Long] = s match {
+    case h: HnswShard => h.index.idsIterator
+    case p: PatchedShard => idsOf(p.base) ++ p.extraIdsIterator
     case other => throw new IllegalStateException(
       s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
   }

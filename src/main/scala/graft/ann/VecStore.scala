@@ -102,7 +102,6 @@ private[ann] final class Sq8VecStore(metric: Algorithm) extends VecStore {
     if (v.length == 0) { mn = 0.0; mx = 0.0 }
     val c = new Array[Byte](v.length)
     if (mx != mn) {
-      val f = 255.0 / (mx - mn)
       i = 0
       while (i < v.length) {
         // (x − mn) · 255 / (mx − mn) with the multiply-last order of

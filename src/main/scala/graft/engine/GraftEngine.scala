@@ -1002,6 +1002,16 @@ class GraftEngine(val spark: SparkSession,
           if r.storage != "f32" && r.storage != "sq8" =>
         throw GraftException(
           s"Unknown hnsw_routed storage '${r.storage}' (expected f32 or sq8)")
+      // a 1.0 target is CERTIFICATION (always-exhaustive search) and the
+      // sq8 beam is approximate at every probe count — refusing here
+      // mirrors the DSL TOPK arm's rule, instead of silently serving
+      // curve-top recall under a promise the path cannot keep
+      case r: NonLinearConfig.RoutedHNSWConfig
+          if r.storage == "sq8" && r.recallTarget.exists(_ >= 1.0) =>
+        throw GraftException(
+          "recall target 1.0 cannot be certified under sq8 storage (the " +
+            "rescore shortlist is approximate at every probe count) — " +
+            "use a sub-1.0 target, raw probes, or f32 storage")
       case _ => ()
     }
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))

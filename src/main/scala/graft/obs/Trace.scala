@@ -179,13 +179,25 @@ object Trace {
   private val fixtureNs = new ThreadLocal[Long] {
     override def initialValue(): Long = 0L
   }
+  private val fixtureDepth = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
 
   /** Wrap a fixture phase (store population, stream scaffolding, input
-    * collection) of a bench query body. Nested calls just add. */
+    * collection) of a bench query body. Only the OUTERMOST block
+    * accumulates — a nested call's wall is already inside the outer
+    * block's, and adding both would double-count it (the exercise
+    * component could even read negative). */
   def fixture[T](f: => T): T = {
+    val outermost = fixtureDepth.get() == 0
+    fixtureDepth.set(fixtureDepth.get() + 1)
     val t0 = System.nanoTime()
     try f
-    finally fixtureNs.set(fixtureNs.get() + (System.nanoTime() - t0))
+    finally {
+      fixtureDepth.set(fixtureDepth.get() - 1)
+      if (outermost)
+        fixtureNs.set(fixtureNs.get() + (System.nanoTime() - t0))
+    }
   }
 
   /** Read-and-reset this thread's accumulated fixture nanoseconds (the
