@@ -37,6 +37,14 @@ object ScaleQuant {
   private val Dim = 64
   private val Shards = 64
 
+  /** RESIDENT bytes of a live routed index's shard structures — JVM heap
+    * footprint via Spark's SizeEstimator, one tiny job (the serialized
+    * artifact bytes in the main table are the durable twin; this is the
+    * executor-memory number the 100 TB sizing actually uses). */
+  private def residentBytes(idx: graft.ann.RoutedAnnIndex): Long =
+    idx.shards.map(s => org.apache.spark.util.SizeEstimator.estimate(s))
+      .sum().toLong
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,6 +97,11 @@ object ScaleQuant {
     }
     val bf = artifactBytes(f32, "f32")
     val bq = artifactBytes(sq8, "sq8")
+    val rf = residentBytes(f32)
+    val rq = residentBytes(sq8)
+    println(f"resident bytes (SizeEstimator): f32 ${rf / 1e6}%.1f MB " +
+      f"(${rf.toDouble / n}%.1f B/row) vs sq8 ${rq / 1e6}%.1f MB " +
+      f"(${rq.toDouble / n}%.1f B/row) — ${rf.toDouble / rq}%.2fx")
     println(f"artifact bytes: f32 ${bf / 1e6}%.1f MB (${bf.toDouble / n}%.1f B/row) " +
       f"vs sq8 ${bq / 1e6}%.1f MB (${bq.toDouble / n}%.1f B/row) — " +
       f"${bf.toDouble / bq}%.2fx smaller; raw vector payload alone: " +
@@ -189,6 +202,10 @@ object ScaleQuant {
     println(f"768-d artifact bytes: f32 ${b2f / 1e6}%.1f MB " +
       f"(${b2f.toDouble / n2}%.1f B/row) vs sq8 ${b2q / 1e6}%.1f MB " +
       f"(${b2q.toDouble / n2}%.1f B/row) — ${b2f.toDouble / b2q}%.2fx smaller")
+    val r2f = residentBytes(f2)
+    val r2q = residentBytes(q2)
+    println(f"768-d resident bytes (SizeEstimator): f32 ${r2f.toDouble / n2}%.1f " +
+      f"B/row vs sq8 ${r2q.toDouble / n2}%.1f B/row — ${r2f.toDouble / r2q}%.2fx")
     val qs2 = (0 until 30).map(i => gen2(20000000L + i))
     val qdf2 = qs2.zipWithIndex
       .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")

@@ -417,6 +417,25 @@ object AnnSearch {
     * (hnsw/index.rs:24,233-235). */
   val BruteForceCutover = 4096L
 
+  /** Probe count for one routed GetSimN — the recallTarget serving rule
+    * as a pure, directly-testable function (AnnSearchSpec pins it):
+    * no target → the raw `probes` knob; a target serves off the
+    * calibrated curve ONLY on its measured operating point — an
+    * unfiltered request with n ≤ recallK — and widens to EXHAUSTIVE for
+    * n > recallK (recall@n falls with n at fixed probes) or any
+    * predicate filter (the curve is measured unfiltered, and a sparse
+    * accept set starves the beam — the measured ScaleJoin selectivity
+    * degradation). Uncalibrated or 1.0 targets are exhaustive inside
+    * [[RoutedAnnIndex.probesFor]] already. */
+  private[graft] def effectiveProbes(cfg: NonLinearConfig.RoutedHNSWConfig,
+      idx: RoutedAnnIndex, n: Int, filtered: Boolean): Int =
+    cfg.recallTarget match {
+      case None => cfg.probes
+      case Some(t) =>
+        if (filtered || (idx.recallK > 0 && n > idx.recallK)) idx.numShards
+        else idx.probesFor(t)
+    }
+
   /** Extra per-shard candidates fetched when filtering through a Bloom
     * sketch, so a false positive can't displace a true top-n hit. */
   val FalsePositiveSlack = 32
@@ -469,16 +488,9 @@ object AnnSearch {
         // inside the slack window never displaces a true top-n hit)
         val slack =
           if (cfg.storage == "sq8") RoutedAnnIndex.RescoreSlack else 0
-        ((q2, k2, f) => {
-          val probes = cfg.recallTarget match {
-            case None => cfg.probes
-            case Some(t) =>
-              if (f != null || (idx.recallK > 0 && k2 > idx.recallK))
-                idx.numShards
-              else idx.probesFor(t)
-          }
-          idx.search(q2, k2 + slack, probes, f)
-        }, cfg.hnsw.metric)
+        ((q2, k2, f) => idx.search(q2, k2 + slack,
+          effectiveProbes(cfg, idx, k2, filtered = f != null), f),
+          cfg.hnsw.metric)
       } else {
         val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
           throw GraftException(s"Non linear algorithm index $kind not found in store, create one"))
