@@ -337,6 +337,40 @@ class RoutedEngineSpec extends AnyFunSuite {
     e.dropStore("rd")
   }
 
+  test("DSL: hnsw_routed(8, 8, sq8) and hnsw_routed(8, recall=0.9, sq8) parse to quantized configs") {
+    val e = new GraftEngine(spark)
+    e.createStore("rdq", Dim)
+    e.setSeq("rdq", vecs(7L, 64).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    val res = graft.dsl.Pipeline.runDb(e,
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, 8, sq8)) IN rdq")
+    assert(res.forall(_.isRight), s"DSL sq8 create failed: $res")
+    assert(e.ensureRoutedIndex("rdq").get._1.quantized,
+      "sq8 keyword must build a quantized index")
+    assert(e.getStore("rdq").nonLinearConfigs.exists(_.contains("storage=sq8")))
+    assert(e.getSimN("rdq", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e.dropStore("rdq")
+    // recall form with sq8 parses too — and a 1.0 target under sq8 is
+    // refused at create (the engine-side certification rule)
+    val parsed = graft.dsl.DslParser.parseDb(
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=0.9, sq8)) IN x")
+    parsed.head match {
+      case graft.dsl.Command.CreateNonLinearAlgorithmIndex(_, cfgs, _) =>
+        val r = cfgs.collectFirst {
+          case c: NonLinearConfig.RoutedHNSWConfig => c }.get
+        assert(r.storage == "sq8" && r.recallTarget.contains(0.9),
+          s"recall+sq8 mis-parsed: $r")
+      case other => fail(s"unexpected parse: $other")
+    }
+    e.createStore("rdq2", Dim)
+    e.setSeq("rdq2", vecs(9L, 8).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    val bad = graft.dsl.Pipeline.runDb(e,
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=1.0, sq8)) IN rdq2")
+    assert(bad.exists(_.isLeft), s"recall=1.0 + sq8 must be refused: $bad")
+    e.dropStore("rdq2")
+  }
+
   test("recall-targeted routed index: engine calibrates at build; GetSimN reads probes off the curve") {
     // recall=1.0 is the CERTIFICATION target: probesFor always answers
     // exhaustive (a sample can't certify perfection), so with the wide
