@@ -268,6 +268,49 @@ object Bench {
     * Output: one `"metric":"ab"` JSON line with per-query
     * {a, b, ratio = a/b} (ratio > 1 ⇒ this binary is slower), written to
     * SPARK_GRAFT_BENCH_OUT (default BENCH_AB.json). */
+  /** AUTO panel selection (round 15, closing the fixed-panel seam: the
+    * round-14 A/B's 15 fixed queries missed all three of that round's
+    * >1.5× driver movers, leaving them formally unattributed). With
+    * `SPARK_GRAFT_BENCH_AB_BASELINE=<previous round's BENCH_LAST.json>`
+    * set (and no explicit BENCH_ONLY), the panel becomes: the CURRENT
+    * run's most-regressed dozen vs that baseline (by median ratio, among
+    * queries ≥ 0.5 s — below that, ratios are noise) ∪ the routed/mutation
+    * family (the standing attribution anchor). Current-run medians come
+    * from `SPARK_GRAFT_BENCH_AB_CURRENT` (default BENCH_LAST.json — run
+    * the full bench first). */
+  private def autoPanel(names: Seq[String]): Option[Seq[String]] = {
+    val basePath = sys.env.get("SPARK_GRAFT_BENCH_AB_BASELINE")
+      .map(_.trim).filter(_.nonEmpty)
+    if (basePath.isEmpty) return None
+    val curPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_AB_CURRENT", "BENCH_LAST.json")
+    def qmap(p: String): Map[String, Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        (JsonMethods.parse(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p))) \ "queries") match {
+          case JObject(fs) => fs.map { case (k, v) =>
+            k -> v.asInstanceOf[JValue].values.toString.toDouble }.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench-ab: could not read bench json $p: $e")
+        Map.empty
+      }
+    val base = qmap(basePath.get)
+    val cur = qmap(curPath)
+    if (base.isEmpty || cur.isEmpty) return None
+    val regressed = names
+      .filter(n => cur.getOrElse(n, -1.0) >= 0.5 && base.getOrElse(n, -1.0) > 0)
+      .sortBy(n => -(cur(n) / base(n)))
+      .take(12)
+    val routed = names.filter(_.contains("routed"))
+    val panel = (regressed ++ routed).distinct.sorted
+    System.err.println("bench-ab: AUTO panel = top-regressed dozen vs " +
+      s"${basePath.get} + routed family: " + panel.mkString(", "))
+    Some(panel)
+  }
+
   private def abOrchestrate(sfDir: String, runs: Int, abClasses: String): Unit = {
     import scala.jdk.CollectionConverters._
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -275,7 +318,10 @@ object Bench {
       .filter(_.nonEmpty)
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
-    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    val names =
+      if (only.isDefined) allNames
+      else autoPanel(allNames).getOrElse(allNames)
     val cpA = System.getProperty("java.class.path")
     val sep = java.io.File.pathSeparator
     // the repo's code travels either as .../target/scala-2.13/classes
@@ -360,7 +406,11 @@ object Bench {
       System.err.println("bench-ab: WARNING — both arms report the SAME " +
         s"binary stamp (${bin("a")}); the comparison below is a-vs-a noise, " +
         "not an A/B")
-    val line = s"""{"metric":"ab","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"interleaved-ab","armABinary":"${bin("a")}","armBBinary":"${bin("b")}","armB":"$abClasses","queries":$perQuery,"failed":$failed,"value":$totalA}"""
+    val panelKind =
+      if (only.isDefined) "explicit"
+      else if (names.length != allNames.length) "auto-regressed+routed"
+      else "all"
+    val line = s"""{"metric":"ab","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"interleaved-ab","panel":"$panelKind","armABinary":"${bin("a")}","armBBinary":"${bin("b")}","armB":"$abClasses","queries":$perQuery,"failed":$failed,"value":$totalA}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_AB.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

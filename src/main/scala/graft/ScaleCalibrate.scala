@@ -31,8 +31,8 @@ object ScaleCalibrate {
   private val Shards = 64
 
   def main(args: Array[String]): Unit = {
-    val mixed = args.headOption.contains("mixed")
-    val n = (if (mixed) args.drop(1) else args).headOption
+    val mode = args.headOption.filter(Set("mixed", "kladder")).getOrElse("")
+    val n = (if (mode.nonEmpty) args.drop(1) else args).headOption
       .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -42,7 +42,8 @@ object ScaleCalibrate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (mixed) { mixedHistory(spark, n); spark.stop(); return }
+    if (mode == "mixed") { mixedHistory(spark, n); spark.stop(); return }
+    if (mode == "kladder") { kLadder(spark, n); spark.stop(); return }
     import spark.implicits._
 
     val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
@@ -185,6 +186,79 @@ object ScaleCalibrate {
     * produced the drift and tombstone guards).
     *
     * Usage: runMain graft.ScaleCalibrate mixed [nCorpus] */
+  /** SERVING-K LADDER (round-15 ask #2): one calibrateKs({10, 50}) run —
+    * shared ground-truth pass, one real batch join per (ladder point, k)
+    * — prints the two curves side by side (the k-MONOTONICITY table the
+    * probesForN covering rule rests on: at fixed probes recall@50 ≤
+    * recall@10), then the deployment question: an n=50 recall-targeted
+    * search under the OLD single-k=10 rule paid EXHAUSTIVE probes; under
+    * the ladder it serves probesForN(target, 50) — measure external
+    * Recall@50 there and the probe saving. Usage:
+    * runMain graft.ScaleCalibrate kladder [nCorpus] */
+  private def kLadder(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    val corpus = spark.range(n).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${corpus.count()} x $Dim (organic SIFT-shaped)")
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $s%.1f s")
+      (r, s)
+    }
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val (index, _) = timed(s"routed build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    }
+    val (single, wSingle) = timed("calibrate k=10 only (the r14 baseline)") {
+      index.calibrate(nQueries = NQueries, k = 10, seed = 99L)
+    }
+    val (cal, wLadder) = timed("calibrateKs {10, 50} (shared truth pass)") {
+      index.calibrateKs(nQueries = NQueries, ks = Seq(10, 50), seed = 99L)
+    }
+    println(f"ladder cost: $wLadder%.1f s vs single-k $wSingle%.1f s " +
+      f"(${wLadder / wSingle}%.2fx for 2 ks)")
+    val c10 = cal.recallCurves.find(_._1 == 10).get._2
+    val c50 = cal.recallCurves.find(_._1 == 50).get._2.map(p => p._1 -> p._2).toMap
+    println("| probes | recall@10 | recall@50 | @50 − @10 |")
+    println("|---|---|---|---|")
+    c10.foreach { case (p, r10, _) =>
+      val r50 = c50(p)
+      println(f"| $p%d / $Shards%d | $r10%.4f | $r50%.4f | ${r50 - r10}%+.4f |")
+    }
+    // the deployment delta: external Recall@50 at the ladder-served
+    // pruned point vs the old rule's exhaustive fallback
+    val queries = (0 until NQueries).map(i => gen(10000000L + i))
+    val qdf = queries.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val gt = graft.dedup.Dedup.topKJoin(qdf, corpus, "qid", "qv", "id", "key", K)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def externalRecall(probes: Int): Double = {
+      val per = queries.zipWithIndex.map { case (v, i) =>
+        val got = cal.search(v, K, probes).map(_._1).toSet
+        (gt(i.toLong) & got).size.toDouble / gt(i.toLong).size
+      }
+      per.sum / per.length
+    }
+    println("| target | old rule (k=10 curve only, n=50) | ladder probesForN(t, 50) | external Recall@50 there | met? |")
+    println("|---|---|---|---|---|")
+    for (target <- Seq(0.80, 0.90, 0.95)) {
+      val oldP = if (single.maxRecallK < 50) Shards else single.probesForN(target, 50)
+      val p = cal.probesForN(target, 50)
+      val ext = externalRecall(p)
+      println(f"| $target%.2f | $oldP%d / $Shards%d | $p%d / $Shards%d | $ext%.4f | " +
+        (if (ext >= target) "met" else f"MISSED by ${target - ext}%.4f") + " |")
+    }
+    index.unpersist(); corpus.unpersist()
+  }
+
   private def mixedHistory(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
     val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)

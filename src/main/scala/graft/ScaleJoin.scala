@@ -153,6 +153,12 @@ object ScaleJoin {
     * control shrinks with f — the crossover (very selective filters
     * favor scanning the tiny slice) is exactly AnnSearch's ≤4096
     * brute-force cutover, which the engine already takes driver-side.
+    * Round 15 adds the AUTO arm: the same pruned-probe request with the
+    * filter's cardinality attached ([[graft.ann.IdFilter.Bloom]]
+    * `expected`) — sharp slices cut over to the exact in-shard slice
+    * scan ([[graft.ann.RoutedAnnIndex.FilteredScanFraction]]), broad
+    * ones honor the caller's probes; the table shows the auto choice
+    * against both fixed arms at every selectivity.
     *
     * Usage: runMain graft.ScaleJoin filtered [nCorpus] */
   private def filteredJoin(spark: SparkSession, n: Long): Unit = {
@@ -191,9 +197,9 @@ object ScaleJoin {
       val cnt = accepted.count()
       val bloom = accepted.stat.bloomFilter("id", cnt, 0.001)
       val slack = graft.ann.AnnSearch.FalsePositiveSlack
-      def joinAt(probes: Int) = {
+      def joinAt(probes: Int, expected: Long = -1L) = {
         val joined = idx.topKJoin(queries, "qid", "qv", k + slack,
-          probes = probes, filter = graft.ann.IdFilter.Bloom(bloom))
+          probes = probes, filter = graft.ann.IdFilter.Bloom(bloom, expected))
         // exact post-verify + re-rank by the pre-verify order
         val v = joined
           .join(accepted.withColumnRenamed("id", "cid"), Seq("cid"), "left_semi")
@@ -206,6 +212,17 @@ object ScaleJoin {
       }
       val (verified8, wJoin8) = timed(f"filtered routed join p=8 (1/$den)") {
         joinAt(8)
+      }
+      // AUTO arm (round 15): same pruned-probes request, but the filter
+      // carries its known cardinality — sharp slices cut over to the
+      // exact slice scan (FilteredScanFraction), broad ones keep the
+      // caller's graph probes
+      val autoArm =
+        if (cnt <= graft.ann.RoutedAnnIndex.FilteredScanFraction *
+            idx.storedRows) "scan" else "graph"
+      val (verifiedAuto, wAuto) = timed(
+        f"AUTO routed join p=8 + cardinality (1/$den, arm=$autoArm)") {
+        joinAt(8, expected = cnt)
       }
       // exact filtered ground truth — and the brute-force CONTROL wall
       val slice = corpus.join(accepted.withColumnRenamed("id", "_a"),
@@ -226,13 +243,15 @@ object ScaleJoin {
         }.sum / nq
       }
       rows += f"| 1/$den (${cnt}%,d rows) | $wJoin%.1f s / ${recallOf(verified)}%.4f " +
-        f"| $wJoin8%.1f s / ${recallOf(verified8)}%.4f | $wBrute%.1f s |"
+        f"| $wJoin8%.1f s / ${recallOf(verified8)}%.4f " +
+        f"| $wAuto%.1f s / ${recallOf(verifiedAuto)}%.4f ($autoArm) " +
+        f"| $wBrute%.1f s |"
       println(rows.last)
       accepted.unpersist(blocking = false)
     }
     println()
-    println(s"| selectivity | routed p=$Shards (wall / recall@$k) | routed p=8 (wall / recall@$k) | brute-force filtered control |")
-    println("|---|---|---|---|")
+    println(s"| selectivity | routed p=$Shards (wall / recall@$k) | routed p=8 (wall / recall@$k) | AUTO p=8+cardinality (wall / recall@$k / arm) | brute-force filtered control |")
+    println("|---|---|---|---|---|")
     rows.foreach(println)
     idx.unpersist(); queries.unpersist(); corpus.unpersist()
   }

@@ -8,22 +8,31 @@ import org.apache.spark.sql.functions._
  * graphs used to hold full float32 vectors per node — at 100 TB the
  * vector payload, not the graph overhead the reference budgets
  * (~60-450 B/element, docs/specs/hnsw.md:117-127), is the memory wall.
- * `RoutedAnnIndex(quantized = true)` stores per-vector min/max int8
+ * `RoutedAnnIndex(storage = graft.ann.StorageSpec.Sq8)` stores per-vector min/max int8
  * codes (~1/4 the vector bytes), builds and traverses the graphs on the
  * codes, and restores exact final ranking by rescoring an over-fetched
  * candidate beam against exact floats (engine hydration /
  * topKJoinRescored).
  *
+ * Round 15 adds the THIRD storage tier: PQ codes
+ * (`StorageSpec.Pq(m, ksub)` — m bytes/node, Jégou et al. 2011) behind
+ * the same VecStore seam, measured beside f32 and SQ8 on every axis,
+ * plus the RESCORE-SLACK SENSITIVITY table: SQ8's range-bounded error
+ * hid inside slack=32, PQ's codebook-bounded error needs the wider
+ * default (NodeStorage.Pq.rescoreSlack) — the table is the measurement
+ * those constants cite.
+ *
  * This main measures, at the 200k × 64-shard scale point every routed
  * harness shares:
- *  - build wall f32 vs sq8;
- *  - serialized ARTIFACT bytes per row, both storages (the measurable
+ *  - build wall f32 vs sq8 vs pq (pq includes codebook training);
+ *  - serialized ARTIFACT bytes per row, all storages (the measurable
  *    twin of resident bytes: the shard .bins are java-serialized shard
  *    objects, so their size IS codes-vs-floats plus a shared graph term);
- *  - external-query Recall@50 at a probes ladder: f32, sq8 RAW
+ *  - external-query Recall@50 at a probes ladder: f32, sq8/pq RAW
  *    (quantized ranking, no rescore — the dishonest number a naive
- *    integration would report), sq8 + exact rescore (the served path);
- *  - single-query search wall at probes=8, both storages;
+ *    integration would report), sq8/pq + exact rescore (the served path);
+ *  - rescored Recall@50 vs the slack width, sq8 and pq (p=16);
+ *  - single-query search wall at probes=8, all storages;
  *  - calibrate THROUGH the quantized path (exact ground truth from the
  *    true corpus) vs the f32 curve — what the curve must price in.
  *
@@ -80,7 +89,14 @@ object ScaleQuant {
     }
     val (sq8, sq8Build) = timed(s"sq8 build ($Shards shards)") {
       graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
-        quantized = true)
+        storage = graft.ann.StorageSpec.Sq8)
+    }
+    // PQ arm (round 15): m=8 bytes/node at dim 64 — the byte-budget end;
+    // build includes the codebook training (deterministic Lloyd per
+    // subspace over the corpus)
+    val (pqi, pqBuild) = timed(s"pq(m=8,ksub=256) build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
+        storage = graft.ann.StorageSpec.Pq(8, 256))
     }
 
     // serialized artifact bytes: sum of the shard .bins (graph + node
@@ -97,17 +113,21 @@ object ScaleQuant {
     }
     val bf = artifactBytes(f32, "f32")
     val bq = artifactBytes(sq8, "sq8")
+    val bp = artifactBytes(pqi, "pq")
     val rf = residentBytes(f32)
     val rq = residentBytes(sq8)
+    val rp = residentBytes(pqi)
     println(f"resident bytes (SizeEstimator): f32 ${rf / 1e6}%.1f MB " +
       f"(${rf.toDouble / n}%.1f B/row) vs sq8 ${rq / 1e6}%.1f MB " +
-      f"(${rq.toDouble / n}%.1f B/row) — ${rf.toDouble / rq}%.2fx")
+      f"(${rq.toDouble / n}%.1f B/row, ${rf.toDouble / rq}%.2fx) vs pq " +
+      f"${rp / 1e6}%.1f MB (${rp.toDouble / n}%.1f B/row, " +
+      f"${rf.toDouble / rp}%.2fx)")
     println(f"artifact bytes: f32 ${bf / 1e6}%.1f MB (${bf.toDouble / n}%.1f B/row) " +
-      f"vs sq8 ${bq / 1e6}%.1f MB (${bq.toDouble / n}%.1f B/row) — " +
-      f"${bf.toDouble / bq}%.2fx smaller; raw vector payload alone: " +
-      f"${Dim * 4}%d B/row f32 vs ${Dim + 8}%d B/row sq8 " +
-      f"(${(Dim * 4.0) / (Dim + 8)}%.2fx; at 768 dims: ${768 * 4}%d vs " +
-      f"${768 + 8}%d = ${768 * 4.0 / (768 + 8)}%.2fx)")
+      f"vs sq8 ${bq / 1e6}%.1f MB (${bq.toDouble / n}%.1f B/row, " +
+      f"${bf.toDouble / bq}%.2fx) vs pq ${bp / 1e6}%.1f MB " +
+      f"(${bp.toDouble / n}%.1f B/row, ${bf.toDouble / bp}%.2fx); " +
+      f"raw vector payload alone: ${Dim * 4}%d B/row f32 vs ${Dim + 8}%d " +
+      f"sq8 vs ${8}%d pq (at 768 dims: ${768 * 4}%d vs ${768 + 8}%d vs 96)")
 
     // external queries + exact ground truth (independent code path)
     val queries = (0 until NQueries).map(i => gen(10000000L + i))
@@ -124,28 +144,48 @@ object ScaleQuant {
       }
       per.sum / per.length
     }
-    val slack = graft.ann.RoutedAnnIndex.RescoreSlack
+    // slackN < 0 = RAW stored-form ranking (no rescore); slackN >= 0 =
+    // exact rescore of a (K + slackN)-deep over-fetch — the engine
+    // hydration emulation
     def arm(idx: graft.ann.RoutedAnnIndex, probes: Int,
-        rescore: Boolean): Double = recallOf(
+        slackN: Int): Double = recallOf(
       queries.zipWithIndex.map { case (v, i) =>
-        val raw = idx.search(v, K + (if (rescore) slack else 0), probes)
+        val raw = idx.search(v, K + math.max(0, slackN), probes)
         val ids =
-          if (!rescore) raw.map(_._1)
+          if (slackN < 0) raw.map(_._1)
           else raw.map { case (id, _) =>
             (id, graft.functions.Similarity.jvm.cosine(v, gen(id)))
           }.sortBy { case (id, c) => (-c, id) }.map(_._1)
         i -> ids
       }.toMap)
+    val sq8Slack = graft.ann.NodeStorage.Sq8.rescoreSlack
+    val pqSlack = graft.ann.NodeStorage.Pq(
+      pqi.storage.asInstanceOf[graft.ann.NodeStorage.Pq].book).rescoreSlack
 
     println()
-    println("| probes | f32 Recall@50 | sq8 RAW | sq8 + exact rescore | rescored delta vs f32 |")
-    println("|---|---|---|---|---|")
+    println("| probes | f32 Recall@50 | sq8 RAW | sq8 + rescore | pq RAW | pq + rescore | pq rescored delta vs f32 |")
+    println("|---|---|---|---|---|---|---|")
     for (p <- Seq(4, 8, 16, Shards)) {
-      val rf = arm(f32, p, rescore = false)
-      val rq = arm(sq8, p, rescore = false)
-      val rr = arm(sq8, p, rescore = true)
-      println(f"| $p%d / $Shards%d | $rf%.4f | $rq%.4f | $rr%.4f | ${rr - rf}%+.4f |")
+      val rf = arm(f32, p, -1)
+      val rq = arm(sq8, p, -1)
+      val rr = arm(sq8, p, sq8Slack)
+      val rpRaw = arm(pqi, p, -1)
+      val rpRes = arm(pqi, p, pqSlack)
+      println(f"| $p%d / $Shards%d | $rf%.4f | $rq%.4f | $rr%.4f | " +
+        f"$rpRaw%.4f | $rpRes%.4f | ${rpRes - rf}%+.4f |")
     }
+
+    // RESCORE-SLACK SENSITIVITY (round-15 ask): SQ8's per-vector range
+    // error hid inside slack=32 — PQ's codebook-bounded error is larger,
+    // so the slack that was enough for SQ8 may not be for PQ. Measured
+    // at the serving-typical pruned point
+    println()
+    println("| rescore slack | sq8 Recall@50 (p=16) | pq Recall@50 (p=16) |")
+    println("|---|---|---|")
+    for (sl <- Seq(0, 8, 32, 128, 256)) {
+      println(f"| $sl%d | ${arm(sq8, 16, sl)}%.4f | ${arm(pqi, 16, sl)}%.4f |")
+    }
+    println(s"(defaults: sq8 = $sq8Slack, pq = $pqSlack)")
 
     // single-query wall at the operating probes (mean over the sample,
     // measured after one warmup pass)
@@ -157,8 +197,10 @@ object ScaleQuant {
     }
     val wf = searchWall(f32)
     val wq = searchWall(sq8)
+    val wp = searchWall(pqi)
     println(f"search wall probes=8: f32 ${wf * 1000}%.1f ms/query vs " +
-      f"sq8 ${wq * 1000}%.1f ms/query (${wq / wf}%.2fx)")
+      f"sq8 ${wq * 1000}%.1f ms/query (${wq / wf}%.2fx) vs " +
+      f"pq ${wp * 1000}%.1f ms/query (${wp / wf}%.2fx)")
 
     // calibration: the f32 curve vs the curve measured THROUGH the
     // quantized rescored path (exact ground truth from the true corpus)
@@ -169,16 +211,22 @@ object ScaleQuant {
       sq8.calibrate(nQueries = NQueries, k = K, seed = 99L,
         exact = Some(corpus))
     }
-    println(f"calibrate wall: f32 $calFWall%.1f s vs sq8 $calQWall%.1f s")
-    println("| probes | f32 curve | sq8 curve (served path) | delta |")
+    val (calP, calPWall) = timed("pq calibrate (exact corpus, rescored path)") {
+      pqi.calibrate(nQueries = NQueries, k = K, seed = 99L,
+        exact = Some(corpus))
+    }
+    println(f"calibrate wall: f32 $calFWall%.1f s vs sq8 $calQWall%.1f s " +
+      f"vs pq $calPWall%.1f s")
+    println("| probes | f32 curve | sq8 curve (served path) | pq curve (served path) |")
     println("|---|---|---|---|")
     val fByP = calF.recallCurve.map(c => c._1 -> c._2).toMap
+    val pByP = calP.recallCurve.map(c => c._1 -> c._2).toMap
     calQ.recallCurve.foreach { case (p, qr, _) =>
-      fByP.get(p).foreach(fr =>
-        println(f"| $p%d / $Shards%d | $fr%.4f | $qr%.4f | ${qr - fr}%+.4f |"))
+      for (fr <- fByP.get(p); pr <- pByP.get(p))
+        println(f"| $p%d / $Shards%d | $fr%.4f | $qr%.4f | $pr%.4f |")
     }
 
-    f32.unpersist(); sq8.unpersist()
+    f32.unpersist(); sq8.unpersist(); pqi.unpersist()
 
     // high-dim arm: 64 dims understates the lever (the graph term is
     // comparable to a 256 B payload); at 768 dims — the BGE/MiniLM-class
@@ -195,17 +243,28 @@ object ScaleQuant {
     }
     val (q2, q2Build) = timed("sq8 build (768-d)") {
       graft.ann.RoutedAnnIndex.build(corpus2, dim2, cfg, 16, iters = 2,
-        quantized = true)
+        storage = graft.ann.StorageSpec.Sq8)
+    }
+    // the PQ payoff point: 96 B/row of codes vs 3072 B of floats (32x on
+    // the payload term; bare "pq" resolves to m=96, ksub=256 at 768-d)
+    val (p2, p2Build) = timed("pq(m=96,ksub=256) build (768-d)") {
+      graft.ann.RoutedAnnIndex.build(corpus2, dim2, cfg, 16, iters = 2,
+        storage = graft.ann.StorageSpec.Pq(96, 256))
     }
     val b2f = artifactBytes(f2, "f32d768")
     val b2q = artifactBytes(q2, "sq8d768")
+    val b2p = artifactBytes(p2, "pqd768")
     println(f"768-d artifact bytes: f32 ${b2f / 1e6}%.1f MB " +
       f"(${b2f.toDouble / n2}%.1f B/row) vs sq8 ${b2q / 1e6}%.1f MB " +
-      f"(${b2q.toDouble / n2}%.1f B/row) — ${b2f.toDouble / b2q}%.2fx smaller")
+      f"(${b2q.toDouble / n2}%.1f B/row, ${b2f.toDouble / b2q}%.2fx) vs " +
+      f"pq ${b2p / 1e6}%.1f MB (${b2p.toDouble / n2}%.1f B/row, " +
+      f"${b2f.toDouble / b2p}%.2fx)")
     val r2f = residentBytes(f2)
     val r2q = residentBytes(q2)
+    val r2p = residentBytes(p2)
     println(f"768-d resident bytes (SizeEstimator): f32 ${r2f.toDouble / n2}%.1f " +
-      f"B/row vs sq8 ${r2q.toDouble / n2}%.1f B/row — ${r2f.toDouble / r2q}%.2fx")
+      f"B/row vs sq8 ${r2q.toDouble / n2}%.1f B/row (${r2f.toDouble / r2q}%.2fx) " +
+      f"vs pq ${r2p.toDouble / n2}%.1f B/row (${r2f.toDouble / r2p}%.2fx)")
     val qs2 = (0 until 30).map(i => gen2(20000000L + i))
     val qdf2 = qs2.zipWithIndex
       .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
@@ -214,11 +273,11 @@ object ScaleQuant {
       .select("qid", "cid").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     def rec768(idx: graft.ann.RoutedAnnIndex, probes: Int,
-        rescore: Boolean): Double = {
+        slackN: Int): Double = {
       val per = qs2.zipWithIndex.map { case (v, i) =>
-        val raw = idx.search(v, K + (if (rescore) slack else 0), probes)
+        val raw = idx.search(v, K + math.max(0, slackN), probes)
         val ids =
-          if (!rescore) raw.map(_._1)
+          if (slackN < 0) raw.map(_._1)
           else raw.map { case (id, _) =>
             (id, graft.functions.Similarity.jvm.cosine(v, gen2(id)))
           }.sortBy { case (id, c) => (-c, id) }.map(_._1)
@@ -227,9 +286,10 @@ object ScaleQuant {
       per.sum / per.length
     }
     for (p <- Seq(4, 16))
-      println(f"768-d probes=$p%d Recall@50: f32 ${rec768(f2, p, false)}%.4f " +
-        f"vs sq8+rescore ${rec768(q2, p, true)}%.4f")
-    f2.unpersist(); q2.unpersist()
+      println(f"768-d probes=$p%d Recall@50: f32 ${rec768(f2, p, -1)}%.4f " +
+        f"vs sq8+rescore ${rec768(q2, p, sq8Slack)}%.4f " +
+        f"vs pq+rescore ${rec768(p2, p, pqSlack)}%.4f")
+    f2.unpersist(); q2.unpersist(); p2.unpersist()
     spark.stop()
   }
 }

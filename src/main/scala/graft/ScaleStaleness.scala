@@ -132,7 +132,7 @@ object ScaleStaleness {
         val stale = timed(s"$regime f=$frac stale build") {
           graft.ann.RoutedAnnIndex.build(union, Dim, cfg, nShards,
             iters = 3, replicationEps = 0.0, maxReplicas = 2,
-            quantized = false, frozenCentroids = Some(frozen))
+            storage = graft.ann.StorageSpec.F32, frozenCentroids = Some(frozen))
         }
         val rStale = recallOf(stale)
         stale.unpersist()
@@ -142,7 +142,7 @@ object ScaleStaleness {
         val rOverlay = if (appended == 0) rStale else {
           val baseIdx = graft.ann.RoutedAnnIndex.build(base, Dim, cfg,
             nShards, iters = 3, replicationEps = 0.0, maxReplicas = 2,
-            quantized = false, frozenCentroids = Some(frozen))
+            storage = graft.ann.StorageSpec.F32, frozenCentroids = Some(frozen))
           val t0 = System.nanoTime()
           val ov = baseIdx.append(
             corpus(gen, 1_000_000L, appended)

@@ -90,7 +90,13 @@ final class PatchedShard(val base: AnnShard, extraIds: Array[Long],
   * dispatch brute-forces them, matching the reference's cutover. */
 sealed trait IdFilter extends Serializable { def accept(id: Long): Boolean }
 object IdFilter {
-  final case class Bloom(bf: org.apache.spark.util.sketch.BloomFilter) extends IdFilter {
+  /** `expected` is the accept set's known cardinality (the count the
+    * Bloom filter was sized with — every composition site has it), −1 =
+    * unknown. It is what lets batch consumers AUTO-ROUTE on selectivity
+    * ([[RoutedAnnIndex.topKJoin]]'s sharp-filter cutover) instead of
+    * silently running a sparse accept set through a starved graph beam. */
+  final case class Bloom(bf: org.apache.spark.util.sketch.BloomFilter,
+      expected: Long = -1L) extends IdFilter {
     def accept(id: Long): Boolean = bf.mightContainLong(id)
   }
 }
@@ -420,20 +426,24 @@ object AnnSearch {
   /** Probe count for one routed GetSimN — the recallTarget serving rule
     * as a pure, directly-testable function (AnnSearchSpec pins it):
     * no target → the raw `probes` knob; a target serves off the
-    * calibrated curve ONLY on its measured operating point — an
-    * unfiltered request with n ≤ recallK — and widens to EXHAUSTIVE for
-    * n > recallK (recall@n falls with n at fixed probes) or any
-    * predicate filter (the curve is measured unfiltered, and a sparse
-    * accept set starves the beam — the measured ScaleJoin selectivity
+    * calibrated curveS only on a measured operating point — an
+    * UNFILTERED request at n ≤ some calibrated k, answered by the
+    * tightest covering curve ([[RoutedAnnIndex.probesForN]]: the engine
+    * calibrates a k ladder, default {10, 50}, so an n ≤ 50 request
+    * serves PRUNED probes; recall@n at fixed probes falls as n grows,
+    * so a covering curve is a conservative floor). It widens to
+    * EXHAUSTIVE for n above every calibrated k, or for any predicate
+    * filter (the curves are measured unfiltered, and a sparse accept
+    * set starves the beam — the measured ScaleJoin selectivity
     * degradation). Uncalibrated or 1.0 targets are exhaustive inside
-    * [[RoutedAnnIndex.probesFor]] already. */
+    * [[RoutedAnnIndex.probesForN]] already. */
   private[graft] def effectiveProbes(cfg: NonLinearConfig.RoutedHNSWConfig,
       idx: RoutedAnnIndex, n: Int, filtered: Boolean): Int =
     cfg.recallTarget match {
       case None => cfg.probes
       case Some(t) =>
-        if (filtered || (idx.recallK > 0 && n > idx.recallK)) idx.numShards
-        else idx.probesFor(t)
+        if (filtered) idx.numShards
+        else idx.probesForN(t, n)
     }
 
   /** Extra per-shard candidates fetched when filtering through a Bloom
@@ -482,12 +492,13 @@ object AnnSearch {
         // predicate filter widens to EXHAUSTIVE probes instead of
         // serving a floor the curve never measured (round-13 advice;
         // the dsl RECALL arm's recallK check is the same rule).
-        // SQ8 shards rank on quantized scores: over-fetch RescoreSlack
-        // extra candidates so the exact hydration rescore below can
-        // restore true final ranking (a quantization-flipped ordering
-        // inside the slack window never displaces a true top-n hit)
-        val slack =
-          if (cfg.storage == "sq8") RoutedAnnIndex.RescoreSlack else 0
+        // quantized shards (sq8/pq) rank on stored-form scores:
+        // over-fetch the storage's rescore slack so the exact hydration
+        // rescore below can restore true final ranking (a
+        // quantization-flipped ordering inside the slack window never
+        // displaces a true top-n hit; PQ's wider coarse error gets the
+        // wider slack — NodeStorage.rescoreSlack)
+        val slack = idx.storage.rescoreSlack
         ((q2, k2, f) => idx.search(q2, k2 + slack,
           effectiveProbes(cfg, idx, k2, filtered = f != null), f),
           cfg.hnsw.metric)
@@ -524,7 +535,8 @@ object AnnSearch {
             // post-verify the merged candidates against the exact predicate
             // during hydration.
             val bloom = acceptedIds.stat.bloomFilter("id", cnt, 0.001)
-            val hits = search(q, n + FalsePositiveSlack, IdFilter.Bloom(bloom))
+            val hits = search(q, n + FalsePositiveSlack,
+              IdFilter.Bloom(bloom, cnt))
             hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
           }
           // safe to release in all arms: the Bloom/empty results are already

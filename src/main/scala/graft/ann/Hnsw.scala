@@ -20,10 +20,11 @@ import graft.types.{Algorithm, NonLinearConfig}
  *    accepted nodes join the result set W; early-stop requires |W| = ef.
  *
  * Node vectors live behind a [[VecStore]]: full-precision float32 (the
- * default — bit-identical to the pre-seam implementation) or SQ8 int8
- * codes (`quantized = true` — the 100 TB memory lever; ~1/4 the vector
- * bytes, graph built AND traversed on the quantized values, exact
- * ranking restored by the downstream shortlist rescore). Internal
+ * default — bit-identical to the pre-seam implementation), SQ8 int8
+ * codes ([[NodeStorage.Sq8]] — ~1/4 the vector bytes) or PQ codebook
+ * indices ([[NodeStorage.Pq]] — m bytes/vector, the byte-budget end).
+ * Quantized graphs build AND traverse on the quantized values; exact
+ * ranking is restored by the downstream shortlist rescore. Internal
  * distances are smaller-is-closer per metric: cosine → −cos, dot → −dot,
  * euclidean → squared euclidean (same ordering, cheaper).
  */
@@ -35,7 +36,7 @@ final class HnswIndex(
     val metric: Algorithm,
     val extendCandidates: Boolean = false,
     val keepPrunedConnections: Boolean = false,
-    val quantized: Boolean = false) extends Serializable {
+    val storage: NodeStorage = NodeStorage.F32) extends Serializable {
 
   private val mL: Double = 1.0 / math.log(m.toDouble)
 
@@ -44,8 +45,7 @@ final class HnswIndex(
   // boxed-ArrayBuffer layout cost ~290 B/row of serialized graph at the
   // 200k × 64-shard scale point — as much as the float payload itself
   private val ids = new LongBuf()
-  private val store: VecStore =
-    if (quantized) new Sq8VecStore(metric) else new FloatVecStore(metric)
+  private val store: VecStore = storage.newStore(metric)
   private val levels = new IntBuf()
   // neighbors(node)(level) = IntBuf of nodeIdx
   private val neighbors = mutable.ArrayBuffer[Array[IntBuf]]()
@@ -260,7 +260,9 @@ final class HnswIndex(
     if (entryPoint < 0) return Nil
     val nodeAccept: Int => Boolean =
       if (accept == null) null else (n: Int) => accept(ids(n))
-    val distTo: Int => Double = e => store.distQuery(q, e)
+    // per-query scorer: PQ builds its ADC tables ONCE here (bit-identical
+    // to distQuery); float/SQ8 stores score directly (their default)
+    val distTo: Int => Double = store.queryScorer(q)
     var ep = Seq((entryPoint, distTo(entryPoint)))
     var lc = maxLevel
     while (lc > 0) {
@@ -282,10 +284,10 @@ final class HnswIndex(
 
 object HnswIndex {
   def apply(dim: Int, cfg: NonLinearConfig.HNSWConfig): HnswIndex =
-    apply(dim, cfg, quantized = false)
+    apply(dim, cfg, NodeStorage.F32)
   def apply(dim: Int, cfg: NonLinearConfig.HNSWConfig,
-      quantized: Boolean): HnswIndex =
+      storage: NodeStorage): HnswIndex =
     new HnswIndex(dim, cfg.maximumConnections, cfg.maximumConnectionsZero,
       cfg.efConstruction, cfg.metric, cfg.extendCandidates,
-      cfg.keepPrunedConnections, quantized)
+      cfg.keepPrunedConnections, storage)
 }

@@ -122,8 +122,10 @@ final class PqCodebook(
       c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toSeq).toSeq)
 
   /** ‖cᵢ[j]‖² as one flat double[] ([sub·ksub + code] order) — the native
-    * ADC kernel's reference-object form; same fold order as [[n2Lit]]. */
-  private lazy val n2Flat: Array[Double] =
+    * ADC kernel's reference-object form; same fold order as [[n2Lit]].
+    * Shared with [[PqVecStore]] (the routed-shard node storage), whose
+    * cosine denominators reuse exactly these reconstructed norms. */
+  private[ann] lazy val n2Flat: Array[Double] =
     codebooks.flatMap(_.map(c =>
       c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
 

@@ -85,38 +85,73 @@ final class RoutedAnnIndex(
       * per micro-batch). −1 = unknown (legacy manifests), re-measured
       * lazily on first use. */
     private val storedRowsIn: Long = -1L,
-    /** Measured recall-vs-probes curve from [[calibrate]] — (probes,
+    /** Measured recall-vs-probes curves from [[calibrate]], one per
+      * calibrated serving k, ascending by k; each curve is (probes,
       * mean recall@k, standard error of the mean), ascending by probes;
-      * empty until calibrated. The stderr is what makes the curve an
-      * honest instrument: a 100-query sample estimates the steep part to
-      * ~±1pt (measured at 200k — two disjoint same-distribution samples
-      * differed by 1.1pt at the 8/64 point, ScaleCalibrate/SCALE.md), so
-      * [[probesFor]]'s default conservative mode selects by the one-sided
+      * empty until calibrated. Recall@k is k-dependent — at fixed
+      * probes, recall@100 < recall@3 (more of a deeper true top-k lives
+      * in unprobed shards) — so a curve only answers floors for requests
+      * at n ≤ its k (the measured monotonicity, ScaleCalibrate k-ladder
+      * table); [[probesForN]] selects the tightest qualifying curve and
+      * widens to exhaustive when none covers n. The stderr is what makes
+      * a curve an honest instrument: a 100-query sample estimates the
+      * steep part to ~±1pt (measured at 200k — two disjoint
+      * same-distribution samples differed by 1.1pt at the 8/64 point,
+      * ScaleCalibrate/SCALE.md), so selection defaults to the one-sided
       * lower confidence bound instead of the point estimate. Carried
       * through append/compact/delete (tails are exact and survivor recall
       * is delete-invariant — the measured SCALE.md facts); a RECLUSTER
       * starts empty (new centroids = a new operating curve). */
-    val recallCurve: Array[(Int, Double, Double)] = Array.empty,
-    /** The k the curve was measured at (0 = uncalibrated). Recall@k is
-      * k-dependent — at fixed probes, recall@100 < recall@3 (more of a
-      * deeper true top-k lives in unprobed shards) — so consumers
-      * answering for a DIFFERENT k must re-calibrate, not reuse
-      * (dsl.Pipeline's RECALL arms check this). */
-    val recallK: Int = 0,
-    /** SQ8 node storage in the shard graphs ([[Sq8VecStore]]) — the
-      * 100 TB memory lever: ~1/4 the vector bytes per stored row, graphs
-      * built and traversed on the int8 codes, exact ranking restored by
+    val recallCurves: Array[(Int, Array[(Int, Double, Double)])] = Array.empty,
+    /** Fingerprint of the query sample the curves were measured on
+      * ("" = uncalibrated): "ext:<hash64>" for a caller-supplied workload
+      * sample, "self:<hash64>" for stored-row self-samples. Persisted
+      * beside the curves; reuse sites ([[graft.dsl.Pipeline]]'s RECALL
+      * arms) compare their own candidate sample's fingerprint and WARN —
+      * or recalibrate, under `spark.graft.strictCalibrationReuse` — on
+      * mismatch, instead of silently serving a curve measured on a
+      * different workload (round-14 advice, made structural). */
+    val workloadFp: String = "",
+    /** Node storage in the shard graphs ([[NodeStorage]]): float32 (the
+      * reference layout), SQ8 int8 codes (~1/4 the vector bytes) or PQ
+      * codebook indices (m bytes/vector — the byte-budget end; the
+      * trained codebook rides here). The 100 TB memory lever: graphs
+      * built and traversed on the stored form, exact ranking restored by
       * the downstream shortlist rescore ([[topKJoinRescored]] / engine
-      * hydration). Part of artifact identity (a float artifact never
-      * loads into a quantized config or vice versa), and [[calibrate]]
-      * answers for the quantized path (ground truth from the EXACT
-      * corpus — the IvfSpec SQ8-arm provenance rule). Overlay tails stay
-      * float (exact, bounded by the patch guard — the LSM memtable
-      * analog: memtables uncompressed, SSTables compressed); they encode
-      * when compaction folds them into a graph. */
-    val quantized: Boolean = false) extends Serializable {
+      * hydration) at the storage's [[NodeStorage.rescoreSlack]]. Part of
+      * artifact identity (a float artifact never loads into a quantized
+      * config or vice versa), and [[calibrate]] answers for the quantized
+      * path (ground truth from the EXACT corpus — the IvfSpec SQ8-arm
+      * provenance rule). Overlay tails stay float (exact, bounded by the
+      * patch guard — the LSM memtable analog: memtables uncompressed,
+      * SSTables compressed); they encode when compaction folds them into
+      * a graph. */
+    val storage: NodeStorage = NodeStorage.F32) extends Serializable {
 
   def numShards: Int = centroids.length
+
+  /** Any non-float node storage: shard scores are then approximate and
+    * final ranking comes from the exact rescore. */
+  def quantized: Boolean = storage != NodeStorage.F32
+
+  /** The storage's identity spec (what a caller names at build/load). */
+  def spec: StorageSpec = storage.spec
+
+  /** The smallest calibrated serving k (0 = uncalibrated) — the primary
+    * operating point, and the k [[recallCurve]] reports. */
+  def recallK: Int =
+    if (recallCurves.isEmpty) 0 else recallCurves.iterator.map(_._1).min
+
+  /** The largest calibrated serving k (0 = uncalibrated): requests at
+    * n ≤ this can serve pruned probes off a measured curve. */
+  def maxRecallK: Int =
+    if (recallCurves.isEmpty) 0 else recallCurves.iterator.map(_._1).max
+
+  /** The primary (smallest-k) measured curve — the single-curve view
+    * consumers calibrated at one k read. */
+  def recallCurve: Array[(Int, Double, Double)] =
+    recallCurves.sortBy(_._1).headOption.map(_._2)
+      .getOrElse(Array.empty[(Int, Double, Double)])
 
   /** Tombstone-aware accept function composed with an optional caller
     * filter; null when nothing filters (the no-overhead fast path). */
@@ -155,21 +190,42 @@ final class RoutedAnnIndex(
     * runs IN-graph (rejected nodes stay stepping stones — the HNSW
     * in-filtering rule), so callers with a sketch-backed filter (Bloom)
     * post-verify matches exactly, as AnnSearch's hydration does.
-    * Measured guidance (ScaleJoin filtered, SCALE.md round 14): recall
-    * at pruned probes DEGRADES as the filter sharpens (a sparse accept
-    * set starves the beam — 0.96 at 1/2 selectivity vs 0.83 at 1/100,
-    * p=8/64 at 200k), and below the point where the accepted slice is
-    * small enough to scan, a brute-force join over the slice wins
-    * outright — sharp filters should scan the slice (the engine's
-    * single-query ≤4096 cutover does) or search exhaustively; this arm
-    * is for BROAD filters over corpora whose slice is itself too large
-    * to scan per query batch. */
+    *
+    * SHARP filters AUTO-CUTOVER (round 15, closing the round-14 manual
+    * seam): when the filter's known cardinality ([[IdFilter.Bloom]]'s
+    * `expected`) is below [[RoutedAnnIndex.FilteredScanFraction]] of the
+    * stored rows, the join stops riding the graphs entirely and instead
+    * scans the accepted SLICE exactly in every shard — the batch twin of
+    * the engine's single-query ≤4096 brute-force cutover. Measured basis
+    * (ScaleJoin filtered, SCALE.md): in-graph recall at pruned probes
+    * DEGRADES as the filter sharpens (a sparse accept set starves the
+    * beam — 0.96 at 1/2 selectivity vs 0.83 at 1/100, p=8/64 at 200k)
+    * while the slice itself shrinks toward scannable, so below the
+    * threshold the scan wins on BOTH axes; broad filters keep the
+    * in-graph arm (at corpus scale their slice is too large to score per
+    * query batch). Filters with unknown cardinality ride the graph arm
+    * as requested — pass the count you sized the Bloom with. */
   def topKJoin(queries: DataFrame, qId: String, qVec: String, k: Int,
       probes: Int, filter: IdFilter = null): DataFrame = {
 
     import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
     val spark = queries.sparkSession
-    val p = math.max(1, math.min(probes, numShards))
+    // sharp-filter cutover: known accept cardinality below the measured
+    // fraction of stored rows → exact slice scan at all shards
+    val scanSlice = filter match {
+      case IdFilter.Bloom(_, expected) if expected >= 0L =>
+        val total = storedRows
+        val sharp = total > 0 &&
+          expected <= RoutedAnnIndex.FilteredScanFraction * total
+        if (sharp) org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"RoutedAnnIndex.topKJoin: filter expects $expected of $total " +
+            s"stored rows (< ${RoutedAnnIndex.FilteredScanFraction}) — " +
+            "scanning the accepted slice exactly instead of the graphs")
+        sharp
+      case _ => false
+    }
+    val p = if (scanSlice) numShards
+      else math.max(1, math.min(probes, numShards))
     val q = queries.select(col(qId).cast("long").as("qid"),
         col(qVec).cast("array<float>").as("qv"))
       .groupBy("qid").agg(min(col("qv")).as("qv"))
@@ -189,11 +245,38 @@ final class RoutedAnnIndex(
     // serializable), so the composed function ships once per task —
     // ONE composition site with the single-query path
     val accept = acceptOf(filter)
+    val metric = config.metric // capture: the task closure must not drag `this`
+    val kk = k
     val hits = shards.zipPartitions(byShard, preservesPartitioning = false) {
       (sIt, qIt) =>
         val qs = qIt.next()
         sIt.toSeq.headOption match {
           case None => Iterator.empty
+          case Some(shard) if scanSlice =>
+            // exact scan of the accepted slice: filter ONCE per shard per
+            // batch (accept tests are cheap; distances are paid only on
+            // accepted rows), then a bounded k-heap per query — the
+            // calibrate ground-truth pattern. Scores are the stored form
+            // (exported floats — exact under f32; dequantized/decoded
+            // under SQ8/PQ, restored downstream by the rescore, exactly
+            // like graph scores)
+            val rows = RoutedAnnIndex.rowsOf(shard)
+              .filter(r => accept == null || accept(r._1)).toArray
+            val ord = Ordering.by[(Double, Long), (Double, Long)] {
+              case (c, id) => (-c, id)
+            }
+            qs.iterator.flatMap { case (qid, v) =>
+              val h = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+              var i = 0
+              while (i < rows.length) {
+                val e = (RoutedAnnIndex.closenessOf(metric, v, rows(i)._2),
+                  rows(i)._1)
+                if (h.size < kk) h.enqueue(e)
+                else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+                i += 1
+              }
+              h.iterator.map { case (c, id) => (qid, id, c) }
+            }
           case Some(shard) => qs.iterator.flatMap { case (qid, v) =>
             shard.topK(v, k, accept).map { case (cid, c) => (qid, cid, c) }
           }
@@ -231,14 +314,15 @@ final class RoutedAnnIndex(
     * shortlist-bounded, ids-only discipline). Works on float indexes too
     * (the rescore is then a no-op re-ranking of identical scores). Output
     * contract == [[topKJoin]]; `sim` is the EXACT score. shortlist ≤ 0
-    * defaults to k + [[RoutedAnnIndex.RescoreSlack]] — the engine
-    * hydration slack, so the calibrated curve answers for the served
-    * path. */
+    * defaults to k + the storage's [[NodeStorage.rescoreSlack]] (floored
+    * at [[RoutedAnnIndex.RescoreSlack]]) — the engine hydration slack,
+    * so the calibrated curve answers for the served path; PQ's wider
+    * coarse error gets the wider default automatically. */
   def topKJoinRescored(queries: DataFrame, qId: String, qVec: String,
       k: Int, probes: Int, exact: DataFrame,
       shortlist: Int = 0, filter: IdFilter = null): DataFrame = {
     val sl = if (shortlist > 0) shortlist
-      else k + RoutedAnnIndex.RescoreSlack
+      else k + math.max(RoutedAnnIndex.RescoreSlack, storage.rescoreSlack)
     require(sl >= k, s"shortlist ($sl) must be >= k ($k)")
     val short = topKJoin(queries, qId, qVec, sl, probes, filter)
       .select("qid", "cid")
@@ -257,6 +341,11 @@ final class RoutedAnnIndex(
       .join(q, "qid")
       .select(col("qid"), col("cid"),
         Similarity.closeness(metric, col("cv"), col("qv")).as("_c"))
+      // the caller-supplied `exact` frame can be a user view with
+      // duplicate ids (the DSL TOPK corpus arm) — a duplicated cid would
+      // rank twice below where topKJoin's merge dedups; collapse here
+      // (shortlist-bounded, never a corpus-wide dropDuplicates)
+      .groupBy("qid", "cid").agg(max(col("_c")).as("_c"))
     val top = BoundedTopK.topK(scored, "qid", "cid", "_c", k)
     val sim = metric match {
       case Algorithm.CosineSimilarity | Algorithm.DotProductSimilarity |
@@ -366,7 +455,7 @@ final class RoutedAnnIndex(
           it.collect { case _: PatchedShard => i }).collect().toSet
       val metric = config.metric
       val cfg = config
-      val qz = quantized
+      val st = storage
       val dim = centroids.head.length
       val byShard = assigned
         .select(col("_s"), col("id"), col("key"))
@@ -382,7 +471,7 @@ final class RoutedAnnIndex(
           // nodes carry their codes verbatim — zero re-encode drift —
           // while the batch's float rows encode exactly once
           def rebuilt(rows: Iterator[(Long, VecPayload)]): AnnShard = {
-            val idx = HnswIndex(dim, cfg, qz)
+            val idx = HnswIndex(dim, cfg, st)
             rows.toArray.sortBy(_._1).foreach { case (id, p) =>
               idx.insertPayload(id, p) }
             new HnswShard(idx, cfg.efSearch)
@@ -415,7 +504,7 @@ final class RoutedAnnIndex(
         if (compacting) 0L else patchedRows + nNew, newTombstones,
         if (compacting) RoutedAnnIndex.countStoredRows(newShards)
         else storedRows + nNew,
-        recallCurve, recallK, quantized)
+        recallCurves, workloadFp, storage)
       Some(Maintained(next, if (compacting) "compact" else "append",
         if (compacting) touched ++ tailShards else touched))
     } finally assigned.unpersist(blocking = false)
@@ -457,7 +546,7 @@ final class RoutedAnnIndex(
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
           maxReplicas, meanAssignDist, patchedRows, merged, storedRows,
-          recallCurve, recallK, quantized),
+          recallCurves, workloadFp, storage),
         "tombstone", Set.empty)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"RoutedAnnIndex.delete: ${merged.length} tombstones vs $total stored " +
@@ -481,10 +570,10 @@ final class RoutedAnnIndex(
       return Maintained(
         new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
           maxReplicas, meanAssignDist, patchedRows, Array.emptyLongArray,
-          storedRows, recallCurve, recallK, quantized),
+          storedRows, recallCurves, workloadFp, storage),
         "tombstone", Set.empty)
     val cfg = config
-    val qz = quantized
+    val st = storage
     val dim = centroids.head.length
     val hit = affected.keySet
     val newShards = shards.mapPartitionsWithIndex({ (i, it) =>
@@ -497,7 +586,7 @@ final class RoutedAnnIndex(
           .toArray.sortBy(_._1)
         if (live.isEmpty) Iterator.empty
         else {
-          val idx = HnswIndex(dim, cfg, qz)
+          val idx = HnswIndex(dim, cfg, st)
           live.foreach { case (id, p) => idx.insertPayload(id, p) }
           Iterator(new HnswShard(idx, cfg.efSearch): AnnShard)
         }
@@ -509,8 +598,7 @@ final class RoutedAnnIndex(
       new RoutedAnnIndex(centroids, config, newShards, replicationEps, iters,
         maxReplicas, meanAssignDist,
         math.max(0L, patchedRows - affected.values.sum), Array.emptyLongArray,
-        RoutedAnnIndex.countStoredRows(newShards), recallCurve, recallK,
-        quantized),
+        RoutedAnnIndex.countStoredRows(newShards), recallCurves, workloadFp, storage),
       "compact", hit)
   }
 
@@ -577,10 +665,10 @@ final class RoutedAnnIndex(
       .sortBy { case (id, c) => (-c, id) }.take(k)
   }
 
-  /** Probes for a target recall, read off the measured [[recallCurve]]:
-    * the SMALLEST calibrated probe count whose measured recall@k meets
-    * `target`. A recall target is a FLOOR, so the default is
-    * `conservative = true`: meet the target at the one-sided 95% lower
+  /** Probes for a target recall, read off the PRIMARY (smallest-k)
+    * measured curve: the SMALLEST calibrated probe count whose measured
+    * recall@k meets `target`. A recall target is a FLOOR, so the default
+    * is `conservative = true`: meet the target at the one-sided 95% lower
     * confidence bound (mean − 1.645·stderr) — the point estimate alone
     * under-delivers whenever the target lands within sampling noise of a
     * ladder point (the measured failure mode: a 0.95 target chose the
@@ -593,6 +681,23 @@ final class RoutedAnnIndex(
     * queries says nothing about query 101. */
   def probesFor(target: Double, conservative: Boolean = true): Int =
     Calibration.select(recallCurve.toSeq, target, conservative, numShards)
+
+  /** Probes for a target recall at SERVING SIZE n, read off the tightest
+    * calibrated curve that covers n — the smallest calibrated k ≥ n.
+    * Recall@k at fixed probes FALLS as k grows (more of a deeper true
+    * top-k lives in unprobed shards — the measured ScaleCalibrate
+    * k-ladder monotonicity), so a curve measured at k ≥ n is a
+    * conservative floor for a request at n. No covering curve — n above
+    * every calibrated k, or uncalibrated — falls back to EXHAUSTIVE:
+    * the safe direction (and why the engine calibrates a k LADDER, not
+    * one point — an n=50 request against a k=10-only curve paid
+    * all-shard cost at every scale). Same LCB selection as
+    * [[probesFor]]. */
+  def probesForN(target: Double, n: Int, conservative: Boolean = true): Int =
+    Calibration.select(
+      recallCurves.filter(_._1 >= n).sortBy(_._1).headOption
+        .map(_._2.toSeq).getOrElse(Seq.empty),
+      target, conservative, numShards)
 
   /** Measure the recall-vs-probes operating curve of THIS index and
     * return a handle carrying it (shards shared — do not unpersist the
@@ -627,6 +732,24 @@ final class RoutedAnnIndex(
       seed: Long = 7L,
       queries: Option[DataFrame] = None,
       qVecCol: String = "qv",
+      exact: Option[DataFrame] = None): RoutedAnnIndex =
+    calibrateKs(nQueries, Seq(k), ladderIn, seed, queries, qVecCol, exact)
+
+  /** [[calibrate]] over a LADDER of serving ks in one protocol run — the
+    * ground-truth corpus pass is shared (one set of max(ks)-deep heaps;
+    * each k's truth is its prefix), while the SERVED side runs one real
+    * batch join per (ladder point, k): a k=10 search and a k=50 search
+    * use different beams (ef = max(efSearch, k)), so deriving the k=10
+    * curve from the k=50 results would read optimistic — each curve must
+    * be measured through exactly the search a request at that k runs.
+    * Why a ladder at all: recall@k is k-dependent, so a single-k curve
+    * forces every request at n > k to exhaustive probes ([[probesForN]]);
+    * calibrating {10, 50} lets an n=50 recall-targeted search serve
+    * PRUNED probes off a measured floor (round-14 verdict ask #2). */
+  def calibrateKs(nQueries: Int, ks: Seq[Int], ladderIn: Seq[Int] = Nil,
+      seed: Long = 7L,
+      queries: Option[DataFrame] = None,
+      qVecCol: String = "qv",
       // EXACT live corpus as an (id, key) frame. REQUIRED for a quantized
       // index: [[rows]] exports dequantized vectors there, and a curve
       // whose ground truth is the quantized corpus would answer for the
@@ -639,7 +762,8 @@ final class RoutedAnnIndex(
       // does. Optional for float indexes ([[rows]] is already exact).
       exact: Option[DataFrame] = None): RoutedAnnIndex = {
     require(nQueries > 0, s"nQueries must be positive, got $nQueries")
-    require(k > 0, s"k must be positive, got $k")
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
+    require(ks.distinct.size == ks.size, s"duplicate calibration ks: $ks")
     require(!quantized || exact.nonEmpty,
       "a quantized routed index calibrates against the exact corpus — " +
         "pass exact = Some((id, key) frame); dequantized self-truth would " +
@@ -648,10 +772,21 @@ final class RoutedAnnIndex(
     // pin the exact frame ONCE: the ground-truth pass reads it and the
     // rescored join re-reads it per ladder point — without the cache a
     // quantized calibration re-scans an uncached corpus view ~|ladder|
-    // times (review round 14)
-    val exactCached = exact.map(_.select(col("id").cast("long").as("id"),
+    // times (review round 14). Tombstoned ids are anti-filtered up front
+    // (bounded set, broadcast anti-join): a ground truth containing
+    // undeliverable ids would bias every measured point low (round-14
+    // advice — the self-sample arm's `rows` already filters them)
+    val exactCached = exact.map { df =>
+      val base = df.select(col("id").cast("long").as("id"),
         col("key").cast("array<float>").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val live0 =
+        if (tombstones.isEmpty) base
+        else {
+          import spark.implicits._
+          base.join(broadcast(tombstones.toSeq.toDF("id")), Seq("id"), "left_anti")
+        }
+      live0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val live = exactCached match {
       case Some(df) => df
         .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -670,11 +805,14 @@ final class RoutedAnnIndex(
           .map { case (id, v) => (Some(id), v) }
       }
       if (sample.isEmpty) return this // nothing to measure
+      val fp = (if (queries.isDefined) "ext:" else "self:") +
+        RoutedAnnIndex.sampleFingerprint(sample.map(_._2))
+      val kmax = ks.max
       val metric = config.metric
       val ownIds: Array[Option[Long]] = sample.map(_._1)
       val bq = shards.sparkContext.broadcast(sample)
-      // exact ground truth: per-partition bounded heaps (k entries per
-      // query), merged on the driver — partials are ≤ partitions × |q| × k;
+      // exact ground truth: per-partition bounded heaps (kmax entries per
+      // query), merged on the driver — partials are ≤ partitions×|q|×kmax;
       // LEAVE-ONE-OUT: a query's own row never enters its truth set
       val ord = Ordering.by[(Double, Long), (Double, Long)] {
         case (c, id) => (-c, id) // max of this ordering = worst kept entry
@@ -689,7 +827,7 @@ final class RoutedAnnIndex(
             if (!qs(i)._1.contains(id)) { // LOO for self-samples only
               val c = RoutedAnnIndex.closenessOf(metric, qs(i)._2, v)
               val h = heaps(i)
-              if (h.size < k) h.enqueue((c, id))
+              if (h.size < kmax) h.enqueue((c, id))
               else if (ord.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
             }
             i += 1
@@ -697,10 +835,11 @@ final class RoutedAnnIndex(
         }
         heaps.iterator.zipWithIndex.map { case (h, i) => (i, h.toArray) }
       }.collect()
-      val truth: Map[Int, Set[Long]] = partials.groupBy(_._1).map {
+      // rank-ordered merged truth per query; each k's set is its prefix
+      val truthRanked: Map[Int, Array[Long]] = partials.groupBy(_._1).map {
         case (qi, parts) =>
           qi -> parts.flatMap(_._2).sortBy { case (c, id) => (-c, id) }
-            .take(k).map(_._2).toSet
+            .take(kmax).map(_._2)
       }
       val ladder = Calibration.ladder(ladderIn, numShards)
       import spark.implicits._
@@ -708,31 +847,36 @@ final class RoutedAnnIndex(
         .map { case ((_, v), i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("qid", "qv")
         .select(col("qid"), col("qv").cast("array<float>").as("qv"))
-      val curve = ladder.map { p =>
-        // LOO on the result side too: ask for k+1, drop the query's own
-        // id (rank-ordered, so the remaining prefix is the top-k the
-        // index would return to a non-stored query at this probe count).
-        // A quantized index measures THROUGH the exact-rescored join —
-        // the path serving rides — never the raw quantized ranking
-        val served =
-          if (quantized)
-            topKJoinRescored(qdf, "qid", "qv", k + 1, p, exactCached.get)
-          else topKJoin(qdf, "qid", "qv", k + 1, p)
-        val got = Calibration.rankedSets(
-          served.select("qid", "cid", "rank").collect(), k, ownIds)
-        val per = truth.toSeq.map { case (qi, ts) =>
-          if (ts.isEmpty) 1.0
-          else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
-        }
-        val (mean, se) = Calibration.meanSe(per)
-        org.slf4j.LoggerFactory.getLogger(getClass).info(
-          f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = " +
-            f"$mean%.4f +- $se%.4f se (${truth.size}%d sample queries)")
-        (p, mean, se)
+      val curves = ks.sorted.map { k =>
+        val truth: Map[Int, Set[Long]] =
+          truthRanked.map { case (qi, r) => qi -> r.take(k).toSet }
+        val curve = ladder.map { p =>
+          // LOO on the result side too: ask for k+1, drop the query's own
+          // id (rank-ordered, so the remaining prefix is the top-k the
+          // index would return to a non-stored query at this probe count).
+          // A quantized index measures THROUGH the exact-rescored join —
+          // the path serving rides — never the raw quantized ranking
+          val served =
+            if (quantized)
+              topKJoinRescored(qdf, "qid", "qv", k + 1, p, exactCached.get)
+            else topKJoin(qdf, "qid", "qv", k + 1, p)
+          val got = Calibration.rankedSets(
+            served.select("qid", "cid", "rank").collect(), k, ownIds)
+          val per = truth.toSeq.map { case (qi, ts) =>
+            if (ts.isEmpty) 1.0
+            else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
+          }
+          val (mean, se) = Calibration.meanSe(per)
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = " +
+              f"$mean%.4f +- $se%.4f se (${truth.size}%d sample queries)")
+          (p, mean, se)
+        }.toArray
+        (k, curve)
       }.toArray
       new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
         maxReplicas, meanAssignDist, patchedRows, tombstones, storedRows,
-        curve, k, quantized)
+        curves, fp, storage)
     } finally {
       live.unpersist(blocking = false)
       exactCached.foreach(_.unpersist(blocking = false))
@@ -771,13 +915,71 @@ object RoutedAnnIndex {
     * task closure (8 B/id ⇒ ≤ 2 MiB) and the manifest entry. */
   val DefaultMaxTombstones = 1 << 18
 
-  /** Exact-rescore candidate slack for quantized shards: serving asks the
-    * graph for n + slack candidates and rescores them with exact floats
-    * (engine hydration; [[RoutedAnnIndex.topKJoinRescored]]'s default
-    * shortlist is k + this) — a quantization-flipped ordering inside the
-    * slack window cannot displace a true top-n hit. The
-    * [[AnnSearch.FalsePositiveSlack]] sizing rationale. */
+  /** Exact-rescore candidate slack FLOOR for quantized shards: serving
+    * asks the graph for n + slack candidates and rescores them with exact
+    * floats (engine hydration; [[RoutedAnnIndex.topKJoinRescored]]'s
+    * default shortlist is k + max(this, storage.rescoreSlack)) — a
+    * quantization-flipped ordering inside the slack window cannot
+    * displace a true top-n hit. The [[AnnSearch.FalsePositiveSlack]]
+    * sizing rationale; PQ storage widens it ([[NodeStorage.Pq
+    * .rescoreSlack]] — its coarse error is codebook-bounded, not
+    * per-vector-range-bounded; slack sensitivity measured in ScaleQuant). */
   val RescoreSlack = 32
+
+  /** Sharp-filter cutover for [[RoutedAnnIndex.topKJoin]]: a filter whose
+    * known cardinality is below this fraction of stored rows scans the
+    * accepted slice exactly instead of riding the graphs. Measured basis
+    * (ScaleJoin filtered, SCALE.md round 14-15): pruned-probe in-graph
+    * recall degrades as the accept set sparsifies (0.83 at 1/100
+    * selectivity) while the slice scan is exact and its distance cost
+    * shrinks with the slice — below ~1/10 the scan wins on both axes;
+    * the batch analog of the engine's single-query ≤4096 cutover
+    * (reference: ahnlich/similarity/src/hnsw/index.rs:24). */
+  val FilteredScanFraction = 0.10
+
+  /** Serialized shard layout version, part of the routed manifest: bump
+    * when [[HnswIndex]]'s (or its [[VecStore]]s') serialized form
+    * changes, so a restart over pre-upgrade artifacts logs an explicit
+    * "layout changed — rebuilding" instead of surfacing a
+    * deserialization exception from deep inside a load (round-14
+    * advice). v2 = the round-14 primitive-buffer layout; v3 = the
+    * round-15 NodeStorage seam (HnswIndex carries a storage field). */
+  val ShardLayoutVersion = 3
+
+  /** Order-sensitive 64-bit fingerprint of a calibration query sample
+    * (splitmix64-folded float bits, hex) — the workload identity carried
+    * beside persisted curves. Deterministic: the same query view sampled
+    * with the same (nQueries, seed) reproduces it exactly; ANY content
+    * change in the sampled rows changes it. */
+  private[graft] def sampleFingerprint(vs: Array[Array[Float]]): String = {
+    var h = 0x9e3779b97f4a7c15L
+    def mix(z0: Long): Unit = {
+      var z = h ^ (z0 + 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      h = z ^ (z >>> 31)
+    }
+    mix(vs.length.toLong)
+    vs.foreach { v =>
+      mix(v.length.toLong)
+      var i = 0
+      while (i < v.length) {
+        mix(java.lang.Float.floatToRawIntBits(v(i)).toLong); i += 1
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** The fingerprint a calibration over `qdf` with the default
+    * (nQueries, seed) would record — what reuse sites
+    * ([[graft.dsl.Pipeline]]'s RECALL arms) compare against a persisted
+    * [[RoutedAnnIndex.workloadFp]] before trusting a curve. One
+    * takeSample job over the query view — paid only when a reusable
+    * curve exists (a fresh calibration computes it for free). */
+  private[graft] def workloadFingerprintOf(qdf: DataFrame, qVecCol: String,
+      nQueries: Int = 64, seed: Long = 7L): String =
+    "ext:" + sampleFingerprint(
+      Calibration.externalSample(qdf, qVecCol, nQueries, seed).map(_._2))
 
   /** Closeness (DESC-better) under an index metric — the [[PatchedShard]]
     * / HnswIndex scoring contract, shared so [[RoutedAnnIndex.calibrate]]'s
@@ -950,13 +1152,24 @@ object RoutedAnnIndex {
     }.collect().map { case (i, p, t) => i -> (p, t) }.toMap
     val state = (0 until index.numShards).map(i =>
       i -> written.getOrElse(i, previous.getOrElse(i, (false, 0L))))
+    // the PQ codebook is part of the storage identity — it rides beside
+    // the manifest in the PqCodebook artifact form (a few KB; encode
+    // after a load can never diverge from the build that wrote it)
+    index.storage match {
+      case NodeStorage.Pq(book) => PqCodebook.save(book, dir, sourceStamp)
+      case _ => ()
+    }
     val json = JObject(
       "kind" -> JString("routed-hnsw"),
       "config" -> JString(index.config.toString),
+      // serialized shard format version: a mismatch on load is an
+      // explicit "layout changed — rebuild", never a deserialization
+      // exception surfacing from a shard .bin (round-14 advice)
+      "layout" -> JInt(RoutedAnnIndex.ShardLayoutVersion),
       // node storage is artifact IDENTITY (the shard .bins hold codes or
       // floats): a float artifact must never load into a quantized
       // config or vice versa — same rule as config/eps/iters
-      "storage" -> JString(if (index.quantized) "sq8" else "f32"),
+      "storage" -> JString(index.spec.key),
       "replicationEps" -> JString(index.replicationEps.toString),
       "iters" -> JInt(index.iters),
       "maxReplicas" -> JInt(index.maxReplicas),
@@ -966,12 +1179,16 @@ object RoutedAnnIndex {
       "patchedRows" -> JInt(BigInt(index.patchedRows)),
       "storedRows" -> JInt(BigInt(index.storedRows)),
       "tombstones" -> JArray(index.tombstones.toList.map(id => JInt(BigInt(id)))),
-      // measured operating curve (derived state; exact doubles via bits)
-      "recallK" -> JInt(index.recallK),
-      "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r, se) =>
-        JArray(List(JInt(p),
-          JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
-          JInt(BigInt(java.lang.Double.doubleToRawLongBits(se)))))
+      // measured operating curves, one per calibrated serving k (derived
+      // state; exact doubles via bits), + the workload fingerprint of the
+      // sample they were measured on
+      "workloadFp" -> JString(index.workloadFp),
+      "recallCurves" -> JArray(index.recallCurves.toList.map { case (k, curve) =>
+        JArray(List(JInt(k), JArray(curve.toList.map { case (p, r, se) =>
+          JArray(List(JInt(p),
+            JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
+            JInt(BigInt(java.lang.Double.doubleToRawLongBits(se)))))
+        })))
       }),
       "sourceStamp" -> JString(sourceStamp),
       "present" -> JArray(state.toList.map { case (_, (p, _)) => JBool(p) }),
@@ -1017,7 +1234,8 @@ object RoutedAnnIndex {
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
       config: NonLinearConfig.HNSWConfig, sourceStamp: String,
       replicationEps: Double = 0.0, iters: Int = 2,
-      maxReplicas: Int = 2, quantized: Boolean = false): Option[RoutedAnnIndex] =
+      maxReplicas: Int = 2,
+      storage: StorageSpec = StorageSpec.F32): Option[RoutedAnnIndex] =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -1025,13 +1243,35 @@ object RoutedAnnIndex {
       if (!java.nio.file.Files.exists(p)) return None
       val j = JsonMethods.parse(java.nio.file.Files.readString(p))
       if ((j \ "kind") != JString("routed-hnsw")) return None
+      // layout gate BEFORE any shard .bin is touched: pre-version (or
+      // older-version) artifacts refuse with an explicit reason instead
+      // of a deserialization exception from a changed field layout
+      val layout = (j \ "layout") match { case JInt(v) => v.toInt; case _ => 1 }
+      if (layout != ShardLayoutVersion) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"RoutedAnnIndex.load($dir): artifact layout v$layout != " +
+            s"current v$ShardLayoutVersion — rebuilding (artifacts are " +
+            "derived state)")
+        return None
+      }
       if ((j \ "config") != JString(config.toString)) return None
       // pre-SQ8 manifests carry no storage field: they are float artifacts
-      val storage = (j \ "storage") match {
+      val storageKey = (j \ "storage") match {
         case JString(s) => s
         case _ => "f32"
       }
-      if (storage != (if (quantized) "sq8" else "f32")) return None
+      if (storageKey != storage.key) return None
+      // PQ: the codebook is part of the artifact — stamp-matched like the
+      // shards (a missing/stale/mismatched book rebuilds whole)
+      val nodeStorage: NodeStorage = storage match {
+        case StorageSpec.F32 => NodeStorage.F32
+        case StorageSpec.Sq8 => NodeStorage.Sq8
+        case StorageSpec.Pq(m, ksub) =>
+          PqCodebook.load(dir, sourceStamp)
+            .filter(b => b.m == m && b.ksub == ksub)
+            .map(NodeStorage.Pq.apply)
+            .getOrElse(return None)
+      }
       if ((j \ "replicationEps") != JString(replicationEps.toString)) return None
       // every build parameter participates in artifact identity — an
       // artifact built under a different Lloyd-round count or replica cap
@@ -1109,22 +1349,27 @@ object RoutedAnnIndex {
         }.toArray
         case _ => Array.emptyLongArray
       }
-      val recallK: Int = (j \ "recallK") match {
-        case JInt(i) => i.toInt
-        case _ => 0
+      val workloadFp: String = (j \ "workloadFp") match {
+        case JString(s) => s
+        case _ => ""
       }
-      val curve: Array[(Int, Double, Double)] = (j \ "recallCurve") match {
-        case JArray(pts) => pts.map {
-          case JArray(List(JInt(p), JInt(bits), JInt(seBits))) =>
-            (p.toInt, java.lang.Double.longBitsToDouble(bits.toLong),
-              java.lang.Double.longBitsToDouble(seBits.toLong))
-          case _ => return None
-        }.toArray
-        case _ => Array.empty // pre-calibration manifests load uncalibrated
-      }
+      val curves: Array[(Int, Array[(Int, Double, Double)])] =
+        (j \ "recallCurves") match {
+          case JArray(entries) => entries.map {
+            case JArray(List(JInt(k), JArray(pts))) =>
+              (k.toInt, pts.map {
+                case JArray(List(JInt(p), JInt(bits), JInt(seBits))) =>
+                  (p.toInt, java.lang.Double.longBitsToDouble(bits.toLong),
+                    java.lang.Double.longBitsToDouble(seBits.toLong))
+                case _ => return None
+              }.toArray)
+            case _ => return None
+          }.toArray
+          case _ => Array.empty // pre-calibration manifests load uncalibrated
+        }
       Some(new RoutedAnnIndex(centroids, config, loaded, replicationEps,
-        iters, maxReplicas, meanDist, patched, tombstones, stored, curve,
-        recallK, quantized))
+        iters, maxReplicas, meanDist, patched, tombstones, stored, curves,
+        workloadFp, nodeStorage))
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -1138,9 +1383,10 @@ object RoutedAnnIndex {
   def buildOrLoad(dfIn: DataFrame, dim: Int,
       config: NonLinearConfig.HNSWConfig, numShards: Int, dir: String,
       sourceStamp: String, iters: Int = 2, replicationEps: Double = 0.0,
-      maxReplicas: Int = 2, quantized: Boolean = false): RoutedAnnIndex =
+      maxReplicas: Int = 2,
+      storage: StorageSpec = StorageSpec.F32): RoutedAnnIndex =
     load(dfIn.sparkSession, dir, config, sourceStamp, replicationEps,
-        iters, maxReplicas, quantized)
+        iters, maxReplicas, storage)
       .filter { idx =>
         val ok = idx.numShards == numShards
         if (!ok) idx.unpersist()
@@ -1148,7 +1394,7 @@ object RoutedAnnIndex {
       }
       .getOrElse {
         val built = build(dfIn, dim, config, numShards, iters,
-          replicationEps, maxReplicas, quantized = quantized)
+          replicationEps, maxReplicas, storage = storage)
         // best-effort: artifacts are derived state — an IO failure here
         // degrades the next restart to a rebuild, it never fails the
         // operation that built the index (GraftEngine's artifact policy)
@@ -1180,9 +1426,10 @@ object RoutedAnnIndex {
     * to the training geometry). */
   def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
       numShards: Int, iters: Int = 2, replicationEps: Double = 0.0,
-      maxReplicas: Int = 2, quantized: Boolean = false): RoutedAnnIndex =
+      maxReplicas: Int = 2,
+      storage: StorageSpec = StorageSpec.F32): RoutedAnnIndex =
     build(dfIn, dim, config, numShards, iters, replicationEps, maxReplicas,
-      quantized, frozenCentroids = None)
+      storage, frozenCentroids = None)
 
   /** Build variant taking PRE-TRAINED routing centroids (no Lloyd rounds):
     * the primitive behind the maintenance story — "append without
@@ -1192,7 +1439,7 @@ object RoutedAnnIndex {
     * measures to derive the recluster cadence. */
   def build(dfIn: DataFrame, dim: Int, config: NonLinearConfig.HNSWConfig,
       numShards: Int, iters: Int, replicationEps: Double,
-      maxReplicas: Int, quantized: Boolean,
+      maxReplicas: Int, storage: StorageSpec,
       frozenCentroids: Option[Array[Array[Float]]]): RoutedAnnIndex = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     require(replicationEps >= 0.0, s"replicationEps must be >= 0, got $replicationEps")
@@ -1201,6 +1448,11 @@ object RoutedAnnIndex {
       s"frozen centroid count ${c.length} != numShards $numShards"))
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
+    // realize the storage: PQ trains its codebook HERE, over the build
+    // frame (deterministic per-subspace Lloyd — PqCodebook.train; at
+    // 100 TB pass a deterministicSample'd frame through a pre-trained
+    // book via the engine's artifact path, the Faiss sample discipline)
+    val nodeStorage = NodeStorage.train(storage, df)
     val centroids = frozenCentroids.getOrElse(
       IvfIndex.trainCentroids(df, numShards, iters))
     require(centroids.nonEmpty,
@@ -1243,7 +1495,7 @@ object RoutedAnnIndex {
       .partitionBy(new ShardPartitioner(numShards))
       .mapPartitions({ it =>
         val rows = it.map(_._2).toArray.sortBy(_._1)
-        val idx = HnswIndex(dim, config, quantized)
+        val idx = HnswIndex(dim, config, nodeStorage)
         rows.foreach { case (id, v) => idx.insert(id, v) }
         if (idx.size == 0) Iterator.empty
         else Iterator(new HnswShard(idx, config.efSearch): AnnShard)
@@ -1260,6 +1512,6 @@ object RoutedAnnIndex {
     df.unpersist(blocking = false)
     new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
       maxReplicas, meanDist, patchedRows = 0L,
-      storedRowsIn = countStoredRows(shards), quantized = quantized)
+      storedRowsIn = countStoredRows(shards), storage = nodeStorage)
   }
 }

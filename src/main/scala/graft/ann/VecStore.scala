@@ -17,6 +17,115 @@ sealed trait VecPayload extends Serializable
 object VecPayload {
   final case class F32(v: Array[Float]) extends VecPayload
   final case class Sq8(codes: Array[Byte], mn: Float, mx: Float) extends VecPayload
+  /** Product-quantized codes, one byte per subspace (ksub ≤ 256) — the
+    * codebook itself is NOT part of the payload: it lives on the
+    * [[NodeStorage.Pq]] the graph was built with (carrying it per row
+    * would multiply the very bytes PQ exists to save). */
+  final case class PqCode(codes: Array[Byte]) extends VecPayload
+}
+
+/**
+ * REQUESTED node-storage kind for a routed index — the build/load-time
+ * identity a caller names before any training has happened ("pq" needs a
+ * trained codebook that only exists after the build sees data). The
+ * trained realization is [[NodeStorage]]. `key` is the artifact-identity
+ * string persisted in routed manifests — two specs with different keys
+ * never load each other's shard files.
+ */
+sealed trait StorageSpec extends Serializable { def key: String }
+object StorageSpec {
+  case object F32 extends StorageSpec { val key = "f32" }
+  case object Sq8 extends StorageSpec { val key = "sq8" }
+  /** Product quantization: m subspaces (dim % m == 0), ksub ≤ 256
+    * codebook entries each — m bytes/vector vs dim bytes (SQ8) vs
+    * 4·dim (f32). */
+  final case class Pq(m: Int, ksub: Int) extends StorageSpec {
+    require(m > 0, s"pq m must be > 0, got $m")
+    require(ksub > 0 && ksub <= 256,
+      s"pq ksub must be in [1, 256] (codes are stored as bytes), got $ksub")
+    def key = s"pq(m=$m,ksub=$ksub)"
+  }
+
+  /** Parse a config storage string: "f32" | "sq8" | "pq" (parameters
+    * resolved from the store dimension at build — [[resolve]]) |
+    * "pq(m=8,ksub=256)". None = unknown kind (the caller owns the error
+    * surface — the engine throws GraftException naming the value). */
+  private val PqRe = """pq\(m=([0-9]{1,4}),ksub=([0-9]{1,4})\)""".r
+  def parse(s: String): Option[Either[Unit, StorageSpec]] = s match {
+    case "f32" => Some(Right(F32))
+    case "sq8" => Some(Right(Sq8))
+    case "pq" => Some(Left(())) // defaults resolve against the dimension
+    case PqRe(m, k) =>
+      try Some(Right(Pq(m.toInt, k.toInt)))
+      catch { case _: IllegalArgumentException => None }
+    case _ => None
+  }
+
+  /** Resolve a config storage string against the store dimension. Bare
+    * "pq" defaults to the classic 8-dims-per-subspace split (m = dim/8,
+    * falling to the largest power-of-two sub-dimension dividing dim) and
+    * ksub = 256 — the Jégou et al. 2011 operating point. Throws
+    * IllegalArgumentException on an unknown kind or a pq m that does not
+    * divide the dimension (engine surfaces it as GraftException). */
+  def resolve(s: String, dim: Int): StorageSpec = parse(s) match {
+    case Some(Right(p: Pq)) =>
+      require(dim % p.m == 0,
+        s"pq m=${p.m} must divide the store dimension $dim")
+      p
+    case Some(Right(spec)) => spec
+    case Some(Left(())) =>
+      val dsub = Seq(8, 4, 2, 1).find(dim % _ == 0).get
+      Pq(dim / dsub, 256)
+    case None => throw new IllegalArgumentException(
+      s"Unknown node storage '$s' (expected f32, sq8, pq or pq(m=..,ksub=..))")
+  }
+}
+
+/**
+ * REALIZED node storage for a shard graph: the spec plus whatever trained
+ * state it needs (the PQ codebook). Ships in task closures (codebooks are
+ * d·ksub floats — a few hundred KB at serving dims) and is part of the
+ * routed index handle, so compaction rebuilds encode against exactly the
+ * books the original build trained.
+ */
+sealed trait NodeStorage extends Serializable {
+  def spec: StorageSpec
+  private[ann] def newStore(metric: Algorithm): VecStore
+  /** Extra shortlist candidates serving over-fetches so the exact float
+    * rescore can restore true top-n ranking (0 = the stored scores ARE
+    * exact). PQ's coarse error is codebook-bounded and much larger than
+    * SQ8's per-vector min/max error, so its slack is wider — the
+    * ScaleQuant slack-sensitivity table is the measurement behind both
+    * numbers. */
+  def rescoreSlack: Int
+}
+object NodeStorage {
+  case object F32 extends NodeStorage {
+    def spec: StorageSpec = StorageSpec.F32
+    private[ann] def newStore(metric: Algorithm): VecStore = new FloatVecStore(metric)
+    def rescoreSlack: Int = 0
+  }
+  case object Sq8 extends NodeStorage {
+    def spec: StorageSpec = StorageSpec.Sq8
+    private[ann] def newStore(metric: Algorithm): VecStore = new Sq8VecStore(metric)
+    def rescoreSlack: Int = 32
+  }
+  final case class Pq(book: PqCodebook) extends NodeStorage {
+    def spec: StorageSpec = StorageSpec.Pq(book.m, book.ksub)
+    private[ann] def newStore(metric: Algorithm): VecStore = new PqVecStore(metric, book)
+    def rescoreSlack: Int = 128
+  }
+
+  /** Realize a spec: train what needs training (the PQ codebook — over
+    * the build frame, deterministic Lloyd per subspace, the
+    * [[PqCodebook.train]] loop) or pass through. `df` must be the
+    * (id LONG, key ARRAY<FLOAT>) build frame. */
+  def train(spec: StorageSpec, df: org.apache.spark.sql.DataFrame): NodeStorage =
+    spec match {
+      case StorageSpec.F32 => F32
+      case StorageSpec.Sq8 => Sq8
+      case StorageSpec.Pq(m, ksub) => Pq(PqCodebook.train(df, m, ksub))
+    }
 }
 
 /**
@@ -51,8 +160,14 @@ private[ann] sealed trait VecStore extends Serializable {
     * quantized graph is built on the codes it will search). */
   def distNodes(i: Int, j: Int): Double
   /** Internal distance between a float query and stored node i (the
-    * search path — asymmetric under SQ8: the query stays exact). */
+    * search path — asymmetric under SQ8/PQ: the query stays exact). */
   def distQuery(q: Array[Float], i: Int): Double
+  /** Per-query node scorer — the search-path currency. The default
+    * closes over [[distQuery]]; stores with per-query preparation (PQ's
+    * ADC lookup tables — O(d·ksub) once, then O(m) per scored node)
+    * override to pay that preparation exactly once per query. Must be
+    * bit-identical to [[distQuery]] on every node. */
+  def queryScorer(q: Array[Float]): Int => Double = i => distQuery(q, i)
 }
 
 private[ann] final class FloatVecStore(metric: Algorithm) extends VecStore {
@@ -117,6 +232,8 @@ private[ann] final class Sq8VecStore(metric: Algorithm) extends VecStore {
   def addPayload(p: VecPayload): Unit = p match {
     case VecPayload.Sq8(c, mn, mx) => codes += c; mns += mn; mxs += mx
     case VecPayload.F32(v) => add(v)
+    case other => throw new IllegalStateException(
+      s"sq8 vector store cannot absorb ${other.getClass.getSimpleName}")
   }
   def payload(i: Int): VecPayload = VecPayload.Sq8(codes(i), mns(i), mxs(i))
 
@@ -196,6 +313,216 @@ private[ann] final class Sq8VecStore(metric: Algorithm) extends VecStore {
         }
         if (nq == 0.0 || nb == 0.0) 0.0
         else -(dp / (math.sqrt(nq) * math.sqrt(nb)))
+    }
+  }
+}
+
+/** Product-quantized node storage — m BYTES per vector (one codebook
+  * index per subspace; the [[PqCodebook]] the graph was built with ships
+  * on the [[NodeStorage.Pq]] handle, not per row). The byte-budget end of
+  * the seam: at 768-d / m=96 a node costs 96 B where SQ8 costs 768 B and
+  * f32 3072 B — 32× under float. The graph both builds and traverses on
+  * RECONSTRUCTED vectors (x̂ᵢ = concat of each subspace's codebook entry),
+  * so its recall is measured for exactly the representation it serves
+  * (the [[Sq8VecStore]] provenance rule); exact ranking is restored by
+  * the downstream shortlist rescore — at the WIDER
+  * [[NodeStorage.Pq.rescoreSlack]], since PQ's codebook-bounded error is
+  * much larger than SQ8's per-vector min/max error.
+  *
+  * Distance discipline: all-double accumulation, one partial sum per
+  * subspace in ascending sub order, partials summed in ascending sub
+  * order — the SAME grouping in [[distQuery]], [[queryScorer]] (whose ADC
+  * lookup tables hold exactly those per-subspace partials, computed once
+  * per query — Jégou et al. 2011 §V's asymmetric distance) and
+  * [[distNodes]], so the scorer is bit-identical to distQuery and a graph
+  * rebuilt from carried codes is bit-identical to the one that produced
+  * them. Cosine denominators reuse the codebook's reconstructed norms
+  * ([[PqCodebook.n2Flat]] — chunks are disjoint coordinates, so
+  * Σᵢ ‖cᵢ[codeᵢ]‖² = ‖x̂‖² exactly). */
+private[ann] final class PqVecStore(metric: Algorithm,
+    book: PqCodebook) extends VecStore {
+  private val codes = mutable.ArrayBuffer[Array[Byte]]()
+  private val m = book.m
+  private val ksub = book.ksub
+  private val dsub = book.dsub
+  // flat [sub][code][dim] codebook + per-(sub,code) reconstructed norms²;
+  // derived views of the book — rebuilt lazily after deserialization
+  @transient private lazy val flat: Array[Float] = book.flatBook
+  @transient private lazy val n2: Array[Double] = book.n2Flat
+
+  def size: Int = codes.length
+
+  def add(v: Array[Float]): Unit = {
+    require(v.length == book.dim,
+      s"vector of dim ${v.length} against a pq codebook of dim ${book.dim}")
+    val enc = book.encodeJvm(v)
+    val c = new Array[Byte](m)
+    var s = 0
+    while (s < m) { c(s) = enc(s).toByte; s += 1 }
+    codes += c
+  }
+
+  def addPayload(p: VecPayload): Unit = p match {
+    case VecPayload.PqCode(c) =>
+      require(c.length == m,
+        s"pq payload of ${c.length} codes against m=$m subspaces")
+      codes += c
+    case VecPayload.F32(v) => add(v)
+    case other => throw new IllegalStateException(
+      s"pq vector store cannot absorb ${other.getClass.getSimpleName}")
+  }
+  def payload(i: Int): VecPayload = VecPayload.PqCode(codes(i))
+
+  def export(i: Int): Array[Float] = {
+    val c = codes(i)
+    val out = new Array[Float](book.dim)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(flat, ((s * ksub) + (c(s) & 0xFF)) * dsub,
+        out, s * dsub, dsub)
+      s += 1
+    }
+    out
+  }
+
+  @inline private def qNorm2(q: Array[Float]): Double = {
+    var nq = 0.0; var x = 0
+    while (x < q.length) { nq += q(x).toDouble * q(x).toDouble; x += 1 }
+    nq
+  }
+
+  def distNodes(i: Int, j: Int): Double = {
+    val ci = codes(i); val cj = codes(j)
+    metric match {
+      case Algorithm.EuclideanDistance =>
+        var tot = 0.0; var s = 0
+        while (s < m) {
+          val ba = ((s * ksub) + (ci(s) & 0xFF)) * dsub
+          val bb = ((s * ksub) + (cj(s) & 0xFF)) * dsub
+          var part = 0.0; var p = 0
+          while (p < dsub) {
+            val t = flat(ba + p).toDouble - flat(bb + p).toDouble
+            part += t * t; p += 1
+          }
+          tot += part; s += 1
+        }
+        tot
+      case Algorithm.DotProductSimilarity =>
+        var tot = 0.0; var s = 0
+        while (s < m) {
+          val ba = ((s * ksub) + (ci(s) & 0xFF)) * dsub
+          val bb = ((s * ksub) + (cj(s) & 0xFF)) * dsub
+          var part = 0.0; var p = 0
+          while (p < dsub) {
+            part += flat(ba + p).toDouble * flat(bb + p).toDouble; p += 1
+          }
+          tot += part; s += 1
+        }
+        -tot
+      case _ =>
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var s = 0
+        while (s < m) {
+          val ba = ((s * ksub) + (ci(s) & 0xFF)) * dsub
+          val bb = ((s * ksub) + (cj(s) & 0xFF)) * dsub
+          var part = 0.0; var p = 0
+          while (p < dsub) {
+            part += flat(ba + p).toDouble * flat(bb + p).toDouble; p += 1
+          }
+          dp += part
+          na += n2((s * ksub) + (ci(s) & 0xFF))
+          nb += n2((s * ksub) + (cj(s) & 0xFF))
+          s += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else -(dp / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  }
+
+  /** One subspace's exact query partial against codebook entry (s, c):
+    * squared euclidean or dot product, double accumulation in ascending
+    * element order — the single op sequence [[distQuery]] and the ADC
+    * tables share, so the two paths are bit-identical by construction. */
+  @inline private def qPartial(q: Array[Float], s: Int, c: Int,
+      euclid: Boolean): Double = {
+    val base = ((s * ksub) + c) * dsub
+    val off = s * dsub
+    var part = 0.0; var p = 0
+    if (euclid) while (p < dsub) {
+      val t = q(off + p).toDouble - flat(base + p).toDouble
+      part += t * t; p += 1
+    }
+    else while (p < dsub) {
+      part += q(off + p).toDouble * flat(base + p).toDouble; p += 1
+    }
+    part
+  }
+
+  def distQuery(q: Array[Float], i: Int): Double = {
+    val c = codes(i)
+    metric match {
+      case Algorithm.EuclideanDistance =>
+        var tot = 0.0; var s = 0
+        while (s < m) { tot += qPartial(q, s, c(s) & 0xFF, euclid = true); s += 1 }
+        tot
+      case Algorithm.DotProductSimilarity =>
+        var tot = 0.0; var s = 0
+        while (s < m) { tot += qPartial(q, s, c(s) & 0xFF, euclid = false); s += 1 }
+        -tot
+      case _ =>
+        var dp = 0.0; var nb = 0.0; var s = 0
+        while (s < m) {
+          dp += qPartial(q, s, c(s) & 0xFF, euclid = false)
+          nb += n2((s * ksub) + (c(s) & 0xFF))
+          s += 1
+        }
+        val nq = qNorm2(q)
+        if (nq == 0.0 || nb == 0.0) 0.0
+        else -(dp / (math.sqrt(nq) * math.sqrt(nb)))
+    }
+  }
+
+  /** ADC search path: ONE m × ksub table of exact per-subspace partials
+    * per query (O(d·ksub)), then every scored node costs m lookups —
+    * where the default scorer would re-derive the same partials per node
+    * (O(d) each). Entry (s, c) is [[qPartial]] itself, so the scorer
+    * returns bit-identical values to [[distQuery]]. */
+  override def queryScorer(q: Array[Float]): Int => Double = {
+    val euclid = metric == Algorithm.EuclideanDistance
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        lut((s * ksub) + c) = qPartial(q, s, c, euclid)
+        c += 1
+      }
+      s += 1
+    }
+    metric match {
+      case Algorithm.EuclideanDistance => (i: Int) => {
+        val ci = codes(i)
+        var tot = 0.0; var x = 0
+        while (x < m) { tot += lut((x * ksub) + (ci(x) & 0xFF)); x += 1 }
+        tot
+      }
+      case Algorithm.DotProductSimilarity => (i: Int) => {
+        val ci = codes(i)
+        var tot = 0.0; var x = 0
+        while (x < m) { tot += lut((x * ksub) + (ci(x) & 0xFF)); x += 1 }
+        -tot
+      }
+      case _ =>
+        val nq = qNorm2(q)
+        (i: Int) => {
+          val ci = codes(i)
+          var dp = 0.0; var nb = 0.0; var x = 0
+          while (x < m) {
+            val at = (x * ksub) + (ci(x) & 0xFF)
+            dp += lut(at); nb += n2(at); x += 1
+          }
+          if (nq == 0.0 || nb == 0.0) 0.0
+          else -(dp / (math.sqrt(nq) * math.sqrt(nb)))
+        }
     }
   }
 }

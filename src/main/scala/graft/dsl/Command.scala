@@ -242,13 +242,16 @@ object Command {
       * later invocations skip the measurement. */
     final case class Routed(shards: Int, probe: Option[Int],
         recall: Option[Double] = None,
-        /** SQ8 node storage in the shard graphs (the memory-lever arm):
-          * the statement builds/loads a quantized index and serves
-          * through the exact-rescored join; a RECALL target calibrates
-          * through that same path against the exact corpus. RECALL 1.0
-          * is refused (the rescore shortlist is approximate at every
-          * probe count — the IVF QUANTIZED rule). */
-        sq8: Boolean = false,
+        /** Node storage in the shard graphs (the memory-lever arm) — a
+          * [[graft.ann.StorageSpec]] key: "f32" (default), "sq8" (the
+          * SQ8 keyword), or "pq"/"pq(m=..,ksub=..)" (the PQ keyword,
+          * optionally with M m KSUB k). A quantized statement
+          * builds/loads a quantized index and serves through the
+          * exact-rescored join; a RECALL target calibrates through that
+          * same path against the exact corpus. RECALL 1.0 is refused
+          * (the rescore shortlist is approximate at every probe count —
+          * the IVF QUANTIZED rule). */
+        storage: String = "f32",
         indexDir: Option[String] = None) extends TopKMode
   }
   final case class ExtTopK(k: Int, queriesView: String, qId: String,

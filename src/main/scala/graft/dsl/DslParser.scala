@@ -132,25 +132,35 @@ object DslParser extends RegexParsers {
       { case s if s.toDouble > 0.0 => s.toDouble },
       s => s"recall target must be in (0, 1], got $s")
 
+  // node-storage selector for routed graphs (StorageSpec keys): SQ8 (int8
+  // codes) or PQ [(m=..,ksub=..)] (product-quantized codes — bare PQ
+  // resolves its split from the store dimension at build)
+  private val storageKindLit: Parser[String] =
+    (kw("sq8") ^^^ "sq8") |
+    (kw("pq") ~> opt("(" ~> (kw("m") ~> "=" ~> nonZero) ~
+      ("," ~> kw("ksub") ~> "=" ~> nonZero) <~ ")") ^^ {
+        case Some(m ~ ks) => s"pq(m=$m,ksub=$ks)"
+        case None => "pq"
+      })
+
   private val nonLinearAlgorithm: Parser[NonLinearConfig] =
     (kw("kdtree") ^^^ NonLinearConfig.KDTreeConfig()) |
     // EXTENSION kind (longest-match first: "hnsw" is its prefix) — the
     // coarse-routed sharded HNSW: (shards, probes) sizing, or
     // (shards, recall=r) to have the engine calibrate at build and pick
     // probes by measured recall (RoutedHNSWConfig.recallTarget)
-    // an optional trailing ", sq8" selects int8 node storage in the shard
-    // graphs (RoutedHNSWConfig.storage — the memory-lever extension)
+    // an optional trailing ", sq8" / ", pq[(m=..,ksub=..)]" selects
+    // quantized node storage in the shard graphs
+    // (RoutedHNSWConfig.storage — the memory-lever extension)
     (kw("hnsw_routed") ~> opt("(" ~> (nonZero <~ ",") ~
       ((kw("recall") ~> "=" ~> recallTargetLit
           ^^ (r => Right(r): Either[Int, Double])) |
         (nonZero ^^ (p => Left(p): Either[Int, Double]))) ~
-      opt("," ~> kw("sq8")) <~ ")") ^^ {
+      opt("," ~> storageKindLit) <~ ")") ^^ {
       case Some(sh ~ Left(pr) ~ q) => NonLinearConfig.RoutedHNSWConfig(
-        numShards = sh, probes = pr,
-        storage = if (q.isDefined) "sq8" else "f32")
+        numShards = sh, probes = pr, storage = q.getOrElse("f32"))
       case Some(sh ~ Right(r) ~ q) => NonLinearConfig.RoutedHNSWConfig(
-        numShards = sh, recallTarget = Some(r),
-        storage = if (q.isDefined) "sq8" else "f32")
+        numShards = sh, recallTarget = Some(r), storage = q.getOrElse("f32"))
       case None => NonLinearConfig.RoutedHNSWConfig()
     }) |
     (kw("hnsw") ^^^ NonLinearConfig.HNSWConfig())
@@ -537,19 +547,27 @@ object DslParser extends RegexParsers {
     val ivfPq = kw("ivf") ~> (kw("cells") ~> nonZero) ~
       (kw("probe") ~> nonZero) ~ (kw("pq") ~> pqParams) ^^ {
         case c ~ p ~ (m ~ ks ~ sl) => Command.TopKMode.IvfPq(c, p, m, ks, sl) }
-    // ROUTED SHARDS s (PROBE p | RECALL r) [USING INDEX <dir>] — the
-    // graph-speed batch-join arm, optionally pinned to persisted
-    // artifacts. RECALL names the probe knob by what it buys: the
-    // statement calibrates once (or loads a persisted curve) and picks
-    // the cheapest probes whose MEASURED recall@k meets r.
-    // optional SQ8 keyword: int8 node storage in the shard graphs, the
-    // exact-rescored serving path (RoutedHNSWConfig storage analog)
+    // ROUTED SHARDS s (PROBE p | RECALL r) [SQ8 | PQ [M m KSUB k]]
+    // [USING INDEX <dir>] — the graph-speed batch-join arm, optionally
+    // pinned to persisted artifacts. RECALL names the probe knob by what
+    // it buys: the statement calibrates once (or loads a persisted
+    // curve) and picks the cheapest probes whose MEASURED recall@k meets
+    // r. SQ8 / PQ select quantized node storage in the shard graphs, the
+    // exact-rescored serving path (RoutedHNSWConfig storage analog; PQ's
+    // M/KSUB spelled like the standalone PQ arm, bare PQ resolves from
+    // the corpus dimension)
+    val routedStorage: Parser[String] =
+      (kw("sq8") ^^^ "sq8") |
+      (kw("pq") ~> opt((kw("m") ~> nonZero) ~ (kw("ksub") ~> nonZero)) ^^ {
+        case Some(m ~ ks) => s"pq(m=$m,ksub=$ks)"
+        case None => "pq"
+      })
     val routed = kw("routed") ~> (kw("shards") ~> nonZero) ~
-      probeOrRecall ~ opt(kw("sq8")) ~ opt(usingIndex) ^^ {
+      probeOrRecall ~ opt(routedStorage) ~ opt(usingIndex) ^^ {
         case s ~ Left(p) ~ q ~ d =>
-          Command.TopKMode.Routed(s, Some(p), None, q.isDefined, d)
+          Command.TopKMode.Routed(s, Some(p), None, q.getOrElse("f32"), d)
         case s ~ Right(r) ~ q ~ d =>
-          Command.TopKMode.Routed(s, None, Some(r), q.isDefined, d) }
+          Command.TopKMode.Routed(s, None, Some(r), q.getOrElse("f32"), d) }
     ivfPq | ivf | pq | quant | routed
   }
   private val extTopK: Parser[Command] =

@@ -100,16 +100,16 @@ object Pipeline {
     * calibrate against the statement's own query view and best-effort
     * persist — the caller decides what is persistable.
     *
-    * Two honesty caveats a RECALL-arm user must hold (round-13 advice):
+    * One honesty caveat a RECALL-arm user must hold (round-13 advice):
     * the curve is calibrated on a sample of THIS statement's query view
     * and then serves those same queries, so the measured floor is
     * IN-SAMPLE (LCB selection absorbs sampling noise, not distribution
     * optimism — an external holdout read ~1.5pt under the self-measured
-    * point at the steep part, SCALE.md); and a curve persisted via USING
-    * INDEX is reused by any later statement that merely matches k —
-    * point a statement whose query distribution differs at a different
-    * dir (or delete the manifest) rather than trusting a curve measured
-    * on someone else's workload. */
+    * point at the steep part, SCALE.md). The someone-else's-workload
+    * hazard is structural for the ROUTED arm since round 15
+    * ([[routedRecallProbes]]'s fingerprint guard); the IVF arm still
+    * reuses on k alone — point an IVF statement whose query distribution
+    * differs at its own USING INDEX dir. */
   private def recallProbes[I](idx: I, target: Double, k: Int,
       reuse: I => (Boolean, Int),
       calibrate: I => I, persist: I => Unit,
@@ -118,6 +118,59 @@ object Pipeline {
     val cal = if (reusable && curveK == k) idx
       else { val c = calibrate(idx); persist(c); c }
     probesFor(cal, target)
+  }
+
+  /** The ROUTED arm's calibrate-or-reuse, with the WORKLOAD-FINGERPRINT
+    * guard (round-14 advice #4, made structural): a persisted curve
+    * carries the fingerprint of the query sample it was measured on
+    * ([[graft.ann.RoutedAnnIndex.workloadFp]]); before reusing a curve
+    * at matching k, this statement draws ITS candidate sample (same
+    * nQueries/seed the calibration would use — deterministic, so an
+    * unchanged query view reproduces the fingerprint exactly) and
+    * compares. Mismatch WARNS and serves — or, under
+    * `spark.graft.strictCalibrationReuse=true`, RECALIBRATES against
+    * this statement's own view (and persists, replacing the stale
+    * curve) — instead of silently serving a floor measured on someone
+    * else's workload. The in-sample honesty caveat of [[recallProbes]]
+    * still applies to the measured floor itself. */
+  private def routedRecallProbes(spark: org.apache.spark.sql.SparkSession,
+      idx: graft.ann.RoutedAnnIndex, target: Double, k: Int,
+      qframe: DataFrame, exact: Option[DataFrame],
+      indexDir: Option[String]): Int = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def calibrateAndPersist(): graft.ann.RoutedAnnIndex = {
+      val c = idx.calibrate(k = k, queries = Some(qframe), exact = exact)
+      indexDir.foreach { dir =>
+        try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
+          touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
+        catch { case scala.util.control.NonFatal(e) =>
+          log.warn(s"persisting calibration curve to $dir failed", e) }
+      }
+      c
+    }
+    val cal =
+      if (!idx.recallCurves.exists(_._1 == k)) calibrateAndPersist()
+      else {
+        // a curve at this k exists — check it answers THIS workload
+        val stmtFp = graft.ann.RoutedAnnIndex
+          .workloadFingerprintOf(qframe, "qv")
+        if (idx.workloadFp.isEmpty || idx.workloadFp == stmtFp) idx
+        else if (spark.conf.get(
+            "spark.graft.strictCalibrationReuse", "false").toBoolean) {
+          log.info(s"calibration curve workload fingerprint mismatch " +
+            s"(${idx.workloadFp} != $stmtFp) — recalibrating against " +
+            "this statement's query view (strictCalibrationReuse)")
+          calibrateAndPersist()
+        } else {
+          log.warn(s"reusing a calibration curve measured on a DIFFERENT " +
+            s"query workload (fingerprint ${idx.workloadFp} != $stmtFp) — " +
+            "its recall floor may not hold here; set " +
+            "spark.graft.strictCalibrationReuse=true to recalibrate, or " +
+            "point this statement at its own USING INDEX dir")
+          idx
+        }
+      }
+    cal.probesForN(target, k)
   }
 
   /** The (qid, cid, sim, rank) frame every TOPK arm returns, empty — the
@@ -314,24 +367,25 @@ object Pipeline {
             metric = graft.types.Algorithm.CosineSimilarity)
           Response.Entries(ivf.pqTopKJoin(t(qv), qi, qc, k, probe,
             shortlist, cb))
-        case Command.TopKMode.Routed(shards, probe, recall, sq8, indexDir) =>
+        case Command.TopKMode.Routed(shards, probe, recall, storageKey, indexDir) =>
           // without USING INDEX: per-statement build like the IVF arm
           // (reference cosine build params). With it: load-or-build-and-
           // save against the pinned artifact dir — a scripted pipeline
           // pays the Lloyd + graph builds once across invocations; the
           // caller owns the dir's freshness (Pipeline.TopKIndexStamp).
-          // probe >= shards is the exhaustive all-shard merge. SQ8 builds
-          // the quantized index (storage is artifact identity — a pinned
-          // dir never crosses storages) and serves through the
-          // exact-rescored join; RECALL then calibrates through that same
-          // path against the exact corpus — and a 1.0 target is refused,
-          // exactly like the IVF QUANTIZED arm (the rescore shortlist is
-          // approximate at every probe count).
-          if (sq8 && recall.exists(_ >= 1.0))
+          // probe >= shards is the exhaustive all-shard merge. SQ8/PQ
+          // build the quantized index (storage is artifact identity — a
+          // pinned dir never crosses storages) and serve through the
+          // exact-rescored join; RECALL then calibrates through that
+          // same path against the exact corpus — and a 1.0 target is
+          // refused, exactly like the IVF QUANTIZED arm (the rescore
+          // shortlist is approximate at every probe count).
+          val quantizedArm = storageKey != "f32"
+          if (quantizedArm && recall.exists(_ >= 1.0))
             throw graft.types.GraftException(
-              "RECALL 1.0 cannot be certified through the SQ8 arm (the " +
-                "rescore shortlist is approximate at every probe count) " +
-                "— use PROBE, or drop SQ8")
+              s"RECALL 1.0 cannot be certified through the $storageKey " +
+                "arm (the rescore shortlist is approximate at every " +
+                "probe count) — use PROBE, or drop the storage keyword")
           val corpus = t(cv).select(
             col(ci).cast("long").as("id"),
             col(cc).cast("array<float>").as("key"))
@@ -339,6 +393,10 @@ object Pipeline {
           if (first.isEmpty) Response.Entries(emptyTopK(t(cv).sparkSession))
           else {
             val dim = first.head.getInt(0)
+            val spec =
+              try graft.ann.StorageSpec.resolve(storageKey, dim)
+              catch { case e: IllegalArgumentException =>
+                throw graft.types.GraftException(e.getMessage) }
             val cfg = graft.types.NonLinearConfig.HNSWConfig(
               efConstruction = 100, maximumConnections = 40,
               maximumConnectionsZero = 80, efSearch = 128,
@@ -346,31 +404,23 @@ object Pipeline {
             val idx = indexDir match {
               case Some(dir) => graft.ann.RoutedAnnIndex.buildOrLoad(
                 corpus, dim, cfg, shards, dir, TopKIndexStamp,
-                quantized = sq8)
+                storage = spec)
               case None =>
                 graft.ann.RoutedAnnIndex.build(corpus, dim, cfg, shards,
-                  quantized = sq8)
+                  storage = spec)
             }
             val probes = (probe, recall) match {
               case (Some(p), _) => p
               case (None, Some(r)) =>
-                recallProbes[graft.ann.RoutedAnnIndex](idx, r, k,
-                  i => (i.recallCurve.nonEmpty, i.recallK),
-                  i => i.calibrate(k = k,
-                    queries = Some(t(qv).select(col(qc).as("qv"))),
-                    exact = if (sq8) Some(corpus) else None),
-                  c => indexDir.foreach { dir =>
-                    try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
-                      touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
-                    catch { case scala.util.control.NonFatal(e) =>
-                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                        s"persisting calibration curve to $dir failed", e) }
-                  },
-                  (i, tgt) => i.probesFor(tgt))
+                routedRecallProbes(spark, idx, r, k,
+                  qframe = t(qv).select(col(qc).as("qv")),
+                  exact = if (quantizedArm) Some(corpus) else None,
+                  indexDir = indexDir)
               case (None, None) => shards // unreachable by grammar: exhaustive
             }
             Response.Entries(
-              if (sq8) idx.topKJoinRescored(t(qv), qi, qc, k, probes, corpus)
+              if (quantizedArm)
+                idx.topKJoinRescored(t(qv), qi, qc, k, probes, corpus)
               else idx.topKJoin(t(qv), qi, qc, k, probes))
           }
         case Command.TopKMode.Ivf(cells, probe, recall, quantized, indexDir) =>

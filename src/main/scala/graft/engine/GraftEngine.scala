@@ -575,7 +575,7 @@ class GraftEngine(val spark: SparkSession,
     case r: NonLinearConfig.RoutedHNSWConfig =>
       s"hnsw_routed(shards=${r.numShards},probes=${r.probes}," +
         r.recallTarget.fold("")(t => s"recall=$t,") +
-        (if (r.storage == "sq8") "storage=sq8," else "") +
+        (if (r.storage != "f32") s"storage=${r.storage}," else "") +
         s"eps=${r.replicationEps},base=${describeConfig(r.hnsw)})"
   }
 
@@ -999,19 +999,28 @@ class GraftEngine(val spark: SparkSession,
     val st = state(schema, name)
     configs.foreach {
       case r: NonLinearConfig.RoutedHNSWConfig
-          if r.storage != "f32" && r.storage != "sq8" =>
+          if graft.ann.StorageSpec.parse(r.storage).isEmpty =>
         throw GraftException(
-          s"Unknown hnsw_routed storage '${r.storage}' (expected f32 or sq8)")
-      // a 1.0 target is CERTIFICATION (always-exhaustive search) and the
-      // sq8 beam is approximate at every probe count — refusing here
-      // mirrors the DSL TOPK arm's rule, instead of silently serving
-      // curve-top recall under a promise the path cannot keep
+          s"Unknown hnsw_routed storage '${r.storage}' (expected f32, " +
+            "sq8, pq or pq(m=..,ksub=..))")
+      // a 1.0 target is CERTIFICATION (always-exhaustive search) and a
+      // quantized beam (sq8 or pq) is approximate at every probe count —
+      // refusing here mirrors the DSL TOPK arm's rule, instead of
+      // silently serving curve-top recall under a promise the path
+      // cannot keep
       case r: NonLinearConfig.RoutedHNSWConfig
-          if r.storage == "sq8" && r.recallTarget.exists(_ >= 1.0) =>
+          if r.storage != "f32" && r.recallTarget.exists(_ >= 1.0) =>
         throw GraftException(
-          "recall target 1.0 cannot be certified under sq8 storage (the " +
-            "rescore shortlist is approximate at every probe count) — " +
-            "use a sub-1.0 target, raw probes, or f32 storage")
+          s"recall target 1.0 cannot be certified under ${r.storage} " +
+            "storage (the rescore shortlist is approximate at every " +
+            "probe count) — use a sub-1.0 target, raw probes, or f32 " +
+            "storage")
+      case r: NonLinearConfig.RoutedHNSWConfig if r.storage.startsWith("pq") =>
+        // resolve eagerly so a pq m that does not divide the store
+        // dimension fails at CREATE, not on the first search
+        try graft.ann.StorageSpec.resolve(r.storage, st.meta.dimension)
+        catch { case e: IllegalArgumentException =>
+          throw GraftException(e.getMessage) }
       case _ => ()
     }
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))
@@ -1109,28 +1118,32 @@ class GraftEngine(val spark: SparkSession,
       name: String): graft.ann.RoutedAnnIndex = {
     val src = st.df.select(col("id"), col("key"))
     val stamp = s"$schema/$name@v${st.version}"
-    val quantized = cfg.storage == "sq8"
+    val spec = graft.ann.StorageSpec.resolve(cfg.storage, st.meta.dimension)
+    val quantized = spec != graft.ann.StorageSpec.F32
     val built = persistRoot match {
       case Some(root) =>
         graft.ann.RoutedAnnIndex.buildOrLoad(src, st.meta.dimension,
           cfg.hnsw, cfg.numShards,
           Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,
-          cfg.iters, cfg.replicationEps, cfg.maxReplicas, quantized)
+          cfg.iters, cfg.replicationEps, cfg.maxReplicas, spec)
       case None =>
         graft.ann.RoutedAnnIndex.build(src, st.meta.dimension, cfg.hnsw,
           cfg.numShards, cfg.iters, cfg.replicationEps, cfg.maxReplicas,
-          quantized)
+          spec)
     }
-    // a recall-targeted index calibrates at build (self-sample, k = 10 —
-    // the GetSimN-scale operating point) so every search can read probes
-    // off the measured curve; a loaded artifact carries its curve already
-    // (restart pays nothing), and the curve persists manifest-only. A
-    // QUANTIZED index calibrates against the exact store frame (ground
-    // truth must be the true vectors) and through the rescored join — the
-    // curve answers for the quantized serving path, never the exact arm
-    if (cfg.recallTarget.isEmpty || built.recallCurve.nonEmpty) built
+    // a recall-targeted index calibrates at build (self-sample, over the
+    // serving-k LADDER — default {10, 50}, spark.graft.routedRecallKs —
+    // so an n=50 recall-targeted search serves PRUNED probes off a
+    // measured floor instead of paying all-shard cost, round-14 ask #2)
+    // and every search reads probes off the tightest covering curve; a
+    // loaded artifact carries its curves already (restart pays nothing),
+    // and the curves persist manifest-only. A QUANTIZED index calibrates
+    // against the exact store frame (ground truth must be the true
+    // vectors) and through the rescored join — the curve answers for the
+    // quantized serving path, never the exact arm
+    if (cfg.recallTarget.isEmpty || built.recallCurves.nonEmpty) built
     else {
-      val cal = built.calibrate(k = 10, // per-point results land in the log
+      val cal = built.calibrateKs(nQueries = 64, ks = routedRecallKs,
         exact = if (quantized) Some(src) else None)
       graft.obs.Trace.event(spark, "routed:calibrate",
         if (schema == DefaultSchema) name else s"$schema.$name")
@@ -1176,10 +1189,34 @@ class GraftEngine(val spark: SparkSession,
 
   /** Session's routed-delete cap — [[GraftEngine.RoutedDeleteCap]] unless
     * `spark.graft.routedDeleteCap` overrides it (testability + a
-    * deployment lever for driver-memory-constrained sessions). */
-  private[graft] def routedDeleteCap: Long =
-    spark.conf.get("spark.graft.routedDeleteCap",
-      GraftEngine.RoutedDeleteCap.toString).toLong
+    * deployment lever for driver-memory-constrained sessions). A
+    * malformed override fails HERE, naming the conf key — not as a bare
+    * NumberFormatException from deep inside a DelKey (round-14 advice). */
+  private[graft] def routedDeleteCap: Long = {
+    val raw = spark.conf.get("spark.graft.routedDeleteCap",
+      GraftEngine.RoutedDeleteCap.toString)
+    try raw.toLong
+    catch { case _: NumberFormatException => throw GraftException(
+      s"spark.graft.routedDeleteCap must be a long, got '$raw'") }
+  }
+
+  /** Serving-k calibration ladder for recall-targeted routed indexes —
+    * `spark.graft.routedRecallKs` (comma-separated positive ints, default
+    * "10,50"): each k gets its own measured recall-vs-probes curve, so
+    * recall-targeted searches at n ≤ max(ks) serve pruned probes off the
+    * tightest covering curve ([[graft.ann.RoutedAnnIndex.probesForN]]);
+    * n above the ladder widens to exhaustive. Malformed values fail
+    * naming the key. */
+  private[graft] def routedRecallKs: Seq[Int] = {
+    val raw = spark.conf.get("spark.graft.routedRecallKs", "10,50")
+    val ks = try raw.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      catch { case _: NumberFormatException => throw GraftException(
+        s"spark.graft.routedRecallKs must be comma-separated ints, got '$raw'") }
+    if (ks.isEmpty || ks.exists(_ <= 0) || ks.distinct.size != ks.size)
+      throw GraftException(
+        s"spark.graft.routedRecallKs must be distinct positive ints, got '$raw'")
+    ks
+  }
 
   /** Ping / InfoServer (db/src/server/handler.rs:119-125, 425). */
   def ping(): String = "PONG"

@@ -753,6 +753,49 @@ object Queries {
       Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
         where = "WHERE e.vec_id NOT IN (1,2,3)"))),
 
+    // ---- PQ-quantized routed index through the parity API (round 15):
+    // the store's hnsw_routed index stores PRODUCT-QUANTIZED codes per
+    // graph node (storage = "pq" → pq(m=8,ksub=256) at dim 64 — m BYTES
+    // per vector, the byte-budget end of the VecStore seam); graphs
+    // build and traverse on ADC-scored codes, search over-fetches the
+    // WIDER PQ rescore slack (NodeStorage.Pq.rescoreSlack — its coarse
+    // error is codebook-bounded, not range-bounded like SQ8's), and
+    // hydration rescores EXACTLY against the store table — at exhaustive
+    // probes the result equals the linear oracle. The same mid-query
+    // DelKey gates the tombstone tier on PQ shards. ----
+    "vdb_sim_hnsw_routed_pq" -> Q(
+      (s, dir) => {
+        // fixture phase (bench split): store population + victim collect;
+        // the exercise is the PQ codebook training + index build, the
+        // tombstone delete, and the rescored search
+        val e = graft.obs.Trace.fixture {
+          val e = TestStores.freshEngine(s)
+          e.createStore("embrpq", 64)
+          e.set("embrpq", TestStores.embEntries(s, dir))
+          e
+        }
+        e.createNonLinearIndex("embrpq", Seq(
+          graft.types.NonLinearConfig.RoutedHNSWConfig(
+            hnsw = graft.types.NonLinearConfig.HNSWConfig(
+              efConstruction = 100, maximumConnections = 40,
+              maximumConnectionsZero = 80, efSearch = 4096),
+            numShards = 8, probes = 8, storage = "pq")))
+        // force the quantized structure live, then tombstone 3 rows on it
+        e.getSimN("embrpq", TestStores.queryVec(s, dir), 1, Algorithm.HNSW).count()
+        val victims = TestStores.table(s, dir, "embeddings")
+          .where(col("vec_id").isin(1, 2, 3)).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        e.delKey("embrpq", victims)
+        val rows = TestStores.simResult(e.getSimN("embrpq",
+            TestStores.queryVec(s, dir), 10, Algorithm.HNSW))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        e.dropStore("embrpq")
+        import s.implicits._
+        rows.toDF("vec_id", "sim")
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
+        where = "WHERE e.vec_id NOT IN (1,2,3)"))),
+
     // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
     "vdb_set_counts" -> Q(
       (s, dir) => {
@@ -4084,6 +4127,36 @@ object Queries {
       (s, dir) => {
         val e = TestStores.table(s, dir, "embeddings")
         val idx = TestStores.routedSq8Index(s, dir) // shared stamped artifact
+        idx.topKJoinRescored(
+            e.where(col("vec_id") < 20)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 3, probes = idx.numShards,
+            exact = TestStores.embKeyed(s, dir))
+          .select("qid", "cid").orderBy("qid", "cid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 3
+        |ORDER BY qid, cid""".stripMargin)),
+
+    // ---- PQ routed batch join (round 15): the PRODUCT-QUANTIZED graphs
+    // (pq(m=8,ksub=256) — 8 bytes/node where SQ8 spends 64 and f32 256)
+    // rank a (k + PQ RescoreSlack)-deep candidate cut on ADC scores, the
+    // exact float vectors re-attach from the corpus frame for the
+    // rescore (RoutedAnnIndex.topKJoinRescored at the storage's WIDER
+    // default slack — the served path, the one a PQ calibration
+    // measures), and at exhaustive probes the result equals the
+    // brute-force oracle. DSL twin:
+    // `TOPK … ROUTED SHARDS s PROBE p PQ [M m KSUB k]` (DslSpec). ----
+    "embed_topk_join_routed_pq" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val idx = TestStores.routedPqIndex(s, dir) // shared stamped artifact
         idx.topKJoinRescored(
             e.where(col("vec_id") < 20)
               .select(col("vec_id").as("qid"), col("embedding").as("qv")),

@@ -290,7 +290,29 @@ object TestStores {
           metric = graft.types.Algorithm.CosineSimilarity),
         numShards = 8, dir = artifactDir("routed-sq8", sfDir),
         sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2,
-        quantized = true)
+        storage = graft.ann.StorageSpec.Sq8)
+    })
+
+  private val routedPqIndexes = TrieMap[String, graft.ann.RoutedAnnIndex]()
+
+  /** Shared PQ-quantized routed index over embeddings (round 15) — the
+    * [[routedSq8Index]] fixture's byte-budget twin (storage =
+    * pq(m=8,ksub=256), the bare-"pq" resolution at dim 64; own artifact
+    * dir — storage is artifact identity). Beam covers every shard, so
+    * the rescored join at exhaustive probes is the exact-set oracle
+    * precondition, same as the float and SQ8 fixtures. */
+  def routedPqIndex(spark: SparkSession, sfDir: String): graft.ann.RoutedAnnIndex =
+    routedPqIndexes.getOrElseUpdate(sfDir, {
+      val keyed = embKeyed(spark, sfDir)
+      val ef = math.max(128L, keyed.count()).toInt
+      graft.ann.RoutedAnnIndex.buildOrLoad(keyed, 64,
+        graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = ef,
+          metric = graft.types.Algorithm.CosineSimilarity),
+        numShards = 8, dir = artifactDir("routed-pq", sfDir),
+        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2,
+        storage = graft.ann.StorageSpec.Pq(m = 8, ksub = 256))
     })
 
   private val pqBooks = TrieMap[String, graft.ann.PqCodebook]()

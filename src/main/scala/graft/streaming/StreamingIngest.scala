@@ -577,7 +577,7 @@ object StreamingIngest {
             .union(batch.select(col("id").cast("long"), col("key")))
           val rebuilt = graft.ann.RoutedAnnIndex.build(all,
             old.centroids.head.length, old.config, old.numShards, old.iters,
-            old.replicationEps, old.maxReplicas, old.quantized)
+            old.replicationEps, old.maxReplicas, old.spec)
           idx = rebuilt
           old.unpersist()
           nReclusters += 1
@@ -636,7 +636,7 @@ object StreamingIngest {
               .select(col("id").cast("long"), col("key").cast("array<float>")))
           val rebuilt = graft.ann.RoutedAnnIndex.build(net,
             old.centroids.head.length, old.config, old.numShards, old.iters,
-            old.replicationEps, old.maxReplicas, old.quantized)
+            old.replicationEps, old.maxReplicas, old.spec)
           idx = rebuilt
           old.unpersist()
           nReclusters += 1
@@ -667,7 +667,7 @@ object StreamingIngest {
             val rebuilt = graft.ann.RoutedAnnIndex.build(all,
               afterDel.centroids.head.length, afterDel.config,
               afterDel.numShards, afterDel.iters, afterDel.replicationEps,
-              afterDel.maxReplicas, afterDel.quantized)
+              afterDel.maxReplicas, afterDel.spec)
             idx = rebuilt
             afterDel.unpersist()
             nReclusters += 1

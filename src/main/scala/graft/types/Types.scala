@@ -109,11 +109,14 @@ object NonLinearConfig {
     * and every GetSimN searches at `probesFor(recallTarget)` (one-sided
     * 95% lower-confidence-bound selection) instead of the raw `probes`.
     * A 1.0 target always searches exhaustively — a sample can certify
-    * an estimate, never perfection. The curve's operating point is
-    * k = 10, unfiltered: a GetSimN with n > 10 or with a predicate
-    * condition widens to exhaustive probes (the measured floor does not
-    * transfer — recall@n falls with n at fixed probes, and a selective
-    * filter can concentrate accepted rows in unprobed shards). */
+    * an estimate, never perfection. The curves' operating points are
+    * the serving-k ladder (default {10, 50} —
+    * `spark.graft.routedRecallKs`), unfiltered: a GetSimN at n ≤ some
+    * calibrated k serves pruned probes off the tightest covering curve;
+    * n above the ladder, or any predicate condition, widens to
+    * exhaustive probes (the measured floor does not transfer —
+    * recall@n falls with n at fixed probes, and a selective filter can
+    * concentrate accepted rows in unprobed shards). */
   final case class RoutedHNSWConfig(
       hnsw: HNSWConfig = HNSWConfig(),
       numShards: Int = 16,
@@ -122,15 +125,20 @@ object NonLinearConfig {
       replicationEps: Double = 0.0,
       maxReplicas: Int = 2,
       recallTarget: Option[Double] = None,
-      /** Node storage in the shard graphs: "f32" (full-precision floats,
-        * the default) or "sq8" (per-vector min/max int8 codes — ~1/4 the
-        * vector bytes per stored row, the 100 TB memory lever; graphs
-        * build and traverse on the codes, and the engine restores exact
-        * final ranking by over-fetching [[graft.ann.RoutedAnnIndex
-        * .RescoreSlack]] candidates and rescoring them against the store
-        * table at hydration). With `recallTarget`, calibration runs
-        * THROUGH the quantized path against the exact store — the curve
-        * prices quantization error in. */
+      /** Node storage in the shard graphs ([[graft.ann.StorageSpec]]
+        * keys): "f32" (full-precision floats, the default), "sq8"
+        * (per-vector min/max int8 codes — ~1/4 the vector bytes per
+        * stored row) or "pq"/"pq(m=..,ksub=..)" (product-quantized
+        * codes — m bytes/vector, the byte-budget end; bare "pq"
+        * resolves its split from the store dimension). The 100 TB
+        * memory lever: graphs build and traverse on the codes, and the
+        * engine restores exact final ranking by over-fetching the
+        * storage's rescore slack ([[graft.ann.NodeStorage
+        * .rescoreSlack]] — wider under PQ, whose coarse error is
+        * codebook-bounded) and rescoring against the store table at
+        * hydration. With `recallTarget`, calibration runs THROUGH the
+        * quantized path against the exact store — the curve prices
+        * quantization error in. */
       storage: String = "f32") extends NonLinearConfig { def kind = "hnsw_routed" }
 }
 

@@ -247,7 +247,7 @@ class RoutedAnnSpec extends AnyFunSuite {
             .toDF("id", "key").union(huge)
           val twin = RoutedAnnIndex.build(all, Dim, cfg, Shards, iters = 3,
             replicationEps = 0.0, maxReplicas = 2,
-            quantized = false, frozenCentroids = Some(a.centroids))
+            storage = graft.ann.StorageSpec.F32, frozenCentroids = Some(a.centroids))
           try queries.take(20).foreach { q =>
             assert(compacted.search(q, K, 8) == twin.search(q, K, 8),
               "compacted graphs diverge from the frozen-centroid union build")
@@ -356,7 +356,7 @@ class RoutedAnnSpec extends AnyFunSuite {
           .map(i => (ids(i), vecs(i).toSeq)).toDF("id", "key")
         val twin = RoutedAnnIndex.build(survivors, Dim, cfg, 16, iters = 2,
           replicationEps = 0.0, maxReplicas = 2,
-          quantized = false, frozenCentroids = Some(idx.centroids))
+          storage = graft.ann.StorageSpec.F32, frozenCentroids = Some(idx.centroids))
         try queries.take(20).foreach { q =>
           assert(del.search(q, K, 8) == twin.search(q, K, 8),
             "compacted shards diverge from the frozen-centroid filtered build")
@@ -557,6 +557,88 @@ class RoutedAnnSpec extends AnyFunSuite {
     assert(appended.get.recallCurve.toSeq == cal.recallCurve.toSeq)
     assert(appended.get.recallK == 10)
     appended.get.unpersist()
+  }
+
+  test("topKJoin sharp-filter auto-cutover: a known-sharp filter scans the accepted slice EXACTLY despite pruned probes; unknown cardinality rides the graphs") {
+    val s = spark
+    import s.implicits._
+    val qdf = queries.take(20).zipWithIndex
+      .map { case (v, i) => (100000L + i, v.toSeq) }.toSeq.toDF("qid", "qv")
+    // sharp slice: ~2% of ids — far below FilteredScanFraction
+    val picked = ids.filter(_ % 50 == 0)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(picked.length, 0.001)
+    picked.foreach(bf.putLong)
+    // the arm's contract is exact over the ACCEPT-FUNCTION slice, which
+    // includes the sketch's (deterministic) false positives — derive the
+    // truth set from the Bloom itself
+    val acceptSet = ids.filter(bf.mightContainLong).toSet
+    assert(acceptSet.size < RoutedAnnIndex.FilteredScanFraction * N)
+    def ranked(dfr: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      dfr.select("qid", "cid", "rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+    // KNOWN sharp cardinality at heavily PRUNED probes: the cutover
+    // ignores the probe knob and scans — result is the exact filtered
+    // brute force, which pruned in-graph probes could not guarantee
+    val sharp = ranked(index.topKJoin(qdf, "qid", "qv", k = 5, probes = 2,
+      filter = IdFilter.Bloom(bf, picked.length)))
+    val fIdx = ids.indices.filter(i => acceptSet(ids(i))).toArray
+    queries.take(20).zipWithIndex.foreach { case (v, i) =>
+      val exp = bruteTopK(cfg.metric, fIdx.map(ids), fIdx.map(vecs), v, 5)
+        .map(_._1)
+      assert(sharp(100000L + i) == exp,
+        s"sharp-filter scan arm diverged from the exact slice for query $i")
+    }
+    // UNKNOWN cardinality: the caller's probes are honored (the graph
+    // arm) — results stay inside the accept slice but pruned probes may
+    // miss (the measured ScaleJoin degradation, why the cutover exists)
+    val unknown = ranked(index.topKJoin(qdf, "qid", "qv", k = 5, probes = 2,
+      filter = IdFilter.Bloom(bf)))
+    unknown.values.flatten.foreach(cid =>
+      assert(acceptSet(cid), "in-graph filtered join leaked a rejected id"))
+  }
+
+  test("calibrateKs measures a serving-k LADDER in one protocol run; probesForN serves off the tightest covering curve") {
+    val cal = index.calibrateKs(nQueries = 48, ks = Seq(10, 50), seed = 11L)
+    assert(cal.recallCurves.map(_._1).toSeq == Seq(10, 50))
+    assert(cal.recallK == 10 && cal.maxRecallK == 50)
+    // the single-curve view reads the smallest-k (primary) curve
+    assert(cal.recallCurve.toSeq ==
+      cal.recallCurves.find(_._1 == 10).get._2.toSeq)
+    // a self-sample stamps a self: workload fingerprint
+    assert(cal.workloadFp.startsWith("self:"))
+    // the measured k-monotonicity probesForN's covering rule rests on:
+    // at fixed PRUNED probes, recall@50 <= recall@10 (+ sample noise) —
+    // more of a deeper true top-k lives in unprobed shards
+    val c10 = cal.recallCurves.find(_._1 == 10).get._2.map(p => p._1 -> p._2).toMap
+    val c50 = cal.recallCurves.find(_._1 == 50).get._2.map(p => p._1 -> p._2).toMap
+    c50.keys.filter(_ < Shards).foreach { p =>
+      assert(c50(p) <= c10(p) + 0.05,
+        f"recall@50 ${c50(p)}%.4f above recall@10 ${c10(p)}%.4f at probes=$p " +
+          "— the covering-curve rule's monotonicity assumption broke")
+    }
+    // probesForN: n <= 10 reads the k=10 curve (== legacy probesFor);
+    // 10 < n <= 50 reads the k=50 curve; n > 50 has no covering curve
+    // and widens to exhaustive — the safe direction
+    assert(cal.probesForN(0.85, 10) == cal.probesFor(0.85))
+    assert(cal.probesForN(0.85, 30) == cal.probesForN(0.85, 50))
+    assert(cal.probesForN(0.85, 51) == Shards)
+    assert(cal.probesForN(1.0, 10) == Shards) // 1.0 stays certification
+    assert(index.probesForN(0.5, 10) == Shards) // uncalibrated = exhaustive
+    // the full ladder + fingerprint round-trip through the manifest
+    val dir = java.nio.file.Files.createTempDirectory("routed-ks").toString
+    RoutedAnnIndex.save(cal, dir, "ks-stamp")
+    val loaded = RoutedAnnIndex.load(spark, dir, cfg, "ks-stamp", iters = 3)
+    assert(loaded.isDefined)
+    try {
+      assert(loaded.get.recallCurves.map(_._1).toSeq == Seq(10, 50))
+      assert(loaded.get.recallCurves.map(_._2.toSeq).toSeq ==
+        cal.recallCurves.map(_._2.toSeq).toSeq,
+        "curves must round-trip bit-exactly through the manifest")
+      assert(loaded.get.workloadFp == cal.workloadFp,
+        "workload fingerprint must round-trip")
+    } finally loaded.get.unpersist()
   }
 
   test("routing and search are deterministic; probe ranking prefers the query's own shard") {

@@ -7,7 +7,7 @@ import graft.types.{Algorithm, NonLinearConfig}
 
 /**
  * SQ8 node storage inside the routed shard graphs ([[Sq8VecStore]] /
- * `RoutedAnnIndex(quantized = true)`): the graphs build and traverse on
+ * `RoutedAnnIndex(storage = graft.ann.StorageSpec.Sq8)`): the graphs build and traverse on
  * int8 codes (~1/4 the vector bytes), and exact final ranking is restored
  * by the shortlist rescore. These tests pin
  *  - the quantization math against [[graft.functions.Quantize]]'s
@@ -47,7 +47,7 @@ class Sq8RoutedSpec extends AnyFunSuite {
 
   private lazy val sq8: RoutedAnnIndex =
     RoutedAnnIndex.build(df(0 until N), Dim, cfg, numShards = Shards,
-      iters = 2, quantized = true)
+      iters = 2, storage = graft.ann.StorageSpec.Sq8)
 
   test("Sq8VecStore encode/export pin the Quantize convention; payload kinds are guarded") {
     val st = new Sq8VecStore(Algorithm.CosineSimilarity)
@@ -147,7 +147,7 @@ class Sq8RoutedSpec extends AnyFunSuite {
 
   test("maintenance keeps codes verbatim: compaction == frozen-centroid quantized rebuild; tombstones filter; storedRows carried") {
     val base = RoutedAnnIndex.build(df(0 until 5000), Dim, cfg,
-      numShards = Shards, iters = 2, quantized = true)
+      numShards = Shards, iters = 2, storage = graft.ann.StorageSpec.Sq8)
     try {
       // overlay append: tails are exact float (LSM memtable analog)
       val a = base.append(df(5000 until 5500)).get
@@ -170,7 +170,7 @@ class Sq8RoutedSpec extends AnyFunSuite {
           // from VecPayload codes, never re-encoded dequantized floats
           val union = df(0 until 5500).union(big)
           val twin = RoutedAnnIndex.build(union, Dim, cfg, Shards, iters = 2,
-            replicationEps = 0.0, maxReplicas = 2, quantized = true,
+            replicationEps = 0.0, maxReplicas = 2, storage = graft.ann.StorageSpec.Sq8,
             frozenCentroids = Some(a.centroids))
           try queries.take(15).foreach { q =>
             assert(c.search(q, K, 8) == twin.search(q, K, 8),
@@ -197,7 +197,7 @@ class Sq8RoutedSpec extends AnyFunSuite {
       "an sq8 artifact must not load as a float index")
     // ...and loads bit-identically under the quantized one
     val loaded = RoutedAnnIndex.load(spark, dir, cfg, "v1", iters = 2,
-      quantized = true)
+      storage = graft.ann.StorageSpec.Sq8)
     assert(loaded.isDefined, "sq8 artifacts failed to load")
     try {
       assert(loaded.get.quantized && loaded.get.storedRows == sq8.storedRows)
@@ -212,7 +212,7 @@ class Sq8RoutedSpec extends AnyFunSuite {
     try {
       RoutedAnnIndex.save(f32, fdir, sourceStamp = "v1")
       assert(RoutedAnnIndex.load(spark, fdir, cfg, "v1", iters = 2,
-        quantized = true).isEmpty,
+        storage = graft.ann.StorageSpec.Sq8).isEmpty,
         "a float artifact must not load as a quantized index")
     } finally f32.unpersist()
   }

@@ -971,6 +971,28 @@ class DslSpec extends AnyFunSuite {
       case other => fail(s"RECALL 1.0 SQ8 must be refused, got $other")
     }
 
+    // PQ ROUTED arm (round 15): product-quantized graphs + exact rescore
+    // at the wider PQ slack — at exhaustive probes with the slack window
+    // covering this corpus, identical to the exact arm. Explicit M/KSUB
+    // and the bare PQ form (split resolved from the corpus dimension)
+    // both parse; RECALL 1.0 through PQ is refused like SQ8
+    val pqRoutedRes = Pipeline.runExt(spark,
+      """TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 PROBE 2 PQ M 2 KSUB 4;
+        |TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 PROBE 2 PQ;
+        |TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 RECALL 1.0 PQ""".stripMargin)
+    Seq(0, 1).foreach { i =>
+      val pqRanked = pqRoutedRes(i) match {
+        case Right(Response.Entries(d)) => d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3).toSeq
+        case other => fail(s"pq routed arm $i: $other")
+      }
+      assert(pqRanked == ranked(0), s"PQ ROUTED arm $i diverged at exhaustive probes")
+    }
+    pqRoutedRes(2) match {
+      case Left(msg) => assert(msg.contains("RECALL 1.0"), msg)
+      case other => fail(s"RECALL 1.0 PQ must be refused, got $other")
+    }
+
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
       (1L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
@@ -1320,7 +1342,7 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 PROBE 2 USING INDEX '/tmp/x'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(2, Some(2), None, sq8 = false, Some("/tmp/x")))))
+        Command.TopKMode.Routed(2, Some(2), None, storage = "f32", Some("/tmp/x")))))
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 USING INDEX '/tmp/y'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
@@ -1379,16 +1401,30 @@ class DslSpec extends AnyFunSuite {
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 2 RECALL 0.9 USING INDEX '/tmp/x'") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(2, None, Some(0.9), sq8 = false, Some("/tmp/x")))))
+        Command.TopKMode.Routed(2, None, Some(0.9), storage = "f32", Some("/tmp/x")))))
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 RECALL 1.0") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
-        Command.TopKMode.Routed(4, None, Some(1.0), sq8 = false, None))))
+        Command.TopKMode.Routed(4, None, Some(1.0), storage = "f32", None))))
     // the IVF arm takes the same contract
     assert(DslParser.parseExt(
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 RECALL 0.9") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
         Command.TopKMode.Ivf(8, None, Some(0.9), None, None))))
+    // round-15 storage forms: SQ8, bare PQ, PQ M/KSUB — StorageSpec keys
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 PROBE 2 SQ8 USING INDEX '/tmp/x'") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(4, Some(2), None, storage = "sq8", Some("/tmp/x")))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 RECALL 0.9 PQ") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(4, None, Some(0.9), storage = "pq", None))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 PROBE 2 PQ M 8 KSUB 64 USING INDEX '/tmp/x'") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(4, Some(2), None,
+          storage = "pq(m=8,ksub=64)", Some("/tmp/x")))))
     val rnd = new scala.util.Random(23L)
     val vecs = (0 until 128)
       .map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
@@ -1447,10 +1483,17 @@ class DslSpec extends AnyFunSuite {
     }
     assert(mtimes != mBefore,
       "a k-changed RECALL statement must re-calibrate, not reuse the k=3 curve")
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "routed_manifest.json"))
-      .contains("\"recallK\" : 5"),
+    val reLoaded = graft.ann.RoutedAnnIndex.load(spark, dir,
+      graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+        maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+        metric = graft.types.Algorithm.CosineSimilarity),
+      Pipeline.TopKIndexStamp)
+    assert(reLoaded.exists(_.recallK == 5),
       "the re-measured curve must persist its own k")
+    // ...and its workload fingerprint (round 15 — the reuse guard's key)
+    assert(reLoaded.exists(_.workloadFp.startsWith("ext:")),
+      "a statement-calibrated curve must persist an ext: fingerprint")
+    reLoaded.foreach(_.unpersist())
 
     // IVF twin: RECALL 1.0 is certification (always exhaustive), so the
     // answers equal the exact arm; the curve persists in the manifest
@@ -1492,5 +1535,47 @@ class DslSpec extends AnyFunSuite {
         assert(err.toString.contains("cannot be certified"), err.toString)
       case other => fail(s"RECALL 1.0 + QUANTIZED must fail loudly: $other")
     }
+  }
+
+  test("RECALL curve reuse is workload-fingerprinted: a different query view warns-and-serves by default, recalibrates under the strict flag") {
+    val spark = graft.TestFixtures.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    val vecs = (0 until 128)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vid", "emb")
+    vecs.createOrReplaceTempView("fp_vecs")
+    vecs.where($"vid" < 4).select($"vid".as("qid"), $"emb")
+      .createOrReplaceTempView("fp_qa")
+    // a DIFFERENT workload: disjoint query rows from the same corpus
+    vecs.where($"vid" >= 4 && $"vid" < 8).select($"vid".as("qid"), $"emb")
+      .createOrReplaceTempView("fp_qb")
+    val dir = java.nio.file.Files.createTempDirectory("dsl-fp").toString
+    def stmt(qv: String) = s"TOPK 3 FROM $qv ID qid VEC emb IN fp_vecs " +
+      s"ID vid VEC emb ROUTED SHARDS 4 RECALL 0.9 USING INDEX '$dir'"
+    def manifestMtime: Long = java.nio.file.Paths
+      .get(dir, "routed_manifest.json").toFile.lastModified
+    assert(Pipeline.runExt(spark, stmt("fp_qa")).forall(_.isRight))
+    val m1 = manifestMtime
+    // same view → fingerprint matches → reuse, no recalibration
+    assert(Pipeline.runExt(spark, stmt("fp_qa")).forall(_.isRight))
+    assert(manifestMtime == m1,
+      "a fingerprint-matching statement must reuse, not recalibrate")
+    // different view, DEFAULT mode: warn-and-serve — the curve is still
+    // reused (no rewrite), the mismatch lands in the log
+    assert(Pipeline.runExt(spark, stmt("fp_qb")).forall(_.isRight))
+    assert(manifestMtime == m1,
+      "default mode must warn and serve the existing curve")
+    // different view, STRICT mode: recalibrate against THIS view and
+    // persist (manifest rewrites, fingerprint now fp_qb's)
+    spark.conf.set("spark.graft.strictCalibrationReuse", "true")
+    try {
+      // lastModified has 1s granularity on some filesystems — ensure a
+      // rewrite is observable
+      Thread.sleep(1100)
+      assert(Pipeline.runExt(spark, stmt("fp_qb")).forall(_.isRight))
+      assert(manifestMtime != m1,
+        "strict mode must recalibrate against the statement's own view")
+    } finally spark.conf.unset("spark.graft.strictCalibrationReuse")
   }
 }

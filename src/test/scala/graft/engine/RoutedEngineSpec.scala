@@ -235,6 +235,83 @@ class RoutedEngineSpec extends AnyFunSuite {
     e.dropStore("rq8")
   }
 
+  test("pq storage through the engine: dispatch exact after rescore at the wider slack; GetStore describes it; bad splits refuse at create") {
+    val e = freshRouted("rpq", exactCfg.copy(storage = "pq"))
+    val q = vecs(99L, 1).head
+    // PQ graphs (bare "pq" at dim 16 → pq(m=2,ksub=256)) + the WIDER PQ
+    // slack over-fetch + exact hydration rescore == linear cosine at
+    // exhaustive probes (the vdb_sim_hnsw_routed_pq oracle identity,
+    // pinned here at unit scale)
+    val routed = e.getSimN("rpq", q, 10, Algorithm.HNSW)
+      .select("key", "similarity").collect().toSeq
+    val linear = e.getSimN("rpq", q, 10, Algorithm.CosineSimilarity)
+      .select("key", "similarity").collect().toSeq
+    assert(routed == linear,
+      "pq routed GetSimN (rescored) must equal the linear cosine top-k")
+    val idx = e.ensureRoutedIndex("rpq").get._1
+    assert(idx.quantized && idx.spec == graft.ann.StorageSpec.Pq(2, 256))
+    assert(idx.storage.rescoreSlack > graft.ann.NodeStorage.Sq8.rescoreSlack,
+      "PQ hydration must over-fetch a wider slack than SQ8")
+    assert(e.getStore("rpq").nonLinearConfigs.exists(_.contains("storage=pq")))
+    // a pq split that does not divide the dimension refuses AT CREATE
+    intercept[GraftException] {
+      e.createNonLinearIndex("rpq2x",
+        Seq(exactCfg.copy(storage = "pq(m=3,ksub=64)")))
+    }
+    // recall=1.0 under pq is refused like sq8 (certification needs exact)
+    intercept[GraftException] {
+      e.createNonLinearIndex("rpq3x",
+        Seq(exactCfg.copy(storage = "pq", recallTarget = Some(1.0))))
+    }
+    e.dropStore("rpq")
+  }
+
+  test("serving-k ladder: an n=50 recall-targeted search serves PRUNED probes off the k=50 curve (round-15 rule)") {
+    // clustered store: 8 tight clusters → routing concentrates each
+    // query's true top-50 inside its home shard, so the k=50 curve has
+    // a pruned point meeting the target at the LCB — which the OLD
+    // single-k rule could never serve (any n > 10 widened to exhaustive)
+    val rnd = new scala.util.Random(31L)
+    val centers = Seq.fill(8)(Array.fill(Dim)(rnd.nextFloat() * 8f - 4f))
+    val cfg = NonLinearConfig.RoutedHNSWConfig(
+      hnsw = NonLinearConfig.HNSWConfig(efSearch = 4096),
+      numShards = 8, probes = 1, recallTarget = Some(0.9))
+    val e = new GraftEngine(spark)
+    e.createStore("rk50", Dim)
+    e.setSeq("rk50", (0 until 400).map { i =>
+      (centers(i % 8).map(_ + rnd.nextFloat() * 0.05f), meta("i" -> i.toString))
+    })
+    e.createNonLinearIndex("rk50", Seq(cfg))
+    val (idx, c2) = e.ensureRoutedIndex("rk50").get
+    // the engine calibrated the default serving-k ladder {10, 50}
+    assert(idx.recallCurves.map(_._1).toSeq == Seq(10, 50),
+      s"expected the {10,50} ladder, got ${idx.recallCurves.map(_._1).toSeq}")
+    assert(idx.recallK == 10 && idx.maxRecallK == 50)
+    // the serving rule reads the k=50 curve for an n=50 request...
+    val chosen = graft.ann.AnnSearch.effectiveProbes(c2, idx, n = 50,
+      filtered = false)
+    assert(chosen == idx.probesForN(0.9, 50))
+    // ...and on this clustered corpus that point is PRUNED
+    assert(chosen < idx.numShards,
+      s"clustered fixture must serve n=50 pruned, chose $chosen/8 shards")
+    // n past the ladder still widens to exhaustive (no covering curve)
+    assert(graft.ann.AnnSearch.effectiveProbes(c2, idx, n = 51,
+      filtered = false) == idx.numShards)
+    // measured floor on EXTERNAL queries at the served operating point
+    val rs = (0 until 20).map { qi =>
+      val q = centers(qi % 8).map(_ + rnd.nextFloat() * 0.05f)
+      val got = e.getSimN("rk50", q, 50, Algorithm.HNSW)
+        .select("key").collect().map(_.getSeq[Float](0)).toSet
+      val exp = e.getSimN("rk50", q, 50, Algorithm.CosineSimilarity)
+        .select("key").collect().map(_.getSeq[Float](0)).toSet
+      (got & exp).size.toDouble / exp.size
+    }
+    val mean = rs.sum / rs.length
+    info(f"n=50 recall-targeted GetSimN at $chosen/8 probes: recall $mean%.4f")
+    assert(mean >= 0.85, f"n=50 served recall $mean%.4f << 0.9 target")
+    e.dropStore("rk50")
+  }
+
   test("mutation keeps the routed index FRESH; the next search sees new rows") {
     val e = freshRouted("r4")
     val probe = Array.fill(Dim)(0.9f)
@@ -369,6 +446,31 @@ class RoutedEngineSpec extends AnyFunSuite {
       "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=1.0, sq8)) IN rdq2")
     assert(bad.exists(_.isLeft), s"recall=1.0 + sq8 must be refused: $bad")
     e.dropStore("rdq2")
+    // PQ storage forms (round 15): bare pq and pq(m=..,ksub=..) parse,
+    // build quantized indexes, and describe themselves
+    e.createStore("rdp", Dim)
+    e.setSeq("rdp", vecs(7L, 64).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    val pqRes = graft.dsl.Pipeline.runDb(e,
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, 8, pq(m=2,ksub=16))) IN rdp")
+    assert(pqRes.forall(_.isRight), s"DSL pq create failed: $pqRes")
+    val pqIdx = e.ensureRoutedIndex("rdp").get._1
+    assert(pqIdx.quantized && pqIdx.spec == graft.ann.StorageSpec.Pq(2, 16),
+      "pq(m,ksub) keyword must build a PQ index at the named split")
+    assert(e.getStore("rdp").nonLinearConfigs
+      .exists(_.contains("storage=pq(m=2,ksub=16)")))
+    assert(e.getSimN("rdp", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e.dropStore("rdp")
+    graft.dsl.DslParser.parseDb(
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=0.9, pq)) IN x")
+      .head match {
+      case graft.dsl.Command.CreateNonLinearAlgorithmIndex(_, cfgs, _) =>
+        val r = cfgs.collectFirst {
+          case c: NonLinearConfig.RoutedHNSWConfig => c }.get
+        assert(r.storage == "pq" && r.recallTarget.contains(0.9),
+          s"recall+pq mis-parsed: $r")
+      case other => fail(s"unexpected parse: $other")
+    }
   }
 
   test("recall-targeted routed index: engine calibrates at build; GetSimN reads probes off the curve") {
