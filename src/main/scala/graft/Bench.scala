@@ -121,6 +121,8 @@ object Bench {
       graft.queries.TestStores.ivfIndex(spark, sfDir)
     if (selectedNames.contains("embed_topk_join_routed_sq8"))
       graft.queries.TestStores.routedSq8Index(spark, sfDir)
+    if (selectedNames.contains("embed_topk_join_routed_pq"))
+      graft.queries.TestStores.routedPqIndex(spark, sfDir)
     if (selectedNames.contains("embed_hard_negatives_ivf"))
       graft.queries.TestStores.ivfLabeledIndex(spark, sfDir)
     if (selectedNames.exists(n => n == "embed_topk_pq" || n == "embed_topk_pq_ivf"))

@@ -46,6 +46,26 @@ object ScaleQuant {
   private val Dim = 64
   private val Shards = 64
 
+  /** The per-shard serialized PQ codebook copy (shard .bins are
+    * standalone, so each carries the book) — a FIXED per-shard term
+    * that dominates a tiny fixture's B/row and amortizes to noise at
+    * real shard sizes; printed separately so the artifact table reads
+    * scale-honestly. */
+  private def printBookTerm(idx: graft.ann.RoutedAnnIndex, shards: Int,
+      n: Long): Unit = idx.storage match {
+    case p: graft.ann.NodeStorage.Pq =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(p.book); oos.close()
+      val b = bos.size().toLong
+      println(f"  pq codebook term: ${b / 1e3}%.0f KB per shard copy x " +
+        f"$shards shards = ${b * shards / 1e6}%.1f MB of the artifact " +
+        f"(${b.toDouble * shards / n}%.1f B/row at THIS fixture; fixed " +
+        f"per shard — e.g. 0.2 B/row at 5M rows/shard). In memory the " +
+        f"copies intern to ONE book per JVM (PqCodebook.canonical).")
+    case _ => ()
+  }
+
   /** RESIDENT bytes of a live routed index's shard structures — JVM heap
     * footprint via Spark's SizeEstimator, one tiny job (the serialized
     * artifact bytes in the main table are the durable twin; this is the
@@ -128,6 +148,7 @@ object ScaleQuant {
       f"(${bp.toDouble / n}%.1f B/row, ${bf.toDouble / bp}%.2fx); " +
       f"raw vector payload alone: ${Dim * 4}%d B/row f32 vs ${Dim + 8}%d " +
       f"sq8 vs ${8}%d pq (at 768 dims: ${768 * 4}%d vs ${768 + 8}%d vs 96)")
+    printBookTerm(pqi, Shards, n)
 
     // external queries + exact ground truth (independent code path)
     val queries = (0 until NQueries).map(i => gen(10000000L + i))
@@ -259,6 +280,7 @@ object ScaleQuant {
       f"(${b2q.toDouble / n2}%.1f B/row, ${b2f.toDouble / b2q}%.2fx) vs " +
       f"pq ${b2p / 1e6}%.1f MB (${b2p.toDouble / n2}%.1f B/row, " +
       f"${b2f.toDouble / b2p}%.2fx)")
+    printBookTerm(p2, 16, n2)
     val r2f = residentBytes(f2)
     val r2q = residentBytes(q2)
     val r2p = residentBytes(p2)

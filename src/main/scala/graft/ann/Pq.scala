@@ -205,6 +205,19 @@ final class PqCodebook(
       .select(col("qid"), col("cid"), round(col("score"), 4).as("cos"), col("rank"))
   }
 
+  /** Compact serialized form + executor-level dedup: a trained codebook
+    * rides inside EVERY shard object that stores PQ codes (the shard
+    * .bins deserialize standalone), so its wire form must be the flat
+    * float[] (≈ d·ksub·4 bytes — the nested array-of-arrays form
+    * serialized ~2.4× larger in headers and refs), and an executor
+    * holding many shards of one index must hold ONE book, not one per
+    * shard — [[PqCodebook.canonical]] interns on deserialization
+    * (content-verified, never hash-trusted). At 768-d/ksub=256 that is
+    * ~786 KB per book; per-shard copies amortize per shard on disk and
+    * collapse to one instance per JVM in memory. */
+  private def writeReplace(): AnyRef =
+    new PqCodebook.SerialForm(dim, m, ksub, flatBook)
+
   /** JVM-side reference encode (tests pin the expression against this). */
   def encodeJvm(vec: Array[Float]): Array[Int] =
     Array.tabulate(m) { i =>
@@ -220,6 +233,48 @@ final class PqCodebook(
 }
 
 object PqCodebook {
+
+  /** Wire form of a codebook: (dims, flat float[]) — see
+    * [[PqCodebook.writeReplace]]. Deserialization routes through
+    * [[canonical]], so shards of one index share one in-memory book. */
+  private final class SerialForm(dim: Int, m: Int, ksub: Int,
+      flat: Array[Float]) extends Serializable {
+    private def readResolve(): AnyRef = canonical(dim, m, ksub, flat)
+  }
+
+  /** Rebuild the nested codebooks from the flat [sub][code][dim] form. */
+  private def fromFlat(dim: Int, m: Int, ksub: Int,
+      flat: Array[Float]): PqCodebook = {
+    val dsub = dim / m
+    new PqCodebook(dim, m, ksub, Array.tabulate(m)(s => Array.tabulate(ksub) {
+      c => java.util.Arrays.copyOfRange(flat,
+        ((s * ksub) + c) * dsub, ((s * ksub) + c + 1) * dsub)
+    }))
+  }
+
+  // intern cache for deserialized books (executor-level dedup). Content
+  // is VERIFIED, never hash-trusted; the cap only bounds a pathological
+  // many-distinct-books JVM — eviction just loses the dedup, not data
+  private val interned =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), PqCodebook]()
+
+  private[ann] def canonical(dim: Int, m: Int, ksub: Int,
+      flat: Array[Float]): PqCodebook = {
+    val key = (dim, m, ksub, java.util.Arrays.hashCode(flat))
+    val hit = interned.get(key)
+    if (hit != null && java.util.Arrays.equals(hit.flatBook, flat)) hit
+    else {
+      val fresh = fromFlat(dim, m, ksub, flat)
+      if (interned.size > 64) interned.clear()
+      interned.putIfAbsent(key, fresh)
+      // putIfAbsent can race another deserializer: return the winner so
+      // concurrent loads still converge on one instance
+      val winner = interned.get(key)
+      if (winner != null && java.util.Arrays.equals(winner.flatBook, flat))
+        winner
+      else fresh
+    }
+  }
 
   /** Train: deterministic per-subspace Lloyd k-means, ALL m subspaces in
     * one DataFrame job per iteration. `df` must have (id LONG,

@@ -283,6 +283,43 @@ class PqRoutedSpec extends AnyFunSuite {
     } finally f32.unpersist()
   }
 
+  test("codebook wire form is the flat floats; shards of one index intern to ONE in-memory book on deserialization") {
+    val b = PqCodebook.train(df(0 until 256), m = M, ksub = 16, iters = 1)
+    def serialize(o: AnyRef): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.toByteArray
+    }
+    def deserialize(bs: Array[Byte]): AnyRef = {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bs))
+      try ois.readObject() finally ois.close()
+    }
+    val wire = serialize(b)
+    // wire form ≈ the flat float data (d·ksub·4 B), not the nested
+    // array-of-arrays layout (~2.4× in headers and refs) — the term a
+    // per-shard book copy costs on disk
+    assert(wire.length < b.flatBook.length * 4 * 1.3 + 4096,
+      s"codebook serialized to ${wire.length} B for " +
+        s"${b.flatBook.length * 4} B of float data")
+    val c1 = deserialize(wire).asInstanceOf[PqCodebook]
+    val c2 = deserialize(wire).asInstanceOf[PqCodebook]
+    assert(c1 eq c2,
+      "two deserializations of one book must intern to ONE instance " +
+        "(an executor holding many shards must hold one book)")
+    assert(java.util.Arrays.equals(c1.flatBook, b.flatBook),
+      "interned book must be bit-identical to the trained one")
+    // a store built on the restored book scores identically
+    val s1 = new PqVecStore(Algorithm.CosineSimilarity, b)
+    val s2 = new PqVecStore(Algorithm.CosineSimilarity, c1)
+    (0 until 16).foreach { i => s1.add(vecs(i)); s2.add(vecs(i)) }
+    queries.take(4).foreach { q =>
+      (0 until 16).foreach(i =>
+        assert(s1.distQuery(q, i) == s2.distQuery(q, i)))
+    }
+  }
+
   test("calibrate answers for the PQ path: exact corpus required, curve through the rescore, 1.0 exhaustive") {
     intercept[IllegalArgumentException] { pq.calibrate(nQueries = 8, k = 5) }
     val cal = pq.calibrate(nQueries = 32, k = K, ladderIn = Seq(2, 8),
