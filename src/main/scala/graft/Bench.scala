@@ -285,15 +285,24 @@ object Bench {
       .map(_.trim).filter(_.nonEmpty)
     if (basePath.isEmpty) return None
     val curPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_AB_CURRENT", "BENCH_LAST.json")
+    // EXERCISE seconds (median minus the declared fixture component):
+    // ranking raw medians would let grown mutation-fixture volume claim
+    // panel slots and hide real exercise regressions under big constant
+    // fixture terms — the exact distinction the fixture split exists for
     def qmap(p: String): Map[String, Double] =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        (JsonMethods.parse(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(p))) \ "queries") match {
+        val j = JsonMethods.parse(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p)))
+        def obj(field: String): Map[String, Double] = (j \ field) match {
           case JObject(fs) => fs.map { case (k, v) =>
             k -> v.asInstanceOf[JValue].values.toString.toDouble }.toMap
           case _ => Map.empty
+        }
+        val fx = obj("fixture")
+        obj("queries").map { case (k, v) =>
+          k -> (if (v < 0) v else math.max(0.001, v - fx.getOrElse(k, 0.0)))
         }
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench-ab: could not read bench json $p: $e")

@@ -179,9 +179,8 @@ object ScaleQuant {
           }.sortBy { case (id, c) => (-c, id) }.map(_._1)
         i -> ids
       }.toMap)
-    val sq8Slack = graft.ann.NodeStorage.Sq8.rescoreSlack
-    val pqSlack = graft.ann.NodeStorage.Pq(
-      pqi.storage.asInstanceOf[graft.ann.NodeStorage.Pq].book).rescoreSlack
+    val sq8Slack = sq8.storage.rescoreSlack
+    val pqSlack = pqi.storage.rescoreSlack
 
     println()
     println("| probes | f32 Recall@50 | sq8 RAW | sq8 + rescore | pq RAW | pq + rescore | pq rescored delta vs f32 |")

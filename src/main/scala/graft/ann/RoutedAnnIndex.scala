@@ -211,15 +211,21 @@ final class RoutedAnnIndex(
     import org.apache.spark.sql.graftbridge.{CentroidDists, ColumnBridge}
     val spark = queries.sparkSession
     // sharp-filter cutover: known accept cardinality below the measured
-    // fraction of stored rows → exact slice scan at all shards
+    // fraction of LIVE LOGICAL rows → exact slice scan at all shards.
+    // `expected` counts distinct accepted ids, so the denominator must
+    // too: physical storedRows over-counts boundary replicas (divide by
+    // the worst-case factor — conservative, the cutover under-triggers)
+    // and tombstoned rows (subtract; they can never be accepted results)
     val scanSlice = filter match {
       case IdFilter.Bloom(_, expected) if expected >= 0L =>
-        val total = storedRows
-        val sharp = total > 0 &&
-          expected <= RoutedAnnIndex.FilteredScanFraction * total
+        val replicaFactor = if (replicationEps > 0.0) maxReplicas else 1
+        val logical =
+          math.max(0L, storedRows - tombstones.length) / replicaFactor
+        val sharp = logical > 0 &&
+          expected <= RoutedAnnIndex.FilteredScanFraction * logical
         if (sharp) org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"RoutedAnnIndex.topKJoin: filter expects $expected of $total " +
-            s"stored rows (< ${RoutedAnnIndex.FilteredScanFraction}) — " +
+          s"RoutedAnnIndex.topKJoin: filter expects $expected of ~$logical " +
+            s"live rows (< ${RoutedAnnIndex.FilteredScanFraction}) — " +
             "scanning the accepted slice exactly instead of the graphs")
         sharp
       case _ => false
@@ -937,6 +943,14 @@ object RoutedAnnIndex {
     * (reference: ahnlich/similarity/src/hnsw/index.rs:24). */
   val FilteredScanFraction = 0.10
 
+  /** PQ codebook training-sample cap (rows): per-subspace k-means with
+    * ksub ≤ 256 saturates well below this (the Faiss ~100k–1M
+    * convention); larger build frames train on a deterministic sample so
+    * a recluster's training cost is bounded regardless of corpus size.
+    * 2^18 keeps every measured ScaleQuant operating point training on
+    * its full frame. */
+  val PqTrainCap = 262144L
+
   /** Serialized shard layout version, part of the routed manifest: bump
     * when [[HnswIndex]]'s (or its [[VecStore]]s') serialized form
     * changes, so a restart over pre-upgrade artifacts logs an explicit
@@ -1448,11 +1462,23 @@ object RoutedAnnIndex {
       s"frozen centroid count ${c.length} != numShards $numShards"))
     val df = dfIn.select(col("id").cast("long").as("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned per Lloyd round + once to build
-    // realize the storage: PQ trains its codebook HERE, over the build
-    // frame (deterministic per-subspace Lloyd — PqCodebook.train; at
-    // 100 TB pass a deterministicSample'd frame through a pre-trained
-    // book via the engine's artifact path, the Faiss sample discipline)
-    val nodeStorage = NodeStorage.train(storage, df)
+    // realize the storage: PQ trains its codebook HERE (deterministic
+    // per-subspace Lloyd — PqCodebook.train) over a BOUNDED sample of the
+    // build frame — the Faiss discipline: ~256k rows saturate ksub ≤ 256
+    // codebooks, and an unbounded frame would make every streaming-path
+    // RECLUSTER of a PQ index pay `iters` full-corpus training passes
+    // inside the micro-batch loop (review round 15). The count job rides
+    // the already-persisted frame
+    val nodeStorage = storage match {
+      case p: StorageSpec.Pq =>
+        val rows = df.count()
+        val trainDf =
+          if (rows <= PqTrainCap) df
+          else graft.pipeline.Corpus.deterministicSample(
+            df, "id", PqTrainCap.toDouble / rows)
+        NodeStorage.train(p, trainDf)
+      case s => NodeStorage.train(s, df)
+    }
     val centroids = frozenCentroids.getOrElse(
       IvfIndex.trainCentroids(df, numShards, iters))
     require(centroids.nonEmpty,

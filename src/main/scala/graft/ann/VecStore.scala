@@ -48,16 +48,18 @@ object StorageSpec {
 
   /** Parse a config storage string: "f32" | "sq8" | "pq" (parameters
     * resolved from the store dimension at build — [[resolve]]) |
-    * "pq(m=8,ksub=256)". None = unknown kind (the caller owns the error
-    * surface — the engine throws GraftException naming the value). */
+    * "pq(m=8,ksub=256)". None = UNKNOWN kind (the caller owns that error
+    * surface — the engine throws GraftException naming the value); a
+    * RECOGNIZED pq form with out-of-range parameters throws
+    * IllegalArgumentException carrying the actual constraint (e.g.
+    * ksub ≤ 256 — swallowing it into None would misreport a range
+    * violation as an unknown kind, review round 15). */
   private val PqRe = """pq\(m=([0-9]{1,4}),ksub=([0-9]{1,4})\)""".r
   def parse(s: String): Option[Either[Unit, StorageSpec]] = s match {
     case "f32" => Some(Right(F32))
     case "sq8" => Some(Right(Sq8))
     case "pq" => Some(Left(())) // defaults resolve against the dimension
-    case PqRe(m, k) =>
-      try Some(Right(Pq(m.toInt, k.toInt)))
-      catch { case _: IllegalArgumentException => None }
+    case PqRe(m, k) => Some(Right(Pq(m.toInt, k.toInt)))
     case _ => None
   }
 

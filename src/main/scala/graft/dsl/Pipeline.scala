@@ -138,8 +138,16 @@ object Pipeline {
       qframe: DataFrame, exact: Option[DataFrame],
       indexDir: Option[String]): Int = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // recalibration measures the UNION of the carried ks and this k, all
+    // against THIS statement's workload: replacing the curve set with
+    // {k} alone would make alternating-k statements against one pinned
+    // dir destroy each other's coverage and recalibrate on every
+    // statement (review round 15); re-measuring the carried ks keeps the
+    // persisted fingerprint honest (one sample measured every curve)
     def calibrateAndPersist(): graft.ann.RoutedAnnIndex = {
-      val c = idx.calibrate(k = k, queries = Some(qframe), exact = exact)
+      val ks = (idx.recallCurves.map(_._1) :+ k).distinct.sorted.toSeq
+      val c = idx.calibrateKs(nQueries = 64, ks = ks,
+        queries = Some(qframe), exact = exact)
       indexDir.foreach { dir =>
         try graft.ann.RoutedAnnIndex.save(c, dir, TopKIndexStamp,
           touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
@@ -148,15 +156,24 @@ object Pipeline {
       }
       c
     }
+    val strict =
+      spark.conf.get("spark.graft.strictCalibrationReuse", "false") match {
+        case "true" => true
+        case "false" => false
+        case other => throw graft.types.GraftException(
+          s"spark.graft.strictCalibrationReuse must be true or false, got '$other'")
+      }
+    // a COVERING curve (any calibrated k' >= k) can serve this statement
+    // — probesForN's conservative rule; requiring exact k would
+    // recalibrate even when a tighter floor is already measured
     val cal =
-      if (!idx.recallCurves.exists(_._1 == k)) calibrateAndPersist()
+      if (!idx.recallCurves.exists(_._1 >= k)) calibrateAndPersist()
       else {
-        // a curve at this k exists — check it answers THIS workload
+        // a covering curve exists — check it answers THIS workload
         val stmtFp = graft.ann.RoutedAnnIndex
           .workloadFingerprintOf(qframe, "qv")
         if (idx.workloadFp.isEmpty || idx.workloadFp == stmtFp) idx
-        else if (spark.conf.get(
-            "spark.graft.strictCalibrationReuse", "false").toBoolean) {
+        else if (strict) {
           log.info(s"calibration curve workload fingerprint mismatch " +
             s"(${idx.workloadFp} != $stmtFp) — recalibrating against " +
             "this statement's query view (strictCalibrationReuse)")

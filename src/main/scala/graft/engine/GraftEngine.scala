@@ -998,29 +998,25 @@ class GraftEngine(val spark: SparkSession,
     storeLock(schema, name).synchronized {
     val st = state(schema, name)
     configs.foreach {
-      case r: NonLinearConfig.RoutedHNSWConfig
-          if graft.ann.StorageSpec.parse(r.storage).isEmpty =>
-        throw GraftException(
-          s"Unknown hnsw_routed storage '${r.storage}' (expected f32, " +
-            "sq8, pq or pq(m=..,ksub=..))")
-      // a 1.0 target is CERTIFICATION (always-exhaustive search) and a
-      // quantized beam (sq8 or pq) is approximate at every probe count —
-      // refusing here mirrors the DSL TOPK arm's rule, instead of
-      // silently serving curve-top recall under a promise the path
-      // cannot keep
-      case r: NonLinearConfig.RoutedHNSWConfig
-          if r.storage != "f32" && r.recallTarget.exists(_ >= 1.0) =>
-        throw GraftException(
-          s"recall target 1.0 cannot be certified under ${r.storage} " +
-            "storage (the rescore shortlist is approximate at every " +
-            "probe count) — use a sub-1.0 target, raw probes, or f32 " +
-            "storage")
-      case r: NonLinearConfig.RoutedHNSWConfig if r.storage.startsWith("pq") =>
-        // resolve eagerly so a pq m that does not divide the store
-        // dimension fails at CREATE, not on the first search
+      case r: NonLinearConfig.RoutedHNSWConfig =>
+        // resolve eagerly so every storage problem fails AT CREATE with
+        // its real constraint — an unknown kind, an out-of-range pq
+        // parameter (ksub ≤ 256), or a pq m that does not divide the
+        // store dimension — not on the first search
         try graft.ann.StorageSpec.resolve(r.storage, st.meta.dimension)
         catch { case e: IllegalArgumentException =>
           throw GraftException(e.getMessage) }
+        // a 1.0 target is CERTIFICATION (always-exhaustive search) and a
+        // quantized beam (sq8 or pq) is approximate at every probe count
+        // — refusing here mirrors the DSL TOPK arm's rule, instead of
+        // silently serving curve-top recall under a promise the path
+        // cannot keep
+        if (r.storage != "f32" && r.recallTarget.exists(_ >= 1.0))
+          throw GraftException(
+            s"recall target 1.0 cannot be certified under ${r.storage} " +
+              "storage (the rescore shortlist is approximate at every " +
+              "probe count) — use a sub-1.0 target, raw probes, or f32 " +
+              "storage")
       case _ => ()
     }
     val fresh = configs.filterNot(c => st.meta.nonLinearIndexes.contains(c.kind))

@@ -76,6 +76,12 @@ class PqRoutedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { StorageSpec.resolve("pq(m=7,ksub=16)", 64) }
     intercept[IllegalArgumentException] { StorageSpec.resolve("int4", 64) }
     intercept[IllegalArgumentException] { StorageSpec.Pq(8, 257) } // > byte range
+    // a RECOGNIZED pq form with out-of-range params surfaces the REAL
+    // constraint, never "unknown storage" (review round 15)
+    val e = intercept[IllegalArgumentException] {
+      StorageSpec.resolve("pq(m=8,ksub=300)", 64)
+    }
+    assert(e.getMessage.contains("256"), e.getMessage)
   }
 
   test("PqVecStore pins: codes == encodeJvm, decode == codebook concat, payload guards, ADC scorer bit-identical to distQuery") {

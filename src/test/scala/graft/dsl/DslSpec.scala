@@ -1488,11 +1488,26 @@ class DslSpec extends AnyFunSuite {
         maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
         metric = graft.types.Algorithm.CosineSimilarity),
       Pipeline.TopKIndexStamp)
-    assert(reLoaded.exists(_.recallK == 5),
-      "the re-measured curve must persist its own k")
+    // recalibration measures the UNION of carried ks and the new k (all
+    // against this statement's workload), so the k=3 coverage SURVIVES
+    // the k=5 statement — alternating-k statements against one pinned
+    // dir stop destroying each other's curves
+    assert(reLoaded.exists(_.recallCurves.map(_._1).toSeq == Seq(3, 5)),
+      s"the re-measured manifest must cover both ks, got " +
+        s"${reLoaded.map(_.recallCurves.map(_._1).toSeq)}")
     // ...and its workload fingerprint (round 15 — the reuse guard's key)
     assert(reLoaded.exists(_.workloadFp.startsWith("ext:")),
       "a statement-calibrated curve must persist an ext: fingerprint")
+    // a FOLLOW-UP k=3 statement now reuses the covering k=3 curve (no
+    // third recalibration — the manifest is stable across alternating ks)
+    val mAfterK5 = mtimes
+    Pipeline.runExt(spark, stmt) match {
+      case Seq(Right(_)) => ()
+      case other => fail(s"follow-up k=3 RECALL arm failed: $other")
+    }
+    assert(mtimes == mAfterK5,
+      "a k=3 statement after the union recalibration must reuse, not " +
+        "recalibrate (covering-curve rule)")
     reLoaded.foreach(_.unpersist())
 
     // IVF twin: RECALL 1.0 is certification (always exhaustive), so the
