@@ -69,10 +69,23 @@ object ScaleQuant {
   /** RESIDENT bytes of a live routed index's shard structures — JVM heap
     * footprint via Spark's SizeEstimator, one tiny job (the serialized
     * artifact bytes in the main table are the durable twin; this is the
-    * executor-memory number the 100 TB sizing actually uses). */
-  private def residentBytes(idx: graft.ann.RoutedAnnIndex): Long =
-    idx.shards.map(s => org.apache.spark.util.SizeEstimator.estimate(s))
+    * executor-memory number the 100 TB sizing actually uses). Per-shard
+    * estimates each traverse the SHARED interned PQ codebook
+    * (PqCodebook.canonical — one instance per JVM), so the duplicated
+    * counts are subtracted back: resident = Σ estimates − (live shards
+    * − 1) × book. */
+  private def residentBytes(idx: graft.ann.RoutedAnnIndex): Long = {
+    val raw = idx.shards
+      .map(s => org.apache.spark.util.SizeEstimator.estimate(s))
       .sum().toLong
+    idx.storage match {
+      case p: graft.ann.NodeStorage.Pq =>
+        val live = idx.shards.count()
+        val book = org.apache.spark.util.SizeEstimator.estimate(p.book)
+        raw - math.max(0L, live - 1) * book
+      case _ => raw
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)

@@ -45,7 +45,13 @@ final class IvfIndex(
     /** The k the curve was measured at (0 = uncalibrated) — recall@k is
       * k-dependent; consumers answering for a different k re-calibrate
       * (dsl.Pipeline's RECALL arm checks this). */
-    val recallK: Int = 0) {
+    val recallK: Int = 0,
+    /** Fingerprint of the query sample the curve was measured on
+      * ("" = uncalibrated): "ext:<hash64>" / "self:<hash64>" — the
+      * [[RoutedAnnIndex.workloadFp]] contract, persisted in the manifest
+      * so DSL RECALL reuse can refuse a curve measured on a different
+      * workload (round 15). */
+    val workloadFp: String = "") {
 
   def nCells: Int = centroids.length
 
@@ -122,7 +128,9 @@ final class IvfIndex(
           f"$se%.4f se (${truth.size}%d sample queries)")
       (p, mean, se)
     }.toArray
-    new IvfIndex(centroids, cells, metric, curve, k)
+    val fp = (if (queries.isDefined) "ext:" else "self:") +
+      RoutedAnnIndex.sampleFingerprint(sample.map(_._2))
+    new IvfIndex(centroids, cells, metric, curve, k, fp)
   }
 
   /** The nProbe nearest cells for a query (driver-side: k centroids). */
@@ -495,6 +503,7 @@ object IvfIndex {
       "metric" -> JString(index.metric.toString),
       "sourceStamp" -> JString(sourceStamp),
       "recallK" -> JInt(index.recallK),
+      "workloadFp" -> JString(index.workloadFp),
       "recallCurve" -> JArray(index.recallCurve.toList.map { case (p, r, se) =>
         JArray(List(JInt(p),
           JInt(BigInt(java.lang.Double.doubleToRawLongBits(r))),
@@ -551,6 +560,10 @@ object IvfIndex {
         }.toArray
         case _ => Array.empty // pre-calibration manifests load uncalibrated
       }
+      val workloadFp: String = (j \ "workloadFp") match {
+        case JString(s) => s
+        case _ => ""
+      }
       val cellsPath = java.nio.file.Paths.get(dir, "cells")
       if (!java.nio.file.Files.exists(cellsPath)) return None
       val raw = spark.read.parquet(cellsPath.toString)
@@ -559,7 +572,7 @@ object IvfIndex {
       val others = raw.columns.filterNot(_ == "cell")
       val cells = raw.select(others.map(col) :+ col("cell").cast("int"): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Some(new IvfIndex(centroids, cells, metric, curve, recallK))
+      Some(new IvfIndex(centroids, cells, metric, curve, recallK, workloadFp))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Load if fresh, else build and save — the one-call form. A loaded

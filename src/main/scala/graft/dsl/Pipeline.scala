@@ -90,34 +90,71 @@ object Pipeline {
     * shape parameters, which are part of artifact identity). */
   private[dsl] val TopKIndexStamp = "dsl:user-managed"
 
-  /** Resolve a RECALL target to a probe count — the calibrate-or-reuse
-    * protocol shared by the ROUTED and IVF arms. A carried curve is
-    * reused only when `reuse` says it answers THIS statement's question:
-    * same k (recall@k is k-dependent — at fixed probes recall@100 <
-    * recall@3, so a k=3 curve silently over-promises a k=100 floor) and,
-    * for IVF, the same ARM (a quantized statement reports reuse=false so
-    * it never reads an exact-arm curve, and vice versa). Otherwise
-    * calibrate against the statement's own query view and best-effort
-    * persist — the caller decides what is persistable.
+  /** Strict-reuse flag shared by both RECALL arms; a malformed value
+    * fails naming the conf key (the routedDeleteCap discipline). */
+  private def strictCalibrationReuse(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.strictCalibrationReuse", "false") match {
+      case "true" => true
+      case "false" => false
+      case other => throw graft.types.GraftException(
+        s"spark.graft.strictCalibrationReuse must be true or false, got '$other'")
+    }
+
+  /** The IVF arm's calibrate-or-reuse — the [[routedRecallProbes]]
+    * contract on the single-k IVF curve. A carried curve is reused only
+    * when it answers THIS statement's question: same k (recall@k is
+    * k-dependent — at fixed probes recall@100 < recall@3, so a k=3
+    * curve silently over-promises a k=100 floor), the same ARM (a
+    * quantized statement never reads an exact-arm curve, and vice
+    * versa), and a matching WORKLOAD fingerprint (mismatch warns and
+    * serves — or recalibrates under `spark.graft.strictCalibrationReuse`).
     *
     * One honesty caveat a RECALL-arm user must hold (round-13 advice):
     * the curve is calibrated on a sample of THIS statement's query view
     * and then serves those same queries, so the measured floor is
     * IN-SAMPLE (LCB selection absorbs sampling noise, not distribution
     * optimism — an external holdout read ~1.5pt under the self-measured
-    * point at the steep part, SCALE.md). The someone-else's-workload
-    * hazard is structural for the ROUTED arm since round 15
-    * ([[routedRecallProbes]]'s fingerprint guard); the IVF arm still
-    * reuses on k alone — point an IVF statement whose query distribution
-    * differs at its own USING INDEX dir. */
-  private def recallProbes[I](idx: I, target: Double, k: Int,
-      reuse: I => (Boolean, Int),
-      calibrate: I => I, persist: I => Unit,
-      probesFor: (I, Double) => Int): Int = {
-    val (reusable, curveK) = reuse(idx)
-    val cal = if (reusable && curveK == k) idx
-      else { val c = calibrate(idx); persist(c); c }
-    probesFor(cal, target)
+    * point at the steep part, SCALE.md). */
+  private def ivfRecallProbes(spark: org.apache.spark.sql.SparkSession,
+      ivf: graft.ann.IvfIndex, target: Double, k: Int,
+      qframe: DataFrame, quantized: Option[Int],
+      indexDir: Option[String]): Int = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def calibrateAndPersist(): graft.ann.IvfIndex = {
+      val c = ivf.calibrate(k = k, queries = Some(qframe),
+        quantizedShortlist = quantized)
+      // a quantized statement never persists: persisted curves are
+      // exact-arm, shortlist-free
+      if (quantized.isEmpty) indexDir.foreach { dir =>
+        try graft.ann.IvfIndex.saveManifest(c, dir, TopKIndexStamp)
+        catch { case scala.util.control.NonFatal(e) =>
+          log.warn(s"persisting IVF calibration curve to $dir failed", e) }
+      }
+      c
+    }
+    val cal =
+      if (ivf.recallCurve.isEmpty || ivf.recallK != k || quantized.nonEmpty)
+        calibrateAndPersist()
+      else {
+        val stmtFp = graft.ann.RoutedAnnIndex
+          .workloadFingerprintOf(qframe, "qv")
+        if (ivf.workloadFp.isEmpty || ivf.workloadFp == stmtFp) ivf
+        else if (strictCalibrationReuse(spark)) {
+          log.info(s"IVF calibration curve workload fingerprint mismatch " +
+            s"(${ivf.workloadFp} != $stmtFp) — recalibrating against " +
+            "this statement's query view (strictCalibrationReuse)")
+          calibrateAndPersist()
+        } else {
+          log.warn(s"reusing an IVF calibration curve measured on a " +
+            s"DIFFERENT query workload (${ivf.workloadFp} != $stmtFp) — " +
+            "its recall floor may not hold here; set " +
+            "spark.graft.strictCalibrationReuse=true to recalibrate, or " +
+            "point this statement at its own USING INDEX dir")
+          ivf
+        }
+      }
+    cal.nProbeFor(target)
   }
 
   /** The ROUTED arm's calibrate-or-reuse, with the WORKLOAD-FINGERPRINT
@@ -156,13 +193,6 @@ object Pipeline {
       }
       c
     }
-    val strict =
-      spark.conf.get("spark.graft.strictCalibrationReuse", "false") match {
-        case "true" => true
-        case "false" => false
-        case other => throw graft.types.GraftException(
-          s"spark.graft.strictCalibrationReuse must be true or false, got '$other'")
-      }
     // a COVERING curve (any calibrated k' >= k) can serve this statement
     // — probesForN's conservative rule; requiring exact k would
     // recalibrate even when a tighter floor is already measured
@@ -173,7 +203,7 @@ object Pipeline {
         val stmtFp = graft.ann.RoutedAnnIndex
           .workloadFingerprintOf(qframe, "qv")
         if (idx.workloadFp.isEmpty || idx.workloadFp == stmtFp) idx
-        else if (strict) {
+        else if (strictCalibrationReuse(spark)) {
           log.info(s"calibration curve workload fingerprint mismatch " +
             s"(${idx.workloadFp} != $stmtFp) — recalibrating against " +
             "this statement's query view (strictCalibrationReuse)")
@@ -469,20 +499,9 @@ object Pipeline {
                   "RECALL 1.0 cannot be certified through the QUANTIZED " +
                     "arm (the SQ8 shortlist is approximate at every " +
                     "probe count) — use PROBE, or drop QUANTIZED")
-              recallProbes[graft.ann.IvfIndex](ivf, r, k,
-                // a quantized statement never reuses (or persists) a
-                // curve: persisted curves are exact-arm, shortlist-free
-                i => (i.recallCurve.nonEmpty && quantized.isEmpty, i.recallK),
-                i => i.calibrate(k = k,
-                  queries = Some(t(qv).select(col(qc).as("qv"))),
-                  quantizedShortlist = quantized),
-                c => if (quantized.isEmpty) indexDir.foreach { dir =>
-                  try graft.ann.IvfIndex.saveManifest(c, dir, TopKIndexStamp)
-                  catch { case scala.util.control.NonFatal(e) =>
-                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                      s"persisting IVF calibration curve to $dir failed", e) }
-                },
-                (i, tgt) => i.nProbeFor(tgt))
+              ivfRecallProbes(spark, ivf, r, k,
+                qframe = t(qv).select(col(qc).as("qv")),
+                quantized = quantized, indexDir = indexDir)
             case (None, None) => cells // unreachable by grammar: exhaustive
           }
           Response.Entries(quantized match {

@@ -289,6 +289,40 @@ class PqRoutedSpec extends AnyFunSuite {
     } finally f32.unpersist()
   }
 
+  test("drift-guard recluster round-trips the spec and RETRAINS the codebook (the streaming rebuild path)") {
+    val s = spark
+    import s.implicits._
+    val base = RoutedAnnIndex.build(df(0 until 2000), Dim, cfg,
+      numShards = 8, iters = 2, storage = StorageSpec.Pq(M, 64))
+    try {
+      val baseBook = base.storage.asInstanceOf[NodeStorage.Pq].book
+      // a heavily shifted batch trips the drift guard → None → the
+      // caller (StreamingIngest) reclusters via build(..., old.spec)
+      val drifted = (0 until 200)
+        .map(i => (1000000L + i, vecs(i).map(_ + 25f).toSeq))
+        .toDF("id", "key")
+        .selectExpr("id", "cast(key as array<float>) as key")
+      assert(base.append(drifted).isEmpty,
+        "a distribution-shifted batch must trip the drift guard")
+      assert(base.spec == StorageSpec.Pq(M, 64),
+        "the handle must expose its storage spec for the rebuild")
+      val union = df(0 until 2000).union(drifted)
+      val rebuilt = RoutedAnnIndex.build(union, Dim, cfg, 8, iters = 2,
+        replicationEps = 0.0, maxReplicas = 2, storage = base.spec,
+        frozenCentroids = None)
+      try {
+        val newBook = rebuilt.storage.asInstanceOf[NodeStorage.Pq].book
+        assert(rebuilt.spec == base.spec, "spec must survive the recluster")
+        assert(!(newBook eq baseBook) && !java.util.Arrays.equals(
+          newBook.flatBook, baseBook.flatBook),
+          "a recluster must RETRAIN the codebook (books drift with data)")
+        // the rebuilt index serves the shifted rows
+        assert(rebuilt.search(drifted.head.getSeq[Float](1).toArray, 1, 8)
+          .headOption.exists(_._1 == 1000000L))
+      } finally rebuilt.unpersist()
+    } finally base.unpersist()
+  }
+
   test("codebook wire form is the flat floats; shards of one index intern to ONE in-memory book on deserialization") {
     val b = PqCodebook.train(df(0 until 256), m = M, ksub = 16, iters = 1)
     def serialize(o: AnyRef): Array[Byte] = {
