@@ -33,7 +33,14 @@ object ScaleCdc {
   private val DelPerBatch = 2000L
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    // `pq` mode (round 15): the same mixed change stream against a
+    // PRODUCT-QUANTIZED routed index — appends overlay float tails,
+    // compactions carry codes verbatim and encode folded tails under the
+    // carried book, recall is measured through the served rescore
+    // (usage: runMain graft.ScaleCdc pq [nCorpus])
+    val pqMode = args.headOption.contains("pq")
+    val n = (if (pqMode) args.drop(1) else args).headOption
+      .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,9 +69,14 @@ object ScaleCdc {
     val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
       maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
       metric = graft.types.Algorithm.CosineSimilarity)
-    val (index, buildWall) = timed(s"routed build ($Shards shards) — " +
-      "the per-batch cost if CDC invalidated whole") {
-      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    val storageSpec: graft.ann.StorageSpec =
+      if (pqMode) graft.ann.StorageSpec.Pq(8, 256)
+      else graft.ann.StorageSpec.F32
+    val (index, buildWall) = timed(s"routed build ($Shards shards, " +
+      s"storage=${storageSpec.key}) — the per-batch cost if CDC " +
+      "invalidated whole") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
+        storage = storageSpec)
     }
 
     // five CDC batches: inserts continue the manifold past n; deletes are
@@ -128,14 +140,24 @@ object ScaleCdc {
     val gt = graft.dedup.Dedup.topKJoin(qdf, liveDf, "qid", "qv", "id", "key", K)
       .select("qid", "cid").collect()
       .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    // quantized storage serves through the exact rescore: over-fetch the
+    // storage's slack and re-rank with true vectors (gen(id) IS the true
+    // vector for any live id) — the engine-hydration emulation
+    val slackN = idx.storage.rescoreSlack
     val rec = queries.zipWithIndex.map { case (v, i) =>
-      val got = idx.search(v, K, Probes).map(_._1).toSet
+      val raw = idx.search(v, K + slackN, Probes)
+      val got =
+        if (slackN == 0) raw.map(_._1).toSet
+        else raw.map { case (id, _) =>
+          (id, graft.functions.Similarity.jvm.cosine(v, gen(id)))
+        }.sortBy { case (id, c) => (-c, id) }.take(K).map(_._1).toSet
       (gt(i.toLong) & got).size.toDouble / gt(i.toLong).size
     }
     val recall = rec.sum / rec.length
 
     val (_, control) = timed("rebuild control (one fresh build over net rows)") {
-      val fresh = graft.ann.RoutedAnnIndex.build(liveDf, Dim, cfg, Shards, iters = 3)
+      val fresh = graft.ann.RoutedAnnIndex.build(liveDf, Dim, cfg, Shards,
+        iters = 3, storage = storageSpec)
       fresh.unpersist()
     }
 
