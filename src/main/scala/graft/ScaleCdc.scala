@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
  * truth over the net survivors. Control: one fresh build over the final
  * net rows — what EVERY batch would cost if CDC invalidated whole.
  *
- * Usage: runMain graft.ScaleCdc [nCorpus] (default 200000)
+ * Usage: runMain graft.ScaleCdc [pq] [nCorpus] (default f32 storage,
+ * 200000 rows; `pq` runs the same stream against a pq(m=8,ksub=256)
+ * index with recall measured through the served rescore)
  */
 object ScaleCdc {
 

@@ -91,7 +91,10 @@ object Pipeline {
   private[dsl] val TopKIndexStamp = "dsl:user-managed"
 
   /** Strict-reuse flag shared by both RECALL arms; a malformed value
-    * fails naming the conf key (the routedDeleteCap discipline). */
+    * fails naming the conf key (the routedDeleteCap discipline). Both
+    * arms evaluate it UNCONDITIONALLY at statement entry so a typo'd
+    * value fails on the first RECALL statement, not mid-production on
+    * the first fingerprint mismatch. */
   private def strictCalibrationReuse(
       spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get("spark.graft.strictCalibrationReuse", "false") match {
@@ -100,6 +103,26 @@ object Pipeline {
       case other => throw graft.types.GraftException(
         s"spark.graft.strictCalibrationReuse must be true or false, got '$other'")
     }
+
+  /** The fingerprint match/strict/warn ladder shared by both RECALL
+    * arms: true = the carried curve may serve this statement. */
+  private def fpAllowsReuse(arm: String, carriedFp: String, stmtFp: String,
+      strict: Boolean): Boolean = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (carriedFp.isEmpty || carriedFp == stmtFp) true
+    else if (strict) {
+      log.info(s"$arm calibration curve workload fingerprint mismatch " +
+        s"($carriedFp != $stmtFp) — recalibrating against this " +
+        "statement's query view (strictCalibrationReuse)")
+      false
+    } else {
+      log.warn(s"reusing a $arm calibration curve measured on a DIFFERENT " +
+        s"query workload ($carriedFp != $stmtFp) — its recall floor may " +
+        "not hold here; set spark.graft.strictCalibrationReuse=true to " +
+        "recalibrate, or point this statement at its own USING INDEX dir")
+      true
+    }
+  }
 
   /** The IVF arm's calibrate-or-reuse — the [[routedRecallProbes]]
     * contract on the single-k IVF curve. A carried curve is reused only
@@ -133,27 +156,14 @@ object Pipeline {
       }
       c
     }
+    val strict = strictCalibrationReuse(spark) // fail-fast on a typo'd value
     val cal =
       if (ivf.recallCurve.isEmpty || ivf.recallK != k || quantized.nonEmpty)
         calibrateAndPersist()
-      else {
-        val stmtFp = graft.ann.RoutedAnnIndex
-          .workloadFingerprintOf(qframe, "qv")
-        if (ivf.workloadFp.isEmpty || ivf.workloadFp == stmtFp) ivf
-        else if (strictCalibrationReuse(spark)) {
-          log.info(s"IVF calibration curve workload fingerprint mismatch " +
-            s"(${ivf.workloadFp} != $stmtFp) — recalibrating against " +
-            "this statement's query view (strictCalibrationReuse)")
-          calibrateAndPersist()
-        } else {
-          log.warn(s"reusing an IVF calibration curve measured on a " +
-            s"DIFFERENT query workload (${ivf.workloadFp} != $stmtFp) — " +
-            "its recall floor may not hold here; set " +
-            "spark.graft.strictCalibrationReuse=true to recalibrate, or " +
-            "point this statement at its own USING INDEX dir")
-          ivf
-        }
-      }
+      else if (fpAllowsReuse("IVF", ivf.workloadFp,
+          graft.ann.RoutedAnnIndex.workloadFingerprintOf(qframe, "qv"),
+          strict)) ivf
+      else calibrateAndPersist()
     cal.nProbeFor(target)
   }
 
@@ -168,8 +178,9 @@ object Pipeline {
     * `spark.graft.strictCalibrationReuse=true`, RECALIBRATES against
     * this statement's own view (and persists, replacing the stale
     * curve) — instead of silently serving a floor measured on someone
-    * else's workload. The in-sample honesty caveat of [[recallProbes]]
-    * still applies to the measured floor itself. */
+    * else's workload. The in-sample honesty caveat in
+    * [[ivfRecallProbes]]'s scaladoc applies to the measured floor
+    * itself. */
   private def routedRecallProbes(spark: org.apache.spark.sql.SparkSession,
       idx: graft.ann.RoutedAnnIndex, target: Double, k: Int,
       qframe: DataFrame, exact: Option[DataFrame],
@@ -193,30 +204,16 @@ object Pipeline {
       }
       c
     }
+    val strict = strictCalibrationReuse(spark) // fail-fast on a typo'd value
     // a COVERING curve (any calibrated k' >= k) can serve this statement
     // — probesForN's conservative rule; requiring exact k would
     // recalibrate even when a tighter floor is already measured
     val cal =
       if (!idx.recallCurves.exists(_._1 >= k)) calibrateAndPersist()
-      else {
-        // a covering curve exists — check it answers THIS workload
-        val stmtFp = graft.ann.RoutedAnnIndex
-          .workloadFingerprintOf(qframe, "qv")
-        if (idx.workloadFp.isEmpty || idx.workloadFp == stmtFp) idx
-        else if (strictCalibrationReuse(spark)) {
-          log.info(s"calibration curve workload fingerprint mismatch " +
-            s"(${idx.workloadFp} != $stmtFp) — recalibrating against " +
-            "this statement's query view (strictCalibrationReuse)")
-          calibrateAndPersist()
-        } else {
-          log.warn(s"reusing a calibration curve measured on a DIFFERENT " +
-            s"query workload (fingerprint ${idx.workloadFp} != $stmtFp) — " +
-            "its recall floor may not hold here; set " +
-            "spark.graft.strictCalibrationReuse=true to recalibrate, or " +
-            "point this statement at its own USING INDEX dir")
-          idx
-        }
-      }
+      else if (fpAllowsReuse("routed", idx.workloadFp,
+          graft.ann.RoutedAnnIndex.workloadFingerprintOf(qframe, "qv"),
+          strict)) idx
+      else calibrateAndPersist()
     cal.probesForN(target, k)
   }
 
