@@ -316,11 +316,32 @@ object Bench {
       .sortBy(n => -(cur(n) / base(n)))
       .take(12)
     val routed = names.filter(_.contains("routed"))
-    val panel = (regressed ++ routed).distinct.sorted
+    // CARRY list (round-16 ask #4, closing the auto rule's structural
+    // blind spot): the auto dozen is selected from the BUILDER's run
+    // against the DRIVER's baseline, so a query that regressed only in
+    // the DRIVER's final run escapes selection — and next round the
+    // inflated baseline makes it read "improved", so the auto rule alone
+    // can NEVER pick it. The previous round's driver-flagged movers are
+    // therefore unioned in unconditionally (env-overridable when the
+    // next round's movers differ).
+    val carry = sys.env.get("SPARK_GRAFT_BENCH_AB_CARRY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(CarryPanel)
+      .filter(names.contains)
+    val panel = (regressed ++ routed ++ carry).distinct.sorted
     System.err.println("bench-ab: AUTO panel = top-regressed dozen vs " +
-      s"${basePath.get} + routed family: " + panel.mkString(", "))
+      s"${basePath.get} + routed family + carry ${carry.mkString("{", ",", "}")}: " +
+      panel.mkString(", "))
     Some(panel)
   }
+
+  /** Round-15's driver-flagged above-noise movers (VERDICT r15 "what's
+    * wrong" #1: vdb_upsert 1.87×, vdb_trace 1.43× in the DRIVER's run,
+    * both outside that round's panel, both on untouched code) — carried
+    * into the round-16 A/B so they get measured arm-vs-arm instead of
+    * staying formally unattributed. Update per round from the verdict's
+    * carry list; override with SPARK_GRAFT_BENCH_AB_CARRY. */
+  private val CarryPanel = Seq("vdb_upsert", "vdb_trace")
 
   private def abOrchestrate(sfDir: String, runs: Int, abClasses: String): Unit = {
     import scala.jdk.CollectionConverters._

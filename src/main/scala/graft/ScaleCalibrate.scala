@@ -31,7 +31,7 @@ object ScaleCalibrate {
   private val Shards = 64
 
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("mixed", "kladder")).getOrElse("")
+    val mode = args.headOption.filter(Set("mixed", "kladder", "filtered")).getOrElse("")
     val n = (if (mode.nonEmpty) args.drop(1) else args).headOption
       .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,6 +44,7 @@ object ScaleCalibrate {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "mixed") { mixedHistory(spark, n); spark.stop(); return }
     if (mode == "kladder") { kLadder(spark, n); spark.stop(); return }
+    if (mode == "filtered") { filteredBand(spark, n); spark.stop(); return }
     import spark.implicits._
 
     val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
@@ -256,6 +257,140 @@ object ScaleCalibrate {
       println(f"| $target%.2f | $oldP%d / $Shards%d | $p%d / $Shards%d | $ext%.4f | " +
         (if (ext >= target) "met" else f"MISSED by ${target - ext}%.4f") + " |")
     }
+    index.unpersist(); corpus.unpersist()
+  }
+
+  /** FILTERED MID-BAND serving measurement (round-16 ask #2): with the
+    * sharp-filter scan cutover, filters accepting ≤ 10% of live rows meet
+    * ANY recall target exactly; the open band is 10%–100% selectivity
+    * under a recallTarget, where `AnnSearch.effectiveProbes` always pays
+    * EXHAUSTIVE probes. Could a SELECTIVITY-DERATED curve (calibrate at
+    * 2–3 random-filter selectivities, serve the conservative floor) serve
+    * the band instead?
+    *
+    * Two measurements answer it:
+    *  1. RANDOM (id-hash) filters at 1/2, 1/4, 1/8 selectivity: recall at
+    *     fixed probes vs the unfiltered point — IF degradation is
+    *     monotone in selectivity, the band-edge (1/8) curve would floor
+    *     the whole band for random-LIKE filters;
+    *  2. the REJECTION probe: a CORRELATED filter at the same ~1/8
+    *     selectivity — accept exactly the rows of the 8 shards the query
+    *     sample probes LAST — served at the probes the random-derated
+    *     curve would pick. Selectivity says nothing about WHERE the
+    *     accepted rows live; if recall collapses here, no
+    *     selectivity-indexed curve can promise a floor, and exhaustive
+    *     stays the honest serving rule for the mid-band.
+    *
+    * Usage: runMain graft.ScaleCalibrate filtered [nCorpus] */
+  private def filteredBand(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val gen = new ScaleRecall.SiftGen(seed = 4242L, dim = Dim, intrinsic = 12)
+    val corpus = spark.range(n).map(i => (i, gen(i).toSeq)).toDF("id", "key")
+      .select(col("id"), col("key").cast("array<float>").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus ${corpus.count()} x $Dim (organic SIFT-shaped)")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
+      maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
+      metric = graft.types.Algorithm.CosineSimilarity)
+    val index = timed(s"routed build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3)
+    }
+    val queries = (0 until NQueries).map(i => gen(10000000L + i))
+    val qdf = queries.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+
+    def mix(x: Long): Long = { // splitmix64 — the random-filter id hash
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // accept sets as production carries them (Bloom), but at fpp 1e-7 so
+    // the measurement reads filter geometry, not sketch noise
+    def bloomOf(ids: Iterator[Long], cnt: Long): graft.ann.IdFilter = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(cnt, 1e-7)
+      ids.foreach(bf.putLong)
+      graft.ann.IdFilter.Bloom(bf, cnt)
+    }
+    def truthOf(acceptDf: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      graft.dedup.Dedup.topKJoin(qdf, acceptDf, "qid", "qv", "id", "key", K)
+        .select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallAt(p: Int, f: graft.ann.IdFilter,
+        gt: Map[Long, Set[Long]]): Double = {
+      val per = queries.zipWithIndex.map { case (v, i) =>
+        val got = index.search(v, K, p, f).map(_._1).toSet
+        (gt(i.toLong) & got).size.toDouble / gt(i.toLong).size
+      }
+      per.sum / per.length
+    }
+
+    // random filters at the three mid-band selectivities
+    val sInvs = Seq(2, 4, 8)
+    val randFilters = sInvs.map { inv =>
+      val ids = (0L until n).filter(id => math.floorMod(mix(id), inv) == 0)
+      val gt = truthOf(corpus.join(ids.toDF("id"), "id"))
+      (inv, bloomOf(ids.iterator, ids.size), gt)
+    }
+    val gtFull = truthOf(corpus)
+    val ladder = Seq(4, 8, 16, 32, Shards)
+    println()
+    println("| probes | unfiltered R@50 | random 1/2 | random 1/4 | random 1/8 |")
+    println("|---|---|---|---|---|")
+    val byP = ladder.map { p =>
+      val un = recallAt(p, null, gtFull)
+      val rs = randFilters.map { case (_, f, gt) => recallAt(p, f, gt) }
+      println(f"| $p%d / $Shards%d | $un%.4f | ${rs(0)}%.4f | ${rs(1)}%.4f | ${rs(2)}%.4f |")
+      p -> (un, rs)
+    }.toMap
+
+    // the derated pick: smallest probes whose measured 1/8-random recall
+    // meets the target — what a band-edge random curve would serve
+    def deratedPick(target: Double): Int =
+      ladder.find(p => byP(p)._2(2) >= target).getOrElse(Shards)
+
+    // CORRELATED filter at ~1/8 selectivity: the 8 shards the query
+    // sample probes LAST (on average) — legal under any predicate whose
+    // value correlates with content, e.g. "lang = X" over clustered
+    // embeddings
+    val avgRank = Array.fill(Shards)(0.0)
+    queries.foreach { q =>
+      index.probeShards(q, Shards).zipWithIndex.foreach { case (s, r) =>
+        avgRank(s) += r.toDouble / NQueries }
+    }
+    val farShards = avgRank.zipWithIndex.sortBy(-_._1).take(8).map(_._2).toSet
+    val assigned = corpus.select(col("id"),
+        graft.ann.IvfIndex.assignCell(col("key"), index.centroids).cast("int").as("s"))
+      .where(col("s").isin(farShards.toSeq: _*))
+      .select("id").collect().map(_.getLong(0))
+    println(s"\ncorrelated filter: ${assigned.length} rows " +
+      f"(${assigned.length.toDouble / n}%.3f of corpus) in the 8 " +
+      s"least-probed shards ${farShards.toSeq.sorted.mkString("{", ",", "}")}")
+    val corrBloom = bloomOf(assigned.iterator, assigned.length)
+    val corrIds = assigned.toSet
+    val gtCorr = truthOf(corpus.join(assigned.toSeq.toDF("id"), "id"))
+    println("| target | derated probes (1/8 random curve) | correlated R@50 there | exhaustive sanity |")
+    println("|---|---|---|---|")
+    for (target <- Seq(0.80, 0.90, 0.95)) {
+      val p = deratedPick(target)
+      val corr = recallAt(p, corrBloom, gtCorr)
+      val sane = if (target == 0.95) recallAt(Shards, corrBloom, gtCorr) else Double.NaN
+      println(f"| $target%.2f | $p%d / $Shards%d | $corr%.4f | " +
+        (if (sane.isNaN) "—" else f"$sane%.4f") + " |")
+    }
+    println("\nverdict: if the correlated rows collapse at the derated pick, " +
+      "selectivity-indexed derating is REJECTED — a filter's selectivity " +
+      "says nothing about which shards hold its rows; exhaustive remains " +
+      "the honest mid-band floor (the sharp end is served exactly by the " +
+      "scan cutover).")
+    require(corrIds.nonEmpty)
     index.unpersist(); corpus.unpersist()
   }
 

@@ -43,8 +43,6 @@ object ScaleQuant {
 
   private val K = 50
   private val NQueries = 100
-  private val Dim = 64
-  private val Shards = 64
 
   /** The per-shard serialized PQ codebook copy (shard .bins are
     * standalone, so each carries the book) — a FIXED per-shard term
@@ -88,7 +86,15 @@ object ScaleQuant {
   }
 
   def main(args: Array[String]): Unit = {
+    // [nCorpus] [dim] [shards] — the (200000, 64, 64) default is the
+    // SCALE.md round-15 operating point (reproducible as-is); an explicit
+    // dim names a DESIGN-POINT run (round-16 ask #3: the 500k × 768-d PQ
+    // rehearsal; the low-dim threshold ladder behind the engine's PQ
+    // guard) and skips the fixed 30k × 768 high-dim appendix arm.
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val Dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val Shards = args.lift(2).map(_.toInt).getOrElse(64)
+    val pqM = math.max(1, Dim / 8) // the classic 8-dims-per-subspace split
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -127,9 +133,9 @@ object ScaleQuant {
     // PQ arm (round 15): m=8 bytes/node at dim 64 — the byte-budget end;
     // build includes the codebook training (deterministic Lloyd per
     // subspace over the corpus)
-    val (pqi, pqBuild) = timed(s"pq(m=8,ksub=256) build ($Shards shards)") {
+    val (pqi, pqBuild) = timed(s"pq(m=$pqM,ksub=256) build ($Shards shards)") {
       graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
-        storage = graft.ann.StorageSpec.Pq(8, 256))
+        storage = graft.ann.StorageSpec.Pq(pqM, 256))
     }
 
     // serialized artifact bytes: sum of the shard .bins (graph + node
@@ -263,7 +269,9 @@ object ScaleQuant {
 
     // high-dim arm: 64 dims understates the lever (the graph term is
     // comparable to a 256 B payload); at 768 dims — the BGE/MiniLM-class
-    // reality — the payload dominates and SQ8 pays off in full
+    // reality — the payload dominates and SQ8 pays off in full. Skipped
+    // when the caller named an explicit design point (dim arg).
+    if (args.length > 1) { spark.stop(); return }
     val n2 = 30000L
     val dim2 = 768
     val gen2 = new ScaleRecall.SiftGen(seed = 515L, dim = dim2, intrinsic = 16)

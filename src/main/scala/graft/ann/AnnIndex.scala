@@ -109,6 +109,41 @@ final class AnnIndex(
 
   def unpersist(): Unit = shards.unpersist(blocking = false)
 
+  /** EXACT slice scan for sharp-filtered search over the hash-sharded
+    * HNSW graphs — the single-query [[graft.ann.AnnSearch]] three-way
+    * dispatch's middle arm (see [[RoutedAnnIndex.scanSearch]], the routed
+    * twin, for the measured basis): each partition filters its graph's
+    * stored rows through the accept function once into a bounded k-heap,
+    * distances paid only on accepted rows; driver merge as [[search]].
+    * HNSW graphs only — a KD-tree's filtered search is already exact
+    * (geometry pruning, not a starvable beam), so its dispatch never
+    * routes here. Hash shards always store f32, so scores are exact. */
+  def scanSearch(q: Array[Float], k: Int, filter: IdFilter = null): Seq[(Long, Double)] = {
+    val metric = config match {
+      case h: NonLinearConfig.HNSWConfig => h.metric
+      case c => throw GraftException(
+        s"scanSearch is an HNSW-arm dispatch; unexpected index config $c")
+    }
+    val f = filter
+    val accept: Long => Boolean = if (f == null) null else f.accept _
+    val kk = k
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (c, id) => (-c, id) // head of this ordering = worst kept entry
+    }
+    val local = shards.mapPartitions { it =>
+      val h = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+      it.foreach(shard => RoutedAnnIndex.rowsOf(shard).foreach { case (id, v) =>
+        if (accept == null || accept(id)) {
+          val e = (RoutedAnnIndex.closenessOf(metric, q, v), id)
+          if (h.size < kk) h.enqueue(e)
+          else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+        }
+      })
+      h.iterator.map { case (c, id) => (id, c) }
+    }.collect()
+    local.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+  }
+
   /** Merged top-k across shards (driver-side bounded merge —
     * TakeOrdered-equivalent over shards × k candidates). */
   def search(q: Array[Float], k: Int, filter: IdFilter = null): Seq[(Long, Double)] = {
@@ -423,6 +458,47 @@ object AnnSearch {
     * (hnsw/index.rs:24,233-235). */
   val BruteForceCutover = 4096L
 
+  /** Where a predicate-filtered GetSimN runs, as a pure directly-testable
+    * function of the accept-set cardinality (AnnSearchSpec pins the
+    * three-way rule). */
+  sealed trait FilteredRoute
+  object FilteredRoute {
+    /** ≤ [[BruteForceCutover]]: exact brute force over the filtered STORE
+      * slice — the reference's absolute rule, kept as the floor. */
+    case object Exact extends FilteredRoute
+    /** ≤ [[RoutedAnnIndex.FilteredScanFraction]] of live rows: exact
+      * in-shard slice scan ([[RoutedAnnIndex.scanSearch]] /
+      * [[AnnIndex.scanSearch]]) — in-memory stored rows, distances only
+      * on accepted ids. */
+    case object SliceScan extends FilteredRoute
+    /** Broad filters ride the graph beam (in-filtering; at corpus scale
+      * their slice is too large to scan per query). */
+    case object Graph extends FilteredRoute
+  }
+
+  /** The three-way dispatch rule (round-16, mirroring the batch join's
+    * round-15 auto-cutover into the single-query path): the reference's
+    * ABSOLUTE ≤4096 rule alone is scale-dishonest — at 100× scale a 5%
+    * predicate on a 20M-row store accepts ~1M ids, far above 4096, so it
+    * ran a starved graph beam (recall degrades as the accept set
+    * sparsifies — 0.96 at 1/2 selectivity vs 0.83 at 1/100, ScaleJoin)
+    * and, under a recall target, paid exhaustive probes. Between the
+    * absolute rule and [[RoutedAnnIndex.FilteredScanFraction]] of live
+    * rows, an exact in-shard slice scan wins on BOTH axes (measured,
+    * ScaleJoin filtered AUTO + the round-16 single-query selectivity
+    * table) — and meets ANY recall target exactly, filter-geometry
+    * independent. `scannable` = the index kind has a scan arm (HNSW
+    * graphs; a KD-tree's filtered search is already exact, so it never
+    * needs one). `liveRows` ≤ 0 (unknown) keeps the graph arm — the
+    * conservative direction. */
+  private[graft] def filteredRoute(cnt: Long, liveRows: Long,
+      scannable: Boolean): FilteredRoute =
+    if (cnt <= BruteForceCutover) FilteredRoute.Exact
+    else if (scannable && liveRows > 0 &&
+        cnt <= RoutedAnnIndex.FilteredScanFraction * liveRows)
+      FilteredRoute.SliceScan
+    else FilteredRoute.Graph
+
   /** Probe count for one routed GetSimN — the recallTarget serving rule
     * as a pure, directly-testable function (AnnSearchSpec pins it):
     * no target → the raw `probes` knob; a target serves off the
@@ -433,9 +509,13 @@ object AnnSearch {
     * serves PRUNED probes; recall@n at fixed probes falls as n grows,
     * so a covering curve is a conservative floor). It widens to
     * EXHAUSTIVE for n above every calibrated k, or for any predicate
-    * filter (the curves are measured unfiltered, and a sparse accept
-    * set starves the beam — the measured ScaleJoin selectivity
-    * degradation). Uncalibrated or 1.0 targets are exhaustive inside
+    * filter that reaches the graph arm (the curves are measured
+    * unfiltered; a sparse accept set starves the beam — the measured
+    * ScaleJoin selectivity degradation — and a filter CORRELATED with
+    * shard geometry breaks any selectivity-derated floor: the measured
+    * ScaleCalibrate filtered rejection). SHARP filters never get here —
+    * [[filteredRoute]] sends them to the exact slice scan, which meets
+    * any floor. Uncalibrated or 1.0 targets are exhaustive inside
     * [[RoutedAnnIndex.probesForN]] already. */
   private[graft] def effectiveProbes(cfg: NonLinearConfig.RoutedHNSWConfig,
       idx: RoutedAnnIndex, n: Int, filtered: Boolean): Int =
@@ -474,8 +554,12 @@ object AnnSearch {
       return emptyResult(engine)
     // ensure*Index: post-restart the index structure is built lazily here,
     // on the first query that needs it (GraftEngine.load attaches configs
-    // only); (search closure, the metric the index orders by)
-    val (search, scoringAlgo): ((Array[Float], Int, IdFilter) => Seq[(Long, Double)], Algorithm) =
+    // only); (search closure, exact-scan closure + live-row count for the
+    // three-way filtered dispatch, the metric the index orders by)
+    val (search, scan, liveRows, scoringAlgo): (
+        (Array[Float], Int, IdFilter) => Seq[(Long, Double)],
+        Option[(Array[Float], Int, IdFilter) => Seq[(Long, Double)]],
+        Long, Algorithm) =
       if (kind == "hnsw_routed") {
         val (idx, cfg) = engine.ensureRoutedIndex(st.meta.name, st.meta.schema)
           .getOrElse(throw GraftException(
@@ -501,6 +585,9 @@ object AnnSearch {
         val slack = idx.storage.rescoreSlack
         ((q2, k2, f) => idx.search(q2, k2 + slack,
           effectiveProbes(cfg, idx, k2, filtered = f != null), f),
+          Some((q2: Array[Float], k2: Int, f: IdFilter) =>
+            idx.scanSearch(q2, k2 + slack, f)),
+          idx.liveLogicalRows,
           cfg.hnsw.metric)
       } else {
         val index = engine.ensureAnnIndex(st.meta.name, kind, st.meta.schema).getOrElse(
@@ -510,7 +597,15 @@ object AnnSearch {
           case h: NonLinearConfig.HNSWConfig   => h.metric
           case c => throw GraftException(s"unexpected hash-sharded index config $c")
         }
-        ((q2, k2, f) => index.search(q2, k2, f), sa)
+        // the scan arm exists for HNSW only: a KD-tree's filtered search
+        // is already exact — no beam to starve (filteredRoute's scannable)
+        val scanArm = index.config match {
+          case _: NonLinearConfig.HNSWConfig =>
+            Some((q2: Array[Float], k2: Int, f: IdFilter) =>
+              index.scanSearch(q2, k2, f))
+          case _ => None
+        }
+        ((q2, k2, f) => index.search(q2, k2, f), scanArm, st.len, sa)
       }
 
     condition match {
@@ -525,19 +620,31 @@ object AnnSearch {
         try {
           val cnt = acceptedIds.count()
           if (cnt == 0) emptyResult(engine) // short-circuit store.rs:318-320
-          else if (cnt <= BruteForceCutover)
-            engine.linearTopK(st.df.where(predCol), q, n, scoringAlgo)
-          else {
-            // large accept set: broadcast Bloom sketch from the cached ids
-            // in one distributed aggregation (bounded driver memory at any
-            // scale — never a full id collect, tightly sized by cnt), search
-            // shards with slack to absorb the rare false positives, then
-            // post-verify the merged candidates against the exact predicate
-            // during hydration.
-            val bloom = acceptedIds.stat.bloomFilter("id", cnt, 0.001)
-            val hits = search(q, n + FalsePositiveSlack,
-              IdFilter.Bloom(bloom, cnt))
-            hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
+          else filteredRoute(cnt, liveRows, scan.isDefined) match {
+            case FilteredRoute.Exact =>
+              engine.linearTopK(st.df.where(predCol), q, n, scoringAlgo)
+            case route =>
+              // above the absolute rule: broadcast Bloom sketch from the
+              // cached ids in one distributed aggregation (bounded driver
+              // memory at any scale — never a full id collect, tightly
+              // sized by cnt), then either scan the accepted slice exactly
+              // in-shard (sharp filters — meets any recall floor, no
+              // starved beam) or search the graphs with slack; either way
+              // hydration post-verifies the merged candidates against the
+              // exact predicate, so Bloom false positives never surface.
+              val bloom = acceptedIds.stat.bloomFilter("id", cnt, 0.001)
+              val f = IdFilter.Bloom(bloom, cnt)
+              val hits = route match {
+                case FilteredRoute.SliceScan =>
+                  org.slf4j.LoggerFactory.getLogger(getClass).info(
+                    s"AnnSearch: filter accepts $cnt of ~$liveRows live " +
+                      s"rows (<= ${RoutedAnnIndex.FilteredScanFraction}) — " +
+                      "scanning the accepted slice exactly instead of the " +
+                      "graph beam")
+                  scan.get(q, n + FalsePositiveSlack, f)
+                case _ => search(q, n + FalsePositiveSlack, f)
+              }
+              hydrate(engine, st, hits, q, n, scoringAlgo, Some(cond))
           }
           // safe to release in all arms: the Bloom/empty results are already
           // materialized, and the brute-force arm's lazy plan reads

@@ -89,10 +89,10 @@ final class IvfIndex(
     val sample: Array[(Option[Long], Array[Float])] = queries match {
       case Some(qdf) =>
         Calibration.externalSample(qdf, qVecCol, nQueries, seed)
-      case None => cells.select(col("id").cast("long"), col("key"))
-        .rdd.map(r => (Some(r.getLong(0)): Option[Long],
-          r.getSeq[Float](1).toArray))
-        .takeSample(withReplacement = false, nQueries, seed)
+      case None => Calibration.selfSample(
+        cells.select(col("id").cast("long"), col("key"))
+          .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+        nQueries, seed)
     }
     if (sample.isEmpty) return this // empty index: nothing to measure
     val ownIds: Array[Option[Long]] = sample.map(_._1)

@@ -254,25 +254,51 @@ object PqCodebook {
 
   // intern cache for deserialized books (executor-level dedup). Content
   // is VERIFIED, never hash-trusted; the cap only bounds a pathological
-  // many-distinct-books JVM — eviction just loses the dedup, not data
+  // many-distinct-books JVM. Bounded LRU (access-ordered LinkedHashMap):
+  // past the cap ONE least-recently-used entry is evicted — the old
+  // wholesale clear() dropped every live book's dedup at once — and any
+  // degraded outcome (eviction, or a 32-bit hash collision that keeps a
+  // book from ever interning) is LOGGED, so a reintroduced per-shard
+  // ~786 KB multiplication is observable instead of silent (round-16
+  // advice).
+  private val MaxInterned = 64
   private val interned =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), PqCodebook]()
+    new java.util.LinkedHashMap[(Int, Int, Int, Int), PqCodebook](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Int, Int), PqCodebook]): Boolean = {
+        val evict = size > MaxInterned
+        if (evict) org.slf4j.LoggerFactory.getLogger(PqCodebook.getClass).info(
+          s"PqCodebook intern cache over $MaxInterned books — evicting the " +
+            "least-recently-used entry (its shards keep private copies " +
+            "until re-interned)")
+        evict
+      }
+    }
 
   private[ann] def canonical(dim: Int, m: Int, ksub: Int,
       flat: Array[Float]): PqCodebook = {
     val key = (dim, m, ksub, java.util.Arrays.hashCode(flat))
-    val hit = interned.get(key)
-    if (hit != null && java.util.Arrays.equals(hit.flatBook, flat)) hit
-    else {
-      val fresh = fromFlat(dim, m, ksub, flat)
-      if (interned.size > 64) interned.clear()
-      interned.putIfAbsent(key, fresh)
-      // putIfAbsent can race another deserializer: return the winner so
-      // concurrent loads still converge on one instance
-      val winner = interned.get(key)
-      if (winner != null && java.util.Arrays.equals(winner.flatBook, flat))
-        winner
-      else fresh
+    val hit = interned.synchronized(interned.get(key))
+    if (hit != null) {
+      if (java.util.Arrays.equals(hit.flatBook, flat)) hit
+      else {
+        // same (dim, m, ksub, hash32), different content: the losing book
+        // can never intern under this key — every shard holding it keeps
+        // a private copy, so say so instead of degrading silently
+        org.slf4j.LoggerFactory.getLogger(PqCodebook.getClass).warn(
+          s"PqCodebook.canonical: 32-bit content-hash collision at " +
+            s"(dim=$dim, m=$m, ksub=$ksub) — serving a NON-interned fresh " +
+            "codebook; executor-level dedup is lost for this book")
+        fromFlat(dim, m, ksub, flat)
+      }
+    } else {
+      val fresh = fromFlat(dim, m, ksub, flat) // build outside the lock
+      interned.synchronized {
+        val winner = interned.get(key) // re-check: another load may have won
+        if (winner != null && java.util.Arrays.equals(winner.flatBook, flat))
+          winner
+        else { interned.put(key, fresh); fresh }
+      }
     }
   }
 

@@ -218,9 +218,7 @@ final class RoutedAnnIndex(
     // and tombstoned rows (subtract; they can never be accepted results)
     val scanSlice = filter match {
       case IdFilter.Bloom(_, expected) if expected >= 0L =>
-        val replicaFactor = if (replicationEps > 0.0) maxReplicas else 1
-        val logical =
-          math.max(0L, storedRows - tombstones.length) / replicaFactor
+        val logical = liveLogicalRows
         val sharp = logical > 0 &&
           expected <= RoutedAnnIndex.FilteredScanFraction * logical
         if (sharp) org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -614,6 +612,19 @@ final class RoutedAnnIndex(
     * compaction removes them). */
   def storedRows: Long = storedRowsLazy
 
+  /** Distinct LIVE logical rows — physical stored rows minus tombstones,
+    * divided by the worst-case boundary replication factor: the
+    * denominator of every selectivity cutover ([[topKJoin]]'s sharp-filter
+    * rule and the single-query [[graft.ann.AnnSearch]] three-way dispatch).
+    * Conservative in the safe direction: dividing by the MAX replica
+    * factor under-counts live rows, so a fraction cutover under-triggers
+    * (a borderline filter rides the graphs rather than over-claiming the
+    * scan). */
+  def liveLogicalRows: Long = {
+    val replicaFactor = if (replicationEps > 0.0) maxReplicas else 1
+    math.max(0L, storedRows - tombstones.length) / replicaFactor
+  }
+
   /** The carried count when known, else (legacy manifests only) derived
     * once from the shards. */
   @transient private lazy val storedRowsLazy: Long =
@@ -667,6 +678,45 @@ final class RoutedAnnIndex(
     val local = sc.runJob(shards, (it: Iterator[AnnShard]) =>
       it.toSeq.flatMap(_.topK(q, k, accept)), probe)
     local.flatten.groupBy(_._1)
+      .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(k)
+  }
+
+  /** EXACT slice scan for sharp-filtered single-query search — the
+    * single-query twin of [[topKJoin]]'s sharp-filter arm (round-16: the
+    * batch join auto-routed at [[RoutedAnnIndex.FilteredScanFraction]]
+    * since round 15; above the absolute ≤4096 rule the single-query path
+    * still ran a starved graph beam — at 100× scale a 5% predicate on a
+    * 20M-row store is ~1M accepted ids, far past 4096). One job over ALL
+    * shard partitions; each partition filters its stored rows through the
+    * accept function ONCE (accept tests are cheap; distances are paid
+    * only on accepted rows) into a bounded k-heap; the driver merge
+    * dedupes replica ids like [[search]]. Scores are the stored form —
+    * exact under f32, decoded under SQ8/PQ (the caller's hydration
+    * rescore restores exact final ranking, same contract as the graph
+    * arm); tombstoned ids never surface. Cost is one pass over stored
+    * rows with distances on the accepted slice — independent of how the
+    * filter correlates with shard geometry, which is what makes it meet
+    * ANY recall floor where a sparse accept set starves the beam. */
+  def scanSearch(q: Array[Float], k: Int, filter: IdFilter = null): Seq[(Long, Double)] = {
+    val accept = acceptOf(filter)
+    val metric = config.metric // capture: the task closure must not drag `this`
+    val kk = k
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (c, id) => (-c, id) // head of this ordering = worst kept entry
+    }
+    val local = shards.mapPartitions { it =>
+      val h = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+      it.foreach(shard => RoutedAnnIndex.rowsOf(shard).foreach { case (id, v) =>
+        if (accept == null || accept(id)) {
+          val e = (RoutedAnnIndex.closenessOf(metric, q, v), id)
+          if (h.size < kk) h.enqueue(e)
+          else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+        }
+      })
+      h.iterator.map { case (c, id) => (id, c) }
+    }.collect()
+    local.groupBy(_._1)
       .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
       .sortBy { case (id, c) => (-c, id) }.take(k)
   }
@@ -806,9 +856,7 @@ final class RoutedAnnIndex(
       val sample: Array[(Option[Long], Array[Float])] = queries match {
         case Some(qdf) =>
           Calibration.externalSample(qdf, qVecCol, nQueries, seed)
-        case None => live
-          .takeSample(withReplacement = false, nQueries, seed)
-          .map { case (id, v) => (Some(id), v) }
+        case None => Calibration.selfSample(live, nQueries, seed)
       }
       if (sample.isEmpty) return this // nothing to measure
       val fp = (if (queries.isDefined) "ext:" else "self:") +
@@ -960,27 +1008,24 @@ object RoutedAnnIndex {
     * round-15 NodeStorage seam (HnswIndex carries a storage field). */
   val ShardLayoutVersion = 3
 
-  /** Order-sensitive 64-bit fingerprint of a calibration query sample
-    * (splitmix64-folded float bits, hex) — the workload identity carried
-    * beside persisted curves. Deterministic: the same query view sampled
-    * with the same (nQueries, seed) reproduces it exactly; ANY content
-    * change in the sampled rows changes it. */
+  /** CONTENT-ADDRESSED 64-bit fingerprint of a calibration query sample
+    * (hex) — the workload identity carried beside persisted curves.
+    * Per-vector content hashes are SORTED before the fold, so the
+    * fingerprint is a pure function of the sample SET: the same content
+    * enumerated in any order (different partitioning, different lineage)
+    * reproduces it exactly, and ANY content change in the sampled rows
+    * changes it (round-16 advice — the old order-sensitive fold made a
+    * re-partitioned read of an identical workload a spurious mismatch,
+    * and under strictCalibrationReuse a forced recalibration). The draws
+    * themselves are content-addressed too ([[Calibration.externalSample]]
+    * / [[Calibration.selfSample]] — bottom-n by content hash), so both
+    * the sample and its stamp survive any layout change. */
   private[graft] def sampleFingerprint(vs: Array[Array[Float]]): String = {
-    var h = 0x9e3779b97f4a7c15L
-    def mix(z0: Long): Unit = {
-      var z = h ^ (z0 + 0x9e3779b97f4a7c15L)
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      h = z ^ (z >>> 31)
-    }
-    mix(vs.length.toLong)
-    vs.foreach { v =>
-      mix(v.length.toLong)
-      var i = 0
-      while (i < v.length) {
-        mix(java.lang.Float.floatToRawIntBits(v(i)).toLong); i += 1
-      }
-    }
+    val hs = vs.map(v => Calibration.vecHash(v, 0x5ca1ab1eL))
+    java.util.Arrays.sort(hs)
+    var h = Calibration.mix64(vs.length.toLong)
+    var i = 0
+    while (i < hs.length) { h = Calibration.mix64(h ^ hs(i)); i += 1 }
     java.lang.Long.toHexString(h)
   }
 
@@ -988,8 +1033,8 @@ object RoutedAnnIndex {
     * (nQueries, seed) would record — what reuse sites
     * ([[graft.dsl.Pipeline]]'s RECALL arms) compare against a persisted
     * [[RoutedAnnIndex.workloadFp]] before trusting a curve. One
-    * takeSample job over the query view — paid only when a reusable
-    * curve exists (a fresh calibration computes it for free). */
+    * bottom-n-by-content-hash job over the query view — paid only when a
+    * reusable curve exists (a fresh calibration computes it for free). */
   private[graft] def workloadFingerprintOf(qdf: DataFrame, qVecCol: String,
       nQueries: Int = 64, seed: Long = 7L): String =
     "ext:" + sampleFingerprint(

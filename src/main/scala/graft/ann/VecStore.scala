@@ -81,6 +81,47 @@ object StorageSpec {
     case None => throw new IllegalArgumentException(
       s"Unknown node storage '$s' (expected f32, sq8, pq or pq(m=..,ksub=..))")
   }
+
+  /** Dimension below which a probes-configured PQ index is a MEASURED
+    * quality trap. Round-16 ScaleQuant dim ladder (50k SIFT-shaped rows,
+    * 32 shards, rescored Recall@50 at p=16 vs f32's): 64-d −6.5pt
+    * (0.9338 vs SQ8's 0.9988, for only ~17% fewer resident bytes; the
+    * 200k round-15 table reads worse still — 0.869 ceiling); 128-d
+    * recovers most of it (−1.4pt) and 256-d reads at near-parity
+    * (−0.4pt). The crossover from "trap" to "ordinary quantization
+    * error a recallTarget prices in" sits between 64 and 128, so the
+    * guard draws the warned region at < 128 — exactly the measured bad
+    * band. */
+  val PqLowDimWarnBelow = 128
+
+  /** Build-time guard for the low-dim PQ trap (round-15 verdict "what's
+    * wrong" #2): a `probes`-configured (non-recall) PQ index on a low-dim
+    * store SILENTLY serves 0.85-class recall where SQ8 reads 0.99 at
+    * identical probes and ~25% more bytes. Returns the warning the engine
+    * logs at create; None when the configuration is safe:
+    *  - not PQ, or dim ≥ [[PqLowDimWarnBelow]] — outside the measured trap;
+    *  - exhaustive probes (probes ≥ numShards) — the rescore restores the
+    *    exact ranking, so quantization costs no recall;
+    *  - a recallTarget — the calibrated curve prices the PQ error in and
+    *    honestly tops out below unattainable targets (serving widens to
+    *    exhaustive; the 1.0-target case is refused outright at create).
+    * A pure function so the rule is directly pinnable (PqRoutedSpec);
+    * the engine WARNS rather than refuses — low-dim PQ is a legitimate
+    * byte-budget choice when the caller knows the measured ceiling. */
+  def lowDimPqWarning(spec: StorageSpec, dim: Int, probes: Int,
+      numShards: Int, recallTarget: Option[Double]): Option[String] =
+    spec match {
+      case Pq(m, _) if dim < PqLowDimWarnBelow && probes < numShards &&
+          recallTarget.isEmpty =>
+        Some(s"pq node storage at $dim dims with pruned probes " +
+          s"($probes/$numShards) serves a MEASURED recall ceiling well " +
+          "below sq8 at identical probes (ScaleQuant dim ladder: 0.93 vs " +
+          "0.999 at 64-d/50k, 0.869 ceiling at 200k) for only ~17% fewer " +
+          s"resident bytes — prefer sq8 below $PqLowDimWarnBelow dims, " +
+          "or set a recallTarget so serving reads probes off the " +
+          "measured curve")
+      case _ => None
+    }
 }
 
 /**

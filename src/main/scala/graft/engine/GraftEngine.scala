@@ -1003,9 +1003,19 @@ class GraftEngine(val spark: SparkSession,
         // its real constraint — an unknown kind, an out-of-range pq
         // parameter (ksub ≤ 256), or a pq m that does not divide the
         // store dimension — not on the first search
-        try graft.ann.StorageSpec.resolve(r.storage, st.meta.dimension)
-        catch { case e: IllegalArgumentException =>
-          throw GraftException(e.getMessage) }
+        val spec0 =
+          try graft.ann.StorageSpec.resolve(r.storage, st.meta.dimension)
+          catch { case e: IllegalArgumentException =>
+            throw GraftException(e.getMessage) }
+        // low-dim PQ trap (round 16): warn — never refuse — when a
+        // probes-configured pq index sits below the measured dimension
+        // where its rescored recall dominates (StorageSpec scaladoc has
+        // the measured basis; recall-targeted and exhaustive configs are
+        // safe by construction and stay silent)
+        graft.ann.StorageSpec.lowDimPqWarning(spec0, st.meta.dimension,
+            r.probes, r.numShards, r.recallTarget)
+          .foreach(w => org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"createNonLinearIndex($name): $w"))
         // a 1.0 target is CERTIFICATION (always-exhaustive search) and a
         // quantized beam (sq8 or pq) is approximate at every probe count
         // — refusing here mirrors the DSL TOPK arm's rule, instead of
@@ -1137,21 +1147,41 @@ class GraftEngine(val spark: SparkSession,
     // against the exact store frame (ground truth must be the true
     // vectors) and through the rescored join — the curve answers for the
     // quantized serving path, never the exact arm
-    if (cfg.recallTarget.isEmpty || built.recallCurves.nonEmpty) built
+    if (cfg.recallTarget.isEmpty) built
     else {
-      val cal = built.calibrateKs(nQueries = 64, ks = routedRecallKs,
-        exact = if (quantized) Some(src) else None)
-      graft.obs.Trace.event(spark, "routed:calibrate",
-        if (schema == DefaultSchema) name else s"$schema.$name")
-      persistRoot.foreach { root =>
-        try graft.ann.RoutedAnnIndex.save(cal,
-          Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,
-          touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
-        catch { case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"persisting calibration curve for $schema.$name failed", e) }
+      // a loaded artifact's carried ladder must still COVER the session's
+      // configured ks (spark.graft.routedRecallKs): a curve at k' >= k
+      // answers for k (probesForN's covering rule), but a k ABOVE every
+      // carried curve would silently pay exhaustive probes forever with
+      // no recalibration path short of deleting the artifact (round-16
+      // advice). Uncovered ks recalibrate the UNION of carried + wanted
+      // (the Pipeline.routedRecallProbes pattern — one sample re-measures
+      // every curve, so the persisted fingerprint stays honest) and the
+      // merged ladder persists.
+      val carried = built.recallCurves.map(_._1)
+      val missing = routedRecallKs.filterNot(k => carried.exists(_ >= k))
+      if (carried.nonEmpty && missing.isEmpty) built
+      else {
+        if (carried.nonEmpty) org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"routed index $schema.$name: carried calibration ladder " +
+            s"${carried.sorted.mkString("{", ",", "}")} does not cover " +
+            s"configured serving ks ${missing.mkString("{", ",", "}")} — " +
+            "recalibrating the merged ladder")
+        val ks = (carried ++ routedRecallKs).distinct.sorted.toSeq
+        val cal = built.calibrateKs(nQueries = 64, ks = ks,
+          exact = if (quantized) Some(src) else None)
+        graft.obs.Trace.event(spark, "routed:calibrate",
+          if (schema == DefaultSchema) name else s"$schema.$name")
+        persistRoot.foreach { root =>
+          try graft.ann.RoutedAnnIndex.save(cal,
+            Persistence.indexDir(root, schema, name, "hnsw_routed"), stamp,
+            touchedOnly = Some(scala.collection.immutable.Set.empty[Int]))
+          catch { case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"persisting calibration curve for $schema.$name failed", e) }
+        }
+        cal
       }
-      cal
     }
   }
 

@@ -711,6 +711,45 @@ object Queries {
            |round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sim FROM scored""".stripMargin
       }),
 
+    // ---- routed dispatch × SHARP filter (round 16): the predicate
+    // accepts ~4.6k rows at sf0.01 — above the 4096 absolute cutover but
+    // ≤ 10% of the 60k-row store — so GetSimN routes to the exact
+    // in-shard SLICE SCAN (AnnSearch.filteredRoute's middle arm) instead
+    // of the graph beam. The store's probes knob is deliberately PRUNED
+    // (4 of 16 shards): the graph arm could not reproduce the exact
+    // filtered top-10 from 4 probed shards, so the oracle hash-gates the
+    // routing itself, not just the result. ----
+    "vdb_sim_hnsw_routed_scan" -> Q(
+      (s, dir) => {
+        val e = TestStores.li4ScanEngine(s, dir)
+        e.getSimN("li4s", Array(1000f, 5000f, 50f, 2f), 10,
+          Algorithm.HNSW, Some(Equals("qb", RawString("7"))))
+          .select(
+            element_at(col("key"), 1).cast("bigint").as("l_orderkey"),
+            element_at(col("key"), 2).cast("bigint").as("l_partkey"),
+            element_at(col("key"), 3).cast("bigint").as("l_suppkey"),
+            element_at(col("key"), 4).cast("bigint").as("l_linenumber"),
+            round(col("similarity").cast("double"), 4).as("sim"))
+      },
+      Some {
+        def f(c: String) = s"CAST(CAST($c AS FLOAT) AS DOUBLE)"
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val q = Seq("1000", "5000", "50", "2")
+        val dot = cols.zip(q).map { case (c, v) => s"${f(c)} * ${f(v)}" }
+          .mkString(" + ")
+        val nc = s"sqrt(${cols.map(c => s"${f(c)} * ${f(c)}").mkString(" + ")})"
+        val nq = s"sqrt(${q.map(v => s"${f(v)} * ${f(v)}").mkString(" + ")})"
+        s"""WITH scored AS (
+           |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           |    ($dot) / ($nc * $nq) AS s
+           |  FROM lineitem WHERE CAST(l_quantity AS INT) % 12 = 7
+           |  ORDER BY s DESC, l_orderkey, l_partkey, l_suppkey, l_linenumber
+           |  LIMIT 10)
+           |SELECT l_orderkey, l_partkey, l_suppkey,
+           |CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sim FROM scored""".stripMargin
+      }),
+
     // ---- SQ8-quantized routed index through the parity API (round 14):
     // the store's hnsw_routed index stores int8 codes per graph node
     // (storage = "sq8" — ~1/4 the vector bytes, the 100 TB memory lever);

@@ -144,6 +144,36 @@ object TestStores {
       e
     })
 
+  private val li4ScanEngines = TrieMap[String, GraftEngine]()
+
+  /** Shared READ-ONLY 4-dim FULL-lineitem store with a deliberately
+    * PRUNED-probe routed index (probes 4 of 16) — the single-query
+    * sharp-filter SLICE-SCAN probe (round 16): `qb = 7` accepts ~7.7% of
+    * rows, which at sf ≥ 0.01 is > the 4096 absolute cutover but ≤ the
+    * 10% scan fraction, so GetSimN routes to the exact in-shard slice
+    * scan ([[graft.ann.AnnSearch.filteredRoute]]). The oracle GATES the
+    * routing: if the dispatch ever rode the graphs instead, 4/16 probes
+    * over a starved beam could not reproduce the exact filtered top-10. */
+  def li4ScanEngine(spark: SparkSession, sfDir: String): GraftEngine =
+    li4ScanEngines.getOrElseUpdate(sfDir, {
+      val e = new GraftEngine(spark)
+      e.createStore("li4s", 4)
+      val li = table(spark, sfDir, "lineitem")
+      e.set("li4s", li.select(
+        array(col("l_orderkey").cast("float"), col("l_partkey").cast("float"),
+          col("l_suppkey").cast("float"), col("l_linenumber").cast("float")).as("key"),
+        map(lit("qb"),
+          metaStr((col("l_quantity").cast("int") % 12).cast("string"))).as("value")))
+      e.createNonLinearIndex("li4s", Seq(
+        graft.types.NonLinearConfig.RoutedHNSWConfig(
+          hnsw = graft.types.NonLinearConfig.HNSWConfig(
+            efConstruction = 128, maximumConnections = 32,
+            maximumConnectionsZero = 64, efSearch = 64,
+            metric = graft.types.Algorithm.CosineSimilarity),
+          numShards = 16, probes = 4)))
+      e
+    })
+
   private val aiEngines = TrieMap[String, graft.ai.AiEngine]()
 
   /** Shared AI engine: store "ai_docs" = documents.text embedded with the

@@ -20,6 +20,48 @@ class CalibrationSpec extends AnyFunSuite {
     assert(Calibration.meanSe(Seq(1.0, 1.0, 1.0))._2 == 0.0)
   }
 
+  test("workload fingerprint is CONTENT-addressed: partitioning/lineage never changes the sample or the stamp (round-16 advice)") {
+    val s = graft.TestFixtures.spark
+    import s.implicits._
+    val base = (0 until 500).map(i =>
+      Tuple1(Array.tabulate(8)(d => (i * 31 + d).toFloat / 7f).toSeq))
+    val df = base.toDF("qv")
+    val a = RoutedAnnIndex.workloadFingerprintOf(df, "qv")
+    // the same logical content through ANY layout: repartitioned,
+    // single-partition, shuffled row order — identical stamp (the old
+    // takeSample draw made each a spurious mismatch; under
+    // strictCalibrationReuse that forced a recalibration per statement)
+    assert(a == RoutedAnnIndex.workloadFingerprintOf(df.repartition(13), "qv"))
+    assert(a == RoutedAnnIndex.workloadFingerprintOf(df.coalesce(1), "qv"))
+    assert(a == RoutedAnnIndex.workloadFingerprintOf(
+      scala.util.Random.shuffle(base).toDF("qv"), "qv"))
+    // content changes DO change it
+    val bumped = base.map(t => Tuple1(t._1.map(_ + 1f)))
+    assert(a != RoutedAnnIndex.workloadFingerprintOf(bumped.toDF("qv"), "qv"))
+    // the fold itself is order-insensitive (belt and braces: two sites
+    // enumerating one sample differently still agree)
+    val vs = Array(Array(1f, 2f), Array(3f, 4f), Array(5f, 6f))
+    assert(RoutedAnnIndex.sampleFingerprint(vs) ==
+      RoutedAnnIndex.sampleFingerprint(vs.reverse))
+    // ...but a different SET still changes the fold
+    assert(RoutedAnnIndex.sampleFingerprint(vs) !=
+      RoutedAnnIndex.sampleFingerprint(vs.take(2)))
+  }
+
+  test("selfSample is content-addressed too: same rows in any partitioning draw the same sample") {
+    val s = graft.TestFixtures.spark
+    val rows = (0L until 300L).map(id =>
+      (id * 7919L, Array.tabulate(4)(d => (id + d).toFloat)))
+    val a = Calibration.selfSample(s.sparkContext.parallelize(rows, 3), 16, 7L)
+    val b = Calibration.selfSample(
+      s.sparkContext.parallelize(scala.util.Random.shuffle(rows), 11), 16, 7L)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq,
+      "the drawn ids must not depend on partitioning")
+    // a different seed draws a different sample (the seed still means something)
+    val c = Calibration.selfSample(s.sparkContext.parallelize(rows, 3), 16, 8L)
+    assert(a.map(_._1).toSeq != c.map(_._1).toSeq)
+  }
+
   test("select: LCB vs raw-mean floors, exhaustive fallbacks, 1.0 certification") {
     val curve = Seq((1, 0.50, 0.02), (4, 0.90, 0.01), (16, 0.99, 0.001))
     // raw mean: smallest point meeting the target

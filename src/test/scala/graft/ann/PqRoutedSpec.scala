@@ -373,4 +373,26 @@ class PqRoutedSpec extends AnyFunSuite {
       f"exhaustive pq curve point ${byProbes(Shards)}%.4f < 0.90")
     assert(cal.probesFor(1.0) == Shards)
   }
+
+  test("lowDimPqWarning: only a pruned-probe, untargeted PQ index below the measured dim threshold warns (round-16 guard)") {
+    val pqSpec = StorageSpec.Pq(8, 256)
+    // the measured trap: low dim + pruned probes + no recall target
+    val warned = StorageSpec.lowDimPqWarning(pqSpec, 64,
+      probes = 8, numShards = 16, recallTarget = None)
+    assert(warned.exists(_.contains("sq8")),
+      "the warning must name the measured alternative")
+    // safe configurations stay silent:
+    assert(StorageSpec.lowDimPqWarning(pqSpec, 768, 8, 16, None).isEmpty,
+      "high-dim PQ is the design point, never warned")
+    assert(StorageSpec.lowDimPqWarning(pqSpec,
+      StorageSpec.PqLowDimWarnBelow, 8, 16, None).isEmpty,
+      "the threshold dim itself is outside the warned region")
+    assert(StorageSpec.lowDimPqWarning(pqSpec, 64, 16, 16, None).isEmpty,
+      "exhaustive probes rescore to exact ranking — no trap")
+    assert(StorageSpec.lowDimPqWarning(pqSpec, 64, 8, 16, Some(0.9)).isEmpty,
+      "a recall target prices the PQ error into the measured curve")
+    assert(StorageSpec.lowDimPqWarning(StorageSpec.Sq8, 64, 8, 16, None).isEmpty
+      && StorageSpec.lowDimPqWarning(StorageSpec.F32, 64, 8, 16, None).isEmpty,
+      "only PQ storage is in scope")
+  }
 }

@@ -266,6 +266,19 @@ class RoutedEngineSpec extends AnyFunSuite {
     e.dropStore("rpq")
   }
 
+  test("low-dim pruned-probe PQ WARNS but still creates and serves (round-16 guard is advisory, never a refusal)") {
+    // Dim=16 < PqLowDimWarnBelow, probes 2 of 8 pruned, no recall target
+    // — the warned configuration (StorageSpec.lowDimPqWarning pins the
+    // rule itself; this pins that the engine's reaction is a log line,
+    // not an exception: low-dim PQ is a legitimate byte-budget choice)
+    val e = freshRouted("lowpq", exactCfg.copy(probes = 2, storage = "pq"))
+    val q = vecs(42L, 1).head
+    assert(e.getSimN("lowpq", q, 5, Algorithm.HNSW).count() == 5)
+    assert(e.getStore("lowpq").nonLinearIndexes.contains("hnsw_routed"))
+    e.dropStore("lowpq")
+    ()
+  }
+
   test("serving-k ladder: an n=50 recall-targeted search serves PRUNED probes off the k=50 curve (round-15 rule)") {
     // clustered store: 8 tight clusters → routing concentrates each
     // query's true top-50 inside its home shard, so the k=50 curve has
@@ -563,6 +576,45 @@ class RoutedEngineSpec extends AnyFunSuite {
       e2.getSimN("pr", q, 5, Algorithm.CosineSimilarity)
         .select("key").collect().toSeq)
     e1.dropStore("pr"); // shared root: one drop clears disk
+    ()
+  }
+
+  test("a persisted ladder that does not COVER a newly configured serving k recalibrates the merged ladder (round-16 advice)") {
+    val root = Files.createTempDirectory("graft-routed-kext").toString
+    val cfg = NonLinearConfig.RoutedHNSWConfig(
+      hnsw = NonLinearConfig.HNSWConfig(efSearch = 4096),
+      numShards = 8, probes = 1, recallTarget = Some(0.9))
+    val e1 = new GraftEngine(spark, Some(root))
+    e1.createStore("kx", Dim)
+    e1.setSeq("kx", vecs(7L, N).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    e1.createNonLinearIndex("kx", Seq(cfg))
+    val ks1 = e1.ensureRoutedIndex("kx").get._1.recallCurves.map(_._1).sorted
+    assert(ks1.toSeq == Seq(10, 50), "the engine default ladder")
+    try {
+      // a k COVERED by a carried curve (25 ≤ 50) must NOT recalibrate:
+      // the loaded curves come back exactly as persisted
+      spark.conf.set("spark.graft.routedRecallKs", "10,25")
+      val e2 = GraftEngine.load(spark, root)
+      assert(e2.ensureRoutedIndex("kx").get._1
+        .recallCurves.map(_._1).sorted.toSeq == Seq(10, 50),
+        "covered serving ks must reuse the carried ladder untouched")
+      // an UNCOVERED k (60 > 50) used to silently pay exhaustive probes
+      // forever — now it recalibrates the union and persists the merge
+      spark.conf.set("spark.graft.routedRecallKs", "60")
+      val e3 = GraftEngine.load(spark, root)
+      assert(e3.ensureRoutedIndex("kx").get._1
+        .recallCurves.map(_._1).sorted.toSeq == Seq(10, 50, 60),
+        "uncovered k must extend the ladder (carried ∪ configured)")
+      // ...and the merged ladder is the durable one: a later session with
+      // the DEFAULT ks loads all three curves without recalibrating
+      spark.conf.set("spark.graft.routedRecallKs", "10,50")
+      val e4 = GraftEngine.load(spark, root)
+      assert(e4.ensureRoutedIndex("kx").get._1
+        .recallCurves.map(_._1).sorted.toSeq == Seq(10, 50, 60),
+        "the merged ladder must persist")
+    } finally spark.conf.unset("spark.graft.routedRecallKs")
+    e1.dropStore("kx")
     ()
   }
 }
