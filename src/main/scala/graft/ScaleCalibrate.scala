@@ -391,6 +391,41 @@ object ScaleCalibrate {
       "the honest mid-band floor (the sharp end is served exactly by the " +
       "scan cutover).")
     require(corrIds.nonEmpty)
+
+    // SINGLE-QUERY arm-vs-arm at the cutover (round-16 ask #1's
+    // measurement row): the engine's three-way dispatch scans at ≤ 10%
+    // and rides the beam above — measure BOTH arms' per-query wall and
+    // Recall@50 on either side of the line, so the auto choice is
+    // checked against the measured winner (the ScaleJoin filtered-AUTO
+    // table's single-query twin). Graph arm at probes=8 — a pruned
+    // production point; the scan arm ignores probes by construction.
+    println()
+    println("| filter | selectivity | auto route | graph p=8 R@50 / ms | scan R@50 / ms |")
+    println("|---|---|---|---|---|")
+    val sharpIds = (0L until n).filter(id => math.floorMod(mix(id), 20) == 0)
+    val sharpF = bloomOf(sharpIds.iterator, sharpIds.size)
+    val gtSharp = truthOf(corpus.join(sharpIds.toDF("id"), "id"))
+    val armRows =
+      Seq(("random 1/20", sharpIds.size.toLong, sharpF, gtSharp)) ++
+      randFilters.map { case (inv, f, gt) =>
+        (s"random 1/$inv", n / inv, f, gt) }
+    armRows.foreach { case (label, cnt, f, gt) =>
+      def wallAndRecall(go: Array[Float] => Seq[(Long, Double)]): (Double, Double) = {
+        queries.take(10).foreach(go) // warm
+        val t0 = System.nanoTime()
+        val per = queries.zipWithIndex.map { case (v, i) =>
+          val got = go(v).map(_._1).toSet
+          (gt(i.toLong) & got).size.toDouble / gt(i.toLong).size
+        }
+        ((System.nanoTime() - t0) / 1e6 / NQueries, per.sum / per.length)
+      }
+      val (gMs, gR) = wallAndRecall(v => index.search(v, K, 8, f))
+      val (sMs, sR) = wallAndRecall(v => index.scanSearch(v, K, f))
+      val route = graft.ann.AnnSearch.filteredRoute(cnt,
+        index.liveLogicalRows, scannable = true)
+      println(f"| $label%s | ${cnt.toDouble / n}%.3f | $route%s | " +
+        f"$gR%.4f / $gMs%.1f | $sR%.4f / $sMs%.1f |")
+    }
     index.unpersist(); corpus.unpersist()
   }
 
