@@ -81,6 +81,12 @@ object ScaleQuant {
         val live = idx.shards.count()
         val book = org.apache.spark.util.SizeEstimator.estimate(p.book)
         raw - math.max(0L, live - 1) * book
+      case o: graft.ann.NodeStorage.Opq =>
+        // book AND rotation both intern to one instance per JVM
+        val live = idx.shards.count()
+        val per = org.apache.spark.util.SizeEstimator.estimate(o.book) +
+          org.apache.spark.util.SizeEstimator.estimate(o.rot)
+        raw - math.max(0L, live - 1) * per
       case _ => raw
     }
   }
@@ -137,6 +143,13 @@ object ScaleQuant {
       graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
         storage = graft.ann.StorageSpec.Pq(pqM, 256))
     }
+    // OPQ arm (round 16): same bytes/node as pq, a learned rotation in
+    // front — the graph-SERVED twin of the ScaleOpq quantizer-level
+    // measurement (build includes the driver-side OPQ-NP alternation)
+    val (opqi, opqBuild) = timed(s"opq(m=$pqM,ksub=256) build ($Shards shards)") {
+      graft.ann.RoutedAnnIndex.build(corpus, Dim, cfg, Shards, iters = 3,
+        storage = graft.ann.StorageSpec.Opq(pqM, 256))
+    }
 
     // serialized artifact bytes: sum of the shard .bins (graph + node
     // payloads), manifest excluded — the apples-to-apples storage term
@@ -153,14 +166,20 @@ object ScaleQuant {
     val bf = artifactBytes(f32, "f32")
     val bq = artifactBytes(sq8, "sq8")
     val bp = artifactBytes(pqi, "pq")
+    val bo = artifactBytes(opqi, "opq")
     val rf = residentBytes(f32)
     val rq = residentBytes(sq8)
     val rp = residentBytes(pqi)
+    val ro = residentBytes(opqi)
     println(f"resident bytes (SizeEstimator): f32 ${rf / 1e6}%.1f MB " +
       f"(${rf.toDouble / n}%.1f B/row) vs sq8 ${rq / 1e6}%.1f MB " +
       f"(${rq.toDouble / n}%.1f B/row, ${rf.toDouble / rq}%.2fx) vs pq " +
       f"${rp / 1e6}%.1f MB (${rp.toDouble / n}%.1f B/row, " +
-      f"${rf.toDouble / rp}%.2fx)")
+      f"${rf.toDouble / rp}%.2fx) vs opq ${ro / 1e6}%.1f MB " +
+      f"(${ro.toDouble / n}%.1f B/row, ${rf.toDouble / ro}%.2fx)")
+    println(f"opq artifact: ${bo / 1e6}%.1f MB (${bo.toDouble / n}%.1f B/row, " +
+      f"${bf.toDouble / bo}%.2fx vs f32; includes the d^2-float rotation " +
+      "per shard .bin on disk — interned to ONE per JVM in memory)")
     println(f"artifact bytes: f32 ${bf / 1e6}%.1f MB (${bf.toDouble / n}%.1f B/row) " +
       f"vs sq8 ${bq / 1e6}%.1f MB (${bq.toDouble / n}%.1f B/row, " +
       f"${bf.toDouble / bq}%.2fx) vs pq ${bp / 1e6}%.1f MB " +
@@ -202,16 +221,18 @@ object ScaleQuant {
     val pqSlack = pqi.storage.rescoreSlack
 
     println()
-    println("| probes | f32 Recall@50 | sq8 RAW | sq8 + rescore | pq RAW | pq + rescore | pq rescored delta vs f32 |")
-    println("|---|---|---|---|---|---|---|")
+    println("| probes | f32 Recall@50 | sq8 RAW | sq8 + rescore | pq RAW | pq + rescore | pq rescored delta vs f32 | opq + rescore | opq delta vs f32 |")
+    println("|---|---|---|---|---|---|---|---|---|")
     for (p <- Seq(4, 8, 16, Shards)) {
       val rf = arm(f32, p, -1)
       val rq = arm(sq8, p, -1)
       val rr = arm(sq8, p, sq8Slack)
       val rpRaw = arm(pqi, p, -1)
       val rpRes = arm(pqi, p, pqSlack)
+      val roRes = arm(opqi, p, opqi.storage.rescoreSlack)
       println(f"| $p%d / $Shards%d | $rf%.4f | $rq%.4f | $rr%.4f | " +
-        f"$rpRaw%.4f | $rpRes%.4f | ${rpRes - rf}%+.4f |")
+        f"$rpRaw%.4f | $rpRes%.4f | ${rpRes - rf}%+.4f | " +
+        f"$roRes%.4f | ${roRes - rf}%+.4f |")
     }
 
     // RESCORE-SLACK SENSITIVITY (round-15 ask): SQ8's per-vector range
@@ -265,7 +286,7 @@ object ScaleQuant {
         println(f"| $p%d / $Shards%d | $fr%.4f | $qr%.4f | $pr%.4f |")
     }
 
-    f32.unpersist(); sq8.unpersist(); pqi.unpersist()
+    f32.unpersist(); sq8.unpersist(); pqi.unpersist(); opqi.unpersist()
 
     // high-dim arm: 64 dims understates the lever (the graph term is
     // comparable to a 256 B payload); at 768 dims — the BGE/MiniLM-class

@@ -1216,6 +1216,9 @@ object RoutedAnnIndex {
     // after a load can never diverge from the build that wrote it)
     index.storage match {
       case NodeStorage.Pq(book) => PqCodebook.save(book, dir, sourceStamp)
+      case NodeStorage.Opq(book, rot) =>
+        PqCodebook.save(book, dir, sourceStamp)
+        OpqRotation.save(rot, dir, sourceStamp)
       case _ => ()
     }
     val json = JObject(
@@ -1330,6 +1333,15 @@ object RoutedAnnIndex {
             .filter(b => b.m == m && b.ksub == ksub)
             .map(NodeStorage.Pq.apply)
             .getOrElse(return None)
+        case StorageSpec.Opq(m, ksub) =>
+          // rotation AND codebook are both storage identity: either
+          // missing/stale/mismatched rebuilds whole, like PQ's book
+          (for {
+            book <- PqCodebook.load(dir, sourceStamp)
+            if book.m == m && book.ksub == ksub
+            rot <- OpqRotation.load(dir, sourceStamp)
+            if rot.dim == book.dim
+          } yield NodeStorage.Opq(book, rot)).getOrElse(return None)
       }
       if ((j \ "replicationEps") != JString(replicationEps.toString)) return None
       // every build parameter participates in artifact identity — an

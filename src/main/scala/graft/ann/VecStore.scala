@@ -46,40 +46,60 @@ object StorageSpec {
     def key = s"pq(m=$m,ksub=$ksub)"
   }
 
-  /** Parse a config storage string: "f32" | "sq8" | "pq" (parameters
-    * resolved from the store dimension at build — [[resolve]]) |
-    * "pq(m=8,ksub=256)". None = UNKNOWN kind (the caller owns that error
-    * surface — the engine throws GraftException naming the value); a
-    * RECOGNIZED pq form with out-of-range parameters throws
-    * IllegalArgumentException carrying the actual constraint (e.g.
-    * ksub ≤ 256 — swallowing it into None would misreport a range
-    * violation as an unknown kind, review round 15). */
-  private val PqRe = """pq\(m=([0-9]{1,4}),ksub=([0-9]{1,4})\)""".r
-  def parse(s: String): Option[Either[Unit, StorageSpec]] = s match {
+  /** Optimized product quantization (Ge et al. 2013): PQ behind a
+    * LEARNED orthogonal rotation — same m bytes/vector, and at low dims
+    * the rotation recovers most of plain PQ's recall loss (the measured
+    * ScaleOpq acceptance: 64-d served Recall@50 0.951 → 0.996). The
+    * trained rotation rides [[NodeStorage.Opq]] beside the codebook. */
+  final case class Opq(m: Int, ksub: Int) extends StorageSpec {
+    require(m > 0, s"opq m must be > 0, got $m")
+    require(ksub > 0 && ksub <= 256,
+      s"opq ksub must be in [1, 256] (codes are stored as bytes), got $ksub")
+    def key = s"opq(m=$m,ksub=$ksub)"
+  }
+
+  /** Parse a config storage string: "f32" | "sq8" | "pq" | "opq" (bare
+    * forms resolve their split from the store dimension at build —
+    * [[resolve]]) | "pq(m=8,ksub=256)" | "opq(m=8,ksub=256)". None =
+    * UNKNOWN kind (the caller owns that error surface — the engine
+    * throws GraftException naming the value); a RECOGNIZED pq/opq form
+    * with out-of-range parameters throws IllegalArgumentException
+    * carrying the actual constraint (e.g. ksub ≤ 256 — swallowing it
+    * into None would misreport a range violation as an unknown kind,
+    * review round 15). Left = a bare kind awaiting dimension defaults. */
+  private val PqRe = """(o?pq)\(m=([0-9]{1,4}),ksub=([0-9]{1,4})\)""".r
+  def parse(s: String): Option[Either[String, StorageSpec]] = s match {
     case "f32" => Some(Right(F32))
     case "sq8" => Some(Right(Sq8))
-    case "pq" => Some(Left(())) // defaults resolve against the dimension
-    case PqRe(m, k) => Some(Right(Pq(m.toInt, k.toInt)))
+    case "pq" | "opq" => Some(Left(s)) // defaults resolve against the dimension
+    case PqRe("pq", m, k) => Some(Right(Pq(m.toInt, k.toInt)))
+    case PqRe("opq", m, k) => Some(Right(Opq(m.toInt, k.toInt)))
     case _ => None
   }
 
   /** Resolve a config storage string against the store dimension. Bare
-    * "pq" defaults to the classic 8-dims-per-subspace split (m = dim/8,
-    * falling to the largest power-of-two sub-dimension dividing dim) and
-    * ksub = 256 — the Jégou et al. 2011 operating point. Throws
-    * IllegalArgumentException on an unknown kind or a pq m that does not
-    * divide the dimension (engine surfaces it as GraftException). */
+    * "pq" / "opq" default to the classic 8-dims-per-subspace split
+    * (m = dim/8, falling to the largest power-of-two sub-dimension
+    * dividing dim) and ksub = 256 — the Jégou et al. 2011 operating
+    * point. Throws IllegalArgumentException on an unknown kind or an m
+    * that does not divide the dimension (engine surfaces it as
+    * GraftException). */
   def resolve(s: String, dim: Int): StorageSpec = parse(s) match {
     case Some(Right(p: Pq)) =>
       require(dim % p.m == 0,
         s"pq m=${p.m} must divide the store dimension $dim")
       p
+    case Some(Right(p: Opq)) =>
+      require(dim % p.m == 0,
+        s"opq m=${p.m} must divide the store dimension $dim")
+      p
     case Some(Right(spec)) => spec
-    case Some(Left(())) =>
+    case Some(Left(kind)) =>
       val dsub = Seq(8, 4, 2, 1).find(dim % _ == 0).get
-      Pq(dim / dsub, 256)
+      if (kind == "opq") Opq(dim / dsub, 256) else Pq(dim / dsub, 256)
     case None => throw new IllegalArgumentException(
-      s"Unknown node storage '$s' (expected f32, sq8, pq or pq(m=..,ksub=..))")
+      s"Unknown node storage '$s' (expected f32, sq8, pq, opq, " +
+        "pq(m=..,ksub=..) or opq(m=..,ksub=..))")
   }
 
   /** Dimension below which a probes-configured PQ index is a MEASURED
@@ -117,8 +137,9 @@ object StorageSpec {
           s"($probes/$numShards) serves a MEASURED recall ceiling well " +
           "below sq8 at identical probes (ScaleQuant dim ladder: 0.93 vs " +
           "0.999 at 64-d/50k, 0.869 ceiling at 200k) for only ~17% fewer " +
-          s"resident bytes — prefer sq8 below $PqLowDimWarnBelow dims, " +
-          "or set a recallTarget so serving reads probes off the " +
+          s"resident bytes — prefer sq8 or opq (the learned-rotation " +
+          s"escape hatch, measured 0.996 at 64-d) below $PqLowDimWarnBelow " +
+          "dims, or set a recallTarget so serving reads probes off the " +
           "measured curve")
       case _ => None
     }
@@ -158,16 +179,47 @@ object NodeStorage {
     private[ann] def newStore(metric: Algorithm): VecStore = new PqVecStore(metric, book)
     def rescoreSlack: Int = 128
   }
+  /** PQ behind a learned orthogonal rotation (OPQ — Ge et al. 2013):
+    * codes and codebook live in the rotated basis, the rotation rides
+    * here beside the book (both interned per executor). Same slack as
+    * plain PQ: the rotation only SHRINKS quantization error (measured —
+    * ScaleOpq), so Pq's measured slack is conservative for Opq. */
+  final case class Opq(book: PqCodebook, rot: OpqRotation) extends NodeStorage {
+    require(rot.dim == book.dim,
+      s"rotation dim ${rot.dim} != codebook dim ${book.dim}")
+    def spec: StorageSpec = StorageSpec.Opq(book.m, book.ksub)
+    private[ann] def newStore(metric: Algorithm): VecStore =
+      new OpqVecStore(metric, book, rot)
+    def rescoreSlack: Int = 128
+  }
 
-  /** Realize a spec: train what needs training (the PQ codebook — over
-    * the build frame, deterministic Lloyd per subspace, the
-    * [[PqCodebook.train]] loop) or pass through. `df` must be the
-    * (id LONG, key ARRAY<FLOAT>) build frame. */
+  /** Realize a spec: train what needs training — the PQ codebook over
+    * the build frame (deterministic distributed Lloyd per subspace, the
+    * [[PqCodebook.train]] loop), or OPQ's rotation + codebook via the
+    * driver-side bounded-sample alternation ([[OpqTrain.train]] on an
+    * [[OpqTrain.TrainSample]]-row deterministic id-hash draw — rotation
+    * learning needs the sample IN MEMORY for the Procrustes accumulations
+    * and saturates at tens of thousands of rows, so the cost is
+    * corpus-size-independent by construction) — or pass through. `df`
+    * must be the (id LONG, key ARRAY<FLOAT>) build frame. */
   def train(spec: StorageSpec, df: org.apache.spark.sql.DataFrame): NodeStorage =
     spec match {
       case StorageSpec.F32 => F32
       case StorageSpec.Sq8 => Sq8
       case StorageSpec.Pq(m, ksub) => Pq(PqCodebook.train(df, m, ksub))
+      case StorageSpec.Opq(m, ksub) =>
+        val sample = Calibration.selfSample(
+          df.select(org.apache.spark.sql.functions.col("id").cast("long"),
+            org.apache.spark.sql.functions.col("key").cast("array<float>"))
+            .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+          OpqTrain.TrainSample, seed = 7L)
+        // id-ascending like PqCodebook.train's smallest-id init convention
+        val rows = sample.collect { case (Some(id), v) => (id, v) }
+          .sortBy(_._1).map(_._2)
+        val dim = rows.headOption.map(_.length).getOrElse(
+          throw new IllegalArgumentException("OPQ training corpus is empty"))
+        val (rot, book) = OpqTrain.train(rows, dim, m, ksub)
+        Opq(book, rot)
     }
 }
 
@@ -568,4 +620,35 @@ private[ann] final class PqVecStore(metric: Algorithm,
         }
     }
   }
+}
+
+/** OPQ node storage — a [[PqVecStore]] operating in a LEARNED rotated
+  * basis ([[OpqRotation]], x' = Rᵀx): encode and query-side ADC rotate
+  * first, export rotates BACK, and every metric score delegates
+  * untouched — an orthogonal rotation preserves dot, euclidean, and
+  * norms, so scores in the rotated basis ARE the original-space scores
+  * (cosine included: both norms are invariant). The measured point of
+  * the whole construction (ScaleOpq): at 64-d the rotation recovers
+  * plain PQ's low-dim loss (served 0.951 → 0.996) at identical bytes
+  * per node. Codes stored/carried by payloads live in the ROTATED basis
+  * — consistent across compaction because the rotation is part of the
+  * [[NodeStorage.Opq]] handle, exactly like the codebook. */
+private[ann] final class OpqVecStore(metric: Algorithm,
+    book: PqCodebook, rot: OpqRotation) extends VecStore {
+  private val inner = new PqVecStore(metric, book)
+  def size: Int = inner.size
+  def add(v: Array[Float]): Unit = inner.add(rot.rotate(v))
+  def addPayload(p: VecPayload): Unit = p match {
+    case c: VecPayload.PqCode => inner.addPayload(c) // rotated-basis codes
+    case VecPayload.F32(v) => add(v) // overlay-tail folds rotate-then-encode
+    case other => throw new IllegalStateException(
+      s"opq vector store cannot absorb ${other.getClass.getSimpleName}")
+  }
+  def payload(i: Int): VecPayload = inner.payload(i)
+  def export(i: Int): Array[Float] = rot.rotateBack(inner.export(i))
+  def distNodes(i: Int, j: Int): Double = inner.distNodes(i, j)
+  def distQuery(q: Array[Float], i: Int): Double =
+    inner.distQuery(rot.rotate(q), i)
+  override def queryScorer(q: Array[Float]): Int => Double =
+    inner.queryScorer(rot.rotate(q))
 }

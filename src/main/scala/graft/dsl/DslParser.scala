@@ -133,15 +133,20 @@ object DslParser extends RegexParsers {
       s => s"recall target must be in (0, 1], got $s")
 
   // node-storage selector for routed graphs (StorageSpec keys): SQ8 (int8
-  // codes) or PQ [(m=..,ksub=..)] (product-quantized codes — bare PQ
-  // resolves its split from the store dimension at build)
-  private val storageKindLit: Parser[String] =
-    (kw("sq8") ^^^ "sq8") |
-    (kw("pq") ~> opt("(" ~> (kw("m") ~> "=" ~> nonZero) ~
+  // codes), PQ [(m=..,ksub=..)] (product-quantized codes — bare PQ
+  // resolves its split from the store dimension at build) or
+  // OPQ [(m=..,ksub=..)] (PQ behind a learned rotation, Ge et al. 2013 —
+  // the low-dim escape hatch the engine's pq guard points at).
+  // OPQ before PQ: longest-match ("pq" is its suffix, not prefix, but
+  // keyword parsing is word-bounded either way — order kept explicit)
+  private def pqishStorage(kind: String): Parser[String] =
+    kw(kind) ~> opt("(" ~> (kw("m") ~> "=" ~> nonZero) ~
       ("," ~> kw("ksub") ~> "=" ~> nonZero) <~ ")") ^^ {
-        case Some(m ~ ks) => s"pq(m=$m,ksub=$ks)"
-        case None => "pq"
-      })
+        case Some(m ~ ks) => s"$kind(m=$m,ksub=$ks)"
+        case None => kind
+      }
+  private val storageKindLit: Parser[String] =
+    (kw("sq8") ^^^ "sq8") | pqishStorage("opq") | pqishStorage("pq")
 
   private val nonLinearAlgorithm: Parser[NonLinearConfig] =
     (kw("kdtree") ^^^ NonLinearConfig.KDTreeConfig()) |
@@ -558,6 +563,10 @@ object DslParser extends RegexParsers {
     // the corpus dimension)
     val routedStorage: Parser[String] =
       (kw("sq8") ^^^ "sq8") |
+      (kw("opq") ~> opt((kw("m") ~> nonZero) ~ (kw("ksub") ~> nonZero)) ^^ {
+        case Some(m ~ ks) => s"opq(m=$m,ksub=$ks)"
+        case None => "opq"
+      }) |
       (kw("pq") ~> opt((kw("m") ~> nonZero) ~ (kw("ksub") ~> nonZero)) ^^ {
         case Some(m ~ ks) => s"pq(m=$m,ksub=$ks)"
         case None => "pq"

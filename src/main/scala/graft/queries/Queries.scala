@@ -835,6 +835,44 @@ object Queries {
       Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
         where = "WHERE e.vec_id NOT IN (1,2,3)"))),
 
+    // ---- OPQ-quantized routed index through the parity API (round 16):
+    // PQ behind a LEARNED orthogonal rotation (Ge et al. 2013 — same m
+    // bytes/node; the rotation recovers the low-dim recall loss the pq
+    // guard warns about, measured in ScaleOpq/ScaleQuant). The rotation
+    // trains at create (driver-side bounded-sample OPQ-NP alternation),
+    // rides the storage handle beside the codebook, and the DSL
+    // spelling is hnsw_routed(8, 8, opq). At exhaustive probes the
+    // rescored result equals the linear oracle — including through a
+    // mid-query DelKey tombstone on the rotated-code shards. ----
+    "vdb_sim_hnsw_routed_opq" -> Q(
+      (s, dir) => {
+        // fixture phase (bench split): store population + victim collect;
+        // the exercise is the rotation + codebook training, the routed
+        // build on rotated codes, the tombstone delete, and the rescored
+        // search
+        val e = graft.obs.Trace.fixture {
+          val e = TestStores.freshEngine(s)
+          e.createStore("embropq", 64)
+          e.set("embropq", TestStores.embEntries(s, dir))
+          e
+        }
+        graft.dsl.Pipeline.runDb(e,
+          "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, 8, opq)) IN embropq")
+        e.getSimN("embropq", TestStores.queryVec(s, dir), 1, Algorithm.HNSW).count()
+        val victims = TestStores.table(s, dir, "embeddings")
+          .where(col("vec_id").isin(1, 2, 3)).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        e.delKey("embropq", victims)
+        val rows = TestStores.simResult(e.getSimN("embropq",
+            TestStores.queryVec(s, dir), 10, Algorithm.HNSW))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        e.dropStore("embropq")
+        import s.implicits._
+        rows.toDF("vec_id", "sim")
+      },
+      Some(simOracle(cosSql("e.embedding", "q.qe"), desc = true,
+        where = "WHERE e.vec_id NOT IN (1,2,3)"))),
+
     // ---- Set: dedup-by-content upsert counts (SURVEY §2.1 #2) ----
     "vdb_set_counts" -> Q(
       (s, dir) => {

@@ -880,6 +880,16 @@ class DslSpec extends AnyFunSuite {
       "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb IVF CELLS 8 PROBE 2 PQ M 8 KSUB 16 SHORTLIST 100") ==
       Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
         Command.TopKMode.IvfPq(8, 2, 8, 16, 100))))
+    // ROUTED OPQ storage forms (round 16): bare and parameterized — and
+    // OPQ must not be swallowed by the PQ alternative
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 PROBE 2 OPQ") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(4, Some(2), None, "opq", None))))
+    assert(DslParser.parseExt(
+      "TOPK 5 FROM q ID qid VEC emb IN c ID cid VEC emb ROUTED SHARDS 4 PROBE 2 OPQ M 2 KSUB 16") ==
+      Seq(ExtTopK(5, "q", "qid", "emb", "c", "cid", "emb",
+        Command.TopKMode.Routed(4, Some(2), None, "opq(m=2,ksub=16)", None))))
     assert(DslParser.parseExt("DATACARD FROM docs TEXT text GROUPBY source,lang") ==
       Seq(ExtDatacard("docs", "text", Seq("source", "lang"))))
     assert(DslParser.parseExt(

@@ -484,6 +484,32 @@ class RoutedEngineSpec extends AnyFunSuite {
           s"recall+pq mis-parsed: $r")
       case other => fail(s"unexpected parse: $other")
     }
+    // OPQ storage forms (round 16): bare opq and opq(m=..,ksub=..) parse
+    // ("opq" must win over the "pq" alternative — distinct keywords),
+    // build rotated-quantized indexes, and describe themselves
+    e.createStore("rdo", Dim)
+    e.setSeq("rdo", vecs(7L, 64).zipWithIndex.map { case (v, i) =>
+      (v, meta("i" -> i.toString)) })
+    val opqRes = graft.dsl.Pipeline.runDb(e,
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, 8, opq(m=2,ksub=16))) IN rdo")
+    assert(opqRes.forall(_.isRight), s"DSL opq create failed: $opqRes")
+    val opqIdx = e.ensureRoutedIndex("rdo").get._1
+    assert(opqIdx.quantized && opqIdx.spec == graft.ann.StorageSpec.Opq(2, 16),
+      "opq(m,ksub) keyword must build an OPQ index at the named split")
+    assert(e.getStore("rdo").nonLinearConfigs
+      .exists(_.contains("storage=opq(m=2,ksub=16)")))
+    assert(e.getSimN("rdo", vecs(1L, 1).head, 3, Algorithm.HNSW).count() == 3)
+    e.dropStore("rdo")
+    graft.dsl.DslParser.parseDb(
+      "CREATENONLINEARALGORITHMINDEX (hnsw_routed(8, recall=0.9, opq)) IN x")
+      .head match {
+      case graft.dsl.Command.CreateNonLinearAlgorithmIndex(_, cfgs, _) =>
+        val r = cfgs.collectFirst {
+          case c: NonLinearConfig.RoutedHNSWConfig => c }.get
+        assert(r.storage == "opq" && r.recallTarget.contains(0.9),
+          s"recall+opq mis-parsed: $r")
+      case other => fail(s"unexpected parse: $other")
+    }
   }
 
   test("recall-targeted routed index: engine calibrates at build; GetSimN reads probes off the curve") {
