@@ -38,10 +38,12 @@ object ScaleCdc {
     // `pq` mode (round 15): the same mixed change stream against a
     // PRODUCT-QUANTIZED routed index — appends overlay float tails,
     // compactions carry codes verbatim and encode folded tails under the
-    // carried book, recall is measured through the served rescore
-    // (usage: runMain graft.ScaleCdc pq [nCorpus])
-    val pqMode = args.headOption.contains("pq")
-    val n = (if (pqMode) args.drop(1) else args).headOption
+    // carried book, recall is measured through the served rescore.
+    // `opq` mode (round 16): identical protocol with the learned-rotation
+    // storage — folded tails rotate-then-encode under the carried
+    // rotation + book (usage: runMain graft.ScaleCdc [pq|opq] [nCorpus])
+    val mode = args.headOption.filter(Set("pq", "opq")).getOrElse("")
+    val n = (if (mode.nonEmpty) args.drop(1) else args).headOption
       .map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -71,9 +73,11 @@ object ScaleCdc {
     val cfg = graft.types.NonLinearConfig.HNSWConfig(efConstruction = 100,
       maximumConnections = 40, maximumConnectionsZero = 80, efSearch = 128,
       metric = graft.types.Algorithm.CosineSimilarity)
-    val storageSpec: graft.ann.StorageSpec =
-      if (pqMode) graft.ann.StorageSpec.Pq(8, 256)
-      else graft.ann.StorageSpec.F32
+    val storageSpec: graft.ann.StorageSpec = mode match {
+      case "pq" => graft.ann.StorageSpec.Pq(8, 256)
+      case "opq" => graft.ann.StorageSpec.Opq(8, 256) // round 16: rotated codes through the same tiers
+      case _ => graft.ann.StorageSpec.F32
+    }
     val (index, buildWall) = timed(s"routed build ($Shards shards, " +
       s"storage=${storageSpec.key}) — the per-batch cost if CDC " +
       "invalidated whole") {

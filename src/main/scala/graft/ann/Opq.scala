@@ -168,6 +168,13 @@ object OpqRotation {
  * (JVM-side per shard, inside the same mapPartitions build every other
  * storage uses). The distributed Lloyd ([[PqCodebook.train]]) remains
  * the plain-PQ path.
+ *
+ * Cost envelope (measured, ScaleQuant opq arm, the parallel trainer):
+ * ~4 s at 64-d / ~10 s at 128-d for the full alternation — build wall
+ * at plain-pq parity (8.7 vs 7.4 s at 50k×64). The d² terms still grow
+ * steeply with dimension; at serving dims (768) prefer plain pq — it is
+ * already within −0.7pt of f32 there (the 500k rehearsal) and needs no
+ * rotation.
  */
 private[graft] object OpqTrain {
 
@@ -175,6 +182,25 @@ private[graft] object OpqTrain {
     * [[Calibration.selfSample]]): the Faiss-convention saturation point
     * for a d² rotation + ksub ≤ 256 codebooks. */
   val TrainSample = 65536
+
+  /** FIXED parallel-chunk count for the trainer's hot loops. Fixed — not
+    * `availableProcessors` — because chunk boundaries and the sequential
+    * chunk-order merge of floating-point partials are part of the
+    * DETERMINISTIC-train contract (OpqRoutedSpec's bit-identical retrain
+    * pin): the same sample trains the same rotation on any machine. */
+  val TrainChunks = 64
+
+  /** Run `f(start, end)` over fixed row chunks in parallel, returning
+    * partials in CHUNK ORDER (the caller merges sequentially — the
+    * determinism rule above). */
+  private def parChunks[T](n: Int)(f: (Int, Int) => T): IndexedSeq[T] = {
+    val bounds = (0 to TrainChunks).map(c => ((n.toLong * c) / TrainChunks).toInt)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = (0 until TrainChunks).map(c => Future(f(bounds(c), bounds(c + 1))))
+    futs.map(Await.result(_, Duration.Inf))
+  }
 
   /** (rotation, codebook) from an OPQ-NP alternation over `sample`. */
   def train(sample: Array[Array[Float]], dim: Int, m: Int, ksub: Int,
@@ -186,35 +212,58 @@ private[graft] object OpqTrain {
     var rot: Array[Array[Double]] =
       Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     var books: Array[Array[Array[Float]]] = null
+    def rotated(): Array[Array[Float]] = {
+      val xr = new Array[Array[Float]](n)
+      parChunks(n) { (a, b) =>
+        var i = a
+        while (i < b) { xr(i) = applyRot(rot, sample(i)); i += 1 }
+      }
+      xr
+    }
     var it = 0
     while (it < alternations) {
-      val xr = sample.map(applyRot(rot, _))
+      val xr = rotated()
       books = trainBooks(xr, m, dsub, ksub, iters = if (it == 0) 10 else 2)
-      // reconstructions of the rotated data under the current books
+      // reconstructions of the rotated data under the current books —
+      // X^T C accumulated as per-chunk partial matrices, merged in chunk
+      // order (deterministic; see TrainChunks)
+      val bks = books
+      val partials = parChunks(n) { (lo, hi) =>
+        val part = Array.ofDim[Double](dim, dim)
+        var i = lo
+        while (i < hi) {
+          val x = sample(i)
+          val c = decode(encode(xr(i), bks, m, dsub, ksub), bks, m, dsub)
+          var a = 0
+          while (a < dim) {
+            val xa = x(a).toDouble
+            if (xa != 0.0) {
+              val row = part(a)
+              var b = 0
+              while (b < dim) { row(b) += xa * c(b); b += 1 }
+            }
+            a += 1
+          }
+          i += 1
+        }
+        part
+      }
       val mtx = Array.ofDim[Double](dim, dim)
-      var i = 0
-      while (i < n) {
-        val x = sample(i)
-        val c = decode(encode(xr(i), books, m, dsub, ksub), books, m, dsub)
+      partials.foreach { part =>
         var a = 0
         while (a < dim) {
-          val xa = x(a).toDouble
-          if (xa != 0.0) {
-            val row = mtx(a)
-            var b = 0
-            while (b < dim) { row(b) += xa * c(b); b += 1 }
-          }
+          val row = mtx(a); val src = part(a)
+          var b = 0
+          while (b < dim) { row(b) += src(b); b += 1 }
           a += 1
         }
-        i += 1
       }
       rot = procrustes(mtx, dim)
       it += 1
     }
     // FINAL books must match the FINAL rotation: one more codebook pass
     // on the final basis (the alternation ends on a rotation update)
-    val xr = sample.map(applyRot(rot, _))
-    books = trainBooks(xr, m, dsub, ksub, iters = 2)
+    books = trainBooks(rotated(), m, dsub, ksub, iters = 2)
     val flat = new Array[Float](dim * dim)
     var i = 0
     while (i < dim) {
@@ -251,20 +300,41 @@ private[graft] object OpqTrain {
     })
     var it = 0
     while (it < iters) {
+      // per-chunk (sums, counts) partials merged in chunk order — the
+      // same deterministic parallel shape as the Procrustes accumulation
+      val bks = books
+      val partials = parChunks(n) { (lo, hi) =>
+        val sums = Array.fill(m, ksub, dsub)(0.0)
+        val cnts = Array.fill(m, ksub)(0L)
+        var i = lo
+        while (i < hi) {
+          val x = xs(i)
+          var s = 0
+          while (s < m) {
+            val c = nearestCell(x, s * dsub, bks(s), dsub)
+            cnts(s)(c) += 1
+            var p = 0
+            while (p < dsub) { sums(s)(c)(p) += x(s * dsub + p); p += 1 }
+            s += 1
+          }
+          i += 1
+        }
+        (sums, cnts)
+      }
       val sums = Array.fill(m, ksub, dsub)(0.0)
       val cnts = Array.fill(m, ksub)(0L)
-      var i = 0
-      while (i < n) {
-        val x = xs(i)
+      partials.foreach { case (ps, pc) =>
         var s = 0
         while (s < m) {
-          val c = nearestCell(x, s * dsub, books(s), dsub)
-          cnts(s)(c) += 1
-          var p = 0
-          while (p < dsub) { sums(s)(c)(p) += x(s * dsub + p); p += 1 }
+          var c = 0
+          while (c < ksub) {
+            cnts(s)(c) += pc(s)(c)
+            var p = 0
+            while (p < dsub) { sums(s)(c)(p) += ps(s)(c)(p); p += 1 }
+            c += 1
+          }
           s += 1
         }
-        i += 1
       }
       books = Array.tabulate(m)(s => Array.tabulate(ksub) { c =>
         if (cnts(s)(c) == 0) books(s)(c)

@@ -1003,6 +1003,25 @@ class DslSpec extends AnyFunSuite {
       case other => fail(s"RECALL 1.0 PQ must be refused, got $other")
     }
 
+    // OPQ ROUTED arm (round 16): the learned rotation in front of the
+    // same codes — orthogonal invariance means exhaustive probes +
+    // rescore is still exactly the exact arm; RECALL 1.0 refused like
+    // every quantized storage
+    val opqRoutedRes = Pipeline.runExt(spark,
+      """TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 PROBE 2 OPQ M 2 KSUB 4;
+        |TOPK 3 FROM pq_q ID qid VEC emb IN pq_vecs ID vid VEC emb ROUTED SHARDS 2 RECALL 1.0 OPQ""".stripMargin)
+    opqRoutedRes(0) match {
+      case Right(Response.Entries(d)) =>
+        assert(d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3).toSeq
+          == ranked(0), "OPQ ROUTED arm diverged at exhaustive probes")
+      case other => fail(s"opq routed arm: $other")
+    }
+    opqRoutedRes(1) match {
+      case Left(msg) => assert(msg.contains("RECALL 1.0"), msg)
+      case other => fail(s"RECALL 1.0 OPQ must be refused, got $other")
+    }
+
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
       (1L, "the quick brown fox jumps over the lazy dog again", "web", "en"),
