@@ -4251,6 +4251,36 @@ object Queries {
         |SELECT qid, cid FROM ranked WHERE rk <= 3
         |ORDER BY qid, cid""".stripMargin)),
 
+    // ---- OPQ routed batch join (round 16): the same m-byte codes as
+    // the PQ join, trained in a LEARNED ORTHOGONAL BASIS (Ge et al.
+    // 2013 — the rotation recovers most of PQ's low-dim loss; measured
+    // +4.0pt served at 64-d, SCALE.md). Orthogonal invariance keeps the
+    // serving contract identical: ADC ranks a (k + slack)-deep cut in
+    // the rotated basis, the exact float vectors re-attach for the
+    // rescore, and at exhaustive probes the result equals the
+    // brute-force oracle. DSL twin:
+    // `TOPK … ROUTED SHARDS s PROBE p OPQ [M m KSUB k]` (DslSpec). ----
+    "embed_topk_join_routed_opq" -> Q(
+      (s, dir) => {
+        val e = TestStores.table(s, dir, "embeddings")
+        val idx = TestStores.routedOpqIndex(s, dir) // shared stamped artifact
+        idx.topKJoinRescored(
+            e.where(col("vec_id") < 20)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 3, probes = idx.numShards,
+            exact = TestStores.embKeyed(s, dir))
+          .select("qid", "cid").orderBy("qid", "cid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY q.qid
+        |    ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, cid FROM ranked WHERE rk <= 3
+        |ORDER BY qid, cid""".stripMargin)),
+
     // ---- FILTERED routed batch join (round 14): the accept filter —
     // here a Bloom sketch of a label-predicate slice, the AnnSearch arm's
     // sketch — threads INTO each shard's graph search (in-filtering:

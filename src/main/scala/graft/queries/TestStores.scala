@@ -345,6 +345,27 @@ object TestStores {
         storage = graft.ann.StorageSpec.Pq(m = 8, ksub = 256))
     })
 
+  private val routedOpqIndexes = TrieMap[String, graft.ann.RoutedAnnIndex]()
+
+  /** Shared routed OPQ-quantized index artifact — the [[routedPqIndex]]
+    * fixture's learned-rotation twin (storage = opq(m=8,ksub=256): same
+    * m-byte codes, trained in the rotated basis — Ge et al. 2013).
+    * Exhaustive probes + rescore ⇒ exact, so the join query oracles
+    * against the same brute-force SQL as every routed storage. */
+  def routedOpqIndex(spark: SparkSession, sfDir: String): graft.ann.RoutedAnnIndex =
+    routedOpqIndexes.getOrElseUpdate(sfDir, {
+      val keyed = embKeyed(spark, sfDir)
+      val ef = math.max(128L, keyed.count()).toInt
+      graft.ann.RoutedAnnIndex.buildOrLoad(keyed, 64,
+        graft.types.NonLinearConfig.HNSWConfig(
+          efConstruction = 100, maximumConnections = 40,
+          maximumConnectionsZero = 80, efSearch = ef,
+          metric = graft.types.Algorithm.CosineSimilarity),
+        numShards = 8, dir = artifactDir("routed-opq", sfDir),
+        sourceStamp = dataStamp(sfDir, "embeddings"), iters = 2,
+        storage = graft.ann.StorageSpec.Opq(m = 8, ksub = 256))
+    })
+
   private val pqBooks = TrieMap[String, graft.ann.PqCodebook]()
 
   /** Shared PQ codebook (m = 8, ksub = 64, iters = 2 — the config both
