@@ -326,7 +326,7 @@ object Bench {
     // next round's movers differ).
     val carry = sys.env.get("SPARK_GRAFT_BENCH_AB_CARRY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(CarryPanel)
+      .getOrElse(carryFromArtifact())
       .filter(names.contains)
     val panel = (regressed ++ routed ++ carry).distinct.sorted
     System.err.println("bench-ab: AUTO panel = top-regressed dozen vs " +
@@ -335,13 +335,48 @@ object Bench {
     Some(panel)
   }
 
-  /** Round-15's driver-flagged above-noise movers (VERDICT r15 "what's
-    * wrong" #1: vdb_upsert 1.87×, vdb_trace 1.43× in the DRIVER's run,
-    * both outside that round's panel, both on untouched code) — carried
-    * into the round-16 A/B so they get measured arm-vs-arm instead of
-    * staying formally unattributed. Update per round from the verdict's
-    * carry list; override with SPARK_GRAFT_BENCH_AB_CARRY. */
-  private val CarryPanel = Seq("vdb_upsert", "vdb_trace")
+  /** The carry panel, read from the COMMITTED `BENCH_CARRY.json` artifact
+    * (round-17, closing VERDICT r16 "what's wrong" #1: the round-16 carry
+    * list was a hardcoded source constant — round 15's movers baked into
+    * `CarryPanel` — so each round's driver-flagged movers would silently
+    * drop out of the next round's panel unless someone edited source.
+    * Data-driven, the round workflow is: the verdict flags driver-run
+    * movers → the next session rewrites BENCH_CARRY.json's `carry` array
+    * from that list and commits it beside the code — no source edit, and
+    * `git log BENCH_CARRY.json` is the audit trail of what was carried
+    * when and why, via the required `source` field).
+    *
+    * Resolution order: SPARK_GRAFT_BENCH_AB_CARRY env (ad-hoc override) →
+    * BENCH_CARRY.json (path overridable via SPARK_GRAFT_BENCH_CARRY_FILE;
+    * relative to the working directory, which under sbt is the repo
+    * root) → empty with a loud stderr note (a missing artifact must not
+    * abort the A/B — the auto panel still runs — but it must not be
+    * silent either, or the blind spot reopens invisibly). */
+  private[graft] def carryFromArtifact(
+      pathIn: String = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_CARRY_FILE", "BENCH_CARRY.json")): Seq[String] = {
+    val path = pathIn
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path)))
+      (j \ "carry") match {
+        case JArray(xs) =>
+          xs.collect { case JString(s) if s.trim.nonEmpty => s.trim }
+        case _ =>
+          System.err.println(
+            s"bench-ab: $path has no 'carry' string array — carry panel empty")
+          Seq.empty
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench-ab: could not read carry artifact $path " +
+          s"($e) — carry panel empty; driver-flagged movers from the " +
+          "previous round will NOT be re-measured")
+        Seq.empty
+    }
+  }
 
   private def abOrchestrate(sfDir: String, runs: Int, abClasses: String): Unit = {
     import scala.jdk.CollectionConverters._
