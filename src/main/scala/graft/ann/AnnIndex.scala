@@ -36,11 +36,13 @@ sealed trait AnnShard extends Serializable {
   def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)]
 }
 
+@SerialVersionUID(1L)
 final class HnswShard(val index: HnswIndex, efSearch: Int) extends AnnShard {
   def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)] =
     index.search(q, k, efSearch, accept)
 }
 
+@SerialVersionUID(1L)
 final class KdShard(val tree: KdTree) extends AnnShard {
   def topK(q: Array[Float], k: Int, accept: Long => Boolean): Seq[(Long, Double)] =
     tree.nNearest(q, k, accept).map { case (id, d) => (id, -d) }
@@ -55,6 +57,7 @@ final class KdShard(val tree: KdTree) extends AnnShard {
   * a merged ordering is indistinguishable from one grown graph; appended
   * rows are scored EXACTLY, which can only help recall. Overlays nest
   * (append-on-append); compaction is the caller's rebuild guard. */
+@SerialVersionUID(1L)
 final class PatchedShard(val base: AnnShard, extraIds: Array[Long],
     extraVecs: Array[Array[Float]], metric: Algorithm) extends AnnShard {
   private def closeness(q: Array[Float], v: Array[Float]): Double = {
@@ -95,6 +98,7 @@ object IdFilter {
     * unknown. It is what lets batch consumers AUTO-ROUTE on selectivity
     * ([[RoutedAnnIndex.topKJoin]]'s sharp-filter cutover) instead of
     * silently running a sparse accept set through a starved graph beam. */
+  @SerialVersionUID(1L)
   final case class Bloom(bf: org.apache.spark.util.sketch.BloomFilter,
       expected: Long = -1L) extends IdFilter {
     def accept(id: Long): Boolean = bf.mightContainLong(id)
@@ -113,34 +117,41 @@ final class AnnIndex(
     * HNSW graphs — the single-query [[graft.ann.AnnSearch]] three-way
     * dispatch's middle arm (see [[RoutedAnnIndex.scanSearch]], the routed
     * twin, for the measured basis): each partition filters its graph's
-    * stored rows through the accept function once into a bounded k-heap,
-    * distances paid only on accepted rows; driver merge as [[search]].
-    * HNSW graphs only — a KD-tree's filtered search is already exact
-    * (geometry pruning, not a starvable beam), so its dispatch never
-    * routes here. Hash shards always store f32, so scores are exact. */
+    * stored rows through the accept function once into a bounded k-heap
+    * — the id is tested BEFORE the vector materializes
+    * ([[RoutedAnnIndex.acceptedRowsOf]]), and the query + Bloom filter
+    * ship as broadcasts (once per executor, as [[search]] does — r16
+    * advice); driver merge as [[search]]. HNSW graphs only — a KD-tree's
+    * filtered search is already exact (geometry pruning, not a starvable
+    * beam), so its dispatch never routes here. Hash shards always store
+    * f32, so scores — and the scan — are exact. */
   def scanSearch(q: Array[Float], k: Int, filter: IdFilter = null): Seq[(Long, Double)] = {
     val metric = config match {
       case h: NonLinearConfig.HNSWConfig => h.metric
       case c => throw GraftException(
         s"scanSearch is an HNSW-arm dispatch; unexpected index config $c")
     }
-    val f = filter
-    val accept: Long => Boolean = if (f == null) null else f.accept _
     val kk = k
+    val sc = shards.sparkContext
+    val bq = sc.broadcast(q)
+    val bf = sc.broadcast(filter)
     val ord = Ordering.by[(Double, Long), (Double, Long)] {
       case (c, id) => (-c, id) // head of this ordering = worst kept entry
     }
     val local = shards.mapPartitions { it =>
+      val f = bf.value
+      val accept: Long => Boolean = if (f == null) null else f.accept _
+      val q2 = bq.value
       val h = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
-      it.foreach(shard => RoutedAnnIndex.rowsOf(shard).foreach { case (id, v) =>
-        if (accept == null || accept(id)) {
-          val e = (RoutedAnnIndex.closenessOf(metric, q, v), id)
+      it.foreach(shard =>
+        RoutedAnnIndex.acceptedRowsOf(shard, accept).foreach { case (id, v) =>
+          val e = (RoutedAnnIndex.closenessOf(metric, q2, v), id)
           if (h.size < kk) h.enqueue(e)
           else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
-        }
-      })
+        })
       h.iterator.map { case (c, id) => (id, c) }
     }.collect()
+    bq.destroy(); bf.destroy()
     local.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
   }
 
@@ -486,8 +497,12 @@ object AnnSearch {
     * absolute rule and [[RoutedAnnIndex.FilteredScanFraction]] of live
     * rows, an exact in-shard slice scan wins on BOTH axes (measured,
     * ScaleJoin filtered AUTO + the round-16 single-query selectivity
-    * table) — and meets ANY recall target exactly, filter-geometry
-    * independent. `scannable` = the index kind has a scan arm (HNSW
+    * table) — and meets ANY recall target, filter-geometry independent,
+    * EXACTLY under f32 node storage; under SQ8/PQ/OPQ the scan's
+    * shortlist is ranked on decoded quantized scores before the exact
+    * hydration rescore, so "exact" degrades to the storage's shortlist
+    * error (bounded by the rescoreSlack over-fetch — see
+    * [[RoutedAnnIndex.scanSearch]]). `scannable` = the index kind has a scan arm (HNSW
     * graphs; a KD-tree's filtered search is already exact, so it never
     * needs one). `liveRows` ≤ 0 (unknown) keeps the graph arm — the
     * conservative direction. */
@@ -514,8 +529,9 @@ object AnnSearch {
     * ScaleJoin selectivity degradation — and a filter CORRELATED with
     * shard geometry breaks any selectivity-derated floor: the measured
     * ScaleCalibrate filtered rejection). SHARP filters never get here —
-    * [[filteredRoute]] sends them to the exact slice scan, which meets
-    * any floor. Uncalibrated or 1.0 targets are exhaustive inside
+    * [[filteredRoute]] sends them to the slice scan, which meets any
+    * floor exactly under f32 storage (up to the rescore-slack-bounded
+    * shortlist error under quantized storage). Uncalibrated or 1.0 targets are exhaustive inside
     * [[RoutedAnnIndex.probesForN]] already. */
   private[graft] def effectiveProbes(cfg: NonLinearConfig.RoutedHNSWConfig,
       idx: RoutedAnnIndex, n: Int, filtered: Boolean): Int =

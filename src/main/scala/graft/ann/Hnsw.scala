@@ -28,6 +28,7 @@ import graft.types.{Algorithm, NonLinearConfig}
  * distances are smaller-is-closer per metric: cosine → −cos, dot → −dot,
  * euclidean → squared euclidean (same ordering, cheaper).
  */
+@SerialVersionUID(1L)
 final class HnswIndex(
     val dim: Int,
     val m: Int,
@@ -73,6 +74,19 @@ final class HnswIndex(
     * export (under SQ8 that is a dequantize + allocation per row). */
   def idsIterator: Iterator[Long] =
     (0 until size).iterator.map(ids(_))
+
+  /** Stored rows surviving `accept`, with the accept test on the ID
+    * BEFORE the vector is materialized: [[VecStore.export]] is a decode
+    * per row under quantized storage (SQ8 dequantize; PQ a codebook
+    * gather; OPQ additionally an O(d²) rotate-back), so a sharp filter
+    * that rejects ~90% of rows must not pay the decode on the rejected
+    * ones — the slice-scan currency (round-17, closing the r16 advice:
+    * [[RoutedAnnIndex.scanSearch]] paid export on every stored row).
+    * `accept == null` accepts all rows. */
+  def acceptedEntries(accept: Long => Boolean): Iterator[(Long, Array[Float])] =
+    if (accept == null) entries
+    else (0 until size).iterator.filter(i => accept(ids(i)))
+      .map(i => (ids(i), store.export(i)))
 
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L

@@ -16,6 +16,7 @@ import graft.functions.Similarity.jvm
  * than the reference's sequential inserts, same exact results). Duplicate
  * content-ids are skipped (kdtree.rs:317-319).
  */
+@SerialVersionUID(1L)
 final class KdTree(val dim: Int) extends Serializable {
 
   private var ids: Array[Long] = Array.empty

@@ -21,6 +21,7 @@ package graft.ann
  * a shard (compaction extraction, calibration ground truth, the exact
  * rescore) sees original-space floats.
  */
+@SerialVersionUID(1L)
 final class OpqRotation(
     val dim: Int,
     /** Row-major R: flat(i*dim + j) = R(i)(j). */

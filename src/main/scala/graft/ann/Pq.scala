@@ -44,6 +44,7 @@ import graft.functions.{GraftFunctions, Similarity}
  * identity); practical shortlists trade codebook-bounded recall for the
  * m-bytes-per-row coarse scan (recall pinned in PqSpec).
  */
+@SerialVersionUID(1L)
 final class PqCodebook(
     val dim: Int,
     val m: Int,

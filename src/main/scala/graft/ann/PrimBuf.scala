@@ -12,6 +12,7 @@ package graft.ann
  * shard artifacts alike). Doubling growth, no shrink — graph degree is
  * bounded by M/M0, so slack is bounded too.
  */
+@SerialVersionUID(1L)
 private[ann] final class IntBuf(initialCapacity: Int = 8) extends Serializable {
   private var arr = new Array[Int](math.max(1, initialCapacity))
   private var n = 0
@@ -41,6 +42,7 @@ private[ann] final class IntBuf(initialCapacity: Int = 8) extends Serializable {
   }
 }
 
+@SerialVersionUID(1L)
 private[ann] final class FloatBuf(initialCapacity: Int = 16) extends Serializable {
   private var arr = new Array[Float](math.max(1, initialCapacity))
   private var n = 0
@@ -68,6 +70,7 @@ private[ann] final class FloatBuf(initialCapacity: Int = 16) extends Serializabl
   * `mutable.HashMap[Long, Int]` costs ~80 B resident per entry (node +
   * boxed key + boxed value); this is 13 B/entry at the load ceiling.
   * Values must be ≥ 0 (node indexes) — `get` returns −1 for absent. */
+@SerialVersionUID(1L)
 private[ann] final class LongIntMap(initialCapacity: Int = 16) extends Serializable {
   private var cap = Integer.highestOneBit(
     math.max(16, initialCapacity) * 2 - 1) << 1
@@ -133,6 +136,7 @@ private[ann] final class LongIntMap(initialCapacity: Int = 16) extends Serializa
   }
 }
 
+@SerialVersionUID(1L)
 private[ann] final class LongBuf(initialCapacity: Int = 16) extends Serializable {
   private var arr = new Array[Long](math.max(1, initialCapacity))
   private var n = 0

@@ -155,15 +155,8 @@ final class RoutedAnnIndex(
 
   /** Tombstone-aware accept function composed with an optional caller
     * filter; null when nothing filters (the no-overhead fast path). */
-  private def acceptOf(filter: IdFilter): Long => Boolean = {
-    val ts = tombstones
-    if (ts.isEmpty) { if (filter == null) null else filter.accept _ }
-    else if (filter == null) (id: Long) => Arrays.binarySearch(ts, id) < 0
-    else {
-      val f = filter
-      (id: Long) => Arrays.binarySearch(ts, id) < 0 && f.accept(id)
-    }
-  }
+  private def acceptOf(filter: IdFilter): Long => Boolean =
+    RoutedAnnIndex.composeAccept(tombstones, filter)
 
   /** Batch k-NN JOIN through the routed shards — the both-sides-large
     * twin of the single-query [[search]] (and the graph-speed sibling of
@@ -674,9 +667,19 @@ final class RoutedAnnIndex(
       filter: IdFilter = null): Seq[(Long, Double)] = {
     val probe = probeShards(q, probes)
     val sc = shards.sparkContext
-    val accept = acceptOf(filter)
-    val local = sc.runJob(shards, (it: Iterator[AnnShard]) =>
-      it.toSeq.flatMap(_.topK(q, k, accept)), probe)
+    // query + accept state (tombstones, Bloom) as broadcasts: a filtered
+    // request widens to exhaustive probes, so the per-task closure would
+    // otherwise re-ship a megabyte-scale sketch numShards times (r16
+    // advice — same fix as [[scanSearch]])
+    val bq = sc.broadcast(q)
+    val bacc = sc.broadcast((tombstones, filter))
+    val kk = k
+    val local = sc.runJob(shards, (it: Iterator[AnnShard]) => {
+      val (ts, f) = bacc.value
+      val accept = RoutedAnnIndex.composeAccept(ts, f)
+      it.toSeq.flatMap(_.topK(bq.value, kk, accept))
+    }, probe)
+    bq.destroy(); bacc.destroy()
     local.flatten.groupBy(_._1)
       .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
       .sortBy { case (id, c) => (-c, id) }.take(k)
@@ -689,33 +692,51 @@ final class RoutedAnnIndex(
     * still ran a starved graph beam — at 100× scale a 5% predicate on a
     * 20M-row store is ~1M accepted ids, far past 4096). One job over ALL
     * shard partitions; each partition filters its stored rows through the
-    * accept function ONCE (accept tests are cheap; distances are paid
-    * only on accepted rows) into a bounded k-heap; the driver merge
-    * dedupes replica ids like [[search]]. Scores are the stored form —
-    * exact under f32, decoded under SQ8/PQ (the caller's hydration
-    * rescore restores exact final ranking, same contract as the graph
-    * arm); tombstoned ids never surface. Cost is one pass over stored
-    * rows with distances on the accepted slice — independent of how the
-    * filter correlates with shard geometry, which is what makes it meet
-    * ANY recall floor where a sparse accept set starves the beam. */
+    * accept function ONCE into a bounded k-heap — the accept test is on
+    * the ID, BEFORE the stored vector is materialized, so the ~90%
+    * rejected rows pay a Bloom probe each and never a decode
+    * ([[acceptedRowsOf]]; under PQ/OPQ an export is a codebook gather +
+    * O(d²) rotate-back — paying it per rejected row was the r16 advice
+    * finding). The driver merge dedupes replica ids like [[search]].
+    * Scores are the stored form — the scan is EXACT under f32 storage
+    * only. Under SQ8/PQ/OPQ the k(+slack) shortlist is RANKED on decoded
+    * quantized scores, so a true top-k row can fall outside the
+    * shortlist before the caller's exact hydration rescore ever sees it
+    * (same storage-error contract as the graph arm, and why the caller
+    * over-fetches [[NodeStorage.rescoreSlack]]): "meets any recall
+    * floor" holds exactly for f32, and up to the storage's shortlist
+    * error otherwise. Tombstoned ids never surface. Cost is one id-pass
+    * over stored rows with decodes + distances on the accepted slice —
+    * independent of how the filter correlates with shard geometry, which
+    * is what makes it immune to the starved-beam failure mode.
+    *
+    * The query vector and the accept state (tombstone tier + Bloom
+    * sketch — megabytes for a sharp filter over a large store) ship as
+    * broadcasts, once per executor instead of once per task, exactly as
+    * [[AnnIndex.search]] does (r16 advice #2). */
   def scanSearch(q: Array[Float], k: Int, filter: IdFilter = null): Seq[(Long, Double)] = {
-    val accept = acceptOf(filter)
     val metric = config.metric // capture: the task closure must not drag `this`
     val kk = k
+    val sc = shards.sparkContext
+    val bq = sc.broadcast(q)
+    val bacc = sc.broadcast((tombstones, filter))
     val ord = Ordering.by[(Double, Long), (Double, Long)] {
       case (c, id) => (-c, id) // head of this ordering = worst kept entry
     }
     val local = shards.mapPartitions { it =>
+      val (ts, f) = bacc.value
+      val accept = RoutedAnnIndex.composeAccept(ts, f)
+      val q2 = bq.value
       val h = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
-      it.foreach(shard => RoutedAnnIndex.rowsOf(shard).foreach { case (id, v) =>
-        if (accept == null || accept(id)) {
-          val e = (RoutedAnnIndex.closenessOf(metric, q, v), id)
+      it.foreach(shard =>
+        RoutedAnnIndex.acceptedRowsOf(shard, accept).foreach { case (id, v) =>
+          val e = (RoutedAnnIndex.closenessOf(metric, q2, v), id)
           if (h.size < kk) h.enqueue(e)
           else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
-        }
-      })
+        })
       h.iterator.map { case (c, id) => (id, c) }
     }.collect()
+    bq.destroy(); bacc.destroy()
     local.groupBy(_._1)
       .map { case (id, xs) => (id, xs.map(_._2).max) }.toSeq
       .sortBy { case (id, c) => (-c, id) }.take(k)
@@ -1005,8 +1026,21 @@ object RoutedAnnIndex {
     * "layout changed — rebuilding" instead of surfacing a
     * deserialization exception from deep inside a load (round-14
     * advice). v2 = the round-14 primitive-buffer layout; v3 = the
-    * round-15 NodeStorage seam (HnswIndex carries a storage field). */
-  val ShardLayoutVersion = 3
+    * round-15 NodeStorage seam (HnswIndex carries a storage field);
+    * v4 = round-17: every class in the serialized shard graph now PINS
+    * `@SerialVersionUID(1L)` — before this, adding any method to
+    * HnswIndex/VecStore/etc. changed the JVM-computed UID and broke old
+    * artifacts with a deep InvalidClassException the layout gate never
+    * saw (the standing trap this closes permanently: from v4 on,
+    * method-only changes are artifact-compatible, and INTENTIONAL field
+    * layout changes are gated here, explicitly, as they always were).
+    * Release note for v3→v4 upgrades: pre-v4 artifacts rebuild once
+    * (the explicit "layout changed" path below); additionally, round 16
+    * changed [[sampleFingerprint]] to content-addressed form, so a
+    * carried calibration curve's workloadFp from a pre-r16 artifact
+    * reads as a workload mismatch once — also resolved by the same
+    * one-time rebuild. */
+  val ShardLayoutVersion = 4
 
   /** CONTENT-ADDRESSED 64-bit fingerprint of a calibration query sample
     * (hex) — the workload identity carried beside persisted curves.
@@ -1075,6 +1109,38 @@ object RoutedAnnIndex {
     case other => throw new IllegalStateException(
       s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
   }
+
+  /** Stored rows of a routed shard surviving `accept`, id-tested BEFORE
+    * vector materialization (see [[HnswIndex.acceptedEntries]] — under
+    * quantized storage an export is a decode, so the slice scan must not
+    * decode the ~90% rejected rows). Overlay tails hold f32 arrays
+    * already (no decode to skip), but the id test still short-circuits
+    * the tuple allocation. */
+  private[ann] def acceptedRowsOf(s: AnnShard,
+      accept: Long => Boolean): Iterator[(Long, Array[Float])] = s match {
+    case h: HnswShard => h.index.acceptedEntries(accept)
+    case p: PatchedShard =>
+      val tail =
+        if (accept == null) p.extraEntries
+        else p.extraEntries.filter { case (id, _) => accept(id) }
+      acceptedRowsOf(p.base, accept) ++ tail
+    case other => throw new IllegalStateException(
+      s"routed shard of unexpected kind ${other.getClass.getSimpleName}")
+  }
+
+  /** Tombstone-aware accept composed with an optional caller filter,
+    * null when nothing filters — the task-side twin of the instance
+    * [[RoutedAnnIndex.acceptOf]], taking the tombstone array explicitly
+    * so a task closure can compose it from a broadcast instead of
+    * dragging `this`. */
+  private[ann] def composeAccept(ts: Array[Long],
+      filter: IdFilter): Long => Boolean =
+    if (ts.isEmpty) { if (filter == null) null else filter.accept _ }
+    else if (filter == null) (id: Long) => Arrays.binarySearch(ts, id) < 0
+    else {
+      val f = filter
+      (id: Long) => Arrays.binarySearch(ts, id) < 0 && f.accept(id)
+    }
 
   /** Stored rows of a routed shard in their EXACT stored form — graph
     * nodes as the graph holds them (codes under SQ8, floats otherwise),

@@ -15,12 +15,15 @@ import graft.types.Algorithm
  */
 sealed trait VecPayload extends Serializable
 object VecPayload {
+  @SerialVersionUID(1L)
   final case class F32(v: Array[Float]) extends VecPayload
+  @SerialVersionUID(1L)
   final case class Sq8(codes: Array[Byte], mn: Float, mx: Float) extends VecPayload
   /** Product-quantized codes, one byte per subspace (ksub ≤ 256) — the
     * codebook itself is NOT part of the payload: it lives on the
     * [[NodeStorage.Pq]] the graph was built with (carrying it per row
     * would multiply the very bytes PQ exists to save). */
+  @SerialVersionUID(1L)
   final case class PqCode(codes: Array[Byte]) extends VecPayload
 }
 
@@ -34,11 +37,14 @@ object VecPayload {
  */
 sealed trait StorageSpec extends Serializable { def key: String }
 object StorageSpec {
+  @SerialVersionUID(1L)
   case object F32 extends StorageSpec { val key = "f32" }
+  @SerialVersionUID(1L)
   case object Sq8 extends StorageSpec { val key = "sq8" }
   /** Product quantization: m subspaces (dim % m == 0), ksub ≤ 256
     * codebook entries each — m bytes/vector vs dim bytes (SQ8) vs
     * 4·dim (f32). */
+  @SerialVersionUID(1L)
   final case class Pq(m: Int, ksub: Int) extends StorageSpec {
     require(m > 0, s"pq m must be > 0, got $m")
     require(ksub > 0 && ksub <= 256,
@@ -51,6 +57,7 @@ object StorageSpec {
     * the rotation recovers most of plain PQ's recall loss (the measured
     * ScaleOpq acceptance: 64-d served Recall@50 0.951 → 0.996). The
     * trained rotation rides [[NodeStorage.Opq]] beside the codebook. */
+  @SerialVersionUID(1L)
   final case class Opq(m: Int, ksub: Int) extends StorageSpec {
     require(m > 0, s"opq m must be > 0, got $m")
     require(ksub > 0 && ksub <= 256,
@@ -164,16 +171,19 @@ sealed trait NodeStorage extends Serializable {
   def rescoreSlack: Int
 }
 object NodeStorage {
+  @SerialVersionUID(1L)
   case object F32 extends NodeStorage {
     def spec: StorageSpec = StorageSpec.F32
     private[ann] def newStore(metric: Algorithm): VecStore = new FloatVecStore(metric)
     def rescoreSlack: Int = 0
   }
+  @SerialVersionUID(1L)
   case object Sq8 extends NodeStorage {
     def spec: StorageSpec = StorageSpec.Sq8
     private[ann] def newStore(metric: Algorithm): VecStore = new Sq8VecStore(metric)
     def rescoreSlack: Int = 32
   }
+  @SerialVersionUID(1L)
   final case class Pq(book: PqCodebook) extends NodeStorage {
     def spec: StorageSpec = StorageSpec.Pq(book.m, book.ksub)
     private[ann] def newStore(metric: Algorithm): VecStore = new PqVecStore(metric, book)
@@ -184,6 +194,7 @@ object NodeStorage {
     * here beside the book (both interned per executor). Same slack as
     * plain PQ: the rotation only SHRINKS quantization error (measured —
     * ScaleOpq), so Pq's measured slack is conservative for Opq. */
+  @SerialVersionUID(1L)
   final case class Opq(book: PqCodebook, rot: OpqRotation) extends NodeStorage {
     require(rot.dim == book.dim,
       s"rotation dim ${rot.dim} != codebook dim ${book.dim}")
@@ -265,6 +276,7 @@ private[ann] sealed trait VecStore extends Serializable {
   def queryScorer(q: Array[Float]): Int => Double = i => distQuery(q, i)
 }
 
+@SerialVersionUID(1L)
 private[ann] final class FloatVecStore(metric: Algorithm) extends VecStore {
   private val vecs = mutable.ArrayBuffer[Array[Float]]()
   def size: Int = vecs.length
@@ -294,6 +306,7 @@ private[ann] final class FloatVecStore(metric: Algorithm) extends VecStore {
   * provenance rule. Exact ranking is restored downstream by the
   * shortlist rescore (engine hydration / [[RoutedAnnIndex
   * .topKJoinRescored]]), never claimed here. */
+@SerialVersionUID(1L)
 private[ann] final class Sq8VecStore(metric: Algorithm) extends VecStore {
   private val codes = mutable.ArrayBuffer[Array[Byte]]()
   private val mns = new FloatBuf()
@@ -434,6 +447,7 @@ private[ann] final class Sq8VecStore(metric: Algorithm) extends VecStore {
   * them. Cosine denominators reuse the codebook's reconstructed norms
   * ([[PqCodebook.n2Flat]] — chunks are disjoint coordinates, so
   * Σᵢ ‖cᵢ[codeᵢ]‖² = ‖x̂‖² exactly). */
+@SerialVersionUID(1L)
 private[ann] final class PqVecStore(metric: Algorithm,
     book: PqCodebook) extends VecStore {
   private val codes = mutable.ArrayBuffer[Array[Byte]]()
@@ -633,6 +647,7 @@ private[ann] final class PqVecStore(metric: Algorithm,
   * per node. Codes stored/carried by payloads live in the ROTATED basis
   * — consistent across compaction because the rotation is part of the
   * [[NodeStorage.Opq]] handle, exactly like the codebook. */
+@SerialVersionUID(1L)
 private[ann] final class OpqVecStore(metric: Algorithm,
     book: PqCodebook, rot: OpqRotation) extends VecStore {
   private val inner = new PqVecStore(metric, book)

@@ -119,7 +119,11 @@ object Pipeline {
       log.warn(s"reusing a $arm calibration curve measured on a DIFFERENT " +
         s"query workload ($carriedFp != $stmtFp) — its recall floor may " +
         "not hold here; set spark.graft.strictCalibrationReuse=true to " +
-        "recalibrate, or point this statement at its own USING INDEX dir")
+        "recalibrate, or point this statement at its own USING INDEX dir. " +
+        "Note: an artifact calibrated before the round-16 " +
+        "content-addressed fingerprint format reads as a mismatch exactly " +
+        "once even on the identical workload (format upgrade, not drift) — " +
+        "one recalibration clears it")
       true
     }
   }

@@ -77,4 +77,25 @@ class HnswSpec extends AnyFunSuite {
     val idx = HnswIndex(4, NonLinearConfig.HNSWConfig())
     assert(idx.search(Array(1f, 2f, 3f, 4f), 5, 16).isEmpty)
   }
+
+  test("acceptedEntries == entries filtered on id, under f32 and sq8 storage") {
+    // the slice-scan extraction seam (round-17 r16-advice fix): the id is
+    // tested BEFORE the stored vector materializes — semantics must be
+    // exactly entries-then-filter, for every storage kind
+    val dim = 8
+    val (ids, vecs) = dataset(seed = 91L, n = 300, dim = dim)
+    for (storage <- Seq(NodeStorage.F32, NodeStorage.Sq8)) {
+      val idx = HnswIndex(dim, NonLinearConfig.HNSWConfig(), storage)
+      ids.indices.foreach(i => idx.insert(ids(i), vecs(i)))
+      val accept: Long => Boolean = id => id % 3 == 0
+      val got = idx.acceptedEntries(accept).toSeq
+      val exp = idx.entries.filter { case (id, _) => accept(id) }.toSeq
+      assert(got.map(_._1) === exp.map(_._1))
+      got.zip(exp).foreach { case ((_, gv), (_, ev)) =>
+        assert(gv.sameElements(ev)) }
+      // null accept = identity with entries
+      assert(idx.acceptedEntries(null).map(_._1).toSeq ===
+        idx.entries.map(_._1).toSeq)
+    }
+  }
 }
