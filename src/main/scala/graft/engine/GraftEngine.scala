@@ -273,7 +273,12 @@ class GraftEngine(val spark: SparkSession,
     * predecessor; every [[GraftEngine.LineageCheckpointEvery]]-th version is
     * local-checkpointed so plan depth stays bounded across mutation chains. */
   private def swap(schema: String, name: String, rewrite: DataFrame => DataFrame,
-      touch: Touch, lenDelta: Long,
+      touch: Touch,
+      // by-name: the in-memory path derives the new length from its own
+      // materialization count and never evaluates this — callers whose
+      // lenDelta is itself a counting job (setCore's `updated` semi-join)
+      // only pay that job on the persistent path (round-17, job-count cut)
+      lenDelta: => Long,
       // insert-only mutations pass the genuinely-new (id, key) rows so a
       // live routed index can be APPENDED (overlay patch, work ∝ batch)
       // instead of thrown away
@@ -284,11 +289,15 @@ class GraftEngine(val spark: SparkSession,
       // mutation's effect on the index can't be named — invalidate, the
       // next routed search reclusters lazily. Some(Nil) = "this mutation
       // provably didn't change any indexed (id, vector) row — keep".
-      routedDelete: Option[Seq[Long]] = None): Unit =
+      routedDelete: Option[Seq[Long]] = None): Option[Long] =
       storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val newVersion = st.version + 1
-    val (cached, newPaths, patchSrc): (DataFrame, Map[Int, String], DataFrame) =
+    // newLen: known exactly (for free) on the in-memory path — the
+    // materialization count IS the new store length; None for the
+    // persistent path, whose write touches only the mutated buckets
+    val (cached, newPaths, patchSrc, newLenOpt):
+        (DataFrame, Map[Int, String], DataFrame, Option[Long]) =
       persistRoot match {
         case Some(root) =>
           val tb = touch.buckets
@@ -301,18 +310,19 @@ class GraftEngine(val spark: SparkSession,
           val c = written.persist(StorageLevel.MEMORY_AND_DISK)
           val pSrc =
             readBuckets(root, schema, name, paths.view.filterKeys(tb).toMap)
-          (c, paths, pSrc)
+          (c, paths, pSrc, None)
         case None =>
           val next = rewrite(st.df)
-          val c =
-            if (newVersion % GraftEngine.LineageCheckpointEvery == 0)
-              next.localCheckpoint(true) // truncate the mutation-chain plan
-            else {
+          val (c, n) =
+            if (newVersion % GraftEngine.LineageCheckpointEvery == 0) {
+              val cp = next.localCheckpoint(true) // truncate the mutation-chain plan
+              (cp, cp.count()) // a scan of just-checkpointed local blocks
+            } else {
               val p = next.persist(StorageLevel.MEMORY_AND_DISK)
-              p.count() // materialize before releasing the predecessor
-              p
+              val n = p.count() // materialize before releasing the predecessor
+              (p, n)
             }
-          (c, Map.empty[Int, String], c)
+          (c, Map.empty[Int, String], c, Some(n))
       }
     // maintain only the ALREADY-BUILT indexes (annIndexes ⊆ meta
     // .nonLinearIndexes); a config whose structure was never built — lazy
@@ -411,7 +421,8 @@ class GraftEngine(val spark: SparkSession,
       }
     st.df.unpersist(blocking = false)
     st.annIndexes.values.foreach(_.unpersist())
-    catalog((schema, name)) = st.copy(df = cached, len = st.len + lenDelta,
+    catalog((schema, name)) = st.copy(df = cached,
+      len = newLenOpt.getOrElse(st.len + lenDelta),
       annIndexes = rebuilt, version = newVersion, bucketPaths = newPaths,
       routedIndex = newRouted)
     flushStore(schema, name)
@@ -423,6 +434,7 @@ class GraftEngine(val spark: SparkSession,
     }
     persistRoot.foreach(Persistence.gcOldVersions(_, schema, name,
       newPaths.values.map(_.split("/")(0)).toSet))
+    newLenOpt
   }
 
   /** Engine-op span (graft.obs.Trace): one per public call, with Spark
@@ -667,14 +679,21 @@ class GraftEngine(val spark: SparkSession,
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE job materializes the pin AND resolves (batch size, an example
-      // wrong dimension): an empty batch returns (0, 0) immediately — no
-      // version bump, no empty version dir, no catalog flush, no no-op ANN
-      // patch — and a dimension mismatch rejects the whole batch before any
-      // mutation (par-validation, store.rs:1074-1079). An empty batch also
-      // implies an empty stale set (stale ids derive from the batch's
-      // inputs), so the fused path may return here too.
-      val v = withId.agg(count(lit(1)),
-        max(when(size(col("key")) =!= st.meta.dimension, size(col("key"))))).head()
+      // wrong dimension — plus, when no bucket/shard moduli apply, the
+      // distinct content-id count, so the separate touchAndCount job is
+      // skipped entirely for in-memory unsharded stores): an empty batch
+      // returns (0, 0) immediately — no version bump, no empty version dir,
+      // no catalog flush, no no-op ANN patch — and a dimension mismatch
+      // rejects the whole batch before any mutation (par-validation,
+      // store.rs:1074-1079). An empty batch also implies an empty stale set
+      // (stale ids derive from the batch's inputs), so the fused path may
+      // return here too.
+      val moduli = touchModuli(st)
+      val baseAggs = Seq(count(lit(1)),
+        max(when(size(col("key")) =!= st.meta.dimension, size(col("key")))))
+      val aggs =
+        if (moduli.isEmpty) baseAggs :+ count_distinct(col("id")) else baseAggs
+      val v = withId.agg(aggs.head, aggs.tail: _*).head()
       if (v.getLong(0) == 0) return (0L, 0L)
       if (!v.isNullAt(1))
         throw GraftErrors.dimensionMismatch(st.meta.dimension, v.getInt(1))
@@ -698,7 +717,8 @@ class GraftEngine(val spark: SparkSession,
         // stale ids are store rows by contract, so their row count IS the
         // deleted count — no recount against the store needed
         val (touchBatch, batchDistinct) =
-          touchAndCount(st, dedupedCached.select("id"))
+          if (moduli.isEmpty) (Touch(Map.empty), v.getLong(2))
+          else touchAndCount(st, dedupedCached.select("id"))
         val (touch, deleted) = staleCached match {
           case None => (touchBatch, 0L)
           case Some(sc) =>
@@ -716,12 +736,17 @@ class GraftEngine(val spark: SparkSession,
         }
         // updated = store rows whose id appears in the batch — counted on the
         // PRUNED touched-bucket view (batch ids only live in touched
-        // buckets), post-stale-delete when fused
-        val updated =
+        // buckets), post-stale-delete when fused. LAZY: the in-memory swap
+        // path derives `updated` arithmetically from its own
+        // materialization count (newLen = len − deleted − updated +
+        // batchDistinct — the rewrite is anti-join ∪ batch, so the identity
+        // is exact), and this semi-join count job then never runs; only the
+        // persistent path (whose write is bucket-pruned and yields no store
+        // length) pays it, via swap's by-name lenDelta (round-17).
+        lazy val updatedCounted =
           if (st.len == 0) 0L
           else minusStale(mutationView(st, touch))
             .join(batchIds, col("id") === col("_nid"), "left_semi").count()
-        val inserted = batchDistinct - updated
         // routed maintenance inputs. Plain Set is INSERT-ONLY from the
         // index's view: an "updated" row has the same content id = the
         // same key VECTOR (only metadata changes — the graphs store
@@ -753,13 +778,20 @@ class GraftEngine(val spark: SparkSession,
                 (Some(ids), Some(newRows))
             }
           }
-        swap(schema, name,
+        val newLenOpt = swap(schema, name,
           src => minusStale(src.select("id", "key", "value"))
             .join(batchIds, col("id") === col("_nid"), "left_anti")
             .union(dedupedCached.select("id", "key", "value")),
-          touch, lenDelta = inserted - deleted,
+          touch, lenDelta = (batchDistinct - updatedCounted) - deleted,
           routedAppend = routedAppend, routedDelete = routedDelete)
-        (inserted, updated)
+        // in-memory path: updated derives from the materialized new length
+        // (exact — see the identity above); persistent path: the semi-join
+        // count already ran inside swap's lenDelta
+        val updated = newLenOpt match {
+          case Some(newLen) => st.len - deleted + batchDistinct - newLen
+          case None => updatedCounted
+        }
+        (batchDistinct - updated, updated)
       } finally {
         dedupedCached.unpersist(blocking = false)
         staleCached.foreach(_.unpersist(blocking = false))
@@ -784,15 +816,34 @@ class GraftEngine(val spark: SparkSession,
     val st = state(schema, name)
     keys.find(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
-    val probe = spark.createDataFrame(
-      spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
-      org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
-      .select(keyId(col("key")).as("_pid"))
-    val pids = probe.collect().map(_.getLong(0)).toSeq
+    val (pids, probe) = probeIds(keys)
     pointView(name, pids, schema)
       .join(broadcast(probe), col("id") === col("_pid"), "left_semi")
       .select("key", "value")
   }
+
+  /** Content ids of probe key vectors + the 1-column `_pid` probe frame.
+    * Small probes (the interactive GetKey/DelKey shape) evaluate the SAME
+    * keyId expression interpretively on the driver — zero Spark jobs, the
+    * Upsert idiom — and the probe frame is a LocalRelation (its broadcast
+    * collects driver-side, no job either); big probes (CDC delete batches,
+    * up to maxDeletesPerBatch keys) keep the single hashing job, where
+    * per-expression driver eval would be the slower arm (round-17). */
+  private def probeIds(keys: Seq[Array[Float]]): (Seq[Long], DataFrame) =
+    if (keys.length <= 256) {
+      import spark.implicits._
+      val pids = org.apache.spark.sql.graftbridge.ColumnBridge.evalConstants(
+        spark, keys.map(k => keyId(typedlit(k.toSeq))))
+        .map(_.asInstanceOf[Long])
+      (pids, pids.toDF("_pid"))
+    } else {
+      val probe = spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
+        org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
+        .select(keyId(col("key")).as("_pid"))
+      val pids = probe.collect().map(_.getLong(0)).toSeq
+      (pids, probe)
+    }
 
   /** GetPred (store.rs:401-411, 869-874). */
   def getPred(name: String, cond: PredicateCondition,
@@ -821,11 +872,7 @@ class GraftEngine(val spark: SparkSession,
     val st = state(schema, name)
     keys.find(_.length != st.meta.dimension).foreach(k =>
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
-    val probe = spark.createDataFrame(
-      spark.sparkContext.parallelize(keys.map(k => Row(k.toSeq)), 1),
-      org.apache.spark.sql.types.StructType(entrySchema.slice(1, 2)))
-      .select(keyId(col("key")).as("_pid"))
-    val pids = probe.collect().map(_.getLong(0)).toSeq
+    val (pids, probe) = probeIds(keys)
     val touch = touchOfIds(st, pids)
     // deleted count = one broadcast semi-join over the pruned view
     val deleted = mutationView(st, touch)

@@ -96,9 +96,11 @@ object StreamingIngest {
             if (nDel > 0)
               engine.delKey(store,
                 dels.collect().map(_.getSeq[Float](0).toArray).toSeq, schema)
-            val ins = compacted.where(col("op") === "insert")
-              .select(col("key"), col("value"))
-            if (!ins.isEmpty) engine.set(store, ins, schema)
+            // no isEmpty pre-check: set()'s own validation aggregate
+            // early-returns (0,0) on an empty batch in the same single job
+            // the pre-check would have cost (round-17 job-count cut)
+            engine.set(store, compacted.where(col("op") === "insert")
+              .select(col("key"), col("value")), schema)
             ()
           } finally compacted.unpersist(blocking = false)
         }
@@ -166,9 +168,11 @@ object StreamingIngest {
               ai.delKey(store, dels.collect()
                 .map(r => graft.ai.AiEngine.rowToMeta(r.getStruct(0))).toSeq,
                 schema)
-            val ins = compacted.where(col("op") === "insert")
-              .select(col("input"), col("value"))
-            if (!ins.isEmpty) { ai.setDf(store, ins, schema); () }
+            // no isEmpty pre-check: setDf's validation aggregate
+            // early-returns on an empty batch in one job (round-17)
+            ai.setDf(store, compacted.where(col("op") === "insert")
+              .select(col("input"), col("value")), schema)
+            ()
           } finally compacted.unpersist(blocking = false)
         }
       }

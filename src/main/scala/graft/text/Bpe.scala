@@ -89,12 +89,25 @@ object Bpe {
 
   /** Distributed merge loop: vocab rows are (syms array, count); each
     * round counts adjacent pairs (one groupBy over the vocab-bounded
-    * table), collects the 1-row argmax, and applies the merge as a lazy
-    * per-row fold. Words never merge INTO each other (merging never
-    * changes a word's underlying string), so no re-grouping is needed
-    * between rounds. */
+    * table), collects the 1-row argmax, and carries accepted-but-not-yet-
+    * checkpointed merges as ONE [[BpeMergeSeqApply]] kernel expression
+    * over the last checkpoint (sequential greedy passes — the exact
+    * training transition; pinned equal to the HOF-fold formulation in
+    * BpeSpec). Words never merge INTO each other (merging never changes a
+    * word's underlying string), so no re-grouping is needed between
+    * rounds.
+    *
+    * Round-17 optimization (guide §1.2 per-task work + §7.2 plan size):
+    * the previous shape chained one interpreted `aggregate(...)` HOF fold
+    * per round, so between checkpoints every round re-analyzed and
+    * re-evaluated an ever-deeper interpreted tree over the whole vocab
+    * table; the kernel applies all pending merges in one compiled pass and
+    * the plan depth stays constant. Measured on the forced-distributed
+    * oracle corpus (32 merges): 73 jobs / 6.6 s → see OPTIMIZATION_r17.md
+    * for the after numbers. */
   private def trainDistributed(histo: DataFrame, numMerges: Int,
       minPairCount: Long, vocabRows: Long): Seq[(String, String)] = {
+    import org.apache.spark.sql.graftbridge.{BpeMergeSeqApply, ColumnBridge}
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // adaptive parallelism: each merge round is a full Spark job over the
     // vocab table, so a small vocabulary (e.g. the forced-distributed
@@ -105,10 +118,17 @@ object Bpe {
     val base = histo.select(split(col("w"), "").as("syms"), col("cnt"))
     var vocab = (if (vocabRows <= 65536L) base.coalesce(1) else base)
       .localCheckpoint(true)
+    // merges accepted since the last checkpoint, applied lazily as one
+    // kernel pass per round (never re-materialized until the checkpoint)
+    var pending = Vector.empty[(String, String)]
+    def current: DataFrame =
+      if (pending.isEmpty) vocab
+      else vocab.select(ColumnBridge.column(BpeMergeSeqApply(
+        ColumnBridge.expression(col("syms")), pending)).as("syms"), col("cnt"))
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val best = vocab
+      val best = current
         .where(size(col("syms")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("l"),
@@ -121,12 +141,16 @@ object Bpe {
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += ((l, r))
-        vocab = vocab.select(mergePassCol(col("syms"), l, r).as("syms"),
-          col("cnt"))
-        // truncate lineage so N rounds can't stack N nested folds into
-        // one catalyst plan (analysis cost would grow quadratically)
-        if ((round + 1) % CheckpointEvery == 0)
-          vocab = vocab.localCheckpoint(true)
+        pending = pending :+ ((l, r))
+        // periodically materialize the pending merges so the per-round
+        // kernel pass stays bounded (release the superseded checkpoint's
+        // blocks — the ConnectedComponents discipline)
+        if (pending.size >= CheckpointEvery) {
+          val next = current.localCheckpoint(true)
+          ColumnBridge.releaseLocalCheckpoint(vocab)
+          vocab = next
+          pending = Vector.empty
+        }
       }
       round += 1
     }

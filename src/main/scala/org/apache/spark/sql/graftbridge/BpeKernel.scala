@@ -132,6 +132,58 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+object BpeMergeSeqApplyImpl {
+  /** Apply each (l, r) merge once, in order, as a greedy left-to-right
+    * pass — EXACTLY the training-state transition ([[graft.text
+    * .BpeReference.mergePass]] chained; the pinned "one greedy pass per
+    * merge" semantics), over a symbol array. */
+  def apply(syms: ArrayData, merges: Array[(String, String)]): ArrayData = {
+    var arr = new Array[String](syms.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = syms.getUTF8String(i).toString; i += 1 }
+    var m = 0
+    while (m < merges.length) {
+      arr = graft.text.BpeReference.mergePass(arr, merges(m)._1, merges(m)._2)
+      m += 1
+    }
+    val out = new Array[Any](arr.length)
+    i = 0
+    while (i < arr.length) { out(i) = UTF8String.fromString(arr(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Sequential greedy merge passes over a symbol-array column — the
+  * distributed BPE trainer's state transition as ONE codegen'd expression.
+  * Replaces a chain of `aggregate(...)` HOF folds (one per pending merge):
+  * the folds evaluate interpreted per row and nest the plan one level per
+  * round, so each round re-analyzed/re-codegen'd an ever-deeper tree; this
+  * kernel applies all pending merges in one compiled pass and the plan
+  * stays one node deep regardless of how many merges are pending. */
+case class BpeMergeSeqApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val table = merges.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_seq_apply"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeSeqApplyImpl.apply(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeMerges", table,
+      "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftbridge.BpeMergeSeqApplyImpl.apply($c, $t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** BPE token count without materializing the token array — the form
   * [[graft.pipeline.Corpus.packSequences]] consumes (the running-sum
   * window only needs the count). */
