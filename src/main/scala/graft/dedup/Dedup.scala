@@ -82,21 +82,19 @@ object Dedup {
         explode(ngramHashes(col(textCol), n)).as("h"))
       .groupBy("id").agg(collect_set(col("h")).as("hs"))
 
-  /** Jaccard from per-pair intersection counts + per-doc sizes (projected
-    * off the CALLER-cached sets table — no aggregation of its own). Eager
-    * like [[verifyJaccard]]: materialized while the caller's cache lives. */
-  private def jaccardFromInter(sets: DataFrame, inter: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n"))
+  /** Jaccard from per-pair intersection counts that already CARRY the two
+    * per-doc sizes (`na`, `nb` — threaded through the candidate join off
+    * the caller-cached sets table, so no size re-join shuffles the pair
+    * stream; round-17, guide §2.4). Eager like [[verifyJaccard]]:
+    * materialized while the caller's cache lives. */
+  private def jaccardFromSizedInter(inter: DataFrame,
+      threshold: Double): DataFrame =
     inter
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
       .localCheckpoint()
-  }
 
   /** Exact n-gram Jaccard verification DRIVEN BY the candidate pairs,
     * shaped for candidate VOLUME: `sets` is the caller-cached per-doc
@@ -113,16 +111,20 @@ object Dedup {
     * [[jaccardJoin]]'s lifecycle note) materialized while the caller's
     * sets cache is live. */
   private def verifyJaccard(sets: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, prePruned: Boolean = false): DataFrame = {
     // size-ratio prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ J ≥ t, so
     // a candidate failing the ratio can NEVER verify — drop it over narrow
     // int columns BEFORE shipping the per-doc hash arrays into the verify
     // join (measured at sf0.1: 951k → 360k simhash candidates, output
     // identical by construction; sizes project off the cached sets, in
-    // the same hashed domain the verification divides in)
+    // the same hashed domain the verification divides in).
+    // `prePruned` callers (minHashLshJoin, jaccardJoin's capped arm) thread
+    // the sizes through their candidate join and apply the ratio there —
+    // the candidate stream then never pays these two size-join shuffles
+    // (round-17, guide §2.4).
     val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n"))
     val t = lit(threshold)
-    val pruned = candidates
+    val pruned = if (prePruned) candidates.select("a", "b") else candidates
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
       .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
@@ -183,30 +185,41 @@ object Dedup {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, n).persist()
-    // the flat inverted index: a cache-read explode, NOT a second shuffle
-    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
+    // the flat inverted index: a cache-read explode, NOT a second shuffle.
+    // Each row CARRIES its doc's set size (one int off the cached sets) so
+    // the pair stream downstream never re-joins a sizes table (round-17)
+    val sh = sets.select(col("id"), size(col("hs")).cast("long").as("n"),
+      explode(col("hs")).as("h"))
+    val t = lit(threshold)
     try {
       maxShingleDf match {
         case None =>
           // uncapped: the self-join's grouped row count per (a,b) IS the
-          // exact intersection — one pass, no candidate expansion
+          // exact intersection — one pass, no candidate expansion; the two
+          // sizes ride the grouping keys (functionally dependent on a/b —
+          // same groups, two ints wider, two join shuffles fewer)
           val inter = sh.as("x")
             .join(sh.as("y"), col("x.h") === col("y.h") &&
               col("x.id") < col("y.id"))
-            .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+            .groupBy(col("x.id").as("a"), col("y.id").as("b"),
+              col("x.n").as("na"), col("y.n").as("nb"))
             .agg(count(lit(1)).as("inter"))
-          jaccardFromInter(sets, inter, threshold) // already eager
+          jaccardFromSizedInter(inter, threshold) // already eager
         case Some(cap) =>
           // capped pairing (skew guard): candidates from rare shingles only,
-          // then exact verification over the FULL shingle sets
+          // then exact verification over the FULL shingle sets. The size-
+          // ratio prune runs INSIDE the band join (sizes ride the rows), so
+          // ratio-failed pairs die before the distinct and the verify never
+          // re-joins sizes
           val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
             .where(col("df") > cap).select("h")
           val pairing = sh.join(broadcast(hot), Seq("h"), "left_anti")
           val candidates = pairing.as("x")
             .join(pairing.as("y"), col("x.h") === col("y.h") &&
-              col("x.id") < col("y.id"))
+              col("x.id") < col("y.id") &&
+              col("x.n") * t <= col("y.n") && col("y.n") * t <= col("x.n"))
             .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-          verifyJaccard(sets, candidates, threshold) // already eager
+          verifyJaccard(sets, candidates, threshold, prePruned = true)
       }
     } finally sets.unpersist(blocking = false)
   }
@@ -332,17 +345,24 @@ object Dedup {
       // one pass over the per-doc hash array and produces the SAME values
       // minHashSignature computes per streaming row (sets never empty
       // here: shingle-less docs are absent from docShingleSets)
+      // band rows CARRY the doc's set size (4 bytes) so the size-ratio
+      // prune runs inside the band join itself — ratio-failed collisions
+      // die before the distinct, and verifyJaccard skips its two size-join
+      // shuffles of the candidate stream (round-17, guide §2.4)
       val bands = sets
-        .select(col("id"), posexplode(minHashKernel(col("hs"), numHashes))
+        .select(col("id"), size(col("hs")).cast("long").as("n"),
+          posexplode(minHashKernel(col("hs"), numHashes))
           .as(Seq("band", "value")))
         .persist() // self-joined: don't recompute the signatures per side
       try {
+        val t = lit(threshold)
         val candidates = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.value") === col("y.value") &&
-            col("x.id") < col("y.id"))
+            col("x.id") < col("y.id") &&
+            col("x.n") * t <= col("y.n") && col("y.n") * t <= col("x.n"))
           .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        verifyJaccard(sets, candidates, threshold) // eager — see jaccardJoin
+        verifyJaccard(sets, candidates, threshold, prePruned = true)
       } finally bands.unpersist(blocking = false)
     } finally sets.unpersist(blocking = false)
   }

@@ -3977,13 +3977,22 @@ object Queries {
           src, "text", "ts", "1 hour")
         val name = "events_dedup_stream_sink"
         s.catalog.dropTempView(name)
+        // the stateful dedup operator pays a fixed per-partition state-store
+        // open/commit cost each micro-batch; the replay is bounded at ~1050
+        // rows by construction, so scope a lower shuffle width to the
+        // streaming query only (the events_neardup_stream discipline —
+        // data-proportionate, not machine-tuned; round-17)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevForce = s.conf.get(
           "spark.sql.streaming.forceDeleteTempCheckpointLocation", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         val q = try deduped.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
-        finally s.conf.set(
-          "spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", prevForce)
+        }
         val kept = try {
           mem.addData(originals: _*)
           q.processAllAvailable()
