@@ -866,29 +866,28 @@ object Dedup {
     val toks = docs.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("tk"))
     // 1-based start positions; a gram is the space-join of tokens
-    // [i, i+n) — tokens carry no whitespace, so the join is injective.
-    // The (id, pos) occurrence identity is PACKED into one decimal(38,0)
-    // value (id·2³¹ + pos — exact and order-preserving for any long id,
-    // since 1 ≤ pos < 2³¹): a `min(struct(id, pos))` census aggregate
-    // plans as SortAggregate (struct buffers aren't hash-aggregable), i.e.
-    // TWO full sorts of the corpus-scale gram table (partial + final);
-    // the packed min is a fixed-width HashAggregate with map-side partial
-    // aggregation — same lexicographic minimum, no sort (round-17, guide
-    // §2.3/§4; plan diff in plans/r17/dedup_spans_*.txt).
+    // [i, i+n) — tokens carry no whitespace, so the join is injective
     val grams = toks.where(size(col("tk")) >= n)
       .select(col("id"), posexplode(transform(
         sequence(lit(1), size(col("tk")) - (n - 1)),
         i => xxhash64(concat_ws(" ", slice(col("tk"), i, lit(n))))))
         .as(Seq("p0", "h")))
       .select(col("id"), (col("p0") + 1).as("pos"), col("h"))
-      .withColumn("pk", col("id").cast("decimal(38,0)") *
-        lit(2147483648L) + col("pos"))
-    // census: occurrence count + lexicographic-min packed (id, pos) per gram
+    // census: occurrence count + lexicographic-min (id, pos) per gram.
+    // Round-17 note — measured and kept as-is: min(struct) plans as
+    // SortAggregate (struct buffers aren't hash-aggregable; two sorts of
+    // the gram table). Packing (id, pos) into one decimal(38,0)
+    // (id·2³¹+pos) DOES turn the census into a map-side-combining
+    // HashAggregate, but the per-row Decimal128 multiply-add on the
+    // corpus-scale gram table costs MORE than the sorts it removes:
+    // interleaved A/B at 500k docs read 1.16/1.30 (decimal arm slower,
+    // 3 alternating fresh-JVM rounds); sf0.1 was flat (0.95). The sorts
+    // run on narrow (8B-key) rows — Spark's radix path — and are cheap.
     val dup = grams.groupBy("h").agg(
         count(lit(1)).as("cnt"),
-        min(col("pk")).as("firstPk"))
+        min(struct(col("id"), col("pos"))).as("first"))
       .where(col("cnt") >= minOcc)
-      .select("h", "firstPk")
+      .select("h", "first")
     // keeper spans are PROTECTED: with self-overlapping repeats
     // ("a a a a", n=2) the non-first occurrences' spans cover part of the
     // first occurrence too — a position is cut iff SOME duplicated-gram
@@ -898,7 +897,8 @@ object Dedup {
     // (duplicate occurrences + one keeper per dup gram) × n, never the
     // corpus; this is what makes "exactly one copy survives" hold instead
     // of erasing every copy of a periodic repeat.
-    val isFirst = col("pk") === col("firstPk")
+    val isFirst =
+      col("id") === col("first.id") && col("pos") === col("first.pos")
     val cut = grams.join(dup, "h")
       .select(col("id"), isFirst.as("f"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
