@@ -191,39 +191,80 @@ object IncrementalDedup {
     * columns, then fetches BOTH sides' shingle sets by id equi-joins
     * bounded by candidate volume — the native intersect-count kernel
     * scores each surviving pair. History is read, never recomputed. */
+  /** Broadcast bounds for [[dedupAgainst]]'s batch-bounded sides (rows,
+    * bytes-conscious: band rows are ~20 B and candidate rows ~24 B, so 4M
+    * rows build a ~100-150 MB hash relation — inside executor budgets).
+    * Past a bound the shuffle shape takes over — correct at any size,
+    * just not history-shuffle-free. */
+  private val MaxBroadcastBandRows = 4000000L
+  private val MaxBroadcastCandidates = 4000000L
+
   def dedupAgainst(index: MinHashIndex, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val bSets = Dedup.docShingleSets(batch, idCol, textCol, index.n).persist()
     try {
+      // Round-17 (guide §3.1/§3.2): the BATCH is the bounded side by
+      // design, so broadcast it through the candidate probe — the history
+      // band table is then SCANNED once per batch and never shuffled.
+      // Without the explicit broadcast the planner's estimate (an explode
+      // behind a cache) picks sort-merge, and AQE's late conversion can't
+      // help: both shuffle WRITES — including the history band table's —
+      // have already run by the time it replans the join. The count also
+      // materializes the batch cache (one cheap job on cached blocks).
+      val nBatch = bSets.count()
+      val smallBatch = nBatch * index.numHashes <= MaxBroadcastBandRows
       val bBands = bandsFromSets(bSets, index.numHashes)
-      val candidates = bBands.as("x")
+      val probe = if (smallBatch) broadcast(bBands) else bBands
+      val candidates = probe.as("x")
         .join(index.bands.as("y"),
           col("x.band") === col("y.band") && col("x.value") === col("y.value"))
         .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-      // two-sided exact verify (the [[Dedup.verifyJaccard]] discipline over
-      // two sets tables): ratio-prune on sizes first, then intersect-count
-      val bSizes = bSets.select(col("id").as("a"), size(col("hs")).cast("long").as("na"))
-      val iSizes = index.sets.select(col("id").as("b"),
-        size(col("hs")).cast("long").as("nb"))
+      val bSizes = bSets.select(col("id").as("a"),
+        size(col("hs")).cast("long").as("na"))
+      val withNa = candidates
+        .join(if (smallBatch) broadcast(bSizes) else bSizes, "a")
       val t = lit(threshold)
-      val pruned = candidates
-        .join(bSizes, "a").join(iSizes, "b")
-        .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
-        .select("a", "b")
       def interCount(a: Column, b: Column): Column = {
         import org.apache.spark.sql.graftbridge.{ColumnBridge, LongSetIntersectCount}
         ColumnBridge.column(LongSetIntersectCount(
           ColumnBridge.expression(a), ColumnBridge.expression(b)))
       }
-      pruned
-        .join(bSets.select(col("id").as("a"), col("hs").as("ha")), "a")
-        .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+      def finish(withSets: DataFrame): DataFrame = withSets
         .withColumn("inter", interCount(col("ha"), col("hb")))
         .withColumn("jac", col("inter").cast("double") /
           (size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter")))
         .where(col("jac") >= threshold)
         .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
         .localCheckpoint() // eager: bSets unpersists on return (see jaccardJoin)
+      // Candidate volume is bounded by the banded geometry + the batch
+      // size; when the measured count fits the broadcast budget, the
+      // verify fetches history sets through a BROADCAST of the candidates
+      // — history sets are scanned, never shuffled, and the size-ratio
+      // prune runs inline on size(hb) in the same codegen stage (same
+      // filter, no separate history-sizes join to shuffle). Past the
+      // budget: the previous shuffle shape, narrow-column prune first.
+      val candCached = withNa.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nCand = candCached.count()
+        if (smallBatch && nCand <= MaxBroadcastCandidates) {
+          val withB = broadcast(candCached)
+            .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+            .where(col("na") * t <= size(col("hb")).cast("long") &&
+              size(col("hb")).cast("long") * t <= col("na"))
+            .join(broadcast(bSets.select(col("id").as("a"), col("hs").as("ha"))), "a")
+          finish(withB)
+        } else {
+          val iSizes = index.sets.select(col("id").as("b"),
+            size(col("hs")).cast("long").as("nb"))
+          val pruned = candCached.join(iSizes, "b")
+            .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
+            .select("a", "b")
+          finish(pruned
+            .join(bSets.select(col("id").as("a"), col("hs").as("ha")), "a")
+            .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b"))
+        }
+      } finally candCached.unpersist(blocking = false)
     } finally bSets.unpersist(blocking = false)
   }
 
