@@ -138,6 +138,15 @@ object Dedup {
       ColumnBridge.column(LongSetIntersectCount(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
     }
+    // Round-17 note — a counted candidate-broadcast arm (persist + count
+    // the candidates, broadcast them through both set fetches so the
+    // cached sets table is scanned instead of shuffled — the shape that
+    // WON in IncrementalDedup.dedupAgainst against its parquet-persisted
+    // history) was tried here and MEASURED OUT: the in-process sets table
+    // is a co-located cache, and the persist+count materialization
+    // barrier cost more than the avoided cache shuffles at both measured
+    // scales (interleaved A/B: sf0.1 minhash 1.32, sf1 minhash 0.888 vs
+    // 0.868 without the arm — no gain where it was supposed to win).
     pruned
       .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
       .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
