@@ -48,6 +48,11 @@ final class MinHashIndex private[dedup] (
     val n: Int,
     val numHashes: Int,
     val sourceStamps: Seq[String],
+    /** Indexed doc count (= sets rows), from the manifest / build count —
+      * free to read, used by [[IncrementalDedup.dedupAgainst]] to decide
+      * whether avoiding a history-sets shuffle is worth a candidate
+      * count-and-broadcast step. */
+    val setRows: Long,
     private val spark: SparkSession) {
 
   def bands: DataFrame = {
@@ -120,9 +125,10 @@ object IncrementalDedup {
     val sets = Dedup.docShingleSets(df, idCol, textCol, n).persist()
     try {
       writeTables(dir, bandsFromSets(sets, numHashes), sets, "overwrite")
-      writeManifest(dir, n, numHashes, Seq(sourceStamp),
-        setRows = countParquet(df.sparkSession, dir, "sets"))
-      new MinHashIndex(dir, n, numHashes, Seq(sourceStamp), df.sparkSession)
+      val setRows = countParquet(df.sparkSession, dir, "sets")
+      writeManifest(dir, n, numHashes, Seq(sourceStamp), setRows)
+      new MinHashIndex(dir, n, numHashes, Seq(sourceStamp), setRows,
+        df.sparkSession)
     } finally sets.unpersist(blocking = false)
   }
 
@@ -159,7 +165,7 @@ object IncrementalDedup {
       if (countParquet(spark, dir, "sets") != expectedSets ||
           countParquet(spark, dir, "bands") != expectedSets * numHashes)
         return None
-      Some(new MinHashIndex(dir, n, numHashes, stamps, spark))
+      Some(new MinHashIndex(dir, n, numHashes, stamps, expectedSets, spark))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Load with whatever (n, numHashes) the manifest records — the DSL /
@@ -199,6 +205,17 @@ object IncrementalDedup {
   private val MaxBroadcastBandRows = 4000000L
   private val MaxBroadcastCandidates = 4000000L
 
+  /** History size below which the broadcast machinery (batch count job,
+    * forced band-probe broadcast, candidate count+broadcast) is not worth
+    * its extra jobs/barrier — see the gate in [[dedupAgainst]]. Bracketed
+    * by measurement (interleaved A/B): at a 4k-doc history with ~500-doc
+    * stream batches the machinery read 1.39-1.50 (barrier dominates); at
+    * a 400k-doc history with a 100k-doc batch it read 0.942 (avoided
+    * history shuffles dominate — and the asymmetry only grows with
+    * history). The bound is in history ROWS — the quantity the avoided
+    * shuffles' cost is proportional to — not a machine constant. */
+  private val MinHistoryRowsForCountedBroadcast = 100000L
+
   def dedupAgainst(index: MinHashIndex, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -212,8 +229,16 @@ object IncrementalDedup {
       // help: both shuffle WRITES — including the history band table's —
       // have already run by the time it replans the join. The count also
       // materializes the batch cache (one cheap job on cached blocks).
-      val nBatch = bSets.count()
-      val smallBatch = nBatch * index.numHashes <= MaxBroadcastBandRows
+      // The whole machinery (count job, forced broadcasts, candidate
+      // count) engages only when the HISTORY is big enough for its
+      // shuffles to be worth avoiding (setRows — free from the manifest);
+      // below the gate the pre-round fused shape runs with ZERO extra
+      // jobs (the per-micro-batch stream probe against a small history
+      // measured the always-on machinery at 1.39-1.50, interleaved).
+      val bigHistory = index.setRows >= MinHistoryRowsForCountedBroadcast
+      val nBatch = if (bigHistory) bSets.count() else 0L
+      val smallBatch =
+        bigHistory && nBatch * index.numHashes <= MaxBroadcastBandRows
       val bBands = bandsFromSets(bSets, index.numHashes)
       val probe = if (smallBatch) broadcast(bBands) else bBands
       val candidates = probe.as("x")
@@ -244,27 +269,48 @@ object IncrementalDedup {
       // prune runs inline on size(hb) in the same codegen stage (same
       // filter, no separate history-sizes join to shuffle). Past the
       // budget: the previous shuffle shape, narrow-column prune first.
-      val candCached = withNa.persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nCand = candCached.count()
-        if (smallBatch && nCand <= MaxBroadcastCandidates) {
-          val withB = broadcast(candCached)
-            .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b")
-            .where(col("na") * t <= size(col("hb")).cast("long") &&
-              size(col("hb")).cast("long") * t <= col("na"))
-            .join(broadcast(bSets.select(col("id").as("a"), col("hs").as("ha"))), "a")
-          finish(withB)
-        } else {
-          val iSizes = index.sets.select(col("id").as("b"),
-            size(col("hs")).cast("long").as("nb"))
-          val pruned = candCached.join(iSizes, "b")
-            .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
-            .select("a", "b")
-          finish(pruned
-            .join(bSets.select(col("id").as("a"), col("hs").as("ha")), "a")
-            .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b"))
-        }
-      } finally candCached.unpersist(blocking = false)
+      // GATED ON HISTORY SIZE (free from the index manifest): the
+      // persist+count of candidates is a materialization barrier, and on
+      // a SMALL history the barrier costs more than the shuffles it
+      // avoids — measured on the per-micro-batch stream probe
+      // (docs_dedup_incr_stream, ~500-doc batches against a 4k-doc
+      // history): interleaved A/B 1.39-1.50 with the barrier always-on,
+      // refuted back to the fused shape below the gate. A big history is
+      // where shuffle avoidance pays by construction.
+      if (smallBatch) {
+        val candCached = withNa.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nCand = candCached.count()
+          if (nCand <= MaxBroadcastCandidates) {
+            val withB = broadcast(candCached)
+              .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+              .where(col("na") * t <= size(col("hb")).cast("long") &&
+                size(col("hb")).cast("long") * t <= col("na"))
+              .join(broadcast(bSets.select(col("id").as("a"), col("hs").as("ha"))), "a")
+            finish(withB)
+          } else {
+            val iSizes = index.sets.select(col("id").as("b"),
+              size(col("hs")).cast("long").as("nb"))
+            val pruned = candCached.join(iSizes, "b")
+              .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
+              .select("a", "b")
+            finish(pruned
+              .join(bSets.select(col("id").as("a"), col("hs").as("ha")), "a")
+              .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b"))
+          }
+        } finally candCached.unpersist(blocking = false)
+      } else {
+        // small history (or oversized batch): the pre-round fused shape —
+        // narrow-column prune, then the set-fetch joins, one pipeline
+        val iSizes = index.sets.select(col("id").as("b"),
+          size(col("hs")).cast("long").as("nb"))
+        val pruned = withNa.join(iSizes, "b")
+          .where(col("na") * t <= col("nb") && col("nb") * t <= col("na"))
+          .select("a", "b")
+        finish(pruned
+          .join(bSets.select(col("id").as("a"), col("hs").as("ha")), "a")
+          .join(index.sets.select(col("id").as("b"), col("hs").as("hb")), "b"))
+      }
     } finally bSets.unpersist(blocking = false)
   }
 
@@ -284,9 +330,9 @@ object IncrementalDedup {
       // — no partial fold is ever probed.
       writeTables(index.dir, bandsFromSets(sets, index.numHashes), sets, "append")
       val stamps = index.sourceStamps :+ sourceStamp
-      writeManifest(index.dir, index.n, index.numHashes, stamps,
-        setRows = countParquet(sets.sparkSession, index.dir, "sets"))
-      new MinHashIndex(index.dir, index.n, index.numHashes, stamps,
+      val setRows = countParquet(sets.sparkSession, index.dir, "sets")
+      writeManifest(index.dir, index.n, index.numHashes, stamps, setRows)
+      new MinHashIndex(index.dir, index.n, index.numHashes, stamps, setRows,
         sets.sparkSession)
     } finally sets.unpersist(blocking = false)
   }
