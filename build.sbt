@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes straight through instead of via sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any
+// line-wise JSON parse of the bench's one-line stdout contract (the
+// driver's BENCH_*.json has recorded `parsed: null` in every round —
+// round 1's tail shows the complete JSON line present but "[info]"-
+// prefixed). Stderr still goes through the logger; only stdout changes.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -110,6 +110,21 @@ object Bench {
       graft.queries.TestStores.routedEngine(spark, sfDir)
     if (selectedNames.contains("vdb_sim_hnsw_routed_filtered"))
       graft.queries.TestStores.li4RoutedEngine(spark, sfDir)
+    // r18 (VERDICT r17 item 1): li4ScanEngine was the ONE shared read-only
+    // store missing from this gate — the scan query's first timed run paid
+    // the full-lineitem store + 16-shard HNSW build (the 42.5 s spread
+    // outlier on a 0.4 s query; the store is memoized per process, so the
+    // per-family fork guaranteed the build landed inside the timing)
+    if (selectedNames.contains("vdb_sim_hnsw_routed_scan"))
+      graft.queries.TestStores.li4ScanEngine(spark, sfDir)
+    // same fixture split for the stamped routed artifacts: buildOrLoad
+    // persists to /tmp, but the first process per data version (or after a
+    // tmp wipe) trains INSIDE the first timed run without these gates
+    if (selectedNames.exists(n => n == "embed_topk_hnsw_routed" ||
+        n == "embed_topk_join_routed" || n == "embed_topk_join_routed_filtered"))
+      graft.queries.TestStores.routedIndex(spark, sfDir)
+    if (selectedNames.contains("embed_topk_join_routed_opq"))
+      graft.queries.TestStores.routedOpqIndex(spark, sfDir)
     if (selectedNames.exists(n => n == "dedup_incremental" ||
         n == "docs_dedup_incr_stream"))
       graft.queries.TestStores.minHashIndex(spark, sfDir)
@@ -233,7 +248,10 @@ object Bench {
       .getCodeSource.getLocation.toString).getOrElse("unknown")
       .replaceAll("[\"\\\\\n\r\t]", " ")
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"single-session","binary":"$binary","spread":$spread,"fixture":$fixtures,"queries":$qs,"errors":$errs,"failed":$failed,"value":$total}"""
-    println(line)
+    // stdout gets the compact contract line; the full-fat line (spread,
+    // fixture, binary stamp, full precision) goes to the JSON artifact —
+    // see compactLine and the orchestrate-side comment (VERDICT r17 item 2)
+    println(compactLine(sfDir, runs, "single-session", medians, errs, failed, total))
     // truncation-proof copy: the driver's stdout tail capture has twice
     // eaten per-query detail (18 queries in round 7, including the round's
     // #1 perf target); the full JSON also lands in a repo file so every
@@ -577,11 +595,35 @@ object Bench {
     val fixtureJson = fixtures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"process-per-family","families":$famJson,"spread":$spreadJson,"fixture":$fixtureJson,"queries":$qsJson,"errors":$errs,"failed":$failed,"value":$total}"""
-    println(line)
+    // STDOUT gets the COMPACT line (VERDICT r17 item 2): the driver's
+    // stdout capture keeps only a bounded tail, and the full-fat line
+    // (spread/families/fixture, full-precision doubles) had grown to
+    // ~10 KB — truncated mid-object, it parsed as nothing in BOTH r16 and
+    // r17. Per-query seconds are rounded to 1 ms on the LINE only; the
+    // full-precision full-fat line still lands in BENCH_LAST.json, so no
+    // measurement detail is lost — only the stdout transport got smaller.
+    // Same methodology, same queries, same totals.
+    println(compactLine(sfDir, runs, "process-per-family",
+      queries.toSeq, errs, failed, total))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outFile: $e") }
+  }
+
+  /** The driver-facing stdout line: contract keys only (metric, unit, sf,
+    * runs, isolation, queries, errors, failed, value), 1 ms resolution.
+    * Headline keys stay LAST so a tail-side cut eats per-query detail,
+    * never `value`/`failed`. */
+  private def compactLine(sfDir: String, runs: Int, isolation: String,
+      queries: Seq[(String, Double)], errsJson: String, failedJson: String,
+      total: Double): String = {
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"isolation":"$isolation","queries":$qs,"errors":$errsJson,"failed":$failedJson,"value":${f3(total)}}"""
   }
 }

@@ -66,9 +66,16 @@ object PlanProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // drain the async listener bus before sampling or resetting counters:
+    // late events from the previous query otherwise bleed into the next
+    // query's window (ADVICE r17)
+    def drained(): Unit =
+      org.apache.spark.sql.graftbridge.ListenerBridge.drain(spark.sparkContext)
+
     for (n <- names) {
       val fn = all(n)
       try {
+        drained()
         jobs = 0; stages = 0; tasks = 0; jobWalls.clear()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -79,12 +86,14 @@ object PlanProbe {
           .findAllIn(plan).length
         java.nio.file.Files.write(dir.resolve(s"${n}_$suffix.txt"),
           plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        drained()
         val (buildJobs, buildStages, buildTasks) = (jobs, stages, tasks)
         if (doRun) {
           jobs = 0; stages = 0; tasks = 0
           val t1 = System.nanoTime()
           df.queryExecution.toRdd.count()
           val runS = (System.nanoTime() - t1) / 1e9
+          drained()
           println(f"$n%-36s build=$buildS%6.2fs (jobs=$buildJobs) " +
             f"run=$runS%6.2fs jobs=$jobs stages=$stages tasks=$tasks exch=$exch")
         } else

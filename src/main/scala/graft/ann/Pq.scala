@@ -325,7 +325,15 @@ object PqCodebook {
     val dim = dfIn.select(size(col("key"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache discipline (r18): an ALREADY-persisted input (RoutedAnnIndex
+    // .build passes its shared build frame when rows <= PqTrainCap) must
+    // not be unpersisted on the way out — that silently evicted the
+    // caller's cache and every later Lloyd/assignment pass rescanned the
+    // source (guide §5 caching)
+    val callerCached =
+      dfIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val df = if (callerCached) dfIn
+      else dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var books: Array[Array[Array[Float]]] = {
         val seed = df.orderBy("id").limit(ksub).select("key")
@@ -376,7 +384,7 @@ object PqCodebook {
         it += 1
       }
       new PqCodebook(dim, m, ksub, books)
-    } finally df.unpersist(blocking = false)
+    } finally if (!callerCached) { df.unpersist(blocking = false); () }
   }
 
   // --------------------------------------------------------- artifact IO

@@ -406,7 +406,13 @@ final class RoutedAnnIndex(
         array_min(dists).as("_d"), col("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val agg = assigned.agg(count(lit(1)), avg(col("_d"))).head()
+      // count, drift objective AND the touched-shard set in ONE aggregate
+      // job (r18, guide §1.2 / VERDICT r17 item 4 count-fusion): the
+      // distinct-shards collect was a separate scheduler round-trip per
+      // micro-batch append; collect_set(_s) is bounded by numShards and
+      // rides the same map-side-combined pass
+      val agg = assigned.agg(count(lit(1)), avg(col("_d")),
+        collect_set(col("_s"))).head()
       val nNew = agg.getLong(0)
       if (nNew == 0) return Some(Maintained(this, "append", Set.empty))
       val batchObj = agg.getDouble(1)
@@ -417,10 +423,9 @@ final class RoutedAnnIndex(
             f"$meanAssignDist%.4f) — recluster")
         return None
       }
-      // one tiny job: the batch's distinct target shards (bounded by
-      // numShards) — the artifact-refresh set the caller writes back
-      val touched = assigned.select("_s").distinct()
-        .collect().map(_.getInt(0)).toSet
+      // the batch's distinct target shards (bounded by numShards) — the
+      // artifact-refresh set the caller writes back
+      val touched = agg.getSeq[Int](2).toSet
       // a re-appended tombstoned id is live again (same content id = the
       // same vector); the scan is bounded by the tombstone cap
       val newTombstones: Array[Long] =
@@ -922,33 +927,55 @@ final class RoutedAnnIndex(
         .map { case ((_, v), i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("qid", "qv")
         .select(col("qid"), col("qv").cast("array<float>").as("qv"))
-      val curves = ks.sorted.map { k =>
-        val truth: Map[Int, Set[Long]] =
-          truthRanked.map { case (qi, r) => qi -> r.take(k).toSet }
-        val curve = ladder.map { p =>
-          // LOO on the result side too: ask for k+1, drop the query's own
-          // id (rank-ordered, so the remaining prefix is the top-k the
-          // index would return to a non-stored query at this probe count).
-          // A quantized index measures THROUGH the exact-rescored join —
-          // the path serving rides — never the raw quantized ranking
-          val served =
-            if (quantized)
-              topKJoinRescored(qdf, "qid", "qv", k + 1, p, exactCached.get)
-            else topKJoin(qdf, "qid", "qv", k + 1, p)
-          val got = Calibration.rankedSets(
-            served.select("qid", "cid", "rank").collect(), k, ownIds)
-          val per = truth.toSeq.map { case (qi, ts) =>
-            if (ts.isEmpty) 1.0
-            else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
-          }
-          val (mean, se) = Calibration.meanSe(per)
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = " +
-              f"$mean%.4f +- $se%.4f se (${truth.size}%d sample queries)")
-          (p, mean, se)
+      // every (serving k, ladder point) arm is an INDEPENDENT read-only
+      // batch join over the shared shards/caches — previously run
+      // back-to-back, leaving the executors idle in each arm's tail.
+      // r18 (guide §2.6, VERDICT r17 item 3): run up to 3 arms
+      // concurrently from a small driver pool; each arm's served set is
+      // deterministic and the curves assemble in the same (k, p) order,
+      // so the measured numbers are byte-identical to the serial loop.
+      val arms = for (k <- ks.sorted; p <- ladder) yield (k, p)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(3, arms.length)))
+      val curves = try {
+        val futs: Map[(Int, Int), java.util.concurrent.Future[Map[Int, Set[Long]]]] =
+          arms.map { case (k, p) =>
+            (k, p) -> pool.submit(
+              new java.util.concurrent.Callable[Map[Int, Set[Long]]] {
+                def call(): Map[Int, Set[Long]] = {
+                  // LOO on the result side too: ask for k+1, drop the
+                  // query's own id (rank-ordered, so the remaining prefix
+                  // is the top-k the index would return to a non-stored
+                  // query at this probe count). A quantized index measures
+                  // THROUGH the exact-rescored join — the path serving
+                  // rides — never the raw quantized ranking
+                  val served =
+                    if (quantized)
+                      topKJoinRescored(qdf, "qid", "qv", k + 1, p, exactCached.get)
+                    else topKJoin(qdf, "qid", "qv", k + 1, p)
+                  Calibration.rankedSets(
+                    served.select("qid", "cid", "rank").collect(), k, ownIds)
+                }
+              })
+          }.toMap
+        ks.sorted.map { k =>
+          val truth: Map[Int, Set[Long]] =
+            truthRanked.map { case (qi, r) => qi -> r.take(k).toSet }
+          val curve = ladder.map { p =>
+            val got = futs((k, p)).get()
+            val per = truth.toSeq.map { case (qi, ts) =>
+              if (ts.isEmpty) 1.0
+              else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
+            }
+            val (mean, se) = Calibration.meanSe(per)
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              f"RoutedAnnIndex.calibrate: probes=$p%d recall@$k%d = " +
+                f"$mean%.4f +- $se%.4f se (${truth.size}%d sample queries)")
+            (p, mean, se)
+          }.toArray
+          (k, curve)
         }.toArray
-        (k, curve)
-      }.toArray
+      } finally pool.shutdown()
       new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
         maxReplicas, meanAssignDist, patchedRows, tombstones, storedRows,
         curves, fp, storage)
@@ -1591,10 +1618,22 @@ object RoutedAnnIndex {
     // codebooks, and an unbounded frame would make every streaming-path
     // RECLUSTER of a PQ index pay `iters` full-corpus training passes
     // inside the micro-batch loop (review round 15). The count job rides
-    // the already-persisted frame
-    val nodeStorage = storage match {
+    // the already-persisted frame.
+    //
+    // r18 (guide §2.6, VERDICT r17 item 3): quantizer training (PQ
+    // codebook Lloyd / OPQ driver-side alternation) and routing-centroid
+    // training are INDEPENDENT read-only passes over the same cached
+    // frame, previously run back-to-back — the build's two serial
+    // training blocks. They now overlap: the cache is materialized once
+    // (the count job — the PQ path already paid it for the sample cap),
+    // then the quantizer trains on a driver thread while the Lloyd
+    // routing rounds run on this one. Results are byte-identical to the
+    // serial order (each pass is deterministic and neither reads the
+    // other's output).
+    lazy val rowsOnce = df.count() // one count job, shared by cap + materialization
+    def trainQuantizer(): NodeStorage = storage match {
       case p: StorageSpec.Pq =>
-        val rows = df.count()
+        val rows = rowsOnce
         val trainDf =
           if (rows <= PqTrainCap) df
           else graft.pipeline.Corpus.deterministicSample(
@@ -1602,8 +1641,28 @@ object RoutedAnnIndex {
         NodeStorage.train(p, trainDf)
       case s => NodeStorage.train(s, df)
     }
-    val centroids = frozenCentroids.getOrElse(
-      IvfIndex.trainCentroids(df, numShards, iters))
+    val needsTraining = storage match {
+      case _: StorageSpec.Pq | _: StorageSpec.Opq => true
+      case _ => false // F32/SQ8 realize without any job
+    }
+    val (nodeStorage, centroids) =
+      if (!needsTraining || frozenCentroids.isDefined) {
+        // nothing to overlap: quantizer realization is free, or the
+        // centroids are already trained (maintenance rebuild path)
+        val st = trainQuantizer()
+        (st, frozenCentroids.getOrElse(
+          IvfIndex.trainCentroids(df, numShards, iters)))
+      } else {
+        val _ = rowsOnce // materialize once so the two arms never race to fill the cache
+        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try {
+          val fut = pool.submit(new java.util.concurrent.Callable[NodeStorage] {
+            def call(): NodeStorage = trainQuantizer()
+          })
+          val c = IvfIndex.trainCentroids(df, numShards, iters)
+          (fut.get(), c)
+        } finally pool.shutdown()
+      }
     require(centroids.nonEmpty,
       "cannot build a routed index over an empty corpus (no routing " +
         "centroids can be trained — callers defer the build until data exists)")
@@ -1650,10 +1709,12 @@ object RoutedAnnIndex {
         else Iterator(new HnswShard(idx, config.efSearch): AnnShard)
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    shards.count()
+    // one metadata pass both MATERIALIZES the persisted shards and counts
+    // stored rows — the separate shards.count() job it replaces was pure
+    // scheduler overhead (r18, guide §1.2: don't compute things twice)
+    val stored = countStoredRows(shards)
     if (replicationEps > 0.0) {
       val n = df.count()
-      val stored = assigned.count()
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         f"RoutedAnnIndex boundary replication eps=$replicationEps%.2f: " +
           f"$stored rows stored for $n input (${stored.toDouble / math.max(1, n)}%.3fx)")
@@ -1661,6 +1722,6 @@ object RoutedAnnIndex {
     df.unpersist(blocking = false)
     new RoutedAnnIndex(centroids, config, shards, replicationEps, iters,
       maxReplicas, meanDist, patchedRows = 0L,
-      storedRowsIn = countStoredRows(shards), storage = nodeStorage)
+      storedRowsIn = stored, storage = nodeStorage)
   }
 }

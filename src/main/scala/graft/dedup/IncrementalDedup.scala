@@ -201,9 +201,27 @@ object IncrementalDedup {
     * bytes-conscious: band rows are ~20 B and candidate rows ~24 B, so 4M
     * rows build a ~100-150 MB hash relation — inside executor budgets).
     * Past a bound the shuffle shape takes over — correct at any size,
-    * just not history-shuffle-free. */
-  private val MaxBroadcastBandRows = 4000000L
-  private val MaxBroadcastCandidates = 4000000L
+    * just not history-shuffle-free.
+    *
+    * MEMORY ASSUMPTION (ADVICE r17, made explicit): a built hash relation
+    * runs 2-4× its data bytes, so the 4M bounds assume ≥ ~2 GB of spare
+    * driver heap (the collect) and per-executor memory (the relation) —
+    * true of this repo's 8g default driver (build.sbt SPARK_DRIVER_MEM)
+    * and of any production executor sized per guide §5. Deployments below
+    * that should lower `spark.graft.dedupBroadcastRows`, which overrides
+    * both bounds (a malformed value fails here, naming the key). */
+  private def confRows(key: String, dflt: Long): Long = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val raw = s.conf.get(key, dflt.toString)
+    try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a row count, got '$raw'")
+    }
+  }
+  private def MaxBroadcastBandRows: Long =
+    confRows("spark.graft.dedupBroadcastRows", 4000000L)
+  private def MaxBroadcastCandidates: Long =
+    confRows("spark.graft.dedupBroadcastRows", 4000000L)
 
   /** History size below which the broadcast machinery (batch count job,
     * forced band-probe broadcast, candidate count+broadcast) is not worth

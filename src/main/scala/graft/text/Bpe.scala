@@ -116,7 +116,8 @@ object Bpe {
     // partition below ~64k entries and the loop's per-round cost drops to
     // single-task job latency. Large vocabularies keep full parallelism.
     val base = histo.select(split(col("w"), "").as("syms"), col("cnt"))
-    var vocab = (if (vocabRows <= 65536L) base.coalesce(1) else base)
+    val singlePartition = vocabRows <= 65536L
+    var vocab = (if (singlePartition) base.coalesce(1) else base)
       .localCheckpoint(true)
     // merges accepted since the last checkpoint, applied lazily as one
     // kernel pass per round (never re-materialized until the checkpoint)
@@ -128,18 +129,33 @@ object Bpe {
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val best = current
-        .where(size(col("syms")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"), col("cnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      // r18 (guide §1.2 — the per-round cost of the small-vocab arm is
+      // JOB latency, not row work: the demo-scale forced-distributed
+      // oracle corpus runs 32 rounds of 2-stage groupBy + TakeOrdered
+      // jobs). With the vocab coalesced to ONE partition, the
+      // partition-local pair counts ARE the global counts, so the whole
+      // round — count pairs, argmax with the pinned (count desc, l asc,
+      // r asc) binary-UTF8 tie-break — collapses to one single-stage,
+      // single-task job ([[singlePartitionBestPair]]). Multi-partition
+      // vocabularies keep the distributed groupBy arm: a pair's global
+      // count can win without winning any one partition.
+      val best: Option[(String, String, Long)] =
+        if (singlePartition) singlePartitionBestPair(current)
+        else {
+          val rows = current
+            .where(size(col("syms")) >= 2)
+            .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r")))).as("p"), col("cnt"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+          rows.headOption.map(b => (b.getString(0), b.getString(1), b.getLong(2)))
+        }
+      if (best.isEmpty || best.get._3 < minPairCount) done = true
       else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        val (l, r) = (best.get._1, best.get._2)
         merges += ((l, r))
         pending = pending :+ ((l, r))
         // periodically materialize the pending merges so the per-round
@@ -155,6 +171,60 @@ object Bpe {
       round += 1
     }
     merges.toSeq
+  }
+
+  /** Adjacent-pair count + argmax for the SINGLE-PARTITION vocab arm, as
+    * one single-stage job: the one partition's local pair counts are the
+    * global counts, and the task returns just the winning (l, r, count)
+    * row. The tie-break reproduces the distributed arm's
+    * `orderBy(c desc, l asc, r asc)` exactly — Spark string ordering is
+    * unsigned byte-wise over UTF-8 ([[utf8Lt]]), not Java's UTF-16
+    * char-wise compareTo. Rows with < 2 symbols contribute no pairs (the
+    * old arm's `where(size >= 2)` is subsumed). */
+  private def singlePartitionBestPair(
+      cur: DataFrame): Option[(String, String, Long)] = {
+    import cur.sparkSession.implicits._
+    cur.select(col("syms"), col("cnt")).as[(Seq[String], Long)]
+      .rdd.mapPartitions { it =>
+        val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+        it.foreach { case (syms, cnt) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            val prev = counts.get(k)
+            counts.put(k, if (prev == null) cnt else prev.longValue() + cnt)
+            i += 1
+          }
+        }
+        var bl: String = null; var br: String = null; var bc = 0L
+        val eit = counts.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          val (l, r) = e.getKey
+          val c = e.getValue.longValue()
+          if (bl == null || c > bc || (c == bc &&
+              (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+            bl = l; br = r; bc = c
+          }
+        }
+        if (bl == null) Iterator.empty else Iterator.single((bl, br, bc))
+      }.collect().headOption
+  }
+
+  /** Unsigned byte-wise UTF-8 "<" — Spark's UTF8String ordering, which the
+    * distributed arm's orderBy ties broke with; Java String.compareTo
+    * (UTF-16 code units) diverges for supplementary characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val x = ab(i) & 0xff; val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
   }
 
   /** Subword tokens of `text` under `model` — array<string>, one codegen'd

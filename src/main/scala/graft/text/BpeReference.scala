@@ -66,8 +66,21 @@ object BpeReference {
 
   /** One greedy left-to-right merge pass of (l, r) over a symbol array. */
   def mergePass(syms: Array[String], l: String, r: String): Array[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
+    // fixpoint fast path (r18): a symbol array without an (l, r)
+    // adjacency is returned UNCHANGED (same instance, zero allocation) —
+    // most words don't contain any given pair, and the trainer applies
+    // one pass per pending merge to every vocab row (callers treat the
+    // arrays as immutable). The scan is the same comparisons the copying
+    // loop would have done; output is byte-identical either way.
+    var p = 0
+    var found = false
+    while (!found && p + 1 < syms.length) {
+      if (syms(p) == l && syms(p + 1) == r) found = true else p += 1
+    }
+    if (!found) return syms
+    val out = new mutable.ArrayBuffer[String](syms.length - 1)
     var i = 0
+    while (i < p) { out += syms(i); i += 1 }
     while (i < syms.length) {
       if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
         out += l + r; i += 2
