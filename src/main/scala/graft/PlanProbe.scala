@@ -51,14 +51,32 @@ object PlanProbe {
     val jobWalls = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Int, Double, String)]())
     val listener = new SparkListener {
+      val jobDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
         jobStart.put(j.jobId, System.nanoTime())
+        // identity for the per-job report: the job description when set,
+        // else the action's call site — the job-count analysis needs to
+        // know WHICH actions a query runs, not just how many (r18)
+        // a Trace span's description ("graft Op(store)") names the ENGINE
+        // CALL — the identity the job-count analysis needs (run with
+        // SPARK_GRAFT_TRACE=1); otherwise the stage call-site names the
+        // action. The raw streaming-query description (an id block) says
+        // nothing about which engine call ran the job.
+        val prop = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val desc = prop.filter(_.startsWith("graft "))
+          .orElse(j.stageInfos.lastOption.map(_.name).filter(_.trim.nonEmpty))
+          .orElse(prop)
+          .getOrElse("")
+        jobDesc.put(j.jobId, desc.linesIterator
+          .find(_.trim.nonEmpty).getOrElse("").take(90))
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val t0 = jobStart.remove(j.jobId)
         if (t0 != 0L) jobWalls.add((j.jobId,
-          (System.nanoTime() - t0) / 1e9, ""))
+          (System.nanoTime() - t0) / 1e9,
+          Option(jobDesc.remove(j.jobId)).getOrElse("")))
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1; tasks += s.stageInfo.numTasks
@@ -100,8 +118,8 @@ object PlanProbe {
           println(f"$n%-36s build=$buildS%6.2fs (jobs=$buildJobs) exch=$exch")
         if (verbose) {
           import scala.jdk.CollectionConverters._
-          jobWalls.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (id, w, _) =>
-            println(f"    job $id%3d  $w%6.2fs")
+          jobWalls.asScala.toSeq.sortBy(-_._2).take(40).foreach { case (id, w, d) =>
+            println(f"    job $id%3d  $w%6.2fs  $d")
           }
         }
       } catch {

@@ -692,50 +692,63 @@ class GraftEngine(val spark: SparkSession,
       staleIdsOfOpt: Option[DataFrame => DataFrame],
       schema: String): (Long, Long) = storeLock(schema, name).synchronized {
     val st = state(schema, name)
-    // stamp batch ordinal + content id ONCE and pin it, so validation and the
-    // write see the same rows even for non-deterministic sources, and the
-    // "later entries win" ordinal is stable (ordinal = partition-major row
-    // position, deterministic for driver Seqs and file sources alike)
+    // stamp batch ordinal + content id ONCE; the single materialization
+    // into dedupedCached below pins the stamped rows, so validation and
+    // the write see the same rows even for non-deterministic sources, and
+    // the "later entries win" ordinal is stable (ordinal = partition-major
+    // row position, deterministic for driver Seqs and file sources alike)
     val withId = entries
       .withColumn("_ord", monotonically_increasing_id())
       .withColumn("id", keyId(col("key")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // ONE job materializes the pin AND resolves (batch size, an example
-      // wrong dimension — plus, when no bucket/shard moduli apply, the
-      // distinct content-id count, so the separate touchAndCount job is
-      // skipped entirely for in-memory unsharded stores): an empty batch
-      // returns (0, 0) immediately — no version bump, no empty version dir,
-      // no catalog flush, no no-op ANN patch — and a dimension mismatch
-      // rejects the whole batch before any mutation (par-validation,
-      // store.rs:1074-1079). An empty batch also implies an empty stale set
-      // (stale ids derive from the batch's inputs), so the fused path may
-      // return here too.
-      val moduli = touchModuli(st)
-      val baseAggs = Seq(count(lit(1)),
-        max(when(size(col("key")) =!= st.meta.dimension, size(col("key")))))
-      val aggs =
-        if (moduli.isEmpty) baseAggs :+ count_distinct(col("id")) else baseAggs
-      val v = withId.agg(aggs.head, aggs.tail: _*).head()
-      if (v.getLong(0) == 0) return (0L, 0L)
-      if (!v.isNullAt(1))
-        throw GraftErrors.dimensionMismatch(st.meta.dimension, v.getInt(1))
-      // last-wins dedup within the batch: hash-aggregate with max_by on the
-      // ordinal — partial (map-side) aggregation, cheaper than a sort-window
-      // over the full batch shuffle
-      val deduped = withId.groupBy("id").agg(
-          max_by(struct(col("key"), col("value")), col("_ord")).as("_kv"))
-        .select(col("id"), col("_kv.key").as("key"), col("_kv.value").as("value"))
-      val dedupedCached = deduped.persist(StorageLevel.MEMORY_AND_DISK)
-      // the stale-id frame is constructed HERE, under the lock, over the
-      // generation this mutation rewrites — and materialized (touchAndCount
-      // below) BEFORE the swap, because swap releases that generation
-      val staleCached = staleIdsOfOpt.filter(_ => st.len > 0).map { f =>
-        val ids = f(st.df)
-        ids.select(col(ids.columns.head).as("_sid")).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      }
+    locally {
+      // r18 (guide §1.2/§2.4): the separate pre-group validation aggregate
+      // — whose count_distinct(id) cost an extra Expand+shuffle — is FUSED
+      // into the last-wins dedup groupBy: per-id row count and
+      // dim-mismatch witness aggregate over ALL rows of each group (not
+      // just the max_by winner, so a bad-dimension row anywhere in the
+      // batch still rejects it — semantics identical to the old pre-group
+      // aggregate), and one small agg over the grouped cache resolves
+      // (batch rows, example wrong dimension, distinct ids). Set on an
+      // in-memory unsharded store: one shuffle where there were two.
+      //
+      // last-wins dedup: hash-aggregate with max_by on the ordinal —
+      // partial (map-side) aggregation, cheaper than a sort-window over
+      // the full batch shuffle
+      val dedupedCached = withId.groupBy("id").agg(
+          max_by(struct(col("key"), col("value")), col("_ord")).as("_kv"),
+          count(lit(1)).as("_n"),
+          max(when(size(col("key")) =!= st.meta.dimension,
+            size(col("key")))).as("_bad"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var staleCached: Option[DataFrame] = None
       try {
+        val moduli = touchModuli(st)
+        // ONE job materializes the dedup cache AND resolves the validation
+        // triple: an empty batch returns (0, 0) immediately — no version
+        // bump, no empty version dir, no catalog flush, no no-op ANN patch —
+        // and a dimension mismatch rejects the whole batch before any
+        // mutation (par-validation, store.rs:1074-1079). An empty batch also
+        // implies an empty stale set (stale ids derive from the batch's
+        // inputs), so the fused path may return here too.
+        val v = dedupedCached
+          .agg(sum(col("_n")), max(col("_bad")), count(lit(1))).head()
+        // expression, not a non-local return: a `return` here unwinds via
+        // NonLocalReturnControl THROUGH the Trace span, which would log
+        // every empty-batch Set as a failed op
+        if (v.isNullAt(0) || v.getLong(0) == 0) (0L, 0L)
+        else {
+        if (!v.isNullAt(1))
+          throw GraftErrors.dimensionMismatch(st.meta.dimension, v.getInt(1))
+        val deduped = dedupedCached.select(col("id"),
+          col("_kv.key").as("key"), col("_kv.value").as("value"))
+        // the stale-id frame is constructed HERE, under the lock, over the
+        // generation this mutation rewrites — and materialized (touchAndCount
+        // below) BEFORE the swap, because swap releases that generation
+        staleCached = staleIdsOfOpt.filter(_ => st.len > 0).map { f =>
+          val ids = f(st.df)
+          ids.select(col(ids.columns.head).as("_sid")).distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
         // one job each: materializes the cache AND yields (touch, count);
         // stale ids are store rows by contract, so their row count IS the
         // deleted count — no recount against the store needed
@@ -792,8 +805,8 @@ class GraftEngine(val spark: SparkSession,
               case None => (None, None) // unnameably large stale set
               case Some(ids) =>
                 val newRows =
-                  if (st.len == 0) dedupedCached.select("id", "key")
-                  else dedupedCached.select("id", "key").join(
+                  if (st.len == 0) deduped.select("id", "key")
+                  else deduped.select("id", "key").join(
                     minusStale(mutationView(st, touch))
                       .select(col("id").as("_oid")),
                     col("id") === col("_oid"), "left_anti")
@@ -804,7 +817,7 @@ class GraftEngine(val spark: SparkSession,
         val newLenOpt = swap(schema, name,
           src => minusStale(src.select("id", "key", "value"))
             .join(batchIds, col("id") === col("_nid"), "left_anti")
-            .union(dedupedCached.select("id", "key", "value")),
+            .union(deduped),
           touch, lenDelta = (batchDistinct - updatedCounted) - deleted,
           routedAppend = routedAppend, routedDelete = routedDelete)
         // in-memory path: updated derives from the materialized new length
@@ -815,11 +828,12 @@ class GraftEngine(val spark: SparkSession,
           case None => updatedCounted
         }
         (batchDistinct - updated, updated)
+        }
       } finally {
         dedupedCached.unpersist(blocking = false)
         staleCached.foreach(_.unpersist(blocking = false))
       }
-    } finally withId.unpersist(blocking = false)
+    }
   }
 
   def set(name: String, entries: Seq[(Array[Float], Map[String, MetadataValue])],
@@ -897,16 +911,31 @@ class GraftEngine(val spark: SparkSession,
       throw GraftErrors.dimensionMismatch(st.meta.dimension, k.length))
     val (pids, probe) = probeIds(keys)
     val touch = touchOfIds(st, pids)
-    // deleted count = one broadcast semi-join over the pruned view
-    val deleted = mutationView(st, touch)
-      .join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
-    if (deleted > 0)
-      // the probe ids NAME the removed rows exactly (user-bounded), so a
-      // live routed index tombstones them instead of invalidating whole
-      swap(schema, name,
-        src => src.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
-        touch, lenDelta = -deleted, routedDelete = Some(pids))
-    deleted
+    // the probe ids NAME the removed rows exactly (user-bounded), so a
+    // live routed index tombstones them instead of invalidating whole
+    def runSwap(lenDelta: => Long): Option[Long] = swap(schema, name,
+      src => src.join(broadcast(probe), col("id") === col("_pid"), "left_anti"),
+      touch, lenDelta = lenDelta, routedDelete = Some(pids))
+    if (persistRoot.isDefined) {
+      // persistent path: the pruned bucket rewrite must not run for a
+      // no-op delete, so the semi-join count job decides first
+      val deleted = mutationView(st, touch)
+        .join(broadcast(probe), col("id") === col("_pid"), "left_semi").count()
+      if (deleted > 0) runSwap(-deleted)
+      deleted
+    } else {
+      // in-memory (r18, guide §1.2): the swap's own materialization count
+      // IS the new store length, so deleted = len − newLen and the
+      // separate pre-count job (broadcast build + semi-join count per
+      // DelKey — every CDC micro-batch pays one) disappears. A delete of
+      // only-absent keys still returns 0; it now bumps the version with a
+      // no-op rewrite whose cost equals the count it replaced, and the
+      // routed tombstone tier already tolerates ids that are not in the
+      // store (a re-append clears them).
+      val newLen = runSwap(sys.error(
+        "lenDelta must not be evaluated on the in-memory swap path"))
+      st.len - newLen.getOrElse(st.len)
+    }
   }}
 
   /** DelPred — delete by predicate, returns deleted count
@@ -918,6 +947,21 @@ class GraftEngine(val spark: SparkSession,
     storeLock(schema, name).synchronized {
     val st = state(schema, name)
     val c = Predicates.toColumn(cond, col("value"))
+    // r18 (guide §1.2): in-memory + unsharded + no routed index — nothing
+    // needs the matched-id frame (no buckets to prune, no ids to
+    // tombstone), so the match scan + touch job is dropped entirely and
+    // ONE swap job rewrites and counts; deleted = len − newLen. A no-match
+    // predicate then bumps the version with a no-op rewrite whose cost
+    // equals the scan it replaced (same acceptance as delKey's in-memory
+    // arm).
+    if (persistRoot.isEmpty && touchModuli(st).isEmpty && st.routedIndex.isEmpty) {
+      val newLen = swap(schema, name, src => src.where(!c), Touch(Map.empty),
+        lenDelta = sys.error(
+          "lenDelta must not be evaluated on the in-memory swap path"),
+        routedDelete = None) // no built routed index here (guard above);
+                             // None stays the conservative "invalidate"
+      st.len - newLen.getOrElse(st.len)
+    } else {
     val matched = st.df.where(c).select("id").persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // one job resolves the deleted count AND the touched buckets (store
@@ -936,6 +980,7 @@ class GraftEngine(val spark: SparkSession,
       }
       deleted
     } finally matched.unpersist(blocking = false)
+    }
   }}
 
   /** Upsert — update exactly-one entry matched by predicate; optional new

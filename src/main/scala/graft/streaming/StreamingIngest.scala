@@ -63,7 +63,7 @@ object StreamingIngest {
     val w = cdc.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        {
           val op = lower(trim(col(opCol)))
           val opNorm = when(op.isin("insert", "upsert", "set"), lit("insert"))
             .when(op === "delete", lit("delete"))
@@ -80,14 +80,21 @@ object StreamingIngest {
             .select(col("key"), col("_l.op").as("op"), col("_l.value").as("value"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            // count FIRST, collect after the batch is known under the cap:
-            // the delete payload is full key VECTORS (dim × 4 B each, plus
-            // Row overhead — 1-2 GB at embedding dims near the cap), so a
-            // limit(cap+1).collect() probe would OOM the driver before the
-            // loud GraftException it exists to raise (round-13 advice).
-            // The count scans the already-cached compacted frame.
-            val dels = compacted.where(col("op") === "delete").select("key")
-            val nDel = dels.count()
+            // ONE stats aggregate per micro-batch (r18, guide §1.2): it
+            // materializes the compacted cache and resolves (total rows,
+            // delete rows) together — replacing the batch.isEmpty probe +
+            // the separate delete count, and letting a delete-only batch
+            // skip the Set call (and an insert-only batch the DelKey)
+            // outright. Count FIRST, collect after the batch is known
+            // under the cap: the delete payload is full key VECTORS
+            // (dim × 4 B each, plus Row overhead — 1-2 GB at embedding
+            // dims near the cap), so a limit(cap+1).collect() probe would
+            // OOM the driver before the loud GraftException it exists to
+            // raise (round-13 advice).
+            val stats = compacted.agg(count(lit(1)),
+              sum((col("op") === "delete").cast("long"))).head()
+            val total = stats.getLong(0)
+            val nDel = if (stats.isNullAt(1)) 0L else stats.getLong(1)
             if (nDel > maxDeletesPerBatch)
               throw graft.types.GraftException(
                 s"ingestCdcEntries: a micro-batch carries $nDel deletes " +
@@ -95,13 +102,13 @@ object StreamingIngest {
                   s"corpus-scale deletion, not a CDC replay")
             if (nDel > 0)
               engine.delKey(store,
-                dels.collect().map(_.getSeq[Float](0).toArray).toSeq, schema)
-            // no isEmpty pre-check: set()'s own validation aggregate
-            // early-returns (0,0) on an empty batch in the same single job
-            // the pre-check would have cost (round-17 job-count cut)
-            engine.set(store, compacted.where(col("op") === "insert")
-              .select(col("key"), col("value")), schema)
-            ()
+                compacted.where(col("op") === "delete").select("key")
+                  .collect().map(_.getSeq[Float](0).toArray).toSeq, schema)
+            if (total - nDel > 0) {
+              engine.set(store, compacted.where(col("op") === "insert")
+                .select(col("key"), col("value")), schema)
+              ()
+            }
           } finally compacted.unpersist(blocking = false)
         }
       }
@@ -140,7 +147,7 @@ object StreamingIngest {
     val w = cdc.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        {
           val op = lower(trim(col(opCol)))
           val opNorm = when(op.isin("insert", "upsert", "set"), lit("insert"))
             .when(op === "delete", lit("delete"))
@@ -157,22 +164,30 @@ object StreamingIngest {
             .select(col("input"), col("_l.op").as("op"), col("_l.value").as("value"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val dels = compacted.where(col("op") === "delete").select("input")
-            val nDel = dels.count()
+            // one stats aggregate per micro-batch — see [[ingestCdcEntries]]
+            // (r18): materializes the cache, replaces the isEmpty probe +
+            // delete count, and lets one-sided batches skip the unused
+            // engine call. The count-before-collect cap discipline is
+            // unchanged (an input can be megabytes of image/audio bytes).
+            val stats = compacted.agg(count(lit(1)),
+              sum((col("op") === "delete").cast("long"))).head()
+            val total = stats.getLong(0)
+            val nDel = if (stats.isNullAt(1)) 0L else stats.getLong(1)
             if (nDel > maxDeletesPerBatch)
               throw graft.types.GraftException(
                 s"ingestAiCdcEntries: a micro-batch carries $nDel deletes " +
                   s"(cap $maxDeletesPerBatch) — use delPred for " +
                   s"corpus-scale deletion, not a CDC replay")
             if (nDel > 0)
-              ai.delKey(store, dels.collect()
-                .map(r => graft.ai.AiEngine.rowToMeta(r.getStruct(0))).toSeq,
+              ai.delKey(store,
+                compacted.where(col("op") === "delete").select("input").collect()
+                  .map(r => graft.ai.AiEngine.rowToMeta(r.getStruct(0))).toSeq,
                 schema)
-            // no isEmpty pre-check: setDf's validation aggregate
-            // early-returns on an empty batch in one job (round-17)
-            ai.setDf(store, compacted.where(col("op") === "insert")
-              .select(col("input"), col("value")), schema)
-            ()
+            if (total - nDel > 0) {
+              ai.setDf(store, compacted.where(col("op") === "insert")
+                .select(col("input"), col("value")), schema)
+              ()
+            }
           } finally compacted.unpersist(blocking = false)
         }
       }
@@ -619,14 +634,20 @@ object StreamingIngest {
         .select(col("id"), col("_l.op").as("op"), col("_l.key").as("key"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        // ONE bounded job answers both questions — are we past the
-        // recluster cutover, and (if not) which ids — instead of a
-        // count() followed by a second collect() (the ingestCdcEntries
-        // pattern; per-micro-batch scheduling latency matters here)
-        val delRows = last.where(col("op") === "delete").select("id")
-          .limit(maxDeleteCollect + 1).collect()
+        // ONE stats aggregate per micro-batch (r18): materializes the
+        // compacted cache and resolves (total, deletes) together — the
+        // empty-batch, delete-only and insert-only shapes each skip their
+        // unused tier (and their probe jobs: the former limit-collect +
+        // inserts.isEmpty pair, plus the caller's batch.isEmpty) outright.
+        // Delete ids collect only when 0 < deletes ≤ the cutover — the
+        // driver never materializes an over-cap delete set.
+        val stats = last.agg(count(lit(1)),
+          sum((col("op") === "delete").cast("long"))).head()
+        val total = stats.getLong(0)
+        val nDel = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        if (total == 0) return
         val old = idx
-        if (delRows.length > maxDeleteCollect) {
+        if (nDel > maxDeleteCollect) {
           // churn past the tombstone guards: one recluster over the net
           // survivor set amortizes (the measured 20%-churn datapoint) and
           // the delete ids never materialize on the driver
@@ -648,8 +669,9 @@ object StreamingIngest {
           return
         }
         val afterDel =
-          if (delRows.isEmpty) old
+          if (nDel == 0) old
           else {
+            val delRows = last.where(col("op") === "delete").select("id").collect()
             val out = old.delete(delRows.map(_.getLong(0)).toSeq)
             if (out.tier == "compact") nCompacts += 1 else nTombstones += 1
             graft.obs.Trace.event(spark, s"routed:${out.tier}", "stream-ingest")
@@ -657,7 +679,7 @@ object StreamingIngest {
           }
         val inserts = last.where(col("op") === "insert")
           .select(col("id"), col("key").cast("array<float>").as("key"))
-        if (inserts.isEmpty) { idx = afterDel; return }
+        if (total - nDel == 0) { idx = afterDel; return }
         afterDel.appendOutcome(inserts) match {
           case Some(out) =>
             idx = out.index // predecessor released inside appendOutcome
@@ -731,7 +753,9 @@ object StreamingIngest {
     val w = cdc.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     val q = w.foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        {
+          // no isEmpty probe: ingestCdc's own stats aggregate resolves an
+          // empty batch in the one job the probe would have cost (r18)
           val op = lower(trim(col(opCol)))
           val opNorm = when(op.isin("insert", "upsert", "set"), lit("insert"))
             .when(op === "delete", lit("delete"))
