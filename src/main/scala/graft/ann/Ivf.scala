@@ -115,19 +115,36 @@ final class IvfIndex(
     // ground truth: the EXACT exhaustive join (== brute force for IVF),
     // regardless of which arm the ladder measures
     val truth = rankedSets(nCells, exact = true)
-    val curve = Calibration.ladder(ladderIn, nCells).map { p =>
-      val got = if (p == nCells && quantizedShortlist.isEmpty) truth
-        else rankedSets(p)
-      val per = truth.toSeq.map { case (qi, ts) =>
-        if (ts.isEmpty) 1.0
-        else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
-      }
-      val (mean, se) = Calibration.meanSe(per)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        f"IvfIndex.calibrate: nProbe=$p%d recall@$k%d = $mean%.4f +- " +
-          f"$se%.4f se (${truth.size}%d sample queries)")
-      (p, mean, se)
-    }.toArray
+    // r18 (guide §2.6, same shape as RoutedAnnIndex.calibrateKs): the
+    // ladder points are independent read-only joins over the cached
+    // cells — run up to 3 concurrently from a driver pool instead of
+    // back-to-back; each point's served set is deterministic and the
+    // curve assembles in ladder order, so the numbers are byte-identical
+    // to the serial loop.
+    val ladder = Calibration.ladder(ladderIn, nCells)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(3, ladder.length)))
+    val curve = try {
+      val futs = ladder.map { p =>
+        p -> pool.submit(new java.util.concurrent.Callable[Map[Int, Set[Long]]] {
+          def call(): Map[Int, Set[Long]] =
+            if (p == nCells && quantizedShortlist.isEmpty) truth
+            else rankedSets(p)
+        })
+      }.toMap
+      ladder.map { p =>
+        val got = futs(p).get()
+        val per = truth.toSeq.map { case (qi, ts) =>
+          if (ts.isEmpty) 1.0
+          else got.getOrElse(qi, Set.empty).count(ts).toDouble / ts.size
+        }
+        val (mean, se) = Calibration.meanSe(per)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          f"IvfIndex.calibrate: nProbe=$p%d recall@$k%d = $mean%.4f +- " +
+            f"$se%.4f se (${truth.size}%d sample queries)")
+        (p, mean, se)
+      }.toArray
+    } finally pool.shutdown()
     val fp = (if (queries.isDefined) "ext:" else "self:") +
       RoutedAnnIndex.sampleFingerprint(sample.map(_._2))
     new IvfIndex(centroids, cells, metric, curve, k, fp)

