@@ -36,8 +36,12 @@ class BenchCarrySpec extends AnyFunSuite {
       tmpJson("""{"carry": [1, 2]}""").toString) === Seq.empty)
   }
 
-  test("the committed repo artifact parses and carries r16's driver movers") {
-    // run from the repo root under sbt — the same resolution Bench uses
+  test("the committed repo artifact parses and carries the flagged movers") {
+    // run from the repo root under sbt — the same resolution Bench uses.
+    // The carry CONTENTS rotate each round (the verdict's flagged movers
+    // replace the previous round's — r18 carries r17's routed_scan /
+    // kdtree_filtered_large / set_counts); this pin asserts the artifact
+    // stays parseable and canary-bearing, not any one round's list.
     val carried = Bench.carryFromArtifact("BENCH_CARRY.json")
     assert(carried.nonEmpty, "BENCH_CARRY.json must exist at the repo root")
     // every carried name must be a real registered query, else the panel
@@ -45,6 +49,5 @@ class BenchCarrySpec extends AnyFunSuite {
     val known = SparkEntry.queries.keySet
     assert(carried.toSet.subsetOf(known),
       s"unknown queries in BENCH_CARRY.json: ${carried.filterNot(known)}")
-    assert(carried.contains("docs_ppl_stream"))
   }
 }
