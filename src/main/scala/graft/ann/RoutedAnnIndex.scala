@@ -406,13 +406,22 @@ final class RoutedAnnIndex(
         array_min(dists).as("_d"), col("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // count, drift objective AND the touched-shard set in ONE aggregate
-      // job (r18, guide §1.2 / VERDICT r17 item 4 count-fusion): the
-      // distinct-shards collect was a separate scheduler round-trip per
-      // micro-batch append; collect_set(_s) is bounded by numShards and
-      // rides the same map-side-combined pass
-      val agg = assigned.agg(count(lit(1)), avg(col("_d")),
-        collect_set(col("_s"))).head()
+      // count, drift objective, the touched-shard set AND the cleared
+      // tombstones in ONE aggregate job (r18, guide §1.2 / VERDICT r17
+      // item 4 count-fusion): the distinct-shards collect and — when the
+      // index carries tombstones — the resurrection scan (an RDD
+      // map/filter/distinct, i.e. a second job WITH a shuffle per
+      // micro-batch append) were separate scheduler round-trips.
+      // collect_set(_s) is bounded by numShards; collect_set of the
+      // tombstone hits is bounded by the tombstone cap (≤ 2^18), and the
+      // membership test ships the same sorted-array closure the dropped
+      // RDD job shipped.
+      val ts = tombstones
+      val tsHit = udf((id: Long) => Arrays.binarySearch(ts, id) >= 0)
+      val aggs = Seq(count(lit(1)), avg(col("_d")), collect_set(col("_s"))) ++
+        (if (ts.isEmpty) Nil
+         else Seq(collect_set(when(tsHit(col("id")), col("id")))))
+      val agg = assigned.agg(aggs.head, aggs.tail: _*).head()
       val nNew = agg.getLong(0)
       if (nNew == 0) return Some(Maintained(this, "append", Set.empty))
       val batchObj = agg.getDouble(1)
@@ -427,15 +436,11 @@ final class RoutedAnnIndex(
       // artifact-refresh set the caller writes back
       val touched = agg.getSeq[Int](2).toSet
       // a re-appended tombstoned id is live again (same content id = the
-      // same vector); the scan is bounded by the tombstone cap
+      // same vector)
       val newTombstones: Array[Long] =
-        if (tombstones.isEmpty) tombstones
+        if (ts.isEmpty) tombstones
         else {
-          val ts = tombstones
-          val cleared = assigned.select("id").rdd
-            .map(_.getLong(0))
-            .filter(id => Arrays.binarySearch(ts, id) >= 0)
-            .distinct().collect().toSet
+          val cleared = agg.getSeq[Long](3).toSet
           if (cleared.isEmpty) tombstones else ts.filterNot(cleared)
         }
       // pure graph rows: stored minus the rows already living in overlay
