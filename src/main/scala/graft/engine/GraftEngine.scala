@@ -678,7 +678,10 @@ class GraftEngine(val spark: SparkSession,
     * current df UNDER THE STORE LOCK, so the ids it yields are rows of the
     * generation being mutated (a frame built by the caller ahead of the
     * lock could reference a superseded generation after a concurrent
-    * mutation: wrong deletes, drifted len). It is skipped entirely when the
+    * mutation: wrong deletes, drifted len). It must yield EACH stale id
+    * ONCE (derive ids from store rows, which are unique by id — the
+    * engine counts the frame's rows as the deleted count and does not
+    * re-dedup it; r18). It is skipped entirely when the
     * store is empty (nothing can be stale; the probe joins are pure
     * overhead on first ingest) — that check also rides the lock. */
   private[graft] def delIdsAndSet(name: String,
@@ -743,10 +746,17 @@ class GraftEngine(val spark: SparkSession,
           col("_kv.key").as("key"), col("_kv.value").as("value"))
         // the stale-id frame is constructed HERE, under the lock, over the
         // generation this mutation rewrites — and materialized (touchAndCount
-        // below) BEFORE the swap, because swap releases that generation
+        // below) BEFORE the swap, because swap releases that generation.
+        // No distinct (r18): the constructor CONTRACT (see delIdsAndSet)
+        // is that it yields EACH stale id once — ids of store rows of the
+        // locked generation, unique by the store's id invariant (the one
+        // caller, AiEngine's reserved-input probe, semi-joins store rows
+        // and selects their id). The defensive dedup was a shuffle per
+        // re-ingest batch; with the contract stated, the row count below
+        // IS the deleted count without it.
         staleCached = staleIdsOfOpt.filter(_ => st.len > 0).map { f =>
           val ids = f(st.df)
-          ids.select(col(ids.columns.head).as("_sid")).distinct()
+          ids.select(col(ids.columns.head).as("_sid"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
         // one job each: materializes the cache AND yields (touch, count);
